@@ -1,0 +1,183 @@
+"""Brute-force exact k-NN — the distance join at the heart of the engine.
+
+Parity target: the reference's exhaustive scan (bindings/wasm/src/index.rs:122-161,
+src/core/vector_ops.rs:310-346) and the recall ground truth
+(src/ivf/operations.rs:329-391).  This operator is both the small-data
+search path (the reference's "HNSW-only mode" below the IVF training
+threshold, src/hybrid/core.rs:262-269) and the correctness oracle for the
+approximate IVF path.
+
+Two physical strategies, same semantics:
+
+``impl="expr"`` — vectors ⋈ broadcast(queries) cross join, distance as a
+whole-stage-codegen column expression, windowed top-k.  Simple, fully
+declarative; the cross-join output is Q*N rows, so use it when Q is tiny
+or a metadata pre-filter makes N small.
+
+``impl="kernel"`` — Arrow-batched numpy kernel via ``mapInPandas``: each
+input partition computes distances for all queries with BLAS and emits
+only its per-partition top-k per query (a map-side partial reduction —
+no Q*N shuffle).  A final window over Q * num_partitions * k rows picks
+the exact global top-k.  This is the 100 TB path: the only shuffle is the
+tiny partial-result set.
+
+Both strategies rank by (round(distance, 6), id) — see operators/topk.py
+for why that makes results deterministic across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fabstir_vectordb_spark.functions import distance as D
+from fabstir_vectordb_spark.operators.topk import ROUND_DECIMALS, topk_per_query
+
+_METRICS = ("l2", "cosine", "dot")
+
+
+def _distance_column(metric: str, a, b) -> Column:
+    if metric == "l2":
+        return D.l2_distance(a, b)
+    if metric == "cosine":
+        return D.cosine_distance(a, b)
+    if metric == "dot":
+        # max inner product ranking expressed as an ascending distance
+        return -D.dot(a, b)
+    raise ValueError(f"unknown metric {metric!r}; one of {_METRICS}")
+
+
+def _kernel_distances(metric: str, V: np.ndarray, q: np.ndarray) -> np.ndarray:
+    if metric == "l2":
+        # direct (V - q) form: bitwise-compatible with the sequential fold
+        # after round(6); the |V|^2 + |q|^2 - 2V.q expansion is faster but
+        # loses precision for near-duplicate vectors.
+        diff = V - q
+        return np.sqrt(np.einsum("ij,ij->i", diff, diff))
+    if metric == "cosine":
+        vn = np.linalg.norm(V, axis=1)
+        qn = np.linalg.norm(q)
+        denom = vn * qn
+        sim = np.divide(V @ q, denom, out=np.zeros(len(V)), where=denom != 0.0)
+        return 1.0 - sim
+    if metric == "dot":
+        return -(V @ q)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def knn_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "l2",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+) -> DataFrame:
+    """Declarative cross-join kNN (impl="expr")."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vector_col).alias("__qvec"),
+    )
+    joined = vectors.crossJoin(F.broadcast(q))
+    dist = _distance_column(metric, F.col(vector_col), F.col("__qvec"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("id"),
+        dist.alias("distance"),
+    )
+    return topk_per_query(scored, k)
+
+
+def knn_kernel(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "l2",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+) -> DataFrame:
+    """Partial-reduction numpy kNN (impl="kernel").
+
+    Queries are collected to the driver (they are the small side — the
+    same assumption the expr path's broadcast makes) and shipped to
+    executors inside the Arrow task closure.
+    """
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {_METRICS}")
+    spark = vectors.sparkSession
+    qrows = queries.select(query_id_col, query_vector_col).collect()
+    if not qrows:
+        raise ValueError("empty query set")
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    qid_type = queries.schema[query_id_col].dataType
+    id_type = vectors.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type, False),
+            T.StructField("id", id_type, False),
+            T.StructField("distance", T.DoubleType(), False),
+        ]
+    )
+
+    def partial_topk(batches):
+        qids_l, Q_l = bc.value
+        nq = len(qids_l)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
+            ids = pdf[id_col].to_numpy()
+            if ids.dtype == object:
+                ids = ids.astype(str)  # lexsort-able; ASCII order == Spark string order
+            out_q, out_id, out_d = [], [], []
+            for j in range(nq):
+                d = _kernel_distances(metric, V, Q_l[j])
+                dr = np.round(d, ROUND_DECIMALS)
+                if len(d) > k:
+                    # select everything <= the k-th smallest rounded distance so
+                    # the id tie-break sees ALL boundary ties, then exact-sort
+                    part = np.argpartition(dr, k - 1)
+                    thresh = dr[part[:k]].max()
+                    cand = np.flatnonzero(dr <= thresh)
+                    cand = cand[np.lexsort((ids[cand], dr[cand]))][:k]
+                else:
+                    cand = np.lexsort((ids, dr))[:k]
+                out_q.extend([qids_l[j]] * len(cand))
+                out_id.extend(ids[cand].tolist())
+                out_d.extend(d[cand].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "id": out_id, "distance": out_d}
+            )
+
+    partials = vectors.select(id_col, vector_col).mapInPandas(partial_topk, out_schema)
+    return topk_per_query(partials, k)
+
+
+def brute_force_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "l2",
+    impl: str = "kernel",
+    **cols,
+) -> DataFrame:
+    """Exact top-k similarity join.  Output: (query_id, id, distance) asc.
+
+    Apply metadata predicates to ``vectors`` BEFORE calling — the filter
+    then reaches the parquet scan (pushdown), which supersedes the
+    reference's k*3 oversampling post-filter (src/hybrid/core.rs:513-549).
+    """
+    fn = {"kernel": knn_kernel, "expr": knn_join}.get(impl)
+    if fn is None:
+        raise ValueError(f"unknown impl {impl!r}")
+    return fn(vectors, queries, k, metric=metric, **cols)
