@@ -25,6 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from fabstir_vectordb_spark.operators.knn import brute_force_knn  # noqa: E402
 from fabstir_vectordb_spark.functions import distance as D  # noqa: E402
+from fabstir_vectordb_spark.functions.filters import compile_filter  # noqa: E402
 
 K = 10
 NQ = 8  # query vectors = embeddings with vec_id < NQ
@@ -38,6 +39,14 @@ def r6(c) -> F.Column:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
+        # default; read nanos as long and convert to a microsecond timestamp.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -134,6 +143,55 @@ def q_search_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("score") >= 0.1)
 
 
+def q_filter_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo-dialect filter compiler: $and + $in + range (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = compile_filter(
+        {"$and": [{"lang": {"$in": ["en", "es"]}}, {"n_chars": {"$gte": 100, "$lt": 400}}]},
+        docs.schema,
+    )
+    return docs.filter(pred).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_filter_array_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality on an array field = membership (metadata_filter.rs:274-279)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "tags", F.slice(F.split(F.col("text"), " "), 1, 5)
+    )
+    pred = compile_filter({"tags": "spark"}, docs.schema)
+    return docs.filter(pred).select("doc_id", "tags")
+
+
+def q_filter_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dot-path range filter over a JSON metadata column (SURVEY §1.2)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "metadata", F.from_json("props", "k int")
+    )
+    pred = compile_filter({"k": {"$gte": 50}}, ev.schema, metadata_col="metadata")
+    return ev.filter(pred).select("event_id", F.col("metadata.k").alias("k"))
+
+
+def q_filter_or_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$or over a string eq and a numeric range on events."""
+    ev = _t(spark, sf_dir, "events")
+    pred = compile_filter(
+        {"$or": [{"event_type": "purchase"}, {"value": {"$gt": 95.0}}]}, ev.schema
+    )
+    return ev.filter(pred).select("event_id", "event_type", r6("value").alias("value"))
+
+
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search: predicate pushed BELOW ranking (supersedes the
+    reference's k*3 oversampling, hybrid/core.rs:513-549)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = compile_filter({"label": {"$in": [1, 3, 5]}}, emb.schema)
+    res = brute_force_knn(
+        emb.filter(pred), _query_vectors(spark, sf_dir), K,
+        metric="l2", impl="kernel", id_col="vec_id", vector_col="embedding",
+    )
+    return res.select("query_id", "id", r6("distance").alias("distance"))
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, same parquet tables as views)
 # --------------------------------------------------------------------------
@@ -222,6 +280,35 @@ WITH q AS (
 SELECT query_id, id, (round(1.0 / (1.0 + distance), 6) + 0.0) AS score
 FROM r WHERE rn <= 50 AND round(1.0 / (1.0 + distance), 6) >= 0.1
 """.format(nq=NQ, l2=_L2),
+    "filter_matrix": """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE lang IN ('en', 'es') AND n_chars >= 100 AND n_chars < 400
+""",
+    "filter_array_contains": """
+SELECT doc_id, string_split(text, ' ')[1:5] AS tags FROM documents
+WHERE list_contains(string_split(text, ' ')[1:5], 'spark')
+""",
+    "filter_json_props": """
+SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events
+WHERE CAST(props->>'$.k' AS INTEGER) >= 50
+""",
+    "filter_or_mixed": """
+SELECT event_id, event_type, (round(value, 6) + 0.0) AS value FROM events
+WHERE event_type = 'purchase' OR value > 95.0
+""",
+    "knn_filtered": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {nq}
+), d AS (
+  SELECT q.query_id, e.vec_id AS id, {l2} AS distance
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IN (1, 3, 5)
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rn
+  FROM d
+)
+SELECT query_id, id, distance FROM r WHERE rn <= {k}
+""".format(nq=NQ, l2=_L2, k=K),
 }
 
 
@@ -242,6 +329,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_kernels": q_dist_kernels,
         "vector_norms": q_vector_norms,
         "search_threshold": q_search_threshold,
+        "filter_matrix": q_filter_matrix,
+        "filter_array_contains": q_filter_array_contains,
+        "filter_json_props": q_filter_json_props,
+        "filter_or_mixed": q_filter_or_mixed,
+        "knn_filtered": q_knn_filtered,
     }
 
 
