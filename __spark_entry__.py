@@ -26,6 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from fabstir_vectordb_spark.operators.knn import brute_force_knn  # noqa: E402
 from fabstir_vectordb_spark.functions import distance as D  # noqa: E402
 from fabstir_vectordb_spark.functions.filters import compile_filter  # noqa: E402
+from fabstir_vectordb_spark.operators.ivf import IVFIndex  # noqa: E402
 
 K = 10
 NQ = 8  # query vectors = embeddings with vec_id < NQ
@@ -192,6 +193,46 @@ def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "id", r6("distance").alias("distance"))
 
 
+def _fit_ivf(spark: SparkSession, sf_dir: str, n_clusters: int = 16):
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = IVFIndex.fit(
+        emb, n_clusters=n_clusters, seed=42, id_col="vec_id", vector_col="embedding"
+    )
+    return emb, idx
+
+
+def q_ann_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe = n_clusters — must equal exact brute force
+    (the reference's own ground-truth trick, ivf/operations.rs:349)."""
+    emb, idx = _fit_ivf(spark, sf_dir)
+    res = idx.search(
+        idx.assign(emb), _query_vectors(spark, sf_dir), K, n_probe=idx.n_clusters
+    )
+    return res.select("query_id", "id", r6("distance").alias("distance"))
+
+
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF n_probe=4/16 partial probe (ivf/core.rs:622-681) — approximate,
+    so checked rows-only; quality is covered by q_ivf_recall."""
+    emb, idx = _fit_ivf(spark, sf_dir)
+    res = idx.search(idx.assign(emb), _query_vectors(spark, sf_dir), K, n_probe=4)
+    return res.select("query_id", "id", r6("distance").alias("distance"))
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision self-evaluation harness (ivf/operations.rs:329-391)."""
+    emb, idx = _fit_ivf(spark, sf_dir)
+    assigned = idx.assign(emb).cache()
+    queries = _query_vectors(spark, sf_dir)
+    rows = []
+    for n_probe in (1, 4, idx.n_clusters):
+        m = idx.evaluate_recall(assigned, queries, K, n_probe=n_probe)
+        rows.append((n_probe, float(m["avg_recall"]), float(m["avg_precision"])))
+    return spark.createDataFrame(
+        rows, "n_probe int, avg_recall double, avg_precision double"
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, same parquet tables as views)
 # --------------------------------------------------------------------------
@@ -309,6 +350,10 @@ WITH q AS (
 )
 SELECT query_id, id, distance FROM r WHERE rn <= {k}
 """.format(nq=NQ, l2=_L2, k=K),
+    # ann_ivf_full probes every cluster, so it must reproduce exact brute
+    # force — same oracle as knn_l2.  (ann_ivf_probe / ivf_recall are
+    # approximate / model-dependent => rows-only checks.)
+    "ann_ivf_full": _oracle_knn(f"{_L2} AS distance", "distance"),
 }
 
 
@@ -334,6 +379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_json_props": q_filter_json_props,
         "filter_or_mixed": q_filter_or_mixed,
         "knn_filtered": q_knn_filtered,
+        "ann_ivf_full": q_ann_ivf_full,
+        "ann_ivf_probe": q_ann_ivf_probe,
+        "ivf_recall": q_ivf_recall,
     }
 
 
