@@ -1,0 +1,470 @@
+"""VectorDbSession — the user-facing session API.
+
+Parity target: the reference's primary front-end, the Node napi session
+(bindings/node/src/session.rs): createSession / addVectors / search /
+getVector / deleteVector / batchDelete / deleteByMetadata /
+updateMetadata / vacuum / getStats / setSchema / saveTo / loadFrom.
+
+Semantics preserved:
+  - dimension fixed at first insert; mismatches error (session.rs:344-357)
+  - duplicate id errors (hnsw/core.rs:227-230, ivf/core.rs:129-134)
+  - metadata schema validated at add/update when set (session.rs:388-392)
+  - search: score = 1/(1+euclidean), default threshold 0.0, filter is the
+    Mongo dialect, results ascending by distance, <= k rows, soft-deleted
+    rows never returned, metadata returned with the USER id (the
+    reference's _originalId machinery (session.rs:410-428) disappears
+    because we never hash ids away)
+  - deleteVector: soft delete; unknown/already-deleted id errors
+    (hybrid/core.rs:904-936); batchDelete returns per-id stats
+  - deleteByMetadata returns {deletedCount, deletedIds} (session.rs:543-552)
+  - updateMetadata is FULL REPLACE, vector untouched (session.rs:581-632)
+  - vacuum physically removes soft-deleted rows and reports counts
+    (hybrid/core.rs:989-1011)
+  - recent/historical: a 7-day ts predicate replaces the reference's
+    HNSW/IVF routing (hybrid/core.rs:357-417) — search_recent /
+    search_historical flags restrict the scanned range
+
+Spark-first storage: ONE DataFrame (id, vector, metadata-struct, ts,
+deleted) rather than two indices + a metadata side-map.  Mutations are
+column rewrites (merge-on-read style); `vacuum` is the compaction.
+An optional IVFIndex accelerates search once trained.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fabstir_vectordb_spark.functions import distance as D
+from fabstir_vectordb_spark.functions.filters import compile_filter
+from fabstir_vectordb_spark.functions.schema import MetadataSchema
+from fabstir_vectordb_spark.operators.ivf import IVFIndex
+from fabstir_vectordb_spark.operators.knn import brute_force_knn
+from fabstir_vectordb_spark.operators.topk import topk_per_query
+
+RECENCY_DAYS = 7  # src/hybrid/core.rs:77
+FORMAT_VERSION = 3  # mirrors MANIFEST_VERSION (src/core/chunk.rs:30)
+
+
+class VectorDbError(ValueError):
+    pass
+
+
+def _utcnow() -> _dt.datetime:
+    return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+
+
+def _row_to_plain(v: Any) -> Any:
+    if isinstance(v, Row):
+        return {k: _row_to_plain(x) for k, x in v.asDict().items() if x is not None}
+    if isinstance(v, dict):
+        return {k: _row_to_plain(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        return [_row_to_plain(x) for x in v]
+    return v
+
+
+class VectorDbSession:
+    def __init__(self, spark: SparkSession, session_id: str | None = None):
+        self.spark = spark
+        self.session_id = session_id or f"session-{uuid.uuid4().hex[:12]}"
+        self._df: DataFrame | None = None
+        self._dim: int | None = None
+        self._schema: MetadataSchema | None = None
+        self._index: IVFIndex | None = None
+
+    # ------------------------------------------------------------------ add
+
+    def add_vectors(
+        self,
+        vectors: list[dict],
+        timestamp: _dt.datetime | None = None,
+    ) -> int:
+        """Batch insert. Each item: {id, vector, metadata?, timestamp?}.
+
+        Validates dimension + schema + duplicate ids (within the batch and
+        against live rows) before anything is appended.
+        """
+        if not vectors:
+            return 0
+        now = timestamp or _utcnow()
+        seen: set[str] = set()
+        rows = []
+        for item in vectors:
+            vid = str(item["id"])
+            vec = [float(x) for x in item["vector"]]
+            if not vec:
+                raise VectorDbError(f"empty vector for id {vid!r}")
+            if self._dim is None:
+                self._dim = len(vec)
+            elif len(vec) != self._dim:
+                raise VectorDbError(
+                    f"dimension mismatch for id {vid!r}: got {len(vec)}, expected {self._dim}"
+                )
+            if vid in seen:
+                raise VectorDbError(f"duplicate id in batch: {vid!r}")
+            seen.add(vid)
+            md = item.get("metadata")
+            if self._schema is not None:
+                self._schema.validate_metadata(md)
+            rows.append(
+                {
+                    "id": vid,
+                    "vector": vec,
+                    "metadata": md,
+                    "ts": item.get("timestamp") or now,
+                    "deleted": False,
+                }
+            )
+        if self._df is not None:
+            clash = (
+                self._df.filter(~F.col("deleted"))
+                .filter(F.col("id").isin(sorted(seen)))
+                .select("id")
+                .limit(1)
+                .collect()
+            )
+            if clash:
+                raise VectorDbError(f"duplicate id: {clash[0]['id']!r} already exists")
+        batch = self._create_batch_df(rows)
+        if self._df is None:
+            self._df = batch
+        else:
+            self._df = self._df.unionByName(batch, allowMissingColumns=True)
+        return len(rows)
+
+    def _create_batch_df(self, rows: list[dict]) -> DataFrame:
+        base = T.StructType(
+            [
+                T.StructField("id", T.StringType(), False),
+                T.StructField("vector", T.ArrayType(T.FloatType()), False),
+                T.StructField("ts", T.TimestampType(), False),
+                T.StructField("deleted", T.BooleanType(), False),
+            ]
+        )
+        mds = [r["metadata"] for r in rows]
+        if any(md for md in mds):
+            inferred = _infer_md_type(self.spark, mds)
+            if self._schema is not None:
+                # declared fields take their declared types; undeclared
+                # extras keep inferred types (only declared fields are
+                # checked — schema.rs:199-205)
+                md_type: T.StructType = _merge_struct(self._schema.spark_type(), inferred)
+                md_type = T.StructType([f for f in md_type if f.name in inferred.fieldNames()])
+            else:
+                md_type = inferred
+            schema = T.StructType(list(base) + [T.StructField("metadata", md_type, True)])
+        else:
+            schema = T.StructType(
+                list(base)
+                + [T.StructField("metadata", T.StructType(), True)]
+            )
+        data = [
+            (r["id"], r["vector"], r["ts"], r["deleted"], r["metadata"])
+            for r in rows
+        ]
+        cols = ["id", "vector", "ts", "deleted", "metadata"]
+        return self.spark.createDataFrame(
+            [dict(zip(cols, d)) for d in data], schema
+        ).select(*cols)
+
+    # ---------------------------------------------------------------- search
+
+    def search(
+        self,
+        query_vector: list[float],
+        k: int = 10,
+        threshold: float = 0.0,  # Node default (session.rs:225-227)
+        filter: dict | None = None,
+        include_vectors: bool = False,
+        search_recent: bool = True,
+        search_historical: bool = True,
+        n_probe: int | None = None,
+    ) -> list[dict]:
+        if self._df is None:
+            return []
+        if self._dim is not None and len(query_vector) != self._dim:
+            raise VectorDbError(
+                f"query dimension {len(query_vector)} != index dimension {self._dim}"
+            )
+        df = self._df.filter(~F.col("deleted"))
+        cutoff = _utcnow() - _dt.timedelta(days=RECENCY_DAYS)
+        if not search_recent:
+            df = df.filter(F.col("ts") < F.lit(cutoff))
+        if not search_historical:
+            df = df.filter(F.col("ts") >= F.lit(cutoff))
+        if filter is not None:
+            # pre-filter BEFORE ranking — exact, supersedes the reference's
+            # k*3 oversampling (hybrid/core.rs:513-549)
+            df = df.filter(compile_filter(filter, df.schema, metadata_col="metadata"))
+
+        queries = self.spark.createDataFrame(
+            [("q0", [float(x) for x in query_vector])],
+            "query_id string, vector array<float>",
+        )
+        if self._index is not None and self._index.is_trained and filter is None:
+            assigned = self._index.assign(df)
+            res = self._index.search(
+                assigned, queries, k, n_probe=n_probe or self._index.n_clusters
+            )
+        else:
+            res = brute_force_knn(df, queries, k, metric="l2", impl="expr")
+        scored = (
+            res.withColumn("score", D.similarity_score("distance"))
+            .filter(F.col("score") >= threshold)
+            .join(df.select("id", "vector", "metadata"), "id", "left")
+        )
+        rows = (
+            topk_per_query(scored, k)
+            .orderBy(F.round("distance", 6), "id")
+            .collect()
+        )
+        out = []
+        for r in rows:
+            item = {
+                "id": r["id"],
+                "distance": r["distance"],
+                "score": r["score"],
+                "metadata": _row_to_plain(r["metadata"]) if r["metadata"] is not None else None,
+            }
+            if include_vectors:
+                item["vector"] = list(r["vector"])
+            out.append(item)
+        return out
+
+    # ------------------------------------------------------------------ get
+
+    def get_vector(self, vector_id: str) -> dict | None:
+        if self._df is None:
+            return None
+        rows = (
+            self._df.filter((F.col("id") == str(vector_id)) & ~F.col("deleted"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
+        r = rows[0]
+        return {
+            "id": r["id"],
+            "vector": list(r["vector"]),
+            "metadata": _row_to_plain(r["metadata"]) if r["metadata"] is not None else None,
+        }
+
+    # --------------------------------------------------------------- delete
+
+    def delete_vector(self, vector_id: str) -> None:
+        vid = str(vector_id)
+        if self._df is None:
+            raise VectorDbError(f"vector not found: {vid!r}")
+        live = self._df.filter((F.col("id") == vid) & ~F.col("deleted")).limit(1).collect()
+        if not live:
+            raise VectorDbError(f"vector not found: {vid!r}")
+        self._df = self._df.withColumn(
+            "deleted", F.when(F.col("id") == vid, F.lit(True)).otherwise(F.col("deleted"))
+        )
+
+    def batch_delete(self, vector_ids: list[str]) -> dict:
+        """Per-id soft delete with stats (hybrid/core.rs:968-986)."""
+        successful, failed, errors = 0, 0, []
+        for vid in vector_ids:
+            try:
+                self.delete_vector(vid)
+                successful += 1
+            except VectorDbError as e:
+                failed += 1
+                errors.append(str(e))
+        return {"successful": successful, "failed": failed, "errors": errors}
+
+    def delete_by_metadata(self, filter: dict) -> dict:
+        """Soft-delete all live rows matching the filter; returns
+        {deletedCount, deletedIds} with USER ids (session.rs:489-553)."""
+        if self._df is None:
+            return {"deletedCount": 0, "deletedIds": []}
+        pred = compile_filter(filter, self._df.schema, metadata_col="metadata")
+        match = pred & ~F.col("deleted")
+        ids = sorted(r["id"] for r in self._df.filter(match).select("id").collect())
+        self._df = self._df.withColumn(
+            "deleted", F.when(match, F.lit(True)).otherwise(F.col("deleted"))
+        )
+        return {"deletedCount": len(ids), "deletedIds": ids}
+
+    # --------------------------------------------------------------- update
+
+    def update_metadata(self, vector_id: str, metadata: dict | None) -> None:
+        """FULL REPLACE of metadata; vector untouched (session.rs:581-632)."""
+        vid = str(vector_id)
+        if self._df is None:
+            raise VectorDbError(f"vector not found: {vid!r}")
+        live = self._df.filter((F.col("id") == vid) & ~F.col("deleted")).limit(1).collect()
+        if not live:
+            raise VectorDbError(f"vector not found: {vid!r}")
+        if self._schema is not None:
+            self._schema.validate_metadata(metadata)
+        old = live[0]
+        rest = self._df.filter(~((F.col("id") == vid) & ~F.col("deleted")))
+        replacement = self._create_batch_df(
+            [
+                {
+                    "id": vid,
+                    "vector": list(old["vector"]),
+                    "metadata": metadata,
+                    "ts": old["ts"],
+                    "deleted": False,
+                }
+            ]
+        )
+        self._df = rest.unionByName(replacement, allowMissingColumns=True)
+
+    # --------------------------------------------------------------- vacuum
+
+    def vacuum(self) -> dict:
+        """Physically remove soft-deleted rows (hybrid/core.rs:989-1011)."""
+        if self._df is None:
+            return {"removed": 0, "remaining": 0}
+        removed = self._df.filter(F.col("deleted")).count()
+        self._df = self._df.filter(~F.col("deleted")).localCheckpoint(eager=True)
+        return {"removed": removed, "remaining": self._df.count()}
+
+    # ---------------------------------------------------------------- stats
+
+    def get_stats(self) -> dict:
+        """Counts + age stats (hybrid/core.rs:694-756, session.rs:699-721)."""
+        if self._df is None:
+            return {
+                "vectorCount": 0, "deletedCount": 0, "recentCount": 0,
+                "historicalCount": 0, "avgAgeMs": 0.0, "dimension": self._dim,
+            }
+        cutoff = _utcnow() - _dt.timedelta(days=RECENCY_DAYS)
+        now = _utcnow()
+        row = self._df.agg(
+            F.count(F.when(~F.col("deleted"), 1)).alias("live"),
+            F.count(F.when(F.col("deleted"), 1)).alias("dead"),
+            F.count(F.when(~F.col("deleted") & (F.col("ts") >= F.lit(cutoff)), 1)).alias("recent"),
+            F.avg(
+                F.when(
+                    ~F.col("deleted"),
+                    (F.lit(now).cast("double") - F.col("ts").cast("double")) * 1000.0,
+                )
+            ).alias("avg_age_ms"),
+        ).collect()[0]
+        return {
+            "vectorCount": row["live"],
+            "deletedCount": row["dead"],
+            "recentCount": row["recent"],
+            "historicalCount": row["live"] - row["recent"],
+            "avgAgeMs": float(row["avg_age_ms"] or 0.0),
+            "dimension": self._dim,
+        }
+
+    def deletion_stats(self) -> dict:
+        if self._df is None:
+            return {"deleted": 0, "active": 0}
+        agg = self._df.agg(
+            F.count(F.when(F.col("deleted"), 1)).alias("d"),
+            F.count(F.when(~F.col("deleted"), 1)).alias("a"),
+        ).collect()[0]
+        return {"deleted": agg["d"], "active": agg["a"]}
+
+    # --------------------------------------------------------------- schema
+
+    def set_schema(self, schema_json: dict) -> None:
+        self._schema = MetadataSchema.from_json(schema_json)
+
+    def get_schema(self) -> dict | None:
+        return self._schema.to_json() if self._schema else None
+
+    # ---------------------------------------------------------------- index
+
+    def train_index(self, n_clusters: int = 16, **fit_kw) -> None:
+        if self._df is None:
+            raise VectorDbError("nothing to train on")
+        self._index = IVFIndex.fit(
+            self._df.filter(~F.col("deleted")), n_clusters=n_clusters, **fit_kw
+        )
+
+    # ---------------------------------------------------------- persistence
+
+    def save(self, path: str) -> str:
+        """Partitioned-parquet save + manifest + schema sidecar
+        (SURVEY §2.7: chunk files/manifest/CBOR all collapse into parquet)."""
+        if self._df is None:
+            raise VectorDbError("empty session")
+        os.makedirs(path, exist_ok=True)
+        df = self._df
+        if self._index is not None and self._index.is_trained:
+            df = self._index.assign(df)
+            df.write.mode("overwrite").partitionBy("cluster_id").parquet(
+                os.path.join(path, "vectors")
+            )
+            self._index.save(path)
+        else:
+            df.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+        manifest = {
+            "version": FORMAT_VERSION,
+            "session_id": self.session_id,
+            "dimension": self._dim,
+            "total_vectors": self._df.filter(~F.col("deleted")).count(),
+            "deleted_vectors": self._df.filter(F.col("deleted")).count(),
+            "trained": bool(self._index is not None and self._index.is_trained),
+        }
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        if self._schema is not None:
+            with open(os.path.join(path, "schema.json"), "w") as f:
+                json.dump(self._schema.to_json(), f)
+        return self.session_id
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "VectorDbSession":
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        if manifest.get("version") != FORMAT_VERSION:
+            raise VectorDbError(
+                f"incompatible format version {manifest.get('version')} != {FORMAT_VERSION}"
+            )
+        s = cls(spark, session_id=manifest.get("session_id"))
+        s._df = spark.read.parquet(os.path.join(path, "vectors")).drop("cluster_id")
+        s._dim = manifest.get("dimension")
+        schema_path = os.path.join(path, "schema.json")
+        if os.path.exists(schema_path):
+            with open(schema_path) as f:
+                s._schema = MetadataSchema.from_json(json.load(f))
+        if manifest.get("trained"):
+            s._index = IVFIndex.load(path)
+        return s
+
+
+# -------------------------------------------------------------------- utils
+
+def _ddl(dtype: T.DataType) -> str:
+    return dtype.simpleString()
+
+
+def _infer_md_type(spark: SparkSession, mds: list) -> T.StructType:
+    """Infer a struct type for a batch of metadata dicts via the JSON reader
+    (permissive, merges across rows)."""
+    rdd_free = spark.createDataFrame(
+        [(json.dumps(md),) for md in mds if md], "j string"
+    )
+    inferred = spark.read.json(rdd_free.rdd.map(lambda r: r["j"]))
+    t = inferred.schema
+    drop = [f for f in t.fieldNames() if f.startswith("_corrupt")]
+    if drop:
+        t = T.StructType([f for f in t if f.name not in drop])
+    return t
+
+
+def _merge_struct(a: T.StructType, b: T.StructType) -> T.StructType:
+    fields = {f.name: f for f in a}
+    for f in b:
+        if f.name not in fields:
+            fields[f.name] = f
+    return T.StructType(list(fields.values()))

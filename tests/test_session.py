@@ -1,0 +1,155 @@
+"""Session API e2e — the FIXTURES.md §4 CRUD script plus search shaping."""
+
+import datetime as dt
+
+import pytest
+
+from fabstir_vectordb_spark.session import VectorDbError, VectorDbSession
+
+DIM = 4
+
+
+def mk(i, cat="technology", status="active", views=100, tags=None):
+    return {
+        "id": f"vec-{i}",
+        "vector": [float(i), float(i % 3), 1.0, 0.0],
+        "metadata": {
+            "category": cat,
+            "status": status,
+            "views": views,
+            "tags": tags or ["ai"],
+            "user": {"id": f"u{i % 3}"},
+        },
+    }
+
+
+@pytest.fixture()
+def session(spark):
+    s = VectorDbSession(spark)
+    s.add_vectors([mk(i) for i in range(8)] + [mk(8, status="archived"), mk(9, status="archived")])
+    return s
+
+
+def test_add_and_search_shape(session):
+    res = session.search([1.0, 1.0, 1.0, 0.0], k=3)
+    assert len(res) == 3
+    assert [r["id"] for r in res] == ["vec-1", "vec-0", "vec-2"]
+    for r in res:
+        assert r["score"] == pytest.approx(1.0 / (1.0 + r["distance"]))
+        assert "_originalId" not in (r["metadata"] or {})
+        assert r["metadata"]["category"] == "technology"
+    # distances ascending
+    ds = [r["distance"] for r in res]
+    assert ds == sorted(ds)
+
+
+def test_include_vectors(session):
+    res = session.search([0.0, 0.0, 1.0, 0.0], k=1, include_vectors=True)
+    assert res[0]["vector"] == [0.0, 0.0, 1.0, 0.0]
+
+
+def test_dimension_validation(session):
+    with pytest.raises(VectorDbError, match="dimension"):
+        session.add_vectors([{"id": "bad", "vector": [1.0, 2.0]}])
+    with pytest.raises(VectorDbError, match="dimension"):
+        session.search([1.0, 2.0])
+
+
+def test_duplicate_id_errors(session):
+    with pytest.raises(VectorDbError, match="duplicate"):
+        session.add_vectors([mk(0)])
+    with pytest.raises(VectorDbError, match="duplicate"):
+        session.add_vectors([mk(100), mk(100)])
+
+
+def test_filtered_search(session):
+    res = session.search([1.0, 1.0, 1.0, 0.0], k=10, filter={"status": "archived"})
+    assert sorted(r["id"] for r in res) == ["vec-8", "vec-9"]
+    res = session.search([1.0, 1.0, 1.0, 0.0], k=10, filter={"user.id": "u0"})
+    assert all(int(r["id"].split("-")[1]) % 3 == 0 for r in res)
+
+
+def test_threshold(session):
+    all_res = session.search([1.0, 1.0, 1.0, 0.0], k=10)
+    t = all_res[2]["score"]
+    res = session.search([1.0, 1.0, 1.0, 0.0], k=10, threshold=t)
+    assert len(res) == 3  # only the three with score >= t
+
+
+def test_crud_script(session):
+    # 2. deleteVector
+    session.delete_vector("vec-7")
+    assert all(r["id"] != "vec-7" for r in session.search([7.0, 1.0, 1.0, 0.0], k=10))
+    with pytest.raises(VectorDbError):
+        session.delete_vector("vec-7")  # already deleted
+    with pytest.raises(VectorDbError):
+        session.delete_vector("nope")  # unknown
+    st = session.batch_delete(["vec-6", "vec-6", "missing"])
+    assert st["successful"] == 1 and st["failed"] == 2 and len(st["errors"]) == 2
+
+    # 3. deleteByMetadata returns user ids
+    out = session.delete_by_metadata({"status": "archived"})
+    assert out == {"deletedCount": 2, "deletedIds": ["vec-8", "vec-9"]}
+
+    # 4. updateMetadata = full replace, vector unchanged
+    session.update_metadata("vec-3", {"fresh": True})
+    got = session.get_vector("vec-3")
+    assert got["metadata"] == {"fresh": True}
+    assert got["vector"] == [3.0, 0.0, 1.0, 0.0]
+    with pytest.raises(VectorDbError):
+        session.update_metadata("unknown-id", {})
+
+    # 5. stats count active only
+    stats = session.get_stats()
+    assert stats["vectorCount"] == 6 and stats["deletedCount"] == 4
+
+    # 6. vacuum
+    v = session.vacuum()
+    assert v["removed"] == 4 and v["remaining"] == 6
+    assert session.deletion_stats() == {"deleted": 0, "active": 6}
+
+
+def test_schema_validation_on_add(spark):
+    s = VectorDbSession(spark)
+    s.set_schema({"fields": {"title": {"type": "string"}}, "required": ["title"]})
+    with pytest.raises(Exception, match="MissingField"):
+        s.add_vectors([{"id": "a", "vector": [1.0], "metadata": {}}])
+    s.add_vectors([{"id": "a", "vector": [1.0], "metadata": {"title": "ok", "extra": 1}}])
+    assert s.get_vector("a")["metadata"]["title"] == "ok"
+
+
+def test_recency_flags(spark):
+    s = VectorDbSession(spark)
+    old_ts = dt.datetime.utcnow() - dt.timedelta(days=30)
+    s.add_vectors([{"id": "old", "vector": [1.0, 0.0], "timestamp": old_ts}])
+    s.add_vectors([{"id": "new", "vector": [0.9, 0.0]}])
+    recent = s.search([1.0, 0.0], k=10, search_historical=False)
+    assert [r["id"] for r in recent] == ["new"]
+    hist = s.search([1.0, 0.0], k=10, search_recent=False)
+    assert [r["id"] for r in hist] == ["old"]
+
+
+def test_save_load_roundtrip(tmp_path, spark, session):
+    session.delete_vector("vec-5")
+    before = session.search([2.0, 2.0, 1.0, 0.0], k=5)
+    sid = session.save(str(tmp_path / "db"))
+    assert sid == session.session_id
+
+    s2 = VectorDbSession.load(spark, str(tmp_path / "db"))
+    after = s2.search([2.0, 2.0, 1.0, 0.0], k=5)
+    assert [r["id"] for r in before] == [r["id"] for r in after]
+    for b, a in zip(before, after):
+        assert a["distance"] == pytest.approx(b["distance"], abs=1e-2)  # persistence.rs:897-971
+    assert all(r["id"] != "vec-5" for r in after)  # deletion preserved
+    assert s2.get_stats()["vectorCount"] == session.get_stats()["vectorCount"]
+
+
+def test_trained_index_search(spark):
+    s = VectorDbSession(spark)
+    s.add_vectors([mk(i) for i in range(40)])
+    s.train_index(n_clusters=4)
+    res = s.search([5.0, 2.0, 1.0, 0.0], k=5)
+    brute = VectorDbSession(spark)
+    brute.add_vectors([mk(i) for i in range(40)])
+    expected = brute.search([5.0, 2.0, 1.0, 0.0], k=5)
+    assert [r["id"] for r in res] == [r["id"] for r in expected]
