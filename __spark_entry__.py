@@ -27,6 +27,9 @@ from fabstir_vectordb_spark.operators.knn import brute_force_knn  # noqa: E402
 from fabstir_vectordb_spark.functions import distance as D  # noqa: E402
 from fabstir_vectordb_spark.functions.filters import compile_filter  # noqa: E402
 from fabstir_vectordb_spark.operators.ivf import IVFIndex  # noqa: E402
+from fabstir_vectordb_spark.operators import dedup as DD  # noqa: E402
+from fabstir_vectordb_spark.operators import multimodal as MM  # noqa: E402
+from fabstir_vectordb_spark.functions import text as X  # noqa: E402
 
 K = 10
 NQ = 8  # query vectors = embeddings with vec_id < NQ
@@ -233,6 +236,120 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- text analysis / dedup (LLM-pipeline operators) ----------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").cast("long").alias("n_tokens"),
+        X.unique_token_count("text").cast("long").alias("n_unique"),
+        r6(X.avg_token_len("text")).alias("avg_token_len"),
+        r6(X.stopword_ratio("text")).alias("stopword_ratio"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", r6(X.quality_score("text")).alias("quality"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id("text").alias("pred_lang"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs).select("id", "canonical_id", "group_size", "is_duplicate")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (rows-only driver check; tests verify the
+    candidate set equals exact-Jaccard pairs at this threshold)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, threshold=0.8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB twin)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, max_hamming=3)
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_near_dup(emb, threshold=0.4)
+
+
+def _fake_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Deterministic media table derived from documents: text bytes stand in
+    for encoded media (the real codecs are stubbed, SURVEY build plan §9)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit(f"{kind[:3]}_"), F.col("doc_id")).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").alias("bytes"),
+        F.struct(
+            F.lit("raw").alias("format"),
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image path: binary -> mapInPandas decode (stub codec) ->
+    resize -> histogram feature embedding (rows-only: numpy PRNG fake)."""
+    media = _fake_media(spark, sf_dir, "image")
+    feat = MM.image_features(MM.decode_images(media, target=(8, 8)), dim=16)
+    return feat.select(
+        "media_id",
+        "px_width",
+        "px_height",
+        F.size("features").alias("feat_dim"),
+        r6(F.element_at("features", 1)).alias("f0"),
+    )
+
+
+def q_media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing: per-500ms fake energy stats over byte windows."""
+    media = _fake_media(spark, sf_dir, "audio")
+    res = MM.audio_window_stats(media, window_ms=500)
+    return res.select("media_id", "window_idx", r6("energy").alias("energy"))
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row per 1000ms frame timestamp — pure
+    column expressions (sequence+explode), so it gets a SQL oracle."""
+    media = _fake_media(spark, sf_dir, "video")
+    return MM.sample_frames(media, every_ms=1000).select(
+        "media_id", "frame_ts_ms"
+    )
+
+
+def q_soft_delete_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-delete bookkeeping (SURVEY §2.5/2.6): deleted = doc_id%7==0."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "deleted", F.col("doc_id") % 7 == 0
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.when(~F.col("deleted"), 1)).alias("active_count"),
+        F.count(F.when(F.col("deleted"), 1)).alias("deleted_count"),
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, same parquet tables as views)
 # --------------------------------------------------------------------------
@@ -356,6 +473,141 @@ SELECT query_id, id, distance FROM r WHERE rn <= {k}
     "ann_ivf_full": _oracle_knn(f"{_L2} AS distance", "distance"),
 }
 
+# --- text-analysis / dedup oracles ----------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SW_EN = "['the','and','of','to','is','in','it','a']"
+_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+_ORACLES["text_stats"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_unique,
+  (round(CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE list_sum(list_transform(toks, tk -> CAST(len(tk) AS DOUBLE))) / len(toks)
+       END, 6) + 0.0) AS avg_token_len,
+  (round(CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE CAST(len(list_filter(toks, tk -> list_contains({_SW_EN}, lower(tk)))) AS DOUBLE) / len(toks)
+       END, 6) + 0.0) AS stopword_ratio
+FROM t
+"""
+
+_ORACLES["text_quality"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST(len(toks) AS DOUBLE) AS ntok,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(toks, tk -> list_contains({_SW_EN}, lower(tk)))) AS DOUBLE) / len(toks)
+         END AS swr,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+         END AS dr,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+         END AS pr
+  FROM t
+)
+SELECT doc_id,
+  (round(0.25 * least(1.0, ntok / 64.0)
+       + 0.25 * least(1.0, swr * 4.0)
+       + 0.25 * (1.0 - least(1.0, dr * 4.0))
+       + 0.25 * (1.0 - least(1.0, pr * 4.0)), 6) + 0.0) AS quality
+FROM c
+"""
+
+_ORACLES["lang_id"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_transform({_TOKS}, tk -> lower(tk)) AS lt
+  FROM documents
+), v AS (
+  SELECT doc_id, text,
+    len(list_filter(lt, tk -> list_contains({_SW_EN}, tk))) AS v_en,
+    len(list_filter(lt, tk -> list_contains(['el','la','de','que','y','en','un','los'], tk))) AS v_es,
+    len(list_filter(lt, tk -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], tk))) AS v_de,
+    len(list_filter(lt, tk -> list_contains(['le','la','et','les','des','est','une','dans'], tk))) AS v_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+       WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+       WHEN v_es > v_en AND v_es >= v_de AND v_es >= v_fr THEN 'es'
+       WHEN v_de > v_en AND v_de >= v_fr THEN 'de'
+       WHEN v_fr > v_en THEN 'fr'
+       ELSE 'en' END AS pred_lang
+FROM v
+"""
+
+_ORACLES["doc_fingerprint"] = f"SELECT doc_id, {_FP} AS fp FROM documents"
+
+_ORACLES["dedup_exact"] = f"""
+WITH f AS (SELECT doc_id AS id, {_FP} AS fp FROM documents)
+SELECT id,
+  min(id) OVER (PARTITION BY fp) AS canonical_id,
+  COUNT(*) OVER (PARTITION BY fp) AS group_size,
+  id <> min(id) OVER (PARTITION BY fp) AS is_duplicate
+FROM f
+"""
+
+_ORACLES["dedup_ngram_jaccard"] = f"""
+WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT id,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+              i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
+         ELSE [] END AS grams
+  FROM t
+), p AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) AS na, len(b.grams) AS nb
+  FROM s a JOIN s b ON a.id < b.id
+  WHERE len(a.grams) > 0 AND len(b.grams) > 0
+)
+SELECT a_id, b_id,
+       (round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) + 0.0) AS jaccard
+FROM p
+WHERE inter > 0 AND round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8
+"""
+
+_ORACLES["embed_near_dup"] = """
+WITH p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         {dot} AS d, {na} AS na, {nb} AS nb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id,
+       (round(CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END, 6) + 0.0) AS cosine
+FROM p
+WHERE round(CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END, 6) >= 0.4
+""".format(
+    dot=_DOT.format(a="a.embedding", b="b.embedding"),
+    na=_NORM.format(a="a.embedding"),
+    nb=_NORM.format(a="b.embedding"),
+)
+
+_ORACLES["soft_delete_stats"] = """
+SELECT source,
+  COUNT(*) FILTER (WHERE NOT (doc_id % 7 = 0)) AS active_count,
+  COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS deleted_count
+FROM documents GROUP BY source
+"""
+
+_ORACLES["media_frame_sample"] = """
+WITH m AS (
+  SELECT concat('vid_', doc_id) AS media_id, n_chars * 10 AS duration_ms
+  FROM documents
+)
+SELECT media_id, unnest(generate_series(0,
+    greatest(0, CAST(floor(duration_ms / 1000.0) AS BIGINT) - 1) * 1000,
+    1000)) AS frame_ts_ms
+FROM m
+"""
+
 
 # --------------------------------------------------------------------------
 # driver entry points
@@ -382,6 +634,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf_probe": q_ann_ivf_probe,
         "ivf_recall": q_ivf_recall,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash": q_simhash,
+        "embed_near_dup": q_embed_near_dup,
+        "soft_delete_stats": q_soft_delete_stats,
+        "media_image_features": q_media_image_features,
+        "media_audio_windows": q_media_audio_windows,
+        "media_frame_sample": q_media_frame_sample,
     }
 
 

@@ -1,0 +1,98 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop datasource write (full
+execution, zero driver collection cost), timed after a shared warmup that
+amortizes JVM/codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+
+# Headline set: one representative per operator family (exact kNN x3
+# metrics, filtered search, ANN probe path, filter compiler, text scan,
+# dedup exact + LSH, embedding self-join).
+BENCH_QUERIES = [
+    "knn_l2",
+    "knn_cosine",
+    "knn_dot",
+    "knn_filtered",
+    "ann_ivf_probe",
+    "filter_or_mixed",
+    "text_stats",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash",
+    "embed_near_dup",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("fabstir_vectordb_spark_bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    names = [n for n in BENCH_QUERIES if n in qs]
+
+    # Warmup: parquet footer reads + codegen for the common scan shapes.
+    for t in ("embeddings", "documents", "events"):
+        try:
+            E._t(spark, sf_dir, t).count()
+        except Exception:
+            pass
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

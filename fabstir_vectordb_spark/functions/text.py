@@ -1,0 +1,161 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Beyond the reference's own surface (BASELINE.json north star): language
+identification, quality scoring, token counting, and document
+fingerprinting — all as pure column expressions so a 100 TB corpus scan
+stays inside whole-stage codegen with zero Python in the row path.
+
+Every function is deterministic and replicable in ANSI SQL (the DuckDB
+oracles in __spark_entry__.py recompute the same formulas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately small + frozen: they are part of the deterministic contract.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "it", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+}
+
+WORD_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def whitespace_tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the cheap token counter)."""
+    return F.split(F.trim(_c(text)), r"\s+")
+
+
+def word_tokens(text: Column | str) -> Column:
+    """BPE-ish tokenization: alnum runs OR single punctuation marks."""
+    return F.regexp_extract_all(_c(text), F.lit(WORD_PATTERN), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(whitespace_tokens(text))
+
+
+def unique_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(whitespace_tokens(text)))
+
+
+def _stopword_hits(tokens: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(words, F.lower(t))))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: CJK/Cyrillic/Arabic script detection, then
+    stopword-vote among Latin languages, default 'en'.
+
+    This is the engine's deterministic built-in (a real pipeline would
+    plug a model here via mapInPandas); the point is the *operator*: a
+    full-corpus scan classifier with no shuffle.
+    """
+    t = _c(text)
+    toks = whitespace_tokens(t)
+    votes = {lang: _stopword_hits(toks, lang) for lang in STOPWORDS}
+    best_latin = F.when(
+        (votes["es"] > votes["en"])
+        & (votes["es"] >= votes["de"])
+        & (votes["es"] >= votes["fr"]),
+        F.lit("es"),
+    ).when(
+        (votes["de"] > votes["en"]) & (votes["de"] >= votes["fr"]),
+        F.lit("de"),
+    ).when(
+        votes["fr"] > votes["en"], F.lit("fr")
+    ).otherwise(F.lit("en"))
+    return (
+        F.when(t.rlike(r"[一-鿿]"), F.lit("zh"))
+        .when(t.rlike(r"[Ѐ-ӿ]"), F.lit("ru"))
+        .when(t.rlike(r"[؀-ۿ]"), F.lit("ar"))
+        .otherwise(best_latin)
+    )
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        _stopword_hits(toks, lang).cast("double") / n.cast("double")
+    )
+
+
+def digit_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    n = F.length(t)
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(digits.cast("double") / n.cast("double"))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    n = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
+
+
+def avg_token_len(text: Column | str) -> Column:
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, tk: acc + F.length(tk).cast("double")
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(total / n.cast("double"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality in [0,1]: length saturation + healthy stopword
+    ratio + low digit/punct noise + sane token length.
+
+    score = 0.25*min(1, n_tokens/64)
+          + 0.25*min(1, 4*stopword_ratio_en)
+          + 0.25*(1 - min(1, 4*digit_ratio))
+          + 0.25*(1 - min(1, 4*punct_ratio))
+    """
+    toks = token_count(text).cast("double")
+    return (
+        F.lit(0.25) * F.least(F.lit(1.0), toks / 64.0)
+        + F.lit(0.25) * F.least(F.lit(1.0), stopword_ratio(text) * 4.0)
+        + F.lit(0.25) * (F.lit(1.0) - F.least(F.lit(1.0), digit_ratio(text) * 4.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(text) * 4.0))
+    )
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint (hex md5 of normalized text)."""
+    return F.md5(normalized_text(text))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams — the dedup shingle set.
+
+    Guarded for short documents (fewer than n tokens => empty set);
+    note sequence(1, 0) would count DOWN in Spark, hence the when().
+    """
+    toks = whitespace_tokens(text)
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(size >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )

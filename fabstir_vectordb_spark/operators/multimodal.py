@@ -1,0 +1,190 @@
+"""Multimodal (image/audio/video) column handling for training pipelines.
+
+Design: media are opaque ``binary`` columns + a typed metadata struct —
+the only schema that survives 100 TB (never parse media on the driver,
+never explode bytes into rows).  All per-item work happens in
+Arrow-batched ``mapInPandas`` kernels so bytes move executor-side in
+columnar batches.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode step is STUBBED: with ``decoder="fake"`` (default) a
+deterministic, seed-stable fake decodes bytes into shaped arrays so the
+Spark-side plumbing — schemas, batch shapes, partitioning, UDF
+signatures — is real and tested end-to-end.  ``decoder="pil"`` raises
+NotImplementedError unless PIL is importable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def _have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fake_pixels(data: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake decode: seed a PRNG from the content hash so the
+    'pixels' are stable across runs/partitions (replayable tests)."""
+    seed = int.from_bytes(hashlib.sha256(data or b"").digest()[:8], "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def decode_images(
+    df: DataFrame,
+    decoder: str = "fake",
+    target: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """binary -> fixed-shape pixel tensor column (flattened array<int> +
+    shape fields).  Resize is part of decode so undecoded full-resolution
+    pixels never hit the shuffle."""
+    if decoder == "pil" and not _have_pil():
+        raise NotImplementedError(
+            "STUB: PIL not available in this environment; use decoder='fake'"
+        )
+    if decoder not in ("fake", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    w, h = target
+    out_schema = T.StructType(
+        list(df.schema)
+        + [
+            T.StructField("pixels", T.ArrayType(T.IntegerType()), True),
+            T.StructField("px_width", T.IntegerType(), True),
+            T.StructField("px_height", T.IntegerType(), True),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pixels, widths, heights = [], [], []
+            for data, kind in zip(pdf["bytes"], pdf["kind"]):
+                if kind != "image" or data is None:
+                    pixels.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    continue
+                arr = _fake_pixels(bytes(data), w, h)
+                pixels.append(arr.reshape(-1).astype("int32").tolist())
+                widths.append(w)
+                heights.append(h)
+            yield pdf.assign(pixels=pixels, px_width=widths, px_height=heights)
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def image_features(df_decoded: DataFrame, dim: int = 16) -> DataFrame:
+    """Pixel tensor -> normalized feature embedding (array<float>).
+
+    The fake featurizer is channel-histogram pooling — deterministic and
+    shaped exactly like a real model head, so downstream kNN/dedup over
+    media embeddings is fully exercised."""
+    out_schema = T.StructType(
+        list(df_decoded.schema) + [T.StructField("features", T.ArrayType(T.FloatType()), True)]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = []
+            for px in pdf["pixels"]:
+                if px is None or len(px) == 0:
+                    feats.append(None)
+                    continue
+                arr = np.asarray(px, dtype=np.float64)
+                hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+                v = hist.astype(np.float64)
+                n = np.linalg.norm(v)
+                feats.append((v / n if n else v).astype("float32").tolist())
+            yield pdf.assign(features=feats)
+
+    return df_decoded.mapInPandas(kernel, out_schema)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video -> one row per sampled frame timestamp (schema plumbing for
+    frame extraction; the decode itself is the stubbed fake)."""
+    frames = F.when(
+        (F.col("kind") == "video") & F.col("meta.duration_ms").isNotNull(),
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.lit(0), (F.col("meta.duration_ms") / every_ms).cast("long") - 1)
+            * every_ms
+            + 0,
+            F.lit(every_ms),
+        ),
+    )
+    return (
+        df.withColumn("frame_ts_ms", F.explode(frames))
+        .select("media_id", "kind", "frame_ts_ms", "bytes", "meta")
+    )
+
+
+def audio_window_stats(df: DataFrame, window_ms: int = 500) -> DataFrame:
+    """Audio -> per-window fake energy stats (mapInPandas over byte
+    windows); real librosa decode would slot into the same kernel."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("window_idx", T.IntegerType(), False),
+            T.StructField("energy", T.DoubleType(), True),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows_id, rows_w, rows_e = [], [], []
+            for mid, kind, data, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["bytes"], pdf["meta"]
+            ):
+                if kind != "audio" or data is None:
+                    continue
+                dur = (meta or {}).get("duration_ms") or 0
+                n_windows = max(1, int(dur // window_ms))
+                b = bytes(data)
+                chunk = max(1, len(b) // n_windows)
+                for i in range(n_windows):
+                    seg = b[i * chunk : (i + 1) * chunk]
+                    arr = np.frombuffer(seg, dtype=np.uint8).astype(np.float64)
+                    rows_id.append(mid)
+                    rows_w.append(i)
+                    rows_e.append(float(np.sqrt((arr**2).mean())) if len(arr) else 0.0)
+            yield pd.DataFrame(
+                {"media_id": rows_id, "window_idx": rows_w, "energy": rows_e}
+            )
+
+    return df.mapInPandas(kernel, out_schema)

@@ -1,0 +1,93 @@
+"""Dedup operator tests: exact, n-gram Jaccard, MinHash LSH, SimHash,
+embedding near-dup — LSH candidates verified against the exact oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.operators import dedup as DD
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late afternoon sun"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-token edit => high jaccard
+FAR = "completely different content about spark query engines and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),          # exact dup of 0
+        (2, NEAR),          # near dup of 0
+        (3, FAR),
+        (4, "tiny"),        # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = {r["id"]: r for r in DD.exact_dedup(docs).collect()}
+    assert out[1]["canonical_id"] == 0 and out[1]["is_duplicate"]
+    assert out[0]["group_size"] == 2 and not out[0]["is_duplicate"]
+    assert not out[2]["is_duplicate"]
+    kept = DD.drop_exact_duplicates(docs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2, 3, 4]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"] for r in
+             DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+    low = {(r["a_id"], r["b_id"]) for r in DD.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert (0, 3) not in low  # no shared shingle at all => never a candidate
+
+
+def test_minhash_lsh_matches_exact(docs):
+    exact = {(r["a_id"], r["b_id"]): r["jaccard"] for r in
+             DD.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r["a_id"], r["b_id"]): r["jaccard"] for r in
+           DD.minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    assert set(lsh) == set(exact)  # high-jaccard pairs: LSH catches all
+    for k in exact:
+        assert lsh[k] == pytest.approx(exact[k])
+
+
+def test_simhash_pairs(docs):
+    sims = {r["doc_id"]: r["s"] for r in
+            docs.select("doc_id", DD.simhash64("text").alias("s")).collect()}
+    assert sims[0] == sims[1]  # identical text => identical simhash
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in
+             DD.simhash_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(0, 1)] == 0
+    if (0, 2) in pairs:
+        assert pairs[(0, 2)] <= 8
+    assert (0, 3) not in pairs
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+        (3, [-1.0, 0.0, 0.0]),     # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {(r["a_id"], r["b_id"]): r["cosine"] for r in
+           DD.embedding_near_dup(df, threshold=0.9).collect()}
+    assert list(out) == [(0, 1)]
+    assert out[(0, 1)] > 0.99
+
+
+def test_embedding_near_dup_cluster_path(spark, embeddings):
+    from fabstir_vectordb_spark.operators.ivf import IVFIndex
+
+    idx = IVFIndex.fit(embeddings, n_clusters=4, seed=42, id_col="vec_id", vector_col="embedding")
+    brute = DD.embedding_near_dup(embeddings, threshold=0.4)
+    clustered = DD.embedding_near_dup(embeddings, threshold=0.4, method="cluster", ivf_index=idx)
+    b = {(r["a_id"], r["b_id"]) for r in brute.collect()}
+    c = {(r["a_id"], r["b_id"]) for r in clustered.collect()}
+    assert c <= b  # cluster path returns a subset (pruned candidates)
+    assert len(c) >= len(b) * 0.3  # and a non-trivial fraction at 4 clusters

@@ -1,0 +1,71 @@
+"""Text-analysis function tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.functions import text as X
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (0, "the cat and the dog sat of to is in it a"),
+        (1, "el la de que y en un los"),
+        (2, "der die und das ist nicht"),
+        (3, "le la et les des est"),
+        (4, "你好 世界"),
+        (5, "hello world 12345 !!!"),
+        (6, ""),
+        (7, "one"),
+    ]
+    return spark.createDataFrame(rows, "id int, text string")
+
+
+def test_lang_id(df):
+    out = {r["id"]: r["lang"] for r in df.select("id", X.lang_id("text").alias("lang")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "zh"
+    assert out[5] == "en"
+
+
+def test_token_counts(df):
+    out = {r["id"]: (r["n"], r["u"]) for r in df.select(
+        "id", X.token_count("text").alias("n"), X.unique_token_count("text").alias("u")
+    ).collect()}
+    assert out[0] == (12, 11)  # 'the' twice
+    assert out[7] == (1, 1)
+
+
+def test_ratios_and_quality(df):
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        X.digit_ratio("text").alias("digit"),
+        X.punct_ratio("text").alias("punct"),
+        X.stopword_ratio("text").alias("stop"),
+        X.quality_score("text").alias("q"),
+    ).collect()}
+    assert rows[5]["digit"] == pytest.approx(5 / 21)
+    assert rows[5]["punct"] == pytest.approx(3 / 21)
+    assert rows[0]["stop"] == pytest.approx(9 / 12)
+    assert rows[6]["q"] >= 0.0
+    for r in rows.values():
+        assert 0.0 <= r["q"] <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("different",)], "text string"
+    )
+    fps = [r["f"] for r in df.select(X.fingerprint("text").alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "text string")
+    out = [r["s"] for r in df.select(X.word_shingles("text", 3).alias("s")).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == []  # shorter than n => empty, not a descending sequence
+    assert out[2] == []
