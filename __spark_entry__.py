@@ -29,6 +29,14 @@ from fabstir_vectordb_spark.functions.filters import compile_filter  # noqa: E40
 from fabstir_vectordb_spark.operators.ivf import IVFIndex  # noqa: E402
 from fabstir_vectordb_spark.operators import dedup as DD  # noqa: E402
 from fabstir_vectordb_spark.operators import multimodal as MM  # noqa: E402
+from fabstir_vectordb_spark.operators import scoring as SC  # noqa: E402
+from fabstir_vectordb_spark.operators import stats as ST  # noqa: E402
+from fabstir_vectordb_spark.operators.pq import ProductQuantizer  # noqa: E402
+from fabstir_vectordb_spark.operators.topk import (  # noqa: E402
+    merge_dedup,
+    topk_per_query,
+    weighted_merge,
+)
 from fabstir_vectordb_spark.functions import text as X  # noqa: E402
 
 K = 10
@@ -48,9 +56,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # default; read nanos as long and convert to a microsecond timestamp.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer div: exact at any magnitude (double division of ~1e18 ns
+        # values rounds at the 256 ns ulp and can shift a microsecond)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -350,6 +358,123 @@ def q_soft_delete_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- scoring / merge / expansion / aggregation ---------------------------
+
+HALF_LIFE_MS = 86_400_000.0  # 1 day
+
+
+def _max_ts(spark: SparkSession, sf_dir: str):
+    return _t(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+
+
+def q_relevance_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeDecay / PopularityBoost / Combined re-scoring
+    (search_integration.rs:298-372) over events; age anchored at max(ts)
+    so the result is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    now = _max_ts(spark, sf_dir)
+    age_ms = (F.unix_micros(F.lit(now)) - F.unix_micros(F.col("ts"))) / F.lit(1000.0)
+    decay = SC.time_decay_score(F.lit(1.0), age_ms, HALF_LIFE_MS)
+    pop = SC.popularity_boost_score(F.lit(1.0), F.col("value"))
+    return ev.select(
+        "event_id",
+        r6(decay).alias("decay_score"),
+        r6(pop).alias("pop_score"),
+        r6(SC.combined_score([(decay, 0.6), (pop, 0.4)])).alias("combined"),
+    )
+
+
+def q_merge_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source merge (search_integration.rs:214-296): top-20
+    per source (label<5 vs label>=5), weights 0.7/0.3, weighted-average
+    score, global top-10 per query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _query_vectors(spark, sf_dir)
+    parts = []
+    for pred, w in ((F.col("label") < 5, 0.7), (F.col("label") >= 5, 0.3)):
+        res = brute_force_knn(
+            emb.filter(pred), queries, 20,
+            metric="l2", impl="kernel", id_col="vec_id", vector_col="embedding",
+        )
+        parts.append(
+            res.select(
+                "query_id", "id",
+                D.similarity_score(F.round("distance", 6)).alias("score"),
+                F.lit(w).alias("weight"),
+            )
+        )
+    both = parts[0].unionByName(parts[1])
+    merged = weighted_merge(both, strategy="weighted")
+    top = topk_per_query(merged, K, order_col="score", ascending=False)
+    return top.select("query_id", "id", r6("score").alias("score"))
+
+
+def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query expansion (search_integration.rs:452-489): 2 deterministic
+    perturbed copies per query, search all, keep best distance per id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    expanded = SC.expand_queries(
+        _query_vectors(spark, sf_dir), n_expansions=2, noise=0.05
+    ).select(
+        F.concat_ws("#", F.col("query_id"), F.col("expansion_id")).alias("eq_id"),
+        F.col("query_id").alias("orig_query_id"),
+        "vector",
+    )
+    res = brute_force_knn(
+        emb, expanded, K, metric="l2", impl="kernel",
+        id_col="vec_id", vector_col="embedding", query_id_col="eq_id",
+    )
+    back = res.join(
+        expanded.select(F.col("eq_id").alias("query_id"), "orig_query_id").distinct(),
+        "query_id",
+    ).select(F.col("orig_query_id").alias("query_id"), "id", "distance")
+    best = merge_dedup(back)
+    return topk_per_query(best, K).select(
+        "query_id", "id", r6("distance").alias("distance")
+    )
+
+
+def q_age_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Age-distribution histogram (hybrid/core.rs:758-820) over events,
+    anchored at max(ts): buckets <1h, <1d, <1w, >=1w."""
+    ev = _t(spark, sf_dir, "events")
+    now = _max_ts(spark, sf_dir)
+    return ST.age_distribution(ev, now)
+
+
+def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p99 + count/mean per event type
+    (search_integration.rs:491-552's perf monitor as a grouped agg)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ST.percentile_stats(ev, "value", group_cols=["event_type"])
+    return out.select(
+        "event_type", "n", r6("mean").alias("mean"),
+        r6("p50").alias("p50"), r6("p99").alias("p99"),
+    )
+
+
+def q_cluster_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster sizes (ivf/core.rs:536-550) — model-dependent (KMeans),
+    so rows-only; cluster quality is covered by q_ivf_recall."""
+    emb, idx = _fit_ivf(spark, sf_dir)
+    return ST.cluster_distribution(idx.assign(emb)).orderBy("cluster_id")
+
+
+def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression + ADC search + exact re-rank (vector_ops.rs:390-578)
+    — model-dependent (k-means codebooks), rows-only; quality asserted in
+    tests/test_pq.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pq = ProductQuantizer.fit(
+        emb, n_subspaces=8, n_centroids=32, seed=42, vector_col="embedding"
+    )
+    res = pq.adc_knn(
+        pq.encode(emb), _query_vectors(spark, sf_dir), K,
+        rerank_vectors=emb, oversample=4,
+    )
+    return res.select("query_id", "id", r6("distance").alias("distance"))
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, same parquet tables as views)
 # --------------------------------------------------------------------------
@@ -608,6 +733,107 @@ SELECT media_id, unnest(generate_series(0,
 FROM m
 """
 
+# --- scoring / merge / expansion / aggregation oracles --------------------
+
+_AGE_MS = "(epoch_us((SELECT max(ts) FROM events)) - epoch_us(ts)) / 1000.0"
+
+_ORACLES["relevance_scoring"] = f"""
+WITH s AS (
+  SELECT event_id,
+    1.0 * pow(0.5, ({_AGE_MS}) / 86400000.0) AS decay,
+    1.0 * (1.0 + ln(1.0 + value) / 10.0) AS pop
+  FROM events
+)
+SELECT event_id,
+  (round(decay, 6) + 0.0) AS decay_score,
+  (round(pop, 6) + 0.0) AS pop_score,
+  (round(0.0 + decay * 0.6 + pop * 0.4, 6) + 0.0) AS combined
+FROM s
+"""
+
+_ORACLES["merge_weighted"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}
+), d AS (
+  SELECT q.query_id, e.vec_id AS id, e.label, {_L2} AS distance
+  FROM embeddings e CROSS JOIN q
+), r1 AS (
+  SELECT query_id, id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rn
+  FROM d WHERE label < 5
+), r2 AS (
+  SELECT query_id, id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rn
+  FROM d WHERE label >= 5
+), u AS (
+  SELECT query_id, id, 1.0 / (1.0 + distance) AS score, 0.7 AS w FROM r1 WHERE rn <= 20
+  UNION ALL
+  SELECT query_id, id, 1.0 / (1.0 + distance) AS score, 0.3 AS w FROM r2 WHERE rn <= 20
+), g AS (
+  SELECT query_id, id, sum(score * w) / sum(w) AS score FROM u GROUP BY query_id, id
+), t AS (
+  SELECT query_id, id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) + 0.0 DESC, id) AS rn
+  FROM g
+)
+SELECT query_id, id, (round(score, 6) + 0.0) AS score FROM t WHERE rn <= {K}
+"""
+
+_ORACLES["query_expansion"] = f"""
+WITH q0 AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {NQ}
+), e0 AS (
+  SELECT query_id, j,
+    CASE WHEN j = 0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+         ELSE list_transform(generate_series(1, len(embedding)),
+              i -> CAST(embedding[i] AS DOUBLE)
+                 + 0.05 * ((((i - 1) * 31 + j) % 7) - 3) / 3.0)
+    END AS p
+  FROM q0 CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j)
+), n AS (
+  SELECT query_id, j, p, sqrt(list_sum(list_transform(p, x -> x * x))) AS nrm FROM e0
+), u AS (
+  SELECT query_id, j,
+         CASE WHEN nrm = 0 THEN p ELSE list_transform(p, x -> x / nrm) END AS qv
+  FROM n
+), d AS (
+  SELECT q.query_id, q.j, e.vec_id AS id, {_L2} AS distance
+  FROM embeddings e CROSS JOIN u q
+), r AS (
+  SELECT query_id, j, id, distance,
+         row_number() OVER (PARTITION BY query_id, j ORDER BY distance, id) AS rn
+  FROM d
+), g AS (
+  SELECT query_id, id, min(distance) AS distance
+  FROM r WHERE rn <= {K} GROUP BY query_id, id
+), t AS (
+  SELECT query_id, id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rn
+  FROM g
+)
+SELECT query_id, id, distance FROM t WHERE rn <= {K}
+"""
+
+_ORACLES["age_histogram"] = """
+WITH b AS (
+  SELECT CASE
+    WHEN (epoch_us((SELECT max(ts) FROM events)) - epoch_us(ts)) < 3600000000 THEN 'under_1h'
+    WHEN (epoch_us((SELECT max(ts) FROM events)) - epoch_us(ts)) < 86400000000 THEN 'under_1d'
+    WHEN (epoch_us((SELECT max(ts) FROM events)) - epoch_us(ts)) < 604800000000 THEN 'under_1w'
+    ELSE 'over_1w' END AS bucket
+  FROM events
+)
+SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+"""
+
+_ORACLES["event_percentiles"] = """
+SELECT event_type, count(*) AS n,
+  (round(avg(value), 6) + 0.0) AS mean,
+  (round(quantile_cont(value, 0.5), 6) + 0.0) AS p50,
+  (round(quantile_cont(value, 0.99), 6) + 0.0) AS p99
+FROM events GROUP BY event_type
+"""
+
 
 # --------------------------------------------------------------------------
 # driver entry points
@@ -647,6 +873,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": q_media_image_features,
         "media_audio_windows": q_media_audio_windows,
         "media_frame_sample": q_media_frame_sample,
+        "relevance_scoring": q_relevance_scoring,
+        "merge_weighted": q_merge_weighted,
+        "query_expansion": q_query_expansion,
+        "age_histogram": q_age_histogram,
+        "event_percentiles": q_event_percentiles,
+        "cluster_distribution": q_cluster_distribution,
+        "pq_adc_knn": q_pq_adc_knn,
     }
 
 

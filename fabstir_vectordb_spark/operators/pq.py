@@ -1,0 +1,303 @@
+"""Product quantization — optional compression feature (SURVEY §2.1).
+
+Parity target: ProductQuantizer (src/core/vector_ops.rs:390-578): train =
+per-subspace k-means over sliced vectors, encode = nearest centroid per
+subspace (codes), decode = concatenate looked-up centroids.  Plus ADC
+(asymmetric distance) scoring, the standard PQ search trick the reference
+leaves implicit in its quantized-distance helpers.
+
+Spark design: training samples to the driver and runs tiny per-subspace
+k-means fits (sklearn-free Lloyd's in numpy — M fits of K centroids on a
+bounded `train_size` sample is driver-scale work, exactly like the
+reference's train()).  Encode/decode/ADC run distributed as Arrow-batched
+mapInPandas kernels with the codebooks broadcast — at 100 TB the codes
+table is the only thing that moves (M bytes/vector vs 4*dim).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _kmeans_fit(X: np.ndarray, k: int, iters: int, rng: np.random.RandomState):
+    """Lloyd's with k-means++ seeding (mirrors ivf/core.rs:336-371 init,
+    :373-417 assign/update — reimplemented from the public algorithm)."""
+    n = len(X)
+    # k-means++ seeding
+    centroids = [X[rng.randint(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [np.einsum("ij,ij->i", X - c, X - c) for c in centroids], axis=0
+        )
+        total = d2.sum()
+        if total == 0:
+            centroids.append(X[rng.randint(n)])
+            continue
+        probs = d2 / total
+        centroids.append(X[rng.choice(n, p=probs)])
+    C = np.asarray(centroids)
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                newC[j] = members.mean(axis=0)
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    return C
+
+
+class ProductQuantizer:
+    """codebooks: (M, K, sub_dim) float64 array."""
+
+    def __init__(self, n_subspaces: int, n_centroids: int, dim: int, codebooks: np.ndarray):
+        if dim % n_subspaces != 0:
+            raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+        self.n_subspaces = n_subspaces
+        self.n_centroids = n_centroids
+        self.dim = dim
+        self.sub_dim = dim // n_subspaces
+        self.codebooks = codebooks
+
+    # ------------------------------------------------------------- train
+
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        n_subspaces: int = 4,
+        n_centroids: int = 16,
+        train_size: int = 10_000,
+        iters: int = 25,
+        seed: int = 42,
+        vector_col: str = "embedding",
+    ) -> "ProductQuantizer":
+        """Sample `train_size` vectors (deterministic) and fit M per-subspace
+        codebooks (vector_ops.rs:415-447; defaults mirror train_size=10000,
+        25 iters from ivf/core.rs:50-60)."""
+        sample = [
+            np.asarray(r[0], dtype=np.float64)
+            for r in df.select(vector_col).limit(train_size).collect()
+        ]
+        if len(sample) < n_centroids:
+            raise ValueError(
+                f"need >= {n_centroids} training vectors, got {len(sample)}"
+            )
+        X = np.asarray(sample)
+        dim = X.shape[1]
+        if dim % n_subspaces != 0:
+            raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+        sub = dim // n_subspaces
+        rng = np.random.RandomState(seed)
+        books = np.stack(
+            [
+                _kmeans_fit(X[:, m * sub : (m + 1) * sub], n_centroids, iters, rng)
+                for m in range(n_subspaces)
+            ]
+        )
+        return cls(n_subspaces, n_centroids, dim, books)
+
+    # ------------------------------------------------------------ encode
+
+    def encode(
+        self, df: DataFrame, vector_col: str = "embedding", code_col: str = "pq_codes"
+    ) -> DataFrame:
+        """vector -> array<int> of M centroid indices (vector_ops.rs:449-485)."""
+        bc = df.sparkSession.sparkContext.broadcast(self.codebooks)
+        M, sub = self.n_subspaces, self.sub_dim
+        out_schema = T.StructType(
+            list(df.schema) + [T.StructField(code_col, T.ArrayType(T.IntegerType()), True)]
+        )
+
+        def kernel(batches):
+            books = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
+                )
+                codes = np.empty((len(V), M), dtype=np.int32)
+                for m in range(M):
+                    Xm = V[:, m * sub : (m + 1) * sub]
+                    # (n, k) distance matrix via |x|^2 - 2xC + |C|^2
+                    d = (
+                        np.einsum("ij,ij->i", Xm, Xm)[:, None]
+                        - 2.0 * Xm @ books[m].T
+                        + np.einsum("ij,ij->i", books[m], books[m])[None, :]
+                    )
+                    codes[:, m] = d.argmin(axis=1)
+                yield pdf.assign(**{code_col: [c.tolist() for c in codes]})
+
+        return df.mapInPandas(kernel, out_schema)
+
+    # ------------------------------------------------------------ decode
+
+    def decode(
+        self, df: DataFrame, code_col: str = "pq_codes", out_col: str = "decoded"
+    ) -> DataFrame:
+        """codes -> reconstructed vector (vector_ops.rs:487-511)."""
+        bc = df.sparkSession.sparkContext.broadcast(self.codebooks)
+        out_schema = T.StructType(
+            list(df.schema) + [T.StructField(out_col, T.ArrayType(T.DoubleType()), True)]
+        )
+
+        def kernel(batches):
+            books = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                recon = [
+                    np.concatenate([books[m][c[m]] for m in range(len(c))]).tolist()
+                    for c in pdf[code_col]
+                ]
+                yield pdf.assign(**{out_col: recon})
+
+        return df.mapInPandas(kernel, out_schema)
+
+    # --------------------------------------------------------- ADC search
+
+    def adc_knn(
+        self,
+        codes_df: DataFrame,
+        queries: DataFrame,
+        k: int,
+        id_col: str = "vec_id",
+        code_col: str = "pq_codes",
+        query_id_col: str = "query_id",
+        query_vector_col: str = "vector",
+        rerank_vectors: DataFrame | None = None,
+        rerank_vector_col: str = "embedding",
+        oversample: int = 4,
+    ) -> DataFrame:
+        """Asymmetric-distance kNN over PQ codes: per query, precompute the
+        (M, K) subspace distance table, then each row's approximate squared
+        L2 is M table lookups — no vector decode, no full-width math.
+        Same partial-reduction shape as operators/knn.knn_kernel.
+
+        With `rerank_vectors` (the full-precision table), ADC over-fetches
+        k*oversample candidates and re-ranks them exactly — the standard
+        PQ accuracy recovery: the expensive full-width math runs on only
+        Q*k*oversample rows, never the whole table."""
+        from fabstir_vectordb_spark.operators.topk import ROUND_DECIMALS, topk_per_query
+
+        if rerank_vectors is not None:
+            cand = self.adc_knn(
+                codes_df, queries, k * oversample,
+                id_col=id_col, code_col=code_col,
+                query_id_col=query_id_col, query_vector_col=query_vector_col,
+            )
+            vecs = rerank_vectors.select(
+                F.col(id_col).alias("id"),
+                F.col(rerank_vector_col).alias("__rv_vec"),
+            )
+            q = queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vector_col).alias("__rv_q"),
+            )
+            from fabstir_vectordb_spark.functions import distance as D
+
+            exact = (
+                cand.drop("distance")
+                .join(vecs, "id")
+                .join(F.broadcast(q), "query_id")
+                .select(
+                    "query_id",
+                    "id",
+                    D.l2_distance("__rv_vec", "__rv_q").alias("distance"),
+                )
+            )
+            return topk_per_query(exact, k)
+
+        spark = codes_df.sparkSession
+        qrows = queries.select(query_id_col, query_vector_col).collect()
+        qids = [r[0] for r in qrows]
+        Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        bc = spark.sparkContext.broadcast((qids, Q, self.codebooks))
+        M, sub = self.n_subspaces, self.sub_dim
+
+        qid_type = queries.schema[query_id_col].dataType
+        id_type = codes_df.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", qid_type, False),
+                T.StructField("id", id_type, False),
+                T.StructField("distance", T.DoubleType(), False),
+            ]
+        )
+
+        def kernel(batches):
+            qids_l, Q_l, books = bc.value
+            # tables[j]: (M, K) squared distances from query j's m-th slice
+            tables = np.stack(
+                [
+                    np.stack(
+                        [
+                            np.einsum(
+                                "kj,kj->k",
+                                books[m] - q[m * sub : (m + 1) * sub],
+                                books[m] - q[m * sub : (m + 1) * sub],
+                            )
+                            for m in range(M)
+                        ]
+                    )
+                    for q in Q_l
+                ]
+            )
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                codes = np.asarray([np.asarray(c) for c in pdf[code_col]])
+                ids = pdf[id_col].to_numpy()
+                if ids.dtype == object:
+                    ids = ids.astype(str)
+                out_q, out_id, out_d = [], [], []
+                for j, qid in enumerate(qids_l):
+                    # gather: distance = sum_m table[m, code_m]
+                    d = np.sqrt(
+                        np.sum(tables[j][np.arange(M)[None, :], codes], axis=1)
+                    )
+                    dr = np.round(d, ROUND_DECIMALS)
+                    order = np.lexsort((ids, dr))[:k]
+                    out_q.extend([qid] * len(order))
+                    out_id.extend(ids[order].tolist())
+                    out_d.extend(d[order].tolist())
+                yield pd.DataFrame({"query_id": out_q, "id": out_id, "distance": out_d})
+
+        partials = codes_df.select(id_col, code_col).mapInPandas(kernel, out_schema)
+        return topk_per_query(partials, k)
+
+    # -------------------------------------------------------- persistence
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        meta = {
+            "n_subspaces": self.n_subspaces,
+            "n_centroids": self.n_centroids,
+            "dim": self.dim,
+            "codebooks": self.codebooks.tolist(),
+        }
+        with open(os.path.join(path, "pq.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, path: str) -> "ProductQuantizer":
+        with open(os.path.join(path, "pq.json")) as f:
+            meta = json.load(f)
+        return cls(
+            meta["n_subspaces"],
+            meta["n_centroids"],
+            meta["dim"],
+            np.asarray(meta["codebooks"]),
+        )

@@ -1,0 +1,96 @@
+"""Relevance scoring, result merging, and query expansion.
+
+Parity targets (reference, public repo Fabstir/fabstir-vectordb):
+  ScoringMethod: CosineSimilarity / TimeDecay / PopularityBoost /
+    Combined          src/hybrid/search_integration.rs:298-372
+  MergeStrategy: TakeBest / Average / WeightedByIndex
+                      src/hybrid/search_integration.rs:214-296
+  query expansion     src/hybrid/search_integration.rs:452-489
+  streaming top-k     src/core/vector_ops.rs:204-263
+  hybrid merge        src/hybrid/core.rs:481-485
+
+All scoring is pure column expressions (stays in whole-stage codegen);
+merges are unions + hash aggregates — both shuffle only the tiny result
+sets, never the vector table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ------------------------------------------------------------- re-scoring
+
+
+def time_decay_score(
+    base_score: Column | str, age_ms: Column | str, half_life_ms: float
+) -> Column:
+    """score * 0.5^(age/half_life) (search_integration.rs:322-334)."""
+    return _c(base_score) * F.pow(
+        F.lit(0.5), _c(age_ms).cast("double") / F.lit(float(half_life_ms))
+    )
+
+
+def popularity_boost_score(base_score: Column | str, views: Column | str) -> Column:
+    """score * (1 + ln(1 + views)/10) (search_integration.rs:336-346)."""
+    return _c(base_score) * (
+        F.lit(1.0) + F.log(F.lit(1.0) + _c(views).cast("double")) / F.lit(10.0)
+    )
+
+
+def combined_score(parts: list[tuple[Column | str, float]]) -> Column:
+    """Weighted sum of score components (search_integration.rs:348-361)."""
+    if not parts:
+        raise ValueError("combined_score needs at least one (column, weight) part")
+    out = F.lit(0.0)
+    for col, w in parts:
+        out = out + _c(col) * F.lit(float(w))
+    return out
+
+
+# -------------------------------------------------------- query expansion
+# (result merging lives in operators/topk.py: merge_dedup / weighted_merge)
+
+
+def expand_queries(
+    queries: DataFrame,
+    n_expansions: int = 3,
+    noise: float = 0.05,
+    query_id_col: str = "query_id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """k deterministic perturbed copies of each query, renormalized
+    (search_integration.rs:452-489 uses random ±noise; we use an exact
+    rational perturbation — ((i*31 + j) mod 7 - 3)/3 * noise — so results
+    are reproducible and cross-engine checkable).
+
+    Output: (query_id, expansion_id, vector); expansion 0 is the original.
+    """
+    exp = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vector_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_expansions))).alias("expansion_id"),
+    )
+    j = F.col("expansion_id")
+    perturbed = F.when(j == 0, F.transform("__v", lambda x: x.cast("double"))).otherwise(
+        F.transform(
+            "__v",
+            lambda x, i: x.cast("double")
+            + F.lit(noise) * (((i * 31 + j) % 7).cast("double") - 3.0) / 3.0,
+        )
+    )
+    with_vec = exp.withColumn("__p", perturbed)
+    nrm = F.sqrt(
+        F.aggregate("__p", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    unit = F.when(nrm == 0.0, F.col("__p")).otherwise(
+        F.transform("__p", lambda x: x / nrm)
+    )
+    return with_vec.select(
+        "query_id", "expansion_id", unit.alias(vector_col)
+    )

@@ -1,0 +1,116 @@
+"""Aggregation / statistics operators (SURVEY §2.6).
+
+Parity targets (reference, public repo Fabstir/fabstir-vectordb):
+  hybrid stats (counts, avg age)     src/hybrid/core.rs:694-756
+  age-distribution histogram         src/hybrid/core.rs:758-820
+  cluster distribution / sizes       src/ivf/core.rs:536-550
+  cluster stats (variance, empties)  src/ivf/operations.rs:264-289,552-564
+  search perf percentiles (p50/p99)  src/hybrid/search_integration.rs:491-552
+
+All are single-pass hash aggregates with map-side partial aggregation —
+the only shuffle key is the (low-cardinality) bucket / cluster id, so
+they scale linearly in input and constant in output.
+
+Determinism: age buckets are computed against an explicit `now` argument
+(the reference uses wall-clock; a queryable engine needs the reference
+point pinned so results are reproducible and oracle-checkable).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# hybrid/core.rs:758-820 buckets: <1h, <1d, <1w, >=1w
+AGE_BUCKETS_MS = [
+    ("under_1h", 3_600_000),
+    ("under_1d", 86_400_000),
+    ("under_1w", 604_800_000),
+]
+AGE_BUCKET_OVERFLOW = "over_1w"
+
+
+def age_bucket(ts: Column | str, now: _dt.datetime) -> Column:
+    """Bucket a timestamp by age relative to `now` (hybrid/core.rs:773-787).
+
+    Ages are compared in integer microseconds (unix_micros), so bucket
+    boundaries are exact — no float rounding can flip a boundary row."""
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    age_us = F.unix_micros(F.lit(now)) - F.unix_micros(ts)
+    expr = F.lit(AGE_BUCKET_OVERFLOW)
+    for name, limit in reversed(AGE_BUCKETS_MS):
+        expr = F.when(age_us < limit * 1000, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def age_distribution(
+    df: DataFrame, now: _dt.datetime, ts_col: str = "ts"
+) -> DataFrame:
+    """Histogram of row ages + min/max ts (hybrid/core.rs:758-820).
+
+    Output: (bucket, n) — one row per non-empty bucket.
+    """
+    return (
+        df.groupBy(age_bucket(ts_col, now).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def ts_range(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    return df.agg(
+        F.min(ts_col).alias("min_ts"), F.max(ts_col).alias("max_ts")
+    )
+
+
+def cluster_distribution(
+    assigned: DataFrame, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Per-cluster row counts (ivf/core.rs:536-550). Non-empty clusters only
+    (join with the centroid list to report empties — see cluster_stats)."""
+    return assigned.groupBy(cluster_col).agg(F.count("*").alias("n"))
+
+
+def cluster_stats(
+    assigned: DataFrame, n_clusters: int, cluster_col: str = "cluster_id"
+) -> dict:
+    """n_clusters, total, avg/variance of sizes, empty count
+    (ivf/operations.rs:264-289; variance at :552-564 is population
+    variance over ALL clusters including empty ones)."""
+    sizes = {
+        r[cluster_col]: r["n"] for r in cluster_distribution(assigned, cluster_col).collect()
+    }
+    all_sizes = [sizes.get(c, 0) for c in range(n_clusters)]
+    total = sum(all_sizes)
+    avg = total / n_clusters if n_clusters else 0.0
+    var = (
+        sum((s - avg) ** 2 for s in all_sizes) / n_clusters if n_clusters else 0.0
+    )
+    return {
+        "n_clusters": n_clusters,
+        "total_vectors": total,
+        "avg_cluster_size": avg,
+        "size_variance": var,
+        "empty_clusters": sum(1 for s in all_sizes if s == 0),
+    }
+
+
+def percentile_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    percentiles: tuple[float, ...] = (0.5, 0.99),
+) -> DataFrame:
+    """Exact interpolated percentiles + count + mean per group
+    (search_integration.rs:491-552 computes p50/p99 by sorting; Spark's
+    `percentile` aggregate is the same exact definition, executed as a
+    distributed sort-free aggregate.  Use percentile_approx at 100 TB
+    where exactness isn't contractual)."""
+    aggs = [F.count("*").alias("n"), F.avg(value_col).alias("mean")]
+    for p in percentiles:
+        name = f"p{int(p * 100)}"
+        aggs.append(F.percentile(value_col, F.lit(p)).alias(name))
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)

@@ -1,0 +1,134 @@
+"""Structured Streaming ingest + change events (SURVEY §2.9, additive).
+
+The reference's streaming surface is stubbed (SSE returns an empty
+stream, api/rest.rs:727-733; WebSocket 101-only, :735-738), but it
+defines the event vocabulary Inserted/Updated/Deleted/Migrated
+(src/client/rust.rs:72-88).  This module is the greenfield Spark design
+the survey calls for: ingest as a streaming append to the vectors table,
+the event feed as an output stream, and watermarked windowed aggregates
+for monitoring — all standard Structured Streaming, no custom state
+unless semantics demand it.
+
+Scale notes: the ingest path is append-only (no per-record upsert
+shuffle); dedup-on-ingest uses dropDuplicatesWithinWatermark on the id —
+bounded state, exactly-once per watermark window.  foreachBatch gives
+each micro-batch the full batch DataFrame API (cluster assignment,
+partitioned write) without collecting anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# src/client/rust.rs:72-88
+EVENT_TYPES = ("Inserted", "Updated", "Deleted", "Migrated")
+
+VECTOR_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("vector", T.ArrayType(T.FloatType()), False),
+        T.StructField("metadata", T.StringType(), True),  # JSON string on the wire
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+
+def read_vector_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "json",
+    schema: T.StructType = VECTOR_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source ingest stream of vector records."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def deduped_ingest(
+    stream: DataFrame, watermark: str = "10 minutes", id_col: str = "id"
+) -> DataFrame:
+    """Drop duplicate ids within the watermark horizon — the streaming
+    equivalent of the session's duplicate-id rejection
+    (bindings/node/src/session.rs duplicate check) with bounded state."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
+def as_change_events(stream: DataFrame, event_type: str = "Inserted") -> DataFrame:
+    """Shape an ingest stream into the reference's event feed
+    (client/rust.rs:72-88): (event_type, vector_id, ts)."""
+    if event_type not in EVENT_TYPES:
+        raise ValueError(f"unknown event type {event_type!r}; one of {EVENT_TYPES}")
+    return stream.select(
+        F.lit(event_type).alias("event_type"),
+        F.col("id").alias("vector_id"),
+        F.col("ts"),
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling/sliding-window counts per event type — the
+    monitoring aggregate the reference's stats endpoints fake
+    (api/rest.rs:679-725 return zeros).  Late rows beyond the watermark
+    are dropped; state is bounded by watermark/window."""
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def write_vectors_stream(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    partition_assigner=None,
+    trigger_available_now: bool = True,
+):
+    """Append the ingest stream to the vectors table via foreachBatch.
+
+    `partition_assigner` (e.g. a trained IVFIndex.assign) runs per
+    micro-batch so new rows land in the right cluster partition — the
+    streaming version of the session's routed insert
+    (src/hybrid/core.rs:357-417, where routing is by age; here routing is
+    by cluster because recency is a query-time predicate in this engine).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if partition_assigner is not None:
+            out = partition_assigner(batch_df)
+            out.write.mode("append").partitionBy("cluster_id").parquet(table_path)
+        else:
+            out.write.mode("append").parquet(table_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

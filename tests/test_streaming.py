@@ -1,0 +1,106 @@
+"""Structured Streaming ingest tests — file source, availableNow trigger,
+memory sink; streaming results checked against the equivalent batch query."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.streaming import ingest as SI
+
+
+def _write_records(path, records):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / "batch0.json", "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+RECORDS = [
+    {"id": f"v{i}", "vector": [float(i), 0.0], "metadata": None,
+     "ts": f"2026-01-10T12:{i:02d}:00.000Z"}
+    for i in range(10)
+] + [
+    # duplicate id inside the watermark horizon -> dropped by dedup
+    {"id": "v0", "vector": [9.0, 9.0], "metadata": None,
+     "ts": "2026-01-10T12:00:30.000Z"},
+]
+
+
+def _run_to_memory(stream_df, name, timeout=60):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q
+
+
+def test_stream_ingest_dedup_and_events(spark, tmp_path):
+    src = tmp_path / "in"
+    _write_records(src, RECORDS)
+    stream = SI.read_vector_stream(spark, str(src))
+    assert stream.isStreaming
+
+    deduped = SI.deduped_ingest(stream, watermark="10 minutes")
+    events = SI.as_change_events(deduped)
+    _run_to_memory(events, "ev_test")
+    out = spark.sql("select * from ev_test").collect()
+    assert len(out) == 10  # 11 records, 1 duplicate id dropped
+    assert {r["event_type"] for r in out} == {"Inserted"}
+    assert {r["vector_id"] for r in out} == {f"v{i}" for i in range(10)}
+
+    with pytest.raises(ValueError):
+        SI.as_change_events(deduped, event_type="Exploded")
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    src = tmp_path / "in2"
+    _write_records(src, RECORDS)
+    stream = SI.read_vector_stream(spark, str(src))
+    counts = SI.windowed_event_counts(
+        SI.as_change_events(stream), window="5 minutes", watermark="1 minute"
+    )
+    # complete mode: emit ALL windows including the final not-yet-finalized
+    # one (append mode would hold back windows past the last watermark —
+    # max event time minus delay — which is correct engine behavior but
+    # makes a bounded-input comparison awkward).
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["window_start"].isoformat(), r["n"])
+        for r in spark.sql("select * from win_test").collect()
+    }
+    batch = spark.read.schema(SI.VECTOR_STREAM_SCHEMA).json(str(src))
+    expect = {
+        (r["ws"].isoformat(), r["n"])
+        for r in batch.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_write_vectors_stream_appends(spark, tmp_path):
+    src = tmp_path / "in3"
+    _write_records(src, RECORDS[:5])
+    stream = SI.read_vector_stream(spark, str(src))
+    table = str(tmp_path / "table")
+    q = SI.write_vectors_stream(
+        stream, table, str(tmp_path / "ckpt"), trigger_available_now=True
+    )
+    q.awaitTermination(60)
+    written = spark.read.parquet(table)
+    assert written.count() == 5
+    assert set(written.columns) == {"id", "vector", "metadata", "ts"}
