@@ -66,12 +66,19 @@ def main() -> int:
     qs = E.queries()
     names = [n for n in BENCH_QUERIES if n in qs]
 
-    # Warmup: parquet footer reads + codegen for the common scan shapes.
+    # Warmup: parquet footer reads + codegen for the common scan shapes,
+    # plus one tiny Arrow round-trip so Python-worker pool startup isn't
+    # billed to the first timed query.
     for t in ("embeddings", "documents", "events"):
         try:
             E._t(spark, sf_dir, t).count()
         except Exception:
             pass
+    def _warm(batches):
+        for b in batches:
+            yield b
+
+    spark.range(1000).mapInPandas(_warm, "id long").count()
 
     times: dict[str, float] = {}
     for name in names:

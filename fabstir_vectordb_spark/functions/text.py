@@ -48,6 +48,36 @@ def unique_token_count(text: Column | str) -> Column:
     return F.size(F.array_distinct(whitespace_tokens(text)))
 
 
+# -- *_from variants: operate on an already-materialized token array.
+# In a multi-stat projection the plain forms re-run the regex split once
+# per stat (and once per lambda element for the HOF-based stats);
+# materializing tokens behind an exchange makes the scan split-once.
+
+def token_count_from(tokens: Column | str) -> Column:
+    return F.size(_c(tokens))
+
+
+def unique_token_count_from(tokens: Column | str) -> Column:
+    return F.size(F.array_distinct(_c(tokens)))
+
+
+def avg_token_len_from(tokens: Column | str) -> Column:
+    toks = _c(tokens)
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, tk: acc + F.length(tk).cast("double")
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(total / n.cast("double"))
+
+
+def stopword_ratio_from(tokens: Column | str, lang: str = "en") -> Column:
+    toks = _c(tokens)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        _stopword_hits(toks, lang).cast("double") / n.cast("double")
+    )
+
+
 def _stopword_hits(tokens: Column, lang: str) -> Column:
     words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(tokens, lambda t: F.array_contains(words, F.lower(t))))
@@ -142,13 +172,18 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams — the dedup shingle set.
+def word_shingles_from(tokens: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams from an ALREADY-MATERIALIZED token array.
 
     Guarded for short documents (fewer than n tokens => empty set);
     note sequence(1, 0) would count DOWN in Spark, hence the when().
+
+    Use this (with the token split in a separate projection behind an
+    exchange) in hot paths: referencing a token *expression* here makes
+    Spark re-evaluate the regex split inside every element_at of the
+    lambda — O(tokens * n) splits per row instead of one.
     """
-    toks = whitespace_tokens(text)
+    toks = _c(tokens)
     size = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), size - (n - 1)),
@@ -159,3 +194,9 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(size >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams — the dedup shingle set (single-expression
+    form; see word_shingles_from for the hot-path variant)."""
+    return word_shingles_from(whitespace_tokens(text), n)

@@ -30,7 +30,52 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fabstir_vectordb_spark.functions import distance as D
-from fabstir_vectordb_spark.functions.text import fingerprint, word_shingles
+from fabstir_vectordb_spark.functions.text import (
+    fingerprint,
+    whitespace_tokens,
+    word_shingles,
+    word_shingles_from,
+)
+
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Spread a low-partition-count input across the cluster.
+
+    Small single-file tables arrive as 1 scan partition, serializing the
+    expensive per-row work (shingling, hashing) onto one core.  At real
+    scale inputs arrive in many files/row-groups and this is a no-op; the
+    repartition only fires when scan parallelism is clearly below the
+    cluster's, so we never add a raw-text shuffle to an already-parallel
+    plan."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, __shingles) with the token split materialized BEHIND an
+    exchange: tokenize -> repartition -> shingle.  The barrier stops
+    CollapseProject from re-inlining the regex split into every
+    element_at of the shingle lambda (which costs O(tokens * n) splits
+    per row), and simultaneously spreads single-file inputs across the
+    cluster.
+
+    Emits only rows with >= n tokens (exactly the rows whose shingle set
+    is non-empty).  The filter is expressed on the token count, NOT on
+    size(__shingles): a shingle-level filter gets predicate-pushed below
+    the exchange, re-inlining the whole shingle expression into the
+    narrow pre-shuffle stage — the exact pathology the barrier exists to
+    prevent."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"), whitespace_tokens(text_col).alias("__toks")
+        )
+        .filter(F.size("__toks") >= n)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    return toks.select("id", word_shingles_from("__toks", n).alias("__shingles"))
+
 
 # ---------------------------------------------------------------- exact
 
@@ -69,8 +114,8 @@ def drop_exact_duplicates(
 def _shingle_table(
     df: DataFrame, text_col: str, id_col: str, n: int, max_shingle_freq: int | None
 ) -> DataFrame:
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    sh = _shingled(df, text_col, id_col, n).select(
+        "id", F.explode("__shingles").alias("shingle")
     )
     if max_shingle_freq is not None:
         # stop-shingle cutoff: a shingle appearing in > max_shingle_freq docs
@@ -173,17 +218,16 @@ def minhash_lsh_pairs(
     Output matches ngram_jaccard_pairs: (a_id, b_id, jaccard).
     """
     rows_per_band = num_hashes // bands
-    base = (
-        df.select(
-            F.col(id_col).alias("id"), word_shingles(text_col, n).alias("__shingles")
-        )
-        .filter(F.size("__shingles") > 0)
-        .cache()
+    base = _shingled(df, text_col, id_col, n).cache()
+    # hash each shingle string ONCE, then derive the H seeded hashes from
+    # the fixed-width base hash — 64 hashes of 12 bytes, not 64 re-hashes
+    # of a ~30-char string
+    exploded = base.select("id", F.explode("__shingles").alias("s")).select(
+        "id", F.xxhash64("s").alias("bh")
     )
-    exploded = base.select("id", F.explode("__shingles").alias("s"))
     sig = exploded.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.lit(f"mh{i}"), F.col("s"))).alias(f"h{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("bh"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -257,6 +301,57 @@ def simhash64(text: Column | str, n: int = 1) -> Column:
     return out
 
 
+def simhash64_agg(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distributed SimHash: explode distinct tokens, hash each ONCE, then
+    ONE groupBy computes all 64 per-bit votes as map-side partial sums.
+    Identical output to the per-row `simhash64` expression (vote totals
+    are order-independent), but one pass instead of 64 array traversals
+    per row — the shape that survives a 100 TB corpus.
+
+    Output: (id, sim bigint)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    toks = F.array_distinct(
+        F.split(F.trim(F.col(text_col)), r"\s+")
+    )
+    hashed = _parallelize(df).select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("t")
+    ).select("id", F.xxhash64("t").alias("h"))
+    # collect the (small, fixed-width) hash list per doc, then compute all
+    # 64 bit-votes in one vectorized kernel.  64 sum(when(...)) aggregate
+    # columns would stay "JVM-side" but blow the codegen method limit and
+    # fall back to interpreted aggregation — an order of magnitude slower
+    # than this Arrow-batched path.
+    grouped = hashed.groupBy("id").agg(F.collect_list("h").alias("__hs"))
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type, False),
+            T.StructField("sim", T.LongType(), False),
+        ]
+    )
+    bitpos = np.arange(64, dtype=np.uint64)
+    powers = np.uint64(1) << bitpos
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sims = np.empty(len(pdf), dtype=np.uint64)
+            for i, hs in enumerate(pdf["__hs"]):
+                a = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                bits = ((a[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int32)
+                votes = (bits * 2 - 1).sum(axis=0)
+                sims[i] = powers[votes > 0].sum(dtype=np.uint64)
+            yield pd.DataFrame({"id": pdf["id"], "sim": sims.view(np.int64)})
+
+    return grouped.mapInPandas(kernel, out_schema)
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -269,7 +364,7 @@ def simhash_pairs(
     of four 16-bit bands (pigeonhole) — so the bucket join finds all of
     them without an N^2 compare.
     """
-    sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sim"))
+    sh = simhash64_agg(df, text_col=text_col, id_col=id_col)
     bands = F.array(
         *[
             F.shiftright("sim", b * 16).bitwiseAND(F.lit(0xFFFF)).cast("bigint")
@@ -355,7 +450,7 @@ def _embedding_near_dup_kernel(
                 c_out.extend(simr[i, js].tolist())
             yield pd.DataFrame({"a_id": a_out, "b_id": b_out, "cosine": c_out})
 
-    return df.select(id_col, vector_col).mapInPandas(kernel, out_schema)
+    return _parallelize(df.select(id_col, vector_col)).mapInPandas(kernel, out_schema)
 
 
 def embedding_near_dup(

@@ -71,13 +71,36 @@ class IVFIndex:
         seed: int = 42,
         id_col: str = "id",
         vector_col: str = "vector",
+        engine: str = "sample",
     ) -> "IVFIndex":
         """Train on a deterministic sample (order by id, take train_size) —
-        the reference trains on the first ``train_size`` inserts."""
+        the reference trains on the first ``train_size`` inserts.
+
+        engine="sample" (default): collect the size-capped sample and run
+        driver-side numpy k-means — the sample is <= train_size rows
+        (~30 MB at 10k x 384), and MLlib's distributed Lloyd pays ~maxIter
+        rounds of job-scheduling overhead for data this small.
+        engine="mllib": distributed KMeans for when train_size is raised
+        beyond driver scale."""
         n = vectors.count()
         if n < MIN_TRAINING_SIZE:
             return cls(centroids=None, id_col=id_col, vector_col=vector_col)
         n_clusters = min(n_clusters, n)  # k-means needs >= k points (ivf/core.rs:252)
+
+        if engine == "sample":
+            from fabstir_vectordb_spark.operators._kmeans import kmeans_fit
+
+            sample = (
+                vectors.select(F.col(vector_col).alias("__arr"))
+                .orderBy(vectors[id_col])
+                .limit(train_size)
+                .collect()
+            )
+            X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in sample])
+            cents = kmeans_fit(
+                X, n_clusters, iters=max_iter, rng=np.random.RandomState(seed)
+            )
+            return cls(centroids=cents, id_col=id_col, vector_col=vector_col)
 
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector

@@ -26,36 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _kmeans_fit(X: np.ndarray, k: int, iters: int, rng: np.random.RandomState):
-    """Lloyd's with k-means++ seeding (mirrors ivf/core.rs:336-371 init,
-    :373-417 assign/update — reimplemented from the public algorithm)."""
-    n = len(X)
-    # k-means++ seeding
-    centroids = [X[rng.randint(n)]]
-    for _ in range(1, k):
-        d2 = np.min(
-            [np.einsum("ij,ij->i", X - c, X - c) for c in centroids], axis=0
-        )
-        total = d2.sum()
-        if total == 0:
-            centroids.append(X[rng.randint(n)])
-            continue
-        probs = d2 / total
-        centroids.append(X[rng.choice(n, p=probs)])
-    C = np.asarray(centroids)
-    for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        newC = C.copy()
-        for j in range(k):
-            members = X[assign == j]
-            if len(members):
-                newC[j] = members.mean(axis=0)
-        if np.allclose(newC, C):
-            C = newC
-            break
-        C = newC
-    return C
+from fabstir_vectordb_spark.operators._kmeans import kmeans_fit as _kmeans_fit
 
 
 class ProductQuantizer:

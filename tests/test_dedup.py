@@ -59,6 +59,9 @@ def test_simhash_pairs(docs):
     sims = {r["doc_id"]: r["s"] for r in
             docs.select("doc_id", DD.simhash64("text").alias("s")).collect()}
     assert sims[0] == sims[1]  # identical text => identical simhash
+    # distributed aggregate path computes the identical fingerprint
+    agg = {r["id"]: r["sim"] for r in DD.simhash64_agg(docs).collect()}
+    assert agg == sims
     pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in
              DD.simhash_pairs(docs, max_hamming=8).collect()}
     assert pairs[(0, 1)] == 0
