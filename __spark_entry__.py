@@ -475,6 +475,51 @@ def q_cluster_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.cluster_distribution(idx.assign(emb)).orderBy("cluster_id")
 
 
+def q_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar u8 quantization + dequantization (vector_ops.rs:349-387):
+    per-vector affine codes; reports max reconstruction error, which is
+    bounded by span/510 per element."""
+    emb = _t(spark, sf_dir, "embeddings")
+    lo, hi = D.vector_min("embedding"), D.vector_max("embedding")
+    q = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        lo.alias("lo"),
+        hi.alias("hi"),
+        D.quantize_u8("embedding", lo, hi).alias("codes"),
+    )
+    deq = q.withColumn("deq", D.dequantize_u8("codes", F.col("lo"), F.col("hi")))
+    err = F.aggregate(
+        F.zip_with("v", "deq", lambda a, b: F.abs(a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return deq.select(
+        "vec_id",
+        F.element_at("codes", 1).cast("long").alias("code0"),
+        r6(err).alias("max_err"),
+    )
+
+
+def q_hybrid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recent-union-historical merge, best (min) distance per id, top-k
+    (hybrid/core.rs:481-485 + SearchResult::dedup types.rs:206-223).
+    The two 'indices' are the label<5 / label>=5 halves of the table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _query_vectors(spark, sf_dir)
+    parts = [
+        brute_force_knn(
+            emb.filter(pred), queries, K,
+            metric="l2", impl="kernel", id_col="vec_id", vector_col="embedding",
+        )
+        for pred in (F.col("label") < 5, F.col("label") >= 5)
+    ]
+    best = merge_dedup(*parts)
+    return topk_per_query(best, K).select(
+        "query_id", "id", r6("distance").alias("distance")
+    )
+
+
 def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ compression + ADC search + exact re-rank (vector_ops.rs:390-578)
     — model-dependent (k-means codebooks), rows-only; quality asserted in
@@ -841,6 +886,60 @@ WITH b AS (
 SELECT bucket, count(*) AS n FROM b GROUP BY bucket
 """
 
+_ORACLES["quantize_roundtrip"] = """
+WITH b AS (
+  SELECT vec_id, embedding AS v,
+         CAST(list_min(embedding) AS DOUBLE) AS lo,
+         CAST(list_max(embedding) AS DOUBLE) AS hi
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v, lo,
+         CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END AS span
+  FROM b
+), q AS (
+  SELECT vec_id, v, lo, span,
+         list_transform(v, x ->
+           CAST(round((CAST(x AS DOUBLE) - lo) / span * 255.0) AS INTEGER)) AS codes
+  FROM s
+), d AS (
+  SELECT vec_id, codes,
+         list_max(list_transform(generate_series(1, len(v)),
+           i -> abs(CAST(v[i] AS DOUBLE)
+                  - (CAST(codes[i] AS DOUBLE) / 255.0 * span + lo)))) AS max_err
+  FROM q
+)
+SELECT vec_id, CAST(codes[1] AS BIGINT) AS code0, (round(max_err, 6) + 0.0) AS max_err
+FROM d
+"""
+
+_ORACLES["hybrid_merge"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}
+), d AS (
+  SELECT q.query_id, e.vec_id AS id, e.label, {_L2} AS distance
+  FROM embeddings e CROSS JOIN q
+), r1 AS (
+  SELECT query_id, id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rn
+  FROM d WHERE label < 5
+), r2 AS (
+  SELECT query_id, id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rn
+  FROM d WHERE label >= 5
+), u AS (
+  SELECT query_id, id, distance FROM r1 WHERE rn <= {K}
+  UNION ALL
+  SELECT query_id, id, distance FROM r2 WHERE rn <= {K}
+), g AS (
+  SELECT query_id, id, min(distance) AS distance FROM u GROUP BY query_id, id
+), t AS (
+  SELECT query_id, id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rn
+  FROM g
+)
+SELECT query_id, id, distance FROM t WHERE rn <= {K}
+"""
+
 _ORACLES["event_percentiles"] = """
 SELECT event_type, count(*) AS n,
   (round(avg(value), 6) + 0.0) AS mean,
@@ -895,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_percentiles": q_event_percentiles,
         "cluster_distribution": q_cluster_distribution,
         "pq_adc_knn": q_pq_adc_knn,
+        "quantize_roundtrip": q_quantize_roundtrip,
+        "hybrid_merge": q_hybrid_merge,
     }
 
 

@@ -47,8 +47,8 @@ class InvalidFilterError(FilterError):
 
 
 _RANGE_OPS = {"$gt", "$gte", "$lt", "$lte"}
-_NUMERIC_TYPES = (
-    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_NUMERIC_TYPES = _INTEGRAL_TYPES + (
     T.FloatType, T.DoubleType, T.DecimalType,
 )
 
@@ -149,6 +149,25 @@ def _range_predicate(col: Column, dtype: T.DataType, spec: dict) -> Column:
     if not isinstance(dtype, _NUMERIC_TYPES):
         # f64 coercion of a non-numeric field fails => no match (:310-312)
         return F.lit(False)
+    if isinstance(dtype, _INTEGRAL_TYPES) and all(
+        abs(float(v)) < 2**62 for v in spec.values()
+    ):
+        # cast-free integral compare: `cast(col as double) >= 100.0`
+        # blocks parquet-native predicate pushdown, while `col >= 100` is
+        # pushable and exactly equivalent (fractional bounds transpose to
+        # the neighboring integer: x > 2.5 <=> x > floor(2.5))
+        import math
+
+        pred = F.lit(True)
+        if "$gt" in spec:
+            pred = pred & (col > int(math.floor(float(spec["$gt"]))))
+        if "$gte" in spec:
+            pred = pred & (col >= int(math.ceil(float(spec["$gte"]))))
+        if "$lt" in spec:
+            pred = pred & (col < int(math.ceil(float(spec["$lt"]))))
+        if "$lte" in spec:
+            pred = pred & (col <= int(math.floor(float(spec["$lte"]))))
+        return pred
     c = col.cast("double")
     pred = F.lit(True)
     if "$gt" in spec:

@@ -209,11 +209,18 @@ class VectorDbSession:
             [("q0", [float(x) for x in query_vector])],
             "query_id string, vector array<float>",
         )
-        if self._index is not None and self._index.is_trained and filter is None:
+        use_index = self._index is not None and self._index.is_trained and filter is None
+        if use_index:
+            if n_probe is None:
+                # planner heuristic (search_integration.rs:375-449): probe
+                # width by dataset size and k
+                from fabstir_vectordb_spark.plans.tuning import plan_search
+
+                plan = plan_search(df.count(), k, self._index.n_clusters,
+                                   brute_force_threshold=0)
+                n_probe = plan.n_probe or self._index.n_clusters
             assigned = self._index.assign(df)
-            res = self._index.search(
-                assigned, queries, k, n_probe=n_probe or self._index.n_clusters
-            )
+            res = self._index.search(assigned, queries, k, n_probe=n_probe)
         else:
             res = brute_force_knn(df, queries, k, metric="l2", impl="expr")
         scored = (

@@ -1,0 +1,88 @@
+"""Sources (readers/writers) and planner-heuristic tests."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.plans.tuning import plan_search, tune_n_probe
+from fabstir_vectordb_spark.sources import vectors as V
+
+
+def test_read_write_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0], None), ("b", [3.0, 4.0], '{"k": 1}')],
+        "id string, vector array<float>, metadata string",
+    )
+    V.write_vectors(df, str(tmp_path / "t"))
+    back = V.read_vectors(spark, str(tmp_path / "t"), expected_dim=2)
+    assert back.count() == 2
+    assert set(back.columns) >= {"id", "vector", "metadata", "ts", "deleted"}
+    assert V.validate_dim_uniform(back) == 2
+
+
+def test_read_json_vector_strings(spark, tmp_path):
+    p = tmp_path / "in"
+    p.mkdir()
+    with open(p / "a.json", "w") as f:
+        f.write(json.dumps({"id": "x", "vector": "[1.0, 2.0, 3.0]"}) + "\n")
+    df = V.read_vectors(spark, str(p), fmt="json")
+    row = df.collect()[0]
+    assert row["vector"] == pytest.approx([1.0, 2.0, 3.0])
+    assert row["deleted"] is False
+
+
+def test_dim_validation_fails(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("b", [1.0, 2.0, 3.0])], "id string, vector array<float>"
+    )
+    V.write_vectors(df, str(tmp_path / "bad"))
+    with pytest.raises(V.SchemaError):
+        V.read_vectors(spark, str(tmp_path / "bad"), expected_dim=2)
+    with pytest.raises(V.SchemaError):
+        V.validate_dim_uniform(V.read_vectors(spark, str(tmp_path / "bad")))
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", [1.0], 0), ("b", [2.0], 1), ("c", [3.0], 1)],
+        "id string, vector array<float>, cluster_id int",
+    )
+    V.write_vectors(df, str(tmp_path / "p"), partition_by=["cluster_id"])
+    back = spark.read.parquet(str(tmp_path / "p"))
+    pruned = back.filter(F.col("cluster_id") == 1)
+    assert pruned.count() == 2
+    # partition pruning is visible in the scan's partition filters
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "cluster_id" in plan
+
+
+def test_metadata_json_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("a", {"k": 1, "tag": "x"})], "id string, metadata struct<k:int,tag:string>"
+    )
+    as_json = V.metadata_as_json(df)
+    assert isinstance(as_json.schema["metadata"].dataType.simpleString(), str)
+    back = V.metadata_from_json(as_json, "k int, tag string")
+    assert back.collect()[0]["metadata"]["k"] == 1
+
+
+def test_tune_n_probe_tiers():
+    assert tune_n_probe(500, 10, 256) == 256          # tiny => probe all
+    assert tune_n_probe(50_000, 10, 256) == 64        # medium => quarter
+    assert tune_n_probe(1_000_000, 10, 256) == 32     # large => eighth
+    assert tune_n_probe(1_000_000, 100, 256) == 96    # big k widens probes
+    assert tune_n_probe(50_000_000, 10, 256) == 16
+
+
+def test_plan_search_strategies():
+    assert plan_search(100, 10, None).strategy == "brute"
+    assert plan_search(5_000, 10, 256).strategy == "brute"
+    p = plan_search(1_000_000, 10, 256)
+    assert p.strategy == "ivf" and p.n_probe == 32
+    assert plan_search(
+        1_000_000, 10, 256, has_filter=True, filter_selectivity=0.005
+    ).strategy == "brute"
+    assert plan_search(
+        50_000_000, 10, 256, pq_available=True
+    ).strategy == "pq"
