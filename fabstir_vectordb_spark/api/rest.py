@@ -1,0 +1,160 @@
+"""REST facade (SURVEY §3.2) — a thin HTTP layer over VectorDbSession.
+
+Parity target: the axum server (src/api/rest.rs, router :325-352):
+
+  GET    /health                     :355-361
+  POST   /api/v1/vectors             insert one        :392-447
+  POST   /api/v1/vectors/batch       insert many, per-row errors :449-531
+  GET    /api/v1/vectors/{id}        point lookup      :533-570
+  DELETE /api/v1/vectors/{id}        soft delete       :573-597
+  POST   /api/v1/search              similarity search :600-676
+  GET    /api/v1/statistics          stats             :679-690
+
+Deviations (improvements, documented): the reference's search handler
+*ignores* the filter and search options it parses (rest.rs:631-634) and
+fetches metadata with one storage call per result (:640-648); here the
+filter/options are honored and metadata is joined in-plan.  Response
+shapes match SearchResponse {results, search_time_ms, indices_searched,
+partial_results} (:94-113,671-676).
+
+stdlib http.server only — the facade is deliberately dependency-free;
+it exists to demonstrate API parity, not to be a production server.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from fabstir_vectordb_spark.session import VectorDbError, VectorDbSession
+
+_VEC_ID_RE = re.compile(r"^/api/v1/vectors/([^/]+)$")
+
+
+def make_handler(session: VectorDbSession):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        # ------------------------------------------------------------ util
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> dict | None:
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                if n > 10 * 1024 * 1024:  # 10MB body limit (rest.rs:343)
+                    self._json(413, {"error": "body too large"})
+                    return None
+                return json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                self._json(400, {"error": "invalid JSON"})
+                return None
+
+        # ---------------------------------------------------------- routes
+
+        def do_GET(self):
+            if self.path == "/health":
+                return self._json(200, {"status": "ok"})
+            if self.path == "/api/v1/statistics":
+                return self._json(200, session.get_stats())
+            m = _VEC_ID_RE.match(self.path)
+            if m:
+                v = session.get_vector(m.group(1))
+                if v is None:
+                    return self._json(404, {"error": "not found"})
+                return self._json(200, v)
+            self._json(404, {"error": "unknown route"})
+
+        def do_DELETE(self):
+            m = _VEC_ID_RE.match(self.path)
+            if not m:
+                return self._json(404, {"error": "unknown route"})
+            try:
+                session.delete_vector(m.group(1))
+                return self._json(200, {"deleted": m.group(1)})
+            except VectorDbError as e:
+                return self._json(404, {"error": str(e)})
+
+        def do_POST(self):
+            body = self._body()
+            if body is None:
+                return
+            if self.path == "/api/v1/vectors":
+                try:
+                    session.add_vectors([body])
+                    return self._json(201, {"id": str(body.get("id"))})
+                except (VectorDbError, KeyError, TypeError) as e:
+                    return self._json(400, {"error": str(e)})
+            if self.path == "/api/v1/vectors/batch":
+                # per-row error list (rest.rs:449-531)
+                ok, errors = [], []
+                for i, item in enumerate(body.get("vectors", [])):
+                    try:
+                        session.add_vectors([item])
+                        ok.append(str(item.get("id")))
+                    except (VectorDbError, KeyError, TypeError) as e:
+                        errors.append({"index": i, "error": str(e)})
+                return self._json(
+                    207 if errors else 201, {"inserted": ok, "errors": errors}
+                )
+            if self.path == "/api/v1/search":
+                vec = body.get("vector")
+                if not vec:
+                    # empty vector => 400 (rest.rs:741-746)
+                    return self._json(400, {"error": "vector must be non-empty"})
+                opts = body.get("options") or {}
+                t0 = time.time()
+                try:
+                    results = session.search(
+                        vec,
+                        k=body.get("k", 10),
+                        threshold=opts.get("threshold", 0.0),
+                        filter=body.get("filter"),
+                        include_vectors=opts.get("includeVectors", False),
+                        search_recent=opts.get("searchRecent", True),
+                        search_historical=opts.get("searchHistorical", True),
+                    )
+                except (VectorDbError, Exception) as e:  # filter errors => 400
+                    return self._json(400, {"error": str(e)})
+                return self._json(
+                    200,
+                    {
+                        "results": results,
+                        "search_time_ms": (time.time() - t0) * 1000.0,
+                        "indices_searched": ["vectors"],
+                        "partial_results": False,
+                    },
+                )
+            self._json(404, {"error": "unknown route"})
+
+    return Handler
+
+
+class RestServer:
+    """Threaded facade server; bind port 0 for an ephemeral port."""
+
+    def __init__(self, session: VectorDbSession, host: str = "127.0.0.1", port: int = 0):
+        self._httpd = ThreadingHTTPServer((host, port), make_handler(session))
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "RestServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()

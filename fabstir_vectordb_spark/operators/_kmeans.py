@@ -28,6 +28,12 @@ def _pairwise_sq(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     return np.maximum(d, 0.0)
 
 
+def training_error(X: np.ndarray, C: np.ndarray) -> float:
+    """Mean squared distance to the assigned centroid — the reference's
+    k-means training error metric (ivf/core.rs:419-429)."""
+    return float(_pairwise_sq(X, C).min(axis=1).mean())
+
+
 def kmeans_fit(
     X: np.ndarray,
     k: int,

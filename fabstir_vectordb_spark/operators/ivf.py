@@ -58,6 +58,7 @@ class IVFIndex:
     centroids: np.ndarray | None  # (n_clusters, dim) float64; None = brute-force mode
     id_col: str = "id"
     vector_col: str = "vector"
+    training_error: float | None = None  # mean sq dist (ivf/core.rs:419-429)
 
     # ------------------------------------------------------------------ fit
 
@@ -88,7 +89,10 @@ class IVFIndex:
         n_clusters = min(n_clusters, n)  # k-means needs >= k points (ivf/core.rs:252)
 
         if engine == "sample":
-            from fabstir_vectordb_spark.operators._kmeans import kmeans_fit
+            from fabstir_vectordb_spark.operators._kmeans import (
+                kmeans_fit,
+                training_error,
+            )
 
             sample = (
                 vectors.select(F.col(vector_col).alias("__arr"))
@@ -100,7 +104,9 @@ class IVFIndex:
             cents = kmeans_fit(
                 X, n_clusters, iters=max_iter, rng=np.random.RandomState(seed)
             )
-            return cls(centroids=cents, id_col=id_col, vector_col=vector_col)
+            idx = cls(centroids=cents, id_col=id_col, vector_col=vector_col)
+            idx.training_error = training_error(X, cents)
+            return idx
 
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector

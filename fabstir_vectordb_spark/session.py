@@ -45,6 +45,7 @@ from pyspark.sql import types as T
 from fabstir_vectordb_spark.functions import distance as D
 from fabstir_vectordb_spark.functions.filters import compile_filter
 from fabstir_vectordb_spark.functions.schema import MetadataSchema
+from fabstir_vectordb_spark.operators.cache import QueryResultCache
 from fabstir_vectordb_spark.operators.ivf import IVFIndex
 from fabstir_vectordb_spark.operators.knn import brute_force_knn
 from fabstir_vectordb_spark.operators.topk import topk_per_query
@@ -79,6 +80,9 @@ class VectorDbSession:
         self._dim: int | None = None
         self._schema: MetadataSchema | None = None
         self._index: IVFIndex | None = None
+        # query-result cache (search_integration.rs:554-624); invalidated
+        # by every mutation
+        self._cache = QueryResultCache(max_size=100)
 
     # ------------------------------------------------------------------ add
 
@@ -133,6 +137,7 @@ class VectorDbSession:
             )
             if clash:
                 raise VectorDbError(f"duplicate id: {clash[0]['id']!r} already exists")
+        self._cache.invalidate()
         batch = self._create_batch_df(rows)
         if self._df is None:
             self._df = batch
@@ -194,6 +199,17 @@ class VectorDbSession:
             raise VectorDbError(
                 f"query dimension {len(query_vector)} != index dimension {self._dim}"
             )
+        cache_key = QueryResultCache.key(
+            [float(x) for x in query_vector], k,
+            extra=json.dumps(
+                [threshold, filter, include_vectors, search_recent,
+                 search_historical, n_probe],
+                sort_keys=True, default=str,
+            ),
+        )
+        cached = self._cache.get(cache_key)
+        if cached is not None:
+            return cached
         df = self._df.filter(~F.col("deleted"))
         cutoff = _utcnow() - _dt.timedelta(days=RECENCY_DAYS)
         if not search_recent:
@@ -244,6 +260,7 @@ class VectorDbSession:
             if include_vectors:
                 item["vector"] = list(r["vector"])
             out.append(item)
+        self._cache.put(cache_key, out)
         return out
 
     # ------------------------------------------------------------------ get
@@ -274,6 +291,7 @@ class VectorDbSession:
         live = self._df.filter((F.col("id") == vid) & ~F.col("deleted")).limit(1).collect()
         if not live:
             raise VectorDbError(f"vector not found: {vid!r}")
+        self._cache.invalidate()
         self._df = self._df.withColumn(
             "deleted", F.when(F.col("id") == vid, F.lit(True)).otherwise(F.col("deleted"))
         )
@@ -298,6 +316,7 @@ class VectorDbSession:
         pred = compile_filter(filter, self._df.schema, metadata_col="metadata")
         match = pred & ~F.col("deleted")
         ids = sorted(r["id"] for r in self._df.filter(match).select("id").collect())
+        self._cache.invalidate()
         self._df = self._df.withColumn(
             "deleted", F.when(match, F.lit(True)).otherwise(F.col("deleted"))
         )
@@ -315,6 +334,7 @@ class VectorDbSession:
             raise VectorDbError(f"vector not found: {vid!r}")
         if self._schema is not None:
             self._schema.validate_metadata(metadata)
+        self._cache.invalidate()
         old = live[0]
         rest = self._df.filter(~((F.col("id") == vid) & ~F.col("deleted")))
         replacement = self._create_batch_df(
@@ -336,6 +356,7 @@ class VectorDbSession:
         """Physically remove soft-deleted rows (hybrid/core.rs:989-1011)."""
         if self._df is None:
             return {"removed": 0, "remaining": 0}
+        self._cache.invalidate()
         removed = self._df.filter(F.col("deleted")).count()
         self._df = self._df.filter(~F.col("deleted")).localCheckpoint(eager=True)
         return {"removed": removed, "remaining": self._df.count()}
@@ -406,6 +427,11 @@ class VectorDbSession:
             raise VectorDbError("empty session")
         os.makedirs(path, exist_ok=True)
         df = self._df
+        md_t = df.schema["metadata"].dataType
+        if isinstance(md_t, T.StructType) and not md_t.fields:
+            # parquet rejects empty nested schemas; a metadata-less session
+            # persists the column as a null JSON string
+            df = df.withColumn("metadata", F.lit(None).cast("string"))
         if self._index is not None and self._index.is_trained:
             df = self._index.assign(df)
             df.write.mode("overwrite").partitionBy("cluster_id").parquet(
@@ -447,6 +473,31 @@ class VectorDbSession:
         if manifest.get("trained"):
             s._index = IVFIndex.load(path)
         return s
+
+
+def verify_integrity(spark: SparkSession, path: str) -> dict:
+    """Expected-vs-found check of a saved session
+    (hnsw/persistence.rs:307-349: manifest counts vs actual chunks).
+    Parquet supplies per-file footer validation; this verifies the
+    manifest's row counts against the table."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    df = spark.read.parquet(os.path.join(path, "vectors"))
+    live = df.filter(~F.col("deleted")).count()
+    dead = df.filter(F.col("deleted")).count()
+    ok = (
+        manifest.get("version") == FORMAT_VERSION
+        and live == manifest.get("total_vectors")
+        and dead == manifest.get("deleted_vectors")
+    )
+    return {
+        "ok": ok,
+        "expected_live": manifest.get("total_vectors"),
+        "found_live": live,
+        "expected_deleted": manifest.get("deleted_vectors"),
+        "found_deleted": dead,
+        "version": manifest.get("version"),
+    }
 
 
 # -------------------------------------------------------------------- utils

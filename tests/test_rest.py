@@ -1,0 +1,94 @@
+"""REST facade e2e: stdlib client against the threaded server."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from fabstir_vectordb_spark.api.rest import RestServer
+from fabstir_vectordb_spark.session import VectorDbSession
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    s = VectorDbSession(spark)
+    s.add_vectors(
+        [
+            {"id": "a", "vector": [0.0, 0.0], "metadata": {"cat": "x"}},
+            {"id": "b", "vector": [1.0, 0.0], "metadata": {"cat": "y"}},
+            {"id": "c", "vector": [3.0, 4.0], "metadata": {"cat": "x"}},
+        ]
+    )
+    srv = RestServer(s).start()
+    yield srv
+    srv.stop()
+
+
+def _req(server, method, path, payload=None):
+    url = f"http://127.0.0.1:{server.port}{path}"
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(url, data=data, method=method,
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(server):
+    code, body = _req(server, "GET", "/health")
+    assert code == 200 and body == {"status": "ok"}
+
+
+def test_search_shape_and_filter(server):
+    code, body = _req(server, "POST", "/api/v1/search",
+                      {"vector": [0.0, 0.0], "k": 2})
+    assert code == 200
+    assert {"results", "search_time_ms", "indices_searched", "partial_results"} <= set(body)
+    assert [r["id"] for r in body["results"]] == ["a", "b"]
+    assert body["results"][0]["score"] == pytest.approx(1.0)
+
+    code, body = _req(server, "POST", "/api/v1/search",
+                      {"vector": [0.0, 0.0], "k": 5, "filter": {"cat": "x"}})
+    assert [r["id"] for r in body["results"]] == ["a", "c"]
+
+    code, _ = _req(server, "POST", "/api/v1/search", {"vector": []})
+    assert code == 400
+    code, _ = _req(server, "POST", "/api/v1/search",
+                   {"vector": [0.0, 0.0], "filter": {"cat": {"$bogus": 1}}})
+    assert code == 400
+
+
+def test_vector_crud(server):
+    code, _ = _req(server, "POST", "/api/v1/vectors",
+                   {"id": "d", "vector": [9.0, 9.0]})
+    assert code == 201
+    code, body = _req(server, "GET", "/api/v1/vectors/d")
+    assert code == 200 and body["vector"] == [9.0, 9.0]
+    code, _ = _req(server, "DELETE", "/api/v1/vectors/d")
+    assert code == 200
+    code, _ = _req(server, "GET", "/api/v1/vectors/d")
+    assert code == 404
+    code, _ = _req(server, "DELETE", "/api/v1/vectors/never")
+    assert code == 404
+
+
+def test_batch_partial_errors(server):
+    code, body = _req(server, "POST", "/api/v1/vectors/batch", {
+        "vectors": [
+            {"id": "e", "vector": [1.0, 1.0]},
+            {"id": "a", "vector": [2.0, 2.0]},   # duplicate -> per-row error
+            {"id": "f", "vector": [1.0]},        # wrong dim -> per-row error
+        ]
+    })
+    assert code == 207
+    assert body["inserted"] == ["e"]
+    assert len(body["errors"]) == 2
+
+
+def test_statistics(server):
+    code, body = _req(server, "GET", "/api/v1/statistics")
+    assert code == 200
+    assert body["vectorCount"] >= 3 and body["dimension"] == 2
