@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "simhash",
     "embed_near_dup",
+    "relevance_scoring",
+    "query_expansion",
+    "hybrid_merge",
+    "quantize_roundtrip",
 ]
 
 
