@@ -1,0 +1,125 @@
+"""Scale smoke: run the hot paths on synthetic data 100x the bench SF.
+
+Generates data ON THE EXECUTORS (spark.range + deterministic column
+expressions — nothing is collected or shipped from the driver) so the
+test exercises the same plan shapes that matter at real scale:
+
+  - exact kNN via the partial-reduction kernel over N vectors
+  - IVF fit + assign + n_probe search
+  - MinHash LSH near-dup over N documents
+  - exact dedup + text stats
+
+Usage: python tools/scale_smoke.py [n_vectors] [n_docs]
+Prints one JSON line with per-stage seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def synth_vectors(spark, n: int, dim: int = 64):
+    # deterministic pseudo-random floats from xxhash64 — executor-side
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.xxhash64(F.col("id"), i) % 1000).cast("float") / 1000.0,
+        ).alias("embedding"),
+    )
+
+
+def synth_docs(spark, n: int):
+    words = F.array(*[F.lit(w) for w in
+                      "the quick brown fox jumps over lazy dog spark query engine shuffle "
+                      "partition cluster vector index search filter scan".split()])
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(49)),
+                lambda i: F.element_at(
+                    words,
+                    ((F.xxhash64(F.col("id"), i) % 17 + 17) % 17 + 1).cast("int"),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+def main() -> int:
+    n_vec = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_doc = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("scale_smoke")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from fabstir_vectordb_spark.operators import dedup as DD
+    from fabstir_vectordb_spark.operators.ivf import IVFIndex
+    from fabstir_vectordb_spark.operators.knn import brute_force_knn
+
+    times = {}
+
+    vec = synth_vectors(spark, n_vec).repartition(32).cache()
+    vec.count()
+    queries = vec.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+
+    t0 = time.time()
+    brute_force_knn(
+        vec, queries, 10, metric="l2", id_col="vec_id", vector_col="embedding"
+    ).write.format("noop").mode("overwrite").save()
+    times["knn_kernel"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    idx = IVFIndex.fit(vec, n_clusters=64, seed=42, id_col="vec_id", vector_col="embedding")
+    times["ivf_fit"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    assigned = idx.assign(vec).cache()
+    assigned.count()
+    times["ivf_assign"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    idx.search(assigned, queries, 10, n_probe=8).write.format("noop").mode("overwrite").save()
+    times["ivf_probe8"] = round(time.time() - t0, 2)
+
+    docs = synth_docs(spark, n_doc).repartition(32).cache()
+    docs.count()
+
+    t0 = time.time()
+    n_pairs = DD.minhash_lsh_pairs(docs, threshold=0.8).count()
+    times["minhash_lsh"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    DD.exact_dedup(docs).write.format("noop").mode("overwrite").save()
+    times["exact_dedup"] = round(time.time() - t0, 2)
+
+    print(json.dumps({
+        "n_vectors": n_vec, "n_docs": n_doc,
+        "minhash_pairs": n_pairs, "times": times,
+        "total": round(sum(times.values()), 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
