@@ -353,6 +353,23 @@ def q_media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("media_id", "window_idx", r6("energy").alias("energy"))
 
 
+def q_media_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: media bytes -> decode -> feature embedding -> cosine
+    top-k over the media features (the multimodal similarity pipeline,
+    rows-only: features come from the stubbed decoder)."""
+    media = _fake_media(spark, sf_dir, "image")
+    feat = MM.image_features(MM.decode_images(media, target=(8, 8)), dim=16)
+    table = feat.select("media_id", "features").filter(F.size("features") > 0)
+    queries = table.filter(
+        F.col("media_id").isin([f"ima_{i}" for i in range(4)])
+    ).select(F.col("media_id").alias("query_id"), F.col("features").alias("vector"))
+    res = brute_force_knn(
+        table, queries, K, metric="cosine", impl="kernel",
+        id_col="media_id", vector_col="features",
+    )
+    return res.select("query_id", "id", r6("distance").alias("distance"))
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: one row per 1000ms frame timestamp — pure
     column expressions (sequence+explode), so it gets a SQL oracle."""
@@ -987,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": q_media_image_features,
         "media_audio_windows": q_media_audio_windows,
         "media_frame_sample": q_media_frame_sample,
+        "media_embed_knn": q_media_embed_knn,
         "relevance_scoring": q_relevance_scoring,
         "merge_weighted": q_merge_weighted,
         "query_expansion": q_query_expansion,

@@ -263,6 +263,60 @@ class VectorDbSession:
         self._cache.put(cache_key, out)
         return out
 
+    def search_batch(
+        self,
+        queries: list[dict],
+        k: int = 10,
+        threshold: float = 0.0,
+        filter: dict | None = None,
+    ) -> dict[str, list[dict]]:
+        """Bulk multi-query search — the shape Spark is actually built
+        for: ONE distributed job for the whole query batch instead of a
+        per-query round trip (the reference has no batch search; its
+        clients loop over session.search).
+
+        `queries`: [{"id": qid, "vector": [...]}, ...]
+        Returns {qid: [results sorted by ascending distance]}.
+        """
+        if self._df is None or not queries:
+            return {str(q["id"]): [] for q in queries}
+        for q in queries:
+            if self._dim is not None and len(q["vector"]) != self._dim:
+                raise VectorDbError(
+                    f"query dimension {len(q['vector'])} != index dimension {self._dim}"
+                )
+        df = self._df.filter(~F.col("deleted"))
+        if filter is not None:
+            df = df.filter(compile_filter(filter, df.schema, metadata_col="metadata"))
+        qdf = self.spark.createDataFrame(
+            [(str(q["id"]), [float(x) for x in q["vector"]]) for q in queries],
+            "query_id string, vector array<float>",
+        )
+        res = brute_force_knn(df, qdf, k, metric="l2", impl="kernel")
+        scored = (
+            res.withColumn("score", D.similarity_score("distance"))
+            .filter(F.col("score") >= threshold)
+            .join(df.select("id", "metadata"), "id", "left")
+        )
+        rows = (
+            topk_per_query(scored, k)
+            .orderBy("query_id", F.round("distance", 6), "id")
+            .collect()
+        )
+        out: dict[str, list[dict]] = {str(q["id"]): [] for q in queries}
+        for r in rows:
+            out[r["query_id"]].append(
+                {
+                    "id": r["id"],
+                    "distance": r["distance"],
+                    "score": r["score"],
+                    "metadata": _row_to_plain(r["metadata"])
+                    if r["metadata"] is not None
+                    else None,
+                }
+            )
+        return out
+
     # ------------------------------------------------------------------ get
 
     def get_vector(self, vector_id: str) -> dict | None:
