@@ -474,6 +474,14 @@ def q_age_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.age_distribution(ev, now)
 
 
+def q_hybrid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recent/historical/total counts + avg age (hybrid/core.rs:694-756)
+    over events, anchored at max(ts), 7-day recency threshold."""
+    ev = _t(spark, sf_dir, "events")
+    now = _max_ts(spark, sf_dir)
+    return ST.hybrid_stats(ev, now)
+
+
 def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p99 + count/mean per event type
     (search_integration.rs:491-552's perf monitor as a grouped agg)."""
@@ -903,6 +911,19 @@ WITH b AS (
 SELECT bucket, count(*) AS n FROM b GROUP BY bucket
 """
 
+_ORACLES["hybrid_stats"] = """
+WITH a AS (
+  SELECT epoch_us((SELECT max(ts) FROM events)) - epoch_us(ts) AS age_us
+  FROM events
+)
+SELECT
+  count(*) FILTER (age_us < 604800000000) AS recent_count,
+  count(*) FILTER (age_us >= 604800000000) AS historical_count,
+  count(*) AS total_count,
+  (round(sum(age_us) / count(*) / 1000.0, 6) + 0.0) AS avg_age_ms
+FROM a
+"""
+
 _ORACLES["quantize_roundtrip"] = """
 WITH b AS (
   SELECT vec_id, embedding AS v,
@@ -1009,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_weighted": q_merge_weighted,
         "query_expansion": q_query_expansion,
         "age_histogram": q_age_histogram,
+        "hybrid_stats": q_hybrid_stats,
         "event_percentiles": q_event_percentiles,
         "cluster_distribution": q_cluster_distribution,
         "pq_adc_knn": q_pq_adc_knn,

@@ -45,6 +45,36 @@ def age_bucket(ts: Column | str, now: _dt.datetime) -> Column:
     return expr
 
 
+def hybrid_stats(
+    df: DataFrame,
+    now: _dt.datetime,
+    ts_col: str = "ts",
+    recency_threshold_ms: int = 604_800_000,  # 7 days, hybrid/core.rs:69-85
+) -> DataFrame:
+    """Recent/historical/total counts + average age (hybrid/core.rs:694-756).
+
+    The reference keeps these as two physical index sizes; here
+    recent-vs-historical is the same `ts` predicate the search path uses,
+    so the stats are one single-pass aggregate (map-side partial, no
+    group key).  Ages aggregate as exact integer microsecond sums and
+    divide once at the end — order-independent, oracle-stable.
+
+    Output: one row (recent_count, historical_count, total_count,
+    avg_age_ms rounded to 6).
+    """
+    ts = F.col(ts_col)
+    age_us = F.unix_micros(F.lit(now)) - F.unix_micros(ts)
+    is_recent = age_us < recency_threshold_ms * 1000
+    return df.agg(
+        F.count(F.when(is_recent, 1)).alias("recent_count"),
+        F.count(F.when(~is_recent, 1)).alias("historical_count"),
+        F.count("*").alias("total_count"),
+        (
+            F.round(F.sum(age_us) / F.count("*") / 1000.0, 6) + F.lit(0.0)
+        ).alias("avg_age_ms"),
+    )
+
+
 def age_distribution(
     df: DataFrame, now: _dt.datetime, ts_col: str = "ts"
 ) -> DataFrame:
