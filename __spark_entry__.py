@@ -171,7 +171,12 @@ def q_filter_array_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tags", F.slice(F.split(F.col("text"), " "), 1, 5)
     )
     pred = compile_filter({"tags": "spark"}, docs.schema)
-    return docs.filter(pred).select("doc_id", "tags")
+    # project the array to a scalar: the driver's canonicalizer sorts by
+    # every output column, and a raw array<string> column is unhashable
+    # pandas-side — concat_ws keeps the full tag content hash-checkable
+    return docs.filter(pred).select(
+        "doc_id", F.concat_ws(" ", "tags").alias("tags_str")
+    )
 
 
 def q_filter_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,10 +303,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (rows-only driver check; tests verify the
-    candidate set equals exact-Jaccard pairs at this threshold)."""
+    """MinHash+LSH near-dup.  The exact-Jaccard verify stage means the
+    OUTPUT is deterministic — it must equal ngram_jaccard_pairs at the
+    same (threshold, n): banding at b=16/r=4 catches >0.999 of pairs at
+    J>=0.8, and the verify drops any false candidates.  Oracle = the
+    dedup_ngram_jaccard SQL."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.minhash_lsh_pairs(docs, threshold=0.8)
+    return DD.minhash_lsh_pairs(docs, threshold=0.8, n=3)
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization: connected components over the MinHash
+    pair graph (min-label propagation, joins only) — turns pair output
+    into an actionable (id, canonical_id) dedup verdict (SURVEY §7.2
+    step 9; types.rs:206-223)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.8, n=3)
+    out = DD.canonicalize_pairs(docs, pairs, id_col="doc_id")
+    return out.select("id", "canonical_id", "group_size", "is_duplicate")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,7 +672,8 @@ SELECT doc_id, lang, source, n_chars FROM documents
 WHERE lang IN ('en', 'es') AND n_chars >= 100 AND n_chars < 400
 """,
     "filter_array_contains": """
-SELECT doc_id, string_split(text, ' ')[1:5] AS tags FROM documents
+SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], ' ') AS tags_str
+FROM documents
 WHERE list_contains(string_split(text, ' ')[1:5], 'spark')
 """,
     "filter_json_props": """
@@ -782,6 +802,48 @@ SELECT a_id, b_id,
        (round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) + 0.0) AS jaccard
 FROM p
 WHERE inter > 0 AND round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8
+"""
+
+# minhash_lsh verifies candidates with EXACT Jaccard, so on fixed data its
+# output equals the exact n-gram Jaccard pairs at the same threshold — the
+# same oracle certifies both (VERDICT r1 item 3).
+_ORACLES["dedup_minhash_lsh"] = _ORACLES["dedup_ngram_jaccard"]
+
+# connected components via recursive CTE: r holds "label lab reaches node
+# id"; min(lab) per id is the component's min id (graph is symmetric).
+_ORACLES["dedup_canonical"] = f"""
+WITH RECURSIVE t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT id,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+              i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
+         ELSE [] END AS grams
+  FROM t
+), p AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) AS na, len(b.grams) AS nb
+  FROM s a JOIN s b ON a.id < b.id
+  WHERE len(a.grams) > 0 AND len(b.grams) > 0
+), pairs AS (
+  SELECT a_id, b_id FROM p
+  WHERE inter > 0 AND round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8
+), e AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+), r AS (
+  SELECT doc_id AS id, doc_id AS lab FROM documents
+  UNION
+  SELECT e.dst AS id, r.lab FROM r JOIN e ON e.src = r.id
+), c AS (
+  SELECT id, min(lab) AS canonical_id FROM r GROUP BY id
+)
+SELECT id, canonical_id,
+  COUNT(*) OVER (PARTITION BY canonical_id) AS group_size,
+  id <> canonical_id AS is_duplicate
+FROM c
 """
 
 _ORACLES["embed_near_dup"] = """
@@ -1019,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_canonical": q_dedup_canonical,
         "simhash": q_simhash,
         "embed_near_dup": q_embed_near_dup,
         "soft_delete_stats": q_soft_delete_stats,

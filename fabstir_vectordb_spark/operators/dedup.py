@@ -192,6 +192,19 @@ def minhash_signature(
     )
 
 
+def _splitmix64(z):
+    """Vectorized splitmix64 finalizer over uint64 numpy arrays — a
+    well-distributed 64-bit hash family used ONLY for seeded re-hashing
+    of already-hashed (xxhash64) shingles, so it never has to match any
+    engine's hash function; the verify stage is exact Jaccard."""
+    import numpy as np
+
+    z = (z + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -206,41 +219,72 @@ def minhash_lsh_pairs(
 
     With H=64, b=16 bands of r=4 rows, the S-curve midpoint is
     (1/16)^(1/4) ≈ 0.5 — pairs above `threshold` 0.8 are caught with
-    probability >0.999.
+    probability >0.999; the exact-Jaccard verify then makes the OUTPUT
+    (not just the candidates) deterministic: it equals ngram-Jaccard
+    pairs at the same threshold whenever banding catches them.
 
-    Plan shape (the scale path): shingles explode once, then ONE
-    groupBy(id) computes all H min-hashes as map-side partial aggregates
-    — H min() aggs over one pass, not H array-transform expressions per
-    row (the latter re-evaluates the shingle expression H times and
-    melts codegen).  Band bucketing, candidate join, and the verify join
-    all shuffle on small derived keys.
+    Plan shape (the scale path): each doc's shingles are hashed ONCE
+    JVM-side (xxhash64), then one Arrow-batched kernel computes all H
+    seeded min-hashes AND the band buckets per row — map-only, zero
+    shuffle, no 64-column aggregate (which would blow the codegen method
+    limit and fall back to interpreted aggregation).  Only the candidate
+    join and verify join shuffle, and both on small derived keys.
 
     Output matches ngram_jaccard_pairs: (a_id, b_id, jaccard).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     rows_per_band = num_hashes // bands
-    base = _shingled(df, text_col, id_col, n).cache()
-    # hash each shingle string ONCE, then derive the H seeded hashes from
-    # the fixed-width base hash — 64 hashes of 12 bytes, not 64 re-hashes
-    # of a ~30-char string
-    exploded = base.select("id", F.explode("__shingles").alias("s")).select(
-        "id", F.xxhash64("s").alias("bh")
-    )
-    sig = exploded.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("bh"))).alias(f"h{i}")
-            for i in range(num_hashes)
+    base = _shingled(df, text_col, id_col, n)
+    # hash each shingle string ONCE (JVM codegen), carry only fixed-width
+    # 8-byte hashes into the kernel and the verify join — never raw text
+    hashed = base.select(
+        "id", F.transform("__shingles", lambda s: F.xxhash64(s)).alias("__hs")
+    ).cache()
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type, False),
+            T.StructField("buckets", T.ArrayType(T.LongType(), False), False),
         ]
     )
-    band_cols = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+
+    def sig_kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lens = pdf["__hs"].map(len).to_numpy()
+            keep = lens > 0
+            if not keep.all():
+                pdf = pdf[keep]
+                lens = lens[keep]
+                if pdf.empty:
+                    continue
+            all_h = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in pdf["__hs"]]
+            ).view(np.uint64)
+            # (total_shingles, H) seeded re-hash, then per-doc segmented min
+            mixed = _splitmix64(all_h[:, None] ^ seeds[None, :])
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            sig = np.minimum.reduceat(mixed, offsets, axis=0)  # (docs, H)
+            # fold r consecutive min-hashes into one bucket id per band
+            buckets = np.empty((len(sig), bands), dtype=np.uint64)
+            for b in range(bands):
+                acc = _splitmix64(np.full(len(sig), b, dtype=np.uint64))
+                for r in range(rows_per_band):
+                    acc = _splitmix64(acc ^ sig[:, b * rows_per_band + r])
+                buckets[:, b] = acc
+            yield pd.DataFrame(
+                {"id": pdf["id"], "buckets": list(buckets.view(np.int64))}
             )
-            for b in range(bands)
-        ]
+
+    banded = hashed.mapInPandas(sig_kernel, out_schema).select(
+        "id", F.posexplode("buckets").alias("band", "bucket")
     )
-    banded = sig.select("id", F.posexplode(band_cols).alias("band", "bucket"))
 
     a = banded.alias("a")
     b_ = banded.alias("b")
@@ -254,8 +298,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    sa = base.select(F.col("id").alias("a_id"), F.col("__shingles").alias("sa"))
-    sb = base.select(F.col("id").alias("b_id"), F.col("__shingles").alias("sb"))
+    # exact verify on the distinct-hash sets: Jaccard over 64-bit shingle
+    # hashes equals Jaccard over shingles (collisions are ~2^-64)
+    sa = hashed.select(F.col("id").alias("a_id"), F.col("__hs").alias("sa"))
+    sb = hashed.select(F.col("id").alias("b_id"), F.col("__hs").alias("sb"))
     verified = cand.join(sa, "a_id").join(sb, "b_id")
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size(F.array_union("sa", "sb"))
@@ -338,15 +384,22 @@ def simhash64_agg(
     powers = np.uint64(1) << bitpos
 
     def kernel(batches):
+        # fully vectorized over the batch: one (total_hashes x 64) bit
+        # matrix + a segmented sum (reduceat) — no per-doc Python loop
         for pdf in batches:
             if pdf.empty:
                 continue
-            sims = np.empty(len(pdf), dtype=np.uint64)
-            for i, hs in enumerate(pdf["__hs"]):
-                a = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                bits = ((a[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int32)
-                votes = (bits * 2 - 1).sum(axis=0)
-                sims[i] = powers[votes > 0].sum(dtype=np.uint64)
+            lens = pdf["__hs"].map(len).to_numpy(dtype=np.int64)
+            all_h = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in pdf["__hs"]]
+            ).view(np.uint64)
+            bits = ((all_h[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(
+                np.int32
+            )
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            ones = np.add.reduceat(bits, offsets, axis=0)  # (docs, 64)
+            votes = 2 * ones - lens[:, None]  # (+1/-1 votes summed)
+            sims = (powers[None, :] * (votes > 0)).sum(axis=1, dtype=np.uint64)
             yield pd.DataFrame({"id": pdf["id"], "sim": sims.view(np.int64)})
 
     return grouped.mapInPandas(kernel, out_schema)
@@ -392,6 +445,74 @@ def simhash_pairs(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("a_id", "b_id", "hamming")
+
+
+# ------------------------------------- canonicalization (connected comps)
+
+
+def canonicalize_pairs(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the step that
+    turns (a_id, b_id) pair output (MinHash/SimHash/Jaccard) into an
+    actionable dedup verdict, mirroring exact_dedup's output shape
+    (reference analogue: SearchResult dedup keeps min per id,
+    src/core/types.rs:206-223; SURVEY §7.2 step 9).
+
+    Iterative min-label propagation: label(v) starts as v, then each
+    round takes the min label over v's neighborhood.  Pure joins + one
+    small aggregate per round — no driver-side graph, no collect; the
+    iteration count is bounded by the component diameter (near-dup
+    groups are near-cliques, so 2-3 rounds in practice).  Lineage is
+    truncated each round with localCheckpoint so plans don't grow
+    exponentially.
+
+    `nodes` is the full id universe (singletons included).
+    Output: (id, canonical_id, group_size, is_duplicate).
+    """
+    ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = ids.select("id", F.col("id").alias("label"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("canonical_id")
+    return (
+        labels.select("id", F.col("label").alias("canonical_id"))
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn("is_duplicate", F.col("id") != F.col("canonical_id"))
+    )
 
 
 # ------------------------------------------------- embedding near-dup
