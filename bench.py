@@ -38,6 +38,7 @@ import __spark_entry__ as E  # noqa: E402
 # dedup exact + LSH, embedding self-join).
 BENCH_QUERIES = [
     "knn_l2",
+    "knn_bulk",
     "knn_cosine",
     "knn_dot",
     "knn_filtered",
@@ -47,6 +48,7 @@ BENCH_QUERIES = [
     "text_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_canonical",
     "simhash",
     "embed_near_dup",
     "relevance_scoring",
@@ -59,6 +61,8 @@ BENCH_QUERIES = [
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # env-overridable so larger scale factors can raise the fixed heap
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
@@ -70,8 +74,8 @@ def main() -> int:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "8g")
-        .config("spark.driver.extraJavaOptions", "-Xms8g -XX:+AlwaysPreTouch")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", f"-Xms{driver_mem} -XX:+AlwaysPreTouch")
         .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -98,20 +102,25 @@ def main() -> int:
     # so the whole-stage-codegen cache is hot for the timed run and every
     # allocation-heavy path (HOF eval, numpy kernels) has faulted its
     # pages in.
-    warm_dir = "/root/testdata/sf0.001"
+    # derive the warmup dir from the bench dir's data root so a custom
+    # SPARK_GRAFT_SF_DIR still warms up (and surface failures — a silent
+    # no-op warmup would push first-touch costs back into the timed run)
+    warm_dir = str(Path(sf_dir).parent / "sf0.001")
+    if not Path(warm_dir).exists():
+        warm_dir = sf_dir
     for name in names:
         try:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
+        except Exception as e:
+            print(f"warmup failed for {name}: {e}", file=sys.stderr)
 
     # Index construction is a one-time build cost in the reference too
     # (ivf/core.rs trains once per index); pre-fit so ann_ivf_probe times
     # the search, not the build.
     try:
-        E._fit_ivf(spark, sf_dir)
-    except Exception:
-        pass
+        E._assigned_ivf(spark, sf_dir)  # fit + one-time cluster assignment
+    except Exception as e:
+        print(f"ivf prefit failed: {e}", file=sys.stderr)
 
     times: dict[str, float] = {}
     for name in names:
@@ -128,6 +137,10 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # methodology marker: the IVF model is fit before timing
+                # (index build is a one-time cost in the reference too),
+                # so ann_ivf_probe times search only
+                "ivf_prefit": True,
             }
         )
     )

@@ -171,12 +171,7 @@ class IVFIndex:
 
     # --------------------------------------------------------------- search
 
-    def probes_for(self, queries: DataFrame, n_probe: int, query_id_col="query_id",
-                   query_vector_col="vector") -> list[tuple]:
-        """Driver-side: rank centroids per query, take n_probe
-        (ivf/core.rs:645-656). Centroids are tiny — this is the same
-        'broadcast the small side' decision the reference hard-codes."""
-        rows = queries.select(query_id_col, query_vector_col).collect()
+    def _probes_from_rows(self, rows: list, n_probe: int) -> list[tuple]:
         out = []
         for r in rows:
             q = np.asarray(r[1], dtype=np.float64)
@@ -185,6 +180,14 @@ class IVFIndex:
             for cid in order:
                 out.append((r[0], int(cid)))
         return out
+
+    def probes_for(self, queries: DataFrame, n_probe: int, query_id_col="query_id",
+                   query_vector_col="vector") -> list[tuple]:
+        """Driver-side: rank centroids per query, take n_probe
+        (ivf/core.rs:645-656). Centroids are tiny — this is the same
+        'broadcast the small side' decision the reference hard-codes."""
+        rows = queries.select(query_id_col, query_vector_col).collect()
+        return self._probes_from_rows(rows, n_probe)
 
     def search(
         self,
@@ -212,10 +215,13 @@ class IVFIndex:
             )
         n_probe = min(n_probe, self.n_clusters)
         spark = vectors_with_cluster.sparkSession
-        pairs = self.probes_for(queries, n_probe, query_id_col, query_vector_col)
+        # ONE query-set collect serves both the probe ranking and the
+        # broadcast (query, cluster, vector) table
+        qrows = queries.select(query_id_col, query_vector_col).collect()
+        pairs = self._probes_from_rows(qrows, n_probe)
         probe_union = sorted({cid for _, cid in pairs})
 
-        qvecs = {r[0]: r[1] for r in queries.select(query_id_col, query_vector_col).collect()}
+        qvecs = {r[0]: r[1] for r in qrows}
         probes = spark.createDataFrame(
             [(qid, cid, qvecs[qid]) for qid, cid in pairs],
             schema=queries.select(

@@ -163,6 +163,90 @@ def knn_kernel(
     return topk_per_query(partials, k)
 
 
+def knn_bulk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "l2",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+    vector_blocks: int | None = None,
+) -> DataFrame:
+    """Bulk exact similarity join: BOTH sides are DataFrames — no driver
+    collect, no broadcast of the query set (reference analogue:
+    parallel_search, src/hybrid/search_integration.rs:125-211, whose
+    clients loop per query; this is the set-at-a-time version).
+
+    Block-parallel shape (the two-big-tables path the kernel/expr
+    variants lack): vectors are hashed into `vector_blocks` blocks and
+    shuffled ONCE; the query table is replicated per block (Q x VB rows
+    — queries are usually the smaller side, and VB is a knob).  A
+    cogrouped applyInPandas computes each (vector-block x all-queries)
+    GEMM and emits only block-local top-k, so the final shuffle is
+    Q * VB * k partial rows, never Q * N.  Size VB so one block's
+    vectors fit a task's memory (N/VB * dim * 8B).
+
+    Output: (query_id, id, distance) ascending, k rows per query.
+    """
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {_METRICS}")
+    spark = vectors.sparkSession
+    VB = vector_blocks or spark.sparkContext.defaultParallelism
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vector_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(VB)).cast("int").alias("__vb"),
+    )
+    blocks = spark.range(VB).select(F.col("id").cast("int").alias("__vb"))
+    qrep = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vector_col).alias("__qv"),
+    ).crossJoin(blocks)
+
+    qid_type = queries.schema[query_id_col].dataType
+    id_type = vectors.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type, False),
+            T.StructField("id", id_type, False),
+            T.StructField("distance", T.DoubleType(), False),
+        ]
+    )
+
+    def block_topk(vpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if vpdf.empty or qpdf.empty:
+            return pd.DataFrame({"query_id": [], "id": [], "distance": []})
+        V = np.asarray([np.asarray(x, dtype=np.float64) for x in vpdf["__v"]])
+        ids = vpdf["id"].to_numpy()
+        if ids.dtype == object:
+            ids = ids.astype(str)
+        out_q, out_id, out_d = [], [], []
+        for qid, qv in zip(qpdf["query_id"], qpdf["__qv"]):
+            q = np.asarray(qv, dtype=np.float64)
+            d = _kernel_distances(metric, V, q)
+            dr = np.round(d, ROUND_DECIMALS)
+            if len(d) > k:
+                part = np.argpartition(dr, k - 1)
+                thresh = dr[part[:k]].max()
+                cand = np.flatnonzero(dr <= thresh)
+                cand = cand[np.lexsort((ids[cand], dr[cand]))][:k]
+            else:
+                cand = np.lexsort((ids, dr))[:k]
+            out_q.extend([qid] * len(cand))
+            out_id.extend(ids[cand].tolist())
+            out_d.extend(d[cand].tolist())
+        return pd.DataFrame({"query_id": out_q, "id": out_id, "distance": out_d})
+
+    partials = (
+        v.groupBy("__vb")
+        .cogroup(qrep.groupBy("__vb"))
+        .applyInPandas(block_topk, out_schema)
+    )
+    return topk_per_query(partials, k)
+
+
 def brute_force_knn(
     vectors: DataFrame,
     queries: DataFrame,

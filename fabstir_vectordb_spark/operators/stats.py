@@ -70,7 +70,13 @@ def hybrid_stats(
         F.count(F.when(~is_recent, 1)).alias("historical_count"),
         F.count("*").alias("total_count"),
         (
-            F.round(F.sum(age_us) / F.count("*") / 1000.0, 6) + F.lit(0.0)
+            # coalesce: on an empty input sum() is NULL and 0/0 divides to
+            # NULL, but the reference's get_statistics guards total > 0 and
+            # returns 0.0 (hybrid/core.rs:703-711)
+            F.coalesce(
+                F.round(F.sum(age_us) / F.count("*") / 1000.0, 6) + F.lit(0.0),
+                F.lit(0.0),
+            )
         ).alias("avg_age_ms"),
     )
 

@@ -80,9 +80,26 @@ class VectorDbSession:
         self._dim: int | None = None
         self._schema: MetadataSchema | None = None
         self._index: IVFIndex | None = None
+        # clustered-table cache: the live rows with cluster_id, assigned
+        # ONCE at train time (ivf/core.rs assigns at insert, not per
+        # search); every mutation invalidates it.  Without this, each
+        # search re-runs a full-table assignment GEMM — the scale-killer
+        # flagged in VERDICT r1.
+        self._assigned: DataFrame | None = None
+        self._live_count: int | None = None
         # query-result cache (search_integration.rs:554-624); invalidated
         # by every mutation
         self._cache = QueryResultCache(max_size=100)
+
+    def _invalidate(self) -> None:
+        self._cache.invalidate()
+        if self._assigned is not None:
+            try:
+                self._assigned.unpersist()
+            except Exception:
+                pass
+        self._assigned = None
+        self._live_count = None
 
     # ------------------------------------------------------------------ add
 
@@ -137,7 +154,7 @@ class VectorDbSession:
             )
             if clash:
                 raise VectorDbError(f"duplicate id: {clash[0]['id']!r} already exists")
-        self._cache.invalidate()
+        self._invalidate()
         batch = self._create_batch_df(rows)
         if self._df is None:
             self._df = batch
@@ -227,15 +244,22 @@ class VectorDbSession:
         )
         use_index = self._index is not None and self._index.is_trained and filter is None
         if use_index:
+            if self._assigned is None:
+                self._refresh_assigned()
             if n_probe is None:
                 # planner heuristic (search_integration.rs:375-449): probe
-                # width by dataset size and k
+                # width by dataset size and k; the live count is cached at
+                # assignment time — no count job per search
                 from fabstir_vectordb_spark.plans.tuning import plan_search
 
-                plan = plan_search(df.count(), k, self._index.n_clusters,
+                plan = plan_search(self._live_count or 0, k, self._index.n_clusters,
                                    brute_force_threshold=0)
                 n_probe = plan.n_probe or self._index.n_clusters
-            assigned = self._index.assign(df)
+            assigned = self._assigned
+            if not search_recent:
+                assigned = assigned.filter(F.col("ts") < F.lit(cutoff))
+            if not search_historical:
+                assigned = assigned.filter(F.col("ts") >= F.lit(cutoff))
             res = self._index.search(assigned, queries, k, n_probe=n_probe)
         else:
             res = brute_force_knn(df, queries, k, metric="l2", impl="expr")
@@ -319,6 +343,11 @@ class VectorDbSession:
 
     # ------------------------------------------------------------------ get
 
+    def dataframe(self) -> DataFrame | None:
+        """The session's backing table (id, vector, metadata, ts, deleted)
+        — the Spark-native export surface; None before any insert."""
+        return self._df
+
     def get_vector(self, vector_id: str) -> dict | None:
         if self._df is None:
             return None
@@ -345,7 +374,7 @@ class VectorDbSession:
         live = self._df.filter((F.col("id") == vid) & ~F.col("deleted")).limit(1).collect()
         if not live:
             raise VectorDbError(f"vector not found: {vid!r}")
-        self._cache.invalidate()
+        self._invalidate()
         self._df = self._df.withColumn(
             "deleted", F.when(F.col("id") == vid, F.lit(True)).otherwise(F.col("deleted"))
         )
@@ -370,7 +399,7 @@ class VectorDbSession:
         pred = compile_filter(filter, self._df.schema, metadata_col="metadata")
         match = pred & ~F.col("deleted")
         ids = sorted(r["id"] for r in self._df.filter(match).select("id").collect())
-        self._cache.invalidate()
+        self._invalidate()
         self._df = self._df.withColumn(
             "deleted", F.when(match, F.lit(True)).otherwise(F.col("deleted"))
         )
@@ -388,7 +417,7 @@ class VectorDbSession:
             raise VectorDbError(f"vector not found: {vid!r}")
         if self._schema is not None:
             self._schema.validate_metadata(metadata)
-        self._cache.invalidate()
+        self._invalidate()
         old = live[0]
         rest = self._df.filter(~((F.col("id") == vid) & ~F.col("deleted")))
         replacement = self._create_batch_df(
@@ -410,7 +439,7 @@ class VectorDbSession:
         """Physically remove soft-deleted rows (hybrid/core.rs:989-1011)."""
         if self._df is None:
             return {"removed": 0, "remaining": 0}
-        self._cache.invalidate()
+        self._invalidate()
         removed = self._df.filter(F.col("deleted")).count()
         self._df = self._df.filter(~F.col("deleted")).localCheckpoint(eager=True)
         return {"removed": removed, "remaining": self._df.count()}
@@ -468,9 +497,19 @@ class VectorDbSession:
     def train_index(self, n_clusters: int = 16, **fit_kw) -> None:
         if self._df is None:
             raise VectorDbError("nothing to train on")
-        self._index = IVFIndex.fit(
-            self._df.filter(~F.col("deleted")), n_clusters=n_clusters, **fit_kw
-        )
+        live = self._df.filter(~F.col("deleted"))
+        self._index = IVFIndex.fit(live, n_clusters=n_clusters, **fit_kw)
+        # materialize the clustered table ONCE (the reference assigns at
+        # insert time, ivf/core.rs:431-455) — searches reuse it until the
+        # next mutation instead of re-running a full-table GEMM each call
+        self._refresh_assigned()
+
+    def _refresh_assigned(self) -> None:
+        if self._index is None or not self._index.is_trained or self._df is None:
+            return
+        live = self._df.filter(~F.col("deleted"))
+        self._assigned = self._index.assign(live).cache()
+        self._live_count = self._assigned.count()
 
     # ---------------------------------------------------------- persistence
 

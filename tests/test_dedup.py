@@ -94,3 +94,38 @@ def test_embedding_near_dup_cluster_path(spark, embeddings):
     c = {(r["a_id"], r["b_id"]) for r in clustered.collect()}
     assert c <= b  # cluster path returns a subset (pruned candidates)
     assert len(c) >= len(b) * 0.3  # and a non-trivial fraction at 4 clusters
+
+
+def test_canonicalize_pairs(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id bigint")
+    # components: {0,1,2} (chain), {3,4}, singletons 5, 6
+    pairs = spark.createDataFrame(
+        [(1, 2), (0, 1), (3, 4)], "a_id bigint, b_id bigint"
+    )
+    out = {r["id"]: r for r in DD.canonicalize_pairs(nodes, pairs).collect()}
+    assert [out[i]["canonical_id"] for i in range(7)] == [0, 0, 0, 3, 3, 5, 6]
+    assert out[2]["group_size"] == 3 and out[2]["is_duplicate"]
+    assert out[3]["group_size"] == 2 and not out[3]["is_duplicate"]
+    assert out[5]["group_size"] == 1 and not out[5]["is_duplicate"]
+
+
+def test_near_dup_auto_dispatch(spark, monkeypatch):
+    import numpy as np
+
+    rows = [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    # under the limit: auto == brute (exact)
+    auto = DD.embedding_near_dup(df, threshold=0.99, brute_force_limit=1000)
+    brute = DD.embedding_near_dup(df, threshold=0.99, method="brute")
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, brute.collect()))
+
+    # over the limit: the driver-collect kernel must NEVER run
+    def _boom(*a, **kw):
+        raise AssertionError("brute kernel called above brute_force_limit")
+
+    monkeypatch.setattr(DD, "_embedding_near_dup_kernel", _boom)
+    clustered = DD.embedding_near_dup(df, threshold=0.99, brute_force_limit=10)
+    got = {(r["a_id"], r["b_id"]) for r in clustered.collect()}
+    exact = {(r["a_id"], r["b_id"]) for r in brute.collect()}
+    assert got <= exact  # cluster pruning may lose recall, never precision

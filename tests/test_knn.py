@@ -77,3 +77,15 @@ def test_k_contract(spark, embeddings, queries):
         (F.col("query_id") == F.col("id")) & (F.col("distance") == 0.0)
     ).count()
     assert self_hits == NQ
+
+
+def test_knn_bulk_matches_kernel(spark):
+    from fabstir_vectordb_spark.operators.knn import knn_bulk
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 5), 1.0]) for i in range(100)]
+    vecs = spark.createDataFrame(rows, "id bigint, vector array<float>")
+    queries = vecs.filter("id < 20").selectExpr("id as query_id", "vector")
+    bulk = knn_bulk(vecs, queries, 5, metric="l2", vector_blocks=4)
+    kernel = brute_force_knn(vecs, queries, 5, metric="l2", impl="kernel")
+    key = lambda r: (r["query_id"], r["id"], round(r["distance"], 6))
+    assert sorted(map(key, bulk.collect())) == sorted(map(key, kernel.collect()))
