@@ -642,6 +642,48 @@ def q_session_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_persistence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistence surface (SURVEY §2.7): partitioned-parquet save with a
+    trained IVF index (chunked save ≡ partitionBy(cluster_id)), manifest +
+    index sidecars, load, integrity check (hnsw/persistence.rs:307-349),
+    and soft-deleted rows surviving the roundtrip
+    (persistence.rs:497-693 re-applies deleted_vectors).  Emits the
+    loaded table's user-visible state; oracle = the fixture itself."""
+    import tempfile
+
+    from fabstir_vectordb_spark.session import VectorDbSession, verify_integrity
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    rows = docs.select("doc_id", "lang", "n_chars").collect()
+    sess = VectorDbSession(spark, session_id="persist")
+    sess.add_vectors(
+        [
+            {
+                "id": str(r["doc_id"]),
+                "vector": [float(r["n_chars"] % 97), float(r["doc_id"] % 13), 1.0],
+                "metadata": {"lang": r["lang"], "n_chars": int(r["n_chars"])},
+            }
+            for r in rows
+        ],
+        timestamp=__import__("datetime").datetime(2024, 1, 1),
+    )
+    for r in rows:
+        if r["doc_id"] % 11 == 0:
+            sess.delete_vector(str(r["doc_id"]))
+    sess.train_index(n_clusters=8, seed=42)
+    path = tempfile.mkdtemp(prefix="sess_roundtrip_")
+    sess.save(path)
+    loaded = VectorDbSession.load(spark, path)
+    ok = bool(verify_integrity(spark, path)["ok"])
+    return loaded.dataframe().select(
+        "id",
+        F.col("metadata.lang").alias("lang"),
+        F.col("metadata.n_chars").cast("long").alias("n_chars"),
+        "deleted",
+        F.lit(ok).alias("integrity_ok"),
+    )
+
+
 def q_soft_delete_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft-delete bookkeeping (SURVEY §2.5/2.6): deleted = doc_id%7==0."""
     docs = _t(spark, sf_dir, "documents").withColumn(
@@ -1274,6 +1316,12 @@ SELECT 'new_' || CAST(i AS VARCHAR) AS id, 'xx' AS lang,
 FROM (SELECT unnest(generate_series(0, 4)) AS i)
 """
 
+_ORACLES["persistence_roundtrip"] = """
+SELECT CAST(doc_id AS VARCHAR) AS id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       (doc_id % 11 = 0) AS deleted, true AS integrity_ok
+FROM documents WHERE doc_id < 100
+"""
+
 _ORACLES["soft_delete_stats"] = """
 SELECT source,
   COUNT(*) FILTER (WHERE NOT (doc_id % 7 = 0)) AS active_count,
@@ -1553,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_invariant": q_simhash_invariant,
         "embed_near_dup": q_embed_near_dup,
         "session_lifecycle": q_session_lifecycle,
+        "persistence_roundtrip": q_persistence_roundtrip,
         "soft_delete_stats": q_soft_delete_stats,
         "media_image_features": q_media_image_features,
         "media_audio_windows": q_media_audio_windows,
