@@ -310,6 +310,21 @@ def q_ann_probe_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk IVF search: Q=500 queries as a DataFrame, distributed probe
+    selection, no driver collect (operators/ivf.py:search_bulk).  Run at
+    n_probe = n_clusters, where IVF is exactly brute force — so the
+    oracle is the exact bulk-kNN SQL."""
+    _, idx, assigned = _assigned_ivf(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 500)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+    )
+    res = idx.search_bulk(assigned, queries, K, n_probe=idx.n_clusters)
+    return res.select("query_id", "id", r6("distance").alias("distance"))
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third ANN strategy (SURVEY §7.1): MLlib BucketedRandomProjectionLSH
     bucketed candidate join + exact verify.  Bucket membership is
@@ -398,6 +413,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.unique_token_count_from("__toks").cast("long").alias("n_unique"),
         r6(X.avg_token_len_from("__toks")).alias("avg_token_len"),
         r6(X.stopword_ratio_from("__toks")).alias("stopword_ratio"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (LLM-pipeline brief): cheap whitespace
+    tokens and the BPE-ish regex (alnum runs | single punctuation)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(X.whitespace_tokens("text")).cast("long").alias("n_ws"),
+        F.size(X.word_tokens("text")).cast("long").alias("n_bpe"),
     )
 
 
@@ -1108,6 +1134,8 @@ SELECT query_id, id, distance FROM r WHERE rn <= {k}
     # rows-only check — its ranked output is model-dependent — but its
     # quality is oracle-certified by the two invariant queries below.)
     "ann_ivf_full": _oracle_knn(f"{_L2} AS distance", "distance"),
+    # bulk IVF at full probe ≡ exact bulk kNN
+    "ann_ivf_bulk": _oracle_knn_bulk(500),
     # rank-wise dominance + cardinality hold for ANY trained model =>
     # constant oracle: one row per (query, rank), always ok
     "ann_probe_invariant": f"""
@@ -1149,6 +1177,13 @@ SELECT doc_id,
        ELSE CAST(len(list_filter(toks, tk -> list_contains({_SW_EN}, lower(tk)))) AS DOUBLE) / len(toks)
        END, 6) + 0.0) AS stopword_ratio
 FROM t
+"""
+
+_ORACLES["token_counts"] = f"""
+SELECT doc_id,
+  len({_TOKS}) AS n_ws,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+FROM documents
 """
 
 _ORACLES["text_quality"] = f"""
@@ -1585,11 +1620,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_or_mixed": q_filter_or_mixed,
         "knn_filtered": q_knn_filtered,
         "ann_ivf_full": q_ann_ivf_full,
+        "ann_ivf_bulk": q_ann_ivf_bulk,
         "ann_ivf_probe": q_ann_ivf_probe,
         "ann_probe_invariant": q_ann_probe_invariant,
         "ann_lsh": q_ann_lsh,
         "ivf_recall": q_ivf_recall,
         "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,

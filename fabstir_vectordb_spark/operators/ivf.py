@@ -242,6 +242,75 @@ class IVFIndex:
         )
         return topk_per_query(scored, k)
 
+    def search_bulk(
+        self,
+        vectors_with_cluster: DataFrame,
+        queries: DataFrame,
+        k: int,
+        n_probe: int = DEFAULT_N_PROBE,
+        metric: str = "l2",
+        cluster_col: str = "cluster_id",
+        query_id_col: str = "query_id",
+        query_vector_col: str = "vector",
+    ) -> DataFrame:
+        """IVF probe search with the QUERY SET as a DataFrame — no driver
+        collect anywhere, the bulk companion to ``search`` (reference
+        analogue: parallel_search, src/hybrid/search_integration.rs:125-211,
+        which loops per query; this is set-at-a-time).
+
+        Plan: centroids (tiny, driver-held by construction) become a
+        broadcast DataFrame; each query ranks them with a window and keeps
+        its n_probe nearest — distributed probe selection.  The probe
+        table (Q x n_probe rows, one per (query, probed cluster)) then
+        COGROUPS with the clustered table on cluster_id, and each cluster
+        runs one vectorized GEMM kernel emitting <= k rows per (query,
+        cluster) — the same block-partial shape as knn_bulk, with the IVF
+        cluster as the block.  (A plain join + distance expression would
+        leave the distance in interpreted higher-order functions — HOFs
+        never enter whole-stage codegen — which measured ~10x slower.)
+
+        At n_probe = n_clusters this is exactly brute force — the same
+        oracle hook as ``search``.
+        """
+        from fabstir_vectordb_spark.operators.knn import cogroup_block_knn, knn_bulk
+
+        if self.centroids is None:
+            return knn_bulk(
+                vectors_with_cluster, queries, k, metric=metric,
+                id_col=self.id_col, vector_col=self.vector_col,
+                query_id_col=query_id_col, query_vector_col=query_vector_col,
+            )
+        n_probe = min(n_probe, self.n_clusters)
+        spark = vectors_with_cluster.sparkSession
+        cent = spark.createDataFrame(
+            [(i, c.tolist()) for i, c in enumerate(self.centroids)],
+            "cluster_id int, __cent array<double>",
+        )
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vector_col).alias("__qv"),
+        )
+        ranked = q.crossJoin(F.broadcast(cent)).select(
+            "query_id",
+            "cluster_id",
+            "__qv",
+            D.l2_distance("__qv", "__cent").alias("distance"),
+        )
+        probes = topk_per_query(ranked, n_probe, id_col="cluster_id").select(
+            "query_id", F.col("cluster_id").alias("__blk"), "__qv"
+        )
+        v = vectors_with_cluster.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.vector_col).alias("__v"),
+            F.col(cluster_col).cast("int").alias("__blk"),
+        )
+        partials = cogroup_block_knn(
+            v, probes, k, metric,
+            qid_type=queries.schema[query_id_col].dataType,
+            id_type=vectors_with_cluster.schema[self.id_col].dataType,
+        )
+        return topk_per_query(partials, k)
+
     # ------------------------------------------------------------- evaluate
 
     def evaluate_recall(

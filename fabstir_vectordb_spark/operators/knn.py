@@ -197,16 +197,34 @@ def knn_bulk(
     v = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vector_col).alias("__v"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(VB)).cast("int").alias("__vb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(VB)).cast("int").alias("__blk"),
     )
-    blocks = spark.range(VB).select(F.col("id").cast("int").alias("__vb"))
+    blocks = spark.range(VB).select(F.col("id").cast("int").alias("__blk"))
     qrep = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vector_col).alias("__qv"),
     ).crossJoin(blocks)
+    partials = cogroup_block_knn(
+        v, qrep, k, metric,
+        qid_type=queries.schema[query_id_col].dataType,
+        id_type=vectors.schema[id_col].dataType,
+    )
+    return topk_per_query(partials, k)
 
-    qid_type = queries.schema[query_id_col].dataType
-    id_type = vectors.schema[id_col].dataType
+
+def cogroup_block_knn(
+    v: DataFrame,
+    qrep: DataFrame,
+    k: int,
+    metric: str,
+    qid_type: T.DataType,
+    id_type: T.DataType,
+) -> DataFrame:
+    """Shared block-GEMM partial top-k: cogroup `v` (id, __v, __blk) with
+    `qrep` (query_id, __qv, __blk) on __blk; each group runs one
+    vectorized distance kernel and emits <= k rows per (query, block).
+    The caller defines what a block is — a hash bucket (knn_bulk) or an
+    IVF cluster (IVFIndex.search_bulk) — and applies the global top-k."""
     out_schema = T.StructType(
         [
             T.StructField("query_id", qid_type, False),
@@ -239,12 +257,11 @@ def knn_bulk(
             out_d.extend(d[cand].tolist())
         return pd.DataFrame({"query_id": out_q, "id": out_id, "distance": out_d})
 
-    partials = (
-        v.groupBy("__vb")
-        .cogroup(qrep.groupBy("__vb"))
+    return (
+        v.groupBy("__blk")
+        .cogroup(qrep.groupBy("__blk"))
         .applyInPandas(block_topk, out_schema)
     )
-    return topk_per_query(partials, k)
 
 
 def brute_force_knn(

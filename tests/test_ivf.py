@@ -98,3 +98,20 @@ def test_persistence_roundtrip(tmp_path, spark, index, embeddings, queries):
 def test_retrain_changes_k(index, embeddings):
     idx2 = index.retrain(embeddings, n_clusters=4)
     assert idx2.n_clusters == 4
+
+
+def test_search_bulk_matches_search(spark):
+    import numpy as np
+    from fabstir_vectordb_spark.operators.ivf import IVFIndex
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 5), float(i % 2)]) for i in range(80)]
+    vecs = spark.createDataFrame(rows, "id bigint, vector array<float>")
+    idx = IVFIndex.fit(vecs, n_clusters=4, seed=1)
+    assigned = idx.assign(vecs).cache()
+    queries = vecs.filter("id < 10").selectExpr("id as query_id", "vector")
+
+    key = lambda r: (r["query_id"], r["id"], round(r["distance"], 6))
+    for n_probe in (2, 4):
+        bulk = idx.search_bulk(assigned, queries, 5, n_probe=n_probe)
+        point = idx.search(assigned, queries, 5, n_probe=n_probe)
+        assert sorted(map(key, bulk.collect())) == sorted(map(key, point.collect()))
