@@ -213,6 +213,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic near-dup detection: band-bucket join on MinHash
     signatures, then EXACT Jaccard verification of candidates.
@@ -267,10 +268,15 @@ def minhash_lsh_pairs(
             all_h = np.concatenate(
                 [np.asarray(h, dtype=np.int64) for h in pdf["__hs"]]
             ).view(np.uint64)
-            # (total_shingles, H) seeded re-hash, then per-doc segmented min
-            mixed = _splitmix64(all_h[:, None] ^ seeds[None, :])
             offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            sig = np.minimum.reduceat(mixed, offsets, axis=0)  # (docs, H)
+            # seeded re-hash + per-doc segmented min, one seed at a time:
+            # the (total_shingles, H) matrix form allocates ~10 full-size
+            # temporaries inside splitmix64 (hundreds of MB per batch);
+            # the per-seed loop keeps the working set at one
+            # shingle-count-sized column and is cache-resident
+            sig = np.empty((len(lens), len(seeds)), dtype=np.uint64)
+            for j, seed in enumerate(seeds):
+                sig[:, j] = np.minimum.reduceat(_splitmix64(all_h ^ seed), offsets)
             # fold r consecutive min-hashes into one bucket id per band
             buckets = np.empty((len(sig), bands), dtype=np.uint64)
             for b in range(bands):
@@ -282,9 +288,14 @@ def minhash_lsh_pairs(
                 {"id": pdf["id"], "buckets": list(buckets.view(np.int64))}
             )
 
-    banded = hashed.mapInPandas(sig_kernel, out_schema).select(
-        "id", F.posexplode("buckets").alias("band", "bucket")
+    # cache: the self-join below reads `banded` TWICE — without the cache
+    # each side re-runs the signature kernel over the whole corpus
+    banded = (
+        hashed.mapInPandas(sig_kernel, out_schema)
+        .select("id", F.posexplode("buckets").alias("band", "bucket"))
+        .cache()
     )
+    banded = _prune_hot_buckets(banded, max_bucket_size)
 
     a = banded.alias("a")
     b_ = banded.alias("b")
@@ -409,11 +420,33 @@ def simhash64_agg(
     return grouped.mapInPandas(kernel, out_schema)
 
 
+def _prune_hot_buckets(
+    banded: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Skew guard for band-bucket self-joins: a bucket of m members emits
+    ~m^2/2 candidate pairs, so one degenerate bucket (mass-duplicated
+    boilerplate, adversarial corpora) turns the sub-quadratic plan
+    quadratic.  With a cutoff set, oversized buckets are dropped before
+    the join — their members are better handled by exact_dedup first
+    (identical texts) or remain catchable via their other bands.
+    Default None preserves the exact all-pairs contract."""
+    if max_bucket_size is None:
+        return banded
+    big = (
+        banded.groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .select("band", "bucket")
+    )
+    return banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Hamming-near pairs via 4x16-bit band exact-match + bit_count verify.
 
@@ -428,7 +461,12 @@ def simhash_pairs(
             for b in range(4)
         ]
     )
-    banded = sh.select("id", "sim", F.posexplode(bands).alias("band", "bucket"))
+    # cache: the self-join reads this twice — without it each side re-runs
+    # the simhash kernel over the whole corpus
+    banded = sh.select(
+        "id", "sim", F.posexplode(bands).alias("band", "bucket")
+    ).cache()
+    banded = _prune_hot_buckets(banded, max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -486,7 +524,12 @@ def canonicalize_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = ids.select("id", F.col("id").alias("label"))
+    # iterate over EDGE-INVOLVED nodes only: a node with no pair edge can
+    # never change its label, and near-dup pair sets are a small fraction
+    # of the corpus — the per-round joins shrink from |corpus| to
+    # |touched nodes|; singletons rejoin at the end via coalesce
+    labels = edges.select(F.col("src").alias("id")).distinct()
+    labels = labels.select("id", F.col("id").alias("label"))
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -513,7 +556,8 @@ def canonicalize_pairs(
             break
     w = Window.partitionBy("canonical_id")
     return (
-        labels.select("id", F.col("label").alias("canonical_id"))
+        ids.join(labels, "id", "left")
+        .select("id", F.coalesce("label", F.col("id")).alias("canonical_id"))
         .withColumn("group_size", F.count("*").over(w))
         .withColumn("is_duplicate", F.col("id") != F.col("canonical_id"))
     )

@@ -258,20 +258,27 @@ class IVFIndex:
         analogue: parallel_search, src/hybrid/search_integration.rs:125-211,
         which loops per query; this is set-at-a-time).
 
-        Plan: centroids (tiny, driver-held by construction) become a
-        broadcast DataFrame; each query ranks them with a window and keeps
-        its n_probe nearest — distributed probe selection.  The probe
-        table (Q x n_probe rows, one per (query, probed cluster)) then
-        COGROUPS with the clustered table on cluster_id, and each cluster
-        runs one vectorized GEMM kernel emitting <= k rows per (query,
-        cluster) — the same block-partial shape as knn_bulk, with the IVF
-        cluster as the block.  (A plain join + distance expression would
-        leave the distance in interpreted higher-order functions — HOFs
-        never enter whole-stage codegen — which measured ~10x slower.)
+        Plan: centroids (tiny, driver-held by construction) broadcast
+        into a map-only Arrow kernel that ranks them per query batch with
+        one GEMM and emits the n_probe nearest as (query, cluster) rows —
+        distributed probe selection with the exact ranking order of the
+        driver path (``_probes_from_rows``).  The probe table (Q x
+        n_probe rows) then COGROUPS with the clustered table on
+        cluster_id, and each cluster runs one vectorized GEMM kernel
+        emitting <= k rows per (query, cluster) — the same block-partial
+        shape as knn_bulk, with the IVF cluster as the block.  (Both a
+        plain join + distance expression and a crossJoin + window over
+        centroids leave the distance in interpreted higher-order
+        functions — HOFs never enter whole-stage codegen — which
+        measured ~10x slower at Q=8 and ~100s at Q=2000 when the query
+        side sat on one post-limit partition.)
 
         At n_probe = n_clusters this is exactly brute force — the same
         oracle hook as ``search``.
         """
+        import pandas as pd
+        from pyspark.sql import types as T
+
         from fabstir_vectordb_spark.operators.knn import cogroup_block_knn, knn_bulk
 
         if self.centroids is None:
@@ -282,23 +289,38 @@ class IVFIndex:
             )
         n_probe = min(n_probe, self.n_clusters)
         spark = vectors_with_cluster.sparkSession
-        cent = spark.createDataFrame(
-            [(i, c.tolist()) for i, c in enumerate(self.centroids)],
-            "cluster_id int, __cent array<double>",
-        )
+        bc = spark.sparkContext.broadcast(self.centroids)
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vector_col).alias("__qv"),
         )
-        ranked = q.crossJoin(F.broadcast(cent)).select(
-            "query_id",
-            "cluster_id",
-            "__qv",
-            D.l2_distance("__qv", "__cent").alias("distance"),
+        probe_schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[query_id_col].dataType, False),
+                T.StructField("__blk", T.IntegerType(), False),
+                T.StructField("__qv", q.schema["__qv"].dataType, False),
+            ]
         )
-        probes = topk_per_query(ranked, n_probe, id_col="cluster_id").select(
-            "query_id", F.col("cluster_id").alias("__blk"), "__qv"
-        )
+        np_ = n_probe
+
+        def probe_kernel(batches):
+            C = np.asarray(bc.value, dtype=np.float64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out_qid, out_blk, out_qv = [], [], []
+                for qid, qv in zip(pdf["query_id"], pdf["__qv"]):
+                    # same arithmetic + tie order as _probes_from_rows
+                    d = np.linalg.norm(C - np.asarray(qv, dtype=np.float64), axis=1)
+                    order = np.lexsort((np.arange(len(d)), np.round(d, 6)))[:np_]
+                    out_qid.extend([qid] * len(order))
+                    out_blk.extend(int(c) for c in order)
+                    out_qv.extend([qv] * len(order))
+                yield pd.DataFrame(
+                    {"query_id": out_qid, "__blk": out_blk, "__qv": out_qv}
+                )
+
+        probes = q.mapInPandas(probe_kernel, probe_schema)
         v = vectors_with_cluster.select(
             F.col(self.id_col).alias("id"),
             F.col(self.vector_col).alias("__v"),

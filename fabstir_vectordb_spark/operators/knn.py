@@ -68,6 +68,101 @@ def _kernel_distances(metric: str, V: np.ndarray, q: np.ndarray) -> np.ndarray:
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def _batch_topk_rows(
+    metric: str,
+    V: np.ndarray,
+    ids: np.ndarray,
+    qids,
+    Q: np.ndarray,
+    k: int,
+):
+    """All-queries-at-once top-k over one vector block.
+
+    One GEMM (``Q @ V.T``) SCREENS candidates per query; the final
+    distances of the survivors are then recomputed with the exact
+    per-query arithmetic of ``_kernel_distances``, so the output is
+    identical to the old per-query loop (same round(6) values, same
+    tie-breaks) while the O(Q*N*dim) work runs as one BLAS call instead
+    of Q separate GEMVs with Q full-size temporaries.
+
+    The screening band is padded for (a) the round(6) tie window the
+    exact selection honours (absolute 1e-6 on the distance scale) and
+    (b) the numeric gap between the GEMM expansion and the direct form
+    (~dim*eps*|v||q|, covered by the 1e-9 absolute + relative pads), so
+    no true top-k member can be screened out.
+
+    Yields (query_id, id, distance) triples appended to lists.
+    """
+    nq, n = len(Q), len(V)
+    out_q: list = []
+    out_id: list = []
+    out_d: list = []
+    if n == 0 or nq == 0:
+        return out_q, out_id, out_d
+
+    if metric == "l2":
+        vn2 = np.einsum("ij,ij->i", V, V)
+    elif metric == "cosine":
+        vn = np.linalg.norm(V, axis=1)
+
+    # One reused GEMM buffer (allocated once per block, in-place score
+    # arithmetic, per-ROW kth extraction) keeps the fresh-page footprint
+    # at one ~16 MB buffer per worker instead of ~100 MB of temporaries
+    # per chunk — first-touch page faults are the dominant cost of naive
+    # full-matrix scoring on slow-fault hosts, not the FLOPs.
+    qchunk = min(nq, max(16, 2_000_000 // max(n, 1)))
+    G = np.empty((qchunk, n), dtype=np.float64)
+    for qs in range(0, nq, qchunk):
+        Qc = Q[qs : qs + qchunk]
+        m = len(Qc)
+        Gm = G[:m]
+        np.dot(Qc, V.T, out=Gm)  # the only O(q*N*dim) op
+        if metric == "l2":
+            qn2 = np.einsum("ij,ij->i", Qc, Qc)
+            Gm *= -2.0
+            Gm += vn2[None, :]
+            Gm += qn2[:, None]
+            np.maximum(Gm, 0.0, out=Gm)
+        elif metric == "cosine":
+            qn = np.linalg.norm(Qc, axis=1)
+        else:  # dot
+            np.negative(Gm, out=Gm)
+
+        for j in range(m):
+            if metric == "cosine":
+                denom = vn * qn[j]
+                row = 1.0 - np.divide(
+                    Gm[j], denom, out=np.zeros(n), where=denom != 0.0
+                )
+            else:
+                row = Gm[j]
+            if n > k:
+                kth = np.partition(row, k - 1)[k - 1]
+            else:
+                kth = row.max()
+            if metric == "l2":
+                # band in SQUARED space: (d_k + round(6) tie window)^2
+                # + expansion-error pad
+                band = (np.sqrt(kth) + 2e-6) ** 2 + 1e-9 + kth * 1e-12
+            else:
+                band = kth + 2e-6 + 1e-9 * abs(kth) + 1e-12
+            cand = np.flatnonzero(row <= band)
+            d = _kernel_distances(metric, V[cand], Qc[j])  # exact, original form
+            dr = np.round(d, ROUND_DECIMALS)
+            cids = ids[cand]
+            if len(d) > k:
+                part = np.argpartition(dr, k - 1)
+                thresh = dr[part[:k]].max()
+                keep = np.flatnonzero(dr <= thresh)
+                keep = keep[np.lexsort((cids[keep], dr[keep]))][:k]
+            else:
+                keep = np.lexsort((cids, dr))[:k]
+            out_q.extend([qids[qs + j]] * len(keep))
+            out_id.extend(cids[keep].tolist())
+            out_d.extend(d[keep].tolist())
+    return out_q, out_id, out_d
+
+
 def knn_join(
     vectors: DataFrame,
     queries: DataFrame,
@@ -131,7 +226,6 @@ def knn_kernel(
 
     def partial_topk(batches):
         qids_l, Q_l = bc.value
-        nq = len(qids_l)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -139,22 +233,7 @@ def knn_kernel(
             ids = pdf[id_col].to_numpy()
             if ids.dtype == object:
                 ids = ids.astype(str)  # lexsort-able; ASCII order == Spark string order
-            out_q, out_id, out_d = [], [], []
-            for j in range(nq):
-                d = _kernel_distances(metric, V, Q_l[j])
-                dr = np.round(d, ROUND_DECIMALS)
-                if len(d) > k:
-                    # select everything <= the k-th smallest rounded distance so
-                    # the id tie-break sees ALL boundary ties, then exact-sort
-                    part = np.argpartition(dr, k - 1)
-                    thresh = dr[part[:k]].max()
-                    cand = np.flatnonzero(dr <= thresh)
-                    cand = cand[np.lexsort((ids[cand], dr[cand]))][:k]
-                else:
-                    cand = np.lexsort((ids, dr))[:k]
-                out_q.extend([qids_l[j]] * len(cand))
-                out_id.extend(ids[cand].tolist())
-                out_d.extend(d[cand].tolist())
+            out_q, out_id, out_d = _batch_topk_rows(metric, V, ids, qids_l, Q_l, k)
             yield pd.DataFrame(
                 {"query_id": out_q, "id": out_id, "distance": out_d}
             )
@@ -240,21 +319,9 @@ def cogroup_block_knn(
         ids = vpdf["id"].to_numpy()
         if ids.dtype == object:
             ids = ids.astype(str)
-        out_q, out_id, out_d = [], [], []
-        for qid, qv in zip(qpdf["query_id"], qpdf["__qv"]):
-            q = np.asarray(qv, dtype=np.float64)
-            d = _kernel_distances(metric, V, q)
-            dr = np.round(d, ROUND_DECIMALS)
-            if len(d) > k:
-                part = np.argpartition(dr, k - 1)
-                thresh = dr[part[:k]].max()
-                cand = np.flatnonzero(dr <= thresh)
-                cand = cand[np.lexsort((ids[cand], dr[cand]))][:k]
-            else:
-                cand = np.lexsort((ids, dr))[:k]
-            out_q.extend([qid] * len(cand))
-            out_id.extend(ids[cand].tolist())
-            out_d.extend(d[cand].tolist())
+        qids = qpdf["query_id"].to_numpy()
+        Q = np.asarray([np.asarray(x, dtype=np.float64) for x in qpdf["__qv"]])
+        out_q, out_id, out_d = _batch_topk_rows(metric, V, ids, qids, Q, k)
         return pd.DataFrame({"query_id": out_q, "id": out_id, "distance": out_d})
 
     return (

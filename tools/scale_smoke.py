@@ -18,6 +18,10 @@ from __future__ import annotations
 import json
 import sys
 import time
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -38,21 +42,29 @@ def synth_vectors(spark, n: int, dim: int = 64):
 
 
 def synth_docs(spark, n: int):
-    words = F.array(*[F.lit(w) for w in
-                      "the quick brown fox jumps over lazy dog spark query engine shuffle "
-                      "partition cluster vector index search filter scan".split()])
+    """Corpus with realistic discrimination: 4096-word vocabulary,
+    20-80 token docs, ~3% planted exact duplicates (doc i copies i-1)
+    and ~3% planted near-duplicates (copy of i-1 minus its last token).
+
+    A tiny vocabulary makes every doc near-identical in token-set space,
+    which degenerates LSH buckets to O(N) members and the candidate join
+    to O(N^2) — that measures the corpus, not the engine."""
+    doc_id = F.col("id")
+    seed = F.when(
+        (F.pmod(doc_id, 31) == 1) | (F.pmod(doc_id, 29) == 1), doc_id - 1
+    ).otherwise(doc_id)
+    length = (F.pmod(F.xxhash64(seed, F.lit("len")), 61) + 20).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), length - 1),
+        lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(seed, i), 4096)),
+    )
+    # near-dup class: drop the last token (exact-dup branch wins when both)
+    words = F.when(
+        (F.pmod(doc_id, 29) == 1) & (F.pmod(doc_id, 31) != 1),
+        F.slice(words, 1, length - 1),
+    ).otherwise(words)
     return spark.range(n).select(
-        F.col("id").alias("doc_id"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(49)),
-                lambda i: F.element_at(
-                    words,
-                    ((F.xxhash64(F.col("id"), i) % 17 + 17) % 17 + 1).cast("int"),
-                ),
-            ),
-        ).alias("text"),
+        doc_id.alias("doc_id"), F.concat_ws(" ", words).alias("text")
     )
 
 
@@ -88,19 +100,43 @@ def main() -> int:
         vec, queries, 10, metric="l2", id_col="vec_id", vector_col="embedding"
     ).write.format("noop").mode("overwrite").save()
     times["knn_kernel"] = round(time.time() - t0, 2)
+    _log(f"knn_kernel {times['knn_kernel']}s")
 
     t0 = time.time()
     idx = IVFIndex.fit(vec, n_clusters=64, seed=42, id_col="vec_id", vector_col="embedding")
     times["ivf_fit"] = round(time.time() - t0, 2)
+    _log(f"ivf_fit {times['ivf_fit']}s")
 
     t0 = time.time()
     assigned = idx.assign(vec).cache()
     assigned.count()
     times["ivf_assign"] = round(time.time() - t0, 2)
+    _log(f"ivf_assign {times['ivf_assign']}s")
 
     t0 = time.time()
     idx.search(assigned, queries, 10, n_probe=8).write.format("noop").mode("overwrite").save()
     times["ivf_probe8"] = round(time.time() - t0, 2)
+    _log(f"ivf_probe8 {times['ivf_probe8']}s")
+
+    # bulk paths: query set as a DataFrame (Q=2000), no driver collect
+    bulk_queries = vec.limit(2000).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    from fabstir_vectordb_spark.operators.knn import knn_bulk
+
+    t0 = time.time()
+    knn_bulk(
+        vec, bulk_queries, 10, metric="l2", id_col="vec_id", vector_col="embedding"
+    ).write.format("noop").mode("overwrite").save()
+    times["knn_bulk_q2000"] = round(time.time() - t0, 2)
+    _log(f"knn_bulk_q2000 {times['knn_bulk_q2000']}s")
+
+    t0 = time.time()
+    idx.search_bulk(assigned, bulk_queries, 10, n_probe=8).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    times["ivf_bulk_q2000_probe8"] = round(time.time() - t0, 2)
+    _log(f"ivf_bulk_q2000_probe8 {times['ivf_bulk_q2000_probe8']}s")
 
     docs = synth_docs(spark, n_doc).repartition(32).cache()
     docs.count()
@@ -108,10 +144,20 @@ def main() -> int:
     t0 = time.time()
     n_pairs = DD.minhash_lsh_pairs(docs, threshold=0.8).count()
     times["minhash_lsh"] = round(time.time() - t0, 2)
+    _log(f"minhash_lsh {times['minhash_lsh']}s")
 
     t0 = time.time()
     DD.exact_dedup(docs).write.format("noop").mode("overwrite").save()
     times["exact_dedup"] = round(time.time() - t0, 2)
+    _log(f"exact_dedup {times['exact_dedup']}s")
+
+    t0 = time.time()
+    pairs = DD.simhash_pairs(docs, max_hamming=3)
+    DD.canonicalize_pairs(docs, pairs, id_col="doc_id").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    times["simhash_canonicalize"] = round(time.time() - t0, 2)
+    _log(f"simhash_canonicalize {times['simhash_canonicalize']}s")
 
     print(json.dumps({
         "n_vectors": n_vec, "n_docs": n_doc,
