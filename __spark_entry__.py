@@ -942,13 +942,18 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_CACHE: dict[str, "ProductQuantizer"] = {}
 
 
-def _pq_result(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+def _pq_model(spark: SparkSession, sf_dir: str) -> "ProductQuantizer":
     if sf_dir not in _PQ_CACHE:
         _PQ_CACHE[sf_dir] = ProductQuantizer.fit(
-            emb, n_subspaces=8, n_centroids=32, seed=42, vector_col="embedding"
+            _t(spark, sf_dir, "embeddings"),
+            n_subspaces=8, n_centroids=32, seed=42, vector_col="embedding",
         )
-    pq = _PQ_CACHE[sf_dir]
+    return _PQ_CACHE[sf_dir]
+
+
+def _pq_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pq = _pq_model(spark, sf_dir)
     return pq.adc_knn(
         pq.encode(emb), _query_vectors(spark, sf_dir), K,
         rerank_vectors=emb, oversample=4,
@@ -991,6 +996,42 @@ def q_pq_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         pqr.alias("a")
         .join(exact.alias("e"), ["query_id", "rank"])
         .select("query_id", "rank", (F.col("a.d") >= F.col("e.d")).alias("ok"))
+    )
+
+
+def q_pq_bulk_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk-path equivalence for PQ: adc_knn_bulk (query set stays a
+    DataFrame, cogrouped block-gather kernel, no driver collect) must
+    return EXACTLY the rows of the driver-collect adc_knn for the same
+    fitted quantizer — same id and same round(6) distance at every rank.
+    Holds for ANY model, so the oracle is the constant all-true table."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pq = _pq_model(spark, sf_dir)
+    codes = pq.encode(emb)
+    queries = _query_vectors(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.round("distance", 6), "id")
+
+    def _rk(df):
+        return df.select(
+            "query_id", F.row_number().over(w).alias("rank"),
+            F.col("id"), F.round("distance", 6).alias("d"),
+        )
+
+    bulk = _rk(
+        pq.adc_knn_bulk(codes, queries, K, rerank_vectors=emb, oversample=4)
+    )
+    point = _rk(
+        pq.adc_knn(codes, queries, K, rerank_vectors=emb, oversample=4)
+    )
+    return (
+        bulk.alias("b")
+        .join(point.alias("p"), ["query_id", "rank"])
+        .select(
+            "query_id", "rank",
+            ((F.col("b.id") == F.col("p.id")) & (F.col("b.d") == F.col("p.d"))).alias("ok"),
+        )
     )
 
 
@@ -1579,6 +1620,8 @@ _ORACLES["streaming_topk"] = _ORACLES["knn_l2"]
 
 # PQ+rerank dominance: same constant-oracle shape as ann_probe_invariant
 _ORACLES["pq_invariant"] = _ORACLES["ann_probe_invariant"]
+# bulk-vs-point ADC equivalence: also a constant all-true table
+_ORACLES["pq_bulk_invariant"] = _ORACLES["ann_probe_invariant"]
 
 _ORACLES["cluster_distribution"] = """
 SELECT CAST(count(*) AS BIGINT) AS total_assigned,
@@ -1654,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_topk": q_streaming_topk,
         "pq_adc_knn": q_pq_adc_knn,
         "pq_invariant": q_pq_invariant,
+        "pq_bulk_invariant": q_pq_bulk_invariant,
         "quantize_roundtrip": q_quantize_roundtrip,
         "hybrid_merge": q_hybrid_merge,
     }

@@ -249,6 +249,137 @@ class ProductQuantizer:
         partials = codes_df.select(id_col, code_col).mapInPandas(kernel, out_schema)
         return topk_per_query(partials, k)
 
+    def adc_knn_bulk(
+        self,
+        codes_df: DataFrame,
+        queries: DataFrame,
+        k: int,
+        id_col: str = "vec_id",
+        code_col: str = "pq_codes",
+        query_id_col: str = "query_id",
+        query_vector_col: str = "vector",
+        vector_blocks: int | None = None,
+        rerank_vectors: DataFrame | None = None,
+        rerank_vector_col: str = "embedding",
+        oversample: int = 4,
+    ) -> DataFrame:
+        """ADC kNN with the QUERY SET as a DataFrame — no driver collect,
+        the bulk companion to ``adc_knn`` (the same two-big-tables shape
+        as operators/knn.knn_bulk: codes hash into blocks and shuffle
+        once, queries replicate per block, a cogrouped kernel gathers
+        block-local top-k, the final shuffle is Q x blocks x k rows).
+
+        Identical per-pair arithmetic and (round(6), id) tie-breaks as
+        ``adc_knn``, so both paths return the same rows for the same
+        fitted quantizer."""
+        from fabstir_vectordb_spark.operators.topk import (
+            ROUND_DECIMALS,
+            topk_per_query,
+        )
+
+        if rerank_vectors is not None:
+            cand = self.adc_knn_bulk(
+                codes_df, queries, k * oversample,
+                id_col=id_col, code_col=code_col,
+                query_id_col=query_id_col, query_vector_col=query_vector_col,
+                vector_blocks=vector_blocks,
+            )
+            vecs = rerank_vectors.select(
+                F.col(id_col).alias("id"),
+                F.col(rerank_vector_col).alias("__rv_vec"),
+            )
+            q = queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vector_col).alias("__rv_q"),
+            )
+            from fabstir_vectordb_spark.functions import distance as D
+
+            # cand is Q*k*oversample rows — the small side of both joins;
+            # no broadcast hint on q (it may be a big table), AQE decides
+            exact = (
+                cand.drop("distance")
+                .join(vecs, "id")
+                .join(q, "query_id")
+                .select(
+                    "query_id",
+                    "id",
+                    D.l2_distance("__rv_vec", "__rv_q").alias("distance"),
+                )
+            )
+            return topk_per_query(exact, k)
+
+        spark = codes_df.sparkSession
+        VB = vector_blocks or spark.sparkContext.defaultParallelism
+        bc = spark.sparkContext.broadcast(self.codebooks)
+        M, sub = self.n_subspaces, self.sub_dim
+
+        v = codes_df.select(
+            F.col(id_col).alias("id"),
+            F.col(code_col).alias("__codes"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(VB)).cast("int").alias("__blk"),
+        )
+        blocks = spark.range(VB).select(F.col("id").cast("int").alias("__blk"))
+        qrep = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vector_col).alias("__qv"),
+        ).crossJoin(blocks)
+
+        out_schema = T.StructType(
+            [
+                T.StructField(
+                    "query_id", queries.schema[query_id_col].dataType, False
+                ),
+                T.StructField("id", codes_df.schema[id_col].dataType, False),
+                T.StructField("distance", T.DoubleType(), False),
+            ]
+        )
+
+        def block_adc(vpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+            if vpdf.empty or qpdf.empty:
+                return pd.DataFrame({"query_id": [], "id": [], "distance": []})
+            books = bc.value
+            codes = np.asarray([np.asarray(c) for c in vpdf["__codes"]])
+            ids = vpdf["id"].to_numpy()
+            if ids.dtype == object:
+                ids = ids.astype(str)
+            marange = np.arange(M)[None, :]
+            out_q, out_id, out_d = [], [], []
+            for qid, qv in zip(qpdf["query_id"], qpdf["__qv"]):
+                q = np.asarray(qv, dtype=np.float64)
+                # (M, K) subspace table, then M gathers per row
+                table = np.stack(
+                    [
+                        np.einsum(
+                            "kj,kj->k",
+                            books[m] - q[m * sub : (m + 1) * sub],
+                            books[m] - q[m * sub : (m + 1) * sub],
+                        )
+                        for m in range(M)
+                    ]
+                )
+                d = np.sqrt(np.sum(table[marange, codes], axis=1))
+                dr = np.round(d, ROUND_DECIMALS)
+                if len(d) > k:
+                    part = np.argpartition(dr, k - 1)
+                    thresh = dr[part[:k]].max()
+                    cand = np.flatnonzero(dr <= thresh)
+                    cand = cand[np.lexsort((ids[cand], dr[cand]))][:k]
+                else:
+                    cand = np.lexsort((ids, dr))[:k]
+                out_q.extend([qid] * len(cand))
+                out_id.extend(ids[cand].tolist())
+                out_d.extend(d[cand].tolist())
+            return pd.DataFrame(
+                {"query_id": out_q, "id": out_id, "distance": out_d}
+            )
+
+        partials = (
+            v.groupBy("__blk")
+            .cogroup(qrep.groupBy("__blk"))
+            .applyInPandas(block_adc, out_schema)
+        )
+        return topk_per_query(partials, k)
+
     # -------------------------------------------------------- persistence
 
     def save(self, path: str) -> None:

@@ -70,6 +70,27 @@ def test_adc_knn_recall(pq, embeddings, spark):
     assert len(e & rr) >= len(e & a)  # re-rank never hurts
 
 
+def test_adc_knn_bulk_matches_point_path(pq, embeddings):
+    """adc_knn_bulk (DataFrame queries, cogrouped kernel) returns exactly
+    the rows of driver-collect adc_knn — raw ADC and reranked."""
+    queries = embeddings.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    codes = pq.encode(embeddings)
+    for kwargs in ({}, {"rerank_vectors": embeddings, "oversample": 4}):
+        point = pq.adc_knn(codes, queries, 10, **kwargs)
+        bulk = pq.adc_knn_bulk(codes, queries, 10, **kwargs)
+        p = sorted(
+            (r["query_id"], r["id"], round(r["distance"], 6))
+            for r in point.collect()
+        )
+        b = sorted(
+            (r["query_id"], r["id"], round(r["distance"], 6))
+            for r in bulk.collect()
+        )
+        assert p == b
+
+
 def test_save_load_roundtrip(pq, tmp_path):
     pq.save(str(tmp_path))
     again = ProductQuantizer.load(str(tmp_path))
