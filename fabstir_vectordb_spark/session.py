@@ -316,7 +316,26 @@ class VectorDbSession:
             [(str(q["id"]), [float(x) for x in q["vector"]]) for q in queries],
             "query_id string, vector array<float>",
         )
-        res = brute_force_knn(df, qdf, k, metric="l2", impl="kernel")
+        # same planner as search(): trained index + no metadata filter ->
+        # probe path over the one-time-materialized clustered table
+        use_index = (
+            self._index is not None and self._index.is_trained and filter is None
+        )
+        if use_index:
+            if self._assigned is None:
+                self._refresh_assigned()
+            from fabstir_vectordb_spark.plans.tuning import plan_search
+
+            plan = plan_search(
+                self._live_count or 0, k, self._index.n_clusters,
+                brute_force_threshold=0,
+            )
+            res = self._index.search(
+                self._assigned, qdf, k,
+                n_probe=plan.n_probe or self._index.n_clusters,
+            )
+        else:
+            res = brute_force_knn(df, qdf, k, metric="l2", impl="kernel")
         scored = (
             res.withColumn("score", D.similarity_score("distance"))
             .filter(F.col("score") >= threshold)
@@ -340,6 +359,57 @@ class VectorDbSession:
                 }
             )
         return out
+
+    def search_dataframe(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int | None = None,
+        filter: dict | None = None,
+        query_id_col: str = "query_id",
+        query_vector_col: str = "vector",
+    ) -> DataFrame:
+        """DataFrame -> DataFrame bulk search — the pipeline surface.
+
+        Unlike search()/search_batch() (reference-shaped point APIs that
+        materialize results on the driver), BOTH sides stay distributed:
+        the query set is never collected, the result is a DataFrame of
+        (query_id, id, distance, score).  Trained index + no metadata
+        filter routes to IVFIndex.search_bulk (distributed probe
+        selection + cogrouped cluster GEMM); otherwise knn_bulk (hash
+        blocks + cogrouped GEMM).  This is the two-big-tables similarity
+        join a 100 TB corpus-vs-corpus job needs."""
+        if self._df is None:
+            raise VectorDbError("session has no vectors")
+        qdf = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vector_col).alias("vector"),
+        )
+        use_index = (
+            self._index is not None and self._index.is_trained and filter is None
+        )
+        if use_index:
+            if self._assigned is None:
+                self._refresh_assigned()
+            if n_probe is None:
+                from fabstir_vectordb_spark.plans.tuning import plan_search
+
+                plan = plan_search(
+                    self._live_count or 0, k, self._index.n_clusters,
+                    brute_force_threshold=0,
+                )
+                n_probe = plan.n_probe or self._index.n_clusters
+            res = self._index.search_bulk(self._assigned, qdf, k, n_probe=n_probe)
+        else:
+            from fabstir_vectordb_spark.operators.knn import knn_bulk
+
+            df = self._df.filter(~F.col("deleted"))
+            if filter is not None:
+                df = df.filter(
+                    compile_filter(filter, df.schema, metadata_col="metadata")
+                )
+            res = knn_bulk(df, qdf, k, metric="l2", id_col="id", vector_col="vector")
+        return res.withColumn("score", D.similarity_score("distance"))
 
     # ------------------------------------------------------------------ get
 

@@ -153,3 +153,50 @@ def test_trained_index_search(spark):
     brute.add_vectors([mk(i) for i in range(40)])
     expected = brute.search([5.0, 2.0, 1.0, 0.0], k=5)
     assert [r["id"] for r in res] == [r["id"] for r in expected]
+
+
+def test_search_batch_uses_index_consistently(spark):
+    """search_batch must agree with per-query search() on a trained
+    index — both route through the same planner and probe path."""
+    s = VectorDbSession(spark)
+    s.add_vectors([mk(i) for i in range(40)])
+    s.train_index(n_clusters=4)
+    qs = [
+        {"id": "a", "vector": [5.0, 2.0, 1.0, 0.0]},
+        {"id": "b", "vector": [20.0, 1.0, 1.0, 0.0]},
+    ]
+    batch = s.search_batch(qs, k=5)
+    for q in qs:
+        point = s.search(q["vector"], k=5)
+        assert [r["id"] for r in batch[q["id"]]] == [r["id"] for r in point]
+
+
+def test_search_dataframe_matches_batch(spark):
+    """The DataFrame bulk surface returns the same rows as search_batch,
+    trained or not."""
+    from pyspark.sql import functions as F
+
+    for train in (False, True):
+        s = VectorDbSession(spark)
+        s.add_vectors([mk(i) for i in range(40)])
+        if train:
+            s.train_index(n_clusters=4)
+        qs = [
+            {"id": "a", "vector": [5.0, 2.0, 1.0, 0.0]},
+            {"id": "b", "vector": [20.0, 1.0, 1.0, 0.0]},
+        ]
+        qdf = spark.createDataFrame(
+            [(q["id"], q["vector"]) for q in qs],
+            "query_id string, vector array<float>",
+        )
+        got = {
+            (r["query_id"], r["id"], round(r["distance"], 6))
+            for r in s.search_dataframe(qdf, k=5).collect()
+        }
+        batch = s.search_batch(qs, k=5, threshold=-1.0)
+        want = {
+            (qid, r["id"], round(r["distance"], 6))
+            for qid, rs in batch.items()
+            for r in rs
+        }
+        assert got == want
