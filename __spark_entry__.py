@@ -416,6 +416,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition ratios (the boilerplate/looping-text quality
+    signal corpus curation filters on): fraction of duplicate tokens and
+    duplicate word-trigrams per document."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", X.whitespace_tokens("text").alias("__toks")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return toks.select(
+        "doc_id",
+        X.repetition_ratio_from("__toks", 1).alias("rep_1gram"),
+        X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways (LLM-pipeline brief): cheap whitespace
     tokens and the BPE-ish regex (alnum runs | single punctuation)."""
@@ -1251,6 +1266,26 @@ SELECT doc_id,
 FROM c
 """
 
+_ORACLES["repetition"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks, len(toks) AS sz,
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks) - 2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END AS g3
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN sz >= 1
+       THEN (round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / sz, 6) + 0.0)
+       ELSE 0.0 END AS rep_1gram,
+  CASE WHEN sz >= 3
+       THEN (round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / (sz - 2), 6) + 0.0)
+       ELSE 0.0 END AS rep_3gram
+FROM c
+"""
+
 _ORACLES["lang_id"] = f"""
 WITH t AS (
   SELECT doc_id, text,
@@ -1670,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
+        "repetition": q_repetition,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,

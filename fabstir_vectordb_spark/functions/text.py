@@ -172,6 +172,29 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
+def repetition_ratio_from(tokens: Column | str, n: int = 3) -> Column:
+    """Intra-document repetition: fraction of word n-gram occurrences
+    that are repeats of an earlier n-gram in the SAME doc — the standard
+    boilerplate/looping-text quality signal in corpus curation
+    (1 - distinct/total over the n-gram multiset; docs with < n tokens
+    score 0.0).
+
+    Takes an ALREADY-MATERIALIZED token array (same hot-path discipline
+    as word_shingles_from: materialize the split behind an exchange or
+    the lambda re-evaluates it per element)."""
+    toks = _c(tokens)
+    size = F.size(toks)
+    total = size - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), total),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(
+        size >= n,
+        F.round(1.0 - F.size(F.array_distinct(grams)) / total, 6) + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+
+
 def word_shingles_from(tokens: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams from an ALREADY-MATERIALIZED token array.
 

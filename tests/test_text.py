@@ -69,3 +69,26 @@ def test_word_shingles(spark):
     assert out[0] == ["a b c", "b c d"]
     assert out[1] == []  # shorter than n => empty, not a descending sequence
     assert out[2] == []
+
+
+def test_repetition_ratio(spark):
+    rows = [
+        (0, "a b c a b c a b c"),      # 9 toks: 3 distinct -> rep1 = 1-3/9
+        (1, "all words here unique"),  # no repeats at all
+        (2, "x y"),                    # < 3 tokens: trigram ratio = 0
+        (3, "w w w w"),                # 1 distinct token, 1 distinct trigram of 2
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    toks = df.select("id", X.whitespace_tokens("text").alias("t"))
+    out = {
+        r["id"]: (r["r1"], r["r3"])
+        for r in toks.select(
+            "id",
+            X.repetition_ratio_from("t", 1).alias("r1"),
+            X.repetition_ratio_from("t", 3).alias("r3"),
+        ).collect()
+    }
+    assert out[0] == (round(1 - 3 / 9, 6), round(1 - 3 / 7, 6))
+    assert out[1] == (0.0, 0.0)
+    assert out[2] == (0.0, 0.0)
+    assert out[3] == (0.75, 0.5)
