@@ -252,11 +252,21 @@ class IVFIndex:
         cluster_col: str = "cluster_id",
         query_id_col: str = "query_id",
         query_vector_col: str = "vector",
+        sub_blocks: int = 1,
     ) -> DataFrame:
         """IVF probe search with the QUERY SET as a DataFrame — no driver
         collect anywhere, the bulk companion to ``search`` (reference
         analogue: parallel_search, src/hybrid/search_integration.rs:125-211,
         which loops per query; this is set-at-a-time).
+
+        ``sub_blocks``: the cogroup loads ONE block's vectors into one
+        task's Arrow frame, so a block must fit task memory.  With S > 1
+        each cluster splits into S hash sub-blocks (probes replicate per
+        sub-block — an S-fold fanout of the tiny probe table, the same
+        deliberate small-side cost as knn_bulk's vector_blocks knob);
+        size S so cluster_rows/S * dim * 8B fits an executor task.  The
+        merge is unchanged: top-k over block-local partials is exact for
+        any partitioning of the same probed row set.
 
         Plan: centroids (tiny, driver-held by construction) broadcast
         into a map-only Arrow kernel that ranks them per query batch with
@@ -326,6 +336,19 @@ class IVFIndex:
             F.col(self.vector_col).alias("__v"),
             F.col(cluster_col).cast("int").alias("__blk"),
         )
+        if sub_blocks > 1:
+            S = sub_blocks
+            v = v.withColumn(
+                "__blk",
+                F.col("__blk") * S
+                + F.pmod(F.xxhash64(F.col("id")), F.lit(S)).cast("int"),
+            )
+            subs = spark.range(S).select(F.col("id").cast("int").alias("__sub"))
+            probes = probes.crossJoin(subs).select(
+                "query_id",
+                (F.col("__blk") * S + F.col("__sub")).alias("__blk"),
+                "__qv",
+            )
         partials = cogroup_block_knn(
             v, probes, k, metric,
             qid_type=queries.schema[query_id_col].dataType,

@@ -115,3 +115,8 @@ def test_search_bulk_matches_search(spark):
         bulk = idx.search_bulk(assigned, queries, 5, n_probe=n_probe)
         point = idx.search(assigned, queries, 5, n_probe=n_probe)
         assert sorted(map(key, bulk.collect())) == sorted(map(key, point.collect()))
+    # sub-block splitting (the giant-cluster memory knob) must not change
+    # results: top-k over block partials is exact for any partitioning
+    split = idx.search_bulk(assigned, queries, 5, n_probe=4, sub_blocks=3)
+    point = idx.search(assigned, queries, 5, n_probe=4)
+    assert sorted(map(key, split.collect())) == sorted(map(key, point.collect()))

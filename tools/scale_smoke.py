@@ -138,6 +138,23 @@ def main() -> int:
     times["ivf_bulk_q2000_probe8"] = round(time.time() - t0, 2)
     _log(f"ivf_bulk_q2000_probe8 {times['ivf_bulk_q2000_probe8']}s")
 
+    # giant-cluster memory knob: same probe search, clusters split 4-ways
+    t0 = time.time()
+    idx.search_bulk(
+        assigned, bulk_queries, 10, n_probe=8, sub_blocks=4
+    ).write.format("noop").mode("overwrite").save()
+    times["ivf_bulk_sub4"] = round(time.time() - t0, 2)
+    _log(f"ivf_bulk_sub4 {times['ivf_bulk_sub4']}s")
+
+    # embedding near-dup, cluster-pruned path (the auto-dispatch target
+    # above brute_force_limit — N here is 2x the limit)
+    t0 = time.time()
+    DD.embedding_near_dup(
+        vec, threshold=0.95, method="auto"
+    ).write.format("noop").mode("overwrite").save()
+    times["embed_near_dup_cluster"] = round(time.time() - t0, 2)
+    _log(f"embed_near_dup_cluster {times['embed_near_dup_cluster']}s")
+
     docs = synth_docs(spark, n_doc).repartition(32).cache()
     docs.count()
 
