@@ -431,6 +431,69 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the composition a training-data
+    pipeline actually runs: language gate + quality score + intra-doc
+    repetition + length bounds in ONE scan-shaped pass, emitting every
+    gate signal next to the verdict so a dropped doc is auditable.
+    All pure column expressions; the only exchange is the tokenize-once
+    barrier shared with the other text queries."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        X.lang_id("text").alias("lang"),
+        r6(X.quality_score("text")).alias("quality"),
+        X.whitespace_tokens("text").alias("__toks"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    sig = base.select(
+        "doc_id", "lang", "quality",
+        X.token_count_from("__toks").cast("long").alias("n_tokens"),
+        X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
+    )
+    return sig.withColumn(
+        "passed",
+        (F.col("lang") == "en")
+        & (F.col("quality") >= 0.3)
+        & (F.col("rep_3gram") <= 0.2)
+        & F.col("n_tokens").between(10, 5000),
+    )
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup as a REAL Structured Streaming run: the
+    documents table streams through stateful dropDuplicates on the
+    content fingerprint in micro-batches.  WHICH row of a duplicate
+    group survives is arrival-order-dependent, but the emitted
+    fingerprint SET is not — that projection is the oracle-stable
+    contract (one row per distinct content).  The unbounded-stream
+    variant is streaming/ingest.deduped_ingest, which bounds state with
+    dropDuplicatesWithinWatermark."""
+    import tempfile
+    import uuid
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.fingerprint("text").alias("fp")
+    )
+    src = tempfile.mkdtemp(prefix="sdd_src_")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, fp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.dropDuplicates(["fp"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("fp").distinct()
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways (LLM-pipeline brief): cheap whitespace
     tokens and the BPE-ish regex (alnum runs | single punctuation)."""
@@ -1312,6 +1375,64 @@ FROM v
 
 _ORACLES["doc_fingerprint"] = f"SELECT doc_id, {_FP} AS fp FROM documents"
 
+_ORACLES["streaming_dedup"] = f"SELECT DISTINCT {_FP} AS fp FROM documents"
+
+_ORACLES["corpus_filter"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         list_transform({_TOKS}, tk -> lower(tk)) AS lt
+  FROM documents
+), v AS (
+  SELECT doc_id, text, toks,
+    len(list_filter(lt, tk -> list_contains({_SW_EN}, tk))) AS v_en,
+    len(list_filter(lt, tk -> list_contains(['el','la','de','que','y','en','un','los'], tk))) AS v_es,
+    len(list_filter(lt, tk -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], tk))) AS v_de,
+    len(list_filter(lt, tk -> list_contains(['le','la','et','les','des','est','une','dans'], tk))) AS v_fr
+  FROM t
+), lang AS (
+  SELECT doc_id, text, toks,
+    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+         WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+         WHEN v_es > v_en AND v_es >= v_de AND v_es >= v_fr THEN 'es'
+         WHEN v_de > v_en AND v_de >= v_fr THEN 'de'
+         WHEN v_fr > v_en THEN 'fr'
+         ELSE 'en' END AS lang
+  FROM v
+), q AS (
+  SELECT doc_id, lang, toks,
+    CAST(len(toks) AS DOUBLE) AS ntok,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(toks, tk -> list_contains({_SW_EN}, lower(tk)))) AS DOUBLE) / len(toks)
+         END AS swr,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+         END AS dr,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+         END AS pr
+  FROM lang
+), sig AS (
+  SELECT doc_id, lang,
+    (round(0.25 * least(1.0, ntok / 64.0)
+         + 0.25 * least(1.0, swr * 4.0)
+         + 0.25 * (1.0 - least(1.0, dr * 4.0))
+         + 0.25 * (1.0 - least(1.0, pr * 4.0)), 6) + 0.0) AS quality,
+    len(toks) AS n_tokens,
+    CASE WHEN len(toks) >= 3
+         THEN (round(1.0 - CAST(len(list_distinct(
+                list_transform(generate_series(1, len(toks) - 2),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              )) AS DOUBLE) / (len(toks) - 2), 6) + 0.0)
+         ELSE 0.0 END AS rep_3gram
+  FROM q
+)
+SELECT doc_id, lang, quality, n_tokens, rep_3gram,
+  (lang = 'en' AND quality >= 0.3 AND rep_3gram <= 0.2
+   AND n_tokens BETWEEN 10 AND 5000) AS passed
+FROM sig
+"""
+
 _ORACLES["dedup_exact"] = f"""
 WITH f AS (SELECT doc_id AS id, {_FP} AS fp FROM documents)
 SELECT id,
@@ -1706,6 +1827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "repetition": q_repetition,
+        "corpus_filter": q_corpus_filter,
+        "streaming_dedup": q_streaming_dedup,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
