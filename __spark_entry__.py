@@ -52,13 +52,25 @@ def r6(c) -> F.Column:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
-        # default; read nanos as long and convert to a microsecond timestamp.
+        # events.parquet has shipped as TIMESTAMP(NANOS) (which Spark reads
+        # as bigint under nanosAsLong) and as TIMESTAMP(MICROS) (a real
+        # timestamp column).  Dispatch on the delivered schema instead of
+        # assuming either: convert only when ts arrives as a long.
+        from pyspark.sql import types as T
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer div: exact at any magnitude (double division of ~1e18 ns
-        # values rounds at the 256 ns ulp and can shift a microsecond)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer div: exact at any magnitude (double division of ~1e18
+            # ns values rounds at the 256 ns ulp and can shift a microsecond)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # Downstream (unix_micros, decay scoring) expects a zoned
+            # TIMESTAMP; interpret the naive value as UTC — the same
+            # assumption DuckDB's epoch_us() makes on a naive timestamp.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
