@@ -769,12 +769,16 @@ def q_session_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     if 1 not in dead:
         sess.delete_vector("1")
         dead.add(1)
-    for r in rows:
-        if r["doc_id"] % 50 == 0 and r["doc_id"] not in dead:
-            sess.update_metadata(
+    sess.batch_update_metadata(
+        [
+            (
                 str(r["doc_id"]),
                 {"lang": "und", "source": "manual", "n_chars": int(r["n_chars"])},
             )
+            for r in rows
+            if r["doc_id"] % 50 == 0 and r["doc_id"] not in dead
+        ]
+    )
     sess.vacuum()
     return sess.dataframe().select(
         "id",

