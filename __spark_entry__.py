@@ -574,6 +574,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(docs, threshold=0.8, n=3)
 
 
+def q_dedup_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE configuration of n-gram Jaccard dedup, certified exactly:
+    a boilerplate footer planted on EVERY document creates hot shingles
+    whose candidate join is quadratic in corpus size — the pathology the
+    stop-shingle cutoff (max_shingle_freq) exists to kill.  Run with the
+    guard engaged (cutoff 50 << n_docs, so the planted shingles are
+    dropped); the oracle applies the IDENTICAL cutoff in SQL, so this
+    certifies the guarded semantics (Jaccard over the filtered shingle
+    sets), not just the happy path (operators/dedup.py:114-171)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" all rights reserved worldwide legal notice")),
+    )
+    return DD.ngram_jaccard_pairs(docs, threshold=0.8, n=3, max_shingle_freq=50)
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup canonicalization: connected components over the MinHash
     pair graph (min-label propagation, joins only) — turns pair output
@@ -785,6 +801,57 @@ def q_session_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("metadata.lang").alias("lang"),
         F.col("metadata.source").alias("source"),
         F.col("metadata.n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def q_session_get_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup + recency-routed search (SURVEY §2.4 row 37, §2.5
+    row 47; reference api/rest.rs:533-570 get-by-id, hybrid/core.rs:425-486
+    recent/historical search config).  A controlled ts split — even
+    doc_ids inserted at now (recent), odd at 2020-01-01 (historical) —
+    makes the 7-day routing predicate deterministic: search_historical=
+    False must scan ONLY the even rows, search_recent=False ONLY the odd
+    rows, and get_vector returns the stored vector + metadata.  Scores are
+    recomputed from the round(6) distance in both engines."""
+    import datetime as _dt
+
+    from fabstir_vectordb_spark.session import VectorDbSession, _utcnow
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    rows = docs.select("doc_id", "lang", "n_chars").collect()
+    now = _utcnow()
+    old = _dt.datetime(2020, 1, 1)
+    sess = VectorDbSession(spark, session_id="get_recent")
+    sess.add_vectors(
+        [
+            {
+                "id": str(r["doc_id"]),
+                "vector": [float(r["n_chars"] % 97), float(r["doc_id"] % 13), 1.0],
+                "metadata": {"lang": r["lang"]},
+                "timestamp": now if r["doc_id"] % 2 == 0 else old,
+            }
+            for r in rows
+        ]
+    )
+    out = []
+    got = sess.get_vector("42")
+    lang42 = next(r["lang"] for r in rows if r["doc_id"] == 42)
+    assert got is not None and got["metadata"]["lang"] == lang42
+    out.append(("get", 0, "42", lang42, round(got["vector"][0], 6)))
+    for part, flags in (
+        ("recent", {"search_historical": False}),
+        ("historical", {"search_recent": False}),
+    ):
+        res = sess.search([3.0, 5.0, 1.0], k=K, **flags)
+        for i, r in enumerate(res, 1):
+            out.append(
+                (
+                    part, i, r["id"], r["metadata"]["lang"],
+                    round(1.0 / (1.0 + round(r["distance"], 6)), 6),
+                )
+            )
+    return spark.createDataFrame(
+        out, "part string, rank long, id string, lang string, score double"
     )
 
 
@@ -1513,6 +1580,42 @@ WHERE inter > 0 AND round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8
 # same oracle certifies both (VERDICT r1 item 3).
 _ORACLES["dedup_minhash_lsh"] = _ORACLES["dedup_ngram_jaccard"]
 
+# guarded (scale) configuration: same shingling, with the stop-shingle
+# cutoff applied before sizes/intersections — Jaccard over FILTERED sets
+_ORACLES["dedup_guarded"] = """
+WITH t AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array(trim(concat(text,
+             ' all rights reserved worldwide legal notice')), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT id,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+              i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
+         ELSE [] END AS grams
+  FROM t
+), x AS (
+  SELECT id, unnest(grams) AS g FROM s
+), hot AS (
+  SELECT g FROM x GROUP BY g HAVING count(*) > 50
+), xs AS (
+  SELECT x.id, x.g FROM x LEFT JOIN hot ON x.g = hot.g WHERE hot.g IS NULL
+), sizes AS (
+  SELECT id, count(*) AS ns FROM xs GROUP BY id
+), inter AS (
+  SELECT a.id AS a_id, b.id AS b_id, count(*) AS i
+  FROM xs a JOIN xs b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT a_id, b_id,
+       (round(CAST(i AS DOUBLE) / (sa.ns + sb.ns - i), 6) + 0.0) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = a_id
+JOIN sizes sb ON sb.id = b_id
+WHERE round(CAST(i AS DOUBLE) / (sa.ns + sb.ns - i), 6) >= 0.8
+"""
+
 # connected components via recursive CTE: r holds "label lab reaches node
 # id"; min(lab) per id is the component's min id (graph is symmetric).
 _ORACLES["dedup_canonical"] = f"""
@@ -1590,6 +1693,30 @@ UNION ALL
 SELECT 'new_' || CAST(i AS VARCHAR) AS id, 'xx' AS lang,
        'synthetic' AS source, CAST(0 AS BIGINT) AS n_chars
 FROM (SELECT unnest(generate_series(0, 4)) AS i)
+"""
+
+_ORACLES["session_get_recent"] = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id, lang,
+         CAST(n_chars % 97 AS DOUBLE) AS v0,
+         CAST(doc_id % 13 AS DOUBLE) AS v1
+  FROM documents WHERE doc_id < 200
+), d AS (
+  SELECT id, doc_id, lang,
+    (round(sqrt((v0 - 3.0) * (v0 - 3.0) + (v1 - 5.0) * (v1 - 5.0)), 6) + 0.0) AS dist
+  FROM base
+), ranked AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'recent' ELSE 'historical' END AS part,
+         CAST(row_number() OVER (
+             PARTITION BY doc_id % 2 ORDER BY dist, id) AS BIGINT) AS rank,
+         id, lang, (round(1.0 / (1.0 + dist), 6) + 0.0) AS score
+  FROM d
+)
+SELECT 'get' AS part, CAST(0 AS BIGINT) AS rank, id, lang,
+       (round(v0, 6) + 0.0) AS score
+FROM base WHERE doc_id = 42
+UNION ALL
+SELECT part, rank, id, lang, score FROM ranked WHERE rank <= {K}
 """
 
 _ORACLES["persistence_roundtrip"] = """
@@ -1890,10 +2017,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_guarded": q_dedup_guarded,
         "dedup_canonical": q_dedup_canonical,
         "simhash": q_simhash,
         "embed_near_dup": q_embed_near_dup,
         "session_lifecycle": q_session_lifecycle,
+        "session_get_recent": q_session_get_recent,
         "persistence_roundtrip": q_persistence_roundtrip,
         "soft_delete_stats": q_soft_delete_stats,
         "media_image_features": q_media_image_features,

@@ -136,9 +136,15 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
+
+    `max_shingle_freq` defaults ON (1000): a shingle appearing in more
+    docs than this (boilerplate) makes the candidate join quadratic and
+    cannot be discriminative at a 0.8 threshold; the cutoff is the
+    certified 100 TB configuration (q_dedup_guarded).  Pass None only
+    for the strict all-pairs contract on small corpora.
 
     Inverted-index plan: explode shingles -> self-join on shingle ->
     count intersections per pair -> join per-doc set sizes ->
@@ -213,10 +219,18 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Sub-quadratic near-dup detection: band-bucket join on MinHash
     signatures, then EXACT Jaccard verification of candidates.
+
+    `max_bucket_size` defaults ON (10k): one degenerate band bucket (all
+    signatures agreeing on a band, e.g. a corpus-wide boilerplate
+    template) would contribute size² candidate pairs; buckets past the
+    cap are dropped.  Recall loss only touches pairs findable SOLELY via
+    a >10k-member bucket — at b=16 bands a true near-dup pair almost
+    surely shares several buckets.  Pass None for strict exhaustiveness
+    on small corpora.
 
     With H=64, b=16 bands of r=4 rows, the S-curve midpoint is
     (1/16)^(1/4) ≈ 0.5 — pairs above `threshold` 0.8 are caught with
