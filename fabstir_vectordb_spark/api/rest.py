@@ -66,6 +66,36 @@ def make_handler(session: VectorDbSession):
             if self.path == "/health":
                 return self._json(200, {"status": "ok"})
             if self.path == "/api/v1/statistics":
+                # StatisticsResponse {total_vectors, recent_vectors,
+                # historical_vectors, memory_usage{total_bytes, hnsw_bytes,
+                # ivf_bytes}} (rest.rs:679-693 — a TODO returning zeros in
+                # the reference; here populated for real).  Byte figures
+                # are float32-storage estimates; hnsw_bytes stays 0 (no
+                # graph index by design, SURVEY §7).
+                s = session.get_stats()
+                dim = s.get("dimension") or 0
+                vec_bytes = s["vectorCount"] * dim * 4
+                idx = getattr(session, "_index", None)
+                ivf_bytes = (
+                    idx.n_clusters * dim * 4
+                    if idx is not None and getattr(idx, "is_trained", False)
+                    else 0
+                )
+                return self._json(
+                    200,
+                    {
+                        "total_vectors": s["vectorCount"],
+                        "recent_vectors": s["recentCount"],
+                        "historical_vectors": s["historicalCount"],
+                        "memory_usage": {
+                            "total_bytes": vec_bytes + ivf_bytes,
+                            "hnsw_bytes": 0,
+                            "ivf_bytes": ivf_bytes,
+                        },
+                    },
+                )
+            if self.path == "/api/v1/statistics/session":
+                # the session-level stats shape (session.rs:699-721)
                 return self._json(200, session.get_stats())
             m = _VEC_ID_RE.match(self.path)
             if m:
@@ -96,17 +126,11 @@ def make_handler(session: VectorDbSession):
                 except (VectorDbError, KeyError, TypeError) as e:
                     return self._json(400, {"error": str(e)})
             if self.path == "/api/v1/vectors/batch":
-                # per-row error list (rest.rs:449-531)
-                ok, errors = [], []
-                for i, item in enumerate(body.get("vectors", [])):
-                    try:
-                        session.add_vectors([item])
-                        ok.append(str(item.get("id")))
-                    except (VectorDbError, KeyError, TypeError) as e:
-                        errors.append({"index": i, "error": str(e)})
-                return self._json(
-                    207 if errors else 201, {"inserted": ok, "errors": errors}
-                )
+                # single-pass batch insert with the reference's per-row
+                # error shape: BatchInsertResponse {successful, failed,
+                # errors: [{id, error}]} (rest.rs:449-531, returns 200)
+                res = session.batch_add_vectors(body.get("vectors", []))
+                return self._json(200, res)
             if self.path == "/api/v1/search":
                 vec = body.get("vector")
                 if not vec:

@@ -62,6 +62,45 @@ def _fake_pixels(data: bytes, width: int, height: int) -> np.ndarray:
     return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def _decode_batch(pdf, decoder: str, w: int, h: int):
+    """Decode one Arrow batch (pandas DataFrame) -> pixel columns.
+
+    Factored out of the mapInPandas kernel so the REAL decoder branch is
+    unit-testable in-process (tests/test_multimodal.py) even though this
+    container ships without PIL — Spark workers and the test exercise the
+    identical code.  `decoder='pil'`: PIL.Image bytes -> RGB -> resize;
+    rows whose bytes don't parse yield nulls (decode failure is a per-row
+    condition, not a job failure).  `decoder='fake'`: deterministic
+    content-hash pixels (the documented stub)."""
+    if decoder == "pil":
+        import io
+
+        from PIL import Image  # imported on the executor, where it runs
+
+    pixels, widths, heights = [], [], []
+    for data, kind in zip(pdf["bytes"], pdf["kind"]):
+        if kind != "image" or data is None:
+            pixels.append(None)
+            widths.append(None)
+            heights.append(None)
+            continue
+        if decoder == "pil":
+            try:
+                img = Image.open(io.BytesIO(bytes(data))).convert("RGB").resize((w, h))
+                arr = np.asarray(img, dtype=np.uint8)
+            except Exception:
+                pixels.append(None)
+                widths.append(None)
+                heights.append(None)
+                continue
+        else:
+            arr = _fake_pixels(bytes(data), w, h)
+        pixels.append(arr.reshape(-1).astype("int32").tolist())
+        widths.append(w)
+        heights.append(h)
+    return pdf.assign(pixels=pixels, px_width=widths, px_height=heights)
+
+
 def decode_images(
     df: DataFrame,
     decoder: str = "fake",
@@ -69,10 +108,15 @@ def decode_images(
 ) -> DataFrame:
     """binary -> fixed-shape pixel tensor column (flattened array<int> +
     shape fields).  Resize is part of decode so undecoded full-resolution
-    pixels never hit the shuffle."""
+    pixels never hit the shuffle.
+
+    decoder='pil' is the REAL path (requires PIL on driver+executors);
+    'auto' picks pil when available, else the deterministic fake."""
+    if decoder == "auto":
+        decoder = "pil" if _have_pil() else "fake"
     if decoder == "pil" and not _have_pil():
         raise NotImplementedError(
-            "STUB: PIL not available in this environment; use decoder='fake'"
+            "PIL not available in this environment; use decoder='fake' or 'auto'"
         )
     if decoder not in ("fake", "pil"):
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -90,18 +134,7 @@ def decode_images(
         for pdf in batches:
             if pdf.empty:
                 continue
-            pixels, widths, heights = [], [], []
-            for data, kind in zip(pdf["bytes"], pdf["kind"]):
-                if kind != "image" or data is None:
-                    pixels.append(None)
-                    widths.append(None)
-                    heights.append(None)
-                    continue
-                arr = _fake_pixels(bytes(data), w, h)
-                pixels.append(arr.reshape(-1).astype("int32").tolist())
-                widths.append(w)
-                heights.append(h)
-            yield pdf.assign(pixels=pixels, px_width=widths, px_height=heights)
+            yield _decode_batch(pdf, decoder, w, h)
 
     return df.mapInPandas(kernel, out_schema)
 

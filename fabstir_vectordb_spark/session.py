@@ -175,6 +175,88 @@ class VectorDbSession:
         self._bound_lineage()
         return len(rows)
 
+    def batch_add_vectors(
+        self,
+        vectors: list[dict],
+        timestamp: _dt.datetime | None = None,
+    ) -> dict:
+        """Best-effort batch insert with per-row errors in ONE pass
+        (src/api/rest.rs:449-531 BatchInsertResponse {successful, failed,
+        errors: [{id, error}]}): invalid rows are skipped and reported,
+        valid rows are committed — via a single live-id existence probe
+        and a single union, never a per-row loop."""
+        now = timestamp or _utcnow()
+        errors: list[dict] = []
+        rows: list[dict] = []
+        seen: set[str] = set()
+        dim = self._dim
+        for item in vectors:
+            try:
+                vid = str(item["id"])
+            except (KeyError, TypeError) as e:
+                errors.append({"id": "?", "error": f"missing id: {e}"})
+                continue
+            try:
+                vec = [float(x) for x in item["vector"]]
+                if not vec:
+                    raise VectorDbError(f"empty vector for id {vid!r}")
+                if dim is None:
+                    dim = len(vec)
+                elif len(vec) != dim:
+                    raise VectorDbError(
+                        f"dimension mismatch for id {vid!r}: got {len(vec)}, expected {dim}"
+                    )
+                if vid in seen:
+                    raise VectorDbError(f"duplicate id in batch: {vid!r}")
+                md = item.get("metadata")
+                if self._schema is not None:
+                    self._schema.validate_metadata(md)
+            except (VectorDbError, KeyError, TypeError, ValueError) as e:
+                errors.append({"id": vid, "error": str(e)})
+                continue
+            seen.add(vid)
+            rows.append(
+                {
+                    "id": vid,
+                    "vector": vec,
+                    "metadata": md,
+                    "ts": item.get("timestamp") or now,
+                    "deleted": False,
+                }
+            )
+        if rows and self._df is not None:
+            clash = {
+                r["id"]
+                for r in self._df.filter(~F.col("deleted"))
+                .filter(F.col("id").isin(sorted(seen)))
+                .select("id")
+                .collect()
+            }
+            if clash:
+                kept = []
+                for row in rows:
+                    if row["id"] in clash:
+                        errors.append(
+                            {
+                                "id": row["id"],
+                                "error": f"duplicate id: {row['id']!r} already exists",
+                            }
+                        )
+                    else:
+                        kept.append(row)
+                rows = kept
+        if rows:
+            self._dim = dim
+            self._invalidate()
+            batch = self._create_batch_df(rows)
+            self._df = (
+                batch
+                if self._df is None
+                else self._df.unionByName(batch, allowMissingColumns=True)
+            )
+            self._bound_lineage()
+        return {"successful": len(rows), "failed": len(errors), "errors": errors}
+
     def _create_batch_df(self, rows: list[dict]) -> DataFrame:
         base = T.StructType(
             [

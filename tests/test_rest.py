@@ -76,6 +76,8 @@ def test_vector_crud(server):
 
 
 def test_batch_partial_errors(server):
+    # reference shape: BatchInsertResponse {successful, failed,
+    # errors: [{id, error}]} (rest.rs:449-531)
     code, body = _req(server, "POST", "/api/v1/vectors/batch", {
         "vectors": [
             {"id": "e", "vector": [1.0, 1.0]},
@@ -83,12 +85,40 @@ def test_batch_partial_errors(server):
             {"id": "f", "vector": [1.0]},        # wrong dim -> per-row error
         ]
     })
-    assert code == 207
-    assert body["inserted"] == ["e"]
-    assert len(body["errors"]) == 2
+    assert code == 200
+    assert body["successful"] == 1
+    assert body["failed"] == 2
+    assert {e["id"] for e in body["errors"]} == {"a", "f"}
+    assert all(set(e) == {"id", "error"} for e in body["errors"])
+    # the valid row actually landed
+    code, got = _req(server, "GET", "/api/v1/vectors/e")
+    assert code == 200 and got["vector"] == [1.0, 1.0]
 
 
 def test_statistics(server):
+    # StatisticsResponse shape (rest.rs:679-693), populated for real
     code, body = _req(server, "GET", "/api/v1/statistics")
     assert code == 200
+    assert set(body) == {
+        "total_vectors", "recent_vectors", "historical_vectors", "memory_usage"
+    }
+    assert body["total_vectors"] >= 3
+    assert body["total_vectors"] == body["recent_vectors"] + body["historical_vectors"]
+    mu = body["memory_usage"]
+    assert set(mu) == {"total_bytes", "hnsw_bytes", "ivf_bytes"}
+    assert mu["total_bytes"] == body["total_vectors"] * 2 * 4 + mu["ivf_bytes"]
+
+    code, body = _req(server, "GET", "/api/v1/statistics/session")
+    assert code == 200
     assert body["vectorCount"] >= 3 and body["dimension"] == 2
+
+
+def test_batch_insert_bulk(server):
+    code, body = _req(server, "POST", "/api/v1/vectors/batch", {
+        "vectors": [
+            {"id": f"bulk{i}", "vector": [float(i), 1.0]} for i in range(20)
+        ]
+    })
+    assert code == 200 and body["successful"] == 20 and body["failed"] == 0
+    code, _ = _req(server, "GET", "/api/v1/vectors/bulk19")
+    assert code == 200

@@ -83,6 +83,32 @@ def test_batch_update_is_one_pass(spark, sess):
     assert n <= 3, f"batch_update_metadata ran {n} jobs for 20 ids"
 
 
+def test_batch_add_vectors_stats_and_one_pass(spark, sess):
+    # per-row errors: live-id clash, in-batch duplicate, bad dim, missing id
+    res = sess.batch_add_vectors(
+        [
+            {"id": "n1", "vector": [1.0, 2.0, 3.0]},
+            {"id": "v0", "vector": [1.0, 2.0, 3.0]},       # exists
+            {"id": "n2", "vector": [1.0]},                  # bad dim
+            {"id": "n1", "vector": [9.0, 9.0, 9.0]},        # dup in batch
+            {"vector": [1.0, 2.0, 3.0]},                    # no id
+        ]
+    )
+    assert res["successful"] == 1
+    assert res["failed"] == 4
+    assert {e["id"] for e in res["errors"]} == {"v0", "n2", "n1", "?"}
+    assert sess.get_vector("n1")["vector"] == [1.0, 2.0, 3.0]
+    # one-pass: one existence probe regardless of batch size
+    n = _jobs_for(
+        spark,
+        "ba",
+        lambda: sess.batch_add_vectors(
+            [{"id": f"m{i}", "vector": [float(i), 0.0, 0.0]} for i in range(30)]
+        ),
+    )
+    assert n <= 2, f"batch_add_vectors ran {n} jobs for 30 rows"
+
+
 def test_single_update_still_raises(sess):
     with pytest.raises(VectorDbError, match="not found"):
         sess.update_metadata("missing", {"lang": "xx"})
