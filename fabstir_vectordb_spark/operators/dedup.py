@@ -447,7 +447,8 @@ def _prune_hot_buckets(
     quadratic.  With a cutoff set, oversized buckets are dropped before
     the join — their members are better handled by exact_dedup first
     (identical texts) or remain catchable via their other bands.
-    Default None preserves the exact all-pairs contract."""
+    None (passthrough) preserves the exact all-pairs contract; the
+    public entry point defaults the cutoff ON (minhash_lsh_pairs)."""
     if max_bucket_size is None:
         return banded
     big = (

@@ -176,9 +176,51 @@ def main() -> int:
     times["simhash_canonicalize"] = round(time.time() - t0, 2)
     _log(f"simhash_canonicalize {times['simhash_canonicalize']}s")
 
+    # adversarial corpus: EVERY doc carries the same 8-token boilerplate
+    # footer.  Unguarded, each footer shingle has doc-frequency N, so the
+    # inverted-index candidate join materializes ~N^2/2 pairs PER hot
+    # shingle — we report that would-be row count analytically (one cheap
+    # aggregate) and time only the guarded path, which drops the hot
+    # shingles before the join.
+    footer = "all rights reserved worldwide legal notice do not remove"
+    docs_hot = docs.select(
+        "doc_id", F.concat_ws(" ", "text", F.lit(footer)).alias("text")
+    ).cache()
+    docs_hot.count()
+
+    from fabstir_vectordb_spark.operators.dedup import _shingle_table
+
+    cutoff = 1000
+    would_be = (
+        _shingle_table(docs_hot, "text", "doc_id", 3, None)
+        .groupBy("shingle")
+        .count()
+        .filter(F.col("count") > cutoff)
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"))
+        .collect()[0]["pairs"]
+    )
+    _log(f"unguarded would-be candidate rows from hot shingles: {would_be:.3g}")
+
+    t0 = time.time()
+    n_guarded = DD.ngram_jaccard_pairs(
+        docs_hot, threshold=0.8, n=3, max_shingle_freq=cutoff
+    ).count()
+    times["ngram_guarded_hot"] = round(time.time() - t0, 2)
+    _log(f"ngram_guarded_hot {times['ngram_guarded_hot']}s ({n_guarded} pairs)")
+
+    t0 = time.time()
+    n_mh_hot = DD.minhash_lsh_pairs(docs_hot, threshold=0.8).count()
+    times["minhash_guarded_hot"] = round(time.time() - t0, 2)
+    _log(f"minhash_guarded_hot {times['minhash_guarded_hot']}s ({n_mh_hot} pairs)")
+
     print(json.dumps({
         "n_vectors": n_vec, "n_docs": n_doc,
         "minhash_pairs": n_pairs, "times": times,
+        "hot_corpus": {
+            "unguarded_candidate_rows": float(would_be or 0),
+            "guarded_ngram_pairs": n_guarded,
+            "guarded_minhash_pairs": n_mh_hot,
+        },
         "total": round(sum(times.values()), 2),
     }))
     return 0
