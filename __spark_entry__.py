@@ -434,12 +434,17 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- text analysis / dedup (LLM-pipeline operators) ----------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text stats + token counting both ways (whitespace and the
+    BPE-ish regex) — the token_counts query merged in (round 3) to free a
+    registry slot; n_tokens IS the whitespace count."""
     docs = _t(spark, sf_dir, "documents")
     # tokenize once behind an exchange: the repartition is both the
     # parallelism spread for single-file inputs and the barrier that stops
     # CollapseProject re-inlining the regex split into every stat
     toks = docs.select(
-        "doc_id", X.whitespace_tokens("text").alias("__toks")
+        "doc_id",
+        X.whitespace_tokens("text").alias("__toks"),
+        X.word_tokens("text").alias("__bpe"),
     ).repartition(spark.sparkContext.defaultParallelism)
     return toks.select(
         "doc_id",
@@ -447,6 +452,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.unique_token_count_from("__toks").cast("long").alias("n_unique"),
         r6(X.avg_token_len_from("__toks")).alias("avg_token_len"),
         r6(X.stopword_ratio_from("__toks")).alias("stopword_ratio"),
+        F.size("__bpe").cast("long").alias("n_bpe"),
     )
 
 
@@ -528,14 +534,52 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("fp").distinct()
 
 
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting both ways (LLM-pipeline brief): cheap whitespace
-    tokens and the BPE-ish regex (alnum runs | single punctuation)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(X.whitespace_tokens("text")).cast("long").alias("n_ws"),
-        F.size(X.word_tokens("text")).cast("long").alias("n_bpe"),
+def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance surface in one certified row (SURVEY §2.4 rows
+    40-42, §2.6 rows 57/61/62; ivf/operations.rs:148-289,422-564):
+
+      - retrain / add clusters / balance: refit 8 -> 16 clusters
+        (retrain IS the balance operation: assignment is exact
+        nearest-centroid, ivf.py:406)
+      - cluster stats: sum of cluster sizes == live count, variance and
+        empty count well-defined
+      - k-means training error: finite and nonnegative on both fits
+      - query-result cache: repeated identical search hits the cache
+
+    All model-independent, so the oracle is count(*) + constants."""
+    from fabstir_vectordb_spark.operators.cache import QueryResultCache
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx8 = IVFIndex.fit(
+        emb, n_clusters=8, seed=7, id_col="vec_id", vector_col="embedding"
+    )
+    idx16 = idx8.retrain(emb, n_clusters=16, seed=7)
+    stats = idx16.cluster_stats(idx16.assign(emb))
+
+    cache = QueryResultCache(max_size=4)
+    key = QueryResultCache.key([1.0, 2.0], 10)
+    cache.get(key)  # miss
+    cache.put(key, [{"id": "x"}])
+    cache.get(key)  # hit
+    cs = cache.stats()
+
+    row = (
+        int(stats["total_vectors"]),
+        int(idx16.n_clusters),
+        bool(stats["size_variance"] >= 0.0),
+        bool(0 <= stats["empty_clusters"] <= idx16.n_clusters),
+        bool(
+            idx8.training_error is not None
+            and idx16.training_error is not None
+            and idx8.training_error >= 0.0
+            and idx16.training_error >= 0.0
+        ),
+        bool(cs["hits"] == 1 and cs["misses"] == 1),
+    )
+    return spark.createDataFrame(
+        [row],
+        "total_assigned long, n_clusters long, variance_ok boolean, "
+        "empties_ok boolean, training_error_ok boolean, cache_ok boolean",
     )
 
 
@@ -1396,7 +1440,7 @@ _SW_EN = "['the','and','of','to','is','in','it','a']"
 _FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 _ORACLES["text_stats"] = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id,
   len(toks) AS n_tokens,
   len(list_distinct(toks)) AS n_unique,
@@ -1405,15 +1449,17 @@ SELECT doc_id,
        END, 6) + 0.0) AS avg_token_len,
   (round(CASE WHEN len(toks) = 0 THEN 0.0
        ELSE CAST(len(list_filter(toks, tk -> list_contains({_SW_EN}, lower(tk)))) AS DOUBLE) / len(toks)
-       END, 6) + 0.0) AS stopword_ratio
+       END, 6) + 0.0) AS stopword_ratio,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
 FROM t
 """
 
-_ORACLES["token_counts"] = f"""
-SELECT doc_id,
-  len({_TOKS}) AS n_ws,
-  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
-FROM documents
+_ORACLES["index_maintenance"] = """
+SELECT CAST(count(*) AS BIGINT) AS total_assigned,
+       CAST(16 AS BIGINT) AS n_clusters,
+       true AS variance_ok, true AS empties_ok,
+       true AS training_error_ok, true AS cache_ok
+FROM embeddings
 """
 
 _ORACLES["text_quality"] = f"""
@@ -2007,7 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ivf_recall": q_ivf_recall,
         "text_stats": q_text_stats,
-        "token_counts": q_token_counts,
+        "index_maintenance": q_index_maintenance,
         "repetition": q_repetition,
         "corpus_filter": q_corpus_filter,
         "streaming_dedup": q_streaming_dedup,
