@@ -584,13 +584,14 @@ def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score + language ID in one per-doc scan (merged round 3 to
+    free a registry slot; both remain individually oracle-checked)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", r6(X.quality_score("text")).alias("quality"))
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.lang_id("text").alias("pred_lang"))
+    return docs.select(
+        "doc_id",
+        r6(X.quality_score("text")).alias("quality"),
+        X.lang_id("text").alias("pred_lang"),
+    )
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -924,9 +925,7 @@ def q_persistence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         timestamp=__import__("datetime").datetime(2024, 1, 1),
     )
-    for r in rows:
-        if r["doc_id"] % 11 == 0:
-            sess.delete_vector(str(r["doc_id"]))
+    sess.batch_delete([str(r["doc_id"]) for r in rows if r["doc_id"] % 11 == 0])
     sess.train_index(n_clusters=8, seed=42)
     path = tempfile.mkdtemp(prefix="sess_roundtrip_")
     sess.save(path)
@@ -938,6 +937,57 @@ def q_persistence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("metadata.n_chars").cast("long").alias("n_chars"),
         "deleted",
         F.lit(ok).alias("integrity_ok"),
+    )
+
+
+def q_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backup / restore surface (SURVEY §2.7 rows 68-69;
+    maintenance.rs:653-799, which the reference largely simulates — here
+    real FS + DataFrame ops over the save layout): full backup +
+    row-count/manifest verification, incremental backup of rows newer
+    than a ts cut (the cut count is SQL-checkable from the fixture),
+    restore into a fresh tree, load.  Emits the restored live state with
+    the verification flag and the increment's row count."""
+    import datetime as _dt
+    import tempfile
+
+    from fabstir_vectordb_spark.session import VectorDbSession
+    from fabstir_vectordb_spark.sources import backup as B
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    rows = docs.select("doc_id", "lang").collect()
+    old, new = _dt.datetime(2024, 1, 1), _dt.datetime(2024, 6, 1)
+    sess = VectorDbSession(spark, session_id="backup")
+    sess.add_vectors(
+        [
+            {
+                "id": str(r["doc_id"]),
+                "vector": [float(r["doc_id"] % 13), 1.0],
+                "metadata": {"lang": r["lang"]},
+                "timestamp": new if r["doc_id"] % 3 == 0 else old,
+            }
+            for r in rows
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="sess_backup_")
+    sess.save(path)
+    bak, inc, restored = path + "_bak", path + "_inc", path + "_restored"
+    B.backup(path, bak)
+    ok = bool(B.verify_backup(spark, path, bak)["ok"])
+    incr_rows = int(
+        B.incremental_backup(spark, path, inc, since=_dt.datetime(2024, 3, 1))["rows"]
+    )
+    B.restore(bak, restored)
+    loaded = VectorDbSession.load(spark, restored)
+    return (
+        loaded.dataframe()
+        .filter(~F.col("deleted"))
+        .select(
+            "id",
+            F.col("metadata.lang").alias("lang"),
+            F.lit(ok).alias("backup_ok"),
+            F.lit(incr_rows).cast("long").alias("incr_rows"),
+        )
     )
 
 
@@ -1462,7 +1512,7 @@ SELECT CAST(count(*) AS BIGINT) AS total_assigned,
 FROM embeddings
 """
 
-_ORACLES["text_quality"] = f"""
+_QUALITY_SQL = f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
 c AS (
   SELECT doc_id,
@@ -1506,7 +1556,7 @@ SELECT doc_id,
 FROM c
 """
 
-_ORACLES["lang_id"] = f"""
+_LANG_SQL = f"""
 WITH t AS (
   SELECT doc_id, text,
          list_transform({_TOKS}, tk -> lower(tk)) AS lt
@@ -1528,6 +1578,12 @@ SELECT doc_id,
        WHEN v_fr > v_en THEN 'fr'
        ELSE 'en' END AS pred_lang
 FROM v
+"""
+
+# quality + lang-id merged into one per-doc scan (see q_text_quality)
+_ORACLES["text_quality"] = f"""
+SELECT q.doc_id, q.quality, l.pred_lang
+FROM ({_QUALITY_SQL}) q JOIN ({_LANG_SQL}) l ON q.doc_id = l.doc_id
 """
 
 _ORACLES["doc_fingerprint"] = f"SELECT doc_id, {_FP} AS fp FROM documents"
@@ -1769,6 +1825,13 @@ _ORACLES["persistence_roundtrip"] = """
 SELECT CAST(doc_id AS VARCHAR) AS id, lang, CAST(n_chars AS BIGINT) AS n_chars,
        (doc_id % 11 = 0) AS deleted, true AS integrity_ok
 FROM documents WHERE doc_id < 100
+"""
+
+_ORACLES["backup_restore"] = """
+SELECT CAST(doc_id AS VARCHAR) AS id, lang, true AS backup_ok,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents
+        WHERE doc_id < 120 AND doc_id % 3 = 0) AS incr_rows
+FROM documents WHERE doc_id < 120
 """
 
 _ORACLES["soft_delete_stats"] = """
@@ -2058,7 +2121,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "streaming_dedup": q_streaming_dedup,
         "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2070,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_lifecycle": q_session_lifecycle,
         "session_get_recent": q_session_get_recent,
         "persistence_roundtrip": q_persistence_roundtrip,
+        "backup_restore": q_backup_restore,
         "soft_delete_stats": q_soft_delete_stats,
         "media_image_features": q_media_image_features,
         "media_audio_windows": q_media_audio_windows,
