@@ -214,13 +214,38 @@ def q_search_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_filter_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mongo-dialect filter compiler: $and + $in + range (SURVEY §2.3)."""
+    """Mongo-dialect filter compiler: $and + $in + range (SURVEY §2.3),
+    plus the dialect's ERROR contract as certified flags (rows 26-27,
+    metadata_filter.rs:188-204: unknown $op must raise, an empty field
+    object must raise) and metadata-schema rejection (schema.rs:199-205):
+    wrong-typed metadata must fail validation."""
+    from fabstir_vectordb_spark.functions.schema import MetadataSchema
+
     docs = _t(spark, sf_dir, "documents")
     pred = compile_filter(
         {"$and": [{"lang": {"$in": ["en", "es"]}}, {"n_chars": {"$gte": 100, "$lt": 400}}]},
         docs.schema,
     )
-    return docs.filter(pred).select("doc_id", "lang", "source", "n_chars")
+
+    def _raises(fn) -> bool:
+        try:
+            fn()
+            return False
+        except Exception:
+            return True
+
+    unknown_op = _raises(lambda: compile_filter({"lang": {"$regex": "x"}}, docs.schema))
+    empty_field = _raises(lambda: compile_filter({"lang": {}}, docs.schema))
+    schema = MetadataSchema.from_json(
+        {"fields": {"views": {"type": "number", "required": True}}}
+    )
+    schema_rejects = _raises(lambda: schema.validate_metadata({"views": "many"}))
+    return docs.filter(pred).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.lit(unknown_op).alias("unknown_op_raises"),
+        F.lit(empty_field).alias("empty_field_raises"),
+        F.lit(schema_rejects).alias("schema_rejects"),
+    )
 
 
 def q_filter_array_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1423,7 +1448,10 @@ SELECT query_id, id, (round(1.0 / (1.0 + distance), 6) + 0.0) AS score
 FROM r WHERE rn <= 50 AND round(1.0 / (1.0 + distance), 6) >= 0.1
 """.format(nq=NQ, l2=_L2),
     "filter_matrix": """
-SELECT doc_id, lang, source, n_chars FROM documents
+SELECT doc_id, lang, source, n_chars,
+       true AS unknown_op_raises, true AS empty_field_raises,
+       true AS schema_rejects
+FROM documents
 WHERE lang IN ('en', 'es') AND n_chars >= 100 AND n_chars < 400
 """,
     "filter_array_contains": """
