@@ -500,9 +500,14 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel — the composition a training-data
     pipeline actually runs: language gate + quality score + intra-doc
     repetition + length bounds in ONE scan-shaped pass, emitting every
-    gate signal next to the verdict so a dropped doc is auditable.
+    gate signal next to the verdict so a dropped doc is auditable; plus
+    (round 3) the deterministic train/val/test assignment and a
+    downsample-keep flag (operators/sampling.py — id-hash based, growth-
+    stable, engine-independent, so both are exactly SQL-checkable).
     All pure column expressions; the only exchange is the tokenize-once
     barrier shared with the other text queries."""
+    from fabstir_vectordb_spark.operators.sampling import assign_split, sample_keep
+
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -515,13 +520,15 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.token_count_from("__toks").cast("long").alias("n_tokens"),
         X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
     )
-    return sig.withColumn(
+    out = sig.withColumn(
         "passed",
         (F.col("lang") == "en")
         & (F.col("quality") >= 0.3)
         & (F.col("rep_3gram") <= 0.2)
         & F.col("n_tokens").between(10, 5000),
     )
+    out = assign_split(out)  # train/val/test 0.9/0.05/0.05
+    return out.withColumn("sampled", sample_keep("doc_id", 0.25))
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1670,7 +1677,14 @@ WITH t AS (
 )
 SELECT doc_id, lang, quality, n_tokens, rep_3gram,
   (lang = 'en' AND quality >= 0.3 AND rep_3gram <= 0.2
-   AND n_tokens BETWEEN 10 AND 5000) AS passed
+   AND n_tokens BETWEEN 10 AND 5000) AS passed,
+  CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)
+            / 4294967296.0 < 0.9 THEN 'train'
+       WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)
+            / 4294967296.0 < 0.95 THEN 'val'
+       ELSE 'test' END AS split,
+  (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|sample')), 1, 8)) AS BIGINT)
+   / 4294967296.0 < 0.25) AS sampled
 FROM sig
 """
 
