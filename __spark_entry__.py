@@ -478,21 +478,34 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(X.avg_token_len_from("__toks")).alias("avg_token_len"),
         r6(X.stopword_ratio_from("__toks")).alias("stopword_ratio"),
         F.size("__bpe").cast("long").alias("n_bpe"),
+        X.repetition_ratio_from("__toks", 1).alias("rep_1gram"),
+        X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
     )
 
 
-def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intra-doc repetition ratios (the boilerplate/looping-text quality
-    signal corpus curation filters on): fraction of duplicate tokens and
-    duplicate word-trigrams per document."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", X.whitespace_tokens("text").alias("__toks")
-    ).repartition(spark.sparkContext.defaultParallelism)
-    return toks.select(
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-corpus curation stage): typed-placeholder
+    redaction of emails / URLs / long digit runs, patterns chosen to
+    parse identically under Java regex and RE2 (functions/text.py
+    PII_PATTERNS).  The fixture plants known PII (doc_id%5: email,
+    %7: URL, %11: phone) so counts are nonzero; the oracle replays the
+    identical regex chain and compares match counts AND the md5 of the
+    redacted text."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" mail me at john.doe@example.com")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" docs at https://example.com/a?b=1")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call +1 (415) 555-0100")).otherwise(F.lit("")),
+        ),
+    )
+    return docs.select(
         "doc_id",
-        X.repetition_ratio_from("__toks", 1).alias("rep_1gram"),
-        X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
+        X.pii_counts("text", "email").cast("long").alias("n_email"),
+        X.pii_counts("text", "url").cast("long").alias("n_url"),
+        X.pii_counts("text", "digits").cast("long").alias("n_number"),
+        F.md5(X.redact_pii("text")).alias("redacted_fp"),
     )
 
 
@@ -1525,18 +1538,32 @@ _SW_EN = "['the','and','of','to','is','in','it','a']"
 _FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 _ORACLES["text_stats"] = f"""
-WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, text, toks, len(toks) AS sz,
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks) - 2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END AS g3
+  FROM t
+)
 SELECT doc_id,
-  len(toks) AS n_tokens,
+  sz AS n_tokens,
   len(list_distinct(toks)) AS n_unique,
-  (round(CASE WHEN len(toks) = 0 THEN 0.0
-       ELSE list_sum(list_transform(toks, tk -> CAST(len(tk) AS DOUBLE))) / len(toks)
+  (round(CASE WHEN sz = 0 THEN 0.0
+       ELSE list_sum(list_transform(toks, tk -> CAST(len(tk) AS DOUBLE))) / sz
        END, 6) + 0.0) AS avg_token_len,
-  (round(CASE WHEN len(toks) = 0 THEN 0.0
-       ELSE CAST(len(list_filter(toks, tk -> list_contains({_SW_EN}, lower(tk)))) AS DOUBLE) / len(toks)
+  (round(CASE WHEN sz = 0 THEN 0.0
+       ELSE CAST(len(list_filter(toks, tk -> list_contains({_SW_EN}, lower(tk)))) AS DOUBLE) / sz
        END, 6) + 0.0) AS stopword_ratio,
-  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
-FROM t
+  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+  CASE WHEN sz >= 1
+       THEN (round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / sz, 6) + 0.0)
+       ELSE 0.0 END AS rep_1gram,
+  CASE WHEN sz >= 3
+       THEN (round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / (sz - 2), 6) + 0.0)
+       ELSE 0.0 END AS rep_3gram
+FROM c
 """
 
 _ORACLES["index_maintenance"] = """
@@ -1571,24 +1598,31 @@ SELECT doc_id,
 FROM c
 """
 
-_ORACLES["repetition"] = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-c AS (
-  SELECT doc_id, toks, len(toks) AS sz,
-    CASE WHEN len(toks) >= 3
-         THEN list_transform(generate_series(1, len(toks) - 2),
-              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-         ELSE [] END AS g3
-  FROM t
+# identical planted fixture + regex chain as q_pii_redact (patterns are
+# Java-regex/RE2 compatible by construction; DuckDB needs the 'g' flag —
+# Spark's regexp_replace is global by default)
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_URL = "https?://[^\\s]+"
+_PII_NUM = "[0-9][0-9 ()+.-]{7,}[0-9]"
+_ORACLES["pii_redact"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    concat(text,
+      CASE WHEN doc_id % 5 = 0 THEN ' mail me at john.doe@example.com' ELSE '' END,
+      CASE WHEN doc_id % 7 = 0 THEN ' docs at https://example.com/a?b=1' ELSE '' END,
+      CASE WHEN doc_id % 11 = 0 THEN ' call +1 (415) 555-0100' ELSE '' END
+    ) AS text
+  FROM documents
 )
 SELECT doc_id,
-  CASE WHEN sz >= 1
-       THEN (round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / sz, 6) + 0.0)
-       ELSE 0.0 END AS rep_1gram,
-  CASE WHEN sz >= 3
-       THEN (round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / (sz - 2), 6) + 0.0)
-       ELSE 0.0 END AS rep_3gram
-FROM c
+  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{_PII_URL}')) AS BIGINT) AS n_url,
+  CAST(len(regexp_extract_all(text, '{_PII_NUM}')) AS BIGINT) AS n_number,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_URL}', '<URL>', 'g'),
+      '{_PII_NUM}', '<NUMBER>', 'g')) AS redacted_fp
+FROM t
 """
 
 _LANG_SQL = f"""
@@ -2159,7 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "text_stats": q_text_stats,
         "index_maintenance": q_index_maintenance,
-        "repetition": q_repetition,
+        "pii_redact": q_pii_redact,
         "corpus_filter": q_corpus_filter,
         "streaming_dedup": q_streaming_dedup,
         "text_quality": q_text_quality,

@@ -223,3 +223,34 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams — the dedup shingle set (single-expression
     form; see word_shingles_from for the hot-path variant)."""
     return word_shingles_from(whitespace_tokens(text), n)
+
+
+# ------------------------------------------------------------- PII redaction
+
+# Deliberately simple patterns that parse identically under Java regex
+# (Spark) and RE2 (DuckDB): no backreferences, no lookaround.  Redaction
+# for training corpora is recall-oriented pattern scrubbing, not perfect
+# PII detection — these catch the overwhelmingly common shapes (emails,
+# URLs, long digit runs like phone/card numbers).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "url": (r"https?://[^\s]+", "<URL>"),
+    "digits": (r"[0-9][0-9 ()+.-]{7,}[0-9]", "<NUMBER>"),
+}
+
+
+def pii_counts(text: Column | str, kind: str) -> Column:
+    """How many matches of one PII pattern a document contains."""
+    pattern, _ = PII_PATTERNS[kind]
+    return F.size(F.regexp_extract_all(_c(text), F.lit(pattern), F.lit(0)))
+
+
+def redact_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace PII matches with typed placeholders, in PII_PATTERNS
+    order (email before digits so a phone inside an email never
+    half-redacts)."""
+    out = _c(text)
+    for kind in kinds or list(PII_PATTERNS):
+        pattern, token = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, token)
+    return out

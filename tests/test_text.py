@@ -92,3 +92,27 @@ def test_repetition_ratio(spark):
     assert out[1] == (0.0, 0.0)
     assert out[2] == (0.0, 0.0)
     assert out[3] == (0.75, 0.5)
+
+
+def test_pii_redaction(spark):
+    rows = [
+        (0, "reach me at a.b@test.org or b_c@x.co thanks"),
+        (1, "see https://x.example/path?q=1 and http://y.io"),
+        (2, "call +1 (415) 555-0100 now"),
+        (3, "clean text with a short number 42"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            X.pii_counts("text", "email").alias("ne"),
+            X.pii_counts("text", "url").alias("nu"),
+            X.pii_counts("text", "digits").alias("nn"),
+            X.redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert out[0]["ne"] == 2 and out[0]["red"] == "reach me at <EMAIL> or <EMAIL> thanks"
+    assert out[1]["nu"] == 2 and out[1]["red"] == "see <URL> and <URL>"
+    assert out[2]["nn"] == 1 and out[2]["red"] == "call +<NUMBER> now"
+    assert out[3]["red"] == rows[3][1]  # short digits untouched
