@@ -590,6 +590,9 @@ def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         empty count well-defined
       - k-means training error: finite and nonnegative on both fits
       - query-result cache: repeated identical search hits the cache
+      - cluster distribution (ivf/core.rs:536-550, absorbed from the
+        former cluster_distribution query): ids within [0, n_clusters),
+        every emitted bucket nonempty
 
     All model-independent, so the oracle is count(*) + constants."""
     from fabstir_vectordb_spark.operators.cache import QueryResultCache
@@ -599,7 +602,18 @@ def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, n_clusters=8, seed=7, id_col="vec_id", vector_col="embedding"
     )
     idx16 = idx8.retrain(emb, n_clusters=16, seed=7)
-    stats = idx16.cluster_stats(idx16.assign(emb))
+    assigned = idx16.assign(emb).cache()
+    stats = idx16.cluster_stats(assigned)
+    dist = (
+        ST.cluster_distribution(assigned)
+        .agg(
+            (
+                (F.min("cluster_id") >= 0) & (F.max("cluster_id") < idx16.n_clusters)
+            ).alias("ids_ok"),
+            (F.min("n") > 0).alias("nonempty_ok"),
+        )
+        .collect()[0]
+    )
 
     cache = QueryResultCache(max_size=4)
     key = QueryResultCache.key([1.0, 2.0], 10)
@@ -620,11 +634,15 @@ def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             and idx16.training_error >= 0.0
         ),
         bool(cs["hits"] == 1 and cs["misses"] == 1),
+        bool(dist["ids_ok"]),
+        bool(dist["nonempty_ok"]),
     )
+    assigned.unpersist()
     return spark.createDataFrame(
         [row],
         "total_assigned long, n_clusters long, variance_ok boolean, "
-        "empties_ok boolean, training_error_ok boolean, cache_ok boolean",
+        "empties_ok boolean, training_error_ok boolean, cache_ok boolean, "
+        "ids_in_range boolean, dist_nonempty_ok boolean",
     )
 
 
@@ -1150,21 +1168,46 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cluster_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster distribution (ivf/core.rs:536-550), emitted as the
-    model-independent summary so it hash-checks against SQL: every input
-    row lands in exactly one cluster (sizes sum to the table count),
-    cluster ids stay within [0, n_clusters), and no emitted bucket is
-    empty.  The per-cluster detail is covered by tests/test_ivf.py."""
-    _, idx, assigned = _assigned_ivf(spark, sf_dir)
-    dist = ST.cluster_distribution(assigned)
-    return dist.agg(
-        F.sum("n").cast("long").alias("total_assigned"),
-        (
-            (F.min("cluster_id") >= 0)
-            & (F.max("cluster_id") < idx.n_clusters)
-        ).alias("ids_in_range"),
-        (F.min("n") > 0).alias("nonempty_ok"),
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed aggregation as a REAL Structured
+    Streaming run (SURVEY §2.9; 1-hour tumbling windows over events.ts,
+    1-hour watermark, count + sum(value) per (window, event_type)).
+    The events table replays in micro-batches (maxFilesPerTrigger=1 over
+    a multi-file copy); complete output mode emits every window,
+    including those the watermark hasn't closed at end-of-stream, so the
+    finite-replay result equals the batch GROUP BY — the SQL oracle.
+    The append-mode/late-data state-eviction path is exercised by
+    tests/test_streaming.py over streaming/ingest.py."""
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="swin_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    name = f"swin_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        r6("sv").alias("sum_value"),
     )
 
 
@@ -1570,7 +1613,8 @@ _ORACLES["index_maintenance"] = """
 SELECT CAST(count(*) AS BIGINT) AS total_assigned,
        CAST(16 AS BIGINT) AS n_clusters,
        true AS variance_ok, true AS empties_ok,
-       true AS training_error_ok, true AS cache_ok
+       true AS training_error_ok, true AS cache_ok,
+       true AS ids_in_range, true AS dist_nonempty_ok
 FROM embeddings
 """
 
@@ -2147,11 +2191,14 @@ SELECT 'dot' AS metric, query_id, id, dot AS score
 FROM ({_ORACLES["knn_dot"]})
 """
 
-_ORACLES["cluster_distribution"] = """
-SELECT CAST(count(*) AS BIGINT) AS total_assigned,
-       true AS ids_in_range,
-       true AS nonempty_ok
-FROM embeddings
+# finite replay + complete mode => streaming windows equal batch GROUP BY
+_ORACLES["streaming_window"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       (round(sum(value), 6) + 0.0) AS sum_value
+FROM events
+GROUP BY 1, 2
 """
 
 _ORACLES["event_percentiles"] = """
@@ -2220,7 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "age_histogram": q_age_histogram,
         "hybrid_stats": q_hybrid_stats,
         "event_percentiles": q_event_percentiles,
-        "cluster_distribution": q_cluster_distribution,
+        "streaming_window": q_streaming_window,
         "streaming_topk": q_streaming_topk,
         "pq_adc_knn": q_pq_adc_knn,
         "pq_bulk_invariant": q_pq_bulk_invariant,
