@@ -523,13 +523,12 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
-        "doc_id",
-        X.lang_id("text").alias("lang"),
-        r6(X.quality_score("text")).alias("quality"),
-        X.whitespace_tokens("text").alias("__toks"),
+        "doc_id", "text", X.whitespace_tokens("text").alias("__toks")
     ).repartition(spark.sparkContext.defaultParallelism)
     sig = base.select(
-        "doc_id", "lang", "quality",
+        "doc_id",
+        X.lang_id("text", "__toks").alias("lang"),
+        r6(X.quality_score("text", "__toks")).alias("quality"),
         X.token_count_from("__toks").cast("long").alias("n_tokens"),
         X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
     )
@@ -648,12 +647,17 @@ def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality score + language ID in one per-doc scan (merged round 3 to
-    free a registry slot; both remain individually oracle-checked)."""
+    free a registry slot; both remain individually oracle-checked).
+    Tokenize ONCE behind the exchange; quality's token terms and the 4
+    language votes all read the materialized array."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    base = docs.select(
+        "doc_id", "text", X.whitespace_tokens("text").alias("__toks")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return base.select(
         "doc_id",
-        r6(X.quality_score("text")).alias("quality"),
-        X.lang_id("text").alias("pred_lang"),
+        r6(X.quality_score("text", "__toks")).alias("quality"),
+        X.lang_id("text", "__toks").alias("pred_lang"),
     )
 
 

@@ -83,16 +83,21 @@ def _stopword_hits(tokens: Column, lang: str) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(words, F.lower(t))))
 
 
-def lang_id(text: Column | str) -> Column:
+def lang_id(text: Column | str, tokens: Column | str | None = None) -> Column:
     """Heuristic language ID: CJK/Cyrillic/Arabic script detection, then
     stopword-vote among Latin languages, default 'en'.
 
     This is the engine's deterministic built-in (a real pipeline would
     plug a model here via mapInPandas); the point is the *operator*: a
     full-corpus scan classifier with no shuffle.
+
+    Pass ``tokens`` (a materialized token-array column behind an
+    exchange) in hot paths: each of the 4 language votes is a HOF lambda
+    over the tokens, and referencing a token *expression* re-runs the
+    regex split inside every one (PERFORMANCE.md pathology 1).
     """
     t = _c(text)
-    toks = whitespace_tokens(t)
+    toks = _c(tokens) if tokens is not None else whitespace_tokens(t)
     votes = {lang: _stopword_hits(toks, lang) for lang in STOPWORDS}
     best_latin = F.when(
         (votes["es"] > votes["en"])
@@ -144,7 +149,7 @@ def avg_token_len(text: Column | str) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(total / n.cast("double"))
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(text: Column | str, tokens: Column | str | None = None) -> Column:
     """Composite quality in [0,1]: length saturation + healthy stopword
     ratio + low digit/punct noise + sane token length.
 
@@ -152,11 +157,20 @@ def quality_score(text: Column | str) -> Column:
           + 0.25*min(1, 4*stopword_ratio_en)
           + 0.25*(1 - min(1, 4*digit_ratio))
           + 0.25*(1 - min(1, 4*punct_ratio))
+
+    Pass ``tokens`` (materialized behind an exchange) in hot paths; the
+    token-count and stopword terms otherwise each re-split the text.
     """
-    toks = token_count(text).cast("double")
+    if tokens is not None:
+        toks_arr = _c(tokens)
+        n_toks = F.size(toks_arr).cast("double")
+        sw = stopword_ratio_from(toks_arr)
+    else:
+        n_toks = token_count(text).cast("double")
+        sw = stopword_ratio(text)
     return (
-        F.lit(0.25) * F.least(F.lit(1.0), toks / 64.0)
-        + F.lit(0.25) * F.least(F.lit(1.0), stopword_ratio(text) * 4.0)
+        F.lit(0.25) * F.least(F.lit(1.0), n_toks / 64.0)
+        + F.lit(0.25) * F.least(F.lit(1.0), sw * 4.0)
         + F.lit(0.25) * (F.lit(1.0) - F.least(F.lit(1.0), digit_ratio(text) * 4.0))
         + F.lit(0.25) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(text) * 4.0))
     )
