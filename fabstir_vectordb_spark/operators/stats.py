@@ -137,16 +137,24 @@ def percentile_stats(
     value_col: str,
     group_cols: list[str] | None = None,
     percentiles: tuple[float, ...] = (0.5, 0.99),
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """Exact interpolated percentiles + count + mean per group
-    (search_integration.rs:491-552 computes p50/p99 by sorting; Spark's
-    `percentile` aggregate is the same exact definition, executed as a
-    distributed sort-free aggregate.  Use percentile_approx at 100 TB
-    where exactness isn't contractual)."""
+    """Percentiles + count + mean per group
+    (search_integration.rs:491-552 computes p50/p99 by sorting).
+
+    Exact mode (`percentile`) matches the reference's sorted definition
+    as a distributed aggregate, but buffers each group's values — fine
+    for metrics tables, wrong for 100 TB facts.  ``approx=True``
+    switches to `percentile_approx` (t-digest-style sketch, bounded
+    memory, rank error <= 1/accuracy) — the scale path; the two agree
+    within sketch tolerance (tests/test_scoring_stats.py)."""
     aggs = [F.count("*").alias("n"), F.avg(value_col).alias("mean")]
+    fn = F.percentile_approx if approx else F.percentile
     for p in percentiles:
         name = f"p{int(p * 100)}"
-        aggs.append(F.percentile(value_col, F.lit(p)).alias(name))
+        args = (value_col, F.lit(p), F.lit(accuracy)) if approx else (value_col, F.lit(p))
+        aggs.append(fn(*args).alias(name))
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)

@@ -119,3 +119,15 @@ def test_percentile_stats_exact(spark):
     assert r["mean"] == pytest.approx(50.5)
     assert r["p50"] == pytest.approx(50.5)   # interpolated median
     assert r["p99"] == pytest.approx(99.01)  # 1 + 0.99*99
+
+
+def test_percentile_stats_approx_matches_exact(spark):
+    """The bounded-memory sketch path (the 100 TB configuration) must
+    agree with the exact sorted definition within rank tolerance."""
+    df = spark.createDataFrame([(float(i),) for i in range(1, 2001)], "v double")
+    exact = ST.percentile_stats(df, "v").collect()[0]
+    approx = ST.percentile_stats(df, "v", approx=True, accuracy=10_000).collect()[0]
+    assert approx["n"] == exact["n"]
+    # rank error <= n/accuracy = 0.2 ranks -> values within one step
+    assert abs(approx["p50"] - exact["p50"]) <= 1.0
+    assert abs(approx["p99"] - exact["p99"]) <= 1.0
