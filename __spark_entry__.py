@@ -1120,6 +1120,35 @@ def q_merge_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("query_id", "id", r6("score").alias("score"))
 
 
+def q_session_bulk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-level DataFrame->DataFrame bulk search surface
+    (session.py:search_dataframe — the path a pipeline uses; the query
+    set is never collected): vectors inserted through the session API, a
+    trained IVF index, 100 queries as a DataFrame, n_probe = n_clusters
+    so the routed search is exactly brute force — the SQL oracle.  Score
+    is recomputed from the round(6) distance in both engines (session
+    ids are strings, so ties break on the STRING id)."""
+    from fabstir_vectordb_spark.session import VectorDbSession
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    sess = VectorDbSession(spark, session_id="bulk_search")
+    sess.add_vectors(
+        [{"id": str(r["vec_id"]), "vector": list(r["embedding"])} for r in rows]
+    )
+    sess.train_index(n_clusters=8, seed=42)
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    res = sess.search_dataframe(queries, k=K, n_probe=8)
+    d6 = F.round("distance", 6)
+    return res.select(
+        "query_id", "id",
+        (d6 + F.lit(0.0)).alias("distance"),
+        r6(F.lit(1.0) / (F.lit(1.0) + d6)).alias("score"),
+    )
+
+
 def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query expansion (search_integration.rs:452-489): 2 deterministic
     perturbed copies per query, search all, keep best distance per id."""
@@ -1242,8 +1271,15 @@ def q_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hybrid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recent-union-historical merge, best (min) distance per id, top-k
-    (hybrid/core.rs:481-485 + SearchResult::dedup types.rs:206-223).
+    """Both result-merge operators in one certified output, discriminated
+    by `part` (merged round 3 to free a registry slot):
+
+      hybrid  — recent-union-historical merge, best (min) distance per
+                id, top-k (hybrid/core.rs:481-485 + SearchResult::dedup
+                types.rs:206-223); score = r6 distance
+      weighted — weighted multi-source merge (q_merge_weighted's former
+                body lives on as the second branch); score = weighted avg
+
     The two 'indices' are the label<5 / label>=5 halves of the table."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = _query_vectors(spark, sf_dir)
@@ -1255,9 +1291,14 @@ def q_hybrid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pred in (F.col("label") < 5, F.col("label") >= 5)
     ]
     best = merge_dedup(*parts)
-    return topk_per_query(best, K).select(
-        "query_id", "id", r6("distance").alias("distance")
+    hybrid = topk_per_query(best, K).select(
+        F.lit("hybrid").alias("part"), "query_id", "id",
+        r6("distance").alias("score"),
     )
+    weighted = q_merge_weighted(spark, sf_dir).select(
+        F.lit("weighted").alias("part"), "query_id", "id", "score"
+    )
+    return hybrid.unionByName(weighted)
 
 
 def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2174,6 +2215,32 @@ WITH q AS (
 SELECT query_id, id, distance FROM t WHERE rn <= {K}
 """
 
+# session bulk path at full probe = exact kNN; session ids are STRINGS,
+# so ranking ties break on the varchar id in both engines
+_ORACLES["session_bulk_search"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 100
+), d AS (
+  SELECT q.query_id, CAST(e.vec_id AS VARCHAR) AS id, {_L2} AS distance
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rn
+  FROM d
+)
+SELECT query_id, id, distance,
+       (round(1.0 / (1.0 + distance), 6) + 0.0) AS score
+FROM r WHERE rn <= {K}
+"""
+
+# both merge operators in one result, discriminated by part
+_ORACLES["hybrid_merge"] = f"""
+SELECT 'hybrid' AS part, query_id, id, distance AS score
+FROM ({_ORACLES["hybrid_merge"]})
+UNION ALL
+SELECT 'weighted' AS part, query_id, id, score
+FROM ({_ORACLES["merge_weighted"]})
+"""
+
 # the streaming accumulator's reconstructed final state must equal exact
 # batch kNN — same oracle as knn_l2
 _ORACLES["streaming_topk"] = _ORACLES["knn_l2"]
@@ -2266,7 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "media_embed_knn": q_media_embed_knn,
         "relevance_scoring": q_relevance_scoring,
-        "merge_weighted": q_merge_weighted,
+        "session_bulk_search": q_session_bulk_search,
         "query_expansion": q_query_expansion,
         "age_histogram": q_age_histogram,
         "hybrid_stats": q_hybrid_stats,
