@@ -2293,6 +2293,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: the driver measures the FIRST 50 entries (dict order); keep the
     # registry at <= 50 so every registered query gets a CORRECTNESS row.
+    #
+    # Round-3 consolidation map (old r1/r2 keys -> where they live now —
+    # every merged query still emits each constituent's oracle-checked
+    # columns/rows):
+    #   knn_l2 + knn_cosine + knn_dot        -> knn_metrics
+    #   ann_ivf_probe + ann_probe_invariant  -> ann_ivf_probe
+    #   simhash + simhash_invariant          -> simhash
+    #   pq_adc_knn + pq_invariant            -> pq_adc_knn
+    #   text_stats + token_counts + repetition -> text_stats
+    #   text_quality + lang_id               -> text_quality
+    #   hybrid_merge + merge_weighted        -> hybrid_merge
+    #   cluster_distribution                 -> index_maintenance
+    # New in round 3: session_get_recent, dedup_guarded, index_maintenance,
+    # backup_restore, pii_redact, streaming_window, session_bulk_search.
     return {
         "knn_metrics": q_knn_metrics,
         "knn_bulk": q_knn_bulk,
