@@ -121,8 +121,22 @@ def make_handler(session: VectorDbSession):
                 return
             if self.path == "/api/v1/vectors":
                 try:
+                    import datetime as _dt
+
                     session.add_vectors([body])
-                    return self._json(201, {"id": str(body.get("id"))})
+                    # InsertVectorResponse {id, index, timestamp}
+                    # (rest.rs:440-447); "recent" because fresh inserts
+                    # land on the recent side of the ts routing predicate
+                    return self._json(
+                        201,
+                        {
+                            "id": str(body.get("id")),
+                            "index": "recent",
+                            "timestamp": _dt.datetime.now(_dt.timezone.utc)
+                            .isoformat()
+                            .replace("+00:00", "Z"),
+                        },
+                    )
                 except (VectorDbError, KeyError, TypeError) as e:
                     return self._json(400, {"error": str(e)})
             if self.path == "/api/v1/vectors/batch":

@@ -62,9 +62,12 @@ def test_search_shape_and_filter(server):
 
 
 def test_vector_crud(server):
-    code, _ = _req(server, "POST", "/api/v1/vectors",
-                   {"id": "d", "vector": [9.0, 9.0]})
+    code, body = _req(server, "POST", "/api/v1/vectors",
+                      {"id": "d", "vector": [9.0, 9.0]})
     assert code == 201
+    # InsertVectorResponse shape (rest.rs:440-447)
+    assert body["id"] == "d" and body["index"] == "recent"
+    assert body["timestamp"].endswith("Z")
     code, body = _req(server, "GET", "/api/v1/vectors/d")
     assert code == 200 and body["vector"] == [9.0, 9.0]
     code, _ = _req(server, "DELETE", "/api/v1/vectors/d")
