@@ -59,6 +59,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # UTC unconditionally (not just on the NTZ branch): date_format /
+        # window rendering of event timestamps must match the oracle's
+        # tz-naive strftime on ANY host tz, for either fixture encoding
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # integer div: exact at any magnitude (double division of ~1e18
@@ -68,7 +72,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Downstream (unix_micros, decay scoring) expects a zoned
             # TIMESTAMP; interpret the naive value as UTC — the same
             # assumption DuckDB's epoch_us() makes on a naive timestamp.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -483,6 +486,33 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_stats_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r1/r2-shaped 4-stat scan, kept for bench continuity (the
+    registered text_stats also computes BPE tokens + repetition)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", X.whitespace_tokens("text").alias("__toks")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return toks.select(
+        "doc_id",
+        X.token_count_from("__toks").cast("long").alias("n_tokens"),
+        X.unique_token_count_from("__toks").cast("long").alias("n_unique"),
+        r6(X.avg_token_len_from("__toks")).alias("avg_token_len"),
+        r6(X.stopword_ratio_from("__toks")).alias("stopword_ratio"),
+    )
+
+
+def q_text_quality_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r1/r2-shaped quality-only scan, kept for bench continuity."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", X.whitespace_tokens("text").alias("__toks")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return base.select(
+        "doc_id", r6(X.quality_score("text", "__toks")).alias("quality")
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (training-corpus curation stage): typed-placeholder
     redaction of emails / URLs / long digit runs, patterns chosen to
@@ -574,7 +604,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming query did not finish within 300s")
     return spark.table(name).select("fp").distinct()
 
 
@@ -672,8 +704,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs contract, so the guard is pinned OFF explicitly
+    (the oracle is the unguarded all-pairs SQL; the guarded semantics
+    have their own certified row, q_dedup_guarded)."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+    return DD.ngram_jaccard_pairs(docs, threshold=0.8, n=3, max_shingle_freq=None)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,9 +716,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     OUTPUT is deterministic — it must equal ngram_jaccard_pairs at the
     same (threshold, n): banding at b=16/r=4 catches >0.999 of pairs at
     J>=0.8, and the verify drops any false candidates.  Oracle = the
-    dedup_ngram_jaccard SQL."""
+    dedup_ngram_jaccard SQL; the bucket guard is pinned OFF to keep the
+    strict equality contract at any fixture size (guarded semantics are
+    certified by q_dedup_guarded and the hot-corpus scale smoke)."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.minhash_lsh_pairs(docs, threshold=0.8, n=3)
+    return DD.minhash_lsh_pairs(docs, threshold=0.8, n=3, max_bucket_size=None)
 
 
 def q_dedup_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,7 +745,8 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     into an actionable (id, canonical_id) dedup verdict (SURVEY §7.2
     step 9; types.rs:206-223)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(docs, threshold=0.8, n=3)
+    # bucket guard pinned off: this row's oracle is the exact pair graph
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.8, n=3, max_bucket_size=None)
     out = DD.canonicalize_pairs(docs, pairs, id_col="doc_id")
     return out.select("id", "canonical_id", "group_size", "is_duplicate")
 
@@ -1235,7 +1273,9 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming query did not finish within 300s")
     return spark.table(name).select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -1281,6 +1321,18 @@ def q_hybrid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 body lives on as the second branch); score = weighted avg
 
     The two 'indices' are the label<5 / label>=5 halves of the table."""
+    hybrid = q_hybrid_merge_raw(spark, sf_dir).select(
+        F.lit("hybrid").alias("part"), "query_id", "id",
+        F.col("distance").alias("score"),
+    )
+    weighted = q_merge_weighted(spark, sf_dir).select(
+        F.lit("weighted").alias("part"), "query_id", "id", "score"
+    )
+    return hybrid.unionByName(weighted)
+
+
+def q_hybrid_merge_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid-merge half alone (r1/r2 bench shape)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = _query_vectors(spark, sf_dir)
     parts = [
@@ -1291,14 +1343,9 @@ def q_hybrid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pred in (F.col("label") < 5, F.col("label") >= 5)
     ]
     best = merge_dedup(*parts)
-    hybrid = topk_per_query(best, K).select(
-        F.lit("hybrid").alias("part"), "query_id", "id",
-        r6("distance").alias("score"),
+    return topk_per_query(best, K).select(
+        "query_id", "id", r6("distance").alias("distance")
     )
-    weighted = q_merge_weighted(spark, sf_dir).select(
-        F.lit("weighted").alias("part"), "query_id", "id", "score"
-    )
-    return hybrid.unionByName(weighted)
 
 
 def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1343,7 +1390,9 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming query did not finish within 300s")
     changelog = spark.table(name).select("query_id", "id", "distance").distinct()
     final = topk_per_query(changelog, K)
     return final.select(

@@ -96,6 +96,9 @@ def main() -> int:
             "knn_dot": E.q_knn_dot,
             "ann_ivf_probe": E.q_ann_ivf_probe_raw,
             "simhash": E.q_simhash_raw,
+            "hybrid_merge": E.q_hybrid_merge_raw,
+            "text_stats": E.q_text_stats_raw,
+            "text_quality": E.q_text_quality_raw,
         }
     )
     names = [n for n in BENCH_QUERIES if n in qs]

@@ -143,7 +143,10 @@ def make_handler(session: VectorDbSession):
                 # single-pass batch insert with the reference's per-row
                 # error shape: BatchInsertResponse {successful, failed,
                 # errors: [{id, error}]} (rest.rs:449-531, returns 200)
-                res = session.batch_add_vectors(body.get("vectors", []))
+                try:
+                    res = session.batch_add_vectors(body.get("vectors", []))
+                except Exception as e:  # malformed request body shapes
+                    return self._json(400, {"error": str(e)})
                 return self._json(200, res)
             if self.path == "/api/v1/search":
                 vec = body.get("vector")

@@ -235,8 +235,10 @@ def minhash_lsh_pairs(
     With H=64, b=16 bands of r=4 rows, the S-curve midpoint is
     (1/16)^(1/4) ≈ 0.5 — pairs above `threshold` 0.8 are caught with
     probability >0.999; the exact-Jaccard verify then makes the OUTPUT
-    (not just the candidates) deterministic: it equals ngram-Jaccard
-    pairs at the same threshold whenever banding catches them.
+    (not just the candidates) deterministic: with `max_bucket_size=None`
+    it equals ngram-Jaccard pairs at the same threshold whenever banding
+    catches them (under the default cap, pairs findable ONLY via a
+    >cap-member bucket may additionally be dropped).
 
     Plan shape (the scale path): each doc's shingles are hashed ONCE
     JVM-side (xxhash64), then one Arrow-batched kernel computes all H

@@ -48,6 +48,8 @@ def assign_split(
         weights = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
     if not weights:
         raise ValueError("weights must be non-empty")
+    if any(w < 0 for _, w in weights):
+        raise ValueError("weights must be nonnegative")
     total = sum(w for _, w in weights)
     if total <= 0:
         raise ValueError("weights must sum to a positive value")

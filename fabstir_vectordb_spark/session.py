@@ -200,27 +200,37 @@ class VectorDbSession:
                 vec = [float(x) for x in item["vector"]]
                 if not vec:
                     raise VectorDbError(f"empty vector for id {vid!r}")
-                if dim is None:
-                    dim = len(vec)
-                elif len(vec) != dim:
+                if dim is not None and len(vec) != dim:
                     raise VectorDbError(
                         f"dimension mismatch for id {vid!r}: got {len(vec)}, expected {dim}"
                     )
                 if vid in seen:
                     raise VectorDbError(f"duplicate id in batch: {vid!r}")
+                ts = item.get("timestamp") or now
+                if not isinstance(ts, _dt.datetime):
+                    # validate here, per-row: a bad-typed timestamp would
+                    # otherwise escape to createDataFrame and abort the
+                    # whole batch after state was already touched
+                    raise VectorDbError(
+                        f"timestamp for id {vid!r} must be a datetime, got {type(ts).__name__}"
+                    )
                 md = item.get("metadata")
                 if self._schema is not None:
                     self._schema.validate_metadata(md)
             except (VectorDbError, KeyError, TypeError, ValueError) as e:
                 errors.append({"id": vid, "error": str(e)})
                 continue
+            # commit the batch dimension only once a row FULLY validates —
+            # a rejected first row must not pin the dim for later rows
+            if dim is None:
+                dim = len(vec)
             seen.add(vid)
             rows.append(
                 {
                     "id": vid,
                     "vector": vec,
                     "metadata": md,
-                    "ts": item.get("timestamp") or now,
+                    "ts": ts,
                     "deleted": False,
                 }
             )

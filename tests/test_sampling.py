@@ -51,6 +51,8 @@ def test_split_custom_weights_and_validation(ids):
         assign_split(ids, weights=[])
     with pytest.raises(ValueError):
         assign_split(ids, weights=[("a", 0.0)])
+    with pytest.raises(ValueError, match="nonnegative"):
+        assign_split(ids, weights=[("a", 1.5), ("b", -0.5)])
 
 
 def test_deterministic_sample(ids):

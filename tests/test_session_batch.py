@@ -109,6 +109,36 @@ def test_batch_add_vectors_stats_and_one_pass(spark, sess):
     assert n <= 2, f"batch_add_vectors ran {n} jobs for 30 rows"
 
 
+def test_batch_add_bad_timestamp_is_per_row(spark, sess):
+    # a JSON-shaped (string) timestamp must fail ITS row, not the batch
+    res = sess.batch_add_vectors(
+        [
+            {"id": "t1", "vector": [1.0, 2.0, 3.0], "timestamp": "2024-01-01T00:00:00Z"},
+            {"id": "t2", "vector": [1.0, 2.0, 3.0]},
+        ]
+    )
+    assert res["successful"] == 1 and res["failed"] == 1
+    assert "timestamp" in res["errors"][0]["error"]
+    assert sess.get_vector("t2") is not None and sess.get_vector("t1") is None
+
+
+def test_batch_add_rejected_row_does_not_pin_dim(spark):
+    # a rejected first row must not fix the session dimension
+    s = VectorDbSession(spark)
+    s.set_schema({"fields": {"lang": {"type": "string"}}})
+    res = s.batch_add_vectors(
+        [
+            {"id": "a", "vector": [1.0, 2.0, 3.0], "metadata": {"lang": 7}},  # bad md
+            {"id": "b", "vector": [1.0, 2.0]},
+        ]
+    )
+    assert res["successful"] == 1 and res["failed"] == 1
+    assert s.get_vector("b")["vector"] == [1.0, 2.0]
+    # session dim is the committed row's
+    res2 = s.batch_add_vectors([{"id": "c", "vector": [3.0, 4.0]}])
+    assert res2["successful"] == 1
+
+
 def test_single_update_still_raises(sess):
     with pytest.raises(VectorDbError, match="not found"):
         sess.update_metadata("missing", {"lang": "xx"})

@@ -198,6 +198,7 @@ def main() -> int:
         .filter(F.col("count") > cutoff)
         .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"))
         .collect()[0]["pairs"]
+        or 0.0  # sum over zero hot shingles is NULL (n_docs <= cutoff)
     )
     _log(f"unguarded would-be candidate rows from hot shingles: {would_be:.3g}")
 
