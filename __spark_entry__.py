@@ -842,6 +842,90 @@ def q_media_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("query_id", "rank", ok.alias("ok"))
 
 
+def q_media_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three multimodal contract queries (image decode+features,
+    audio windowing, video frame sampling) in one part-discriminated
+    result (merged round 3 to free registry slots; each constituent's
+    oracle wraps unchanged): k is the per-part checkable integer
+    (feature dim / window index / frame timestamp) and ok the per-part
+    bound check."""
+    img = q_media_image_features(spark, sf_dir).select(
+        F.lit("image").alias("part"), "media_id",
+        F.col("feat_dim").cast("long").alias("k"),
+        (
+            F.col("f0_bounded") & (F.col("px_width") == 8) & (F.col("px_height") == 8)
+        ).alias("ok"),
+    )
+    aud = q_media_audio_windows(spark, sf_dir).select(
+        F.lit("audio").alias("part"), "media_id",
+        F.col("window_idx").cast("long").alias("k"),
+        F.col("energy_ok").alias("ok"),
+    )
+    vid = q_media_frame_sample(spark, sf_dir).select(
+        F.lit("video").alias("part"), "media_id",
+        F.col("frame_ts_ms").cast("long").alias("k"),
+        F.lit(True).alias("ok"),
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ — the 100 TB ANN layout (operators/ivfpq.py: probe
+    n_probe clusters via the partition key, ADC over only the probed
+    codes, exact re-rank of the oversampled candidates), certified two
+    ways in one row set: at full probe the result must EQUAL standalone
+    PQ ADC+rerank (probing the whole table), and at n_probe=2 the
+    rank-wise dominance vs exact kNN must hold with exactly k rows per
+    query — both model-independent, constant oracle."""
+    from fabstir_vectordb_spark.operators.ivfpq import IVFPQIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "ivfpq")
+    if key not in _IVF_CACHE:
+        _IVF_CACHE[key] = IVFPQIndex.fit(
+            emb, n_clusters=8, n_subspaces=8, n_centroids=32, seed=42
+        )
+    idx = _IVF_CACHE[key]
+    enc = idx.encode(emb)
+    queries = _query_vectors(spark, sf_dir)
+
+    full = _ranked_by_query(
+        idx.search_bulk(
+            enc, queries, K, n_probe=idx.ivf.n_clusters,
+            oversample=4, rerank_vectors=emb,
+        )
+    )
+    plain = _ranked_by_query(
+        idx.pq.adc_knn(enc, queries, K, rerank_vectors=emb, oversample=4)
+    )
+    eq = (
+        full.alias("a")
+        .join(plain.alias("p"), ["query_id", "rank"])
+        .select(
+            F.lit("full_probe_eq").alias("part"), "query_id", "rank",
+            (F.col("a.d") == F.col("p.d")).alias("ok"),
+        )
+    )
+    approx = _ranked_by_query(
+        idx.search_bulk(enc, queries, K, n_probe=2, oversample=4, rerank_vectors=emb)
+    )
+    exact = _ranked_by_query(
+        brute_force_knn(
+            emb, queries, K, metric="l2", impl="kernel",
+            id_col="vec_id", vector_col="embedding",
+        )
+    )
+    dom = (
+        approx.alias("a")
+        .join(exact.alias("e"), ["query_id", "rank"])
+        .select(
+            F.lit("probe2_dominance").alias("part"), "query_id", "rank",
+            (F.col("a.d") >= F.col("e.d")).alias("ok"),
+        )
+    )
+    return eq.unionByName(dom)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection (dedup.py:simhash_pairs), certified by
     its invariants: SimHash cannot be SQL-oracled value-by-value
@@ -2076,6 +2160,46 @@ SELECT media_id,
 FROM m
 """
 
+# the three media contracts wrapped into one part-discriminated table
+_ORACLES["media_contracts"] = """
+SELECT 'image' AS part, concat('ima_', doc_id) AS media_id,
+       CAST(16 AS BIGINT) AS k, true AS ok
+FROM documents
+UNION ALL
+SELECT 'audio' AS part, media_id, CAST(window_idx AS BIGINT) AS k,
+       true AS ok
+FROM (
+  WITH m AS (
+    SELECT concat('aud_', doc_id) AS media_id,
+           greatest(1, CAST(n_chars * 10 AS BIGINT) // 500) AS nw
+    FROM documents
+  )
+  SELECT media_id, unnest(generate_series(0, nw - 1)) AS window_idx FROM m
+)
+UNION ALL
+SELECT 'video' AS part, media_id, CAST(frame_ts_ms AS BIGINT) AS k,
+       true AS ok
+FROM (
+  WITH m AS (
+    SELECT concat('vid_', doc_id) AS media_id, n_chars * 10 AS duration_ms
+    FROM documents
+  )
+  SELECT media_id, unnest(generate_series(0,
+      greatest(0, CAST(floor(duration_ms / 1000.0) AS BIGINT) - 1) * 1000,
+      1000)) AS frame_ts_ms
+  FROM m
+)
+"""
+
+# IVFPQ: full-probe equivalence + probe-2 dominance, both constant
+_ORACLES["ann_ivfpq"] = f"""
+SELECT p AS part, vec_id AS query_id, r.rank, true AS ok
+FROM embeddings
+CROSS JOIN (SELECT unnest(generate_series(1, {K})) AS rank) r
+CROSS JOIN (SELECT unnest(['full_probe_eq', 'probe2_dominance']) AS p)
+WHERE vec_id < {NQ}
+"""
+
 _ORACLES["media_embed_knn"] = f"""
 SELECT concat('ima_', i) AS query_id, CAST(r AS INTEGER) AS rank, true AS ok
 FROM (SELECT unnest(generate_series(0, 3)) AS i),
@@ -2354,8 +2478,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   text_quality + lang_id               -> text_quality
     #   hybrid_merge + merge_weighted        -> hybrid_merge
     #   cluster_distribution                 -> index_maintenance
+    #   media_image_features + media_audio_windows + media_frame_sample
+    #                                        -> media_contracts
     # New in round 3: session_get_recent, dedup_guarded, index_maintenance,
-    # backup_restore, pii_redact, streaming_window, session_bulk_search.
+    # backup_restore, pii_redact, streaming_window, session_bulk_search,
+    # ann_ivfpq.
     return {
         "knn_metrics": q_knn_metrics,
         "knn_bulk": q_knn_bulk,
@@ -2391,10 +2518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persistence_roundtrip": q_persistence_roundtrip,
         "backup_restore": q_backup_restore,
         "soft_delete_stats": q_soft_delete_stats,
-        "media_image_features": q_media_image_features,
-        "media_audio_windows": q_media_audio_windows,
-        "media_frame_sample": q_media_frame_sample,
+        "media_contracts": q_media_contracts,
         "media_embed_knn": q_media_embed_knn,
+        "ann_ivfpq": q_ann_ivfpq,
         "relevance_scoring": q_relevance_scoring,
         "session_bulk_search": q_session_bulk_search,
         "query_expansion": q_query_expansion,

@@ -299,38 +299,10 @@ class IVFIndex:
             )
         n_probe = min(n_probe, self.n_clusters)
         spark = vectors_with_cluster.sparkSession
-        bc = spark.sparkContext.broadcast(self.centroids)
-        q = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(query_vector_col).alias("__qv"),
+        probes = self.probe_pairs(
+            queries, n_probe,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
         )
-        probe_schema = T.StructType(
-            [
-                T.StructField("query_id", queries.schema[query_id_col].dataType, False),
-                T.StructField("__blk", T.IntegerType(), False),
-                T.StructField("__qv", q.schema["__qv"].dataType, False),
-            ]
-        )
-        np_ = n_probe
-
-        def probe_kernel(batches):
-            C = np.asarray(bc.value, dtype=np.float64)
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                out_qid, out_blk, out_qv = [], [], []
-                for qid, qv in zip(pdf["query_id"], pdf["__qv"]):
-                    # same arithmetic + tie order as _probes_from_rows
-                    d = np.linalg.norm(C - np.asarray(qv, dtype=np.float64), axis=1)
-                    order = np.lexsort((np.arange(len(d)), np.round(d, 6)))[:np_]
-                    out_qid.extend([qid] * len(order))
-                    out_blk.extend(int(c) for c in order)
-                    out_qv.extend([qv] * len(order))
-                yield pd.DataFrame(
-                    {"query_id": out_qid, "__blk": out_blk, "__qv": out_qv}
-                )
-
-        probes = q.mapInPandas(probe_kernel, probe_schema)
         v = vectors_with_cluster.select(
             F.col(self.id_col).alias("id"),
             F.col(self.vector_col).alias("__v"),
@@ -355,6 +327,55 @@ class IVFIndex:
             id_type=vectors_with_cluster.schema[self.id_col].dataType,
         )
         return topk_per_query(partials, k)
+
+    def probe_pairs(
+        self,
+        queries: DataFrame,
+        n_probe: int,
+        query_id_col: str = "query_id",
+        query_vector_col: str = "vector",
+    ) -> DataFrame:
+        """Distributed probe selection: (query_id, __blk, __qv) rows, one
+        per probed cluster — a map-only Arrow kernel over the broadcast
+        centroids with the exact ranking order of the driver path
+        (``_probes_from_rows``).  Shared by ``search_bulk`` and the
+        IVFPQ composition (operators/ivfpq.py)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        spark = queries.sparkSession
+        bc = spark.sparkContext.broadcast(self.centroids)
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vector_col).alias("__qv"),
+        )
+        probe_schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[query_id_col].dataType, False),
+                T.StructField("__blk", T.IntegerType(), False),
+                T.StructField("__qv", q.schema["__qv"].dataType, False),
+            ]
+        )
+        np_ = min(n_probe, self.n_clusters)
+
+        def probe_kernel(batches):
+            C = np.asarray(bc.value, dtype=np.float64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out_qid, out_blk, out_qv = [], [], []
+                for qid, qv in zip(pdf["query_id"], pdf["__qv"]):
+                    # same arithmetic + tie order as _probes_from_rows
+                    d = np.linalg.norm(C - np.asarray(qv, dtype=np.float64), axis=1)
+                    order = np.lexsort((np.arange(len(d)), np.round(d, 6)))[:np_]
+                    out_qid.extend([qid] * len(order))
+                    out_blk.extend(int(c) for c in order)
+                    out_qv.extend([qv] * len(order))
+                yield pd.DataFrame(
+                    {"query_id": out_qid, "__blk": out_blk, "__qv": out_qv}
+                )
+
+        return q.mapInPandas(probe_kernel, probe_schema)
 
     # ------------------------------------------------------------- evaluate
 

@@ -1,0 +1,180 @@
+"""IVF x PQ: the canonical big-corpus ANN layout (the IVFADC structure of
+Jegou/Douze/Schmid, "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011 — coarse inverted lists + product-quantized residuals; here
+raw-vector PQ for composability with the standalone quantizer).
+
+At 100 TB this is THE structure that works: the encoded table
+(id, cluster_id, pq_codes) is ~32 bytes/vector instead of 256+ for raw
+float32x64, persisted ``partitionBy(cluster_id)`` so a probe reads only
+n_probe/n_clusters of the files (Catalyst partition pruning), ADC scans
+codes with M table lookups per row (no full-width math, no decode), and
+the full-precision vectors are touched ONLY for the Q x k x oversample
+re-rank rows.
+
+Plan shape per search: one map-only probe-selection kernel over the
+broadcast centroids (Q x n_probe rows), a cogroup of the probed clusters'
+codes with their probing queries (one (M, K) lookup table per query per
+cluster, block-local top-(k*oversample)), then the exact re-rank join.
+Shuffle volume: Q x n_probe x k*oversample partial rows — never codes,
+never raw vectors.
+
+Reference parity: composes SURVEY §2.4 (IVF probe search,
+ivf/core.rs:622-681) with §2.1 PQ (vector_ops.rs:390-578); the reference
+never combines them — this is the scale-path extension.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fabstir_vectordb_spark.operators.ivf import IVFIndex
+from fabstir_vectordb_spark.operators.pq import ProductQuantizer
+from fabstir_vectordb_spark.operators.topk import ROUND_DECIMALS, topk_per_query
+
+
+class IVFPQIndex:
+    def __init__(self, ivf: IVFIndex, pq: ProductQuantizer):
+        self.ivf = ivf
+        self.pq = pq
+
+    @classmethod
+    def fit(
+        cls,
+        vectors: DataFrame,
+        n_clusters: int = 16,
+        n_subspaces: int = 8,
+        n_centroids: int = 32,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vector_col: str = "embedding",
+    ) -> "IVFPQIndex":
+        ivf = IVFIndex.fit(
+            vectors, n_clusters=n_clusters, seed=seed,
+            id_col=id_col, vector_col=vector_col,
+        )
+        pq = ProductQuantizer.fit(
+            vectors, n_subspaces=n_subspaces, n_centroids=n_centroids,
+            seed=seed, vector_col=vector_col,
+        )
+        return cls(ivf, pq)
+
+    def encode(self, vectors: DataFrame) -> DataFrame:
+        """(input cols, cluster_id, pq_codes) — what a 100 TB deployment
+        persists ``partitionBy(cluster_id)``; raw vectors are needed only
+        if exact re-rank is wanted at query time."""
+        return self.pq.encode(
+            self.ivf.assign(vectors), vector_col=self.ivf.vector_col
+        )
+
+    def search_bulk(
+        self,
+        encoded: DataFrame,
+        queries: DataFrame,
+        k: int,
+        n_probe: int = 4,
+        oversample: int = 4,
+        rerank_vectors: DataFrame | None = None,
+        cluster_col: str = "cluster_id",
+        code_col: str = "pq_codes",
+        query_id_col: str = "query_id",
+        query_vector_col: str = "vector",
+    ) -> DataFrame:
+        """Probe n_probe clusters, ADC over only their codes, exact
+        re-rank of the oversampled candidates.  Query set stays a
+        DataFrame end-to-end (no driver collect).  At n_probe =
+        n_clusters the probe set is the whole table, so the result
+        equals plain PQ ADC(+rerank) — the oracle hook."""
+        id_col = self.ivf.id_col
+        probes = self.ivf.probe_pairs(
+            queries, n_probe,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+        )
+        v = encoded.select(
+            F.col(id_col).alias("id"),
+            F.col(code_col).alias("__codes"),
+            F.col(cluster_col).cast("int").alias("__blk"),
+        )
+        bc = encoded.sparkSession.sparkContext.broadcast(self.pq.codebooks)
+        M, sub = self.pq.n_subspaces, self.pq.sub_dim
+        fetch = k * (oversample if rerank_vectors is not None else 1)
+
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[query_id_col].dataType, False),
+                T.StructField("id", encoded.schema[id_col].dataType, False),
+                T.StructField("distance", T.DoubleType(), False),
+            ]
+        )
+
+        def cluster_adc(vpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+            # one probed cluster x the queries that probed it: same
+            # per-pair arithmetic and (round(6), id) tie order as
+            # ProductQuantizer.adc_knn_bulk's block kernel
+            if vpdf.empty or qpdf.empty:
+                return pd.DataFrame({"query_id": [], "id": [], "distance": []})
+            books = bc.value
+            codes = np.asarray([np.asarray(c) for c in vpdf["__codes"]])
+            ids = vpdf["id"].to_numpy()
+            if ids.dtype == object:
+                ids = ids.astype(str)
+            marange = np.arange(M)[None, :]
+            out_q, out_id, out_d = [], [], []
+            for qid, qv in zip(qpdf["query_id"], qpdf["__qv"]):
+                q = np.asarray(qv, dtype=np.float64)
+                table = np.stack(
+                    [
+                        np.einsum(
+                            "kj,kj->k",
+                            books[m] - q[m * sub : (m + 1) * sub],
+                            books[m] - q[m * sub : (m + 1) * sub],
+                        )
+                        for m in range(M)
+                    ]
+                )
+                d = np.sqrt(np.sum(table[marange, codes], axis=1))
+                dr = np.round(d, ROUND_DECIMALS)
+                if len(d) > fetch:
+                    part = np.argpartition(dr, fetch - 1)
+                    thresh = dr[part[:fetch]].max()
+                    cand = np.flatnonzero(dr <= thresh)
+                    cand = cand[np.lexsort((ids[cand], dr[cand]))][:fetch]
+                else:
+                    cand = np.lexsort((ids, dr))[:fetch]
+                out_q.extend([qid] * len(cand))
+                out_id.extend(ids[cand].tolist())
+                out_d.extend(d[cand].tolist())
+            return pd.DataFrame({"query_id": out_q, "id": out_id, "distance": out_d})
+
+        partials = (
+            v.groupBy("__blk")
+            .cogroup(probes.groupBy("__blk"))
+            .applyInPandas(cluster_adc, out_schema)
+        )
+        cand = topk_per_query(partials, fetch)
+        if rerank_vectors is None:
+            return topk_per_query(cand, k)
+
+        from fabstir_vectordb_spark.functions import distance as D
+
+        vecs = rerank_vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(self.ivf.vector_col).alias("__rv_vec"),
+        )
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vector_col).alias("__rv_q"),
+        )
+        exact = (
+            cand.drop("distance")
+            .join(vecs, "id")
+            .join(q, "query_id")
+            .select(
+                "query_id", "id",
+                D.l2_distance("__rv_vec", "__rv_q").alias("distance"),
+            )
+        )
+        return topk_per_query(exact, k)

@@ -1,0 +1,107 @@
+"""IVFPQ composition: full-probe equivalence to plain PQ, partial-probe
+dominance, and the encoded-table contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.operators.ivfpq import IVFPQIndex
+from fabstir_vectordb_spark.operators.knn import brute_force_knn
+
+
+@pytest.fixture(scope="module")
+def idx(spark, embeddings):
+    return IVFPQIndex.fit(
+        embeddings, n_clusters=8, n_subspaces=8, n_centroids=16, seed=42
+    )
+
+
+@pytest.fixture(scope="module")
+def encoded(idx, embeddings):
+    df = idx.encode(embeddings).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def queries(embeddings):
+    return embeddings.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+
+
+def _ranked(df):
+    return {
+        (r["query_id"], round(r["distance"], 6))
+        for r in df.collect()
+    }, {(r["query_id"], r["id"]) for r in df.collect()}
+
+
+def test_encode_contract(encoded, embeddings, idx):
+    assert encoded.count() == embeddings.count()
+    row = encoded.first()
+    assert len(row["pq_codes"]) == idx.pq.n_subspaces
+    assert 0 <= row["cluster_id"] < idx.ivf.n_clusters
+    assert all(0 <= c < idx.pq.n_centroids for c in row["pq_codes"])
+
+
+def test_full_probe_equals_plain_pq(idx, encoded, embeddings, queries):
+    """n_probe = n_clusters scans every cluster, so IVFPQ+rerank must
+    return exactly the rows of standalone PQ ADC+rerank."""
+    ivfpq = idx.search_bulk(
+        encoded, queries, 10, n_probe=idx.ivf.n_clusters,
+        oversample=4, rerank_vectors=embeddings,
+    )
+    plain = idx.pq.adc_knn(
+        encoded, queries, 10, rerank_vectors=embeddings, oversample=4
+    )
+    a_d, a_ids = _ranked(ivfpq)
+    b_d, b_ids = _ranked(plain)
+    assert a_ids == b_ids and a_d == b_d
+
+
+def test_partial_probe_dominance(idx, encoded, embeddings, queries):
+    """Probing can only lose candidates: at every rank the IVFPQ distance
+    >= the exact distance, and exactly k rows per query."""
+    from pyspark.sql import Window
+
+    k = 10
+    approx = idx.search_bulk(
+        encoded, queries, k, n_probe=2, oversample=4, rerank_vectors=embeddings
+    )
+    exact = brute_force_knn(
+        embeddings, queries, k, metric="l2", impl="kernel",
+        id_col="vec_id", vector_col="embedding",
+    )
+
+    def ranked(df):
+        w = Window.partitionBy("query_id").orderBy(F.round("distance", 6), "id")
+        return df.select(
+            "query_id", F.row_number().over(w).alias("rank"),
+            F.round("distance", 6).alias("d"),
+        )
+
+    joined = (
+        ranked(approx).alias("a")
+        .join(ranked(exact).alias("e"), ["query_id", "rank"])
+        .select("query_id", "rank", (F.col("a.d") >= F.col("e.d")).alias("ok"))
+        .collect()
+    )
+    assert len(joined) == 6 * k
+    assert all(r["ok"] for r in joined)
+
+
+def test_partial_probe_prunes(idx, encoded, queries):
+    """The candidate set actually shrinks: without rerank, a 1-probe
+    search returns ids only from each query's nearest cluster."""
+    res = idx.search_bulk(encoded, queries, 10, n_probe=1)
+    got = res.join(
+        encoded.select(F.col("vec_id").alias("id"), "cluster_id"), "id"
+    )
+    # every result row's cluster is the single probed one for its query
+    probes = idx.ivf.probe_pairs(queries, 1).select(
+        "query_id", F.col("__blk").alias("probed")
+    )
+    bad = got.join(probes, "query_id").filter(
+        F.col("cluster_id") != F.col("probed")
+    )
+    assert bad.count() == 0
