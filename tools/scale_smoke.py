@@ -176,6 +176,24 @@ def main() -> int:
     times["simhash_canonicalize"] = round(time.time() - t0, 2)
     _log(f"simhash_canonicalize {times['simhash_canonicalize']}s")
 
+    # IVFPQ: the compressed 100 TB layout — encode once (assign + PQ
+    # codes), then bulk probe-pruned ADC search with exact rerank
+    from fabstir_vectordb_spark.operators.ivfpq import IVFPQIndex
+
+    t0 = time.time()
+    ivfpq = IVFPQIndex.fit(vec, n_clusters=64, n_subspaces=8, n_centroids=64)
+    enc = ivfpq.encode(vec).cache()
+    enc.count()
+    times["ivfpq_fit_encode"] = round(time.time() - t0, 2)
+    _log(f"ivfpq_fit_encode {times['ivfpq_fit_encode']}s")
+
+    t0 = time.time()
+    ivfpq.search_bulk(
+        enc, bulk_queries, 10, n_probe=8, oversample=4, rerank_vectors=vec
+    ).write.format("noop").mode("overwrite").save()
+    times["ivfpq_bulk_q2000_probe8"] = round(time.time() - t0, 2)
+    _log(f"ivfpq_bulk_q2000_probe8 {times['ivfpq_bulk_q2000_probe8']}s")
+
     # adversarial corpus: EVERY doc carries the same 8-token boilerplate
     # footer.  Unguarded, each footer shingle has doc-frequency N, so the
     # inverted-index candidate join materializes ~N^2/2 pairs PER hot
