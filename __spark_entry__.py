@@ -926,6 +926,37 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eq.unionByName(dom)
 
 
+def q_ivfpq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFPQ encoded-table contract (the artifact a 100 TB deployment
+    persists partitionBy(cluster_id)): one output row per input vector,
+    exactly n_subspaces codes per row, every code within [0, n_centroids)
+    and every cluster within [0, n_clusters) — plus the compression
+    ratio implied by the layout (4B float * dim vs 1 code per subspace,
+    stated as the constant dim/n_subspaces).  Count + constants oracle."""
+    from fabstir_vectordb_spark.operators.ivfpq import IVFPQIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "ivfpq")
+    if key not in _IVF_CACHE:
+        _IVF_CACHE[key] = IVFPQIndex.fit(
+            emb, n_clusters=8, n_subspaces=8, n_centroids=32, seed=42
+        )
+    idx = _IVF_CACHE[key]
+    enc = idx.encode(emb)
+    dim = len(emb.select("embedding").first()[0])
+    return enc.agg(
+        F.count("*").cast("long").alias("n_encoded"),
+        F.bool_and(F.size("pq_codes") == idx.pq.n_subspaces).alias("codes_width_ok"),
+        F.bool_and(
+            F.forall("pq_codes", lambda c: (c >= 0) & (c < idx.pq.n_centroids))
+        ).alias("codes_in_range"),
+        F.bool_and(
+            (F.col("cluster_id") >= 0) & (F.col("cluster_id") < idx.ivf.n_clusters)
+        ).alias("clusters_in_range"),
+        F.lit(dim // idx.pq.n_subspaces).cast("long").alias("floats_per_code"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection (dedup.py:simhash_pairs), certified by
     its invariants: SimHash cannot be SQL-oracled value-by-value
@@ -2191,6 +2222,16 @@ FROM (
 )
 """
 
+# the encoded-table contract: one row per vector, constants elsewhere
+# (64-dim fixture, 8 subspaces -> 8 floats folded into each code)
+_ORACLES["ivfpq_encode"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_encoded,
+       true AS codes_width_ok, true AS codes_in_range,
+       true AS clusters_in_range,
+       CAST(8 AS BIGINT) AS floats_per_code
+FROM embeddings
+"""
+
 # IVFPQ: full-probe equivalence + probe-2 dominance, both constant
 _ORACLES["ann_ivfpq"] = f"""
 SELECT p AS part, vec_id AS query_id, r.rank, true AS ok
@@ -2521,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_contracts": q_media_contracts,
         "media_embed_knn": q_media_embed_knn,
         "ann_ivfpq": q_ann_ivfpq,
+        "ivfpq_encode": q_ivfpq_encode,
         "relevance_scoring": q_relevance_scoring,
         "session_bulk_search": q_session_bulk_search,
         "query_expansion": q_query_expansion,
