@@ -869,14 +869,14 @@ def q_media_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return img.unionByName(aud).unionByName(vid)
 
 
-def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF x PQ — the 100 TB ANN layout (operators/ivfpq.py: probe
-    n_probe clusters via the partition key, ADC over only the probed
-    codes, exact re-rank of the oversampled candidates), certified two
-    ways in one row set: at full probe the result must EQUAL standalone
-    PQ ADC+rerank (probing the whole table), and at n_probe=2 the
-    rank-wise dominance vs exact kNN must hold with exactly k rows per
-    query — both model-independent, constant oracle."""
+_IVFPQ_ENC: dict = {}
+
+
+def _fit_ivfpq(spark: SparkSession, sf_dir: str):
+    """One fitted IVFPQ model + cached encoded table per dataset (the
+    same shared-fit pattern as _fit_ivf/_assigned_ivf): ann_ivfpq and
+    ivfpq_encode must certify the SAME model, and the encode kernels
+    must run once, not once per join side."""
     from fabstir_vectordb_spark.operators.ivfpq import IVFPQIndex
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -886,7 +886,22 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, n_clusters=8, n_subspaces=8, n_centroids=32, seed=42
         )
     idx = _IVF_CACHE[key]
-    enc = idx.encode(emb)
+    if key not in _IVFPQ_ENC:
+        enc = idx.encode(emb).cache()
+        enc.count()
+        _IVFPQ_ENC[key] = enc
+    return emb, idx, _IVFPQ_ENC[key]
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ — the 100 TB ANN layout (operators/ivfpq.py: probe
+    n_probe clusters via the partition key, ADC over only the probed
+    codes, exact re-rank of the oversampled candidates), certified two
+    ways in one row set: at full probe the result must EQUAL standalone
+    PQ ADC+rerank (probing the whole table), and at n_probe=2 the
+    rank-wise dominance vs exact kNN must hold with exactly k rows per
+    query — both model-independent, constant oracle."""
+    emb, idx, enc = _fit_ivfpq(spark, sf_dir)
     queries = _query_vectors(spark, sf_dir)
 
     full = _ranked_by_query(
@@ -932,18 +947,9 @@ def q_ivfpq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly n_subspaces codes per row, every code within [0, n_centroids)
     and every cluster within [0, n_clusters) — plus the compression
     ratio implied by the layout (4B float * dim vs 1 code per subspace,
-    stated as the constant dim/n_subspaces).  Count + constants oracle."""
-    from fabstir_vectordb_spark.operators.ivfpq import IVFPQIndex
-
-    emb = _t(spark, sf_dir, "embeddings")
-    key = (sf_dir, "ivfpq")
-    if key not in _IVF_CACHE:
-        _IVF_CACHE[key] = IVFPQIndex.fit(
-            emb, n_clusters=8, n_subspaces=8, n_centroids=32, seed=42
-        )
-    idx = _IVF_CACHE[key]
-    enc = idx.encode(emb)
-    dim = len(emb.select("embedding").first()[0])
+    stated as the constant sub_dim the quantizer stores).  Count +
+    constants oracle."""
+    _, idx, enc = _fit_ivfpq(spark, sf_dir)
     return enc.agg(
         F.count("*").cast("long").alias("n_encoded"),
         F.bool_and(F.size("pq_codes") == idx.pq.n_subspaces).alias("codes_width_ok"),
@@ -953,7 +959,7 @@ def q_ivfpq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(
             (F.col("cluster_id") >= 0) & (F.col("cluster_id") < idx.ivf.n_clusters)
         ).alias("clusters_in_range"),
-        F.lit(dim // idx.pq.n_subspaces).cast("long").alias("floats_per_code"),
+        F.lit(idx.pq.sub_dim).cast("long").alias("floats_per_code"),
     )
 
 

@@ -297,7 +297,6 @@ class IVFIndex:
                 id_col=self.id_col, vector_col=self.vector_col,
                 query_id_col=query_id_col, query_vector_col=query_vector_col,
             )
-        n_probe = min(n_probe, self.n_clusters)
         spark = vectors_with_cluster.sparkSession
         probes = self.probe_pairs(
             queries, n_probe,
@@ -343,6 +342,10 @@ class IVFIndex:
         import pandas as pd
         from pyspark.sql import types as T
 
+        if self.centroids is None:
+            raise ValueError(
+                "index is untrained (brute-force mode): no centroids to probe"
+            )
         spark = queries.sparkSession
         bc = spark.sparkContext.broadcast(self.centroids)
         q = queries.select(

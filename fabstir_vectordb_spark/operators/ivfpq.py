@@ -65,10 +65,16 @@ class IVFPQIndex:
     def encode(self, vectors: DataFrame) -> DataFrame:
         """(input cols, cluster_id, pq_codes) — what a 100 TB deployment
         persists ``partitionBy(cluster_id)``; raw vectors are needed only
-        if exact re-rank is wanted at query time."""
-        return self.pq.encode(
-            self.ivf.assign(vectors), vector_col=self.ivf.vector_col
-        )
+        if exact re-rank is wanted at query time.
+
+        Untrained-IVF mode (below the training threshold, mirroring
+        IVFIndex's small-data bypass): everything lands in cluster 0 and
+        search degrades to plain ADC over the whole table."""
+        if self.ivf.centroids is None:
+            assigned = vectors.withColumn("cluster_id", F.lit(0).cast("int"))
+        else:
+            assigned = self.ivf.assign(vectors)
+        return self.pq.encode(assigned, vector_col=self.ivf.vector_col)
 
     def search_bulk(
         self,
@@ -89,6 +95,16 @@ class IVFPQIndex:
         n_clusters the probe set is the whole table, so the result
         equals plain PQ ADC(+rerank) — the oracle hook."""
         id_col = self.ivf.id_col
+        if self.ivf.centroids is None:
+            # small-data bypass: no coarse partition exists — plain ADC
+            # over all codes (same graceful degradation as
+            # IVFIndex.search_bulk's brute-force fallback)
+            return self.pq.adc_knn_bulk(
+                encoded, queries, k,
+                id_col=id_col, code_col=code_col,
+                query_id_col=query_id_col, query_vector_col=query_vector_col,
+                rerank_vectors=rerank_vectors, oversample=oversample,
+            )
         probes = self.ivf.probe_pairs(
             queries, n_probe,
             query_id_col=query_id_col, query_vector_col=query_vector_col,
@@ -157,24 +173,10 @@ class IVFPQIndex:
         cand = topk_per_query(partials, fetch)
         if rerank_vectors is None:
             return topk_per_query(cand, k)
+        from fabstir_vectordb_spark.operators.pq import exact_rerank
 
-        from fabstir_vectordb_spark.functions import distance as D
-
-        vecs = rerank_vectors.select(
-            F.col(id_col).alias("id"),
-            F.col(self.ivf.vector_col).alias("__rv_vec"),
+        return exact_rerank(
+            cand, queries, rerank_vectors, k,
+            id_col=id_col, rerank_vector_col=self.ivf.vector_col,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
         )
-        q = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(query_vector_col).alias("__rv_q"),
-        )
-        exact = (
-            cand.drop("distance")
-            .join(vecs, "id")
-            .join(q, "query_id")
-            .select(
-                "query_id", "id",
-                D.l2_distance("__rv_vec", "__rv_q").alias("distance"),
-            )
-        )
-        return topk_per_query(exact, k)

@@ -29,6 +29,47 @@ from pyspark.sql import types as T
 from fabstir_vectordb_spark.operators._kmeans import kmeans_fit as _kmeans_fit
 
 
+def exact_rerank(
+    cand: DataFrame,
+    queries: DataFrame,
+    rerank_vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    rerank_vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+) -> DataFrame:
+    """Exact re-rank of an over-fetched candidate set: true L2 on only the
+    Q*k*oversample candidate rows, then top-k.  Shared by
+    ProductQuantizer.adc_knn_bulk and IVFPQIndex.search_bulk so the
+    full-probe-equivalence contract can't drift between them.
+
+    cand is the small side of both joins; no broadcast hint on the query
+    table (it may be big) — AQE decides."""
+    from fabstir_vectordb_spark.functions import distance as D
+    from fabstir_vectordb_spark.operators.topk import topk_per_query
+
+    vecs = rerank_vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(rerank_vector_col).alias("__rv_vec"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vector_col).alias("__rv_q"),
+    )
+    exact = (
+        cand.drop("distance")
+        .join(vecs, "id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "id",
+            D.l2_distance("__rv_vec", "__rv_q").alias("distance"),
+        )
+    )
+    return topk_per_query(exact, k)
+
+
 class ProductQuantizer:
     """codebooks: (M, K, sub_dim) float64 array."""
 
@@ -284,29 +325,11 @@ class ProductQuantizer:
                 query_id_col=query_id_col, query_vector_col=query_vector_col,
                 vector_blocks=vector_blocks,
             )
-            vecs = rerank_vectors.select(
-                F.col(id_col).alias("id"),
-                F.col(rerank_vector_col).alias("__rv_vec"),
+            return exact_rerank(
+                cand, queries, rerank_vectors, k,
+                id_col=id_col, rerank_vector_col=rerank_vector_col,
+                query_id_col=query_id_col, query_vector_col=query_vector_col,
             )
-            q = queries.select(
-                F.col(query_id_col).alias("query_id"),
-                F.col(query_vector_col).alias("__rv_q"),
-            )
-            from fabstir_vectordb_spark.functions import distance as D
-
-            # cand is Q*k*oversample rows — the small side of both joins;
-            # no broadcast hint on q (it may be a big table), AQE decides
-            exact = (
-                cand.drop("distance")
-                .join(vecs, "id")
-                .join(q, "query_id")
-                .select(
-                    "query_id",
-                    "id",
-                    D.l2_distance("__rv_vec", "__rv_q").alias("distance"),
-                )
-            )
-            return topk_per_query(exact, k)
 
         spark = codes_df.sparkSession
         VB = vector_blocks or spark.sparkContext.defaultParallelism

@@ -1,7 +1,6 @@
 """Edge paths of the scale operators: string ids through the cogroup
 kernels, degenerate inputs, and guard interaction with short docs."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from fabstir_vectordb_spark.operators import dedup as DD
@@ -29,6 +28,23 @@ def test_ivfpq_string_ids(spark, embeddings):
     # distance 0 (exact rerank restores true distances)
     best = {r["query_id"]: r for r in res if r["distance"] == 0.0}
     assert set(best) == {r["query_id"] for r in queries.collect()}
+
+
+def test_ivfpq_untrained_small_data_bypass(spark, embeddings):
+    """Below the IVF training threshold the composite index must degrade
+    to plain ADC over the whole (cluster-0) table, mirroring IVFIndex's
+    brute-force fallback — not crash in the probe kernel."""
+    tiny = embeddings.limit(8)
+    idx = IVFPQIndex.fit(tiny, n_clusters=4, n_subspaces=8, n_centroids=8, seed=1)
+    assert idx.ivf.centroids is None  # genuinely in untrained mode
+    enc = idx.encode(tiny)
+    assert enc.select("cluster_id").distinct().collect()[0]["cluster_id"] == 0
+    queries = tiny.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    res = idx.search_bulk(enc, queries, 3, n_probe=2, rerank_vectors=tiny).collect()
+    assert len(res) == 6
+    assert {r["distance"] for r in res if r["query_id"] == r["id"]} == {0.0}
 
 
 def test_knn_bulk_tiny_inputs(spark, embeddings):

@@ -29,11 +29,11 @@ def queries(embeddings):
     )
 
 
-def _ranked(df):
-    return {
-        (r["query_id"], round(r["distance"], 6))
-        for r in df.collect()
-    }, {(r["query_id"], r["id"]) for r in df.collect()}
+def _rows(df):
+    """One collect; exact multiset of (query_id, id, round-6 distance)."""
+    return sorted(
+        (r["query_id"], r["id"], round(r["distance"], 6)) for r in df.collect()
+    )
 
 
 def test_encode_contract(encoded, embeddings, idx):
@@ -54,9 +54,7 @@ def test_full_probe_equals_plain_pq(idx, encoded, embeddings, queries):
     plain = idx.pq.adc_knn(
         encoded, queries, 10, rerank_vectors=embeddings, oversample=4
     )
-    a_d, a_ids = _ranked(ivfpq)
-    b_d, b_ids = _ranked(plain)
-    assert a_ids == b_ids and a_d == b_d
+    assert _rows(ivfpq) == _rows(plain)
 
 
 def test_partial_probe_dominance(idx, encoded, embeddings, queries):
