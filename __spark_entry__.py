@@ -143,7 +143,10 @@ def q_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dot").alias("metric"), "query_id", "id",
         F.col("dot").alias("score"),
     )
-    return l2.unionByName(cos).unionByName(dot)
+    thr = q_search_threshold(spark, sf_dir).select(
+        F.lit("l2_threshold").alias("metric"), "query_id", "id", "score"
+    )
+    return l2.unionByName(cos).unionByName(dot).unionByName(thr)
 
 
 def q_knn_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,6 +514,23 @@ def q_text_quality_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", r6(X.quality_score("text", "__toks")).alias("quality")
     )
+
+
+def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/keyword.py — the lexical half of
+    hybrid lexical+semantic search; the reference has no keyword path at
+    all): postings-list join, idf * saturated-tf scoring, deterministic
+    top-10.  Queries are the first 3 tokens of four fixture docs, so the
+    oracle replays the identical scoring in SQL end-to-end."""
+    from fabstir_vectordb_spark.operators.keyword import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id").isin([0, 10, 20, 30])).select(
+        F.concat(F.lit("q"), F.col("doc_id")).alias("query_id"),
+        F.concat_ws(" ", F.slice(X.whitespace_tokens("text"), 1, 3)).alias("query"),
+    )
+    res = bm25_search(docs, queries, k=10)
+    return res.select("query_id", "id", r6("score").alias("score"))
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1857,6 +1877,46 @@ SELECT doc_id,
 FROM c
 """
 
+# full BM25 replay: postings, df, corpus stats, idf * saturated tf,
+# top-10 by (round-6 score DESC, id) — identical to operators/keyword.py
+_ORACLES["keyword_bm25"] = f"""
+WITH t AS (
+  SELECT doc_id AS id, list_transform({_TOKS}, tk -> lower(tk)) AS toks
+  FROM documents
+), p0 AS (
+  SELECT id, len(toks) AS dl, unnest(toks) AS term FROM t
+), post AS (
+  SELECT id, dl, term, count(*) AS tf FROM p0 GROUP BY id, dl, term
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT DISTINCT id, dl FROM post)
+), dfreq AS (
+  SELECT term, count(DISTINCT id) AS df FROM post GROUP BY term
+), q AS (
+  SELECT 'q' || CAST(id AS VARCHAR) AS query_id,
+         unnest(list_distinct(toks[1:3])) AS term
+  FROM t WHERE id IN (0, 10, 20, 30)
+), scored AS (
+  SELECT q.query_id, post.id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * post.tf * 2.2
+           / (post.tf + 1.2 * (0.25 + 0.75 * post.dl / stats.avgdl))
+         ) AS score
+  FROM q
+  JOIN dfreq ON q.term = dfreq.term
+  JOIN post ON q.term = post.term
+  CROSS JOIN stats
+  GROUP BY q.query_id, post.id
+), r AS (
+  SELECT query_id, id, score,
+         row_number() OVER (
+             PARTITION BY query_id ORDER BY round(score, 6) DESC, id) AS rn
+  FROM scored
+)
+SELECT query_id, id, (round(score, 6) + 0.0) AS score FROM r WHERE rn <= 10
+"""
+
 # identical planted fixture + regex chain as q_pii_redact (patterns are
 # Java-regex/RE2 compatible by construction; DuckDB needs the 'g' flag —
 # Spark's regexp_replace is global by default)
@@ -2470,7 +2530,8 @@ _ORACLES["pq_adc_knn"] = _ORACLES["ann_ivf_probe"]
 # bulk-vs-point ADC equivalence: also a constant all-true table
 _ORACLES["pq_bulk_invariant"] = _ORACLES["ann_ivf_probe"]
 
-# three exact-kNN metrics in one certified result (see q_knn_metrics)
+# three exact-kNN metrics + the thresholded-score contract in one
+# certified result (see q_knn_metrics)
 _ORACLES["knn_metrics"] = f"""
 SELECT 'l2' AS metric, query_id, id, distance AS score
 FROM ({_ORACLES["knn_l2"]})
@@ -2480,6 +2541,9 @@ FROM ({_ORACLES["knn_cosine"]})
 UNION ALL
 SELECT 'dot' AS metric, query_id, id, dot AS score
 FROM ({_ORACLES["knn_dot"]})
+UNION ALL
+SELECT 'l2_threshold' AS metric, query_id, id, score
+FROM ({_ORACLES["search_threshold"]})
 """
 
 # finite replay + complete mode => streaming windows equal batch GROUP BY
@@ -2527,15 +2591,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   cluster_distribution                 -> index_maintenance
     #   media_image_features + media_audio_windows + media_frame_sample
     #                                        -> media_contracts
+    #   search_threshold                     -> knn_metrics (l2_threshold)
     # New in round 3: session_get_recent, dedup_guarded, index_maintenance,
     # backup_restore, pii_redact, streaming_window, session_bulk_search,
-    # ann_ivfpq.
+    # ann_ivfpq, ivfpq_encode, keyword_bm25.
     return {
         "knn_metrics": q_knn_metrics,
         "knn_bulk": q_knn_bulk,
         "dist_kernels": q_dist_kernels,
         "vector_norms": q_vector_norms,
-        "search_threshold": q_search_threshold,
+        "keyword_bm25": q_keyword_bm25,
         "filter_matrix": q_filter_matrix,
         "filter_array_contains": q_filter_array_contains,
         "filter_json_props": q_filter_json_props,

@@ -1,0 +1,104 @@
+"""BM25 keyword search — the lexical retrieval primitive (Robertson &
+Sparck Jones probabilistic relevance framework; the BM25 form of
+Robertson et al., TREC-3 1994) the reference engine lacks: modern vector
+stores pair ANN with exactly this for hybrid lexical+semantic retrieval,
+and training-data curation uses it for targeted corpus mining.
+
+Spark-first shape: the postings list IS a DataFrame —
+tokenize once -> explode to (doc, term, tf) -> document frequencies by a
+term aggregate -> score by joining query terms against postings on the
+term key -> top-k per query.  Every shuffle key is a term or doc id;
+raw text moves only through the one tokenize projection.  At 100 TB the
+postings table is the materialization to persist (partitioned/bucketed
+by term); queries then touch only their terms' postings — the classic
+inverted-index pruning, expressed as a join.
+
+Scoring (standard BM25):
+  idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+  s(q, d) = sum_t idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.functions.text import whitespace_tokens
+
+
+def _terms(text_col, lower: bool = True):
+    toks = whitespace_tokens(text_col)
+    return F.transform(toks, lambda t: F.lower(t)) if lower else toks
+
+
+def build_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, term, tf, dl): the inverted index as a DataFrame — the
+    artifact a deployment persists partitioned by term."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), _terms(F.col(text_col)).alias("__t")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return (
+        toks.select("id", F.size("__t").alias("dl"), F.explode("__t").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k BM25 per query.  Pass a prebuilt ``postings`` (from
+    build_postings, typically cached/persisted) to skip re-tokenizing the
+    corpus per search — the expected pattern at scale.
+
+    Output: (query_id, id, score) — score rounded 6, descending,
+    ties broken by id; only docs sharing >= 1 query term appear.
+    """
+    from fabstir_vectordb_spark.operators.topk import topk_per_query
+
+    if postings is None:
+        postings = build_postings(docs, text_col=text_col, id_col=id_col)
+    stats = postings.select("id", "dl").distinct().agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    n_docs, avgdl = stats.collect()[0]  # two scalars, one tiny job
+
+    df_by_term = postings.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    # one row per (query, distinct term): duplicate terms in a query score
+    # once, the standard bag-of-words-with-set-semantics simplification
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(_terms(F.col(query_text_col)))).alias("term"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl))))
+    )
+    scored = (
+        qterms.join(df_by_term, "term")
+        .join(postings, "term")
+        .groupBy("query_id", "id")
+        .agg(F.sum(idf * tf_part).alias("score"))
+    )
+    # reuse the deterministic top-k (round-6 + id tie-break), descending
+    return topk_per_query(
+        scored.select("query_id", "id", F.col("score").alias("distance")),
+        k, order_col="distance", ascending=False,
+    ).select("query_id", "id", F.round("distance", 6).alias("score"))
