@@ -51,6 +51,10 @@ def r6(c) -> F.Column:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # UTC for EVERY load, not just events: timestamp rendering must not
+    # depend on whether an events-reading query ran first in the session
+    # (ad-hoc ordering hazard flagged in round-3 advice)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet has shipped as TIMESTAMP(NANOS) (which Spark reads
         # as bigint under nanosAsLong) and as TIMESTAMP(MICROS) (a real
@@ -59,10 +63,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # UTC unconditionally (not just on the NTZ branch): date_format /
-        # window rendering of event timestamps must match the oracle's
-        # tz-naive strftime on ANY host tz, for either fixture encoding
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # integer div: exact at any magnitude (double division of ~1e18
@@ -1888,8 +1888,9 @@ WITH t AS (
 ), post AS (
   SELECT id, dl, term, count(*) AS tf FROM p0 GROUP BY id, dl, term
 ), stats AS (
-  SELECT count(*) AS n_docs, avg(dl) AS avgdl
-  FROM (SELECT DISTINCT id, dl FROM post)
+  -- whole-corpus N/avgdl (standard BM25: zero-token docs count), matching
+  -- bm25_search's docs-derived statistics
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t
 ), dfreq AS (
   SELECT term, count(DISTINCT id) AS df FROM post GROUP BY term
 ), q AS (

@@ -467,13 +467,20 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Hamming-near pairs via 4x16-bit band exact-match + bit_count verify.
 
     Any pair within Hamming distance 3 must agree exactly on at least one
     of four 16-bit bands (pigeonhole) — so the bucket join finds all of
     them without an N^2 compare.
+
+    ``max_bucket_size`` defaults ON (10,000 — same as minhash_lsh_pairs):
+    a degenerate corpus where one 16-bit band value is shared by m docs
+    emits ~m^2/2 candidate pairs, so oversized band-buckets are dropped
+    before the join (their members remain catchable via their other
+    bands, and identical texts belong to exact_dedup first).  Pass None
+    for the exact all-pairs contract on trusted-size inputs.
     """
     sh = simhash64_agg(df, text_col=text_col, id_col=id_col)
     bands = F.array(

@@ -104,6 +104,7 @@ class IVFPQIndex:
                 id_col=id_col, code_col=code_col,
                 query_id_col=query_id_col, query_vector_col=query_vector_col,
                 rerank_vectors=rerank_vectors, oversample=oversample,
+                rerank_vector_col=self.ivf.vector_col,
             )
         probes = self.ivf.probe_pairs(
             queries, n_probe,

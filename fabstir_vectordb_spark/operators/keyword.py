@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fabstir_vectordb_spark.functions.text import whitespace_tokens
+from fabstir_vectordb_spark.operators.dedup import _parallelize
 
 
 def _terms(text_col, lower: bool = True):
@@ -37,10 +38,16 @@ def build_postings(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, term, tf, dl): the inverted index as a DataFrame — the
-    artifact a deployment persists partitioned by term."""
-    toks = docs.select(
-        F.col(id_col).alias("id"), _terms(F.col(text_col)).alias("__t")
-    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    artifact a deployment persists partitioned by term.
+
+    The tokenize projection is spread via the conditional `_parallelize`
+    (dedup.py): a full-corpus shuffle fires ONLY when the scan arrives
+    with clearly-below-cluster parallelism (the single-file small-SF
+    fixture); an already-parallel 100 TB scan keeps its partitioning —
+    zero extra exchanges in the index build."""
+    toks = _parallelize(
+        docs.select(F.col(id_col).alias("id"), _terms(F.col(text_col)).alias("__t"))
+    )
     return (
         toks.select("id", F.size("__t").alias("dl"), F.explode("__t").alias("term"))
         .groupBy("id", "dl", "term")
@@ -49,7 +56,7 @@ def build_postings(
 
 
 def bm25_search(
-    docs: DataFrame,
+    docs: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     k1: float = 1.2,
@@ -62,7 +69,14 @@ def bm25_search(
 ) -> DataFrame:
     """Top-k BM25 per query.  Pass a prebuilt ``postings`` (from
     build_postings, typically cached/persisted) to skip re-tokenizing the
-    corpus per search — the expected pattern at scale.
+    corpus per search — the expected pattern at scale; ``docs`` may then
+    be None.
+
+    Corpus statistics: with ``docs`` available, N and avgdl are computed
+    over the WHOLE corpus (standard BM25 — zero-token documents count in
+    N and pull avgdl down).  With only a postings table, empty documents
+    have no postings rows, so the stats necessarily exclude them — the
+    documented fallback semantics.
 
     Output: (query_id, id, score) — score rounded 6, descending,
     ties broken by id; only docs sharing >= 1 query term appear.
@@ -71,10 +85,19 @@ def bm25_search(
 
     if postings is None:
         postings = build_postings(docs, text_col=text_col, id_col=id_col)
-    stats = postings.select("id", "dl").distinct().agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    if docs is not None:
+        stats = docs.agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(
+                F.avg(F.size(_terms(F.col(text_col)))), F.lit(0.0)
+            ).alias("avgdl"),
+        )
+    else:
+        stats = postings.select("id", "dl").distinct().agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
     n_docs, avgdl = stats.collect()[0]  # two scalars, one tiny job
+    avgdl = avgdl or 1.0  # all-empty corpus: no postings anyway, avoid 0-div
 
     df_by_term = postings.groupBy("term").agg(F.countDistinct("id").alias("df"))
     # one row per (query, distinct term): duplicate terms in a query score
