@@ -517,20 +517,64 @@ def q_text_quality_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval (operators/keyword.py — the lexical half of
-    hybrid lexical+semantic search; the reference has no keyword path at
-    all): postings-list join, idf * saturated-tf scoring, deterministic
-    top-10.  Queries are the first 3 tokens of four fixture docs, so the
-    oracle replays the identical scoring in SQL end-to-end."""
+    """Keyword + hybrid retrieval in one certified output, discriminated
+    by `part` (round-4 fusion lands in the existing registry slot):
+
+      bm25     — BM25 keyword retrieval alone (operators/keyword.py):
+                 postings-list join, idf * saturated-tf, top-10
+      rrf      — hybrid lexical+semantic fusion via reciprocal rank
+                 fusion over BM25 top-20 and cosine-kNN top-20
+                 (operators/fusion.py; hybrid/core.rs:425-486 is the
+                 reference's semantic-only analogue)
+      weighted — same two sources, per-query min-max normalized then
+                 weighted 0.4 lexical / 0.6 semantic
+                 (search_integration.rs:214-296 'weighted' strategy)
+
+    Queries are the first 3 tokens of four fixture docs (lexical) and
+    those docs' own embeddings (semantic), so every stage — scoring,
+    ranks, fusion arithmetic — replays exactly in SQL."""
+    from fabstir_vectordb_spark.operators.fusion import (
+        rrf_fuse,
+        weighted_fuse,
+        with_rank,
+    )
     from fabstir_vectordb_spark.operators.keyword import bm25_search
 
     docs = _t(spark, sf_dir, "documents")
-    queries = docs.filter(F.col("doc_id").isin([0, 10, 20, 30])).select(
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [0, 10, 20, 30]
+    queries = docs.filter(F.col("doc_id").isin(qids)).select(
         F.concat(F.lit("q"), F.col("doc_id")).alias("query_id"),
         F.concat_ws(" ", F.slice(X.whitespace_tokens("text"), 1, 3)).alias("query"),
     )
-    res = bm25_search(docs, queries, k=10)
-    return res.select("query_id", "id", r6("score").alias("score"))
+    vqueries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("vector"),
+    )
+    lex20 = with_rank(bm25_search(docs, queries, k=20), depth=20)
+    knn20 = brute_force_knn(
+        emb, vqueries, 20,
+        metric="cosine", impl="kernel", id_col="vec_id", vector_col="embedding",
+    )
+    sem20 = with_rank(
+        knn20.select(
+            "query_id", "id",
+            (F.lit(1.0) - F.round("distance", 6)).alias("score"),
+        ),
+        depth=20,
+    )
+    part_bm25 = lex20.filter(F.col("rank") <= 10).select(
+        F.lit("bm25").alias("part"), "query_id", "id", r6("score").alias("score")
+    )
+    part_rrf = rrf_fuse(lex20, sem20, k=10).select(
+        F.lit("rrf").alias("part"), "query_id", "id", r6("score").alias("score")
+    )
+    part_w = weighted_fuse(
+        {"lexical": (lex20, 0.4), "semantic": (sem20, 0.6)}, k=10
+    ).select(
+        F.lit("weighted").alias("part"), "query_id", "id", r6("score").alias("score")
+    )
+    return part_bm25.unionByName(part_rrf).unionByName(part_w)
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1877,8 +1921,14 @@ SELECT doc_id,
 FROM c
 """
 
-# full BM25 replay: postings, df, corpus stats, idf * saturated tf,
-# top-10 by (round-6 score DESC, id) — identical to operators/keyword.py
+# full keyword + hybrid-fusion replay: BM25 (postings, df, corpus stats,
+# idf * saturated tf), cosine-kNN similarity, per-source top-20 ranks,
+# then RRF and min-max-normalized weighted fusion — identical arithmetic
+# to operators/keyword.py + operators/fusion.py.  Fused sums have <= 2
+# addends, so IEEE addition is order-independent across engines.
+_HY_NA = _NORM.format(a="e.embedding")
+_HY_NQ = _NORM.format(a="vq.qv")
+_HY_DOT = _DOT.format(a="e.embedding", b="vq.qv")
 _ORACLES["keyword_bm25"] = f"""
 WITH t AS (
   SELECT doc_id AS id, list_transform({_TOKS}, tk -> lower(tk)) AS toks
@@ -1909,13 +1959,74 @@ WITH t AS (
   JOIN post ON q.term = post.term
   CROSS JOIN stats
   GROUP BY q.query_id, post.id
-), r AS (
+), lex AS (
+  SELECT * FROM (
+    SELECT query_id, id, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY round(score, 6) DESC, id) AS rank
+    FROM scored
+  ) WHERE rank <= 20
+), vq AS (
+  SELECT 'q' || CAST(vec_id AS VARCHAR) AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id IN (0, 10, 20, 30)
+), simd AS (
+  SELECT vq.query_id, e.vec_id AS id,
+         1.0 - (round(1.0 - (CASE WHEN {_HY_NA} * {_HY_NQ} = 0 THEN 0.0
+                ELSE {_HY_DOT} / ({_HY_NA} * {_HY_NQ}) END), 6) + 0.0) AS score
+  FROM embeddings e CROSS JOIN vq
+), sem AS (
+  SELECT * FROM (
+    SELECT query_id, id, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY round(score, 6) DESC, id) AS rank
+    FROM simd
+  ) WHERE rank <= 20
+), rrfs AS (
+  SELECT query_id, id, sum(1.0 / (60.0 + rank)) AS score
+  FROM (SELECT query_id, id, rank FROM lex
+        UNION ALL SELECT query_id, id, rank FROM sem)
+  GROUP BY query_id, id
+), rrfr AS (
   SELECT query_id, id, score,
          row_number() OVER (
              PARTITION BY query_id ORDER BY round(score, 6) DESC, id) AS rn
-  FROM scored
+  FROM rrfs
+), lexn AS (
+  SELECT query_id, id,
+         CASE WHEN mx = mn THEN 1.0
+              ELSE (round(score, 6) - mn) / (mx - mn) END AS score,
+         0.4 AS weight
+  FROM (SELECT query_id, id, score,
+               min(round(score, 6)) OVER (PARTITION BY query_id) AS mn,
+               max(round(score, 6)) OVER (PARTITION BY query_id) AS mx
+        FROM lex)
+), semn AS (
+  SELECT query_id, id,
+         CASE WHEN mx = mn THEN 1.0
+              ELSE (round(score, 6) - mn) / (mx - mn) END AS score,
+         0.6 AS weight
+  FROM (SELECT query_id, id, score,
+               min(round(score, 6)) OVER (PARTITION BY query_id) AS mn,
+               max(round(score, 6)) OVER (PARTITION BY query_id) AS mx
+        FROM sem)
+), ws AS (
+  SELECT query_id, id, sum(score * weight) / sum(weight) AS score
+  FROM (SELECT * FROM lexn UNION ALL SELECT * FROM semn)
+  GROUP BY query_id, id
+), wr AS (
+  SELECT query_id, id, score,
+         row_number() OVER (
+             PARTITION BY query_id ORDER BY round(score, 6) DESC, id) AS rn
+  FROM ws
 )
-SELECT query_id, id, (round(score, 6) + 0.0) AS score FROM r WHERE rn <= 10
+SELECT 'bm25' AS part, query_id, id, (round(score, 6) + 0.0) AS score
+FROM lex WHERE rank <= 10
+UNION ALL
+SELECT 'rrf' AS part, query_id, id, (round(score, 6) + 0.0) AS score
+FROM rrfr WHERE rn <= 10
+UNION ALL
+SELECT 'weighted' AS part, query_id, id, (round(score, 6) + 0.0) AS score
+FROM wr WHERE rn <= 10
 """
 
 # identical planted fixture + regex chain as q_pii_redact (patterns are
