@@ -30,6 +30,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as E  # noqa: E402
 
@@ -55,6 +56,7 @@ BENCH_QUERIES = [
     "query_expansion",
     "hybrid_merge",
     "quantize_roundtrip",
+    "keyword_bm25",
 ]
 
 
@@ -140,20 +142,49 @@ def main() -> int:
     except Exception as e:
         print(f"ivf prefit failed: {e}", file=sys.stderr)
 
-    # two timed repetitions per query, report the min: this sandbox's
-    # lazy page-faulting and GC make single warm runs noisy by 2-4x on
-    # the allocation-heavy bulk joins; min-of-2 measures the plan, not
-    # the allocator.  Both reps are fully warm (the warmup above already
-    # compiled every plan shape).
-    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    times: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
+    # three timed repetitions per query, report the MEDIAN: this
+    # sandbox's lazy page-faulting and GC make single warm runs noisy by
+    # 2-4x on the allocation-heavy bulk joins (PERFORMANCE.md records
+    # 1.8 s vs 8.4 s back-to-back for one plan).  Median-of-3 is robust
+    # to one faulted rep in either direction; all reps are fully warm
+    # (the warmup above already compiled every plan shape).
+    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    def timed(fn) -> float:
+        samples = []
         for _ in range(REPS):
             t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            fn()
+            samples.append(time.time() - t0)
+        samples.sort()
+        return samples[len(samples) // 2] if REPS % 2 else (
+            samples[REPS // 2 - 1] + samples[REPS // 2]
+        ) / 2
+
+    times: dict[str, float] = {}
+    for name in names:
+        times[name] = round(
+            timed(
+                lambda: qs[name](spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            ),
+            3,
+        )
+
+    # Amortized latency at the BASELINE's own scale: the reference
+    # publishes 58 ms warm point-search at 100K vectors (BASELINE.md).
+    # Dividing an 8-query Spark job's wall clock by 8 charges each query
+    # ~200 ms of job-scheduling overhead — meaningless for a throughput
+    # engine.  The comparable number is per-query latency with the
+    # scheduling amortized over a real query batch: 100K vectors
+    # (sf0.1's 2,000 x 50 deterministic replicas), Q=1000, k=10.
+    amortized = {}
+    try:
+        amortized = _amortized(spark, sf_dir, timed)
+    except Exception as e:  # never crash the official record for this
+        print(f"amortized stage failed: {e}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(
@@ -167,14 +198,84 @@ def main() -> int:
                 # methodology markers: the IVF model is fit before timing
                 # (index build is a one-time cost in the reference too),
                 # so ann_ivf_probe times search only; each query is timed
-                # REPS times warm and the min reported
+                # REPS times warm and the median reported
                 "ivf_prefit": True,
                 "reps": REPS,
-                "agg": "min",
+                "agg": "median",
+                "amortized": amortized,
             }
         )
     )
     return 0
+
+
+def _amortized(spark, sf_dir: str, timed) -> dict:
+    """Per-query latency at the baseline's scale (100K vectors, k=10):
+    IVF probe search and exact kNN, Q=1000, partition-pruned parquet —
+    the layout a deployment actually runs.  Returns ms/query medians."""
+    import shutil
+    import tempfile
+
+    from fabstir_vectordb_spark.operators.ivf import IVFIndex
+    from fabstir_vectordb_spark.operators.knn import knn_bulk
+
+    REPLICAS = 50
+    NQ_AM, K_AM = 1000, 10
+    work = tempfile.mkdtemp(prefix="bench_amortized_")
+    try:
+        emb = E._t(spark, sf_dir, "embeddings")
+        reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("__rep"))
+        big = emb.crossJoin(reps).select(
+            (F.col("vec_id") * REPLICAS + F.col("__rep")).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.col("__rep") * F.lit(0.0007)
+            ).alias("embedding"),
+        )
+        big.write.mode("overwrite").parquet(f"{work}/vectors")
+        corpus = spark.read.parquet(f"{work}/vectors")
+        n_vectors = corpus.count()
+
+        # index build = one-time cost (as in the reference); clustered
+        # layout persisted partitionBy(cluster_id) so the probe scan is
+        # partition-pruned, exactly the 100 TB deployment shape
+        ivf = IVFIndex.fit(
+            corpus, n_clusters=64, train_size=10000,
+            id_col="vec_id", vector_col="embedding",
+        )
+        ivf.assign(corpus).write.mode("overwrite").partitionBy(
+            "cluster_id"
+        ).parquet(f"{work}/clustered")
+        clustered = spark.read.parquet(f"{work}/clustered")
+
+        queries = corpus.filter(F.col("vec_id") % (n_vectors // NQ_AM) == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+        )
+
+        def probe():
+            ivf.search_bulk(
+                clustered, queries, K_AM, n_probe=16
+            ).write.format("noop").mode("overwrite").save()
+
+        def exact():
+            knn_bulk(
+                corpus, queries, K_AM,
+                id_col="vec_id", vector_col="embedding",
+            ).write.format("noop").mode("overwrite").save()
+
+        probe()  # warm both plan shapes once
+        exact()
+        probe_s, exact_s = timed(probe), timed(exact)
+        return {
+            "vectors": n_vectors,
+            "queries": NQ_AM,
+            "k": K_AM,
+            "n_probe": 16,
+            "ivf_probe_ms_per_query": round(probe_s * 1000.0 / NQ_AM, 3),
+            "exact_knn_ms_per_query": round(exact_s * 1000.0 / NQ_AM, 3),
+            "baseline_warm_point_ms": 58.0,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
