@@ -88,12 +88,21 @@ class IVFPQIndex:
         code_col: str = "pq_codes",
         query_id_col: str = "query_id",
         query_vector_col: str = "vector",
+        prune_scan: bool = False,
     ) -> DataFrame:
         """Probe n_probe clusters, ADC over only their codes, exact
         re-rank of the oversampled candidates.  Query set stays a
         DataFrame end-to-end (no driver collect).  At n_probe =
         n_clusters the probe set is the whole table, so the result
-        equals plain PQ ADC(+rerank) — the oracle hook."""
+        equals plain PQ ADC(+rerank) — the oracle hook.
+
+        ``prune_scan=True``: collect the DISTINCT probed cluster ids (a
+        tiny list, <= n_clusters ints) and filter ``encoded`` with a
+        static ``cluster_id IN (...)`` BEFORE the cogroup.  Over a table
+        persisted partitionBy(cluster_id) (write_encoded) this reaches
+        the scan as PartitionFilters — only n_probe/n_clusters of the
+        files are read, the 100 TB I/O claim of this module's header.
+        Default off: the in-memory path doesn't need the extra tiny job."""
         id_col = self.ivf.id_col
         if self.ivf.centroids is None:
             # small-data bypass: no coarse partition exists — plain ADC
@@ -110,6 +119,11 @@ class IVFPQIndex:
             queries, n_probe,
             query_id_col=query_id_col, query_vector_col=query_vector_col,
         )
+        if prune_scan:
+            probed = sorted(
+                r[0] for r in probes.select("__blk").distinct().collect()
+            )
+            encoded = encoded.filter(F.col(cluster_col).isin(probed))
         v = encoded.select(
             F.col(id_col).alias("id"),
             F.col(code_col).alias("__codes"),
@@ -181,3 +195,31 @@ class IVFPQIndex:
             id_col=id_col, rerank_vector_col=self.ivf.vector_col,
             query_id_col=query_id_col, query_vector_col=query_vector_col,
         )
+
+    # ------------------------------------------------------- persistence
+
+    def save(self, path: str) -> None:
+        """Model metadata (coarse centroids + PQ codebooks) as sidecars —
+        the encoded table itself goes through write_encoded."""
+        self.ivf.save(path)
+        self.pq.save(path)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFPQIndex":
+        from fabstir_vectordb_spark.operators.pq import ProductQuantizer
+
+        return cls(IVFIndex.load(path), ProductQuantizer.load(path))
+
+
+def write_encoded(vectors: DataFrame, index: IVFPQIndex, path: str) -> None:
+    """Persist the IVFADC layout: assign + PQ-encode, then parquet
+    partitionBy(cluster_id) with the model sidecars.  This IS the 100 TB
+    artifact — ~(id + M bytes)/vector, probe reads touch only the probed
+    clusters' files (see search_bulk prune_scan)."""
+    enc = index.encode(vectors).drop(index.ivf.vector_col)  # codes, not floats
+    enc.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    index.save(path)
+
+
+def read_encoded(spark, path: str) -> tuple[DataFrame, IVFPQIndex]:
+    return spark.read.parquet(path), IVFPQIndex.load(path)

@@ -103,3 +103,51 @@ def test_partial_probe_prunes(idx, encoded, queries):
         F.col("cluster_id") != F.col("probed")
     )
     assert bad.count() == 0
+
+
+def test_write_read_encoded_roundtrip(tmp_path, spark, idx, encoded, embeddings, queries):
+    """Persisted IVFADC layout: partitionBy(cluster_id) parquet + model
+    sidecars; reload must reproduce codes exactly and the partition-pruned
+    probe search must equal the in-memory one rank-for-rank."""
+    from fabstir_vectordb_spark.operators.ivfpq import read_encoded, write_encoded
+
+    path = str(tmp_path / "ivfpq_store")
+    write_encoded(embeddings, idx, path)
+    loaded, lidx = read_encoded(spark, path)
+
+    # raw vectors are NOT in the persisted artifact; codes and clusters are
+    assert "embedding" not in loaded.columns
+    assert loaded.count() == embeddings.count()
+    mismatches = (
+        encoded.select("vec_id", "cluster_id", "pq_codes")
+        .exceptAll(loaded.select("vec_id", "cluster_id", "pq_codes"))
+        .count()
+    )
+    assert mismatches == 0
+
+    # model sidecars round-trip bit-exactly (json float repr is lossless)
+    assert (lidx.ivf.centroids == idx.ivf.centroids).all()
+    assert (lidx.pq.codebooks == idx.pq.codebooks).all()
+
+    mem = _rows(
+        idx.search_bulk(
+            encoded, queries, 5, n_probe=2, oversample=4, rerank_vectors=embeddings
+        )
+    )
+    disk = _rows(
+        lidx.search_bulk(
+            loaded, queries, 5, n_probe=2, oversample=4,
+            rerank_vectors=embeddings, prune_scan=True,
+        )
+    )
+    assert mem == disk
+
+    # the pruned scan really prunes: with n_probe=2 over 8 clusters the
+    # physical plan must carry a PartitionFilters entry on cluster_id
+    probes = lidx.ivf.probe_pairs(queries, 2)
+    probed = sorted(r[0] for r in probes.select("__blk").distinct().collect())
+    plan = (
+        loaded.filter(F.col("cluster_id").isin(probed))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "cluster_id" in plan
