@@ -6,12 +6,16 @@ never explode bytes into rows).  All per-item work happens in
 Arrow-batched ``mapInPandas`` kernels so bytes move executor-side in
 columnar batches.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode step is STUBBED: with ``decoder="fake"`` (default) a
-deterministic, seed-stable fake decodes bytes into shaped arrays so the
-Spark-side plumbing — schemas, batch shapes, partitioning, UDF
-signatures — is real and tested end-to-end.  ``decoder="pil"`` raises
-NotImplementedError unless PIL is importable.
+Decoders: ``decoder="png"`` is a REAL, dependency-free decoder — a
+pure numpy+zlib implementation of the PNG spec (8-bit depth, color
+types 0/2/3/4/6, non-interlaced; the format the vast majority of
+lossless training images use) with nearest-neighbor resize — so real
+bytes flow through the whole pipeline even in this codec-less
+container.  ``decoder="pil"`` uses PIL when importable (full format
+coverage, bilinear resize) and raises NotImplementedError otherwise.
+``decoder="fake"`` (default) keeps the deterministic content-hash stub
+for fixtures whose bytes aren't real media.  ``decoder="auto"`` picks
+pil, else png.  ffmpeg/librosa paths remain stubbed.
 """
 
 from __future__ import annotations
@@ -62,6 +66,106 @@ def _fake_pixels(data: bytes, width: int, height: int) -> np.ndarray:
     return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(data: bytes) -> "np.ndarray | None":
+    """Pure numpy+zlib PNG decode -> (H, W, 3) uint8, or None if the
+    bytes aren't a decodable PNG.  Implements the public PNG spec
+    (RFC 2083): chunk walk, zlib inflate, per-scanline unfilter
+    (None/Sub/Up/Average/Paeth), then sample expansion to RGB.
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), interlace 0 — alpha is dropped."""
+    import struct
+    import zlib
+
+    try:
+        if not data or not data.startswith(_PNG_SIG):
+            return None
+        pos, ihdr, plte, idat = len(_PNG_SIG), None, None, []
+        while pos + 8 <= len(data):
+            (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+            body = data[pos + 8:pos + 8 + length]
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif ctype == b"PLTE":
+                plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat.append(body)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + body + crc
+        if ihdr is None or not idat:
+            return None
+        width, height, depth, color, _comp, _filt, interlace = ihdr
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+        if depth != 8 or channels is None or interlace != 0:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = width * channels
+        if len(raw) < height * (stride + 1):
+            return None
+        rows = np.frombuffer(raw, dtype=np.uint8)[: height * (stride + 1)]
+        rows = rows.reshape(height, stride + 1)
+        filters, scan = rows[:, 0], rows[:, 1:].astype(np.int32)
+        out = np.zeros((height, stride), dtype=np.uint8)
+        bpp = channels
+        for y in range(height):
+            f, cur = filters[y], scan[y].copy()
+            prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+            if f == 0:
+                rec = cur
+            elif f == 2:  # Up
+                rec = cur + prev
+            else:  # Sub / Average / Paeth need the running left value
+                rec = cur
+                for x in range(stride):
+                    left = rec[x - bpp] if x >= bpp else 0
+                    up = prev[x]
+                    ul = prev[x - bpp] if x >= bpp else 0
+                    if f == 1:
+                        rec[x] += left
+                    elif f == 3:
+                        rec[x] += (left + up) // 2
+                    elif f == 4:
+                        p = left + up - ul
+                        pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                        if pa <= pb and pa <= pc:
+                            rec[x] += left
+                        elif pb <= pc:
+                            rec[x] += up
+                        else:
+                            rec[x] += ul
+                    else:
+                        return None
+                    rec[x] &= 0xFF
+            out[y] = rec & 0xFF
+        px = out.reshape(height, width, channels)
+        if color == 2:
+            rgb = px
+        elif color == 6:
+            rgb = px[:, :, :3]
+        elif color == 0:
+            rgb = np.repeat(px, 3, axis=2)
+        elif color == 4:
+            rgb = np.repeat(px[:, :, :1], 3, axis=2)
+        else:  # palette
+            if plte is None:
+                return None
+            rgb = plte[px[:, :, 0]]
+        return np.ascontiguousarray(rgb, dtype=np.uint8)
+    except Exception:
+        return None
+
+
+def _nearest_resize(arr: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize of (H, W, C) to (h, w, C)."""
+    H, W = arr.shape[:2]
+    ys = np.minimum((np.arange(h) * H) // h, H - 1)
+    xs = np.minimum((np.arange(w) * W) // w, W - 1)
+    return arr[ys][:, xs]
+
+
 def _decode_batch(pdf, decoder: str, w: int, h: int):
     """Decode one Arrow batch (pandas DataFrame) -> pixel columns.
 
@@ -93,6 +197,14 @@ def _decode_batch(pdf, decoder: str, w: int, h: int):
                 widths.append(None)
                 heights.append(None)
                 continue
+        elif decoder == "png":
+            decoded = _decode_png(bytes(data))
+            if decoded is None:
+                pixels.append(None)
+                widths.append(None)
+                heights.append(None)
+                continue
+            arr = _nearest_resize(decoded, w, h)
         else:
             arr = _fake_pixels(bytes(data), w, h)
         pixels.append(arr.reshape(-1).astype("int32").tolist())
@@ -110,15 +222,18 @@ def decode_images(
     shape fields).  Resize is part of decode so undecoded full-resolution
     pixels never hit the shuffle.
 
-    decoder='pil' is the REAL path (requires PIL on driver+executors);
-    'auto' picks pil when available, else the deterministic fake."""
+    decoder='pil' is the full-coverage REAL path (requires PIL on
+    driver+executors); decoder='png' is the dependency-free REAL path
+    (pure numpy+zlib PNG, nearest-neighbor resize); 'auto' picks pil
+    when available, else png; 'fake' is the deterministic content-hash
+    stub for non-media fixture bytes."""
     if decoder == "auto":
-        decoder = "pil" if _have_pil() else "fake"
+        decoder = "pil" if _have_pil() else "png"
     if decoder == "pil" and not _have_pil():
         raise NotImplementedError(
-            "PIL not available in this environment; use decoder='fake' or 'auto'"
+            "PIL not available in this environment; use decoder='png' or 'auto'"
         )
-    if decoder not in ("fake", "pil"):
+    if decoder not in ("fake", "pil", "png"):
         raise ValueError(f"unknown decoder {decoder!r}")
     w, h = target
     out_schema = T.StructType(

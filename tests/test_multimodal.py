@@ -43,9 +43,13 @@ def test_pil_decoder_gating(media):
     if not MM._have_pil():
         with pytest.raises(NotImplementedError, match="PIL not available"):
             MM.decode_images(media, decoder="pil")
-        # auto falls back to the deterministic fake
+        # auto falls back to the real numpy PNG decoder: the fixture's
+        # fake bytes aren't PNGs, so they decode to nulls (per-row, no
+        # job failure) — the stub pixels require decoder='fake' explicitly
         out = {r["media_id"]: r for r in MM.decode_images(media, decoder="auto").collect()}
-        assert len(out["m0"]["pixels"]) == 8 * 8 * 3
+        assert out["m0"]["pixels"] is None
+    fake = {r["media_id"]: r for r in MM.decode_images(media, decoder="fake").collect()}
+    assert len(fake["m0"]["pixels"]) == 8 * 8 * 3
     with pytest.raises(ValueError):
         MM.decode_images(media, decoder="nope")
 
@@ -116,21 +120,109 @@ def test_pil_branch_plumbing(monkeypatch):
     assert out.loc[out.media_id == "d"].iloc[0]["pixels"] is None
 
 
-@pytest.mark.skipif(not MM._have_pil(), reason="PIL not installed")
-def test_pil_decode_real(spark):
-    """End-to-end decoder='pil' through Spark with a real PNG."""
-    import io
+def _png_bytes(arr, color_type=2, filter_type=0, palette=None):
+    """Minimal PNG encoder (test-side): 8-bit, non-interlaced, one
+    filter type for every scanline — exercises the decoder's unfilter
+    paths against spec-correct input."""
+    import struct
+    import zlib
 
-    from PIL import Image
+    import numpy as np
 
-    buf = io.BytesIO()
-    Image.new("RGB", (16, 12), (250, 10, 10)).save(buf, format="PNG")
+    h, w = arr.shape[:2]
+    channels = arr.shape[2] if arr.ndim == 3 else 1
+    flat = arr.reshape(h, w * channels).astype(np.int32)
+    bpp = channels
+    lines = []
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if filter_type == 0:
+            out = cur
+        elif filter_type == 1:
+            out = cur - left
+        elif filter_type == 2:
+            out = cur - prev
+        elif filter_type == 3:
+            out = cur - (left + prev) // 2
+        else:  # paeth
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            out = cur - pred
+        lines.append(bytes([filter_type]) + bytes((out % 256).astype(np.uint8)))
+        prev = cur
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette.astype(np.uint8).reshape(-1)))
+    out += chunk(b"IDAT", zlib.compress(b"".join(lines)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decoder_all_filters_and_colortypes():
+    """_decode_png must invert every scanline filter and expand every
+    supported color type back to the original RGB."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    for ftype in range(5):
+        got = MM._decode_png(_png_bytes(rgb, color_type=2, filter_type=ftype))
+        assert got is not None and (got == rgb).all(), f"filter {ftype}"
+    gray = rng.randint(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    got = MM._decode_png(_png_bytes(gray, color_type=0, filter_type=4))
+    assert (got == np.repeat(gray, 3, axis=2)).all()
+    rgba = np.dstack([rgb, np.full((9, 5), 128, np.uint8)])
+    got = MM._decode_png(_png_bytes(rgba, color_type=6, filter_type=1))
+    assert (got == rgb).all()  # alpha dropped
+    pal = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idxs = rng.randint(0, 4, size=(3, 7, 1), dtype=np.uint8)
+    got = MM._decode_png(_png_bytes(idxs, color_type=3, filter_type=2, palette=pal))
+    assert (got == pal[idxs[:, :, 0]]).all()
+    # junk and truncated input -> None, never an exception
+    assert MM._decode_png(b"notapng") is None
+    assert MM._decode_png(_png_bytes(rgb)[:30]) is None
+
+
+def test_png_decode_real(spark):
+    """End-to-end REAL decode through Spark: actual PNG bytes ->
+    decoder='png' (the dependency-free real path; 'auto' resolves to it
+    here) -> resized RGB tensor."""
+    import numpy as np
+
+    img = np.zeros((12, 16, 3), dtype=np.uint8)
+    img[:, :, 0] = 250  # solid red
+    img[:, :, 1] = 10
     df = spark.createDataFrame(
-        [("p0", "image", bytearray(buf.getvalue()), None)], MM.MEDIA_SCHEMA
+        [
+            ("p0", "image", bytearray(_png_bytes(img, filter_type=4)), None),
+            ("p1", "image", bytearray(b"corrupt bytes"), None),
+        ],
+        MM.MEDIA_SCHEMA,
     )
-    row = MM.decode_images(df, decoder="pil", target=(4, 4)).collect()[0]
-    assert row["px_width"] == 4 and len(row["pixels"]) == 4 * 4 * 3
-    assert row["pixels"][0] > 200  # red channel survived decode+resize
+    decoder = "pil" if MM._have_pil() else "png"
+    rows = {
+        r["media_id"]: r
+        for r in MM.decode_images(df, decoder=decoder, target=(4, 4)).collect()
+    }
+    assert rows["p0"]["px_width"] == 4 and len(rows["p0"]["pixels"]) == 4 * 4 * 3
+    assert rows["p0"]["pixels"][0] > 200  # red channel survived decode+resize
+    assert rows["p0"]["pixels"][2] == 0  # blue stayed dark
+    assert rows["p1"]["pixels"] is None  # corrupt row -> nulls, not failure
 
 
 def test_sample_frames(media):
