@@ -91,6 +91,11 @@ class VectorDbSession:
         # by every mutation
         self._cache = QueryResultCache(max_size=100)
         self._mutations = 0
+        # mutation event log (the reference's update-event vocabulary,
+        # src/client/rust.rs:72-88 Inserted/Updated/Deleted/Migrated —
+        # stubbed server-side there, a real queryable log here); one row
+        # per affected vector, seq gives a total order
+        self._events: list[tuple[int, str, str, _dt.datetime]] = []
 
     # after this many column-rewrite mutations, truncate lineage with a
     # localCheckpoint (lazy: the next action materializes it).  Without
@@ -112,6 +117,38 @@ class VectorDbSession:
         self._mutations += 1
         if self._df is not None and self._mutations % self._CHECKPOINT_EVERY == 0:
             self._df = self._df.localCheckpoint(eager=False)
+
+    def _emit(
+        self, event_type: str, ids: list[str], ts: _dt.datetime | None = None
+    ) -> None:
+        """Append one event per affected vector id.  Driver-side list by
+        design: every session mutation's id set already transits the
+        driver (the session API is the reference-shaped point surface,
+        not the bulk-operator path), so the log costs O(mutated ids)."""
+        when = ts or _utcnow()
+        base = len(self._events)
+        self._events.extend(
+            (base + i, event_type, vid, when) for i, vid in enumerate(ids)
+        )
+
+    def mutation_events(self) -> DataFrame:
+        """The session's mutation log as a DataFrame:
+        (seq, event_type, vector_id, ts) with event_type in
+        Inserted/Updated/Deleted/Migrated (client/rust.rs:72-88 — the
+        reference defines the vocabulary but its SSE endpoint is a stub;
+        docs/API.md:715-726).  `Migrated` never fires in this engine:
+        recent->historical routing is an age predicate at query time
+        (SURVEY §2 row 39), not a data movement.  Write this to any
+        Spark sink (parquet dir + readStream = the SSE analogue)."""
+        schema = T.StructType(
+            [
+                T.StructField("seq", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), False),
+                T.StructField("vector_id", T.StringType(), False),
+                T.StructField("ts", T.TimestampType(), False),
+            ]
+        )
+        return self.spark.createDataFrame(self._events, schema)
 
     # ------------------------------------------------------------------ add
 
@@ -173,6 +210,7 @@ class VectorDbSession:
         else:
             self._df = self._df.unionByName(batch, allowMissingColumns=True)
         self._bound_lineage()
+        self._emit("Inserted", [r["id"] for r in rows], now)
         return len(rows)
 
     def batch_add_vectors(
@@ -265,6 +303,7 @@ class VectorDbSession:
                 else self._df.unionByName(batch, allowMissingColumns=True)
             )
             self._bound_lineage()
+            self._emit("Inserted", [r["id"] for r in rows], now)
         return {"successful": len(rows), "failed": len(errors), "errors": errors}
 
     def _create_batch_df(self, rows: list[dict]) -> DataFrame:
@@ -587,6 +626,7 @@ class VectorDbSession:
                 ),
             )
             self._bound_lineage()
+            self._emit("Deleted", sorted(hit))
         return {"successful": successful, "failed": failed, "errors": errors}
 
     def delete_by_metadata(self, filter: dict) -> dict:
@@ -602,6 +642,8 @@ class VectorDbSession:
             "deleted", F.when(match, F.lit(True)).otherwise(F.col("deleted"))
         )
         self._bound_lineage()
+        if ids:
+            self._emit("Deleted", ids)
         return {"deletedCount": len(ids), "deletedIds": ids}
 
     # --------------------------------------------------------------- update
@@ -691,6 +733,7 @@ class VectorDbSession:
                 self._create_batch_df(repl_rows), allowMissingColumns=True
             )
             self._bound_lineage()
+            self._emit("Updated", touched)
         return {"successful": successful, "failed": failed, "errors": errors}
 
     # --------------------------------------------------------------- vacuum
