@@ -551,7 +551,10 @@ def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
         F.col("embedding").alias("vector"),
     )
-    lex20 = with_rank(bm25_search(docs, queries, k=20), depth=20)
+    # cache the two tiny source lists (Q x 20 rows): all three parts
+    # derive from them, and without the cache each union branch re-runs
+    # the postings join / kNN kernel
+    lex20 = with_rank(bm25_search(docs, queries, k=20), depth=20).cache()
     knn20 = brute_force_knn(
         emb, vqueries, 20,
         metric="cosine", impl="kernel", id_col="vec_id", vector_col="embedding",
@@ -562,7 +565,7 @@ def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) - F.round("distance", 6)).alias("score"),
         ),
         depth=20,
-    )
+    ).cache()
     part_bm25 = lex20.filter(F.col("rank") <= 10).select(
         F.lit("bm25").alias("part"), "query_id", "id", r6("score").alias("score")
     )

@@ -232,6 +232,14 @@ def main() -> int:
     times["minhash_guarded_hot"] = round(time.time() - t0, 2)
     _log(f"minhash_guarded_hot {times['minhash_guarded_hot']}s ({n_mh_hot} pairs)")
 
+    # simhash on the same boilerplate corpus: the shared footer pulls
+    # many documents' band values together, so this exercises the
+    # (round-4 default-ON) band-bucket guard exactly like minhash's
+    t0 = time.time()
+    n_sh_hot = DD.simhash_pairs(docs_hot, max_hamming=3).count()
+    times["simhash_guarded_hot"] = round(time.time() - t0, 2)
+    _log(f"simhash_guarded_hot {times['simhash_guarded_hot']}s ({n_sh_hot} pairs)")
+
     print(json.dumps({
         "n_vectors": n_vec, "n_docs": n_doc,
         "minhash_pairs": n_pairs, "times": times,
@@ -239,6 +247,7 @@ def main() -> int:
             "unguarded_candidate_rows": float(would_be or 0),
             "guarded_ngram_pairs": n_guarded,
             "guarded_minhash_pairs": n_mh_hot,
+            "guarded_simhash_pairs": n_sh_hot,
         },
         "total": round(sum(times.values()), 2),
     }))
