@@ -97,6 +97,36 @@ def make_handler(session: VectorDbSession):
             if self.path == "/api/v1/statistics/session":
                 # the session-level stats shape (session.rs:699-721)
                 return self._json(200, session.get_stats())
+            if self.path.split("?")[0] == "/api/v1/events":
+                # the reference documents an SSE update stream
+                # (docs/API.md:715-726) whose server side is a stub;
+                # here the mutation log is real and served as a
+                # cursor-polling endpoint: ?since=<seq> returns events
+                # with seq >= since plus the next cursor — the stateless
+                # HTTP analogue of resuming an SSE stream
+                from urllib.parse import parse_qs, urlsplit
+
+                qs = parse_qs(urlsplit(self.path).query)
+                try:
+                    since = int(qs.get("since", ["0"])[0])
+                except ValueError:
+                    return self._json(400, {"error": "since must be an integer"})
+                rows = [e for e in session._events if e[0] >= since]
+                return self._json(
+                    200,
+                    {
+                        "events": [
+                            {
+                                "seq": seq,
+                                "type": etype,
+                                "vector_id": vid,
+                                "timestamp": ts.isoformat(),
+                            }
+                            for seq, etype, vid, ts in rows
+                        ],
+                        "next_since": (rows[-1][0] + 1) if rows else since,
+                    },
+                )
             m = _VEC_ID_RE.match(self.path)
             if m:
                 v = session.get_vector(m.group(1))

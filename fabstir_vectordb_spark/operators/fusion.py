@@ -147,11 +147,20 @@ def hybrid_retrieval(
     query_text_col: str = "query",
     query_vector_col: str = "vector",
     postings: DataFrame | None = None,
+    semantic_search=None,
 ) -> DataFrame:
     """End-to-end hybrid search: BM25 top-``depth`` + cosine-similarity
     kNN top-``depth`` per query, fused by ``strategy`` ('rrf' or
     'weighted') into a top-k list.  Assumes doc ids and vector ids share
-    an id space (the corpus' documents and their embeddings)."""
+    an id space (the corpus' documents and their embeddings).
+
+    ``semantic_search``: optional ``(vector_queries, depth) ->
+    (query_id, id, distance)`` callable replacing the exact kNN — plug
+    an ANN here for the 100 TB path, e.g.
+    ``lambda q, d: ivf.search_bulk(clustered, q, d, n_probe=8)`` or an
+    IVFPQ probe.  Any distance-like score works: RRF uses only ranks,
+    and min-max normalization is invariant under positive affine maps,
+    so ``-distance`` and ``1 - distance`` fuse identically."""
     from fabstir_vectordb_spark.operators.keyword import bm25_search
     from fabstir_vectordb_spark.operators.knn import brute_force_knn
 
@@ -165,12 +174,15 @@ def hybrid_retrieval(
         depth=depth,
     )
     # source operators standardize their output to (query_id, id, ...)
-    knn = brute_force_knn(
-        vectors, vector_queries, depth,
-        metric="cosine", impl="kernel",
-        id_col=vec_id_col, vector_col=vector_col,
-        query_id_col=query_id_col, query_vector_col=query_vector_col,
-    )
+    if semantic_search is not None:
+        knn = semantic_search(vector_queries, depth)
+    else:
+        knn = brute_force_knn(
+            vectors, vector_queries, depth,
+            metric="cosine", impl="kernel",
+            id_col=vec_id_col, vector_col=vector_col,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+        )
     sem = with_rank(
         knn.select(
             "query_id", "id",

@@ -125,3 +125,39 @@ def test_hybrid_retrieval_end_to_end(spark):
     assert w_ids[0] == 2 and set(w_ids[:2]) == {0, 2}
     with pytest.raises(ValueError):
         hybrid_retrieval(docs, vecs, tq, vq, strategy="nope")
+
+
+def test_hybrid_retrieval_ann_semantic_source(spark, embeddings, documents):
+    """The pluggable semantic source: IVF probe search at full probe is
+    exact, so the ANN-backed hybrid result must equal the brute-force
+    one on the fixture tables (doc ids and vec ids share an id space)."""
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.operators.fusion import hybrid_retrieval
+    from fabstir_vectordb_spark.operators.ivf import IVFIndex
+
+    tq = documents.filter(F.col("doc_id") < 2).select(
+        F.concat(F.lit("q"), "doc_id").alias("query_id"),
+        F.col("text").alias("query"),
+    )
+    vq = embeddings.filter(F.col("vec_id") < 2).select(
+        F.concat(F.lit("q"), "vec_id").alias("query_id"),
+        F.col("embedding").alias("vector"),
+    )
+    ivf = IVFIndex.fit(embeddings, n_clusters=4, id_col="vec_id", vector_col="embedding")
+    clustered = ivf.assign(embeddings) if ivf.is_trained else embeddings
+
+    def ann(queries, depth):
+        return ivf.search_bulk(
+            clustered, queries, depth,
+            n_probe=max(1, ivf.n_clusters), metric="cosine",
+        )
+
+    base = hybrid_retrieval(documents, embeddings, tq, vq, k=5, depth=10)
+    # brute-force cosine == full-probe IVF cosine, so fusion must agree
+    got = hybrid_retrieval(
+        documents, embeddings, tq, vq, k=5, depth=10, semantic_search=ann
+    )
+    b = sorted((r["query_id"], r["id"], round(r["score"], 6)) for r in base.collect())
+    g = sorted((r["query_id"], r["id"], round(r["score"], 6)) for r in got.collect())
+    assert b == g and len(b) == 10

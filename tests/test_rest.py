@@ -125,3 +125,29 @@ def test_batch_insert_bulk(server):
     assert code == 200 and body["successful"] == 20 and body["failed"] == 0
     code, _ = _req(server, "GET", "/api/v1/vectors/bulk19")
     assert code == 200
+
+
+def test_events_endpoint(server):
+    """Cursor-polling over the mutation log: the real version of the
+    reference's stubbed SSE update stream (docs/API.md:715-726)."""
+    code, body = _req(server, "GET", "/api/v1/events")
+    assert code == 200
+    assert {e["type"] for e in body["events"]} <= {"Inserted", "Updated", "Deleted", "Migrated"}
+    n = len(body["events"])
+    assert n >= 1 and body["next_since"] == body["events"][-1]["seq"] + 1
+    assert [e["seq"] for e in body["events"]] == sorted(e["seq"] for e in body["events"])
+
+    # resume from the cursor: nothing new -> empty page, cursor unchanged
+    code, page = _req(server, "GET", f"/api/v1/events?since={body['next_since']}")
+    assert code == 200 and page["events"] == [] and page["next_since"] == body["next_since"]
+
+    # a new mutation appears after the cursor
+    code, _ = _req(server, "POST", "/api/v1/vectors", {"id": "evt1", "vector": [5.0, 5.0]})
+    assert code == 201
+    code, page = _req(server, "GET", f"/api/v1/events?since={body['next_since']}")
+    assert code == 200
+    assert [e["vector_id"] for e in page["events"]] == ["evt1"]
+    assert page["events"][0]["type"] == "Inserted"
+
+    code, _ = _req(server, "GET", "/api/v1/events?since=notanint")
+    assert code == 400
