@@ -125,12 +125,32 @@ def q_knn_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW (operators/hnsw.py — SURVEY §2 rows 35/36, src/hnsw/core.rs)
+    at its exactness hook: M0/ef >= graph size makes every layer-0 graph
+    complete and the beam exhaustive, so partition-local HNSW search IS
+    exact kNN and hash-checks against the same DuckDB SQL as knn_l2
+    (the hnsw_l2 part of knn_metrics)."""
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = HNSWIndex(
+        M=1024, M0=1024, ef_construction=1024, num_graphs=4,
+        id_col="vec_id", vector_col="embedding",
+    )
+    g = idx.build(emb)
+    res = idx.search_bulk(g, _query_vectors(spark, sf_dir), K, ef=1024)
+    return res.select("query_id", "id", r6("distance").alias("distance"))
+
+
 def q_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-query top-k under all three metrics (SURVEY §2.1/2.4:
     L2, cosine, max-inner-product) in one certified result — the three
     single-metric queries unioned with a metric discriminator so each
     ranking stays individually oracle-checked.  `score` is the ranking
-    key (distance for l2/cosine, dot product for dot)."""
+    key (distance for l2/cosine, dot product for dot).  The hnsw_l2 part
+    is the HNSW graph at its exact configuration (q_knn_hnsw) checked
+    against the L2 oracle SQL."""
     l2 = q_knn_l2(spark, sf_dir).select(
         F.lit("l2").alias("metric"), "query_id", "id",
         F.col("distance").alias("score"),
@@ -146,7 +166,11 @@ def q_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = q_search_threshold(spark, sf_dir).select(
         F.lit("l2_threshold").alias("metric"), "query_id", "id", "score"
     )
-    return l2.unionByName(cos).unionByName(dot).unionByName(thr)
+    hnsw = q_knn_hnsw(spark, sf_dir).select(
+        F.lit("hnsw_l2").alias("metric"), "query_id", "id",
+        F.col("distance").alias("score"),
+    )
+    return l2.unionByName(cos).unionByName(dot).unionByName(thr).unionByName(hnsw)
 
 
 def q_knn_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,30 +414,14 @@ def q_ann_ivf_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "id", r6("distance").alias("distance"))
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Third ANN strategy (SURVEY §7.1): MLlib BucketedRandomProjectionLSH
-    bucketed candidate join + exact verify.  Bucket membership is
-    model-dependent, so the oracle checks the per-query contract: at most
-    k results, and rank-wise dominance over exact kNN (bucketing can only
-    lose candidates) — one constant row per query."""
-    from fabstir_vectordb_spark.operators.lsh import LSHIndex
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = _query_vectors(spark, sf_dir)
-    idx = LSHIndex.fit(
-        emb, bucket_length=2.0, num_hash_tables=4, seed=42,
-        id_col="vec_id", vector_col="embedding",
-    )
-    ann = _ranked_by_query(idx.search(emb, queries, K, threshold=1e9))
-    exact = _ranked_by_query(
-        brute_force_knn(
-            emb, queries, K, metric="l2", impl="kernel",
-            id_col="vec_id", vector_col="embedding",
-        )
-    )
+def _ann_contract_rows(ann: DataFrame, exact: DataFrame, queries: DataFrame) -> DataFrame:
+    """Per-query ANN contract: at most k results, and rank-wise dominance
+    over exact kNN (candidate pruning can only LOSE candidates, so the
+    approximate rank-r distance is never below the exact rank-r distance).
+    One row per query even when the index returned nothing."""
     per_rank = (
-        ann.alias("a")
-        .join(exact.alias("e"), ["query_id", "rank"], "left")
+        _ranked_by_query(ann).alias("a")
+        .join(_ranked_by_query(exact).alias("e"), ["query_id", "rank"], "left")
         .groupBy("query_id")
         .agg(
             F.coalesce(
@@ -422,16 +430,53 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") <= K).alias("at_most_k"),
         )
     )
-    # emit one row per query even if LSH returned nothing for it
-    universe = queries.select("query_id")
     return (
-        universe.join(per_rank, "query_id", "left")
+        queries.select("query_id")
+        .join(per_rank, "query_id", "left")
         .select(
             "query_id",
             F.coalesce("dominated", F.lit(True)).alias("dominated"),
             F.coalesce("at_most_k", F.lit(True)).alias("at_most_k"),
         )
     )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third + fourth ANN strategies in one part-discriminated row
+    (SURVEY §7.1 / §2 rows 35-36): part='lsh' is MLlib
+    BucketedRandomProjectionLSH bucketed candidate join + exact verify;
+    part='hnsw' is the partition-local HNSW graph (operators/hnsw.py) at
+    REALISTIC settings (M=16/M0=32/ef=64 — the reference's defaults,
+    src/hnsw/core.rs:30-46).  Both are model-dependent, so the oracle
+    checks the per-query contract (_ann_contract_rows): at most k, and
+    rank-wise dominance over exact kNN.  HNSW's exact configuration is
+    separately hash-certified against real SQL (knn_metrics hnsw_l2)."""
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
+    from fabstir_vectordb_spark.operators.lsh import LSHIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _query_vectors(spark, sf_dir)
+    exact = brute_force_knn(
+        emb, queries, K, metric="l2", impl="kernel",
+        id_col="vec_id", vector_col="embedding",
+    )
+    lsh_idx = LSHIndex.fit(
+        emb, bucket_length=2.0, num_hash_tables=4, seed=42,
+        id_col="vec_id", vector_col="embedding",
+    )
+    lsh = _ann_contract_rows(
+        lsh_idx.search(emb, queries, K, threshold=1e9), exact, queries
+    ).select(F.lit("lsh").alias("part"), "query_id", "dominated", "at_most_k")
+
+    hnsw_idx = HNSWIndex(
+        M=16, M0=32, ef_construction=100, num_graphs=4,
+        id_col="vec_id", vector_col="embedding",
+    )
+    graph = hnsw_idx.build(emb)
+    hnsw = _ann_contract_rows(
+        hnsw_idx.search_bulk(graph, queries, K, ef=64), exact, queries
+    ).select(F.lit("hnsw").alias("part"), "query_id", "dominated", "at_most_k")
+    return lsh.unionByName(hnsw)
 
 
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1914,8 +1959,9 @@ FROM embeddings CROSS JOIN
 WHERE vec_id < {NQ}
 """,
     "ann_lsh": f"""
-SELECT vec_id AS query_id, true AS dominated, true AS at_most_k
-FROM embeddings WHERE vec_id < {NQ}
+SELECT p.part, vec_id AS query_id, true AS dominated, true AS at_most_k
+FROM embeddings CROSS JOIN (SELECT unnest(['lsh', 'hnsw']) AS part) p
+WHERE vec_id < {NQ}
 """,
     # recall bounds / monotonicity / exactness-at-full-probe are theorems
     # of nested probe sets, not properties of the fitted model
@@ -2735,6 +2781,9 @@ FROM ({_ORACLES["knn_dot"]})
 UNION ALL
 SELECT 'l2_threshold' AS metric, query_id, id, score
 FROM ({_ORACLES["search_threshold"]})
+UNION ALL
+SELECT 'hnsw_l2' AS metric, query_id, id, distance AS score
+FROM ({_ORACLES["knn_l2"]})
 """
 
 # finite replay + complete mode => streaming windows equal batch GROUP BY

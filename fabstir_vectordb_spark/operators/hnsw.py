@@ -1,0 +1,373 @@
+"""HNSW — partition-local small-world graphs as the recent-side ANN index.
+
+Parity target: the reference's HNSW graph (src/hnsw/core.rs — insert
+:226-396, search :398-467, search_layer :469-554, level assignment
+:211-224, config M=16/M0=32/ef_construction=200 at :30-46) and its graph
+stats (src/hnsw/operations.rs:227-272).  SURVEY §2 rows 35/36/58 mapped
+these to "no Spark equivalent" because a single global pointer-chasing
+graph is perpendicular to BSP execution; this module implements the
+Spark-native shape instead:
+
+**Partition-local graphs.**  Vectors are hashed into ``num_graphs``
+disjoint graphs (``graph_id = pmod(xxhash64(id), G)``); each graph is
+built INDEPENDENTLY inside one ``applyInPandas`` task with the standard
+HNSW insertion algorithm (Malkov & Yashunin 2016, IEEE TPAMI 40(4) —
+public literature).  A query runs the multi-layer beam search on every
+graph in parallel and the per-graph top-k partials are merged by the
+same O(Q·G·k) window ``topk_per_query`` used by the exact kernel — the
+identical partial-reduction shape as operators/knn.py, so the global
+result is the union-best of G local searches.
+
+Why this is the right 100 TB shape: each graph is a bounded-size,
+memory-resident structure (size ≈ N/G nodes) that builds in one task
+with zero cross-partition chatter — construction is embarrassingly
+parallel, the one shuffle is the graph-id hash.  Search fans out to G
+tasks and shuffles only G·k candidate rows per query.  Recall: a global
+top-k is the union of the per-graph top-k's, so partitioning LOSES
+nothing structurally — each local search just has a smaller haystack
+(the same argument as per-partition brute force); the only
+approximation is HNSW's own beam search, bounded by ``ef``.
+
+Determinism: insertion order is sorted id; node levels are a pure
+function of xxhash64(id) and ``seed`` (splitmix64 → exponential via
+inverse CDF, p = 1/ln(M) as in the reference's geometric level draw),
+so the graph for a given (dataset, config) is reproducible across runs
+and engines — no RNG state anywhere.
+
+Exactness hook (the oracle): with ``M0 >= partition size`` every layer-0
+graph is complete, and with ``ef >= partition size`` the beam retains
+every node, so search degenerates to an exhaustive scan per graph and
+the merged result is EXACTLY brute-force kNN — certified against the
+same DuckDB SQL oracle as the exact metrics (hnsw_exact part of
+knn_metrics in __spark_entry__.py).  At realistic (M, ef) the invariant
+row (ann_lsh 'hnsw' part) checks rank-wise dominance + at-most-k.
+
+Deletions follow the reference's soft-delete traversal semantics
+(hnsw/core.rs: deleted nodes stay in the graph, keep routing, and are
+filtered from RESULTS only): pass ``deleted_col`` and search traverses
+through deleted nodes but never emits them.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fabstir_vectordb_spark.operators.topk import topk_per_query
+
+_SPLITMIX_C0 = np.uint64(0x9E3779B97F4A7C15)
+_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    z = z + _SPLITMIX_C0
+    z = (z ^ (z >> np.uint64(30))) * _SPLITMIX_C1
+    z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_C2
+    return z ^ (z >> np.uint64(31))
+
+
+def _levels_from_hash(h: np.ndarray, m_l: float, seed: int, max_level: int = 16) -> np.ndarray:
+    """Deterministic level draw: u = uniform(0,1) from splitmix64(h ^ seed),
+    level = floor(-ln(u) * mL) — the inverse-CDF form of the reference's
+    geometric draw (hnsw/core.rs:211-224), RNG-free."""
+    u64 = _splitmix64(h.astype(np.uint64) ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    # 53 high bits -> (0,1]; +1 ulp keeps u away from exact 0
+    u = ((u64 >> np.uint64(11)).astype(np.float64) + 1.0) * (2.0 ** -53)
+    return np.minimum(np.floor(-np.log(u) * m_l), max_level).astype(np.int32)
+
+
+def _search_layer(q, eps, ef, layer, V, nbrs, dcache):
+    """Classic HNSW beam over one layer.  ``eps``: entry positions;
+    returns list of (dist, pos) sorted ascending, len <= ef.  ``nbrs``
+    is pos -> list of per-layer neighbor position arrays; ``dcache``
+    memoizes pos -> distance for this query."""
+
+    def dist(p):
+        d = dcache.get(p)
+        if d is None:
+            diff = V[p] - q
+            d = math.sqrt(float(diff @ diff))
+            dcache[p] = d
+        return d
+
+    visited = set(eps)
+    cand = [(dist(p), p) for p in eps]
+    heapq.heapify(cand)
+    best = [(-d, p) for d, p in cand]
+    heapq.heapify(best)
+    while len(best) > ef:
+        heapq.heappop(best)
+    while cand:
+        d, c = heapq.heappop(cand)
+        if len(best) >= ef and d > -best[0][0]:
+            break
+        cn = nbrs[c]
+        if layer < len(cn):
+            for nb in cn[layer]:
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                d2 = dist(nb)
+                if len(best) < ef or d2 < -best[0][0]:
+                    heapq.heappush(cand, (d2, nb))
+                    heapq.heappush(best, (-d2, nb))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+    return sorted((-nd, p) for nd, p in best)
+
+
+def _build_local_graph(V: np.ndarray, levels: np.ndarray, M: int, M0: int, ef_c: int):
+    """Build one in-memory HNSW graph over rows of V (insertion order =
+    row order).  Returns nbrs: pos -> [np.array(layer 0), ...] up to that
+    node's level.  Neighbor selection is closest-M (the reference's
+    simple selection; the diversity heuristic is a quality knob, not a
+    semantic)."""
+    n = len(V)
+    nbrs: list[list[np.ndarray]] = [
+        [np.empty(0, dtype=np.int64) for _ in range(int(levels[i]) + 1)] for i in range(n)
+    ]
+    if n == 0:
+        return nbrs, -1
+    entry, max_lvl = 0, int(levels[0])
+    for i in range(1, n):
+        q = V[i]
+        l = int(levels[i])
+        dcache: dict[int, float] = {}
+        eps = [entry]
+        for lc in range(max_lvl, l, -1):
+            eps = [_search_layer(q, eps, 1, lc, V, nbrs, dcache)[0][1]]
+        for lc in range(min(l, max_lvl), -1, -1):
+            W = _search_layer(q, eps, ef_c, lc, V, nbrs, dcache)
+            m_max = M0 if lc == 0 else M
+            sel = [p for _, p in W[:M]]
+            nbrs[i][lc] = np.asarray(sel, dtype=np.int64)
+            for p in sel:
+                plist = nbrs[p][lc]
+                if len(plist) < m_max:
+                    nbrs[p][lc] = np.append(plist, i)
+                else:
+                    # prune: keep the m_max closest to p (bidirectional
+                    # link displaces the worst edge, hnsw/core.rs:358-396)
+                    cand_pos = np.append(plist, i)
+                    dd = np.sqrt(((V[cand_pos] - V[p]) ** 2).sum(axis=1))
+                    keep = np.lexsort((cand_pos, dd))[:m_max]
+                    nbrs[p][lc] = cand_pos[keep]
+            eps = [p for _, p in W]
+        if l > max_lvl:
+            entry, max_lvl = i, l
+    return nbrs, max_lvl
+
+
+def _entry_pos(levels: np.ndarray, ids: np.ndarray) -> int:
+    """Entry point = max level, ties to min id (deterministic; the
+    reference keeps the first max-level node, which under sorted-id
+    insertion is the same node)."""
+    top = int(levels.max())
+    at_top = np.flatnonzero(levels == top)
+    return int(at_top[np.argsort(ids[at_top], kind="stable")[0]])
+
+
+class HNSWIndex:
+    """Partition-local HNSW over a vectors DataFrame.
+
+    ``build`` materializes the graphs as a plain DataFrame
+    (graph_id, id, level, neighbors, vector) — persistence is therefore
+    just ``write_graph``/``read_graph`` (parquet partitionBy(graph_id)),
+    the same merge-on-read story as the IVF clustered table.
+    """
+
+    def __init__(self, M=16, M0=32, ef_construction=200, num_graphs=None, seed=42,
+                 id_col="id", vector_col="vector"):
+        self.M, self.M0, self.ef_construction = int(M), int(M0), int(ef_construction)
+        self.num_graphs = num_graphs
+        self.seed = int(seed)
+        self.id_col, self.vector_col = id_col, vector_col
+        self.m_l = 1.0 / math.log(max(self.M, 2))
+
+    # -- construction ----------------------------------------------------
+    def build(self, vectors: DataFrame, deleted_col: str | None = None) -> DataFrame:
+        """One applyInPandas task per graph; the only shuffle is the
+        graph-id hash partition.  Output columns: graph_id, id, level,
+        neighbors (array<array<id>>, layer-major), vector, deleted."""
+        spark = vectors.sparkSession
+        G = int(self.num_graphs or spark.sparkContext.defaultParallelism)
+        id_t = vectors.schema[self.id_col].dataType
+        M, M0, ef_c, m_l, seed = self.M, self.M0, self.ef_construction, self.m_l, self.seed
+
+        src = vectors.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.vector_col).alias("__v"),
+            (F.col(deleted_col) if deleted_col else F.lit(False)).alias("deleted"),
+            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(G)).cast("int").alias("graph_id"),
+            F.xxhash64(F.col(self.id_col), F.lit(self.seed)).alias("__h"),
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("graph_id", T.IntegerType(), False),
+                T.StructField("id", id_t, False),
+                T.StructField("level", T.IntegerType(), False),
+                T.StructField("neighbors", T.ArrayType(T.ArrayType(id_t)), False),
+                T.StructField("vector", T.ArrayType(T.DoubleType()), False),
+                T.StructField("deleted", T.BooleanType(), False),
+            ]
+        )
+
+        def build_graph(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            # sorted-id insertion: deterministic graphs (see module doc)
+            pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            levels = _levels_from_hash(
+                pdf["__h"].to_numpy().astype(np.uint64), m_l, seed
+            )
+            nbrs, _ = _build_local_graph(V, levels, M, M0, ef_c)
+            ids = pdf["id"].to_numpy()
+            return pd.DataFrame(
+                {
+                    "graph_id": pdf["graph_id"].to_numpy(),
+                    "id": ids,
+                    "level": levels,
+                    "neighbors": [
+                        [ids[layer].tolist() for layer in node] for node in nbrs
+                    ],
+                    "vector": [v.tolist() for v in V],
+                    "deleted": pdf["deleted"].to_numpy(),
+                }
+            )
+
+        return src.groupBy("graph_id").applyInPandas(build_graph, out_schema)
+
+    # -- search ----------------------------------------------------------
+    def search_bulk(
+        self,
+        graph: DataFrame,
+        queries: DataFrame,
+        k: int,
+        ef: int | None = None,
+        query_id_col: str = "query_id",
+        query_vector_col: str = "vector",
+    ) -> DataFrame:
+        """Beam-search every graph for every query; merge per-graph
+        partials with the exact global window.  Both sides stay
+        DataFrames (no driver collect): queries are replicated per graph
+        (Q x G rows — G is a knob, queries are the small side) and
+        cogrouped with the node table, the same shape as
+        knn.cogroup_block_knn.  Output: (query_id, id, distance) asc,
+        k rows per query."""
+        spark = graph.sparkSession
+        ef = int(ef) if ef else max(64, k)
+        qid_t = queries.schema[query_id_col].dataType
+        id_t = graph.schema["id"].dataType
+        k_i = int(k)
+
+        # (+0).alias mints a fresh attribute so the cogroup below isn't an
+        # ambiguous self-join against `graph`'s own graph_id
+        gids = graph.select(
+            (F.col("graph_id") + F.lit(0)).cast("int").alias("graph_id")
+        ).distinct()
+        qrep = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vector_col).alias("__qv"),
+        ).crossJoin(gids)
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", qid_t, False),
+                T.StructField("id", id_t, False),
+                T.StructField("distance", T.DoubleType(), False),
+            ]
+        )
+
+        def graph_topk(gpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+            if gpdf.empty or qpdf.empty:
+                return pd.DataFrame({"query_id": [], "id": [], "distance": []})
+            gpdf = gpdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+            ids = gpdf["id"].to_numpy()
+            if ids.dtype == object:
+                ids = ids.astype(str)
+            pos = {v: i for i, v in enumerate(ids)}
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in gpdf["vector"]])
+            levels = gpdf["level"].to_numpy()
+            deleted = gpdf["deleted"].to_numpy()
+            nbrs = [
+                [
+                    np.asarray([pos[x] for x in layer], dtype=np.int64)
+                    for layer in node
+                ]
+                for node in gpdf["neighbors"]
+            ]
+            entry = _entry_pos(levels, ids)
+            max_lvl = int(levels[entry])
+            out_q, out_id, out_d = [], [], []
+            for qid, qv in zip(qpdf["query_id"], qpdf["__qv"]):
+                q = np.asarray(qv, dtype=np.float64)
+                dcache: dict[int, float] = {}
+                eps = [entry]
+                for lc in range(max_lvl, 0, -1):
+                    eps = [_search_layer(q, eps, 1, lc, V, nbrs, dcache)[0][1]]
+                W = _search_layer(q, eps, max(ef, k_i), 0, V, nbrs, dcache)
+                taken = 0
+                for d, p in W:
+                    if deleted[p]:
+                        continue  # traverse-through, filter from results
+                    out_q.append(qid)
+                    out_id.append(ids[p])
+                    out_d.append(d)
+                    taken += 1
+                    if taken >= k_i:
+                        break
+            return pd.DataFrame({"query_id": out_q, "id": out_id, "distance": out_d})
+
+        partials = (
+            graph.groupBy("graph_id")
+            .cogroup(qrep.groupBy("graph_id"))
+            .applyInPandas(graph_topk, out_schema)
+        )
+        return topk_per_query(partials, k)
+
+    # -- stats -----------------------------------------------------------
+    def graph_stats(self, graph: DataFrame) -> dict:
+        """nodes, edges/2, avg layer-0 degree, max layer, graphs —
+        the reference's get_graph_stats (hnsw/operations.rs:227-272;
+        its components field is a stub=1 there, = num_graphs here)."""
+        row = graph.agg(
+            F.count("*").alias("nodes"),
+            F.sum(F.coalesce(F.size(F.col("neighbors")[0]), F.lit(0))).alias("deg0"),
+            F.sum(
+                F.aggregate(
+                    "neighbors", F.lit(0), lambda acc, l: acc + F.size(l)
+                )
+            ).alias("alledges"),
+            F.max("level").alias("max_level"),
+            F.countDistinct("graph_id").alias("graphs"),
+            F.sum(F.col("deleted").cast("long")).alias("deleted"),
+        ).collect()[0]
+        nodes = row["nodes"] or 0
+        return {
+            "nodes": nodes,
+            "edges": int(row["alledges"] or 0) // 2,
+            "avg_degree": (float(row["deg0"]) / nodes) if nodes else 0.0,
+            "max_level": int(row["max_level"]) if nodes else -1,
+            "graphs": int(row["graphs"] or 0),
+            "deleted": int(row["deleted"] or 0),
+        }
+
+
+def write_graph(graph: DataFrame, path: str, codec: str = "snappy") -> None:
+    """Graphs persist as parquet partitioned by graph_id — search over a
+    loaded table prunes to probed graphs the same way the IVF clustered
+    table prunes to probed clusters."""
+    graph.write.mode("overwrite").option("compression", codec).partitionBy(
+        "graph_id"
+    ).parquet(path)
+
+
+def read_graph(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,194 @@
+"""HNSW partition-local graphs: exactness hook, recall, determinism,
+soft-delete traversal semantics, persistence with graph pruning.
+
+Reference parity: src/hnsw/core.rs (insert/search/level draw),
+src/hnsw/operations.rs:227-272 (graph stats), soft-delete filter
+semantics of hnsw/operations.rs:127-145.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.operators.hnsw import (
+    HNSWIndex,
+    read_graph,
+    write_graph,
+)
+from fabstir_vectordb_spark.operators.knn import brute_force_knn
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    rows = [(int(i), rng.normal(size=16).tolist()) for i in range(400)]
+    return spark.createDataFrame(rows, "id long, vector array<double>").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, vectors):
+    return (
+        vectors.filter(F.col("id") % 20 == 0)
+        .select(F.col("id").alias("query_id"), "vector")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def exact(vectors, queries):
+    return (
+        brute_force_knn(vectors, queries, K, metric="l2",
+                        id_col="id", vector_col="vector")
+        .orderBy("query_id", "distance", "id")
+        .collect()
+    )
+
+
+def test_complete_graph_equals_exact_knn(vectors, queries, exact):
+    # M0 >= partition size and ef >= partition size => exhaustive search
+    idx = HNSWIndex(M=512, M0=512, ef_construction=512, num_graphs=4,
+                    id_col="id", vector_col="vector")
+    g = idx.build(vectors).cache()
+    res = (
+        idx.search_bulk(g, queries, K, ef=512)
+        .orderBy("query_id", "distance", "id")
+        .collect()
+    )
+    assert len(res) == len(exact)
+    for a, b in zip(res, exact):
+        assert a["query_id"] == b["query_id"]
+        assert a["id"] == b["id"]
+        assert a["distance"] == pytest.approx(b["distance"], abs=1e-9)
+
+
+def test_realistic_config_high_recall(vectors, queries, exact):
+    idx = HNSWIndex(M=16, M0=32, ef_construction=100, num_graphs=4,
+                    id_col="id", vector_col="vector")
+    g = idx.build(vectors).cache()
+    res = idx.search_bulk(g, queries, K, ef=64).collect()
+    truth, approx = {}, {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["id"])
+    for r in res:
+        approx.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [len(truth[q] & approx.get(q, set())) / K for q in truth]
+    assert np.mean(recalls) >= 0.95
+    # dominance: an approximate result at rank r is never closer than the
+    # exact result at rank r (bucketing/beam can only lose candidates)
+    by_q_exact = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], []).append(r["distance"])
+    by_q_res = {}
+    for r in sorted(res, key=lambda x: (x["query_id"], x["distance"], x["id"])):
+        by_q_res.setdefault(r["query_id"], []).append(r["distance"])
+    for q, ds in by_q_res.items():
+        for rank, d in enumerate(ds):
+            assert d >= by_q_exact[q][rank] - 1e-9
+
+
+def test_build_is_deterministic(vectors):
+    idx = HNSWIndex(M=8, M0=16, ef_construction=50, num_graphs=4,
+                    id_col="id", vector_col="vector")
+    a = idx.build(vectors).orderBy("id").collect()
+    b = idx.build(vectors).orderBy("id").collect()
+    for ra, rb in zip(a, b):
+        assert ra["id"] == rb["id"]
+        assert ra["level"] == rb["level"]
+        assert ra["neighbors"] == rb["neighbors"]
+
+
+def test_soft_deleted_filtered_but_traversed(vectors, queries):
+    # mark the exact top-1 of each query deleted: it must vanish from
+    # results while the rest of the graph stays reachable through it
+    idx = HNSWIndex(M=512, M0=512, ef_construction=512, num_graphs=2,
+                    id_col="id", vector_col="vector")
+    top1 = {
+        r["id"]
+        for r in brute_force_knn(vectors, queries, 1, metric="l2",
+                                 id_col="id", vector_col="vector").collect()
+    }
+    marked = vectors.withColumn("dead", F.col("id").isin(list(top1)))
+    g = idx.build(marked, deleted_col="dead").cache()
+    res = idx.search_bulk(g, queries, K, ef=512).collect()
+    got_ids = {r["id"] for r in res}
+    assert not (got_ids & top1)
+    # still k full results per query (deleted nodes displaced, not holes)
+    from collections import Counter
+
+    cnt = Counter(r["query_id"] for r in res)
+    assert all(v == K for v in cnt.values())
+    stats = idx.graph_stats(g)
+    assert stats["deleted"] == len(top1)
+
+
+def test_persistence_roundtrip_and_graph_pruning(tmp_path, vectors, queries, exact):
+    idx = HNSWIndex(M=512, M0=512, ef_construction=512, num_graphs=4,
+                    id_col="id", vector_col="vector")
+    path = str(tmp_path / "hnsw_graph")
+    write_graph(idx.build(vectors), path)
+    loaded = read_graph(vectors.sparkSession, path)
+    res = (
+        idx.search_bulk(loaded, queries, K, ef=512)
+        .orderBy("query_id", "distance", "id")
+        .collect()
+    )
+    assert [(r["query_id"], r["id"]) for r in res] == [
+        (r["query_id"], r["id"]) for r in exact
+    ]
+    # partition pruning: filtering one graph_id reaches the scan as a
+    # partition filter over the partitionBy(graph_id) layout
+    plan = (
+        loaded.filter(F.col("graph_id") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "graph_id" in plan
+
+
+def test_string_ids(spark):
+    rng = np.random.default_rng(3)
+    rows = [(f"doc-{i:04d}", rng.normal(size=8).tolist()) for i in range(120)]
+    vec = spark.createDataFrame(rows, "id string, vector array<double>")
+    q = spark.createDataFrame(rows[:5], "query_id string, vector array<double>")
+    idx = HNSWIndex(M=256, M0=256, ef_construction=256, num_graphs=3,
+                    id_col="id", vector_col="vector")
+    g = idx.build(vec).cache()
+    res = idx.search_bulk(g, q, 5, ef=256).orderBy("query_id", "distance").collect()
+    exact = (
+        brute_force_knn(vec, q, 5, metric="l2", id_col="id", vector_col="vector")
+        .orderBy("query_id", "distance")
+        .collect()
+    )
+    assert [(r["query_id"], r["id"]) for r in res] == [
+        (r["query_id"], r["id"]) for r in exact
+    ]
+
+
+def test_tiny_graphs(spark):
+    # single vector, and a graph count larger than the vector count
+    vec = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "id long, vector array<double>",
+    )
+    q = spark.createDataFrame([(9, [0.1, 0.1])], "query_id long, vector array<double>")
+    idx = HNSWIndex(M=4, M0=8, ef_construction=8, num_graphs=8,
+                    id_col="id", vector_col="vector")
+    g = idx.build(vec)
+    res = idx.search_bulk(g, q, 2, ef=8).collect()
+    assert [r["id"] for r in sorted(res, key=lambda r: r["distance"])] == [1, 2]
+
+
+def test_graph_stats_shape(vectors):
+    idx = HNSWIndex(M=8, M0=16, ef_construction=50, num_graphs=4,
+                    id_col="id", vector_col="vector")
+    g = idx.build(vectors).cache()
+    s = idx.graph_stats(g)
+    assert s["nodes"] == 400
+    assert s["graphs"] == 4
+    assert s["edges"] > 0
+    assert 0 < s["avg_degree"] <= 16
+    assert s["max_level"] >= 0
+    assert s["deleted"] == 0
