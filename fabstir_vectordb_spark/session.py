@@ -136,10 +136,10 @@ class VectorDbSession:
         (seq, event_type, vector_id, ts) with event_type in
         Inserted/Updated/Deleted/Migrated (client/rust.rs:72-88 — the
         reference defines the vocabulary but its SSE endpoint is a stub;
-        docs/API.md:715-726).  `Migrated` never fires in this engine:
-        recent->historical routing is an age predicate at query time
-        (SURVEY §2 row 39), not a data movement.  Write this to any
-        Spark sink (parquet dir + readStream = the SSE analogue)."""
+        docs/API.md:715-726).  `Migrated` fires from migrate_aged()
+        (batch tier migration; plans/maintenance.py schedules it).
+        Write this to any Spark sink (parquet dir + readStream = the
+        SSE analogue)."""
         schema = T.StructType(
             [
                 T.StructField("seq", T.LongType(), False),
@@ -628,6 +628,55 @@ class VectorDbSession:
             self._bound_lineage()
             self._emit("Deleted", sorted(hit))
         return {"successful": successful, "failed": failed, "errors": errors}
+
+    def migrate_aged(
+        self,
+        max_per_run: int = 100,
+        age_days: int = RECENCY_DAYS,
+        now: _dt.datetime | None = None,
+    ) -> dict:
+        """Batch-migrate aged rows to the historical tier
+        (hybrid/core.rs:551-649; its batch_size=100 default kept).
+
+        Selection: live rows older than the cutoff not already
+        historical, OLDEST first (insertion-age order, as the reference
+        drains its HNSW side).  One bounded-id column rewrite + one
+        `Migrated` event per row.  Search semantics are UNCHANGED — the
+        age predicate is evaluated at query time regardless (SURVEY §2
+        row 39) — so `tier` is purely the physical-layout marker that
+        save()/compaction uses; a lagging scheduler can never change a
+        query result.  Returns {migrated, remaining_aged}.
+        """
+        if self._df is None:
+            return {"migrated": 0, "remaining_aged": 0}
+        now = now or _utcnow()
+        cutoff = now - _dt.timedelta(days=age_days)
+        if "tier" not in self._df.columns:
+            self._df = self._df.withColumn("tier", F.lit(None).cast("string"))
+        aged = self._df.filter(
+            ~F.col("deleted")
+            & (F.col("ts") < F.lit(cutoff))
+            & (F.coalesce(F.col("tier"), F.lit("recent")) != F.lit("historical"))
+        )
+        n_aged = aged.count()
+        batch = sorted(
+            r["id"]
+            for r in aged.orderBy(F.col("ts").asc(), F.col("id").asc())
+            .select("id")
+            .limit(int(max_per_run))
+            .collect()
+        )
+        if batch:
+            self._invalidate()
+            self._df = self._df.withColumn(
+                "tier",
+                F.when(F.col("id").isin(batch), F.lit("historical")).otherwise(
+                    F.col("tier")
+                ),
+            )
+            self._bound_lineage()
+            self._emit("Migrated", batch, now)
+        return {"migrated": len(batch), "remaining_aged": n_aged - len(batch)}
 
     def delete_by_metadata(self, filter: dict) -> dict:
         """Soft-delete all live rows matching the filter; returns
