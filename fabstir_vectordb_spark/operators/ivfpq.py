@@ -211,13 +211,19 @@ class IVFPQIndex:
         return cls(IVFIndex.load(path), ProductQuantizer.load(path))
 
 
-def write_encoded(vectors: DataFrame, index: IVFPQIndex, path: str) -> None:
+def write_encoded(
+    vectors: DataFrame, index: IVFPQIndex, path: str, codec: str = "zstd"
+) -> None:
     """Persist the IVFADC layout: assign + PQ-encode, then parquet
     partitionBy(cluster_id) with the model sidecars.  This IS the 100 TB
     artifact — ~(id + M bytes)/vector, probe reads touch only the probed
-    clusters' files (see search_bulk prune_scan)."""
+    clusters' files (see search_bulk prune_scan).  Default codec is zstd
+    (the reference's CBOR+zstd archival format, SURVEY §2 row 71): the
+    encoded table is the cold layout, so the denser codec wins."""
     enc = index.encode(vectors).drop(index.ivf.vector_col)  # codes, not floats
-    enc.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    enc.write.mode("overwrite").option("compression", codec).partitionBy(
+        "cluster_id"
+    ).parquet(path)
     index.save(path)
 
 

@@ -865,9 +865,11 @@ class VectorDbSession:
 
     # ---------------------------------------------------------- persistence
 
-    def save(self, path: str) -> str:
+    def save(self, path: str, codec: str = "snappy") -> str:
         """Partitioned-parquet save + manifest + schema sidecar
-        (SURVEY §2.7: chunk files/manifest/CBOR all collapse into parquet)."""
+        (SURVEY §2.7: chunk files/manifest/CBOR all collapse into
+        parquet; ``codec="zstd"`` is the CBOR+zstd-equivalent archival
+        setting, SURVEY §2 row 71)."""
         if self._df is None:
             raise VectorDbError("empty session")
         os.makedirs(path, exist_ok=True)
@@ -879,12 +881,14 @@ class VectorDbSession:
             df = df.withColumn("metadata", F.lit(None).cast("string"))
         if self._index is not None and self._index.is_trained:
             df = self._index.assign(df)
-            df.write.mode("overwrite").partitionBy("cluster_id").parquet(
-                os.path.join(path, "vectors")
-            )
+            df.write.mode("overwrite").option("compression", codec).partitionBy(
+                "cluster_id"
+            ).parquet(os.path.join(path, "vectors"))
             self._index.save(path)
         else:
-            df.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+            df.write.mode("overwrite").option("compression", codec).parquet(
+                os.path.join(path, "vectors")
+            )
         manifest = {
             "version": FORMAT_VERSION,
             "session_id": self.session_id,
