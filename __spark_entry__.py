@@ -806,8 +806,40 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint + line-level boilerplate removal in one
+    certified row.  The fixture docs are single-line, so the query
+    PLANTS the boilerplate the operator exists to remove (same planted-
+    corpus instrument as dedup_guarded): a footer shared by every even
+    doc (df=250 at sf0.01), a newsletter line on every 5th (df=100),
+    and one unique tail line per doc — then removes lines with
+    doc-frequency >= 50 (operators/dedup.py:remove_boilerplate_lines).
+    The oracle replays planting + hot-line removal in SQL, so the hot
+    set, the per-doc kept/removed counts, and the md5 of every cleaned
+    document are all hash-checked."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            "text",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("-- shared footer --")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("subscribe to our newsletter")),
+            F.concat(F.lit("doc tail "), F.col("doc_id")),
+        ).alias("text2"),
+    )
+    clean = DD.remove_boilerplate_lines(
+        planted, min_doc_freq=50, text_col="text2", id_col="doc_id"
+    )
+    return (
+        docs.select("doc_id", X.fingerprint("text").alias("fp"))
+        .join(clean.withColumnRenamed("id", "doc_id"), "doc_id")
+        .select(
+            "doc_id", "fp",
+            F.md5("clean_text").alias("clean_md5"),
+            F.col("kept_lines").cast("long").alias("kept_lines"),
+            F.col("removed_lines").cast("long").alias("removed_lines"),
+        )
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2207,7 +2239,42 @@ SELECT q.doc_id, q.quality, l.pred_lang
 FROM ({_QUALITY_SQL}) q JOIN ({_LANG_SQL}) l ON q.doc_id = l.doc_id
 """
 
-_ORACLES["doc_fingerprint"] = f"SELECT doc_id, {_FP} AS fp FROM documents"
+_ORACLES["doc_fingerprint"] = f"""
+WITH planted AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text,
+           CASE WHEN doc_id % 2 = 0 THEN '-- shared footer --' END,
+           CASE WHEN doc_id % 5 = 0 THEN 'subscribe to our newsletter' END,
+           'doc tail ' || doc_id) AS text2
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text2, chr(10))) AS line,
+         generate_subscripts(string_split(text2, chr(10)), 1) AS pos
+  FROM planted
+), hot AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line
+  ) WHERE df >= 50
+), kept AS (
+  SELECT doc_id, line, pos FROM lines
+  WHERE line NOT IN (SELECT line FROM hot)
+), agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS kept_lines
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS total FROM lines GROUP BY doc_id
+)
+SELECT d.doc_id, {_FP} AS fp,
+       md5(coalesce(a.clean_text, '')) AS clean_md5,
+       CAST(coalesce(a.kept_lines, 0) AS BIGINT) AS kept_lines,
+       CAST(t.total - coalesce(a.kept_lines, 0) AS BIGINT) AS removed_lines
+FROM documents d
+JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
 
 _ORACLES["streaming_dedup"] = f"SELECT DISTINCT {_FP} AS fp FROM documents"
 

@@ -808,3 +808,82 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate removal (training-data curation)
+# ---------------------------------------------------------------------------
+
+def line_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """(line, df): distinct-document frequency of every line occurring in
+    at least ``min_doc_freq`` documents.  One explode + one map-side-
+    combined aggregation; the filter keeps only the hot tail, so the
+    result is tiny by construction (a line with df >= F can contribute at
+    most total_lines / F rows)."""
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), F.lit(sep), -1)).alias("line"),
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.countDistinct("__id").alias("df"))
+        .filter(F.col("df") >= int(min_doc_freq))
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_doc_freq: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level boilerplate removal — the curation pass LLM pipelines
+    run before document-level dedup (C4's line filters, RefinedWeb;
+    closest reference analogue: none — this is extension surface like
+    the rest of the dedup family): a line appearing in >= ``min_doc_freq``
+    DISTINCT documents (nav bars, cookie banners, footers) is dropped
+    from every document; line order is otherwise preserved.
+
+    100 TB shape: the hot-line table is computed with one exploded
+    aggregation and is tiny by construction (df >= F bounds its size by
+    total_lines / F), so it broadcasts; the removal itself is then a
+    whole-stage-codegen HOF filter over each document's split array —
+    NO explode of the corpus on the removal path, no reassembly shuffle,
+    no Python.  Output: (id, clean_text, kept_lines, removed_lines).
+    """
+    hot = line_frequencies(
+        docs, text_col=text_col, id_col=id_col, sep=sep, min_doc_freq=min_doc_freq
+    )
+    # single-row broadcast side: the hot lines as one sorted array
+    hot_arr = F.broadcast(
+        hot.agg(F.array_sort(F.collect_list("line")).alias("__hot"))
+    )
+    split_col = F.split(F.col(text_col), F.lit(sep), -1)
+    return (
+        docs.crossJoin(hot_arr)
+        .select(
+            F.col(id_col).alias("id"),
+            split_col.alias("__lines"),
+            F.col("__hot"),
+        )
+        .select(
+            "id",
+            F.filter(
+                "__lines", lambda x: ~F.array_contains(F.col("__hot"), x)
+            ).alias("__kept"),
+            F.size("__lines").alias("__total"),
+        )
+        .select(
+            "id",
+            F.array_join("__kept", sep).alias("clean_text"),
+            F.size("__kept").alias("kept_lines"),
+            (F.col("__total") - F.size("__kept")).alias("removed_lines"),
+        )
+    )

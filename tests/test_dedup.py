@@ -147,3 +147,72 @@ def test_hot_shingle_report(spark):
     assert rep["common footer here"]["skipped_pairs"] == 10
     # cutoff above every frequency -> empty report -> guard is a no-op
     assert hot_shingle_report(docs, n=3, max_shingle_freq=5).count() == 0
+
+
+# ---------------------------------------------------------------- boilerplate
+
+def test_remove_boilerplate_lines(spark):
+    from fabstir_vectordb_spark.operators.dedup import (
+        line_frequencies,
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\ncookie banner\nbeta"),
+            (2, "cookie banner\ngamma"),
+            (3, "delta\ncookie banner"),
+            (4, "epsilon only"),
+        ],
+        "doc_id long, text string",
+    )
+    hot = {r["line"]: r["df"] for r in line_frequencies(docs, min_doc_freq=3).collect()}
+    assert hot == {"cookie banner": 3}
+    out = {
+        r["id"]: r
+        for r in remove_boilerplate_lines(docs, min_doc_freq=3).collect()
+    }
+    assert out[1]["clean_text"] == "alpha\nbeta"  # order preserved
+    assert out[1]["removed_lines"] == 1 and out[1]["kept_lines"] == 2
+    assert out[2]["clean_text"] == "gamma"
+    assert out[3]["clean_text"] == "delta"
+    assert out[4]["clean_text"] == "epsilon only"
+    assert out[4]["removed_lines"] == 0
+
+
+def test_remove_boilerplate_noop_when_no_hot_lines(spark):
+    from fabstir_vectordb_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "c\nd")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in remove_boilerplate_lines(docs, 2).collect()}
+    assert out[1]["clean_text"] == "a\nb" and out[1]["removed_lines"] == 0
+
+
+def test_remove_boilerplate_all_lines_hot(spark):
+    from fabstir_vectordb_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(i, "same\nsame2") for i in range(5)], "doc_id long, text string"
+    )
+    out = remove_boilerplate_lines(docs, 2).collect()
+    assert all(r["clean_text"] == "" and r["kept_lines"] == 0 for r in out)
+
+
+def test_remove_boilerplate_plan_has_no_corpus_explode(spark):
+    # the removal path must be a broadcast + HOF filter: the only
+    # Generate (explode) in the plan belongs to the tiny hot-line
+    # aggregation subtree, never to the per-document removal projection
+    from fabstir_vectordb_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc")], "doc_id long, text string"
+    )
+    plan = (
+        remove_boilerplate_lines(docs, 2)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "BroadcastHint" in plan or "broadcast" in plan.lower()
