@@ -789,6 +789,22 @@ def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/sampling.py:pack_sequences):
+    concatenate all docs in id order into one token stream, chop into
+    128-token context windows, emit the (doc, window) span map.  The
+    layout is a pure function of token counts, so the oracle replays the
+    whole prefix-sum + chop in SQL — the distributed two-phase scan must
+    equal DuckDB's single-node window sum exactly."""
+    from fabstir_vectordb_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(docs, 128, id_col="doc_id", text_col="text")
+    return out.select(
+        F.col("id").alias("doc_id"), "bin_id", "start_tok", "tokens_in_bin"
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality score + language ID in one per-doc scan (merged round 3 to
     free a registry slot; both remain individually oracle-checked).
@@ -1780,11 +1796,19 @@ def _ranked_by_query(df: DataFrame) -> DataFrame:
 
 
 def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ compression + ADC search + exact re-rank (vector_ops.rs:390-578),
-    certified by rank-wise dominance of PQ+rerank vs exact kNN: rerank
-    computes TRUE distances on the ADC-oversampled candidate set, so at
-    every rank the PQ distance >= the exact distance, and cardinality is
-    exactly k per query — model-independent, constant oracle."""
+    """PQ compression + ADC search + exact re-rank (vector_ops.rs:390-578)
+    — BOTH certificates in one part-discriminated row (merged round 4 to
+    free a registry slot for pack_sequences):
+
+      adc_dominance — rank-wise dominance of PQ+rerank vs exact kNN:
+        rerank computes TRUE distances on the ADC-oversampled candidate
+        set, so at every rank the PQ distance >= the exact distance, and
+        cardinality is exactly k per query
+      bulk_equiv    — the former pq_bulk_invariant row: adc_knn_bulk
+        (cogrouped block-gather kernel, no driver collect) returns
+        EXACTLY the driver-collect adc_knn rows for the same model
+
+    Both hold for ANY fitted model => constant all-true oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     pqr = _ranked_by_query(_pq_result(spark, sf_dir))
     exact = _ranked_by_query(
@@ -1793,11 +1817,18 @@ def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             metric="l2", impl="kernel", id_col="vec_id", vector_col="embedding",
         )
     )
-    return (
+    dom = (
         pqr.alias("a")
         .join(exact.alias("e"), ["query_id", "rank"])
-        .select("query_id", "rank", (F.col("a.d") >= F.col("e.d")).alias("ok"))
+        .select(
+            F.lit("adc_dominance").alias("part"),
+            "query_id", "rank", (F.col("a.d") >= F.col("e.d")).alias("ok"),
+        )
     )
+    bulk_eq = q_pq_bulk_invariant(spark, sf_dir).select(
+        F.lit("bulk_equiv").alias("part"), "query_id", "rank", "ok"
+    )
+    return dom.unionByName(bulk_eq)
 
 
 def q_pq_bulk_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1805,7 +1836,8 @@ def q_pq_bulk_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame, cogrouped block-gather kernel, no driver collect) must
     return EXACTLY the rows of the driver-collect adc_knn for the same
     fitted quantizer — same id and same round(6) distance at every rank.
-    Holds for ANY model, so the oracle is the constant all-true table."""
+    Holds for ANY model; certified as the bulk_equiv part of
+    q_pq_adc_knn."""
     from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2277,6 +2309,24 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 _ORACLES["streaming_dedup"] = f"SELECT DISTINCT {_FP} AS fp FROM documents"
+
+_ORACLES["pack_sequences"] = f"""
+WITH d AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+c AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS start_tok
+  FROM d
+), spans AS (
+  SELECT doc_id, start_tok, n,
+         unnest(generate_series(CAST(floor(start_tok / 128.0) AS BIGINT),
+                                CAST(floor((start_tok + n - 1) / 128.0) AS BIGINT))) AS bin_id
+  FROM c WHERE n > 0
+)
+SELECT doc_id, bin_id, start_tok,
+       least(start_tok + n, (bin_id + 1) * 128)
+         - greatest(start_tok, bin_id * 128) AS tokens_in_bin
+FROM spans
+"""
 
 _ORACLES["corpus_filter"] = f"""
 WITH t AS (
@@ -2829,10 +2879,15 @@ FROM ({_ORACLES["merge_weighted"]})
 # batch kNN — same oracle as knn_l2
 _ORACLES["streaming_topk"] = _ORACLES["knn_l2"]
 
-# PQ+rerank dominance: same constant-oracle shape as ann_ivf_probe
-_ORACLES["pq_adc_knn"] = _ORACLES["ann_ivf_probe"]
-# bulk-vs-point ADC equivalence: also a constant all-true table
-_ORACLES["pq_bulk_invariant"] = _ORACLES["ann_ivf_probe"]
+# PQ dominance + bulk-equivalence invariants: constant all-true table,
+# one row per (part, query, rank)
+_ORACLES["pq_adc_knn"] = f"""
+SELECT p.part, vec_id AS query_id, r.rank, true AS ok
+FROM embeddings
+CROSS JOIN (SELECT unnest(generate_series(1, {K})) AS rank) r
+CROSS JOIN (SELECT unnest(['adc_dominance', 'bulk_equiv']) AS part) p
+WHERE vec_id < {NQ}
+"""
 
 # three exact-kNN metrics + the thresholded-score contract in one
 # certified result (see q_knn_metrics)
@@ -2902,6 +2957,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # New in round 3: session_get_recent, dedup_guarded, index_maintenance,
     # backup_restore, pii_redact, streaming_window, session_bulk_search,
     # ann_ivfpq, ivfpq_encode, keyword_bm25.
+    # Round-4 consolidations / additions:
+    #   pq_bulk_invariant -> pq_adc_knn (bulk_equiv part); freed slot ->
+    #     pack_sequences
+    #   knn_metrics gains hnsw_l2 (HNSW exactness hook vs the L2 SQL oracle)
+    #   ann_lsh gains part=hnsw (realistic-config dominance contract)
+    #   doc_fingerprint gains line-level boilerplate removal columns
+    #   keyword_bm25 already carries rrf/weighted fusion parts (late r3)
     return {
         "knn_metrics": q_knn_metrics,
         "knn_bulk": q_knn_bulk,
@@ -2950,7 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": q_streaming_window,
         "streaming_topk": q_streaming_topk,
         "pq_adc_knn": q_pq_adc_knn,
-        "pq_bulk_invariant": q_pq_bulk_invariant,
+        "pack_sequences": q_pack_sequences,
         "quantize_roundtrip": q_quantize_roundtrip,
         "hybrid_merge": q_hybrid_merge,
     }

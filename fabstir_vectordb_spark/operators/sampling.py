@@ -18,7 +18,7 @@ belong to the LLM-pipeline extension axis, certified by the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = float(2**32)
@@ -84,3 +84,102 @@ def deterministic_sample(
     partition-independent, and consistent across engines (unlike
     ``DataFrame.sample``, whose output depends on partitioning)."""
     return df.filter(sample_keep(id_col, fraction, salt))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-data pipelines)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int,
+    id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+    text_col: str = "text",
+    range_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated in ``id``
+    order into one global token stream and chopped into fixed
+    ``context_len`` windows — the standard pretraining dataloader layout
+    (each batch row is a full window; documents spanning a boundary are
+    split).  Deterministic: the layout is a pure function of
+    (ids, token counts, context_len), so it replays exactly in SQL.
+
+    Output: one row per (document, window) span —
+    (id, bin_id, start_tok, tokens_in_bin) — i.e., the materialized
+    shuffle plan a dataloader consumes.  Every window except the last
+    sums to exactly ``context_len``; zero-token documents emit nothing.
+
+    100 TB shape: the global prefix sum is NOT a single-partition window
+    — it is the classic two-phase distributed scan: range-partition by
+    id, per-partition cumulative sums behind a window keyed on the
+    PHYSICAL partition id, then per-partition totals (one tiny
+    aggregation, <= num_partitions rows) collected, offset, and joined
+    back broadcast.  Only (id, n_tokens) pairs move; the heavy text
+    column never enters the shuffle.
+    """
+    from fabstir_vectordb_spark.functions.text import whitespace_tokens
+
+    L = int(context_len)
+    if L <= 0:
+        raise ValueError("context_len must be positive")
+    spark = docs.sparkSession
+    P = int(range_partitions or spark.sparkContext.defaultParallelism)
+    n_tok = (
+        F.col(n_tokens_col)
+        if n_tokens_col
+        else F.size(whitespace_tokens(F.col(text_col)))
+    )
+    slim = docs.select(F.col(id_col).alias("id"), n_tok.cast("long").alias("__n"))
+    # phase 1: range-partition preserves global id order across partitions
+    ranged = (
+        slim.repartitionByRange(P, F.col("id"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("__pid").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = ranged.withColumn("__cum", F.sum("__n").over(w))
+    # phase 2: per-partition totals -> exclusive prefix offsets (tiny)
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in ranged.groupBy("__pid").agg(F.sum("__n").alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        acc += int(t or 0)
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, __off long")
+    )
+    spans = (
+        local.join(off, "__pid")
+        .filter(F.col("__n") > 0)
+        .select(
+            "id",
+            (F.col("__off") + F.col("__cum") - F.col("__n")).alias("start_tok"),
+            F.col("__n"),
+        )
+        .select(
+            "id",
+            "start_tok",
+            "__n",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start_tok") / L),
+                    F.floor((F.col("start_tok") + F.col("__n") - 1) / L),
+                )
+            ).alias("bin_id"),
+        )
+    )
+    end = F.col("start_tok") + F.col("__n")
+    bin_lo = F.col("bin_id") * L
+    bin_hi = (F.col("bin_id") + 1) * L
+    return spans.select(
+        "id",
+        "bin_id",
+        "start_tok",
+        (F.least(end, bin_hi) - F.greatest(F.col("start_tok"), bin_lo)).alias(
+            "tokens_in_bin"
+        ),
+    )

@@ -67,3 +67,75 @@ def test_deterministic_sample(ids):
     assert again == set(r["doc_id"] for r in kept.collect())
     with pytest.raises(ValueError):
         sample_keep("doc_id", 1.5)
+
+
+# ------------------------------------------------------------------- packing
+
+def test_pack_sequences_layout(spark):
+    from fabstir_vectordb_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a " * 60),     # 60 tokens (trailing space trimmed)
+            (2, "b " * 100),    # crosses the first boundary
+            (3, ""),            # empty text still tokenizes to ['']
+            (4, "d " * 300),    # spans 3+ windows on its own
+        ],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, 128, id_col="doc_id").collect()
+    rows = sorted((r["id"], r["bin_id"], r["start_tok"], r["tokens_in_bin"]) for r in out)
+    # doc1: tokens 0..59; doc2: 60..159 (spans bins 0,1); doc3: 1 token at
+    # 160; doc4: 161..460 (spans bins 1,2,3)
+    assert rows == [
+        (1, 0, 0, 60),
+        (2, 0, 60, 68),
+        (2, 1, 60, 32),
+        (3, 1, 160, 1),
+        (4, 1, 161, 95),
+        (4, 2, 161, 128),
+        (4, 3, 161, 77),
+    ]
+    # every bin except the last is exactly full
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    for _, b, _, t in rows:
+        fill[b] += t
+    bins = sorted(fill)
+    assert all(fill[b] == 128 for b in bins[:-1])
+    assert fill[bins[-1]] <= 128
+
+
+def test_pack_sequences_deterministic_across_partitioning(spark):
+    from fabstir_vectordb_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 37 + 1)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, pack_sequences(docs, 64).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(7), 64, range_partitions=3).collect()))
+    assert a == b
+
+
+def test_pack_sequences_precomputed_counts(spark):
+    from fabstir_vectordb_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 0)], "doc_id long, n long"
+    )
+    out = sorted(
+        map(tuple, pack_sequences(docs, 16, n_tokens_col="n").collect())
+    )
+    assert out == [(1, 0, 0, 10), (2, 0, 10, 6), (2, 1, 10, 14)]
+
+
+def test_pack_sequences_rejects_bad_context(spark):
+    import pytest as _pt
+
+    from fabstir_vectordb_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        pack_sequences(docs, 0)
