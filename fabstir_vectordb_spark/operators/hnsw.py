@@ -87,7 +87,13 @@ def _search_layer(q, eps, ef, layer, V, nbrs, dcache):
     """Classic HNSW beam over one layer.  ``eps``: entry positions;
     returns list of (dist, pos) sorted ascending, len <= ef.  ``nbrs``
     is pos -> list of per-layer neighbor position arrays; ``dcache``
-    memoizes pos -> distance for this query."""
+    memoizes pos -> distance for this query.
+
+    The expansion step is VECTORIZED: all unvisited neighbors of the
+    popped candidate get their distances in one (deg, dim) numpy matrix
+    op instead of deg Python-level evaluations — the hop order and
+    results are identical to the scalar form, only ~M× fewer
+    interpreter round-trips per hop."""
 
     def dist(p):
         d = dcache.get(p)
@@ -109,17 +115,21 @@ def _search_layer(q, eps, ef, layer, V, nbrs, dcache):
         if len(best) >= ef and d > -best[0][0]:
             break
         cn = nbrs[c]
-        if layer < len(cn):
-            for nb in cn[layer]:
-                if nb in visited:
-                    continue
-                visited.add(nb)
-                d2 = dist(nb)
-                if len(best) < ef or d2 < -best[0][0]:
-                    heapq.heappush(cand, (d2, nb))
-                    heapq.heappush(best, (-d2, nb))
-                    if len(best) > ef:
-                        heapq.heappop(best)
+        if layer >= len(cn):
+            continue
+        fresh = [nb for nb in cn[layer] if nb not in visited]
+        if not fresh:
+            continue
+        visited.update(fresh)
+        diff = V[fresh] - q
+        ds = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+        for nb, d2 in zip(fresh, ds.tolist()):
+            dcache[nb] = d2
+            if len(best) < ef or d2 < -best[0][0]:
+                heapq.heappush(cand, (d2, nb))
+                heapq.heappush(best, (-d2, nb))
+                if len(best) > ef:
+                    heapq.heappop(best)
     return sorted((-nd, p) for nd, p in best)
 
 
