@@ -69,18 +69,9 @@ def make_handler(session: VectorDbSession):
                 # StatisticsResponse {total_vectors, recent_vectors,
                 # historical_vectors, memory_usage{total_bytes, hnsw_bytes,
                 # ivf_bytes}} (rest.rs:679-693 — a TODO returning zeros in
-                # the reference; here populated for real).  Byte figures
-                # are float32-storage estimates; hnsw_bytes stays 0 (no
-                # graph index by design, SURVEY §7).
+                # the reference; here populated via session.memory_usage).
                 s = session.get_stats()
-                dim = s.get("dimension") or 0
-                vec_bytes = s["vectorCount"] * dim * 4
-                idx = getattr(session, "_index", None)
-                ivf_bytes = (
-                    idx.n_clusters * dim * 4
-                    if idx is not None and getattr(idx, "is_trained", False)
-                    else 0
-                )
+                m = session.memory_usage()
                 return self._json(
                     200,
                     {
@@ -88,9 +79,9 @@ def make_handler(session: VectorDbSession):
                         "recent_vectors": s["recentCount"],
                         "historical_vectors": s["historicalCount"],
                         "memory_usage": {
-                            "total_bytes": vec_bytes + ivf_bytes,
-                            "hnsw_bytes": 0,
-                            "ivf_bytes": ivf_bytes,
+                            "total_bytes": m["total_bytes"],
+                            "hnsw_bytes": m["hnsw_bytes"],
+                            "ivf_bytes": m["ivf_bytes"],
                         },
                     },
                 )

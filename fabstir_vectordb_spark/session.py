@@ -827,6 +827,48 @@ class VectorDbSession:
             "dimension": self._dim,
         }
 
+    def memory_usage(self, include_metadata: bool = False) -> dict:
+        """Byte estimates by component — the reference's memory_stats
+        (hnsw/operations.rs:274-304, ivf/operations.rs:291-327; the REST
+        StatisticsResponse at rest.rs:679-693 is a TODO returning zeros
+        there, populated for real here).  Estimates, not JVM
+        measurements (Spark's true accounting is the UI / task metrics):
+        vectors at float32 storage width, IVF at centroid width,
+        hnsw_bytes 0 (the session routes ANN through IVF; partition-local
+        HNSW graphs built via operators/hnsw.py report their own
+        graph_stats).  ``include_metadata=True`` runs one extra
+        aggregation for the serialized-metadata footprint."""
+        s = self.get_stats()
+        dim = self._dim or 0
+        vector_bytes = s["vectorCount"] * dim * 4
+        ivf_bytes = (
+            self._index.n_clusters * dim * 4
+            if self._index is not None and self._index.is_trained
+            else 0
+        )
+        md_bytes = 0
+        if include_metadata and self._df is not None:
+            md_t = self._df.schema["metadata"].dataType
+            md_col = (
+                F.col("metadata")
+                if isinstance(md_t, T.StringType)
+                else F.to_json("metadata")
+            )
+            if not (isinstance(md_t, T.StructType) and not md_t.fields):
+                md_bytes = int(
+                    self._df.filter(~F.col("deleted"))
+                    .agg(F.sum(F.length(md_col)))
+                    .collect()[0][0]
+                    or 0
+                )
+        return {
+            "total_bytes": vector_bytes + ivf_bytes + md_bytes,
+            "vector_bytes": vector_bytes,
+            "ivf_bytes": ivf_bytes,
+            "hnsw_bytes": 0,
+            "metadata_bytes": md_bytes,
+        }
+
     def deletion_stats(self) -> dict:
         if self._df is None:
             return {"deleted": 0, "active": 0}

@@ -200,3 +200,24 @@ def test_search_dataframe_matches_batch(spark):
             for r in rs
         }
         assert got == want
+
+
+def test_memory_usage_estimates(spark):
+    from fabstir_vectordb_spark.session import VectorDbSession
+
+    s = VectorDbSession(spark)
+    s.add_vectors(
+        [{"id": f"m{i}", "vector": [1.0, 2.0, 3.0, 4.0], "metadata": {"k": i}}
+         for i in range(10)]
+    )
+    m = s.memory_usage()
+    assert m["vector_bytes"] == 10 * 4 * 4
+    assert m["ivf_bytes"] == 0 and m["hnsw_bytes"] == 0
+    assert m["total_bytes"] == m["vector_bytes"]
+    m2 = s.memory_usage(include_metadata=True)
+    assert m2["metadata_bytes"] > 0
+    s.train_index(n_clusters=2)
+    m3 = s.memory_usage()
+    assert m3["ivf_bytes"] == 2 * 4 * 4
+    s.delete_vector("m0")
+    assert s.memory_usage()["vector_bytes"] == 9 * 4 * 4
