@@ -907,11 +907,13 @@ class VectorDbSession:
 
     # ---------------------------------------------------------- persistence
 
-    def save(self, path: str, codec: str = "snappy") -> str:
+    def save(self, path: str, codec: str = "snappy", checksums: bool = False) -> str:
         """Partitioned-parquet save + manifest + schema sidecar
         (SURVEY §2.7: chunk files/manifest/CBOR all collapse into
         parquet; ``codec="zstd"`` is the CBOR+zstd-equivalent archival
-        setting, SURVEY §2 row 71)."""
+        setting, SURVEY §2 row 71).  ``checksums=True`` adds a sha256
+        manifest of every written file (sources/storage.py) which
+        verify_integrity then enforces."""
         if self._df is None:
             raise VectorDbError("empty session")
         os.makedirs(path, exist_ok=True)
@@ -944,6 +946,10 @@ class VectorDbSession:
         if self._schema is not None:
             with open(os.path.join(path, "schema.json"), "w") as f:
                 json.dump(self._schema.to_json(), f)
+        if checksums:
+            from fabstir_vectordb_spark.sources.storage import write_checksums
+
+            write_checksums(path)
         return self.session_id
 
     @classmethod
@@ -970,25 +976,39 @@ def verify_integrity(spark: SparkSession, path: str) -> dict:
     """Expected-vs-found check of a saved session
     (hnsw/persistence.rs:307-349: manifest counts vs actual chunks).
     Parquet supplies per-file footer validation; this verifies the
-    manifest's row counts against the table."""
+    manifest's row counts against the table, plus file-level sha256
+    integrity when the save recorded it (save(checksums=True)).  The
+    checksum pass runs FIRST: a byte-corrupted data file is reported as
+    a finding, not surfaced as a reader exception."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
+    out = {
+        "ok": manifest.get("version") == FORMAT_VERSION,
+        "expected_live": manifest.get("total_vectors"),
+        "found_live": None,
+        "expected_deleted": manifest.get("deleted_vectors"),
+        "found_deleted": None,
+        "version": manifest.get("version"),
+    }
+    from fabstir_vectordb_spark.sources.storage import CHECKSUM_FILE, verify_checksums
+
+    if os.path.exists(os.path.join(path, CHECKSUM_FILE)):
+        cs = verify_checksums(path)
+        out["checksums"] = cs
+        if not cs["ok"]:
+            out["ok"] = False
+            return out  # don't hand corrupt files to the reader
     df = spark.read.parquet(os.path.join(path, "vectors"))
     live = df.filter(~F.col("deleted")).count()
     dead = df.filter(F.col("deleted")).count()
-    ok = (
-        manifest.get("version") == FORMAT_VERSION
+    out["found_live"] = live
+    out["found_deleted"] = dead
+    out["ok"] = (
+        out["ok"]
         and live == manifest.get("total_vectors")
         and dead == manifest.get("deleted_vectors")
     )
-    return {
-        "ok": ok,
-        "expected_live": manifest.get("total_vectors"),
-        "found_live": live,
-        "expected_deleted": manifest.get("deleted_vectors"),
-        "found_deleted": dead,
-        "version": manifest.get("version"),
-    }
+    return out
 
 
 # -------------------------------------------------------------------- utils
