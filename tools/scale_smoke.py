@@ -240,6 +240,50 @@ def main() -> int:
     times["simhash_guarded_hot"] = round(time.time() - t0, 2)
     _log(f"simhash_guarded_hot {times['simhash_guarded_hot']}s ({n_sh_hot} pairs)")
 
+    # round-4 operators ---------------------------------------------------
+    # partition-local HNSW: build N/32-node graphs in parallel, bulk beam
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
+
+    hnsw = HNSWIndex(
+        M=16, M0=32, ef_construction=100, num_graphs=32,
+        id_col="vec_id", vector_col="embedding",
+    )
+    t0 = time.time()
+    graph = hnsw.build(vec).cache()
+    graph.count()
+    times["hnsw_build"] = round(time.time() - t0, 2)
+    _log(f"hnsw_build {times['hnsw_build']}s")
+
+    t0 = time.time()
+    hnsw.search_bulk(graph, queries.limit(200), 10, ef=64).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    times["hnsw_search_q200"] = round(time.time() - t0, 2)
+    _log(f"hnsw_search_q200 {times['hnsw_search_q200']}s")
+    graph.unpersist()
+
+    # boilerplate removal on the hot corpus (every doc shares the footer
+    # line -> it IS the hot line); broadcast + HOF, no corpus explode
+    docs_lines = docs_hot.select(
+        "doc_id", F.regexp_replace("text", F.lit(" all rights"), F.lit("\nall rights")).alias("text")
+    )
+    t0 = time.time()
+    DD.remove_boilerplate_lines(docs_lines, min_doc_freq=1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    times["boilerplate_removal"] = round(time.time() - t0, 2)
+    _log(f"boilerplate_removal {times['boilerplate_removal']}s")
+
+    # sequence packing: distributed prefix sum over every doc
+    from fabstir_vectordb_spark.operators.sampling import pack_sequences
+
+    t0 = time.time()
+    pack_sequences(docs, 2048, id_col="doc_id").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    times["pack_sequences"] = round(time.time() - t0, 2)
+    _log(f"pack_sequences {times['pack_sequences']}s")
+
     print(json.dumps({
         "n_vectors": n_vec, "n_docs": n_doc,
         "minhash_pairs": n_pairs, "times": times,
