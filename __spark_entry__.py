@@ -1353,6 +1353,39 @@ def q_session_get_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
                     round(1.0 / (1.0 + round(r["distance"], 6)), 6),
                 )
             )
+    # round 4: tier migration (SURVEY §2 row 39, hybrid/core.rs:551-649).
+    # All aged rows share ts=2020-01-01, so the oldest-first batch order
+    # is the id tiebreak (VARCHAR lex order — identical in DuckDB):
+    # max_per_run=30 must pick exactly the first 30 odd ids.  The batch
+    # is read back from the Migrated mutation events, so the event
+    # stream is certified too.
+    lang_of = {str(r["doc_id"]): r["lang"] for r in rows}
+    mig = sess.migrate_aged(max_per_run=30, now=now)
+    ev = [
+        r["vector_id"]
+        for r in sess.mutation_events()
+        .filter(F.col("event_type") == "Migrated")
+        .orderBy("vector_id")
+        .collect()
+    ]
+    for i, vid in enumerate(ev, 1):
+        out.append(("migrated", i, vid, lang_of[vid], 1.0))
+    out.append(
+        (
+            "migrated_summary", 0, "n", "n",
+            round(mig["migrated"] + mig["remaining_aged"] / 1000.0, 6),
+        )
+    )
+    # migration must NOT change search results (the age predicate stays
+    # query-time): the historical scan re-executes (cache was invalidated
+    # by the migration mutation) and must replay the same oracle rows
+    for i, r in enumerate(sess.search([3.0, 5.0, 1.0], k=K, search_recent=False), 1):
+        out.append(
+            (
+                "historical_post_migration", i, r["id"], r["metadata"]["lang"],
+                round(1.0 / (1.0 + round(r["distance"], 6)), 6),
+            )
+        )
     return spark.createDataFrame(
         out, "part string, rank long, id string, lang string, score double"
     )
@@ -2564,6 +2597,22 @@ SELECT 'get' AS part, CAST(0 AS BIGINT) AS rank, id, lang,
 FROM base WHERE doc_id = 42
 UNION ALL
 SELECT part, rank, id, lang, score FROM ranked WHERE rank <= {K}
+UNION ALL
+-- migration batch: first 30 aged (odd) ids in VARCHAR order
+SELECT 'migrated' AS part, rank, id, lang, 1.0 AS score
+FROM (
+  SELECT id, lang,
+         CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS rank
+  FROM base WHERE doc_id % 2 = 1
+) WHERE rank <= 30
+UNION ALL
+-- summary: migrated + remaining/1000
+SELECT 'migrated_summary', CAST(0 AS BIGINT), 'n', 'n',
+       (round(30 + ((SELECT count(*) FROM base WHERE doc_id % 2 = 1) - 30) / 1000.0, 6) + 0.0)
+UNION ALL
+-- the historical ranking replays unchanged after migration
+SELECT 'historical_post_migration', rank, id, lang, score
+FROM ranked WHERE part = 'historical' AND rank <= {K}
 """
 
 _ORACLES["persistence_roundtrip"] = """
