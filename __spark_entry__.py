@@ -1705,8 +1705,17 @@ def q_hybrid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 types.rs:206-223); score = r6 distance
       weighted — weighted multi-source merge (q_merge_weighted's former
                 body lives on as the second branch); score = weighted avg
+      ann_fanout — round 4: the ACTUAL hybrid architecture end-to-end
+                (operators/hybrid.py): partition-local HNSW over the
+                'recent' half (vec_id >= 250) + IVF over the clustered
+                'historical' half (vec_id < 250), fan-out, min-distance
+                dedup, global top-k.  Both sides run at their exactness
+                hooks (complete-graph HNSW, full probe), so the merged
+                ranking equals exact kNN over the whole table — the
+                same L2 SQL oracle as knn_l2.
 
-    The two 'indices' are the label<5 / label>=5 halves of the table."""
+    The two 'indices' of the merge parts are the label<5 / label>=5
+    halves of the table."""
     hybrid = q_hybrid_merge_raw(spark, sf_dir).select(
         F.lit("hybrid").alias("part"), "query_id", "id",
         F.col("distance").alias("score"),
@@ -1714,7 +1723,28 @@ def q_hybrid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = q_merge_weighted(spark, sf_dir).select(
         F.lit("weighted").alias("part"), "query_id", "id", "score"
     )
-    return hybrid.unionByName(weighted)
+
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
+    from fabstir_vectordb_spark.operators.hybrid import hybrid_ann_search
+    from fabstir_vectordb_spark.operators.ivf import IVFIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    recent = emb.filter(F.col("vec_id") >= 250)
+    hist = emb.filter(F.col("vec_id") < 250)
+    hnsw = HNSWIndex(
+        M=2048, M0=2048, ef_construction=2048, num_graphs=4,
+        id_col="vec_id", vector_col="embedding",
+    )
+    ivf = IVFIndex.fit(hist, n_clusters=8, seed=42, id_col="vec_id", vector_col="embedding")
+    fanout = hybrid_ann_search(
+        hnsw.build(recent), hnsw, ivf.assign(hist), ivf,
+        _query_vectors(spark, sf_dir), K,
+        ef=2048, n_probe=8,
+    ).select(
+        F.lit("ann_fanout").alias("part"), "query_id", "id",
+        r6("distance").alias("score"),
+    )
+    return hybrid.unionByName(weighted).unionByName(fanout)
 
 
 def q_hybrid_merge_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2915,13 +2945,18 @@ SELECT query_id, id, distance,
 FROM r WHERE rn <= {K}
 """
 
-# both merge operators in one result, discriminated by part
+# both merge operators + the end-to-end HNSW+IVF fan-out in one result,
+# discriminated by part (the fan-out runs both sides at their exactness
+# hooks, so its oracle is plain exact kNN)
 _ORACLES["hybrid_merge"] = f"""
 SELECT 'hybrid' AS part, query_id, id, distance AS score
 FROM ({_ORACLES["hybrid_merge"]})
 UNION ALL
 SELECT 'weighted' AS part, query_id, id, score
 FROM ({_ORACLES["merge_weighted"]})
+UNION ALL
+SELECT 'ann_fanout' AS part, query_id, id, distance AS score
+FROM ({_ORACLES["knn_l2"]})
 """
 
 # the streaming accumulator's reconstructed final state must equal exact
