@@ -306,6 +306,81 @@ class VectorDbSession:
             self._emit("Inserted", [r["id"] for r in rows], now)
         return {"successful": len(rows), "failed": len(errors), "errors": errors}
 
+    @classmethod
+    def from_dataframe(
+        cls,
+        df: DataFrame,
+        id_col: str = "id",
+        vector_col: str = "vector",
+        metadata_col: str | None = None,
+        ts_col: str | None = None,
+        session_id: str | None = None,
+        validate: bool = True,
+    ) -> "VectorDbSession":
+        """Bulk ingestion: wrap an existing table as a session WITHOUT
+        the driver-side add_vectors loop — the 100 TB insert path (the
+        write-side twin of search_dataframe).  Nothing is collected; the
+        table becomes the session's backing DataFrame directly.
+
+        ``validate=True`` runs the reference's insert-time checks as TWO
+        distributed jobs instead of per-row driver code: a distinct
+        vector-length probe (dimension fixed per index, dim-mismatch ⇒
+        error — session.rs:344-357) and a duplicate-id existence probe
+        (hnsw/core.rs:227-230).  Per-id mutation events are NOT emitted
+        (the event log is the point-API surface; a bulk load is one
+        logical event — same contract as the reference's storage-level
+        restore).
+        """
+        spark = df.sparkSession
+        s = cls(spark, session_id=session_id)
+        if validate:
+            dims = [
+                r[0]
+                for r in df.select(F.size(F.col(vector_col)).alias("d"))
+                .distinct()
+                .limit(2)
+                .collect()
+            ]
+            if not dims:
+                return s  # empty input: empty session
+            if len(dims) > 1 or dims[0] <= 0:
+                raise VectorDbError(
+                    f"mixed or empty vector dimensions in bulk load: {sorted(dims)}"
+                )
+            dup = (
+                df.groupBy(F.col(id_col))
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise VectorDbError(f"duplicate id in bulk load: {dup[0][0]!r}")
+            s._dim = int(dims[0])
+        else:
+            row = df.select(F.size(F.col(vector_col))).limit(1).collect()
+            if not row:
+                return s
+            s._dim = int(row[0][0])
+        md = (
+            F.col(metadata_col)
+            if metadata_col
+            else F.lit(None).cast(T.StructType())
+        )
+        ts = (
+            F.col(ts_col).cast("timestamp")
+            if ts_col
+            else F.lit(_utcnow()).cast("timestamp")
+        )
+        s._df = df.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(vector_col).cast(T.ArrayType(T.FloatType())).alias("vector"),
+            ts.alias("ts"),
+            F.lit(False).alias("deleted"),
+            md.alias("metadata"),
+        )
+        return s
+
     def _create_batch_df(self, rows: list[dict]) -> DataFrame:
         base = T.StructType(
             [

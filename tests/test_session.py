@@ -221,3 +221,71 @@ def test_memory_usage_estimates(spark):
     assert m3["ivf_bytes"] == 2 * 4 * 4
     s.delete_vector("m0")
     assert s.memory_usage()["vector_bytes"] == 9 * 4 * 4
+
+
+def test_from_dataframe_bulk_ingest(spark, embeddings):
+    from fabstir_vectordb_spark.session import VectorDbError, VectorDbSession
+
+    s = VectorDbSession.from_dataframe(
+        embeddings, id_col="vec_id", vector_col="embedding"
+    )
+    assert s._dim == 64
+    stats = s.get_stats()
+    assert stats["vectorCount"] == embeddings.count()
+    # search works over the ingested table
+    qv = [float(x) for x in embeddings.limit(1).collect()[0]["embedding"]]
+    res = s.search(qv, k=3)
+    assert len(res) == 3 and res[0]["distance"] == 0.0
+    # point APIs still function after bulk load
+    assert s.get_vector(str(embeddings.limit(1).collect()[0]["vec_id"])) is not None
+
+
+def test_from_dataframe_validations(spark):
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.session import VectorDbError, VectorDbSession
+
+    dup = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0])], "id long, vector array<double>"
+    )
+    import pytest as _pt
+
+    with _pt.raises(VectorDbError, match="duplicate id"):
+        VectorDbSession.from_dataframe(dup)
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0, 5.0])], "id long, vector array<double>"
+    )
+    with _pt.raises(VectorDbError, match="dimensions"):
+        VectorDbSession.from_dataframe(mixed)
+    empty = spark.createDataFrame([], "id long, vector array<double>")
+    s = VectorDbSession.from_dataframe(empty)
+    assert s._df is None
+
+
+def test_from_dataframe_with_ts_and_metadata(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.session import VectorDbSession
+
+    from fabstir_vectordb_spark.session import _utcnow
+
+    df = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], {"lang": "en"}, dt.datetime(2020, 1, 1)),
+            (11, [0.0, 1.0], {"lang": "es"}, _utcnow() - dt.timedelta(hours=1)),
+        ],
+        "id long, vector array<double>, md map<string,string>, t timestamp",
+    ).withColumn("md", F.struct(F.col("md")["lang"].alias("lang")))
+    s = VectorDbSession.from_dataframe(
+        df, metadata_col="md", ts_col="t"
+    )
+    got = s.get_vector("10")
+    assert got["metadata"]["lang"] == "en"
+    # ts mapped: the 2020 row is historical, the 2026 row recent
+    recent = s.search([0.0, 1.0], k=2, search_historical=False)
+    assert [r["id"] for r in recent] == ["11"]
+    # filter dialect works against the mapped metadata
+    res = s.search([1.0, 0.0], k=2, filter={"lang": "en"})
+    assert [r["id"] for r in res] == ["10"]
