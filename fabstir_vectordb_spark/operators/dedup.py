@@ -828,7 +828,11 @@ def line_frequencies(
     most total_lines / F rows)."""
     lines = docs.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.split(F.col(text_col), F.lit(sep), -1)).alias("line"),
+        # \Q...\E quotes the separator: F.split takes a REGEX, and the
+        # caller means a literal delimiter
+        F.explode(
+            F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
+        ).alias("line"),
     )
     return (
         lines.groupBy("line")
@@ -865,7 +869,7 @@ def remove_boilerplate_lines(
     hot_arr = F.broadcast(
         hot.agg(F.array_sort(F.collect_list("line")).alias("__hot"))
     )
-    split_col = F.split(F.col(text_col), F.lit(sep), -1)
+    split_col = F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
     return (
         docs.crossJoin(hot_arr)
         .select(

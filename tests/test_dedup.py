@@ -216,3 +216,17 @@ def test_remove_boilerplate_plan_has_no_corpus_explode(spark):
         .toString()
     )
     assert "BroadcastHint" in plan or "broadcast" in plan.lower()
+
+
+def test_remove_boilerplate_regex_metachar_separator(spark):
+    # separator is treated literally, not as a regex
+    from fabstir_vectordb_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "keep.|.drop me"), (2, "drop me.|.other"), (3, "drop me.|.third")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in remove_boilerplate_lines(docs, 3, sep=".|.").collect()}
+    assert out[1]["clean_text"] == "keep"
+    assert out[2]["clean_text"] == "other"
+    assert out[1]["removed_lines"] == 1
