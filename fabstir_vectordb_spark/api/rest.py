@@ -197,6 +197,41 @@ def make_handler(session: VectorDbSession):
                         "partial_results": False,
                     },
                 )
+            if self.path == "/api/v1/admin/migrate":
+                # trigger_migration (rest.rs:337): run one tier-migration
+                # batch; body may set max_per_run / age_days
+                try:
+                    res = session.migrate_aged(
+                        max_per_run=int(body.get("max_per_run", 100)),
+                        age_days=int(body.get("age_days", 7)),
+                    )
+                except (VectorDbError, ValueError, TypeError) as e:
+                    return self._json(400, {"error": str(e)})
+                return self._json(200, res)
+            if self.path == "/api/v1/admin/rebalance":
+                # rebalance (rest.rs:338): Spark assignment is always
+                # nearest-centroid, so imbalance repair = retrain
+                # (SURVEY §2 row 41); returns the refreshed cluster stats
+                try:
+                    n = body.get("n_clusters")
+                    session.train_index(
+                        n_clusters=int(n) if n else (
+                            session._index.n_clusters if session._index else 16
+                        )
+                    )
+                except (VectorDbError, ValueError, TypeError) as e:
+                    return self._json(400, {"error": str(e)})
+                return self._json(200, {"status": "rebalanced"})
+            if self.path == "/api/v1/admin/backup":
+                # backup (rest.rs:339): checksummed save to the given dir
+                path = body.get("path")
+                if not path:
+                    return self._json(400, {"error": "path required"})
+                try:
+                    sid = session.save(path, checksums=True)
+                except (VectorDbError, OSError) as e:
+                    return self._json(400, {"error": str(e)})
+                return self._json(200, {"status": "ok", "session_id": sid})
             self._json(404, {"error": "unknown route"})
 
     return Handler

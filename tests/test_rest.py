@@ -151,3 +151,50 @@ def test_events_endpoint(server):
 
     code, _ = _req(server, "GET", "/api/v1/events?since=notanint")
     assert code == 400
+
+
+def test_admin_migrate_rebalance_backup(spark, tmp_path):
+    import datetime as dt
+    import json as _json
+    import urllib.request
+
+    from fabstir_vectordb_spark.api.rest import RestServer
+    from fabstir_vectordb_spark.session import VectorDbSession, verify_integrity
+
+    s = VectorDbSession(spark)
+    old = dt.datetime(2020, 1, 1)
+    s.add_vectors(
+        [{"id": f"a{i}", "vector": [float(i), 0.0]} for i in range(4)],
+        timestamp=old,
+    )
+    s.add_vectors([{"id": "new0", "vector": [9.0, 9.0]}])
+    srv = RestServer(s)
+    srv.start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}/api/v1"
+
+        def post(route, payload):
+            req = urllib.request.Request(
+                f"{base}{route}",
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                return _json.loads(r.read())
+
+        res = post("/admin/migrate", {"max_per_run": 3})
+        assert res == {"migrated": 3, "remaining_aged": 1}
+        res = post("/admin/migrate", {})
+        assert res["migrated"] == 1 and res["remaining_aged"] == 0
+
+        res = post("/admin/rebalance", {"n_clusters": 2})
+        assert res == {"status": "rebalanced"}
+
+        path = str(tmp_path / "rest_backup")
+        res = post("/admin/backup", {"path": path})
+        assert res["status"] == "ok"
+        check = verify_integrity(spark, path)
+        assert check["ok"] and check["checksums"]["ok"]
+    finally:
+        srv.stop()
