@@ -133,6 +133,38 @@ def _search_layer(q, eps, ef, layer, V, nbrs, dcache):
     return sorted((-nd, p) for nd, p in best)
 
 
+def _insert_node(i, V, levels, nbrs, entry, max_lvl, M, M0, ef_c):
+    """Insert node position ``i`` into an existing in-memory graph —
+    the shared core of build() and insert() (hnsw/core.rs:226-396).
+    Returns the (possibly updated) (entry, max_lvl)."""
+    q = V[i]
+    l = int(levels[i])
+    dcache: dict[int, float] = {}
+    eps = [entry]
+    for lc in range(max_lvl, l, -1):
+        eps = [_search_layer(q, eps, 1, lc, V, nbrs, dcache)[0][1]]
+    for lc in range(min(l, max_lvl), -1, -1):
+        W = _search_layer(q, eps, ef_c, lc, V, nbrs, dcache)
+        m_max = M0 if lc == 0 else M
+        sel = [p for _, p in W[:M]]
+        nbrs[i][lc] = np.asarray(sel, dtype=np.int64)
+        for p in sel:
+            plist = nbrs[p][lc]
+            if len(plist) < m_max:
+                nbrs[p][lc] = np.append(plist, i)
+            else:
+                # prune: keep the m_max closest to p (bidirectional
+                # link displaces the worst edge, hnsw/core.rs:358-396)
+                cand_pos = np.append(plist, i)
+                dd = np.sqrt(((V[cand_pos] - V[p]) ** 2).sum(axis=1))
+                keep = np.lexsort((cand_pos, dd))[:m_max]
+                nbrs[p][lc] = cand_pos[keep]
+        eps = [p for _, p in W]
+    if l > max_lvl:
+        return i, l
+    return entry, max_lvl
+
+
 def _build_local_graph(V: np.ndarray, levels: np.ndarray, M: int, M0: int, ef_c: int):
     """Build one in-memory HNSW graph over rows of V (insertion order =
     row order).  Returns nbrs: pos -> [np.array(layer 0), ...] up to that
@@ -147,31 +179,9 @@ def _build_local_graph(V: np.ndarray, levels: np.ndarray, M: int, M0: int, ef_c:
         return nbrs, -1
     entry, max_lvl = 0, int(levels[0])
     for i in range(1, n):
-        q = V[i]
-        l = int(levels[i])
-        dcache: dict[int, float] = {}
-        eps = [entry]
-        for lc in range(max_lvl, l, -1):
-            eps = [_search_layer(q, eps, 1, lc, V, nbrs, dcache)[0][1]]
-        for lc in range(min(l, max_lvl), -1, -1):
-            W = _search_layer(q, eps, ef_c, lc, V, nbrs, dcache)
-            m_max = M0 if lc == 0 else M
-            sel = [p for _, p in W[:M]]
-            nbrs[i][lc] = np.asarray(sel, dtype=np.int64)
-            for p in sel:
-                plist = nbrs[p][lc]
-                if len(plist) < m_max:
-                    nbrs[p][lc] = np.append(plist, i)
-                else:
-                    # prune: keep the m_max closest to p (bidirectional
-                    # link displaces the worst edge, hnsw/core.rs:358-396)
-                    cand_pos = np.append(plist, i)
-                    dd = np.sqrt(((V[cand_pos] - V[p]) ** 2).sum(axis=1))
-                    keep = np.lexsort((cand_pos, dd))[:m_max]
-                    nbrs[p][lc] = cand_pos[keep]
-            eps = [p for _, p in W]
-        if l > max_lvl:
-            entry, max_lvl = i, l
+        entry, max_lvl = _insert_node(
+            i, V, levels, nbrs, entry, max_lvl, M, M0, ef_c
+        )
     return nbrs, max_lvl
 
 
@@ -254,6 +264,106 @@ class HNSWIndex:
             )
 
         return src.groupBy("graph_id").applyInPandas(build_graph, out_schema)
+
+    def insert(
+        self,
+        graph: DataFrame,
+        new_vectors: DataFrame,
+        deleted_col: str | None = None,
+    ) -> DataFrame:
+        """Incremental batch insert into existing graphs — the recent-
+        delta mutation path (the reference inserts one vector at a time,
+        hnsw/core.rs:226-396; here a batch cogroups with its graphs and
+        each task runs the same insertion loop for ONLY the new nodes).
+
+        Insertion order is existing-first then new-sorted-by-id, so
+        ``insert(build(A), B)`` is a valid deterministic HNSW graph but
+        not necessarily edge-identical to ``build(A ∪ B)``; the search
+        contracts (dominance, recall, exactness at complete-graph
+        config) hold identically — HNSW semantics never depended on
+        insertion order.  Returns the updated graph DataFrame."""
+        spark = graph.sparkSession
+        gids = graph.select("graph_id").distinct().count()
+        G = max(int(gids), 1)
+        id_t = graph.schema["id"].dataType
+        M, M0, ef_c, m_l, seed = self.M, self.M0, self.ef_construction, self.m_l, self.seed
+
+        new = new_vectors.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.vector_col).alias("__v"),
+            (F.col(deleted_col) if deleted_col else F.lit(False)).alias("__del"),
+            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(G)).cast("int").alias("graph_id"),
+            F.xxhash64(F.col(self.id_col), F.lit(self.seed)).alias("__h"),
+        )
+        out_schema = graph.select(
+            "graph_id", "id", "level", "neighbors", "vector", "deleted"
+        ).schema
+
+        def merge_graph(key, gpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+            cols = ["graph_id", "id", "level", "neighbors", "vector", "deleted"]
+            if npdf.empty:
+                return gpdf[cols] if not gpdf.empty else pd.DataFrame(columns=cols)
+            gpdf = gpdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+            npdf = npdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+            n_old = len(gpdf)
+            V_old = (
+                np.asarray([np.asarray(v, dtype=np.float64) for v in gpdf["vector"]])
+                if n_old
+                else np.empty((0, 0))
+            )
+            V_new = np.asarray([np.asarray(v, dtype=np.float64) for v in npdf["__v"]])
+            V = np.vstack([V_old, V_new]) if n_old else V_new
+            ids_old = gpdf["id"].to_numpy() if n_old else np.empty(0, dtype=object)
+            pos = {v: i for i, v in enumerate(ids_old)}
+            levels_new = _levels_from_hash(
+                npdf["__h"].to_numpy().astype(np.uint64), m_l, seed
+            )
+            levels = np.concatenate(
+                [gpdf["level"].to_numpy() if n_old else np.empty(0, dtype=np.int64),
+                 levels_new]
+            ).astype(np.int64)
+            nbrs = [
+                [np.asarray([pos[x] for x in layer], dtype=np.int64) for layer in node]
+                for node in (gpdf["neighbors"] if n_old else [])
+            ] + [
+                [np.empty(0, dtype=np.int64) for _ in range(int(levels_new[j]) + 1)]
+                for j in range(len(npdf))
+            ]
+            if n_old:
+                entry = _entry_pos(levels[:n_old], ids_old)
+                max_lvl = int(levels[entry])
+                start = n_old
+            else:
+                entry, max_lvl = 0, int(levels[0])
+                start = 1
+            for i in range(start, len(V)):
+                entry, max_lvl = _insert_node(
+                    i, V, levels, nbrs, entry, max_lvl, M, M0, ef_c
+                )
+            ids_all = np.concatenate([ids_old, npdf["id"].to_numpy()])
+            deleted_all = np.concatenate(
+                [gpdf["deleted"].to_numpy() if n_old else np.empty(0, dtype=bool),
+                 npdf["__del"].to_numpy()]
+            )
+            gid = int(key[0])
+            return pd.DataFrame(
+                {
+                    "graph_id": np.full(len(V), gid, dtype=np.int32),
+                    "id": ids_all,
+                    "level": levels,
+                    "neighbors": [
+                        [ids_all[layer].tolist() for layer in node] for node in nbrs
+                    ],
+                    "vector": [v.tolist() for v in V],
+                    "deleted": deleted_all,
+                }
+            )
+
+        return (
+            graph.groupBy("graph_id")
+            .cogroup(new.groupBy("graph_id"))
+            .applyInPandas(merge_graph, out_schema)
+        )
 
     # -- search ----------------------------------------------------------
     def search_bulk(

@@ -192,3 +192,52 @@ def test_graph_stats_shape(vectors):
     assert 0 < s["avg_degree"] <= 16
     assert s["max_level"] >= 0
     assert s["deleted"] == 0
+
+
+def test_incremental_insert_exact_equivalence(spark, vectors, queries, exact):
+    # exact-config graphs: search after insert(build(A), B) must equal
+    # brute force over A ∪ B regardless of edge differences vs build(A∪B)
+    idx = HNSWIndex(M=512, M0=512, ef_construction=512, num_graphs=4,
+                    id_col="id", vector_col="vector")
+    a = vectors.filter(F.col("id") < 300)
+    b = vectors.filter(F.col("id") >= 300)
+    g = idx.insert(idx.build(a), b).cache()
+    assert g.count() == 400
+    res = (
+        idx.search_bulk(g, queries, K, ef=512)
+        .orderBy("query_id", "distance", "id")
+        .collect()
+    )
+    assert [(r["query_id"], r["id"]) for r in res] == [
+        (r["query_id"], r["id"]) for r in exact
+    ]
+
+
+def test_incremental_insert_realistic_recall(spark, vectors, queries, exact):
+    idx = HNSWIndex(M=16, M0=32, ef_construction=100, num_graphs=4,
+                    id_col="id", vector_col="vector")
+    a = vectors.filter(F.col("id") < 300)
+    b = vectors.filter(F.col("id") >= 300)
+    g = idx.insert(idx.build(a), b).cache()
+    res = idx.search_bulk(g, queries, K, ef=64).collect()
+    truth, approx = {}, {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["id"])
+    for r in res:
+        approx.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [len(truth[q] & approx.get(q, set())) / K for q in truth]
+    assert np.mean(recalls) >= 0.9
+    # stats see the merged graph
+    s = idx.graph_stats(g)
+    assert s["nodes"] == 400 and s["graphs"] == 4
+
+
+def test_incremental_insert_deleted_flag(spark, vectors):
+    idx = HNSWIndex(M=64, M0=64, ef_construction=64, num_graphs=2,
+                    id_col="id", vector_col="vector")
+    a = vectors.filter(F.col("id") < 350)
+    b = vectors.filter(F.col("id") >= 350).withColumn(
+        "dead", F.col("id") >= 390
+    )
+    g = idx.insert(idx.build(a), b, deleted_col="dead")
+    assert idx.graph_stats(g)["deleted"] == 10
