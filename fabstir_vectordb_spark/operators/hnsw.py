@@ -452,6 +452,43 @@ class HNSWIndex:
         )
         return topk_per_query(partials, k)
 
+    def evaluate_recall(
+        self,
+        graph: DataFrame,
+        queries: DataFrame,
+        k: int,
+        ef: int | None = None,
+        query_id_col: str = "query_id",
+        query_vector_col: str = "vector",
+    ) -> dict:
+        """ANN vs exhaustive ground truth over the graph's own live
+        vectors — the same self-evaluation harness as
+        IVFIndex.evaluate_recall (ivf/operations.rs:329-391), so both
+        ANN strategies report comparable recall/precision.  Recall is
+        monotone in ``ef`` (the beam only grows) and reaches 1.0 at
+        ef >= graph size on complete graphs."""
+        from fabstir_vectordb_spark.operators.knn import brute_force_knn
+
+        ann = self.search_bulk(
+            graph, queries, k, ef=ef,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+        )
+        live = graph.filter(~F.col("deleted")).select(
+            F.col("id").alias(self.id_col), F.col("vector").alias(self.vector_col)
+        )
+        exact = brute_force_knn(
+            live, queries, k,
+            id_col=self.id_col, vector_col=self.vector_col,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+        )
+        hits = ann.select("query_id", "id").intersect(exact.select("query_id", "id"))
+        n_hits, n_exact, n_ann = hits.count(), exact.count(), ann.count()
+        return {
+            "avg_recall": n_hits / n_exact if n_exact else 1.0,
+            "avg_precision": n_hits / n_ann if n_ann else 1.0,
+            "n_queries": queries.count(),
+        }
+
     # -- stats -----------------------------------------------------------
     def graph_stats(self, graph: DataFrame) -> dict:
         """nodes, edges/2, avg layer-0 degree, max layer, graphs —

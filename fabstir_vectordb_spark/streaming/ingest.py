@@ -132,3 +132,54 @@ def write_vectors_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_graph_stream(
+    stream: DataFrame,
+    hnsw_index,
+    graph_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain a partition-local HNSW graph under a vector stream —
+    the streaming version of the reference's recent-side insert
+    (hybrid/core.rs:374-410 routes fresh vectors into the HNSW graph).
+
+    Each micro-batch incrementally inserts its rows into the persisted
+    graph (operators/hnsw.py HNSWIndex.insert — only the affected
+    graphs' tasks do work) and atomically swaps the graph directory.
+    The swap keeps readers consistent: a query sees either the old or
+    the new complete graph, never a partial write.
+    """
+    import os
+    import shutil
+
+    from fabstir_vectordb_spark.operators.hnsw import read_graph, write_graph
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            F.col("id").alias(hnsw_index.id_col),
+            F.col("vector").alias(hnsw_index.vector_col),
+        )
+        if os.path.exists(graph_path):
+            graph = read_graph(spark, graph_path)
+            updated = hnsw_index.insert(graph, batch)
+        else:
+            updated = hnsw_index.build(batch)
+        tmp = f"{graph_path}.__tmp_batch{batch_id}"
+        write_graph(updated, tmp)
+        old = f"{graph_path}.__old_batch{batch_id}"
+        if os.path.exists(graph_path):
+            os.rename(graph_path, old)
+        os.rename(tmp, graph_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

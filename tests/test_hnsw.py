@@ -241,3 +241,20 @@ def test_incremental_insert_deleted_flag(spark, vectors):
     )
     g = idx.insert(idx.build(a), b, deleted_col="dead")
     assert idx.graph_stats(g)["deleted"] == 10
+
+
+def test_evaluate_recall(spark, vectors, queries):
+    idx = HNSWIndex(M=16, M0=32, ef_construction=100, num_graphs=4,
+                    id_col="id", vector_col="vector")
+    g = idx.build(vectors).cache()
+    lo = idx.evaluate_recall(g, queries, K, ef=K)
+    hi = idx.evaluate_recall(g, queries, K, ef=200)
+    assert 0.0 <= lo["avg_recall"] <= hi["avg_recall"] <= 1.0
+    assert hi["avg_recall"] >= 0.95
+    assert hi["n_queries"] == 20
+    # deleted rows leave the ground truth too
+    marked = idx.build(
+        vectors.withColumn("dead", F.col("id") < 5), deleted_col="dead"
+    )
+    m = idx.evaluate_recall(marked, queries, K, ef=200)
+    assert 0.0 <= m["avg_recall"] <= 1.0

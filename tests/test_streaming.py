@@ -104,3 +104,59 @@ def test_write_vectors_stream_appends(spark, tmp_path):
     written = spark.read.parquet(table)
     assert written.count() == 5
     assert set(written.columns) == {"id", "vector", "metadata", "ts"}
+
+
+def test_stream_graph_maintenance(spark, tmp_path):
+    """Two micro-batched file drops maintain a persisted HNSW graph via
+    incremental insert; the final graph searches exactly at the
+    complete-graph config."""
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex, read_graph
+    from fabstir_vectordb_spark.operators.knn import brute_force_knn
+
+    idx = HNSWIndex(M=128, M0=128, ef_construction=128, num_graphs=2,
+                    id_col="id", vector_col="vector")
+    src = tmp_path / "gin"
+    gpath = str(tmp_path / "graph")
+    ck1 = str(tmp_path / "ck1")
+    batch1 = [
+        {"id": f"g{i}", "vector": [float(i), 1.0], "metadata": None,
+         "ts": "2026-01-10T12:00:00.000Z"}
+        for i in range(20)
+    ]
+    _write_records(src, batch1)
+    q = SI.write_graph_stream(
+        SI.read_vector_stream(spark, str(src)), idx, gpath, ck1
+    )
+    q.awaitTermination(60)
+    assert read_graph(spark, gpath).count() == 20
+
+    # second drop: incremental insert through a fresh availableNow run
+    with open(src / "batch1.json", "w") as f:
+        for i in range(20, 30):
+            f.write(json.dumps(
+                {"id": f"g{i}", "vector": [float(i), 1.0], "metadata": None,
+                 "ts": "2026-01-10T12:01:00.000Z"}) + "\n")
+    q = SI.write_graph_stream(
+        SI.read_vector_stream(spark, str(src)), idx, gpath, ck1
+    )
+    q.awaitTermination(60)
+    g = read_graph(spark, gpath)
+    assert g.count() == 30
+
+    all_vec = spark.createDataFrame(
+        [(f"g{i}", [float(i), 1.0]) for i in range(30)],
+        "id string, vector array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q0", [7.2, 1.0]), ("q1", [25.0, 1.0])],
+        "query_id string, vector array<double>",
+    )
+    res = idx.search_bulk(g, queries, 5, ef=128).orderBy(
+        "query_id", "distance", "id"
+    ).collect()
+    exact = brute_force_knn(
+        all_vec, queries, 5, id_col="id", vector_col="vector"
+    ).orderBy("query_id", "distance", "id").collect()
+    assert [(r["query_id"], r["id"]) for r in res] == [
+        (r["query_id"], r["id"]) for r in exact
+    ]
