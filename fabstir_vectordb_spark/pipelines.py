@@ -1,0 +1,107 @@
+"""End-to-end training-data pipeline: the composition a pretraining
+corpus actually runs, built from this repo's certified operators.
+
+    raw documents
+      → line-level boilerplate removal     (operators/dedup.py)
+      → language / quality / length gates  (functions/text.py)
+      → exact dedup                        (operators/dedup.py)
+      → MinHash-LSH near-dup + canonical   (operators/dedup.py)
+      → deterministic train/val/test split (operators/sampling.py)
+      → sequence packing into context windows (operators/sampling.py)
+
+Every stage is the operator already certified by a driver oracle row;
+this module only wires them, so the composition inherits their scale
+shapes: one tokenize projection, broadcast hot-set boilerplate filter,
+fingerprint-keyed dedup shuffle, banded near-dup join with guards ON,
+id-hash split (no shuffle), two-phase prefix-sum packing.  No reference
+analogue — the reference is the vector store this pipeline would feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.functions import text as X
+from fabstir_vectordb_spark.operators import dedup as DD
+from fabstir_vectordb_spark.operators.sampling import assign_split, pack_sequences
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boilerplate_min_doc_freq: int | None = 1000,
+    lang: str | None = "en",
+    min_quality: float = 0.3,
+    max_repetition: float = 0.2,
+    token_bounds: tuple[int, int] = (10, 5000),
+    near_dup_threshold: float | None = 0.8,
+    split_weights: list[tuple[str, float]] | None = None,
+) -> DataFrame:
+    """Run the curation funnel; returns one row per SURVIVING document:
+    (id, text, n_tokens, quality, lang, split) — with boilerplate
+    stripped, gates applied, exact and near duplicates removed (the
+    canonical member of each duplicate group survives).
+
+    Set a stage's parameter to None to skip it.  Gates mirror
+    corpus_filter's certified thresholds; near-dup canonicalization
+    keeps the min-id representative (dedup_canonical semantics).
+    """
+    cur = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    if boilerplate_min_doc_freq is not None:
+        cleaned = DD.remove_boilerplate_lines(
+            cur, boilerplate_min_doc_freq, text_col="text", id_col="id"
+        )
+        cur = cleaned.select("id", F.col("clean_text").alias("text"))
+
+    toks = X.whitespace_tokens("text")
+    cur = cur.select(
+        "id", "text", toks.alias("__toks")
+    ).repartition(cur.sparkSession.sparkContext.defaultParallelism)
+    cur = cur.select(
+        "id", "text",
+        X.token_count_from("__toks").cast("long").alias("n_tokens"),
+        X.quality_score("text", "__toks").alias("quality"),
+        X.lang_id("text", "__toks").alias("lang"),
+        X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
+    )
+    gate = F.col("n_tokens").between(*token_bounds) & (
+        F.col("rep_3gram") <= max_repetition
+    )
+    if lang is not None:
+        gate = gate & (F.col("lang") == lang)
+    if min_quality is not None:
+        gate = gate & (F.col("quality") >= min_quality)
+    cur = cur.filter(gate).drop("rep_3gram")
+
+    # exact dedup: keep the canonical (min-id) member of each group
+    groups = DD.exact_dedup(cur.select("id", "text"), text_col="text", id_col="id")
+    cur = cur.join(
+        groups.filter(~F.col("is_duplicate")).select("id"), "id"
+    )
+
+    if near_dup_threshold is not None:
+        pairs = DD.minhash_lsh_pairs(
+            cur, threshold=near_dup_threshold, text_col="text", id_col="id"
+        )
+        canon = DD.canonicalize_pairs(cur, pairs, id_col="id")
+        cur = cur.join(
+            canon.filter(F.col("id") == F.col("canonical_id")).select("id"),
+            "id",
+        )
+
+    return assign_split(cur, weights=split_weights, id_col="id")
+
+
+def pack_corpus(
+    curated: DataFrame,
+    context_len: int,
+    split: str = "train",
+) -> DataFrame:
+    """Pack one split of a curated corpus into fixed context windows:
+    (id, bin_id, start_tok, tokens_in_bin) — the materialized dataloader
+    plan (pack_sequences' certified layout over the curated stream)."""
+    part = curated.filter(F.col("split") == split)
+    return pack_sequences(part, context_len, id_col="id", n_tokens_col="n_tokens")

@@ -1,0 +1,77 @@
+"""End-to-end corpus pipeline: curation funnel -> dedup -> split -> pack."""
+
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.pipelines import curate_corpus, pack_corpus
+
+
+def _corpus(spark):
+    # each doc draws a DISTINCT token stream (w{i}_{j}) so the corpus is
+    # not one giant near-dup clique; English stopwords keep lang_id=en
+    base = [
+        (i, "the and of " + " ".join(f"w{i}_{j} the" for j in range(15))
+            + " is in it a " + " ".join(f"x{i}_{j}" for j in range(10))
+            + " and some more filler words to stay realistic")
+        for i in range(40)
+    ]
+    extra = [
+        # exact duplicate of doc 0
+        (100, base[0][1]),
+        # near duplicate of doc 1 (one word changed)
+        (101, base[1][1].replace("filler", "padding")),
+        # too short
+        (102, "tiny doc"),
+        # boilerplate carrier: every doc gets the footer below
+    ]
+    rows = [(i, t + "\nSUBSCRIBE NOW footer line") for i, t in base + extra]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_corpus_funnel(spark):
+    docs = _corpus(spark)
+    out = curate_corpus(
+        docs,
+        boilerplate_min_doc_freq=10,
+        lang="en",
+        min_quality=0.0,
+        max_repetition=0.9,
+        token_bounds=(10, 5000),
+        near_dup_threshold=0.7,
+    ).cache()
+    ids = {r["id"] for r in out.select("id").collect()}
+    assert 102 not in ids          # length gate
+    assert 100 not in ids and 0 in ids    # exact dup removed, canonical kept
+    assert 101 not in ids and 1 in ids    # near dup removed, canonical kept
+    # boilerplate footer stripped before tokenization
+    sample = out.filter(F.col("id") == 0).collect()[0]
+    assert "SUBSCRIBE" not in sample["text"]
+    # split column present and total preserved
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    assert out.count() == 40
+
+
+def test_pack_corpus_layout(spark):
+    docs = _corpus(spark)
+    curated = curate_corpus(
+        docs, boilerplate_min_doc_freq=10, lang=None, min_quality=None,
+        max_repetition=1.0, near_dup_threshold=None,
+    )
+    packed = pack_corpus(curated, context_len=64, split="train")
+    rows = packed.collect()
+    assert rows
+    # bins full except the last
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    for r in rows:
+        fill[r["bin_id"]] += r["tokens_in_bin"]
+    bins = sorted(fill)
+    assert all(fill[b] == 64 for b in bins[:-1])
+    # packed token total == curated train-split token total
+    n_train = (
+        curated.filter(F.col("split") == "train")
+        .agg(F.sum("n_tokens"))
+        .collect()[0][0]
+    )
+    assert sum(fill.values()) == n_train
