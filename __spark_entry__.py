@@ -170,7 +170,22 @@ def q_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hnsw_l2").alias("metric"), "query_id", "id",
         F.col("distance").alias("score"),
     )
-    return l2.unionByName(cos).unionByName(dot).unionByName(thr).unionByName(hnsw)
+    # unbounded radius query (no k): every vector within r=1.26 of each
+    # query — operators/knn.py:range_search
+    from fabstir_vectordb_spark.operators.knn import range_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rng = range_search(
+        emb, _query_vectors(spark, sf_dir), 1.26,
+        metric="l2", id_col="vec_id", vector_col="embedding",
+    ).select(
+        F.lit("l2_range").alias("metric"), "query_id", "id",
+        r6("distance").alias("score"),
+    )
+    return (
+        l2.unionByName(cos).unionByName(dot).unionByName(thr)
+        .unionByName(hnsw).unionByName(rng)
+    )
 
 
 def q_knn_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2990,6 +3005,15 @@ FROM ({_ORACLES["search_threshold"]})
 UNION ALL
 SELECT 'hnsw_l2' AS metric, query_id, id, distance AS score
 FROM ({_ORACLES["knn_l2"]})
+UNION ALL
+SELECT 'l2_range' AS metric, query_id, id, (round(distance, 6) + 0.0) AS score
+FROM (
+  SELECT q.query_id, e.vec_id AS id, {_L2} AS distance
+  FROM embeddings e CROSS JOIN
+       (SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < {NQ}) q
+)
+WHERE round(distance, 6) <= 1.26
 """
 
 # finite replay + complete mode => streaming windows equal batch GROUP BY

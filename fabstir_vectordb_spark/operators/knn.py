@@ -349,3 +349,44 @@ def brute_force_knn(
     if fn is None:
         raise ValueError(f"unknown impl {impl!r}")
     return fn(vectors, queries, k, metric=metric, **cols)
+
+
+def range_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    metric: str = "l2",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+) -> DataFrame:
+    """Exact radius query: ALL vectors within ``radius`` of each query,
+    no k (the unbounded companion of the thresholded top-k — the
+    reference expresses this as score >= t over an oversized k,
+    session.rs:287-293; a true range query has no k to size).
+
+    Declarative shape: broadcast the query side, distance as a codegen
+    column, filter on the ROUNDED distance (the cross-engine contract).
+    At archive scale compose with the IVF probe first (probed clusters
+    bound the candidate set) — the radius filter itself is a post-scan
+    predicate and cannot prune files.
+
+    Output: (query_id, id, distance) ascending per query, every row with
+    round(distance, 6) <= radius.
+    """
+    from fabstir_vectordb_spark.operators.topk import rounded
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vector_col).alias("__qv"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vector_col).alias("__v")
+    )
+    d = _distance_column(metric, F.col("__v"), F.col("__qv"))
+    return (
+        v.crossJoin(F.broadcast(q))
+        .select("query_id", "id", d.alias("distance"))
+        .filter(rounded("distance") <= radius)
+    )

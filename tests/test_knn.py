@@ -89,3 +89,26 @@ def test_knn_bulk_matches_kernel(spark):
     kernel = brute_force_knn(vecs, queries, 5, metric="l2", impl="kernel")
     key = lambda r: (r["query_id"], r["id"], round(r["distance"], 6))
     assert sorted(map(key, bulk.collect())) == sorted(map(key, kernel.collect()))
+
+
+def test_range_search_exact(spark, embeddings):
+    from fabstir_vectordb_spark.operators.knn import brute_force_knn, range_search
+
+    emb = embeddings.limit(200)
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    r = 1.3
+    got = range_search(
+        emb, q, r, id_col="vec_id", vector_col="embedding"
+    ).collect()
+    # every returned row is within the radius...
+    assert all(round(x["distance"], 6) <= r for x in got)
+    # ...and the set matches an oversized thresholded kNN exactly
+    full = brute_force_knn(
+        emb, q, 200, metric="l2", id_col="vec_id", vector_col="embedding"
+    ).collect()
+    want = {(x["query_id"], x["id"]) for x in full if round(x["distance"], 6) <= r}
+    assert {(x["query_id"], x["id"]) for x in got} == want
+    # the query itself appears at distance 0
+    assert all((x["query_id"], x["query_id"]) in want for x in got[:1])
