@@ -1,7 +1,9 @@
 """IVF x PQ: the canonical big-corpus ANN layout (the IVFADC structure of
 Jegou/Douze/Schmid, "Product Quantization for Nearest Neighbor Search",
-TPAMI 2011 — coarse inverted lists + product-quantized residuals; here
-raw-vector PQ for composability with the standalone quantizer).
+TPAMI 2011 — coarse inverted lists + product-quantized residuals).
+``residual=True`` is the paper's IVFADC exactly (PQ over x - centroid);
+the default raw-vector PQ stays for composability with the standalone
+quantizer and for untrained-IVF degradation.
 
 At 100 TB this is THE structure that works: the encoded table
 (id, cluster_id, pq_codes) is ~32 bytes/vector instead of 256+ for raw
@@ -37,9 +39,39 @@ from fabstir_vectordb_spark.operators.topk import ROUND_DECIMALS, topk_per_query
 
 
 class IVFPQIndex:
-    def __init__(self, ivf: IVFIndex, pq: ProductQuantizer):
+    def __init__(self, ivf: IVFIndex, pq: ProductQuantizer, residual: bool = False):
         self.ivf = ivf
         self.pq = pq
+        # residual=True is the TRUE IVFADC of the paper: PQ quantizes
+        # r = x - centroid(cluster), whose variance is what remains
+        # AFTER the coarse quantizer explains the cluster structure —
+        # tighter codebooks, better recall at the same byte budget.
+        # False keeps raw-vector PQ (composable with the standalone
+        # quantizer, and the only option when the IVF is untrained).
+        self.residual = bool(residual)
+
+    def _with_residual(self, assigned: DataFrame, out_col: str) -> DataFrame:
+        """assigned (+cluster_id) -> + residual column, JVM-side: a
+        broadcast (cluster_id, centroid) join + zip_with subtraction —
+        no Python, no shuffle (broadcast hash join)."""
+        spark = assigned.sparkSession
+        cents = spark.createDataFrame(
+            [(int(c), self.ivf.centroids[c].tolist())
+             for c in range(len(self.ivf.centroids))],
+            "cluster_id int, __cent array<double>",
+        )
+        return (
+            assigned.join(F.broadcast(cents), "cluster_id")
+            .withColumn(
+                out_col,
+                F.zip_with(
+                    F.col(self.ivf.vector_col).cast("array<double>"),
+                    "__cent",
+                    lambda x, y: x - y,
+                ),
+            )
+            .drop("__cent")
+        )
 
     @classmethod
     def fit(
@@ -51,16 +83,25 @@ class IVFPQIndex:
         seed: int = 42,
         id_col: str = "vec_id",
         vector_col: str = "embedding",
+        residual: bool = False,
     ) -> "IVFPQIndex":
         ivf = IVFIndex.fit(
             vectors, n_clusters=n_clusters, seed=seed,
             id_col=id_col, vector_col=vector_col,
         )
+        if residual and ivf.centroids is not None:
+            idx = cls(ivf, None, residual=True)
+            res = idx._with_residual(ivf.assign(vectors), "__res")
+            idx.pq = ProductQuantizer.fit(
+                res, n_subspaces=n_subspaces, n_centroids=n_centroids,
+                seed=seed, vector_col="__res",
+            )
+            return idx
         pq = ProductQuantizer.fit(
             vectors, n_subspaces=n_subspaces, n_centroids=n_centroids,
             seed=seed, vector_col=vector_col,
         )
-        return cls(ivf, pq)
+        return cls(ivf, pq, residual=False)
 
     def encode(self, vectors: DataFrame) -> DataFrame:
         """(input cols, cluster_id, pq_codes) — what a 100 TB deployment
@@ -74,6 +115,9 @@ class IVFPQIndex:
             assigned = vectors.withColumn("cluster_id", F.lit(0).cast("int"))
         else:
             assigned = self.ivf.assign(vectors)
+        if self.residual and self.ivf.centroids is not None:
+            res = self._with_residual(assigned, "__res")
+            return self.pq.encode(res, vector_col="__res").drop("__res")
         return self.pq.encode(assigned, vector_col=self.ivf.vector_col)
 
     def search_bulk(
@@ -130,6 +174,12 @@ class IVFPQIndex:
             F.col(cluster_col).cast("int").alias("__blk"),
         )
         bc = encoded.sparkSession.sparkContext.broadcast(self.pq.codebooks)
+        bc_cents = (
+            encoded.sparkSession.sparkContext.broadcast(self.ivf.centroids)
+            if self.residual
+            else None
+        )
+        residual = self.residual
         M, sub = self.pq.n_subspaces, self.pq.sub_dim
         fetch = k * (oversample if rerank_vectors is not None else 1)
 
@@ -141,10 +191,13 @@ class IVFPQIndex:
             ]
         )
 
-        def cluster_adc(vpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        def cluster_adc(key, vpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
             # one probed cluster x the queries that probed it: same
             # per-pair arithmetic and (round(6), id) tie order as
-            # ProductQuantizer.adc_knn_bulk's block kernel
+            # ProductQuantizer.adc_knn_bulk's block kernel.  In residual
+            # mode (true IVFADC) the LUT is built from the query's
+            # RESIDUAL vs this cluster's centroid — the codes encode
+            # x - centroid, so ||x - q|| == ||code - (q - centroid)||.
             if vpdf.empty or qpdf.empty:
                 return pd.DataFrame({"query_id": [], "id": [], "distance": []})
             books = bc.value
@@ -152,10 +205,13 @@ class IVFPQIndex:
             ids = vpdf["id"].to_numpy()
             if ids.dtype == object:
                 ids = ids.astype(str)
+            cent = bc_cents.value[int(key[0])] if residual else None
             marange = np.arange(M)[None, :]
             out_q, out_id, out_d = [], [], []
             for qid, qv in zip(qpdf["query_id"], qpdf["__qv"]):
                 q = np.asarray(qv, dtype=np.float64)
+                if residual:
+                    q = q - cent
                 table = np.stack(
                     [
                         np.einsum(
@@ -199,16 +255,30 @@ class IVFPQIndex:
     # ------------------------------------------------------- persistence
 
     def save(self, path: str) -> None:
-        """Model metadata (coarse centroids + PQ codebooks) as sidecars —
-        the encoded table itself goes through write_encoded."""
+        """Model metadata (coarse centroids + PQ codebooks + residual
+        flag) as sidecars — the encoded table itself goes through
+        write_encoded."""
+        import json
+        import os
+
         self.ivf.save(path)
         self.pq.save(path)
+        with open(os.path.join(path, "ivfpq.json"), "w") as f:
+            json.dump({"residual": self.residual}, f)
 
     @classmethod
     def load(cls, path: str) -> "IVFPQIndex":
+        import json
+        import os
+
         from fabstir_vectordb_spark.operators.pq import ProductQuantizer
 
-        return cls(IVFIndex.load(path), ProductQuantizer.load(path))
+        residual = False
+        meta_path = os.path.join(path, "ivfpq.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                residual = bool(json.load(f).get("residual", False))
+        return cls(IVFIndex.load(path), ProductQuantizer.load(path), residual=residual)
 
 
 def write_encoded(

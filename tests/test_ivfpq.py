@@ -151,3 +151,105 @@ def test_write_read_encoded_roundtrip(tmp_path, spark, idx, encoded, embeddings,
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
+def _clustered_data(spark, n=600, dim=16, centers=4):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    C = rng.normal(scale=10.0, size=(centers, dim))
+    rows = []
+    for i in range(n):
+        c = i % centers
+        rows.append((i, (C[c] + rng.normal(scale=0.5, size=dim)).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_residual_mode_better_codes_and_recall(spark):
+    import numpy as np
+
+    from fabstir_vectordb_spark.operators.ivfpq import IVFPQIndex
+    from fabstir_vectordb_spark.operators.knn import brute_force_knn
+
+    vec = _clustered_data(spark).cache()
+    queries = vec.limit(10).selectExpr("vec_id as query_id", "embedding as vector")
+    exact = {
+        (r["query_id"], r["id"])
+        for r in brute_force_knn(
+            vec, queries, 10, id_col="vec_id", vector_col="embedding"
+        ).collect()
+    }
+
+    def recall(residual):
+        idx = IVFPQIndex.fit(
+            vec, n_clusters=4, n_subspaces=4, n_centroids=16,
+            residual=residual,
+        )
+        enc = idx.encode(vec)
+        got = {
+            (r["query_id"], r["id"])
+            for r in idx.search_bulk(enc, queries, 10, n_probe=4).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_res, r_raw = recall(True), recall(False)
+    # strongly clustered data, deliberately coarse codes (4x16): raw PQ
+    # wastes its codebook span on the cluster offsets, residual PQ spends
+    # it all on the within-cluster geometry.  Measured 0.55 vs 0.36 on
+    # this seeded fixture; assert the gap with slack.
+    assert r_res >= r_raw + 0.1
+    assert r_res >= 0.5
+
+
+def test_residual_full_probe_rerank_is_exact(spark):
+    from fabstir_vectordb_spark.operators.ivfpq import IVFPQIndex
+    from fabstir_vectordb_spark.operators.knn import brute_force_knn
+
+    vec = _clustered_data(spark, n=300).cache()
+    queries = vec.limit(5).selectExpr("vec_id as query_id", "embedding as vector")
+    idx = IVFPQIndex.fit(
+        vec, n_clusters=4, n_subspaces=4, n_centroids=16, residual=True
+    )
+    enc = idx.encode(vec)
+    got = (
+        idx.search_bulk(
+            enc, queries, 5, n_probe=4, oversample=60, rerank_vectors=vec
+        )
+        .orderBy("query_id", "distance", "id")
+        .collect()
+    )
+    exact = (
+        brute_force_knn(vec, queries, 5, id_col="vec_id", vector_col="embedding")
+        .orderBy("query_id", "distance", "id")
+        .collect()
+    )
+    assert [(r["query_id"], r["id"]) for r in got] == [
+        (r["query_id"], r["id"]) for r in exact
+    ]
+
+
+def test_residual_flag_survives_save_load(spark, tmp_path):
+    from fabstir_vectordb_spark.operators.ivfpq import (
+        IVFPQIndex,
+        read_encoded,
+        write_encoded,
+    )
+
+    vec = _clustered_data(spark, n=300).cache()
+    idx = IVFPQIndex.fit(
+        vec, n_clusters=4, n_subspaces=4, n_centroids=16, residual=True
+    )
+    path = str(tmp_path / "resenc")
+    write_encoded(vec, idx, path)
+    enc, idx2 = read_encoded(spark, path)
+    assert idx2.residual is True
+    queries = vec.limit(3).selectExpr("vec_id as query_id", "embedding as vector")
+    a = sorted(
+        (r["query_id"], r["id"])
+        for r in idx.search_bulk(idx.encode(vec), queries, 5, n_probe=4).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["id"])
+        for r in idx2.search_bulk(enc, queries, 5, n_probe=4).collect()
+    )
+    assert a == b
