@@ -1113,7 +1113,36 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.d") >= F.col("e.d")).alias("ok"),
         )
     )
-    return eq.unionByName(dom)
+    # round 4: residual mode (the paper's true IVFADC, ivfpq.py
+    # residual=True).  At full probe with a full-table oversample the
+    # exact re-rank sees every candidate, so the result must EQUAL exact
+    # kNN rank-for-rank regardless of code quality — residual encode +
+    # residual ADC round-trip certified end to end.
+    from fabstir_vectordb_spark.operators.ivfpq import IVFPQIndex
+
+    key = (sf_dir, "ivfpq_residual")
+    if key not in _IVF_CACHE:
+        _IVF_CACHE[key] = IVFPQIndex.fit(
+            emb, n_clusters=8, n_subspaces=8, n_centroids=32, seed=42,
+            residual=True,
+        )
+    ridx = _IVF_CACHE[key]
+    renc = ridx.encode(emb)
+    res_full = _ranked_by_query(
+        ridx.search_bulk(
+            renc, queries, K,
+            n_probe=ridx.ivf.n_clusters, oversample=100, rerank_vectors=emb,
+        )
+    )
+    res_eq = (
+        res_full.alias("a")
+        .join(exact.alias("e"), ["query_id", "rank"])
+        .select(
+            F.lit("residual_exact").alias("part"), "query_id", "rank",
+            (F.col("a.d") == F.col("e.d")).alias("ok"),
+        )
+    )
+    return eq.unionByName(dom).unionByName(res_eq)
 
 
 def q_ivfpq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2751,7 +2780,7 @@ _ORACLES["ann_ivfpq"] = f"""
 SELECT p AS part, vec_id AS query_id, r.rank, true AS ok
 FROM embeddings
 CROSS JOIN (SELECT unnest(generate_series(1, {K})) AS rank) r
-CROSS JOIN (SELECT unnest(['full_probe_eq', 'probe2_dominance']) AS p)
+CROSS JOIN (SELECT unnest(['full_probe_eq', 'probe2_dominance', 'residual_exact']) AS p)
 WHERE vec_id < {NQ}
 """
 
