@@ -94,3 +94,103 @@ def expand_queries(
     return with_vec.select(
         "query_id", "expansion_id", unit.alias(vector_col)
     )
+
+
+def mmr_rerank(
+    results: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    score_col: str = "score",
+    query_col: str = "query_id",
+    id_col: str = "id",
+    vector_id_col: str = "id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998 — public literature; no reference analogue): greedily pick
+    the candidate maximizing lam*relevance - (1-lam)*max_sim_to_selected,
+    trading relevance against redundancy.
+
+    Scale shape: MMR is inherently sequential PER QUERY, but each query's
+    candidate list is tiny (the k' rows a first-stage retriever already
+    produced), so the kernel is a cogrouped applyInPandas over
+    (query -> candidates+vectors): one task per group of queries, numpy
+    cosine matrix per query, zero driver involvement.  The candidate
+    vectors arrive via one broadcast-friendly join against the vector
+    table — only the candidate ids' rows are fetched.
+
+    Determinism: ties break on (round(score,6) desc, id asc) — the same
+    contract as every ranking here.  Output: (query_id, id, mmr_score,
+    rank), rank 1..k in selection order.
+    """
+    from pyspark.sql import types as T
+
+    cand = results.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("double").alias("__rel"),
+    ).join(
+        vectors.select(
+            F.col(vector_id_col).alias("id"), F.col(vector_col).alias("__v")
+        ),
+        "id",
+    )
+    id_t = results.schema[id_col].dataType
+    qid_t = results.schema[query_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_t, False),
+            T.StructField("id", id_t, False),
+            T.StructField("mmr_score", T.DoubleType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+        ]
+    )
+    import numpy as np
+    import pandas as pd
+
+    k_i, lam_f = int(k), float(lam)
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        # deterministic candidate order
+        pdf = pdf.assign(__r6=pdf["__rel"].round(6)).sort_values(
+            ["__r6", "id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        U = V / norms[:, None]
+        sim = U @ U.T  # candidates are <= k', tiny
+        rel = pdf["__r6"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        remaining = list(range(n))
+        scores = []
+        while remaining and len(selected) < k_i:
+            if not selected:
+                best = remaining[0]  # max relevance (sorted order)
+                mmr = lam_f * rel[best]
+            else:
+                red = sim[np.ix_(remaining, selected)].max(axis=1)
+                vals = lam_f * rel[remaining] - (1.0 - lam_f) * red
+                vr = np.round(vals, 6)
+                # ties: max value, then min id (candidate order is id-sorted
+                # within equal relevance, so first argmax is deterministic)
+                j = int(np.argmax(vr))
+                best, mmr = remaining[j], float(vals[j])
+            selected.append(best)
+            remaining.remove(best)
+            scores.append(mmr)
+        sel = pdf.iloc[selected]
+        return pd.DataFrame(
+            {
+                "query_id": sel["query_id"].to_numpy(),
+                "id": sel["id"].to_numpy(),
+                "mmr_score": np.round(scores, 6),
+                "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(per_query, out_schema)

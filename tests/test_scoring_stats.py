@@ -131,3 +131,61 @@ def test_percentile_stats_approx_matches_exact(spark):
     # rank error <= n/accuracy = 0.2 ranks -> values within one step
     assert abs(approx["p50"] - exact["p50"]) <= 1.0
     assert abs(approx["p99"] - exact["p99"]) <= 1.0
+
+
+# ----------------------------------------------------------------- MMR
+
+def test_mmr_rerank_diversifies(spark):
+    import numpy as np
+
+    from fabstir_vectordb_spark.operators.scoring import mmr_rerank
+
+    # two tight clusters of candidates; pure relevance would take the
+    # whole first cluster, MMR must interleave
+    vecs = [
+        (1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [0.98, 0.02]),
+        (4, [0.0, 1.0]), (5, [0.01, 0.99]),
+    ]
+    vectors = spark.createDataFrame(vecs, "id long, vector array<double>")
+    results = spark.createDataFrame(
+        [("q", 1, 0.99), ("q", 2, 0.98), ("q", 3, 0.97),
+         ("q", 4, 0.90), ("q", 5, 0.89)],
+        "query_id string, id long, score double",
+    )
+    out = (
+        mmr_rerank(results, vectors, k=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["id"] == 1          # rank 1 = max relevance always
+    assert out[1]["id"] == 4          # second pick crosses clusters
+    picked = {r["id"] for r in out}
+    assert picked & {4, 5}            # diversity enforced
+    # lam=1.0 degenerates to pure relevance order
+    pure = mmr_rerank(results, vectors, k=3, lam=1.0).orderBy("rank").collect()
+    assert [r["id"] for r in pure] == [1, 2, 3]
+
+
+def test_mmr_deterministic_and_bounded(spark):
+    import numpy as np
+
+    from fabstir_vectordb_spark.operators.scoring import mmr_rerank
+
+    rng = np.random.default_rng(2)
+    vectors = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(30)],
+        "id long, vector array<double>",
+    )
+    results = spark.createDataFrame(
+        [(f"q{j}", i, float((i * 7 + j) % 13) / 13.0)
+         for j in range(3) for i in range(30)],
+        "query_id string, id long, score double",
+    )
+    a = sorted(map(tuple, mmr_rerank(results, vectors, 10).collect()))
+    b = sorted(map(tuple, mmr_rerank(results.repartition(5), vectors, 10).collect()))
+    assert a == b
+    from collections import Counter
+
+    cnt = Counter(q for q, *_ in a)
+    assert all(v == 10 for v in cnt.values())
