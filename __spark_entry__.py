@@ -1618,8 +1618,20 @@ def q_session_bulk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Query expansion (search_integration.rs:452-489): 2 deterministic
-    perturbed copies per query, search all, keep best distance per id."""
+    """Query/result post-processing in one part-discriminated row:
+
+      expansion — query expansion (search_integration.rs:452-489): 2
+                deterministic perturbed copies per query, search all,
+                keep best distance per id; score = r6 distance
+      mmr_lam1  — MMR re-ranking (operators/scoring.py:mmr_rerank) at
+                lam=1.0 over the kNN top-20 relevance list: pure
+                relevance order, so the greedy selection replays
+                EXACTLY in SQL (top-10 by rounded score desc, id asc)
+      mmr_div   — lam=0.5 diversity invariants, one row per (query,
+                rank): selected id is from the candidate set, rank 1 is
+                the relevance top-1, exactly K rows; score=1.0 when the
+                invariant holds (constant oracle rows)
+    """
     emb = _t(spark, sf_dir, "embeddings")
     expanded = SC.expand_queries(
         _query_vectors(spark, sf_dir), n_expansions=2, noise=0.05
@@ -1637,9 +1649,50 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
     ).select(F.col("orig_query_id").alias("query_id"), "id", "distance")
     best = merge_dedup(back)
-    return topk_per_query(best, K).select(
-        "query_id", "id", r6("distance").alias("distance")
+    exp_part = topk_per_query(best, K).select(
+        F.lit("expansion").alias("part"), "query_id", "id",
+        r6("distance").alias("score"),
     )
+
+    from fabstir_vectordb_spark.operators.scoring import mmr_rerank
+
+    cand = brute_force_knn(
+        emb, _query_vectors(spark, sf_dir), 20,
+        metric="l2", impl="kernel", id_col="vec_id", vector_col="embedding",
+    ).select(
+        "query_id", "id",
+        r6(D.similarity_score(F.round("distance", 6))).alias("score"),
+    ).cache()
+    vec_side = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    lam1 = mmr_rerank(cand, vec_side, K, lam=1.0).select(
+        F.lit("mmr_lam1").alias("part"), "query_id", "id",
+        r6("mmr_score").alias("score"),
+    )
+    div = mmr_rerank(cand, vec_side, K, lam=0.5)
+    top1 = topk_per_query(
+        cand, 1, order_col="score", ascending=False
+    ).select("query_id", F.col("id").alias("__top1"))
+    div_ok = (
+        div.join(cand.select("query_id", F.col("id").alias("__cid")).distinct()
+                 .groupBy("query_id").agg(F.collect_set("__cid").alias("__cands")),
+                 "query_id")
+        .join(top1, "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.bool_and(
+                F.array_contains(F.col("__cands"), F.col("id"))
+                & ((F.col("rank") != 1) | (F.col("id") == F.col("__top1")))
+            ).alias("__all_ok"),
+            (F.count("*") == K).alias("__k_ok"),
+            F.max("rank").alias("__max_rank"),
+        )
+        .select(
+            F.lit("mmr_div").alias("part"), "query_id",
+            F.col("__max_rank").cast("long").alias("id"),
+            (F.col("__all_ok") & F.col("__k_ok")).cast("double").alias("score"),
+        )
+    )
+    return exp_part.unionByName(lam1).unionByName(div_ok)
 
 
 def q_age_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2889,8 +2942,35 @@ WITH q0 AS (
   SELECT query_id, id, distance,
          row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rn
   FROM g
+), plain AS (
+  -- unperturbed kNN top-20: the MMR candidate list
+  SELECT q.query_id, e.vec_id AS id, {_L2} AS distance
+  FROM embeddings e CROSS JOIN
+       (SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < {NQ}) q
+), cand AS (
+  SELECT query_id, id,
+         (round(1.0 / (1.0 + round(distance, 6)), 6) + 0.0) AS rel
+  FROM (
+    SELECT query_id, id, distance,
+           row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rn
+    FROM plain
+  ) WHERE rn <= 20
+), mmr1 AS (
+  -- lam=1.0 MMR == pure relevance order (rounded rel desc, id asc)
+  SELECT query_id, id, rel,
+         row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rn
+  FROM cand
 )
-SELECT query_id, id, distance FROM t WHERE rn <= {K}
+SELECT 'expansion' AS part, query_id, id, distance AS score
+FROM t WHERE rn <= {K}
+UNION ALL
+SELECT 'mmr_lam1' AS part, query_id, id, rel AS score
+FROM mmr1 WHERE rn <= {K}
+UNION ALL
+SELECT 'mmr_div' AS part, vec_id AS query_id,
+       CAST({K} AS BIGINT) AS id, 1.0 AS score
+FROM embeddings WHERE vec_id < {NQ}
 """
 
 _ORACLES["age_histogram"] = """
