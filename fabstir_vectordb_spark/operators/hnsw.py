@@ -204,12 +204,35 @@ class HNSWIndex:
     """
 
     def __init__(self, M=16, M0=32, ef_construction=200, num_graphs=None, seed=42,
-                 id_col="id", vector_col="vector"):
+                 id_col="id", vector_col="vector", metric="l2"):
         self.M, self.M0, self.ef_construction = int(M), int(M0), int(ef_construction)
         self.num_graphs = num_graphs
         self.seed = int(seed)
         self.id_col, self.vector_col = id_col, vector_col
+        if metric not in ("l2", "cosine"):
+            raise ValueError(f"unknown metric {metric!r}; one of ('l2', 'cosine')")
+        # cosine (the reference's WASM index metric, bindings/wasm/src/
+        # index.rs:131-137) rides on L2 over UNIT vectors: on the unit
+        # sphere ||a-b||^2 = 2*(1 - cos), a monotone map, so the graph,
+        # the beam, and the top-k order are all EXACTLY the cosine ones;
+        # emitted distances are converted back to 1 - cos.
+        self.metric = metric
         self.m_l = 1.0 / math.log(max(self.M, 2))
+
+    def _prep(self, df: DataFrame, col: str) -> DataFrame:
+        """Unit-normalize `col` in place for cosine mode (JVM-side HOF;
+        zero vectors pass through unchanged — cosine distance to them is
+        defined as 1.0 by the kernel's 0-norm guard)."""
+        if self.metric != "cosine":
+            return df
+        v = F.col(col)
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        return df.withColumn(
+            col,
+            F.when(nrm == 0.0, v).otherwise(
+                F.transform(v, lambda x: x / nrm)
+            ),
+        )
 
     # -- construction ----------------------------------------------------
     def build(self, vectors: DataFrame, deleted_col: str | None = None) -> DataFrame:
@@ -221,7 +244,7 @@ class HNSWIndex:
         id_t = vectors.schema[self.id_col].dataType
         M, M0, ef_c, m_l, seed = self.M, self.M0, self.ef_construction, self.m_l, self.seed
 
-        src = vectors.select(
+        src = self._prep(vectors, self.vector_col).select(
             F.col(self.id_col).alias("id"),
             F.col(self.vector_col).alias("__v"),
             (F.col(deleted_col) if deleted_col else F.lit(False)).alias("deleted"),
@@ -288,7 +311,7 @@ class HNSWIndex:
         id_t = graph.schema["id"].dataType
         M, M0, ef_c, m_l, seed = self.M, self.M0, self.ef_construction, self.m_l, self.seed
 
-        new = new_vectors.select(
+        new = self._prep(new_vectors, self.vector_col).select(
             F.col(self.id_col).alias("id"),
             F.col(self.vector_col).alias("__v"),
             (F.col(deleted_col) if deleted_col else F.lit(False)).alias("__del"),
@@ -393,7 +416,7 @@ class HNSWIndex:
         gids = graph.select(
             (F.col("graph_id") + F.lit(0)).cast("int").alias("graph_id")
         ).distinct()
-        qrep = queries.select(
+        qrep = self._prep(queries, query_vector_col).select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vector_col).alias("__qv"),
         ).crossJoin(gids)
@@ -450,6 +473,11 @@ class HNSWIndex:
             .cogroup(qrep.groupBy("graph_id"))
             .applyInPandas(graph_topk, out_schema)
         )
+        if self.metric == "cosine":
+            # unit sphere: 1 - cos = ||a-b||^2 / 2; ranking unchanged
+            partials = partials.withColumn(
+                "distance", F.col("distance") * F.col("distance") / 2.0
+            )
         return topk_per_query(partials, k)
 
     def evaluate_recall(

@@ -258,3 +258,37 @@ def test_evaluate_recall(spark, vectors, queries):
     )
     m = idx.evaluate_recall(marked, queries, K, ef=200)
     assert 0.0 <= m["avg_recall"] <= 1.0
+
+
+def test_cosine_metric_exact_config(spark):
+    # cosine rides on L2-over-unit-vectors: at the exactness hook the
+    # merged result must equal brute-force COSINE kNN, distances = 1-cos
+    rng = np.random.default_rng(9)
+    rows = [(int(i), (rng.normal(size=12) * rng.uniform(0.2, 5.0)).tolist())
+            for i in range(200)]
+    vec = spark.createDataFrame(rows, "id long, vector array<double>")
+    q = spark.createDataFrame(rows[:6], "query_id long, vector array<double>")
+    idx = HNSWIndex(M=256, M0=256, ef_construction=256, num_graphs=3,
+                    id_col="id", vector_col="vector", metric="cosine")
+    g = idx.build(vec).cache()
+    res = (
+        idx.search_bulk(g, q, 8, ef=256)
+        .orderBy("query_id", "distance", "id")
+        .collect()
+    )
+    exact = (
+        brute_force_knn(vec, q, 8, metric="cosine",
+                        id_col="id", vector_col="vector")
+        .orderBy("query_id", "distance", "id")
+        .collect()
+    )
+    assert [(r["query_id"], r["id"]) for r in res] == [
+        (r["query_id"], r["id"]) for r in exact
+    ]
+    for a, b in zip(res, exact):
+        assert a["distance"] == pytest.approx(b["distance"], abs=1e-9)
+
+
+def test_metric_validation():
+    with pytest.raises(ValueError, match="metric"):
+        HNSWIndex(metric="manhattan")
