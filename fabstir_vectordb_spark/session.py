@@ -72,6 +72,36 @@ def _row_to_plain(v: Any) -> Any:
     return v
 
 
+def _mmr_select(results: list[dict], k: int, lam: float) -> list[dict]:
+    """Driver-side MMR over an already-collected candidate list (the
+    point-API twin of operators/scoring.py:mmr_rerank — same greedy
+    selection, same rounded tie discipline)."""
+    import numpy as np
+
+    if not results:
+        return []
+    cand = sorted(
+        results, key=lambda r: (-round(r["score"], 6), r["id"])
+    )
+    V = np.asarray([np.asarray(r["vector"], dtype=np.float64) for r in cand])
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0.0] = 1.0
+    U = V / norms[:, None]
+    sim = U @ U.T
+    rel = np.asarray([round(r["score"], 6) for r in cand])
+    selected: list[int] = []
+    remaining = list(range(len(cand)))
+    while remaining and len(selected) < k:
+        if not selected:
+            j = 0
+        else:
+            red = sim[np.ix_(remaining, selected)].max(axis=1)
+            vals = np.round(lam * rel[remaining] - (1.0 - lam) * red, 6)
+            j = int(np.argmax(vals))
+        selected.append(remaining.pop(j))
+    return [dict(cand[i]) for i in selected]
+
+
 class VectorDbSession:
     def __init__(self, spark: SparkSession, session_id: str | None = None):
         self.spark = spark
@@ -428,7 +458,27 @@ class VectorDbSession:
         search_recent: bool = True,
         search_historical: bool = True,
         n_probe: int | None = None,
+        diversify: float | None = None,
     ) -> list[dict]:
+        """``diversify=lam`` (0..1] re-ranks with MMR (operators/
+        scoring.py:mmr_rerank semantics): the engine fetches 3k
+        candidates and greedily trades relevance against redundancy;
+        lam=1.0 returns the plain relevance order.  The MMR pass runs
+        over the <= 3k already-collected candidate rows — the point-API
+        surface, like the rest of this method."""
+        if diversify is not None:
+            if not (0.0 < diversify <= 1.0):
+                raise VectorDbError("diversify must be in (0, 1]")
+            base = self.search(
+                query_vector, k=3 * k, threshold=threshold, filter=filter,
+                include_vectors=True, search_recent=search_recent,
+                search_historical=search_historical, n_probe=n_probe,
+            )
+            out = _mmr_select(base, k, diversify)
+            if not include_vectors:
+                for item in out:
+                    item.pop("vector", None)
+            return out
         if self._df is None:
             return []
         if self._dim is not None and len(query_vector) != self._dim:

@@ -289,3 +289,33 @@ def test_from_dataframe_with_ts_and_metadata(spark):
     # filter dialect works against the mapped metadata
     res = s.search([1.0, 0.0], k=2, filter={"lang": "en"})
     assert [r["id"] for r in res] == ["10"]
+
+
+def test_search_diversify(spark):
+    from fabstir_vectordb_spark.session import VectorDbError, VectorDbSession
+
+    s = VectorDbSession(spark)
+    # two tight clusters; nearest cluster dominates pure relevance
+    s.add_vectors(
+        [{"id": "a1", "vector": [1.0, 0.0]},
+         {"id": "a2", "vector": [0.99, 0.01]},
+         {"id": "a3", "vector": [0.98, 0.02]},
+         {"id": "b1", "vector": [0.0, 1.0]},
+         {"id": "b2", "vector": [0.01, 0.99]}]
+    )
+    plain = s.search([1.0, 0.0], k=3)
+    assert [r["id"] for r in plain] == ["a1", "a2", "a3"]
+    div = s.search([1.0, 0.0], k=3, diversify=0.5)
+    assert div[0]["id"] == "a1"                 # rank 1 = max relevance
+    assert {r["id"] for r in div} & {"b1", "b2"}  # crossed clusters
+    assert all("vector" not in r for r in div)
+    withv = s.search([1.0, 0.0], k=3, diversify=0.5, include_vectors=True)
+    assert all("vector" in r for r in withv)
+    # lam=1.0 == plain order
+    assert [r["id"] for r in s.search([1.0, 0.0], k=3, diversify=1.0)] == [
+        r["id"] for r in plain
+    ]
+    import pytest as _pt
+
+    with _pt.raises(VectorDbError, match="diversify"):
+        s.search([1.0, 0.0], k=3, diversify=0.0)
