@@ -3177,8 +3177,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-4 consolidations / additions:
     #   pq_bulk_invariant -> pq_adc_knn (bulk_equiv part); freed slot ->
     #     pack_sequences
-    #   knn_metrics gains hnsw_l2 (HNSW exactness hook vs the L2 SQL oracle)
+    #   knn_metrics gains hnsw_l2 (HNSW exactness hook vs the L2 SQL
+    #     oracle) and l2_range (radius query, full SQL replay)
     #   ann_lsh gains part=hnsw (realistic-config dominance contract)
+    #   ann_ivfpq gains residual_exact (residual IVFADC end to end)
+    #   hybrid_merge gains ann_fanout (HNSW-recent + IVF-historical
+    #     composition at the exactness hooks vs the exact-kNN oracle)
+    #   query_expansion gains mmr_lam1 (SQL replay) + mmr_div invariants
+    #   session_get_recent gains migrated/migrated_summary/
+    #     historical_post_migration (tier migration + search invariance)
     #   doc_fingerprint gains line-level boilerplate removal columns
     #   keyword_bm25 already carries rrf/weighted fusion parts (late r3)
     return {
