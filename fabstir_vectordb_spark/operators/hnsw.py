@@ -204,9 +204,15 @@ class HNSWIndex:
     """
 
     def __init__(self, M=16, M0=32, ef_construction=200, num_graphs=None, seed=42,
-                 id_col="id", vector_col="vector", metric="l2"):
+                 id_col="id", vector_col="vector", metric="l2",
+                 target_graph_size=4096):
         self.M, self.M0, self.ef_construction = int(M), int(M0), int(ef_construction)
         self.num_graphs = num_graphs
+        # when num_graphs is not pinned, build() sizes G so each graph
+        # holds ~target_graph_size nodes: per-graph construction cost is
+        # superlinear in nodes-per-graph, so bounding it keeps build
+        # wall-clock flat as N grows (graphs are embarrassingly parallel)
+        self.target_graph_size = int(target_graph_size)
         self.seed = int(seed)
         self.id_col, self.vector_col = id_col, vector_col
         if metric not in ("l2", "cosine"):
@@ -220,9 +226,11 @@ class HNSWIndex:
         self.m_l = 1.0 / math.log(max(self.M, 2))
 
     def _prep(self, df: DataFrame, col: str) -> DataFrame:
-        """Unit-normalize `col` in place for cosine mode (JVM-side HOF;
-        zero vectors pass through unchanged — cosine distance to them is
-        defined as 1.0 by the kernel's 0-norm guard)."""
+        """Unit-normalize `col` in place for cosine mode (JVM-side HOF).
+        Zero vectors pass through unchanged — they stay detectable as
+        norm-0 rows, and search_bulk's kernel emits exactly 1.0 for them
+        (the same 0-norm guard as the exact cosine kernel), rather than
+        the 0.5 a naive unit-sphere conversion would produce."""
         if self.metric != "cosine":
             return df
         v = F.col(col)
@@ -240,7 +248,18 @@ class HNSWIndex:
         graph-id hash partition.  Output columns: graph_id, id, level,
         neighbors (array<array<id>>, layer-major), vector, deleted."""
         spark = vectors.sparkSession
-        G = int(self.num_graphs or spark.sparkContext.defaultParallelism)
+        if self.num_graphs:
+            G = int(self.num_graphs)
+        else:
+            # auto-size: bound nodes-per-graph (superlinear build cost),
+            # floor at cluster parallelism so small builds still fan out.
+            # The count is one cheap job over the slim (id) projection.
+            n = vectors.select(self.id_col).count()
+            G = max(
+                int(spark.sparkContext.defaultParallelism),
+                -(-n // max(self.target_graph_size, 1)),
+            )
+            self.num_graphs = G  # pin so insert() hashes consistently
         id_t = vectors.schema[self.id_col].dataType
         M, M0, ef_c, m_l, seed = self.M, self.M0, self.ef_construction, self.m_l, self.seed
 
@@ -306,8 +325,17 @@ class HNSWIndex:
         config) hold identically — HNSW semantics never depended on
         insertion order.  Returns the updated graph DataFrame."""
         spark = graph.sparkSession
-        gids = graph.select("graph_id").distinct().count()
-        G = max(int(gids), 1)
+        if self.num_graphs:
+            # G is a constant of the index — carried on the instance
+            # (build() pins it), no job needed
+            G = int(self.num_graphs)
+        else:
+            # loaded-graph path: one max() scan (graph_id is a parquet
+            # partition column, so this prunes to footer metadata) —
+            # cheaper than the former distinct().count() shuffle
+            G = int(graph.agg(F.max("graph_id")).first()[0] or 0) + 1
+            self.num_graphs = G
+        G = max(G, 1)
         id_t = graph.schema["id"].dataType
         M, M0, ef_c, m_l, seed = self.M, self.M0, self.ef_construction, self.m_l, self.seed
 
@@ -428,6 +456,8 @@ class HNSWIndex:
             ]
         )
 
+        cosine = self.metric == "cosine"
+
         def graph_topk(gpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
             if gpdf.empty or qpdf.empty:
                 return pd.DataFrame({"query_id": [], "id": [], "distance": []})
@@ -437,6 +467,12 @@ class HNSWIndex:
                 ids = ids.astype(str)
             pos = {v: i for i, v in enumerate(ids)}
             V = np.asarray([np.asarray(v, dtype=np.float64) for v in gpdf["vector"]])
+            # cosine rides on L2 over unit vectors; norm-0 rows skipped
+            # normalization in _prep, so they are detectable here and
+            # get the exact kernel's 0-norm guard distance of 1.0
+            zero_node = (
+                np.einsum("ij,ij->i", V, V) == 0.0 if cosine and V.size else None
+            )
             levels = gpdf["level"].to_numpy()
             deleted = gpdf["deleted"].to_numpy()
             nbrs = [
@@ -451,6 +487,7 @@ class HNSWIndex:
             out_q, out_id, out_d = [], [], []
             for qid, qv in zip(qpdf["query_id"], qpdf["__qv"]):
                 q = np.asarray(qv, dtype=np.float64)
+                q_zero = cosine and not q.any()
                 dcache: dict[int, float] = {}
                 eps = [entry]
                 for lc in range(max_lvl, 0, -1):
@@ -460,6 +497,11 @@ class HNSWIndex:
                 for d, p in W:
                     if deleted[p]:
                         continue  # traverse-through, filter from results
+                    if cosine:
+                        # unit sphere: 1 - cos = ||a-b||^2 / 2 (monotone,
+                        # so beam/top-k order is unchanged); 0-norm guard
+                        # mirrors the exact kernel exactly
+                        d = 1.0 if (q_zero or zero_node[p]) else d * d / 2.0
                     out_q.append(qid)
                     out_id.append(ids[p])
                     out_d.append(d)
@@ -473,11 +515,6 @@ class HNSWIndex:
             .cogroup(qrep.groupBy("graph_id"))
             .applyInPandas(graph_topk, out_schema)
         )
-        if self.metric == "cosine":
-            # unit sphere: 1 - cos = ||a-b||^2 / 2; ranking unchanged
-            partials = partials.withColumn(
-                "distance", F.col("distance") * F.col("distance") / 2.0
-            )
         return topk_per_query(partials, k)
 
     def evaluate_recall(

@@ -49,13 +49,18 @@ def hybrid_ann_search(
 
     A vector present on both sides (mid-migration) dedups to its best
     distance — the reference's dedup-on-merge semantics, so migration
-    lag never yields duplicate hits."""
+    lag never yields duplicate hits.
+
+    The metric is shared: the IVF leg runs with the HNSW index's metric
+    (l2 or cosine), so both legs emit distances on the SAME scale and
+    the min-distance merge compares like with like — an L2 leg merged
+    with a 1-cos leg would silently produce a wrong global top-k."""
     rec = hnsw.search_bulk(
         recent_graph, queries, k, ef=ef,
         query_id_col=query_id_col, query_vector_col=query_vector_col,
     )
     hist = ivf.search_bulk(
-        historical_clustered, queries, k, n_probe=n_probe,
+        historical_clustered, queries, k, n_probe=n_probe, metric=hnsw.metric,
         query_id_col=query_id_col, query_vector_col=query_vector_col,
     )
     merged = merge_dedup(rec, hist, query_col=query_id_col)

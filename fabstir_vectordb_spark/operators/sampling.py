@@ -131,10 +131,17 @@ def pack_sequences(
         else F.size(whitespace_tokens(F.col(text_col)))
     )
     slim = docs.select(F.col(id_col).alias("id"), n_tok.cast("long").alias("__n"))
-    # phase 1: range-partition preserves global id order across partitions
+    # phase 1: range-partition preserves global id order across partitions.
+    # localCheckpoint materializes the partition assignment ONCE: the range
+    # partitioner samples its boundaries per-execution, so without this the
+    # totals job and the spans job below could each re-execute the shuffle
+    # and assign boundary rows different __pid values, silently corrupting
+    # the broadcast offsets.  Only (id, n_tokens) pairs are checkpointed —
+    # the heavy text column never enters this plan.
     ranged = (
         slim.repartitionByRange(P, F.col("id"))
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("__pid").orderBy("id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -48,8 +48,11 @@ class FileStore:
         os.makedirs(root, exist_ok=True)
 
     def _p(self, key: str) -> str:
-        p = os.path.normpath(os.path.join(self.root, key))
-        if not p.startswith(os.path.normpath(self.root)):
+        root = os.path.normpath(self.root)
+        p = os.path.normpath(os.path.join(root, key))
+        # a bare prefix check would accept sibling dirs ('/data/store2'
+        # starts with '/data/store'); require root itself or root + sep
+        if p != root and not p.startswith(root + os.sep):
             raise StorageError(f"key escapes store root: {key!r}")
         return p
 

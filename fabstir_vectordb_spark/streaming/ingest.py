@@ -147,33 +147,71 @@ def write_graph_stream(
 
     Each micro-batch incrementally inserts its rows into the persisted
     graph (operators/hnsw.py HNSWIndex.insert — only the affected
-    graphs' tasks do work) and atomically swaps the graph directory.
-    The swap keeps readers consistent: a query sees either the old or
-    the new complete graph, never a partial write.
+    graphs' tasks do work) and publishes the result with an ATOMIC
+    pointer flip: every batch writes a fresh versioned directory
+    ``{graph_path}.v{batch_id}`` and then atomically replaces the
+    ``graph_path`` symlink (os.replace of a symlink is a single rename
+    syscall).  A query therefore sees either the old or the new complete
+    graph, never a partial write — and, unlike a rename-away/rename-in
+    dance, there is no window in which ``graph_path`` does not exist.
+    If a crash or foreachBatch retry ever finds the pointer missing
+    (e.g. mid-migration of a legacy plain directory), the sink re-links
+    the newest complete version instead of rebuilding the whole graph
+    from a single micro-batch.
     """
+    import glob
     import os
     import shutil
 
     from fabstir_vectordb_spark.operators.hnsw import read_graph, write_graph
 
+    def _versions() -> list[str]:
+        out = []
+        for p in glob.glob(glob.escape(graph_path) + ".v*"):
+            try:
+                out.append((int(p.rsplit(".v", 1)[1]), p))
+            except ValueError:
+                continue
+        return [p for _, p in sorted(out)]
+
+    def _relink(target: str) -> None:
+        # atomic pointer flip: symlink at a temp name, then one rename
+        lntmp = f"{graph_path}.__lntmp"
+        if os.path.lexists(lntmp):
+            os.remove(lntmp)
+        os.symlink(os.path.abspath(target), lntmp)
+        os.replace(lntmp, graph_path)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # recovery: pointer missing but complete versions exist -> re-link
+        if not os.path.lexists(graph_path):
+            vers = _versions()
+            if vers:
+                _relink(vers[-1])
+        # legacy layout (plain directory, not a pointer): migrate once.
+        # The rename gap here is covered by the recovery branch above.
+        if os.path.lexists(graph_path) and not os.path.islink(graph_path):
+            legacy = f"{graph_path}.v-1"
+            os.rename(graph_path, legacy)
+            _relink(legacy)
         batch = batch_df.select(
             F.col("id").alias(hnsw_index.id_col),
             F.col("vector").alias(hnsw_index.vector_col),
         )
-        if os.path.exists(graph_path):
+        if os.path.lexists(graph_path):
             graph = read_graph(spark, graph_path)
             updated = hnsw_index.insert(graph, batch)
         else:
             updated = hnsw_index.build(batch)
-        tmp = f"{graph_path}.__tmp_batch{batch_id}"
-        write_graph(updated, tmp)
-        old = f"{graph_path}.__old_batch{batch_id}"
-        if os.path.exists(graph_path):
-            os.rename(graph_path, old)
-        os.rename(tmp, graph_path)
-        shutil.rmtree(old, ignore_errors=True)
+        vdir = f"{graph_path}.v{batch_id}"
+        if os.path.exists(vdir):  # retry of a half-written batch
+            shutil.rmtree(vdir)
+        write_graph(updated, vdir)
+        _relink(vdir)
+        for stale in _versions():
+            if stale != vdir:
+                shutil.rmtree(stale, ignore_errors=True)
 
     writer = (
         stream.writeStream.foreachBatch(sink)
