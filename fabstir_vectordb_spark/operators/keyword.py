@@ -85,18 +85,17 @@ def bm25_search(
 
     if postings is None:
         postings = build_postings(docs, text_col=text_col, id_col=id_col)
-    if docs is not None:
-        stats = docs.agg(
-            F.count("*").alias("n_docs"),
-            F.coalesce(
-                F.avg(F.size(_terms(F.col(text_col)))), F.lit(0.0)
-            ).alias("avgdl"),
-        )
-    else:
-        stats = postings.select("id", "dl").distinct().agg(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-        )
-    n_docs, avgdl = stats.collect()[0]  # two scalars, one tiny job
+    # corpus stats WITHOUT a second tokenize pass: dl is constant per doc,
+    # so sum(dl) over distinct (id, dl) postings pairs equals the corpus
+    # token total exactly; zero-token docs (absent from postings, dl=0)
+    # are corrected for by a tokenize-free count(*) on docs.  The former
+    # form re-tokenized the whole corpus just for avgdl — at 100 TB that
+    # was one avoidable full scan per index build.
+    per_doc = postings.select("id", "dl").distinct().agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tot")
+    ).collect()[0]
+    n_docs = docs.count() if docs is not None else per_doc["n"]
+    avgdl = (per_doc["tot"] / n_docs) if n_docs else 1.0
     avgdl = avgdl or 1.0  # all-empty corpus: no postings anyway, avoid 0-div
 
     df_by_term = postings.groupBy("term").agg(F.countDistinct("id").alias("df"))
