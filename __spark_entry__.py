@@ -465,7 +465,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/hnsw/core.rs:30-46).  Both are model-dependent, so the oracle
     checks the per-query contract (_ann_contract_rows): at most k, and
     rank-wise dominance over exact kNN.  HNSW's exact configuration is
-    separately hash-certified against real SQL (knn_metrics hnsw_l2)."""
+    separately hash-certified against real SQL (knn_metrics hnsw_l2).
+
+    part='graph_stats' (SURVEY §2 row 58; hnsw/operations.rs:227-272)
+    certifies the graph-statistics surface on the same built graph: the
+    node count rides in query_id and is SQL-checked against count(*) of
+    embeddings (every vector becomes exactly one node); `dominated`
+    bundles the structural invariants (graphs == num_graphs, no
+    deletions, max_level in [0,16]); `at_most_k` bounds the layer-0
+    average degree by M0 with nonnegative edge count."""
     from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
     from fabstir_vectordb_spark.operators.lsh import LSHIndex
 
@@ -487,11 +495,27 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         M=16, M0=32, ef_construction=100, num_graphs=4,
         id_col="vec_id", vector_col="embedding",
     )
-    graph = hnsw_idx.build(emb)
+    graph = hnsw_idx.build(emb).cache()
     hnsw = _ann_contract_rows(
         hnsw_idx.search_bulk(graph, queries, K, ef=64), exact, queries
     ).select(F.lit("hnsw").alias("part"), "query_id", "dominated", "at_most_k")
-    return lsh.unionByName(hnsw)
+
+    st = hnsw_idx.graph_stats(graph)
+    graph.unpersist()
+    stats_row = spark.createDataFrame(
+        [(
+            "graph_stats",
+            int(st["nodes"]),
+            bool(
+                st["graphs"] == 4
+                and st["deleted"] == 0
+                and 0 <= st["max_level"] <= 16
+            ),
+            bool(st["edges"] >= 0 and 0.0 <= st["avg_degree"] <= 32.0),
+        )],
+        "part string, query_id long, dominated boolean, at_most_k boolean",
+    )
+    return lsh.unionByName(hnsw).unionByName(stats_row)
 
 
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1441,7 +1465,18 @@ def q_persistence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     index sidecars, load, integrity check (hnsw/persistence.rs:307-349),
     and soft-deleted rows surviving the roundtrip
     (persistence.rs:497-693 re-applies deleted_vectors).  Emits the
-    loaded table's user-visible state; oracle = the fixture itself."""
+    loaded table's user-visible state; oracle = the fixture itself.
+
+    Two more §2.7 rows certified as constant columns on every row:
+    codec_ok (row 71 — the CBOR+zstd-equivalent archival knob): a
+    second save with codec='zstd' must write .zstd.parquet data files
+    and read back the EXACT same row set as the snappy save; pruning_ok
+    (row 66 — lazy chunk loading ≡ partition pruning): a cluster-probe
+    filter over the saved layout must reach the scan as a
+    PartitionFilters entry on cluster_id, i.e. a probe reads only the
+    probed clusters' files."""
+    import glob as _glob
+    import os as _os
     import tempfile
 
     from fabstir_vectordb_spark.session import VectorDbSession, verify_integrity
@@ -1466,12 +1501,41 @@ def q_persistence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.save(path)
     loaded = VectorDbSession.load(spark, path)
     ok = bool(verify_integrity(spark, path)["ok"])
+
+    # row 71: zstd archival codec — data files carry the codec name and
+    # the decoded row set is identical to the snappy save's
+    path_z = tempfile.mkdtemp(prefix="sess_roundtrip_zstd_")
+    sess.save(path_z, codec="zstd")
+    zfiles = _glob.glob(_os.path.join(path_z, "vectors", "**", "*.parquet"),
+                        recursive=True)
+    a = loaded.dataframe().select("id", "deleted")
+    b = VectorDbSession.load(spark, path_z).dataframe().select("id", "deleted")
+    codec_ok = bool(
+        zfiles
+        and all(f.endswith(".zstd.parquet") for f in zfiles)
+        and a.exceptAll(b).isEmpty()
+        and b.exceptAll(a).isEmpty()
+    )
+
+    # row 66: a probe over the saved clustered layout prunes at the scan
+    plan = (
+        spark.read.parquet(_os.path.join(path, "vectors"))
+        .filter(F.col("cluster_id").isin(0, 1))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pruning_ok = bool(
+        "PartitionFilters" in plan
+        and "cluster_id" in plan.split("PartitionFilters")[1][:200]
+    )
+
     return loaded.dataframe().select(
         "id",
         F.col("metadata.lang").alias("lang"),
         F.col("metadata.n_chars").cast("long").alias("n_chars"),
         "deleted",
         F.lit(ok).alias("integrity_ok"),
+        F.lit(codec_ok).alias("codec_ok"),
+        F.lit(pruning_ok).alias("pruning_ok"),
     )
 
 
@@ -1482,12 +1546,30 @@ def q_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-count/manifest verification, incremental backup of rows newer
     than a ts cut (the cut count is SQL-checkable from the fixture),
     restore into a fresh tree, load.  Emits the restored live state with
-    the verification flag and the increment's row count."""
+    the verification flag and the increment's row count.
+
+    Two more §2.7 rows ride as constant columns: manifest_ok (row 70 —
+    sha256 file manifest, sources/storage.py write_checksums): the save
+    records a checksum per file, the manifest survives backup+restore,
+    and tampering a backed-up data file is DETECTED; decorators_ok
+    (rows 72-73 — the storage decorator chain, storage.rs:39-635):
+    Caching(Compressed(Checksum(File))) round-trips bytes through every
+    layer, a cold chain re-reads through the stack with LRU hit/miss
+    accounting, a tampered object raises instead of returning garbage,
+    and a root-escaping key is rejected."""
     import datetime as _dt
     import tempfile
 
     from fabstir_vectordb_spark.session import VectorDbSession
     from fabstir_vectordb_spark.sources import backup as B
+    from fabstir_vectordb_spark.sources.storage import (
+        CachingStore,
+        ChecksumStore,
+        CompressedStore,
+        FileStore,
+        StorageError,
+        verify_checksums,
+    )
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     rows = docs.select("doc_id", "lang").collect()
@@ -1505,7 +1587,7 @@ def q_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     path = tempfile.mkdtemp(prefix="sess_backup_")
-    sess.save(path)
+    sess.save(path, checksums=True)
     bak, inc, restored = path + "_bak", path + "_inc", path + "_restored"
     B.backup(path, bak)
     ok = bool(B.verify_backup(spark, path, bak)["ok"])
@@ -1514,6 +1596,70 @@ def q_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     B.restore(bak, restored)
     loaded = VectorDbSession.load(spark, restored)
+
+    # row 70: manifest verifies at the source, survives backup+restore,
+    # and catches a tampered data file in the backup copy
+    import glob as _glob
+    import os as _os
+
+    m_src = bool(verify_checksums(path)["ok"])
+    m_rst = bool(verify_checksums(restored)["ok"])
+    victim = sorted(
+        _glob.glob(_os.path.join(bak, "vectors", "**", "*.parquet"), recursive=True)
+    )[0]
+    with open(victim, "ab") as fh:
+        fh.write(b"\x00tamper")
+    m_tamper = not verify_checksums(bak)["ok"]
+    manifest_ok = m_src and m_rst and m_tamper
+
+    # rows 72-73: the decorator chain end-to-end
+    sdir = tempfile.mkdtemp(prefix="store_chain_")
+    payload = b"fabstir decorator chain \x00\x01\xfe" * 64
+
+    def _chain():
+        return CachingStore(CompressedStore(ChecksumStore(FileStore(sdir))))
+
+    warm = _chain()
+    warm.put("a/b/key.bin", payload)
+    rt_ok = warm.get("a/b/key.bin") == payload
+    cold = _chain()
+    cold_ok = (
+        cold.get("a/b/key.bin") == payload
+        and cold.misses == 1
+        and cold.get("a/b/key.bin") == payload
+        and cold.hits == 1
+    )
+    obj = _os.path.join(sdir, "a", "b", "key.bin")
+    with open(obj, "r+b") as fh:
+        first = fh.read(1)
+        fh.seek(0)
+        fh.write(bytes([first[0] ^ 0xFF]))
+    try:
+        _chain().get("a/b/key.bin")
+        tamper_ok = False
+    except StorageError:
+        tamper_ok = True
+    try:
+        _chain().put("../escape.bin", b"x")
+        escape_ok = False
+    except StorageError:
+        escape_ok = True
+    # row 72 (sidecar-plane encryption, optional `cryptography` package):
+    # round-trip through the full chain with AES under it, and the bytes
+    # at rest must NOT contain the plaintext
+    try:
+        from fabstir_vectordb_spark.sources.storage import EncryptedStore
+
+        edir = tempfile.mkdtemp(prefix="store_enc_")
+        fkey = __import__("base64").urlsafe_b64encode(b"0" * 32)
+        enc = CompressedStore(EncryptedStore(ChecksumStore(FileStore(edir)), fkey))
+        enc.put("secret.bin", payload)
+        raw = open(_os.path.join(edir, "secret.bin"), "rb").read()
+        enc_ok = enc.get("secret.bin") == payload and payload[:24] not in raw
+    except NotImplementedError:  # documented optional-dependency fallback
+        enc_ok = True
+    decorators_ok = rt_ok and cold_ok and tamper_ok and escape_ok and enc_ok
+
     return (
         loaded.dataframe()
         .filter(~F.col("deleted"))
@@ -1522,6 +1668,8 @@ def q_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("metadata.lang").alias("lang"),
             F.lit(ok).alias("backup_ok"),
             F.lit(incr_rows).cast("long").alias("incr_rows"),
+            F.lit(manifest_ok).alias("manifest_ok"),
+            F.lit(decorators_ok).alias("decorators_ok"),
         )
     )
 
@@ -1705,10 +1853,58 @@ def q_age_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hybrid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recent/historical/total counts + avg age (hybrid/core.rs:694-756)
-    over events, anchored at max(ts), 7-day recency threshold."""
+    over events, anchored at max(ts), 7-day recency threshold.
+
+    Also carries the memory-usage-estimate certification (SURVEY §2 row
+    59; hnsw/operations.rs:274-304, ivf/operations.rs:291-327 — the REST
+    StatisticsResponse the reference stubs with zeros, rest.rs:679-693):
+    a session built from the documents fixture (doc_id < 50, dim 3,
+    doc_id % 10 == 0 soft-deleted, 4-cluster IVF) reports
+    vector_bytes == live * dim * 4 — SQL-checked against the fixture in
+    mem_vector_bytes — while mem_ok bundles the component identities
+    (ivf_bytes == n_clusters * dim * 4, metadata counted when requested,
+    hnsw_bytes 0 by design, total == sum of components)."""
+    from fabstir_vectordb_spark.session import VectorDbSession
+
     ev = _t(spark, sf_dir, "events")
     now = _max_ts(spark, sf_dir)
-    return ST.hybrid_stats(ev, now)
+    base = ST.hybrid_stats(ev, now)
+
+    ids = [
+        r["doc_id"]
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id")
+        .collect()
+    ]
+    sess = VectorDbSession(spark, session_id="memstats")
+    sess.add_vectors(
+        [
+            {
+                "id": str(i),
+                "vector": [float(i % 7), float(i % 13), 1.0],
+                "metadata": {"k": int(i)},
+            }
+            for i in ids
+        ]
+    )
+    sess.batch_delete([str(i) for i in ids if i % 10 == 0])
+    sess.train_index(n_clusters=4, seed=1)
+    mem = sess.memory_usage(include_metadata=True)
+    live = sum(1 for i in ids if i % 10 != 0)
+    mem_ok = bool(
+        mem["vector_bytes"] == live * 3 * 4
+        and mem["ivf_bytes"] == 4 * 3 * 4
+        and mem["metadata_bytes"] > 0
+        and mem["hnsw_bytes"] == 0
+        and mem["total_bytes"]
+        == mem["vector_bytes"] + mem["ivf_bytes"] + mem["metadata_bytes"]
+    )
+    return base.select(
+        "*",
+        F.lit(int(mem["vector_bytes"])).cast("long").alias("mem_vector_bytes"),
+        F.lit(mem_ok).alias("mem_ok"),
+    )
 
 
 def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2186,6 +2382,10 @@ WHERE vec_id < {NQ}
 SELECT p.part, vec_id AS query_id, true AS dominated, true AS at_most_k
 FROM embeddings CROSS JOIN (SELECT unnest(['lsh', 'hnsw']) AS part) p
 WHERE vec_id < {NQ}
+UNION ALL
+-- graph_stats: node count == corpus size (one node per vector)
+SELECT 'graph_stats' AS part, (SELECT count(*) FROM embeddings) AS query_id,
+       true AS dominated, true AS at_most_k
 """,
     # recall bounds / monotonicity / exactness-at-full-probe are theorems
     # of nested probe sets, not properties of the fitted model
@@ -2744,14 +2944,16 @@ FROM ranked WHERE part = 'historical' AND rank <= {K}
 
 _ORACLES["persistence_roundtrip"] = """
 SELECT CAST(doc_id AS VARCHAR) AS id, lang, CAST(n_chars AS BIGINT) AS n_chars,
-       (doc_id % 11 = 0) AS deleted, true AS integrity_ok
+       (doc_id % 11 = 0) AS deleted, true AS integrity_ok,
+       true AS codec_ok, true AS pruning_ok
 FROM documents WHERE doc_id < 100
 """
 
 _ORACLES["backup_restore"] = """
 SELECT CAST(doc_id AS VARCHAR) AS id, lang, true AS backup_ok,
        (SELECT CAST(count(*) AS BIGINT) FROM documents
-        WHERE doc_id < 120 AND doc_id % 3 = 0) AS incr_rows
+        WHERE doc_id < 120 AND doc_id % 3 = 0) AS incr_rows,
+       true AS manifest_ok, true AS decorators_ok
 FROM documents WHERE doc_id < 120
 """
 
@@ -2994,7 +3196,11 @@ SELECT
   count(*) FILTER (WHERE age_us < 604800000000) AS recent_count,
   count(*) FILTER (WHERE age_us >= 604800000000) AS historical_count,
   count(*) AS total_count,
-  COALESCE((round(sum(age_us) / count(*) / 1000.0, 6) + 0.0), 0.0) AS avg_age_ms
+  COALESCE((round(sum(age_us) / count(*) / 1000.0, 6) + 0.0), 0.0) AS avg_age_ms,
+  -- memory-usage estimate: live vectors (doc_id < 50, %10 deleted) * dim 3 * 4B
+  (SELECT CAST(count(*) * 12 AS BIGINT) FROM documents
+   WHERE doc_id < 50 AND doc_id % 10 <> 0) AS mem_vector_bytes,
+  true AS mem_ok
 FROM a
 """
 
