@@ -616,13 +616,29 @@ def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Queries are the first 3 tokens of four fixture docs (lexical) and
     those docs' own embeddings (semantic), so every stage — scoring,
-    ranks, fusion arithmetic — replays exactly in SQL."""
+    ranks, fusion arithmetic — replays exactly in SQL.
+
+    Round-5 ANN-config certification (search_integration.rs:125-211 —
+    the reference's parallel fan-out feeds its fusion from INDEX search,
+    not exact scan; here the `semantic_search` hook is certified at two
+    IVF configs):
+
+      ann_exact_equiv — hybrid_retrieval with the semantic leg routed
+                 through a REAL 8-cluster IVF index at n_probe = 8:
+                 full probe is exhaustive (nested-probe theorem), so the
+                 fused list must be HASH-IDENTICAL to the exact-leg rrf
+                 part — the oracle replays the same SQL
+      ann_probe — same pipeline at realistic n_probe = 2; fused output
+                 is model-dependent, so the row certifies the per-query
+                 contract: 1..k results, RRF scores within (0, 2/61]
+    """
     from fabstir_vectordb_spark.operators.fusion import (
+        hybrid_retrieval,
         rrf_fuse,
         weighted_fuse,
         with_rank,
     )
-    from fabstir_vectordb_spark.operators.keyword import bm25_search
+    from fabstir_vectordb_spark.operators.keyword import bm25_search, build_postings
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
@@ -637,8 +653,10 @@ def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cache the two tiny source lists (Q x 20 rows): all three parts
     # derive from them, and without the cache each union branch re-runs
-    # the postings join / kNN kernel
-    lex20 = with_rank(bm25_search(docs, queries, k=20), depth=20).cache()
+    # the postings join / kNN kernel.  The postings table is built ONCE
+    # and shared by the plain-BM25 leg and both ANN-config fusion runs.
+    post = build_postings(docs).cache()
+    lex20 = with_rank(bm25_search(docs, queries, k=20, postings=post), depth=20).cache()
     knn20 = brute_force_knn(
         emb, vqueries, 20,
         metric="cosine", impl="kernel", id_col="vec_id", vector_col="embedding",
@@ -661,7 +679,52 @@ def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("weighted").alias("part"), "query_id", "id", r6("score").alias("score")
     )
-    return part_bm25.unionByName(part_rrf).unionByName(part_w)
+
+    # ANN-config fusion: the semantic leg through a real IVF index
+    idx = IVFIndex.fit(
+        emb, n_clusters=8, seed=7, id_col="vec_id", vector_col="embedding"
+    )
+    clustered = idx.assign(emb).cache()
+
+    def _hy(n_probe: int) -> DataFrame:
+        return hybrid_retrieval(
+            docs, emb, queries, vqueries, k=10, depth=20, strategy="rrf",
+            id_col="doc_id", vec_id_col="vec_id", vector_col="embedding",
+            postings=post,
+            semantic_search=lambda q, d: idx.search_bulk(
+                clustered, q, d, n_probe=n_probe, metric="cosine"
+            ),
+        )
+
+    part_equiv = _hy(8).select(
+        F.lit("ann_exact_equiv").alias("part"), "query_id", "id",
+        r6("score").alias("score"),
+    )
+    part_probe = (
+        _hy(2)
+        .groupBy("query_id")
+        .agg(
+            F.when(
+                (F.count("*") <= 10)
+                & (F.count("*") >= 1)
+                & (F.max("score") <= 2.0 / 61.0 + 1e-9)
+                & (F.min("score") > 0.0),
+                1.0,
+            )
+            .otherwise(0.0)
+            .alias("score")
+        )
+        .select(
+            F.lit("ann_probe").alias("part"), "query_id",
+            F.lit(0).cast("long").alias("id"), "score",
+        )
+    )
+    return (
+        part_bm25.unionByName(part_rrf)
+        .unionByName(part_w)
+        .unionByName(part_equiv)
+        .unionByName(part_probe)
+    )
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2572,6 +2635,16 @@ FROM rrfr WHERE rn <= 10
 UNION ALL
 SELECT 'weighted' AS part, query_id, id, (round(score, 6) + 0.0) AS score
 FROM wr WHERE rn <= 10
+UNION ALL
+-- full-probe IVF semantic leg is exhaustive, so ANN-config fusion
+-- must replay the exact-leg rrf rows identically
+SELECT 'ann_exact_equiv' AS part, query_id, id, (round(score, 6) + 0.0) AS score
+FROM rrfr WHERE rn <= 10
+UNION ALL
+-- realistic-probe contract row per query (invariants checked Spark-side)
+SELECT 'ann_probe' AS part, 'q' || CAST(qid AS VARCHAR) AS query_id,
+       CAST(0 AS BIGINT) AS id, 1.0 AS score
+FROM (SELECT unnest([0, 10, 20, 30]) AS qid)
 """
 
 # identical planted fixture + regex chain as q_pii_redact (patterns are
