@@ -15,7 +15,9 @@ container.  ``decoder="pil"`` uses PIL when importable (full format
 coverage, bilinear resize) and raises NotImplementedError otherwise.
 ``decoder="fake"`` (default) keeps the deterministic content-hash stub
 for fixtures whose bytes aren't real media.  ``decoder="auto"`` picks
-pil, else png.  ffmpeg/librosa paths remain stubbed.
+pil, else png.  Audio has the same split: ``decoder="wav"`` is a REAL
+stdlib ``wave``-based PCM decoder (8/16/32-bit, any channel count) —
+only compressed codecs (mp3/ogg; ffmpeg/librosa) remain stubbed.
 """
 
 from __future__ import annotations
@@ -156,6 +158,38 @@ def _decode_png(data: bytes) -> "np.ndarray | None":
         return np.ascontiguousarray(rgb, dtype=np.uint8)
     except Exception:
         return None
+
+
+def _decode_wav(data: bytes):
+    """Stdlib ``wave`` decode -> (mono float64 samples in [-1, 1],
+    sample_rate), or None if the bytes aren't PCM WAV — the audio
+    sibling of _decode_png (real bytes, zero third-party deps).
+    Supports 8/16/32-bit integer PCM; multi-channel audio is averaged
+    to mono."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data)) as wf:
+            nch = wf.getnchannels()
+            sw = wf.getsampwidth()
+            rate = wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except Exception:
+        return None
+    if rate <= 0 or nch <= 0:
+        return None
+    if sw == 1:  # unsigned 8-bit
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        return None
+    if nch > 1:
+        arr = arr[: (len(arr) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return arr, rate
 
 
 def _nearest_resize(arr: np.ndarray, w: int, h: int) -> np.ndarray:
@@ -302,9 +336,21 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def audio_window_stats(df: DataFrame, window_ms: int = 500) -> DataFrame:
-    """Audio -> per-window fake energy stats (mapInPandas over byte
-    windows); real librosa decode would slot into the same kernel."""
+def audio_window_stats(
+    df: DataFrame, window_ms: int = 500, decoder: str = "fake"
+) -> DataFrame:
+    """Audio -> per-window RMS energy (mapInPandas over byte windows).
+
+    decoder='wav' is the REAL dependency-free path (stdlib ``wave`` +
+    numpy, _decode_wav): windows are ``window_ms`` of actual samples at
+    the file's own sample rate and energy is the RMS of the decoded
+    [-1, 1] signal; rows whose bytes don't parse as PCM WAV emit no
+    windows (decode failure is a per-row condition, exactly like the
+    image path's null pixels).  decoder='fake' keeps the deterministic
+    byte-chunk stub for fixtures whose bytes aren't real media; a
+    librosa/ffmpeg branch would slot into the same kernel."""
+    if decoder not in ("fake", "wav"):
+        raise ValueError(f"unknown decoder {decoder!r}")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType(), False),
@@ -320,6 +366,21 @@ def audio_window_stats(df: DataFrame, window_ms: int = 500) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["bytes"], pdf["meta"]
             ):
                 if kind != "audio" or data is None:
+                    continue
+                if decoder == "wav":
+                    dec = _decode_wav(bytes(data))
+                    if dec is None:
+                        continue
+                    samples, rate = dec
+                    spw = max(1, int(rate * window_ms / 1000))
+                    n_windows = max(1, -(-len(samples) // spw))
+                    for i in range(n_windows):
+                        seg = samples[i * spw : (i + 1) * spw]
+                        rows_id.append(mid)
+                        rows_w.append(i)
+                        rows_e.append(
+                            float(np.sqrt((seg**2).mean())) if len(seg) else 0.0
+                        )
                     continue
                 dur = (meta or {}).get("duration_ms") or 0
                 n_windows = max(1, int(dur // window_ms))

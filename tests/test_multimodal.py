@@ -237,3 +237,89 @@ def test_audio_window_stats(media):
     out = MM.audio_window_stats(media, window_ms=500).collect()
     assert sorted(r["window_idx"] for r in out) == [0, 1, 2, 3]  # 2000ms/500ms
     assert all(r["media_id"] == "m2" and r["energy"] > 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# real WAV decode (stdlib wave, mirroring the PNG real path)
+# ---------------------------------------------------------------------------
+
+def _wav_bytes(samples, rate=8000, sampwidth=2, channels=1):
+    """Write float samples in [-1, 1] (1-D mono, or (n, channels)) to
+    PCM WAV bytes via the stdlib writer — the decoder's exact inverse."""
+    import io
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if channels > 1:
+        assert arr.ndim == 2 and arr.shape[1] == channels
+        arr = arr.reshape(-1)  # interleave
+    if sampwidth == 1:
+        data = np.clip(arr * 127 + 128, 0, 255).astype(np.uint8).tobytes()
+    elif sampwidth == 2:
+        data = np.clip(arr * 32767, -32768, 32767).astype("<i2").tobytes()
+    else:
+        data = np.clip(arr * 2147483647, -(2**31), 2**31 - 1).astype("<i4").tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(rate)
+        wf.writeframes(data)
+    return buf.getvalue()
+
+
+def test_wav_decoder_roundtrip():
+    import numpy as np
+
+    t = np.arange(16000) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    got = MM._decode_wav(_wav_bytes(sine, rate=8000, sampwidth=2))
+    assert got is not None
+    samples, rate = got
+    assert rate == 8000 and len(samples) == 16000
+    assert np.sqrt((samples**2).mean()) == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+    # 8-bit path (coarse quantization, wider tolerance)
+    s8, _ = MM._decode_wav(_wav_bytes(sine, sampwidth=1))
+    assert np.sqrt((s8**2).mean()) == pytest.approx(0.5 / np.sqrt(2), rel=2e-2)
+    # 32-bit path
+    s32, _ = MM._decode_wav(_wav_bytes(sine, sampwidth=4))
+    assert np.abs(s32 - sine).max() < 1e-6
+    # stereo averages to mono: L = +0.5, R = -0.5 cancels
+    st = np.stack([np.full(100, 0.5), np.full(100, -0.5)], axis=1)
+    sm, _ = MM._decode_wav(_wav_bytes(st, channels=2))
+    assert len(sm) == 100 and np.abs(sm).max() < 1e-3
+    # non-WAV bytes refuse cleanly
+    assert MM._decode_wav(b"RIFFfakeaudio" * 50) is None
+    assert MM._decode_wav(b"") is None
+
+
+def test_audio_window_stats_real_wav(spark):
+    """End-to-end REAL audio through Spark: a 2 s WAV whose first second
+    is loud (amp .8) and second second quiet (amp .2) must produce four
+    500 ms windows whose RMS tracks the amplitude profile; undecodable
+    audio rows emit no windows."""
+    import numpy as np
+
+    t = np.arange(8000) / 8000.0
+    loud = 0.8 * np.sin(2 * np.pi * 440 * t)
+    quiet = 0.2 * np.sin(2 * np.pi * 440 * t)
+    wav = _wav_bytes(np.concatenate([loud, quiet]), rate=8000)
+    df = spark.createDataFrame(
+        [
+            ("a0", "audio", bytearray(wav),
+             {"format": "wav", "width": None, "height": None, "duration_ms": 2000}),
+            ("a1", "audio", bytearray(b"not a wav at all"),
+             {"format": "wav", "width": None, "height": None, "duration_ms": 1000}),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = MM.audio_window_stats(df, window_ms=500, decoder="wav").collect()
+    by_idx = {r["window_idx"]: r["energy"] for r in rows}
+    assert all(r["media_id"] == "a0" for r in rows)  # a1 undecodable -> dropped
+    assert sorted(by_idx) == [0, 1, 2, 3]
+    assert by_idx[0] == pytest.approx(0.8 / np.sqrt(2), rel=1e-2)
+    assert by_idx[1] == pytest.approx(0.8 / np.sqrt(2), rel=1e-2)
+    assert by_idx[2] == pytest.approx(0.2 / np.sqrt(2), rel=1e-2)
+    assert by_idx[3] == pytest.approx(0.2 / np.sqrt(2), rel=1e-2)
