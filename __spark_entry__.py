@@ -1517,6 +1517,45 @@ def q_session_get_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(1.0 / (1.0 + round(r["distance"], 6)), 6),
             )
         )
+    # round 5: end-to-end compaction (hybrid/maintenance.rs:286-463):
+    # migrate_aged -> train_index -> save(checksums=True) -> reload.
+    # The compacted layout must (a) verify integrity including the
+    # sha256 manifest, (b) prune a cluster probe at the scan
+    # (PartitionFilters on cluster_id over the COMPACTED files — the
+    # lazy-chunk-load property survives compaction), and (c) replay the
+    # historical ranking identically at full probe (n_probe=8 over 8
+    # clusters is exhaustive, so compaction never changes results).
+    import os as _os
+    import tempfile
+
+    from fabstir_vectordb_spark.session import verify_integrity
+
+    sess.train_index(n_clusters=8, seed=42)
+    cpath = tempfile.mkdtemp(prefix="sess_compacted_")
+    sess.save(cpath, checksums=True)
+    loaded = VectorDbSession.load(spark, cpath)
+    for i, r in enumerate(
+        loaded.search([3.0, 5.0, 1.0], k=K, search_recent=False, n_probe=8), 1
+    ):
+        out.append(
+            (
+                "compacted_historical", i, r["id"], r["metadata"]["lang"],
+                round(1.0 / (1.0 + round(r["distance"], 6)), 6),
+            )
+        )
+    integ = bool(verify_integrity(spark, cpath)["ok"])
+    plan = (
+        spark.read.parquet(_os.path.join(cpath, "vectors"))
+        .filter(F.col("cluster_id").isin(0, 1))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pruned = (
+        "PartitionFilters" in plan
+        and "cluster_id" in plan.split("PartitionFilters")[1][:200]
+    )
+    out.append(
+        ("compaction_flags", 0, "ok" if integ and pruned else "FAIL", "n", 1.0)
+    )
     return spark.createDataFrame(
         out, "part string, rank long, id string, lang string, score double"
     )
@@ -3013,6 +3052,13 @@ UNION ALL
 -- the historical ranking replays unchanged after migration
 SELECT 'historical_post_migration', rank, id, lang, score
 FROM ranked WHERE part = 'historical' AND rank <= {K}
+UNION ALL
+-- ...and again from the compacted save (train -> save -> reload, full probe)
+SELECT 'compacted_historical', rank, id, lang, score
+FROM ranked WHERE part = 'historical' AND rank <= {K}
+UNION ALL
+-- integrity + partition-pruning flags of the compacted layout
+SELECT 'compaction_flags', CAST(0 AS BIGINT), 'ok', 'n', 1.0
 """
 
 _ORACLES["persistence_roundtrip"] = """
