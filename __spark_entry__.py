@@ -600,6 +600,70 @@ def q_text_quality_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _keyword_fusion_base(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared construction for the keyword/fusion rows: the fixture
+    queries, the postings table (built ONCE), the two cached top-20
+    source lists, and the bm25/rrf/weighted parts."""
+    from fabstir_vectordb_spark.operators.fusion import (
+        rrf_fuse,
+        weighted_fuse,
+        with_rank,
+    )
+    from fabstir_vectordb_spark.operators.keyword import bm25_search, build_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [0, 10, 20, 30]
+    queries = docs.filter(F.col("doc_id").isin(qids)).select(
+        F.concat(F.lit("q"), F.col("doc_id")).alias("query_id"),
+        F.concat_ws(" ", F.slice(X.whitespace_tokens("text"), 1, 3)).alias("query"),
+    )
+    vqueries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("vector"),
+    )
+    # cache the two tiny source lists (Q x 20 rows): all parts derive
+    # from them, and without the cache each union branch re-runs the
+    # postings join / kNN kernel
+    post = build_postings(docs).cache()
+    lex20 = with_rank(bm25_search(docs, queries, k=20, postings=post), depth=20).cache()
+    knn20 = brute_force_knn(
+        emb, vqueries, 20,
+        metric="cosine", impl="kernel", id_col="vec_id", vector_col="embedding",
+    )
+    sem20 = with_rank(
+        knn20.select(
+            "query_id", "id",
+            (F.lit(1.0) - F.round("distance", 6)).alias("score"),
+        ),
+        depth=20,
+    ).cache()
+    part_bm25 = lex20.filter(F.col("rank") <= 10).select(
+        F.lit("bm25").alias("part"), "query_id", "id", r6("score").alias("score")
+    )
+    part_rrf = rrf_fuse(lex20, sem20, k=10).select(
+        F.lit("rrf").alias("part"), "query_id", "id", r6("score").alias("score")
+    )
+    part_w = weighted_fuse(
+        {"lexical": (lex20, 0.4), "semantic": (sem20, 0.6)}, k=10
+    ).select(
+        F.lit("weighted").alias("part"), "query_id", "id", r6("score").alias("score")
+    )
+    return {
+        "docs": docs, "emb": emb, "queries": queries, "vqueries": vqueries,
+        "post": post, "parts": (part_bm25, part_rrf, part_w),
+    }
+
+
+def q_keyword_bm25_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25 + rrf + weighted parts only — the r4-timed shape, kept for
+    bench continuity (the certified registry row adds two ANN-config
+    fusion parts whose IVF fit would charge the fusion path for index
+    training)."""
+    p1, p2, p3 = _keyword_fusion_base(spark, sf_dir)["parts"]
+    return p1.unionByName(p2).unionByName(p3)
+
+
 def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword + hybrid retrieval in one certified output, discriminated
     by `part` (round-4 fusion lands in the existing registry slot):
@@ -632,53 +696,12 @@ def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                  is model-dependent, so the row certifies the per-query
                  contract: 1..k results, RRF scores within (0, 2/61]
     """
-    from fabstir_vectordb_spark.operators.fusion import (
-        hybrid_retrieval,
-        rrf_fuse,
-        weighted_fuse,
-        with_rank,
-    )
-    from fabstir_vectordb_spark.operators.keyword import bm25_search, build_postings
+    from fabstir_vectordb_spark.operators.fusion import hybrid_retrieval
 
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    qids = [0, 10, 20, 30]
-    queries = docs.filter(F.col("doc_id").isin(qids)).select(
-        F.concat(F.lit("q"), F.col("doc_id")).alias("query_id"),
-        F.concat_ws(" ", F.slice(X.whitespace_tokens("text"), 1, 3)).alias("query"),
-    )
-    vqueries = emb.filter(F.col("vec_id").isin(qids)).select(
-        F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
-        F.col("embedding").alias("vector"),
-    )
-    # cache the two tiny source lists (Q x 20 rows): all three parts
-    # derive from them, and without the cache each union branch re-runs
-    # the postings join / kNN kernel.  The postings table is built ONCE
-    # and shared by the plain-BM25 leg and both ANN-config fusion runs.
-    post = build_postings(docs).cache()
-    lex20 = with_rank(bm25_search(docs, queries, k=20, postings=post), depth=20).cache()
-    knn20 = brute_force_knn(
-        emb, vqueries, 20,
-        metric="cosine", impl="kernel", id_col="vec_id", vector_col="embedding",
-    )
-    sem20 = with_rank(
-        knn20.select(
-            "query_id", "id",
-            (F.lit(1.0) - F.round("distance", 6)).alias("score"),
-        ),
-        depth=20,
-    ).cache()
-    part_bm25 = lex20.filter(F.col("rank") <= 10).select(
-        F.lit("bm25").alias("part"), "query_id", "id", r6("score").alias("score")
-    )
-    part_rrf = rrf_fuse(lex20, sem20, k=10).select(
-        F.lit("rrf").alias("part"), "query_id", "id", r6("score").alias("score")
-    )
-    part_w = weighted_fuse(
-        {"lexical": (lex20, 0.4), "semantic": (sem20, 0.6)}, k=10
-    ).select(
-        F.lit("weighted").alias("part"), "query_id", "id", r6("score").alias("score")
-    )
+    base = _keyword_fusion_base(spark, sf_dir)
+    docs, emb = base["docs"], base["emb"]
+    queries, vqueries, post = base["queries"], base["vqueries"], base["post"]
+    part_bm25, part_rrf, part_w = base["parts"]
 
     # ANN-config fusion: the semantic leg through a real IVF index
     idx = IVFIndex.fit(
@@ -838,9 +861,21 @@ def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
       - cluster distribution (ivf/core.rs:536-550, absorbed from the
         former cluster_distribution query): ids within [0, n_clusters),
         every emitted bucket nonempty
+      - SQL-surface ANN rewrite (round 5, plans/sql_ann.py — SURVEY §4
+        stretch): the canonical ORDER BY vec_l2(...) LIMIT k statement
+        over the registered view rewrites to the probe-pruned IVF plan;
+        at full probe its round-6 distance multiset equals the exact
+        spark.sql statement's, and at n_probe=2 the plan carries the
+        cluster_id probe filter
 
     All model-independent, so the oracle is count(*) + constants."""
+    from fabstir_vectordb_spark.functions.sqlfns import register_sql_functions
     from fabstir_vectordb_spark.operators.cache import QueryResultCache
+    from fabstir_vectordb_spark.plans.sql_ann import (
+        AnnCatalog,
+        ann_sql,
+        explain_rewrite,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     idx8 = IVFIndex.fit(
@@ -867,6 +902,32 @@ def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache.get(key)  # hit
     cs = cache.stats()
 
+    register_sql_functions(spark)
+    emb.createOrReplaceTempView("sqlann_vecs")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qsql = "array(" + ", ".join(f"CAST({float(x)} AS FLOAT)" for x in qv) + ")"
+    stmt = (
+        f"SELECT vec_id, vec_l2(embedding, {qsql}) AS distance "
+        f"FROM sqlann_vecs ORDER BY distance LIMIT 10"
+    )
+    cat = AnnCatalog()
+    cat.register("sqlann_vecs", idx16, assigned, n_rows=int(stats["total_vectors"]))
+    # distance multisets (tie-safe: boundary ties share the same value)
+    exact_d = sorted(round(r["distance"], 6) for r in spark.sql(stmt).collect())
+    ann_d = sorted(
+        round(r["distance"], 6)
+        for r in ann_sql(spark, stmt, cat, n_probe=16).collect()
+    )
+    probe_plan = (
+        ann_sql(spark, stmt, cat, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    sql_ann_ok = bool(
+        explain_rewrite(cat, stmt) == "ivf"
+        and ann_d == exact_d
+        and "cluster_id" in probe_plan
+    )
+
     row = (
         int(stats["total_vectors"]),
         int(idx16.n_clusters),
@@ -881,13 +942,14 @@ def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         bool(cs["hits"] == 1 and cs["misses"] == 1),
         bool(dist["ids_ok"]),
         bool(dist["nonempty_ok"]),
+        sql_ann_ok,
     )
     assigned.unpersist()
     return spark.createDataFrame(
         [row],
         "total_assigned long, n_clusters long, variance_ok boolean, "
         "empties_ok boolean, training_error_ok boolean, cache_ok boolean, "
-        "ids_in_range boolean, dist_nonempty_ok boolean",
+        "ids_in_range boolean, dist_nonempty_ok boolean, sql_ann_ok boolean",
     )
 
 
@@ -2540,7 +2602,8 @@ SELECT CAST(count(*) AS BIGINT) AS total_assigned,
        CAST(16 AS BIGINT) AS n_clusters,
        true AS variance_ok, true AS empties_ok,
        true AS training_error_ok, true AS cache_ok,
-       true AS ids_in_range, true AS dist_nonempty_ok
+       true AS ids_in_range, true AS dist_nonempty_ok,
+       true AS sql_ann_ok
 FROM embeddings
 """
 

@@ -101,6 +101,7 @@ def main() -> int:
             "hybrid_merge": E.q_hybrid_merge_raw,
             "text_stats": E.q_text_stats_raw,
             "text_quality": E.q_text_quality_raw,
+            "keyword_bm25": E.q_keyword_bm25_raw,
         }
     )
     names = [n for n in BENCH_QUERIES if n in qs]

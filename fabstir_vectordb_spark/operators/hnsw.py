@@ -83,7 +83,7 @@ def _levels_from_hash(h: np.ndarray, m_l: float, seed: int, max_level: int = 16)
     return np.minimum(np.floor(-np.log(u) * m_l), max_level).astype(np.int32)
 
 
-def _search_layer(q, eps, ef, layer, V, nbrs, dcache):
+def _search_layer(q, eps, ef, layer, V, nbrs, dcache, visited=None):
     """Classic HNSW beam over one layer.  ``eps``: entry positions;
     returns list of (dist, pos) sorted ascending, len <= ef.  ``nbrs``
     is pos -> list of per-layer neighbor position arrays; ``dcache``
@@ -91,8 +91,10 @@ def _search_layer(q, eps, ef, layer, V, nbrs, dcache):
 
     The expansion step is VECTORIZED: all unvisited neighbors of the
     popped candidate get their distances in one (deg, dim) numpy matrix
-    op instead of deg Python-level evaluations — the hop order and
-    results are identical to the scalar form, only ~M× fewer
+    op instead of deg Python-level evaluations, and the visited set is a
+    numpy bool array (``visited`` may be passed in pre-zeroed and is
+    reset before return, so the hot loop never reallocates it) — the hop
+    order and results are identical to the scalar form, only ~M× fewer
     interpreter round-trips per hop."""
 
     def dist(p):
@@ -103,7 +105,9 @@ def _search_layer(q, eps, ef, layer, V, nbrs, dcache):
             dcache[p] = d
         return d
 
-    visited = set(eps)
+    seen = visited if visited is not None else np.zeros(len(V), dtype=bool)
+    touched = list(eps)
+    seen[touched] = True
     cand = [(dist(p), p) for p in eps]
     heapq.heapify(cand)
     best = [(-d, p) for d, p in cand]
@@ -117,23 +121,36 @@ def _search_layer(q, eps, ef, layer, V, nbrs, dcache):
         cn = nbrs[c]
         if layer >= len(cn):
             continue
-        fresh = [nb for nb in cn[layer] if nb not in visited]
-        if not fresh:
+        cnl = cn[layer]
+        fresh = cnl[~seen[cnl]]
+        if not len(fresh):
             continue
-        visited.update(fresh)
+        seen[fresh] = True
+        touched.extend(fresh.tolist())
         diff = V[fresh] - q
         ds = np.sqrt(np.einsum("ij,ij->i", diff, diff))
-        for nb, d2 in zip(fresh, ds.tolist()):
+        if len(best) >= ef:
+            # batch prefilter at the (stale, hence looser) bound: anything
+            # failing it also fails the exact per-item check below, so
+            # behavior is bit-identical — just ~M× fewer loop iterations
+            # once the beam has filled
+            m = ds < -best[0][0]
+            if not m.any():
+                continue
+            fresh, ds = fresh[m], ds[m]
+        for nb, d2 in zip(fresh.tolist(), ds.tolist()):
             dcache[nb] = d2
             if len(best) < ef or d2 < -best[0][0]:
                 heapq.heappush(cand, (d2, nb))
                 heapq.heappush(best, (-d2, nb))
                 if len(best) > ef:
                     heapq.heappop(best)
+    if visited is not None:
+        seen[touched] = False  # reset the shared scratch for the next call
     return sorted((-nd, p) for nd, p in best)
 
 
-def _insert_node(i, V, levels, nbrs, entry, max_lvl, M, M0, ef_c):
+def _insert_node(i, V, levels, nbrs, entry, max_lvl, M, M0, ef_c, visited=None):
     """Insert node position ``i`` into an existing in-memory graph —
     the shared core of build() and insert() (hnsw/core.rs:226-396).
     Returns the (possibly updated) (entry, max_lvl)."""
@@ -142,9 +159,9 @@ def _insert_node(i, V, levels, nbrs, entry, max_lvl, M, M0, ef_c):
     dcache: dict[int, float] = {}
     eps = [entry]
     for lc in range(max_lvl, l, -1):
-        eps = [_search_layer(q, eps, 1, lc, V, nbrs, dcache)[0][1]]
+        eps = [_search_layer(q, eps, 1, lc, V, nbrs, dcache, visited)[0][1]]
     for lc in range(min(l, max_lvl), -1, -1):
-        W = _search_layer(q, eps, ef_c, lc, V, nbrs, dcache)
+        W = _search_layer(q, eps, ef_c, lc, V, nbrs, dcache, visited)
         m_max = M0 if lc == 0 else M
         sel = [p for _, p in W[:M]]
         nbrs[i][lc] = np.asarray(sel, dtype=np.int64)
@@ -178,9 +195,10 @@ def _build_local_graph(V: np.ndarray, levels: np.ndarray, M: int, M0: int, ef_c:
     if n == 0:
         return nbrs, -1
     entry, max_lvl = 0, int(levels[0])
+    visited = np.zeros(n, dtype=bool)  # shared scratch, reset per search
     for i in range(1, n):
         entry, max_lvl = _insert_node(
-            i, V, levels, nbrs, entry, max_lvl, M, M0, ef_c
+            i, V, levels, nbrs, entry, max_lvl, M, M0, ef_c, visited
         )
     return nbrs, max_lvl
 
@@ -387,9 +405,10 @@ class HNSWIndex:
             else:
                 entry, max_lvl = 0, int(levels[0])
                 start = 1
+            visited = np.zeros(len(V), dtype=bool)
             for i in range(start, len(V)):
                 entry, max_lvl = _insert_node(
-                    i, V, levels, nbrs, entry, max_lvl, M, M0, ef_c
+                    i, V, levels, nbrs, entry, max_lvl, M, M0, ef_c, visited
                 )
             ids_all = np.concatenate([ids_old, npdf["id"].to_numpy()])
             deleted_all = np.concatenate(

@@ -1,0 +1,152 @@
+"""SQL-surface ANN rewrite (SURVEY §4 "custom strategy" stretch).
+
+The engine's own API plans index searches explicitly
+(plans/tuning.py:plan_search); this module extends the same decision to
+the RAW SQL surface (functions/sqlfns.py): a ``spark.sql`` user writing
+the canonical vector-search statement
+
+    SELECT <id>, vec_l2(<vector>, <query expr>) AS <alias>
+    FROM <view>
+    ORDER BY <alias> [ASC] LIMIT <k>
+
+against a view registered in the :class:`AnnCatalog` gets the
+probe-pruned IVF physical plan — ``cluster_id IN (probes)`` reaching the
+parquet scan as PartitionFilters — instead of a full-corpus scan.
+
+Why a statement-level rewriter and not a Catalyst rule: optimizer rules
+inject via ``spark.sql.extensions``, a JVM (Scala) extension point that
+pure-Python engines cannot reach.  The honest Spark-first equivalent is
+exactly what external index layers on Spark do: intercept the statement,
+substitute the index plan when it applies, and DELEGATE everything else
+to ``spark.sql`` untouched — correctness never depends on the rewrite
+firing (the un-rewritten statement computes the same ranking by exact
+scan; the reference makes the same exact-vs-index trade in
+hybrid/core.rs:262-269's small-dataset mode).
+
+Exactness contract: the rewrite is an ANN substitution.  With
+``n_probe >= n_clusters`` (or a registered table below the training
+threshold) the probe set is exhaustive and the rewritten result equals
+the exact statement rank-for-rank at round-6; at smaller ``n_probe`` it
+is the usual IVF approximation (tuned by plans/tuning.py when not
+given).  ``explain_rewrite`` reports which path a statement would take.
+
+Reference parity: the reference has no SQL surface at all — SURVEY §4
+maps this to an optional nicety; its analogue is the REST search
+endpoint deciding index-vs-scan server-side (api/rest.rs:430-520).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.plans.tuning import tune_n_probe
+
+_METRICS = {
+    "vec_l2": "l2",
+    "vec_cosine_distance": "cosine",
+}
+
+# the canonical vector-search statement (see module doc).  The query
+# expression is captured greedily up to the last ')' before AS, so
+# nested calls like array(...) / cast(... as array<float>) parse.
+_PATTERN = re.compile(
+    r"""
+    ^\s*SELECT\s+(?P<id>\w+)\s*,\s*
+    (?P<fn>vec_l2|vec_cosine_distance)\s*\(\s*
+        (?P<vec>\w+)\s*,\s*(?P<q>.+)\)\s+AS\s+(?P<alias>\w+)\s+
+    FROM\s+(?P<view>\w+)\s+
+    ORDER\s+BY\s+(?P<order>\w+)(?:\s+ASC)?\s+
+    LIMIT\s+(?P<k>\d+)\s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+
+@dataclass
+class _Entry:
+    index: object  # IVFIndex
+    clustered: DataFrame
+    n_rows: int
+
+
+class AnnCatalog:
+    """view name -> (trained IVF index, clustered table).  The SQL-side
+    id/vector column names are the index's own ``id_col``/``vector_col``
+    — the registered view and the clustered table describe the same
+    relation, exactly like a database index on a named table."""
+
+    def __init__(self) -> None:
+        self._entries: dict[str, _Entry] = {}
+
+    def register(self, view: str, index, clustered: DataFrame,
+                 n_rows: int | None = None) -> None:
+        if n_rows is None:
+            n_rows = clustered.count()
+        self._entries[view.lower()] = _Entry(index, clustered, int(n_rows))
+
+    def lookup(self, view: str) -> _Entry | None:
+        return self._entries.get(view.lower())
+
+
+def _parse(sql: str):
+    m = _PATTERN.match(sql)
+    if not m:
+        return None
+    if m.group("alias").lower() != m.group("order").lower():
+        return None  # ordered by something other than the distance
+    return m
+
+
+def explain_rewrite(catalog: AnnCatalog, sql: str) -> str:
+    """'ivf' if the statement would take the pruned index plan,
+    'exact' if it delegates to spark.sql untouched."""
+    m = _parse(sql)
+    if m is None:
+        return "exact"
+    e = catalog.lookup(m.group("view"))
+    if e is None or m.group("vec") != e.index.vector_col:
+        return "exact"
+    return "ivf"
+
+
+def ann_sql(
+    spark: SparkSession,
+    sql: str,
+    catalog: AnnCatalog,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """Run ``sql``, substituting the probe-pruned IVF plan when the
+    statement matches the canonical vector-search shape over a
+    registered view; otherwise ``spark.sql(sql)`` verbatim."""
+    m = _parse(sql)
+    if m is None:
+        return spark.sql(sql)
+    e = catalog.lookup(m.group("view"))
+    if e is None:
+        return spark.sql(sql)
+    idx = e.index
+    if m.group("id") != idx.id_col or m.group("vec") != idx.vector_col:
+        return spark.sql(sql)
+    # the query vector must be a constant expression (no column refs);
+    # delegate to spark.sql if it isn't
+    try:
+        qrow = spark.sql(f"SELECT ({m.group('q')}) AS q").first()
+    except Exception:
+        return spark.sql(sql)
+    qvec = [float(x) for x in qrow["q"]]
+    k = int(m.group("k"))
+    metric = _METRICS[m.group("fn").lower()]
+    if n_probe is None:
+        n_probe = tune_n_probe(e.n_rows, k, idx.n_clusters)
+    queries = spark.createDataFrame(
+        [("q0", qvec)], "query_id string, vector array<float>"
+    )
+    res = idx.search(e.clustered, queries, k, n_probe=n_probe, metric=metric)
+    return res.select(
+        F.col("id").alias(m.group("id")),
+        F.col("distance").alias(m.group("alias")),
+    )

@@ -1,0 +1,119 @@
+"""SQL-surface ANN rewrite (plans/sql_ann.py): the canonical
+ORDER BY vec_l2(...) LIMIT k statement over a registered view takes the
+probe-pruned IVF plan; everything else delegates to spark.sql."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.functions.sqlfns import register_sql_functions
+from fabstir_vectordb_spark.operators.ivf import IVFIndex
+from fabstir_vectordb_spark.plans.sql_ann import AnnCatalog, ann_sql, explain_rewrite
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    register_sql_functions(spark)
+    rng = np.random.default_rng(11)
+    C = rng.normal(scale=8.0, size=(4, 8))
+    rows = [
+        (int(i), (C[i % 4] + rng.normal(size=8)).astype("float32").tolist())
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, vector array<float>")
+    df.createOrReplaceTempView("vecs")
+    idx = IVFIndex.fit(df, n_clusters=4, seed=3, id_col="id", vector_col="vector")
+    clustered = idx.assign(df).cache()
+    clustered.count()
+    cat = AnnCatalog()
+    cat.register("vecs", idx, clustered, n_rows=400)
+    q = rows[7][1]
+    qsql = "array(" + ", ".join(f"CAST({x} AS FLOAT)" for x in q) + ")"
+    return cat, qsql
+
+
+def _stmt(qsql, fn="vec_l2", k=10):
+    return (
+        f"SELECT id, {fn}(vector, {qsql}) AS distance "
+        f"FROM vecs ORDER BY distance LIMIT {k}"
+    )
+
+
+def test_full_probe_rewrite_equals_exact_sql(spark, setup):
+    cat, qsql = setup
+    sql = _stmt(qsql)
+    assert explain_rewrite(cat, sql) == "ivf"
+    exact = [
+        (r["id"], round(r["distance"], 6))
+        for r in spark.sql(sql).collect()
+    ]
+    ann = [
+        (r["id"], round(r["distance"], 6))
+        for r in ann_sql(spark, sql, cat, n_probe=4).orderBy("distance", "id").collect()
+    ]
+    assert sorted(ann) == sorted(exact)
+
+
+def test_rewrite_plan_prunes(spark, setup):
+    cat, qsql = setup
+    out = ann_sql(spark, _stmt(qsql), cat, n_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the probe filter reaches the scan: an InMemory/parquet relation
+    # filtered on cluster_id IN (...), never a full-corpus distance sort
+    assert "cluster_id" in plan
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+
+
+def test_rewrite_plan_prunes_parquet_partitions(spark, setup, tmp_path):
+    """Over the persisted clustered layout the probe must show up as a
+    PartitionFilters entry — the lazy-chunk-load property on raw SQL."""
+    cat, qsql = setup
+    path = str(tmp_path / "clustered")
+    cat.lookup("vecs").clustered.write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(path)
+    disk = spark.read.parquet(path)
+    cat2 = AnnCatalog()
+    cat2.register("vecs", cat.lookup("vecs").index, disk, n_rows=400)
+    out = ann_sql(spark, _stmt(qsql), cat2, n_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cluster_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_cosine_metric_maps(spark, setup):
+    cat, qsql = setup
+    sql = _stmt(qsql, fn="vec_cosine_distance")
+    exact = {r["id"] for r in spark.sql(sql).collect()}
+    ann = {r["id"] for r in ann_sql(spark, sql, cat, n_probe=4).collect()}
+    assert ann == exact
+
+
+def test_non_matching_sql_delegates(spark, setup):
+    cat, _ = setup
+    sql = "SELECT count(*) AS n FROM vecs"
+    assert explain_rewrite(cat, sql) == "exact"
+    assert ann_sql(spark, sql, cat).first()["n"] == 400
+
+
+def test_unregistered_view_delegates(spark, setup):
+    cat, qsql = setup
+    sql = _stmt(qsql).replace("FROM vecs", "FROM vecs2")
+    spark.sql("SELECT * FROM vecs").createOrReplaceTempView("vecs2")
+    assert explain_rewrite(cat, sql) == "exact"
+    out = ann_sql(spark, sql, cat)
+    assert out.count() == 10  # ran as plain spark.sql
+
+
+def test_column_ref_query_expr_delegates(spark, setup):
+    """A per-row (non-constant) query argument cannot use the point
+    index path — the statement must fall back to the exact scan."""
+    cat, _ = setup
+    sql = (
+        "SELECT id, vec_l2(vector, vector) AS distance "
+        "FROM vecs ORDER BY distance LIMIT 5"
+    )
+    out = ann_sql(spark, sql, cat)
+    assert out.count() == 5
+    assert all(r["distance"] == 0.0 for r in out.collect())

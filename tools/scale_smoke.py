@@ -241,11 +241,13 @@ def main() -> int:
     _log(f"simhash_guarded_hot {times['simhash_guarded_hot']}s ({n_sh_hot} pairs)")
 
     # round-4 operators ---------------------------------------------------
-    # partition-local HNSW: build N/32-node graphs in parallel, bulk beam
+    # partition-local HNSW: num_graphs auto-sizes to ~4k nodes/graph
+    # (bounded superlinear per-graph cost; graphs build embarrassingly
+    # parallel, so wall-clock stays flat as N grows given cores)
     from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
 
     hnsw = HNSWIndex(
-        M=16, M0=32, ef_construction=100, num_graphs=32,
+        M=16, M0=32, ef_construction=100,
         id_col="vec_id", vector_col="embedding",
     )
     t0 = time.time()
