@@ -785,7 +785,15 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     downsample-keep flag (operators/sampling.py — id-hash based, growth-
     stable, engine-independent, so both are exactly SQL-checkable).
     All pure column expressions; the only exchange is the tokenize-once
-    barrier shared with the other text queries."""
+    barrier shared with the other text queries.
+
+    Round 5 adds the benchmark-decontamination gate (operators/dedup.py
+    decontaminate — the public GPT-3-appendix-C-style n-gram
+    test-set-overlap procedure): every 50th doc's text stands in as the
+    held-out eval set, n=8 word-gram windows, and each doc emits its
+    distinct-hit count + contaminated verdict — the oracle replays the
+    whole shingle-join in SQL."""
+    from fabstir_vectordb_spark.operators.dedup import decontaminate
     from fabstir_vectordb_spark.operators.sampling import assign_split, sample_keep
 
     docs = _t(spark, sf_dir, "documents")
@@ -807,7 +815,14 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("n_tokens").between(10, 5000),
     )
     out = assign_split(out)  # train/val/test 0.9/0.05/0.05
-    return out.withColumn("sampled", sample_keep("doc_id", 0.25))
+    out = out.withColumn("sampled", sample_keep("doc_id", 0.25))
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    dec = decontaminate(docs, bench, n=8).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("n_gram_hits"),
+        "contaminated",
+    )
+    return out.join(dec, "doc_id")
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2912,18 +2927,33 @@ WITH t AS (
               )) AS DOUBLE) / (len(toks) - 2), 6) + 0.0)
          ELSE 0.0 END AS rep_3gram
   FROM q
+), shng AS (
+  -- decontamination: distinct 8-gram windows per doc
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(toks) - 7),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                            toks[i+4], toks[i+5], toks[i+6], toks[i+7])))) AS sh
+  FROM t WHERE len(toks) >= 8
+), bsh AS (
+  SELECT DISTINCT sh FROM shng WHERE doc_id % 50 = 0
+), hits AS (
+  SELECT s.doc_id, count(DISTINCT s.sh) AS n_gram_hits
+  FROM shng s JOIN bsh USING (sh) GROUP BY s.doc_id
 )
-SELECT doc_id, lang, quality, n_tokens, rep_3gram,
+SELECT sig.doc_id, lang, quality, n_tokens, rep_3gram,
   (lang = 'en' AND quality >= 0.3 AND rep_3gram <= 0.2
    AND n_tokens BETWEEN 10 AND 5000) AS passed,
-  CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)
+  CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(sig.doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)
             / 4294967296.0 < 0.9 THEN 'train'
-       WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)
+       WHEN CAST(concat('0x', substr(md5(concat(CAST(sig.doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)
             / 4294967296.0 < 0.95 THEN 'val'
        ELSE 'test' END AS split,
-  (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|sample')), 1, 8)) AS BIGINT)
-   / 4294967296.0 < 0.25) AS sampled
-FROM sig
+  (CAST(concat('0x', substr(md5(concat(CAST(sig.doc_id AS VARCHAR), '|sample')), 1, 8)) AS BIGINT)
+   / 4294967296.0 < 0.25) AS sampled,
+  CAST(COALESCE(h.n_gram_hits, 0) AS BIGINT) AS n_gram_hits,
+  COALESCE(h.n_gram_hits, 0) >= 1 AS contaminated
+FROM sig LEFT JOIN hits h ON sig.doc_id = h.doc_id
 """
 
 _ORACLES["dedup_exact"] = f"""

@@ -891,3 +891,84 @@ def remove_boilerplate_lines(
             (F.col("__total") - F.size("__kept")).alias("removed_lines"),
         )
     )
+
+
+# ----------------------------------------------- benchmark decontamination
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents that overlap a held-out evaluation set by
+    word ``n``-gram collision — the standard pretraining decontamination
+    gate (the n-gram test-set-overlap procedure described publicly for
+    GPT-3 appendix C / Llama / PaLM data pipelines; n=13 is the
+    customary window).  The reference engine has no text surface; this
+    belongs to the LLM-pipeline extension axis (SURVEY §2.8).
+
+    A doc is ``contaminated`` when >= ``min_hits`` DISTINCT of its
+    n-grams appear anywhere in the benchmark.  Output: one row per input
+    doc — (id, n_hits, contaminated) — so the gate composes with the
+    corpus funnel like any other signal.
+
+    100 TB shape: the benchmark side is the SMALL side by definition
+    (eval sets are thousands of docs, the corpus is billions), so its
+    distinct n-gram hash set broadcasts; corpus n-grams are map-only
+    projections (tokenize-once barrier, xxhash64 — raw shingle strings
+    never shuffle) that meet the broadcast in a hash join, and ONLY the
+    matching (id, hash) rows — bounded by corpus_hits, not corpus size —
+    enter the per-doc aggregation.  Clean docs never leave their scan
+    stage except as the final left-join's id projection.
+    """
+    doc_sh = _shingled(docs, text_col, id_col, n).select(
+        "id", F.explode("__shingles").alias("__sh")
+    ).select("id", F.xxhash64("__sh").alias("__h"))
+    # the benchmark needs no id column — only its n-gram set matters
+    bench = benchmark.select(F.col(bench_text_col).alias("__btxt")).withColumn(
+        "__bid", F.monotonically_increasing_id()
+    )
+    bench_sh = (
+        _shingled(bench, "__btxt", "__bid", n)
+        .select(F.explode("__shingles").alias("__sh"))
+        .select(F.xxhash64("__sh").alias("__h"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "__h")
+        .groupBy("id")
+        .agg(F.countDistinct("__h").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def remove_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Filter variant of :func:`decontaminate`: return only the clean
+    rows of ``docs``, all columns intact."""
+    flags = decontaminate(
+        docs, benchmark, n=n, min_hits=min_hits,
+        id_col=id_col, text_col=text_col, bench_text_col=bench_text_col,
+    )
+    keep = flags.filter(~F.col("contaminated")).select(F.col("id").alias(id_col))
+    return docs.join(keep, id_col, "left_semi")

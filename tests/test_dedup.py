@@ -230,3 +230,71 @@ def test_remove_boilerplate_regex_metachar_separator(spark):
     assert out[1]["clean_text"] == "keep"
     assert out[2]["clean_text"] == "other"
     assert out[1]["removed_lines"] == 1
+
+
+# ----------------------------------------------- benchmark decontamination
+
+
+def test_decontaminate_flags_overlap(spark):
+    from fabstir_vectordb_spark.operators.dedup import (
+        decontaminate,
+        remove_contaminated,
+    )
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], ["text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the full benchmark 5-gram window
+            (0, "prefix the quick brown fox jumps over suffix words here"),
+            # shares 4-gram runs only -> clean at n=5
+            (1, "quick brown fox jumps nowhere near the rest"),
+            # verbatim benchmark text -> contaminated
+            (2, "the quick brown fox jumps over the lazy dog"),
+            # unrelated
+            (3, "completely different content with many tokens in it"),
+            # too short to shingle at n=5 -> clean, still emitted
+            (4, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in decontaminate(docs, bench, n=5).collect()}
+    assert len(out) == 5
+    assert out[0]["contaminated"] and out[0]["n_hits"] >= 1
+    assert not out[1]["contaminated"] and out[1]["n_hits"] == 0
+    assert out[2]["contaminated"] and out[2]["n_hits"] == 5  # all 5 windows
+    assert not out[3]["contaminated"]
+    assert not out[4]["contaminated"] and out[4]["n_hits"] == 0
+
+    clean = remove_contaminated(docs, bench, n=5)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3, 4]
+    assert clean.columns == docs.columns
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    from fabstir_vectordb_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame([("a b c d e f",)], ["text"])
+    docs = spark.createDataFrame(
+        [(0, "x a b c d e f y"), (1, "z a b c d q w e r t")], ["doc_id", "text"]
+    )
+    out = {r["id"]: r for r in decontaminate(docs, bench, n=4, min_hits=2).collect()}
+    # doc 0 shares windows 'a b c d','b c d e','c d e f' (3 hits)
+    assert out[0]["n_hits"] == 3 and out[0]["contaminated"]
+    # doc 1 shares only 'a b c d' (1 hit) -> below min_hits
+    assert out[1]["n_hits"] == 1 and not out[1]["contaminated"]
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    from fabstir_vectordb_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame([("a b c d e f g h",)], ["text"])
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g h tail") for i in range(50)], ["doc_id", "text"]
+    )
+    plan = (
+        decontaminate(docs, bench, n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
