@@ -6,6 +6,7 @@ corpus actually runs, built from this repo's certified operators.
       → language / quality / length gates  (functions/text.py)
       → exact dedup                        (operators/dedup.py)
       → MinHash-LSH near-dup + canonical   (operators/dedup.py)
+      → benchmark decontamination          (operators/dedup.py)
       → deterministic train/val/test split (operators/sampling.py)
       → sequence packing into context windows (operators/sampling.py)
 
@@ -38,11 +39,15 @@ def curate_corpus(
     token_bounds: tuple[int, int] = (10, 5000),
     near_dup_threshold: float | None = 0.8,
     split_weights: list[tuple[str, float]] | None = None,
+    benchmark: DataFrame | None = None,
+    decontaminate_ngram: int = 13,
 ) -> DataFrame:
     """Run the curation funnel; returns one row per SURVIVING document:
     (id, text, n_tokens, quality, lang, split) — with boilerplate
     stripped, gates applied, exact and near duplicates removed (the
-    canonical member of each duplicate group survives).
+    canonical member of each duplicate group survives), and — when a
+    ``benchmark`` eval set is given — docs overlapping it by
+    ``decontaminate_ngram``-gram collision dropped.
 
     Set a stage's parameter to None to skip it.  Gates mirror
     corpus_filter's certified thresholds; near-dup canonicalization
@@ -90,6 +95,11 @@ def curate_corpus(
         cur = cur.join(
             canon.filter(F.col("id") == F.col("canonical_id")).select("id"),
             "id",
+        )
+
+    if benchmark is not None:
+        cur = DD.remove_contaminated(
+            cur, benchmark, n=decontaminate_ngram, id_col="id", text_col="text"
         )
 
     return assign_split(cur, weights=split_weights, id_col="id")

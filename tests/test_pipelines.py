@@ -75,3 +75,26 @@ def test_pack_corpus_layout(spark):
         .collect()[0][0]
     )
     assert sum(fill.values()) == n_train
+
+
+def test_curate_corpus_decontaminates(spark):
+    docs = _corpus(spark)
+    # benchmark = doc 5's distinctive token stream: doc 5 (and only it)
+    # must be dropped by the decontamination stage
+    bench = spark.createDataFrame(
+        [(" ".join(f"w5_{j} the" for j in range(15)),)], ["text"]
+    )
+    out = curate_corpus(
+        docs,
+        boilerplate_min_doc_freq=10,
+        lang="en",
+        min_quality=0.0,
+        max_repetition=0.9,
+        token_bounds=(10, 5000),
+        near_dup_threshold=None,
+        benchmark=bench,
+        decontaminate_ngram=8,
+    )
+    ids = {r["id"] for r in out.select("id").collect()}
+    assert 5 not in ids
+    assert {0, 1, 6} <= ids
