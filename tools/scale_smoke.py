@@ -286,6 +286,16 @@ def main() -> int:
     times["pack_sequences"] = round(time.time() - t0, 2)
     _log(f"pack_sequences {times['pack_sequences']}s")
 
+    # benchmark decontamination over the full corpus: a 200-doc "eval
+    # set" broadcasts its n-gram hash set; the corpus side is map-only
+    t0 = time.time()
+    bench = synth_docs(spark, 200).select("text")
+    DD.decontaminate(docs, bench, n=8).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    times["decontaminate"] = round(time.time() - t0, 2)
+    _log(f"decontaminate {times['decontaminate']}s")
+
     print(json.dumps({
         "n_vectors": n_vec, "n_docs": n_doc,
         "minhash_pairs": n_pairs, "times": times,
