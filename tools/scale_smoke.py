@@ -256,8 +256,13 @@ def main() -> int:
     times["hnsw_build"] = round(time.time() - t0, 2)
     _log(f"hnsw_build {times['hnsw_build']}s")
 
+    # a REAL 200-query set (`queries` above holds only 8 rows — limiting
+    # it to 200 silently measured Q=8 through round 4's smokes)
+    hq = vec.limit(200).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
     t0 = time.time()
-    hnsw.search_bulk(graph, queries.limit(200), 10, ef=64).write.format(
+    hnsw.search_bulk(graph, hq, 10, ef=64).write.format(
         "noop"
     ).mode("overwrite").save()
     times["hnsw_search_q200"] = round(time.time() - t0, 2)
