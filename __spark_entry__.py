@@ -467,6 +467,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-wise dominance over exact kNN.  HNSW's exact configuration is
     separately hash-certified against real SQL (knn_metrics hnsw_l2).
 
+    part='hnsw_routed' (round 5) is the kmeans-partitioned build with
+    probe_graphs=2 of 4 — the routed fan-out that keeps per-query cost
+    flat as the corpus grows; routing only PRUNES candidates, so the
+    same dominance/at-most-k contract applies.
+
     part='graph_stats' (SURVEY §2 row 58; hnsw/operations.rs:227-272)
     certifies the graph-statistics surface on the same built graph: the
     node count rides in query_id and is SQL-checked against count(*) of
@@ -500,6 +505,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         hnsw_idx.search_bulk(graph, queries, K, ef=64), exact, queries
     ).select(F.lit("hnsw").alias("part"), "query_id", "dominated", "at_most_k")
 
+    routed_idx = HNSWIndex(
+        M=16, M0=32, ef_construction=100, num_graphs=4,
+        id_col="vec_id", vector_col="embedding", partitioner="kmeans",
+    )
+    routed_graph = routed_idx.build(emb)
+    routed = _ann_contract_rows(
+        routed_idx.search_bulk(routed_graph, queries, K, ef=64, probe_graphs=2),
+        exact, queries,
+    ).select(
+        F.lit("hnsw_routed").alias("part"), "query_id", "dominated", "at_most_k"
+    )
+
     st = hnsw_idx.graph_stats(graph)
     graph.unpersist()
     stats_row = spark.createDataFrame(
@@ -515,7 +532,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "part string, query_id long, dominated boolean, at_most_k boolean",
     )
-    return lsh.unionByName(hnsw).unionByName(stats_row)
+    return lsh.unionByName(hnsw).unionByName(routed).unionByName(stats_row)
 
 
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2559,7 +2576,7 @@ WHERE vec_id < {NQ}
 """,
     "ann_lsh": f"""
 SELECT p.part, vec_id AS query_id, true AS dominated, true AS at_most_k
-FROM embeddings CROSS JOIN (SELECT unnest(['lsh', 'hnsw']) AS part) p
+FROM embeddings CROSS JOIN (SELECT unnest(['lsh', 'hnsw', 'hnsw_routed']) AS part) p
 WHERE vec_id < {NQ}
 UNION ALL
 -- graph_stats: node count == corpus size (one node per vector)

@@ -55,7 +55,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -223,7 +223,7 @@ class HNSWIndex:
 
     def __init__(self, M=16, M0=32, ef_construction=200, num_graphs=None, seed=42,
                  id_col="id", vector_col="vector", metric="l2",
-                 target_graph_size=4096):
+                 target_graph_size=4096, partitioner="hash"):
         self.M, self.M0, self.ef_construction = int(M), int(M0), int(ef_construction)
         self.num_graphs = num_graphs
         # when num_graphs is not pinned, build() sizes G so each graph
@@ -231,6 +231,18 @@ class HNSWIndex:
         # superlinear in nodes-per-graph, so bounding it keeps build
         # wall-clock flat as N grows (graphs are embarrassingly parallel)
         self.target_graph_size = int(target_graph_size)
+        # 'hash': uniform graph membership — every search must beam all
+        # G graphs (the exactness-friendly default).  'kmeans': graph
+        # membership = coarse cluster, so search_bulk(probe_graphs=R)
+        # can route each query to its R nearest graphs and per-query
+        # cost stops growing with the corpus — the same nested-probe
+        # trade as IVF, layered over the local graphs (cf. the public
+        # IVF+HNSW coarse-quantizer composition in the FAISS line of
+        # work).  probe_graphs=G stays exhaustive under either.
+        if partitioner not in ("hash", "kmeans"):
+            raise ValueError(f"unknown partitioner {partitioner!r}")
+        self.partitioner = partitioner
+        self._routers = None  # np.ndarray (G, dim) for kmeans builds
         self.seed = int(seed)
         self.id_col, self.vector_col = id_col, vector_col
         if metric not in ("l2", "cosine"):
@@ -281,11 +293,44 @@ class HNSWIndex:
         id_t = vectors.schema[self.id_col].dataType
         M, M0, ef_c, m_l, seed = self.M, self.M0, self.ef_construction, self.m_l, self.seed
 
-        src = self._prep(vectors, self.vector_col).select(
+        prep = self._prep(vectors, self.vector_col)
+        if self.partitioner == "kmeans":
+            # graph membership = coarse k-means cluster: same bounded
+            # local graphs, but now search can ROUTE (probe_graphs=R)
+            # instead of beaming all G.  Train on a deterministic
+            # size-capped sample like IVFIndex.fit; assignment is the
+            # same broadcast nearest-centroid pass.
+            from fabstir_vectordb_spark.operators._kmeans import kmeans_fit
+            from fabstir_vectordb_spark.operators.ivf import IVFIndex
+
+            sample = (
+                prep.select(F.col(self.vector_col).alias("__arr"))
+                .orderBy(F.col(self.id_col))
+                .limit(10_000)
+                .collect()
+            )
+            X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in sample])
+            G = min(G, len(X))
+            self.num_graphs = G
+            cents = kmeans_fit(
+                X, G, iters=10, rng=np.random.RandomState(self.seed)
+            )
+            self._routers = np.asarray(cents, dtype=np.float64)
+            router_ivf = IVFIndex(
+                centroids=self._routers, id_col=self.id_col,
+                vector_col=self.vector_col,
+            )
+            graph_expr = F.col("cluster_id").cast("int")
+            prep = router_ivf.assign(prep)
+        else:
+            graph_expr = F.pmod(
+                F.xxhash64(F.col(self.id_col)), F.lit(G)
+            ).cast("int")
+        src = prep.select(
             F.col(self.id_col).alias("id"),
             F.col(self.vector_col).alias("__v"),
             (F.col(deleted_col) if deleted_col else F.lit(False)).alias("deleted"),
-            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(G)).cast("int").alias("graph_id"),
+            graph_expr.alias("graph_id"),
             F.xxhash64(F.col(self.id_col), F.lit(self.seed)).alias("__h"),
         )
         out_schema = T.StructType(
@@ -357,11 +402,26 @@ class HNSWIndex:
         id_t = graph.schema["id"].dataType
         M, M0, ef_c, m_l, seed = self.M, self.M0, self.ef_construction, self.m_l, self.seed
 
-        new = self._prep(new_vectors, self.vector_col).select(
+        prep = self._prep(new_vectors, self.vector_col)
+        if self.partitioner == "kmeans" and self._routers is not None:
+            # route new vectors to their nearest-centroid graph so the
+            # probe-pruned search keeps seeing cluster-coherent graphs
+            from fabstir_vectordb_spark.operators.ivf import IVFIndex
+
+            prep = IVFIndex(
+                centroids=self._routers, id_col=self.id_col,
+                vector_col=self.vector_col,
+            ).assign(prep)
+            graph_expr = F.col("cluster_id").cast("int")
+        else:
+            graph_expr = F.pmod(
+                F.xxhash64(F.col(self.id_col)), F.lit(G)
+            ).cast("int")
+        new = prep.select(
             F.col(self.id_col).alias("id"),
             F.col(self.vector_col).alias("__v"),
             (F.col(deleted_col) if deleted_col else F.lit(False)).alias("__del"),
-            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(G)).cast("int").alias("graph_id"),
+            graph_expr.alias("graph_id"),
             F.xxhash64(F.col(self.id_col), F.lit(self.seed)).alias("__h"),
         )
         out_schema = graph.select(
@@ -436,6 +496,32 @@ class HNSWIndex:
         )
 
     # -- search ----------------------------------------------------------
+    def graph_routers(self, graph: DataFrame) -> DataFrame:
+        """(graph_id, __router) — one routing vector per graph for
+        probe-pruned search.  kmeans builds carry their centroids on the
+        index; otherwise (hash builds, loaded graphs) the routers are the
+        per-graph mean vectors, computed in one pass over the graph
+        table.  Compute once and pass to search_bulk(routers=...) when
+        issuing many searches."""
+        spark = graph.sparkSession
+        if self._routers is not None:
+            return spark.createDataFrame(
+                [
+                    (int(i), [float(x) for x in c])
+                    for i, c in enumerate(self._routers)
+                ],
+                "graph_id int, __router array<double>",
+            )
+        out_schema = "graph_id int, __router array<double>"
+
+        def mean_kernel(key, pdf):
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vector"]])
+            return pd.DataFrame(
+                {"graph_id": [int(key[0])], "__router": [V.mean(axis=0).tolist()]}
+            )
+
+        return graph.groupBy("graph_id").applyInPandas(mean_kernel, out_schema)
+
     def search_bulk(
         self,
         graph: DataFrame,
@@ -444,29 +530,62 @@ class HNSWIndex:
         ef: int | None = None,
         query_id_col: str = "query_id",
         query_vector_col: str = "vector",
+        probe_graphs: int | None = None,
+        routers: DataFrame | None = None,
     ) -> DataFrame:
-        """Beam-search every graph for every query; merge per-graph
-        partials with the exact global window.  Both sides stay
-        DataFrames (no driver collect): queries are replicated per graph
-        (Q x G rows — G is a knob, queries are the small side) and
-        cogrouped with the node table, the same shape as
-        knn.cogroup_block_knn.  Output: (query_id, id, distance) asc,
-        k rows per query."""
+        """Beam-search graphs for every query; merge per-graph partials
+        with the exact global window.  Both sides stay DataFrames (no
+        driver collect): queries are replicated per graph (Q x G rows —
+        G is a knob, queries are the small side) and cogrouped with the
+        node table, the same shape as knn.cogroup_block_knn.  Output:
+        (query_id, id, distance) asc, k rows per query.
+
+        ``probe_graphs=R`` routes each query to only its R nearest
+        graphs by router distance (graph_routers) instead of beaming all
+        G — the nested-probe trade that keeps per-query cost flat as the
+        corpus (and therefore G) grows.  Meaningful routing needs a
+        ``partitioner='kmeans'`` build (hash graphs are uniform, every
+        router sits at the global mean); R=G stays exhaustive, and the
+        per-query dominance contract holds at any R (pruning only LOSES
+        candidates).  Default None = full fan-out, the exactness-hook
+        configuration."""
         spark = graph.sparkSession
         ef = int(ef) if ef else max(64, k)
         qid_t = queries.schema[query_id_col].dataType
         id_t = graph.schema["id"].dataType
         k_i = int(k)
 
-        # (+0).alias mints a fresh attribute so the cogroup below isn't an
-        # ambiguous self-join against `graph`'s own graph_id
-        gids = graph.select(
-            (F.col("graph_id") + F.lit(0)).cast("int").alias("graph_id")
-        ).distinct()
-        qrep = self._prep(queries, query_vector_col).select(
+        q0 = self._prep(queries, query_vector_col).select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vector_col).alias("__qv"),
-        ).crossJoin(gids)
+        )
+        if probe_graphs is not None:
+            rt = routers if routers is not None else self.graph_routers(graph)
+            rd = F.aggregate(
+                F.zip_with(
+                    "__qv", "__router",
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("__rd").asc(), F.col("graph_id").asc()
+            )
+            qrep = (
+                q0.crossJoin(F.broadcast(rt))
+                .withColumn("__rd", rd)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= int(probe_graphs))
+                .select("query_id", "__qv", "graph_id")
+            )
+        else:
+            # (+0).alias mints a fresh attribute so the cogroup below
+            # isn't an ambiguous self-join against `graph`'s graph_id
+            gids = graph.select(
+                (F.col("graph_id") + F.lit(0)).cast("int").alias("graph_id")
+            ).distinct()
+            qrep = q0.crossJoin(gids)
         out_schema = T.StructType(
             [
                 T.StructField("query_id", qid_t, False),

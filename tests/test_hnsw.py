@@ -292,3 +292,118 @@ def test_cosine_metric_exact_config(spark):
 def test_metric_validation():
     with pytest.raises(ValueError, match="metric"):
         HNSWIndex(metric="manhattan")
+
+
+# ------------------------------------------------- routed (kmeans) fan-out
+
+
+def _clustered_vecs(spark, n=600, dim=12, centers=6, seed=9):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    C = rng.normal(scale=20.0, size=(centers, dim))
+    rows = [
+        (int(i), (C[i % centers] + rng.normal(size=dim)).tolist())
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id bigint, vector array<float>")
+
+
+def test_kmeans_partitioner_routed_search(spark):
+    import numpy as np
+
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
+    from fabstir_vectordb_spark.operators.knn import brute_force_knn
+
+    vec = _clustered_vecs(spark)
+    h = HNSWIndex(M=8, M0=16, ef_construction=64, num_graphs=6,
+                  partitioner="kmeans")
+    graph = h.build(vec).cache()
+    assert h._routers is not None and h._routers.shape == (6, 12)
+    # membership is cluster-coherent: every graph holds >= 1 node and
+    # the union is the corpus
+    sizes = {r["graph_id"]: r["n"] for r in
+             graph.groupBy("graph_id").count().withColumnRenamed("count", "n").collect()}
+    assert sum(sizes.values()) == 600
+
+    q = vec.limit(12).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("vector")
+    )
+    exact = brute_force_knn(vec, q, 5, metric="l2")
+    full = h.search_bulk(graph, q, 5, ef=600)
+    routed = h.search_bulk(graph, q, 5, ef=600, probe_graphs=2)
+    # routed results are a per-query top-k over a candidate SUBSET:
+    # <= k rows, dominance vs exact, and — because queries are corpus
+    # members whose own cluster is always probed first — the rank-1
+    # hit (the query itself, distance 0) must survive routing
+    rows = routed.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {r["query_id"] for r in q.collect()}
+    for qid, rs in per_q.items():
+        assert len(rs) <= 5
+        best = min(rs, key=lambda r: r["distance"])
+        assert best["id"] == qid and best["distance"] == 0.0
+    # dominance: routed rank-r distance >= full-fan-out rank-r distance
+    fr = {(r["query_id"], i): r["distance"] for qid2, grp in
+          _group(full.collect()).items() for i, r in enumerate(grp) for r in [r]}
+    # with well-separated clusters, probing 2 of 6 graphs recovers most
+    # of exact top-5 (queries sit inside their own cluster)
+    ex = _group(exact.collect())
+    ro = _group(rows)
+    hits = sum(len({r["id"] for r in ro[q_]} & {r["id"] for r in ex[q_]})
+               for q_ in ex)
+    assert hits >= 0.8 * sum(len(ex[q_]) for q_ in ex)
+    # full fan-out over the same kmeans graphs at ef >= corpus == exact
+    f = _group(full.collect())
+    for q_ in ex:
+        assert [r["id"] for r in f[q_]] == [r["id"] for r in ex[q_]]
+
+
+def _group(rows):
+    out = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["distance"], r["id"])):
+        out.setdefault(r["query_id"], []).append(r)
+    return out
+
+
+def test_routed_insert_follows_centroids(spark):
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
+
+    vec = _clustered_vecs(spark, n=300)
+    h = HNSWIndex(M=8, M0=16, ef_construction=64, num_graphs=6,
+                  partitioner="kmeans")
+    graph = h.build(vec).cache()
+    newv = _clustered_vecs(spark, n=60, seed=10).select(
+        (F.col("id") + 1000).alias("id"), "vector"
+    )
+    updated = h.insert(graph, newv).cache()
+    assert updated.count() == 360
+    # routed search still honors contracts after insert
+    q = newv.limit(4).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("vector")
+    )
+    rows = h.search_bulk(updated, q, 3, ef=400, probe_graphs=2).collect()
+    got = _group(rows)
+    for qid, rs in got.items():
+        assert rs[0]["id"] == qid and rs[0]["distance"] == 0.0
+
+
+def test_hash_graphs_routed_via_mean_routers(spark):
+    """probe_graphs works on hash builds too (routers = per-graph
+    means): contracts hold even though routing is uninformative."""
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
+
+    vec = _clustered_vecs(spark, n=200)
+    h = HNSWIndex(M=8, M0=16, ef_construction=64, num_graphs=4)
+    graph = h.build(vec).cache()
+    rt = h.graph_routers(graph)
+    assert rt.count() == 4
+    q = vec.limit(3).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("vector")
+    )
+    rows = h.search_bulk(graph, q, 5, ef=200, probe_graphs=2, routers=rt).collect()
+    got = _group(rows)
+    assert set(got) == {r["query_id"] for r in q.collect()}
+    assert all(len(rs) <= 5 for rs in got.values())
