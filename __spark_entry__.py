@@ -3623,6 +3623,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     historical_post_migration (tier migration + search invariance)
     #   doc_fingerprint gains line-level boilerplate removal columns
     #   keyword_bm25 already carries rrf/weighted fusion parts (late r3)
+    # Round-5 additions (all inside existing slots — every previously
+    # pytest-only component now has a driver row):
+    #   ann_lsh gains graph_stats (HNSW stats vs SQL count) and
+    #     hnsw_routed (kmeans-partitioned probe-pruned fan-out contract)
+    #   hybrid_stats gains mem_vector_bytes (SQL-checked) + mem_ok
+    #     (memory-usage estimator identities)
+    #   persistence_roundtrip gains codec_ok (zstd knob) + pruning_ok
+    #     (PartitionFilters over the saved layout)
+    #   backup_restore gains manifest_ok (sha256 manifest + tamper
+    #     detection) + decorators_ok (storage decorator chain incl.
+    #     encryption-at-rest roundtrip)
+    #   index_maintenance gains sql_ann_ok (SQL-surface ANN rewrite:
+    #     full-probe ≡ exact statement + pruned probe plan)
+    #   keyword_bm25 gains ann_exact_equiv/ann_probe (fusion with a real
+    #     IVF semantic leg)
+    #   session_get_recent gains compacted_historical/compaction_flags
+    #     (end-to-end compaction invariance + integrity + pruning)
+    #   corpus_filter gains n_gram_hits/contaminated (benchmark
+    #     decontamination, full SQL shingle-join replay)
     return {
         "knn_metrics": q_knn_metrics,
         "knn_bulk": q_knn_bulk,
