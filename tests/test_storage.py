@@ -101,3 +101,22 @@ def test_session_save_with_checksums(spark, tmp_path):
         f.write(b"junk")
     res2 = verify_integrity(spark, path)
     assert not res2["ok"] and res2["checksums"]["modified"]
+
+
+def test_filestore_rejects_sibling_root_prefix(tmp_path):
+    """A key resolving to a SIBLING directory sharing the root as a
+    string prefix (root='.../store', target='.../store2/x') must be
+    rejected — the pre-fix prefix check accepted it."""
+    import pytest
+
+    from fabstir_vectordb_spark.sources.storage import FileStore, StorageError
+
+    root = tmp_path / "store"
+    store = FileStore(str(root))
+    with pytest.raises(StorageError):
+        store.put("../store2/x.bin", b"escape")
+    assert not (tmp_path / "store2").exists()
+    # the root itself and nested keys still work
+    store.put("a.bin", b"ok")
+    store.put("deep/b.bin", b"ok2")
+    assert store.get("deep/b.bin") == b"ok2"

@@ -160,3 +160,51 @@ def test_stream_graph_maintenance(spark, tmp_path):
     assert [(r["query_id"], r["id"]) for r in res] == [
         (r["query_id"], r["id"]) for r in exact
     ]
+
+
+def test_stream_graph_swap_crash_recovery(spark, tmp_path):
+    """A crash between the version write and the pointer flip must NOT
+    lose the graph: if the `graph_path` pointer is missing at batch
+    start, the sink re-links the newest complete version and the next
+    batch INSERTS into it rather than rebuilding from the micro-batch
+    alone (the pre-fix failure mode silently replaced the whole graph)."""
+    import os
+
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex, read_graph
+
+    idx = HNSWIndex(M=128, M0=128, ef_construction=128, num_graphs=2,
+                    id_col="id", vector_col="vector")
+    src = tmp_path / "gin2"
+    gpath = str(tmp_path / "graph2")
+    ck = str(tmp_path / "ck_crash")
+    _write_records(src, [
+        {"id": f"h{i}", "vector": [float(i), 1.0], "metadata": None,
+         "ts": "2026-01-10T12:00:00.000Z"}
+        for i in range(15)
+    ])
+    q = SI.write_graph_stream(
+        SI.read_vector_stream(spark, str(src)), idx, gpath, ck
+    )
+    q.awaitTermination(60)
+    assert read_graph(spark, gpath).count() == 15
+    assert os.path.islink(gpath)
+
+    # simulate the crash window: the pointer vanished mid-flip, but the
+    # complete versioned directory is still on disk
+    os.remove(gpath)
+
+    with open(src / "more.json", "w") as f:
+        import json as _json
+
+        for i in range(15, 22):
+            f.write(_json.dumps(
+                {"id": f"h{i}", "vector": [float(i), 1.0], "metadata": None,
+                 "ts": "2026-01-10T12:01:00.000Z"}) + "\n")
+    q = SI.write_graph_stream(
+        SI.read_vector_stream(spark, str(src)), idx, gpath, ck
+    )
+    q.awaitTermination(60)
+    g = read_graph(spark, gpath)
+    assert g.count() == 22  # old 15 recovered + 7 new, nothing lost
+    ids = {r["id"] for r in g.select("id").collect()}
+    assert ids == {f"h{i}" for i in range(22)}
