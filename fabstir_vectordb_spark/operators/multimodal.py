@@ -16,8 +16,10 @@ coverage, bilinear resize) and raises NotImplementedError otherwise.
 ``decoder="fake"`` (default) keeps the deterministic content-hash stub
 for fixtures whose bytes aren't real media.  ``decoder="auto"`` picks
 pil, else png.  Audio has the same split: ``decoder="wav"`` is a REAL
-stdlib ``wave``-based PCM decoder (8/16/32-bit, any channel count) —
-only compressed codecs (mp3/ogg; ffmpeg/librosa) remain stubbed.
+stdlib ``wave``-based PCM decoder (8/16/32-bit, any channel count).
+Video too: ``sample_frames_decoded(decoder="y4m")`` parses the
+uncompressed YUV4MPEG2 container and samples REAL frames.  Only
+compressed codecs (mp3/ogg, h264/vp9; ffmpeg/librosa) remain stubbed.
 """
 
 from __future__ import annotations
@@ -192,6 +194,65 @@ def _decode_wav(data: bytes):
     return arr, rate
 
 
+_Y4M_SIG = b"YUV4MPEG2 "
+
+
+def _decode_y4m(data: bytes):
+    """Stdlib YUV4MPEG2 (y4m) decode -> (frames, fps) or None — the
+    video sibling of _decode_png/_decode_wav (real bytes, zero
+    third-party deps; y4m is the uncompressed interchange format of the
+    public mjpegtools lineage).  ``frames`` is a list of (H, W, 3)
+    uint8 RGB arrays (luma replicated to RGB for C420/C422/Cmono —
+    chroma is irrelevant to the feature kernels downstream).  Only the
+    container is parsed here; compressed codecs (h264/vp9) remain
+    stubbed behind decoder='fake'."""
+    try:
+        if not data or not data.startswith(_Y4M_SIG):
+            return None
+        nl = data.index(b"\n")
+        params = data[len(_Y4M_SIG):nl].split(b" ")
+        W = H = None
+        num, den = 25, 1
+        fmt = b"420"
+        for p in params:
+            if p[:1] == b"W":
+                W = int(p[1:])
+            elif p[:1] == b"H":
+                H = int(p[1:])
+            elif p[:1] == b"F":
+                num, den = (int(x) for x in p[1:].split(b":"))
+            elif p[:1] == b"C":
+                fmt = p[1:]
+        if not W or not H or num <= 0 or den <= 0:
+            return None
+        if fmt.startswith(b"420"):
+            frame_len = W * H + 2 * ((W // 2) * (H // 2))
+        elif fmt.startswith(b"422"):
+            frame_len = W * H + 2 * ((W // 2) * H)
+        elif fmt.startswith(b"444"):
+            frame_len = 3 * W * H
+        elif fmt.startswith(b"mono"):
+            frame_len = W * H
+        else:
+            return None
+        frames, pos = [], nl + 1
+        while pos < len(data):
+            fnl = data.index(b"\n", pos)
+            if data[pos:pos + 5] != b"FRAME":
+                return None
+            body = data[fnl + 1 : fnl + 1 + frame_len]
+            if len(body) < frame_len:
+                return None
+            luma = np.frombuffer(body[: W * H], dtype=np.uint8).reshape(H, W)
+            frames.append(np.repeat(luma[:, :, None], 3, axis=2))
+            pos = fnl + 1 + frame_len
+        if not frames:
+            return None
+        return frames, num / den
+    except Exception:
+        return None
+
+
 def _nearest_resize(arr: np.ndarray, w: int, h: int) -> np.ndarray:
     """Deterministic nearest-neighbor resize of (H, W, C) to (h, w, C)."""
     H, W = arr.shape[:2]
@@ -319,7 +380,8 @@ def image_features(df_decoded: DataFrame, dim: int = 16) -> DataFrame:
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video -> one row per sampled frame timestamp (schema plumbing for
-    frame extraction; the decode itself is the stubbed fake)."""
+    frame extraction; the decode itself is the stubbed fake — see
+    sample_frames_decoded for the real y4m path)."""
     frames = F.when(
         (F.col("kind") == "video") & F.col("meta.duration_ms").isNotNull(),
         F.sequence(
@@ -334,6 +396,79 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         df.withColumn("frame_ts_ms", F.explode(frames))
         .select("media_id", "kind", "frame_ts_ms", "bytes", "meta")
     )
+
+
+def sample_frames_decoded(
+    df: DataFrame,
+    every_ms: int = 1000,
+    decoder: str = "y4m",
+    target: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """REAL frame sampling: decode y4m video bytes and emit one PIXEL
+    row per sampled timestamp — (media_id, frame_ts_ms, pixels,
+    px_width, px_height), resized like decode_images so the rows feed
+    image_features / media kNN directly.  Sampling picks the frame at
+    floor(ts * fps / 1000); rows whose bytes don't parse emit nothing
+    (the per-row decode-failure contract of the image/audio paths).
+    ``decoder='fake'`` emits deterministic content-hash pixels at the
+    metadata-derived timestamps, for fixtures without real media."""
+    if decoder not in ("y4m", "fake"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    w, h = target
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("frame_ts_ms", T.LongType(), False),
+            T.StructField("pixels", T.ArrayType(T.IntegerType()), True),
+            T.StructField("px_width", T.IntegerType(), True),
+            T.StructField("px_height", T.IntegerType(), True),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {"media_id": [], "frame_ts_ms": [], "pixels": [],
+                    "px_width": [], "px_height": []}
+            for mid, kind, data, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["bytes"], pdf["meta"]
+            ):
+                if kind != "video" or data is None:
+                    continue
+                if decoder == "y4m":
+                    dec = _decode_y4m(bytes(data))
+                    if dec is None:
+                        continue
+                    frames, fps = dec
+                    dur_ms = int(len(frames) / fps * 1000)
+                    ts = 0
+                    while ts < max(dur_ms, 1):
+                        idx = min(int(ts * fps / 1000.0), len(frames) - 1)
+                        arr = _nearest_resize(frames[idx], w, h)
+                        rows["media_id"].append(mid)
+                        rows["frame_ts_ms"].append(ts)
+                        rows["pixels"].append(
+                            arr.reshape(-1).astype("int32").tolist()
+                        )
+                        rows["px_width"].append(w)
+                        rows["px_height"].append(h)
+                        ts += every_ms
+                else:
+                    dur = (meta or {}).get("duration_ms") or 0
+                    for ts in range(0, max(int(dur), 1), every_ms):
+                        arr = _fake_pixels(
+                            bytes(data) + ts.to_bytes(8, "big"), w, h
+                        )
+                        rows["media_id"].append(mid)
+                        rows["frame_ts_ms"].append(ts)
+                        rows["pixels"].append(
+                            arr.reshape(-1).astype("int32").tolist()
+                        )
+                        rows["px_width"].append(w)
+                        rows["px_height"].append(h)
+            if rows["media_id"]:  # empty frame -> ndarray cols Arrow
+                yield pd.DataFrame(rows)  # can't cast to list<int32>
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 def audio_window_stats(
