@@ -1222,7 +1222,82 @@ def q_media_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_ts_ms").cast("long").alias("k"),
         F.lit(True).alias("ok"),
     )
-    return img.unionByName(aud).unionByName(vid)
+
+    # round 5: REAL-decoder content parts — actual PNG / WAV / Y4M bytes
+    # flow through the same kernels, with closed-form planted content so
+    # every emitted value is an exact SQL constant: a solid-color PNG's
+    # first pixel survives decode+resize verbatim; a ±0.5 square wave's
+    # RMS is exactly 0.5 (all float steps exact); two planted-luma video
+    # frames sample back at their timestamps.
+    import io
+    import struct
+    import wave
+    import zlib
+
+    import numpy as np
+
+    def _chunk(t: bytes, b: bytes) -> bytes:
+        body = t + b
+        return (
+            struct.pack(">I", len(b)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    arr[:] = (200, 50, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(
+            b"".join(b"\x00" + arr[y].tobytes() for y in range(4))))
+        + _chunk(b"IEND", b"")
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(
+            np.tile(np.array([16384, -16384], dtype="<i2"), 4000).tobytes()
+        )
+    wav = buf.getvalue()
+    y4m = b"YUV4MPEG2 W4 H4 F2:1 Ip A1:1 C420jpeg\n" + b"".join(
+        b"FRAME\n" + bytes([v] * 16) + bytes([128] * 8) for v in (60, 180)
+    )
+    real = spark.createDataFrame(
+        [
+            ("rimg_0", "image", bytearray(png), None),
+            ("raud_0", "audio", bytearray(wav), None),
+            ("rvid_0", "video", bytearray(y4m), None),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    rimg = (
+        MM.decode_images(real, decoder="png", target=(2, 2))
+        .filter(F.col("kind") == "image")
+        .select(
+            F.lit("real_image").alias("part"), "media_id",
+            F.element_at("pixels", 1).cast("long").alias("k"),
+            ((F.col("px_width") == 2) & (F.size("pixels") == 12)).alias("ok"),
+        )
+    )
+    raud = MM.audio_window_stats(real, window_ms=500, decoder="wav").select(
+        F.lit("real_audio").alias("part"), "media_id",
+        F.col("window_idx").cast("long").alias("k"),
+        (F.col("energy") == 0.5).alias("ok"),
+    )
+    rvid = MM.sample_frames_decoded(real, every_ms=500, target=(2, 2)).select(
+        F.lit("real_video").alias("part"), "media_id",
+        F.col("frame_ts_ms").alias("k"),
+        (
+            F.element_at("pixels", 1)
+            == F.when(F.col("frame_ts_ms") == 0, 60).otherwise(180)
+        ).alias("ok"),
+    )
+    return (
+        img.unionByName(aud).unionByName(vid)
+        .unionByName(rimg).unionByName(raud).unionByName(rvid)
+    )
 
 
 _IVFPQ_ENC: dict = {}
@@ -3243,6 +3318,19 @@ FROM (
       1000)) AS frame_ts_ms
   FROM m
 )
+UNION ALL
+-- real-decoder content rows (closed-form planted media): solid-color
+-- PNG first pixel, two exact-RMS WAV windows, two planted-luma frames
+SELECT 'real_image' AS part, 'rimg_0' AS media_id,
+       CAST(200 AS BIGINT) AS k, true AS ok
+UNION ALL
+SELECT 'real_audio' AS part, 'raud_0' AS media_id,
+       CAST(w AS BIGINT) AS k, true AS ok
+FROM (SELECT unnest([0, 1]) AS w)
+UNION ALL
+SELECT 'real_video' AS part, 'rvid_0' AS media_id,
+       CAST(t AS BIGINT) AS k, true AS ok
+FROM (SELECT unnest([0, 500]) AS t)
 """
 
 # the encoded-table contract: one row per vector, constants elsewhere
