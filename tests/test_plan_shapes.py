@@ -109,3 +109,49 @@ def test_hnsw_graph_scan_prunes(spark, tmp_path, embeddings):
     plan = _executed(loaded.filter(F.col("graph_id") == 2))
     assert "PartitionFilters" in plan
     assert "graph_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_decontaminate_broadcasts_benchmark_and_never_shuffles_text(spark):
+    """Decontamination's 100 TB shape: the eval set's n-gram hash set is
+    the broadcast side, corpus n-grams are map-only projections, and no
+    Exchange in the plan carries the raw text column."""
+    from fabstir_vectordb_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    plan = _executed(decontaminate(docs, bench, n=8))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    # only int64 hashes shuffle: no Exchange subtree outputs `text`
+    for seg in plan.split("Exchange")[1:]:
+        assert "text#" not in seg.split("\n")[0]
+
+
+def test_sql_ann_rewrite_prunes_and_delegates(spark, tmp_path, embeddings):
+    """The SQL-surface rewrite's two contracts as plan assertions: a
+    matching statement over a registered persisted layout reaches the
+    scan with PartitionFilters; a non-matching statement's plan is the
+    ordinary full-scan sort (delegation)."""
+    from fabstir_vectordb_spark.functions.sqlfns import register_sql_functions
+    from fabstir_vectordb_spark.operators.ivf import IVFIndex, write_clustered
+    from fabstir_vectordb_spark.plans.sql_ann import AnnCatalog, ann_sql
+
+    register_sql_functions(spark)
+    emb = embeddings.limit(300)
+    idx = IVFIndex.fit(emb, n_clusters=4, seed=7,
+                       id_col="vec_id", vector_col="embedding")
+    path = str(tmp_path / "sqlann_clustered")
+    write_clustered(emb, idx, path)
+    disk = spark.read.parquet(path)
+    cat = AnnCatalog()
+    cat.register("sqlann_view", idx, disk, n_rows=300)
+    emb.createOrReplaceTempView("sqlann_view")
+    qv = emb.limit(1).collect()[0]["embedding"]
+    qsql = "array(" + ", ".join(f"CAST({float(x)} AS FLOAT)" for x in qv) + ")"
+    stmt = (f"SELECT vec_id, vec_l2(embedding, {qsql}) AS distance "
+            f"FROM sqlann_view ORDER BY distance LIMIT 5")
+    plan = _executed(ann_sql(spark, stmt, cat, n_probe=1))
+    assert "PartitionFilters" in plan
+    assert "cluster_id" in plan.split("PartitionFilters")[1][:200]
+    # delegation: un-rewritable SQL runs verbatim
+    plain = _executed(ann_sql(spark, "SELECT count(*) AS n FROM sqlann_view", cat))
+    assert "PartitionFilters: [isnotnull" not in plain
