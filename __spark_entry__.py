@@ -568,7 +568,13 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text stats + token counting both ways (whitespace and the
     BPE-ish regex) — the token_counts query merged in (round 3) to free a
-    registry slot; n_tokens IS the whitespace count."""
+    registry slot; n_tokens IS the whitespace count.
+
+    Round 5 adds the feature-hashed embedding (functions/text.py
+    hashed_embedding — the public hashing trick; the model-free
+    documents -> vectors leg of rag_ingest): two components of the
+    dim-8 L2-normalized vector are emitted round-6 and the oracle
+    replays the full md5 bucket/sign/normalize arithmetic in SQL."""
     docs = _t(spark, sf_dir, "documents")
     # tokenize once behind an exchange: the repartition is both the
     # parallelism spread for single-file inputs and the barrier that stops
@@ -578,6 +584,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.whitespace_tokens("text").alias("__toks"),
         X.word_tokens("text").alias("__bpe"),
     ).repartition(spark.sparkContext.defaultParallelism)
+    emb = X.hashed_embedding("__toks", 8)
     return toks.select(
         "doc_id",
         X.token_count_from("__toks").cast("long").alias("n_tokens"),
@@ -587,6 +594,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__bpe").cast("long").alias("n_bpe"),
         X.repetition_ratio_from("__toks", 1).alias("rep_1gram"),
         X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
+        r6(F.element_at(emb, 1)).alias("emb0"),
+        r6(F.element_at(emb, 2)).alias("emb1"),
     )
 
 
@@ -991,14 +1000,37 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     128-token context windows, emit the (doc, window) span map.  The
     layout is a pure function of token counts, so the oracle replays the
     whole prefix-sum + chop in SQL — the distributed two-phase scan must
-    equal DuckDB's single-node window sum exactly."""
-    from fabstir_vectordb_spark.operators.sampling import pack_sequences
+    equal DuckDB's single-node window sum exactly.
+
+    part='chunk' (round 5) certifies the sibling RAG chunker
+    (chunk_documents: 32-token windows, 8-token overlap): layout AND
+    content — chunk_md5 hashes each chunk's exact token-slice text, so
+    the SQL replay checks every chunk's bytes, not just its span."""
+    from fabstir_vectordb_spark.operators.sampling import (
+        chunk_documents,
+        pack_sequences,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    out = pack_sequences(docs, 128, id_col="doc_id", text_col="text")
-    return out.select(
-        F.col("id").alias("doc_id"), "bin_id", "start_tok", "tokens_in_bin"
+    pack = pack_sequences(docs, 128, id_col="doc_id", text_col="text").select(
+        F.lit("pack").alias("part"),
+        F.col("id").alias("doc_id"),
+        "bin_id",
+        "start_tok",
+        "tokens_in_bin",
+        F.lit("n").alias("chunk_md5"),
     )
+    ch = chunk_documents(
+        docs, chunk_tokens=32, overlap_tokens=8, id_col="doc_id", text_col="text"
+    ).select(
+        F.lit("chunk").alias("part"),
+        F.col("id").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("bin_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("n_tokens").cast("long").alias("tokens_in_bin"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+    return pack.unionByName(ch)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2682,10 +2714,21 @@ c AS (
     CASE WHEN len(toks) >= 3
          THEN list_transform(generate_series(1, len(toks) - 2),
               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-         ELSE [] END AS g3
+         ELSE [] END AS g3,
+    -- feature-hashed embedding: dim-8 raw bucket sums (md5 bucket+sign)
+    list_transform(generate_series(0, 7), i ->
+      list_sum(list_transform(toks, tk ->
+        CASE WHEN CAST(concat('0x', substr(md5(tk || '|emb|b'), 1, 8)) AS BIGINT) % 8 = i
+             THEN CASE WHEN CAST(concat('0x', substr(md5(tk || '|emb|s'), 1, 8)) AS BIGINT) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END
+             ELSE 0.0 END))) AS eraw
   FROM t
+), e AS (
+  SELECT doc_id, sqrt(list_sum(list_transform(eraw, x -> x * x))) AS enrm,
+         eraw AS ev
+  FROM c
 )
-SELECT doc_id,
+SELECT c.doc_id,
   sz AS n_tokens,
   len(list_distinct(toks)) AS n_unique,
   (round(CASE WHEN sz = 0 THEN 0.0
@@ -2700,8 +2743,10 @@ SELECT doc_id,
        ELSE 0.0 END AS rep_1gram,
   CASE WHEN sz >= 3
        THEN (round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / (sz - 2), 6) + 0.0)
-       ELSE 0.0 END AS rep_3gram
-FROM c
+       ELSE 0.0 END AS rep_3gram,
+  (round(CASE WHEN enrm = 0 THEN ev[1] ELSE ev[1] / enrm END, 6) + 0.0) AS emb0,
+  (round(CASE WHEN enrm = 0 THEN ev[2] ELSE ev[2] / enrm END, 6) + 0.0) AS emb1
+FROM c JOIN e ON c.doc_id = e.doc_id
 """
 
 _ORACLES["index_maintenance"] = """
@@ -2963,11 +3008,27 @@ c AS (
          unnest(generate_series(CAST(floor(start_tok / 128.0) AS BIGINT),
                                 CAST(floor((start_tok + n - 1) / 128.0) AS BIGINT))) AS bin_id
   FROM c WHERE n > 0
+), tk AS (
+  SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n
+  FROM documents WHERE trim(text) <> ''
+), ch AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0,
+             greatest(0, CAST(floor((n - 8 - 1) / 24.0) AS BIGINT)))) AS ci
+  FROM tk
 )
-SELECT doc_id, bin_id, start_tok,
+SELECT 'pack' AS part, doc_id, bin_id, start_tok,
        least(start_tok + n, (bin_id + 1) * 128)
-         - greatest(start_tok, bin_id * 128) AS tokens_in_bin
+         - greatest(start_tok, bin_id * 128) AS tokens_in_bin,
+       'n' AS chunk_md5
 FROM spans
+UNION ALL
+SELECT 'chunk' AS part, doc_id, ci AS bin_id,
+       CAST(ci * 24 AS BIGINT) AS start_tok,
+       least(32, n - ci * 24) AS tokens_in_bin,
+       md5(array_to_string(toks[CAST(ci * 24 + 1 AS BIGINT)
+                                : CAST(ci * 24 + 32 AS BIGINT)], ' ')) AS chunk_md5
+FROM ch
 """
 
 _ORACLES["corpus_filter"] = f"""

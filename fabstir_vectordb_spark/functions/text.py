@@ -268,3 +268,46 @@ def redact_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
         pattern, token = PII_PATTERNS[kind]
         out = F.regexp_replace(out, pattern, token)
     return out
+
+
+def hashed_embedding(tokens: Column | str, dim: int = 64, salt: str = "emb") -> Column:
+    """Feature-hashed bag-of-words embedding — the hashing trick
+    (Weinberger et al., ICML 2009): each token adds ±1 to one of
+    ``dim`` buckets (bucket and sign derived from md5(token|salt)),
+    then the vector is L2-normalized (all-zero stays zero).  Model-free,
+    deterministic, and ENGINE-REPRODUCIBLE — the md5 arithmetic replays
+    exactly in any SQL engine, so a documents -> vectors -> index
+    pipeline built on it is oracle-checkable end to end.  Returns
+    array<double> over an already-materialized token array.
+
+    Cost note: this expression form re-walks the token array per output
+    component (O(dim x tokens) per row, and Catalyst may re-evaluate the
+    raw vector for the normalization) — right for moderate dims and for
+    certification; for large dim x corpus, materialize the per-token
+    (bucket, sign) pairs behind an exchange and aggregate, or drop to a
+    numpy bincount kernel with the same md5 formulas."""
+    t = _c(tokens)
+    d = int(dim)
+    if d <= 0:
+        raise ValueError("dim must be positive")
+
+    def _h(tk: Column, kind: str) -> Column:
+        h = F.md5(F.concat_ws("|", tk, F.lit(salt), F.lit(kind)))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+    def _component(i: Column) -> Column:
+        return F.aggregate(
+            t,
+            F.lit(0.0),
+            lambda acc, tk: acc
+            + F.when(
+                F.pmod(_h(tk, "b"), F.lit(d)) == i.cast("long"),
+                F.when(F.pmod(_h(tk, "s"), F.lit(2)) == 0, F.lit(1.0)).otherwise(
+                    F.lit(-1.0)
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+
+    raw = F.transform(F.sequence(F.lit(0), F.lit(d - 1)), _component)
+    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(nrm == 0.0, raw).otherwise(F.transform(raw, lambda x: x / nrm))

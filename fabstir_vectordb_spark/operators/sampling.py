@@ -190,3 +190,84 @@ def pack_sequences(
             "tokens_in_bin"
         ),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emit_text: bool = True,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the RAG /
+    embedding-ingestion chunker (the reference is a vector DB; its
+    users chunk documents exactly like this before embedding them).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap_tokens; the last chunk may be
+    short; zero-token documents emit nothing.  Output: one row per
+    chunk — (id, chunk_idx, start_tok, n_tokens[, chunk_text]).
+    Deterministic and engine-replayable: the layout is a pure function
+    of (token count, chunk_tokens, overlap_tokens), and chunk_text is
+    a token-slice join, so the whole operator replays in SQL.
+
+    100 TB shape: pure column expressions (tokenize -> sequence ->
+    explode -> slice) — no shuffle at all; the explode multiplies rows
+    by ~n_tokens/stride, the intended output size.  Tokenization is
+    materialized behind the projection barrier so the split runs once
+    per row, not once per chunk.
+    """
+    from fabstir_vectordb_spark.functions.text import whitespace_tokens
+
+    C, O = int(chunk_tokens), int(overlap_tokens)
+    if C <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= O < C:
+        raise ValueError("overlap_tokens must be in [0, chunk_tokens)")
+    stride = C - O
+    toks = (
+        docs
+        # empty/whitespace-only docs emit nothing (the tokenizer yields
+        # [''] for them — size 1 — so the guard is on the trimmed text)
+        .filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("id"),
+            whitespace_tokens(F.col(text_col)).alias("__t"),
+        )
+        .select("id", "__t", F.size("__t").alias("__n"))
+    )
+    # chunk starts: 0, stride, ... last start < n (ceil((n-O)/stride)
+    # chunks; a doc shorter than one chunk yields exactly one)
+    idx = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("__n") - O - 1) / F.lit(stride)).cast("long"),
+            ),
+        )
+    ).alias("chunk_idx")
+    out = toks.select("id", "__t", "__n", idx).select(
+        "id",
+        "chunk_idx",
+        (F.col("chunk_idx") * stride).alias("start_tok"),
+        F.least(
+            F.lit(C), F.col("__n") - F.col("chunk_idx") * stride
+        ).alias("n_tokens"),
+        *(
+            [
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "__t",
+                        (F.col("chunk_idx") * stride + 1).cast("int"),
+                        C,
+                    ),
+                ).alias("chunk_text")
+            ]
+            if emit_text
+            else []
+        ),
+    )
+    return out

@@ -115,3 +115,46 @@ def pack_corpus(
     plan (pack_sequences' certified layout over the curated stream)."""
     part = curated.filter(F.col("split") == split)
     return pack_sequences(part, context_len, id_col="id", n_tokens_col="n_tokens")
+
+
+def rag_ingest(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+    embedding_dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style ingestion: chunk documents into overlapping token
+    windows and attach a feature-hashed embedding per chunk — the
+    documents -> vectors half of the vector-DB workflow, fully real and
+    engine-reproducible (no model dependency; swap `hashed_embedding`
+    for a mapInPandas encoder to plug a learned model in).  Output:
+    (chunk_id, doc_id, chunk_idx, chunk_text, embedding) — ready for
+    IVFIndex.fit/assign, HNSWIndex.build, or
+    VectorDbSession.from_dataframe.
+
+    Scale shape: chunking is explode-only (no shuffle) and the
+    embedding is a pure column expression over each chunk's own tokens,
+    so the whole ingest is one scan-shaped pass."""
+    from fabstir_vectordb_spark.functions.text import (
+        hashed_embedding,
+        whitespace_tokens,
+    )
+    from fabstir_vectordb_spark.operators.sampling import chunk_documents
+
+    chunks = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap_tokens=overlap_tokens,
+        id_col=id_col, text_col=text_col, emit_text=True,
+    )
+    return chunks.select(
+        F.concat_ws(
+            "#", F.col("id").cast("string"), F.col("chunk_idx").cast("string")
+        ).alias("chunk_id"),
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "chunk_text",
+        hashed_embedding(
+            whitespace_tokens(F.col("chunk_text")), embedding_dim
+        ).alias("embedding"),
+    )

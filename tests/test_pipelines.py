@@ -98,3 +98,62 @@ def test_curate_corpus_decontaminates(spark):
     ids = {r["id"] for r in out.select("id").collect()}
     assert 5 not in ids
     assert {0, 1, 6} <= ids
+
+
+def test_rag_ingest_end_to_end(spark):
+    """chunk -> feature-hashed embed -> IVF index -> search: a chunk's
+    own embedding must retrieve that chunk at rank 1 (distance 0), and
+    identical chunk texts embed identically."""
+    from fabstir_vectordb_spark.operators.ivf import IVFIndex
+    from fabstir_vectordb_spark.pipelines import rag_ingest
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}_{j}" for j in range(40)) + " shared tail words")
+            for i in range(30)
+        ]
+        + [(99, " ".join(f"w7_{j}" for j in range(40)) + " shared tail words")],
+        "doc_id long, text string",
+    )
+    ing = rag_ingest(
+        docs, chunk_tokens=16, overlap_tokens=4, embedding_dim=32
+    ).cache()
+    rows = ing.collect()
+    assert all(len(r["embedding"]) == 32 for r in rows)
+    # doc 99 duplicates doc 7's text -> identical chunk embeddings
+    by_key = {(r["doc_id"], r["chunk_idx"]): r["embedding"] for r in rows}
+    assert by_key[(99, 0)] == by_key[(7, 0)]
+    assert by_key[(99, 0)] != by_key[(8, 0)]
+
+    idx = IVFIndex.fit(
+        ing, n_clusters=4, seed=3, id_col="chunk_id", vector_col="embedding"
+    )
+    assigned = idx.assign(ing)
+    probe = ing.filter(
+        (F.col("doc_id") == 12) & (F.col("chunk_idx") == 1)
+    ).select(
+        F.col("chunk_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    res = idx.search_bulk(assigned, probe, 3, n_probe=4).orderBy(
+        "distance", "id"
+    ).collect()
+    assert res[0]["id"] == "12#1" and res[0]["distance"] == 0.0
+
+
+def test_chunk_documents_layout(spark):
+    from fabstir_vectordb_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))), (1, "a b"), (2, "  ")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=4, overlap_tokens=1).collect()
+    got = {(r["id"], r["chunk_idx"]): r for r in rows}
+    # doc 0: starts 0,3,6 (stride 3), last chunk full
+    assert sorted(k for k in got if k[0] == 0) == [(0, 0), (0, 1), (0, 2)]
+    assert got[(0, 1)]["start_tok"] == 3 and got[(0, 1)]["chunk_text"] == "t3 t4 t5 t6"
+    assert got[(0, 2)]["n_tokens"] == 4
+    # short doc: one chunk, short
+    assert got[(1, 0)]["n_tokens"] == 2 and got[(1, 0)]["chunk_text"] == "a b"
+    # whitespace-only doc emits nothing
+    assert not any(k[0] == 2 for k in got)
