@@ -173,13 +173,15 @@ def main() -> int:
     except Exception as e:
         print(f"bm25 prefit failed: {e}", file=sys.stderr)
 
-    # three timed repetitions per query, report the MEDIAN: this
-    # sandbox's lazy page-faulting and GC make single warm runs noisy by
-    # 2-4x on the allocation-heavy bulk joins (PERFORMANCE.md records
-    # 1.8 s vs 8.4 s back-to-back for one plan).  Median-of-3 is robust
-    # to one faulted rep in either direction; all reps are fully warm
-    # (the warmup above already compiled every plan shape).
-    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # timed repetitions per query, report the MEDIAN: this sandbox's
+    # lazy page-faulting, GC, and intermittent hypervisor-neighbor load
+    # make single warm runs noisy by 2-4x on the allocation-heavy bulk
+    # joins (PERFORMANCE.md records 1.8 s vs 8.4 s back-to-back for one
+    # plan, and same-code bench totals of 14.5-30 s within an hour).
+    # Median-of-5 (round 5; was median-of-3) tolerates TWO bad reps per
+    # query in either direction; all reps are fully warm (the warmup
+    # above already compiled every plan shape).
+    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
     def timed(fn) -> float:
         samples = []
