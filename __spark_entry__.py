@@ -574,8 +574,19 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed_embedding — the public hashing trick; the model-free
     documents -> vectors leg of rag_ingest): two components of the
     dim-8 L2-normalized vector are emitted round-6 and the oracle
-    replays the full md5 bucket/sign/normalize arithmetic in SQL."""
+    replays the full md5 bucket/sign/normalize arithmetic in SQL.
+
+    Round 5 also adds lm_bigram (operators/lm.py bigram_lm_score —
+    the dependency-free perplexity-filter analogue): each doc's mean
+    ln P(w2|w1) under the add-0.5-smoothed bigram model fit on this
+    same corpus; the oracle replays counts, smoothing, and the mean
+    in SQL, with <2-token docs floored to exactly 0.0."""
+    from fabstir_vectordb_spark.operators.lm import bigram_lm_score
+
     docs = _t(spark, sf_dir, "documents")
+    lm = bigram_lm_score(docs, k=0.5).select(
+        F.col("id").alias("doc_id"), r6("lm_score").alias("lm_bigram")
+    )
     # tokenize once behind an exchange: the repartition is both the
     # parallelism spread for single-file inputs and the barrier that stops
     # CollapseProject re-inlining the regex split into every stat
@@ -596,7 +607,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
         r6(F.element_at(emb, 1)).alias("emb0"),
         r6(F.element_at(emb, 2)).alias("emb1"),
-    )
+    ).join(lm, "doc_id")
 
 
 def q_text_stats_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,8 +732,19 @@ def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
       ann_probe — same pipeline at realistic n_probe = 2; fused output
                  is model-dependent, so the row certifies the per-query
                  contract: 1..k results, RRF scores within (0, 2/61]
+
+    Round-5 vocabulary part (operators/keyword.py vocab_stats — the
+    tokenizer-training / vocab-pruning table, a zero-extra-scan
+    byproduct of the same postings):
+
+      vocab    — top-10 terms by collection frequency (ties broken by
+                 term), folded into the part schema as
+                 query_id=term, id=document frequency, score=term
+                 frequency; the oracle replays the aggregation off the
+                 identical postings CTE
     """
     from fabstir_vectordb_spark.operators.fusion import hybrid_retrieval
+    from fabstir_vectordb_spark.operators.keyword import vocab_stats
 
     base = _keyword_fusion_base(spark, sf_dir)
     docs, emb = base["docs"], base["emb"]
@@ -768,11 +790,23 @@ def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("id"), "score",
         )
     )
+    part_vocab = (
+        vocab_stats(postings=post)
+        .orderBy(F.col("tf").desc(), F.col("term"))
+        .limit(10)
+        .select(
+            F.lit("vocab").alias("part"),
+            F.col("term").alias("query_id"),
+            F.col("df").alias("id"),
+            F.col("tf").cast("double").alias("score"),
+        )
+    )
     return (
         part_bm25.unionByName(part_rrf)
         .unionByName(part_w)
         .unionByName(part_equiv)
         .unionByName(part_probe)
+        .unionByName(part_vocab)
     )
 
 
@@ -818,9 +852,19 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     test-set-overlap procedure): every 50th doc's text stands in as the
     held-out eval set, n=8 word-gram windows, and each doc emits its
     distinct-hit count + contaminated verdict — the oracle replays the
-    whole shingle-join in SQL."""
+    whole shingle-join in SQL.
+
+    Round 5 also adds per-source frequency capping (operators/
+    sampling.py cap_per_group — "at most N docs per domain", the
+    over-represented-host control): deterministic md5-rank window
+    inside each source, cap 15, emitting grp_rank + grp_kept; the
+    oracle replays the identical window."""
     from fabstir_vectordb_spark.operators.dedup import decontaminate
-    from fabstir_vectordb_spark.operators.sampling import assign_split, sample_keep
+    from fabstir_vectordb_spark.operators.sampling import (
+        assign_split,
+        cap_per_group,
+        sample_keep,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
@@ -848,7 +892,10 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").cast("long").alias("n_gram_hits"),
         "contaminated",
     )
-    return out.join(dec, "doc_id")
+    caps = cap_per_group(docs.select("doc_id", "source"), cap=15).select(
+        "doc_id", "source", "grp_rank", "grp_kept"
+    )
+    return out.join(dec, "doc_id").join(caps, "doc_id")
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2727,6 +2774,24 @@ c AS (
   SELECT doc_id, sqrt(list_sum(list_transform(eraw, x -> x * x))) AS enrm,
          eraw AS ev
   FROM c
+), bgr AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2)
+), c12 AS (
+  SELECT w1, w2, count(*) AS cnt FROM bgr GROUP BY 1, 2
+), cctx AS (
+  SELECT w1, count(*) AS cnt FROM bgr GROUP BY 1
+), vv AS (
+  SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)
+), lms AS (
+  SELECT b.doc_id,
+         avg(ln((c12.cnt + 0.5) / (cctx.cnt + 0.5 * vv.v))) AS lm
+  FROM bgr b
+  JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+  JOIN cctx ON b.w1 = cctx.w1
+  CROSS JOIN vv
+  GROUP BY b.doc_id
 )
 SELECT c.doc_id,
   sz AS n_tokens,
@@ -2745,8 +2810,11 @@ SELECT c.doc_id,
        THEN (round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / (sz - 2), 6) + 0.0)
        ELSE 0.0 END AS rep_3gram,
   (round(CASE WHEN enrm = 0 THEN ev[1] ELSE ev[1] / enrm END, 6) + 0.0) AS emb0,
-  (round(CASE WHEN enrm = 0 THEN ev[2] ELSE ev[2] / enrm END, 6) + 0.0) AS emb1
-FROM c JOIN e ON c.doc_id = e.doc_id
+  (round(CASE WHEN enrm = 0 THEN ev[2] ELSE ev[2] / enrm END, 6) + 0.0) AS emb1,
+  (round(COALESCE(lms.lm, 0.0), 6) + 0.0) AS lm_bigram
+FROM c
+JOIN e ON c.doc_id = e.doc_id
+LEFT JOIN lms ON c.doc_id = lms.doc_id
 """
 
 _ORACLES["index_maintenance"] = """
@@ -2899,6 +2967,16 @@ UNION ALL
 SELECT 'ann_probe' AS part, 'q' || CAST(qid AS VARCHAR) AS query_id,
        CAST(0 AS BIGINT) AS id, 1.0 AS score
 FROM (SELECT unnest([0, 10, 20, 30]) AS qid)
+UNION ALL
+-- vocabulary stats off the same postings: top-10 terms by collection
+-- frequency (query_id=term, id=doc frequency, score=term frequency)
+SELECT 'vocab' AS part, term AS query_id, vdf AS id, vtf AS score
+FROM (
+  SELECT term, CAST(count(DISTINCT id) AS BIGINT) AS vdf,
+         CAST(sum(tf) AS DOUBLE) AS vtf
+  FROM post GROUP BY term
+  ORDER BY sum(tf) DESC, term LIMIT 10
+)
 """
 
 # identical planted fixture + regex chain as q_pii_redact (patterns are
@@ -3093,6 +3171,12 @@ WITH t AS (
 ), hits AS (
   SELECT s.doc_id, count(DISTINCT s.sh) AS n_gram_hits
   FROM shng s JOIN bsh USING (sh) GROUP BY s.doc_id
+), caps AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY
+      CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|cap')), 1, 8)) AS BIGINT),
+      doc_id) AS grp_rank
+  FROM documents
 )
 SELECT sig.doc_id, lang, quality, n_tokens, rep_3gram,
   (lang = 'en' AND quality >= 0.3 AND rep_3gram <= 0.2
@@ -3105,8 +3189,13 @@ SELECT sig.doc_id, lang, quality, n_tokens, rep_3gram,
   (CAST(concat('0x', substr(md5(concat(CAST(sig.doc_id AS VARCHAR), '|sample')), 1, 8)) AS BIGINT)
    / 4294967296.0 < 0.25) AS sampled,
   CAST(COALESCE(h.n_gram_hits, 0) AS BIGINT) AS n_gram_hits,
-  COALESCE(h.n_gram_hits, 0) >= 1 AS contaminated
-FROM sig LEFT JOIN hits h ON sig.doc_id = h.doc_id
+  COALESCE(h.n_gram_hits, 0) >= 1 AS contaminated,
+  caps.source AS source,
+  CAST(caps.grp_rank AS BIGINT) AS grp_rank,
+  caps.grp_rank <= 15 AS grp_kept
+FROM sig
+LEFT JOIN hits h ON sig.doc_id = h.doc_id
+JOIN caps ON sig.doc_id = caps.doc_id
 """
 
 _ORACLES["dedup_exact"] = f"""

@@ -55,6 +55,35 @@ def build_postings(
     )
 
 
+def vocab_stats(
+    docs: DataFrame | None = None,
+    postings: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term, tf, df): corpus vocabulary statistics — collection term
+    frequency and document frequency per distinct term.  The table a
+    tokenizer-training / vocab-pruning stage starts from, and the
+    zero-extra-cost byproduct of the inverted index: when ``postings``
+    is given (the build_postings artifact) this is ONE hash aggregation
+    over (term, tf) pairs — no re-tokenize, no second corpus scan,
+    the same no-double-scan contract bm25_search keeps for avgdl.
+
+    Scale shape: partial aggregation shuffles only the distinct-term
+    set (Zipf-bounded), never the token stream; top-k consumers apply
+    an ``orderBy(...).limit(k)`` on the result, which Spark executes
+    as per-partition TakeOrdered + single merge, not a global sort.
+    """
+    if postings is None:
+        if docs is None:
+            raise ValueError("need docs or postings")
+        postings = build_postings(docs, text_col=text_col, id_col=id_col)
+    return postings.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("tf"),
+        F.count("*").cast("long").alias("df"),
+    )
+
+
 def bm25_search(
     docs: DataFrame | None,
     queries: DataFrame,

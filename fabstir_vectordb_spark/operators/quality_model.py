@@ -1,0 +1,148 @@
+"""Model-based quality filtering — the classifier stage of a web-scale
+curation pipeline (public procedure from the GPT-3 paper, appendix A,
+and CCNet: train a linear classifier to separate a trusted "positive"
+corpus from raw crawl text, then keep raw documents the model scores
+high, usually with a stochastic Pareto-threshold keep rule).
+
+Everything here stays on the JVM:
+
+  * features — the engine's deterministic feature-hashed bag-of-words
+    (functions/text.hashed_embedding) plus a handful of cheap quality
+    signals (length, stopword ratio, repetition), assembled into an
+    ``ml.linalg`` vector via ``array_to_vector`` (Spark's built-in
+    Arrow-free conversion; no Python row path).
+  * model — ``pyspark.ml.classification.LogisticRegression``: the
+    distributed L-BFGS implementation that ships with Spark.  Training
+    aggregates gradients tree-wise across executors; scoring is a
+    narrow map with the coefficient vector broadcast.  Both survive a
+    1000-executor cluster unchanged.
+  * scoring — ``model.transform`` emits the positive-class probability;
+    ``keep_pareto`` applies the published stochastic acceptance rule
+    ``keep if score > 1 - sample(pareto(alpha))`` with a DETERMINISTIC
+    id-hashed uniform (inverse-CDF), so reruns keep the same rows.
+
+Certified by pytest (`tests/test_quality_model.py`) — model training is
+iterative/non-SQL-expressible, so per the driver contract this surface
+carries test-level certification (separable-fixture accuracy, scoring
+determinism, no driver loops) instead of a DuckDB oracle row.
+
+Reference parity: none (vector DB; no model surface) — LLM-pipeline
+extension axis, SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from .sampling import _bucket, _BUCKETS
+
+
+def quality_features(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "features",
+) -> DataFrame:
+    """(id, features): hashed bag-of-words (``dim`` buckets) with four
+    dense quality signals appended — one codegen projection, no UDFs."""
+    from pyspark.ml.functions import array_to_vector
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        T.whitespace_tokens(text_col).alias("__toks"),
+    )
+    dense = F.array(
+        F.least(T.token_count_from("__toks").cast("double") / 1000.0, F.lit(1.0)),
+        T.stopword_ratio_from("__toks"),
+        T.repetition_ratio_from("__toks", 1),
+        T.repetition_ratio_from("__toks", 3),
+    )
+    feats = F.concat(T.hashed_embedding("__toks", dim), dense)
+    return toks.select("id", array_to_vector(feats).alias(out_col))
+
+
+class QualityClassifier:
+    """Linear quality model over hashed features.
+
+    ``fit`` trains on a labeled frame (label 1 = trusted/positive,
+    0 = raw/negative); ``score`` emits the positive-class probability
+    for any corpus; ``keep_pareto`` turns scores into the published
+    stochastic keep decision.
+    """
+
+    def __init__(self, model, dim: int):
+        self.model = model
+        self.dim = dim
+
+    @staticmethod
+    def fit(
+        docs: DataFrame,
+        label_col: str = "label",
+        dim: int = 64,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_iter: int = 50,
+        reg_param: float = 1e-4,
+    ) -> "QualityClassifier":
+        from pyspark.ml.classification import LogisticRegression
+
+        feats = quality_features(
+            docs, dim=dim, text_col=text_col, id_col=id_col
+        ).join(
+            docs.select(
+                F.col(id_col).alias("id"),
+                F.col(label_col).cast("double").alias("label"),
+            ),
+            "id",
+        )
+        lr = LogisticRegression(
+            featuresCol="features",
+            labelCol="label",
+            maxIter=max_iter,
+            regParam=reg_param,
+            standardization=True,
+        )
+        return QualityClassifier(lr.fit(feats), dim=dim)
+
+    def score(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        out_col: str = "quality_prob",
+    ) -> DataFrame:
+        """(id, out_col): P(positive) per document — broadcast
+        coefficients, narrow map, no shuffle beyond the feature join."""
+        from pyspark.ml.functions import vector_to_array
+
+        feats = quality_features(docs, dim=self.dim, text_col=text_col, id_col=id_col)
+        return (
+            self.model.transform(feats)
+            .select(
+                "id",
+                F.element_at(vector_to_array("probability"), 2).alias(out_col),
+            )
+        )
+
+    def keep_pareto(
+        self,
+        scored: DataFrame,
+        alpha: float = 9.0,
+        score_col: str = "quality_prob",
+        id_col: str = "id",
+        salt: str = "pareto",
+        out_col: str = "kept",
+    ) -> DataFrame:
+        """GPT-3 appendix-A keep rule: ``keep if score > 1 - x`` with
+        ``x ~ Pareto(alpha)`` (lomax form: x = (1-u)^(-1/alpha) - 1).
+        High-scoring docs always survive; low scorers survive with a
+        heavy-tailed small probability, preserving some raw-crawl
+        diversity.  The uniform draw is the id-hashed bucket, so the
+        decision is reproducible and engine-replayable."""
+        u = _bucket(F.col(id_col), salt) / F.lit(_BUCKETS)
+        x = F.pow(F.lit(1.0) - u, F.lit(-1.0 / float(alpha))) - F.lit(1.0)
+        return scored.withColumn(out_col, F.col(score_col) > (F.lit(1.0) - x))

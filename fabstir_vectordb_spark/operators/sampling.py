@@ -86,6 +86,51 @@ def deterministic_sample(
     return df.filter(sample_keep(id_col, fraction, salt))
 
 
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap",
+    rank_col: str = "grp_rank",
+    keep_col: str = "grp_kept",
+) -> DataFrame:
+    """Per-group frequency capping — the "at most N documents per
+    domain" curation stage every web-scale training pipeline runs
+    (over-represented hosts otherwise dominate the token budget).
+
+    Which ``cap`` rows survive is decided by the same engine-independent
+    md5 bucket as :func:`assign_split`: rows are ranked inside their
+    group by ``(bucket(id|salt), id)`` and kept while ``rank <= cap``.
+    That makes the selection (a) uniform — a random-looking but
+    deterministic subset, not "first N by insertion order", (b)
+    reproducible across runs and engines (the oracle replays the window
+    verbatim in SQL), and (c) *monotone under growth*: adding documents
+    to a group can only push hash-later rows out, never rotate the
+    whole kept set.
+
+    Scale shape: ONE hash-partition exchange on ``group_col`` plus a
+    per-group sort — identical to the shuffle any groupBy on the same
+    key pays; no global sort, no driver state.  Skew note: a single
+    pathological group lands on one task; since only ``(group, bucket,
+    id)`` is sorted (not the payload), the sort input is narrow.  For
+    truly degenerate groups, pre-filter with ``sample_keep`` at a
+    fraction ≳ cap/|group| to bound the window input, then cap exactly
+    — composition keeps determinism because both stages hash the id.
+
+    Emits ``rank_col`` (1-based within group) and ``keep_col`` next to
+    the input columns so the funnel is auditable; filter on
+    ``keep_col`` to apply the cap.
+    """
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    ranked = df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+    return ranked.withColumn(keep_col, F.col(rank_col) <= cap)
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (training-data pipelines)
 # ---------------------------------------------------------------------------

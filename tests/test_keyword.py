@@ -80,3 +80,19 @@ def test_bm25_term_frequency_saturates(spark, corpus):
     got = {r["id"]: r["score"] for r in bm25_search(corpus, queries, k=5).collect()}
     assert got[1] > got[0]          # more occurrences still score higher
     assert got[1] < 3 * got[0]      # but sub-linearly
+
+
+def test_vocab_stats_from_postings_and_docs(spark):
+    from fabstir_vectordb_spark.operators.keyword import build_postings, vocab_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c"), (2, "b b b c")], "doc_id long, text string"
+    )
+    got = {r["term"]: (r["tf"], r["df"]) for r in vocab_stats(docs).collect()}
+    assert got == {"a": (3, 2), "b": (4, 2), "c": (2, 2)}
+    # postings path gives the identical table with no re-tokenize
+    post = build_postings(docs)
+    got2 = {
+        r["term"]: (r["tf"], r["df"]) for r in vocab_stats(postings=post).collect()
+    }
+    assert got2 == got

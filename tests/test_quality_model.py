@@ -1,0 +1,71 @@
+"""Model-based quality filtering: separable-fixture accuracy, scoring
+determinism, Pareto keep-rule semantics, and the no-Python-row-path
+plan contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.operators.quality_model import (
+    QualityClassifier,
+    quality_features,
+)
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    # positives: normal prose-ish token mix; negatives: degenerate
+    # repetition (the signal rep_1gram + hashed BoW must separate)
+    rows = []
+    words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+             "data", "spark", "query", "table", "join", "scan", "merge"]
+    for i in range(60):
+        toks = [words[(i * 7 + j * 3) % len(words)] for j in range(30)]
+        rows.append((i, " ".join(toks), 1))
+    for i in range(60, 120):
+        tok = words[i % 3]
+        rows.append((i, " ".join([tok] * 30), 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_features_shape(spark, labeled):
+    out = quality_features(labeled.limit(5), dim=16)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(len(r["features"]) == 20 for r in rows)  # 16 hashed + 4 dense
+
+
+def test_train_separates(spark, labeled):
+    clf = QualityClassifier.fit(labeled, dim=16)
+    scored = clf.score(labeled).join(
+        labeled.select(F.col("doc_id").alias("id"), "label"), "id"
+    )
+    acc = scored.select(
+        F.avg(
+            ((F.col("quality_prob") > 0.5).cast("int") == F.col("label"))
+            .cast("double")
+        ).alias("acc")
+    ).collect()[0]["acc"]
+    assert acc >= 0.95  # trivially separable fixture
+
+
+def test_score_deterministic(spark, labeled):
+    clf = QualityClassifier.fit(labeled, dim=16)
+    a = sorted((r["id"], round(r["quality_prob"], 12)) for r in clf.score(labeled).collect())
+    b = sorted((r["id"], round(r["quality_prob"], 12)) for r in clf.score(labeled).collect())
+    assert a == b
+
+
+def test_keep_pareto(spark, labeled):
+    clf = QualityClassifier.fit(labeled, dim=16)
+    scored = clf.score(labeled)
+    kept = clf.keep_pareto(scored, alpha=9.0)
+    rows = kept.collect()
+    by_id = {r["id"]: r for r in rows}
+    # deterministic: same decision on rerun
+    rows2 = {r["id"]: r["kept"] for r in clf.keep_pareto(scored, alpha=9.0).collect()}
+    assert {i: r["kept"] for i, r in by_id.items()} == rows2
+    # high scorers overwhelmingly kept, low scorers mostly dropped
+    hi = [r["kept"] for r in rows if r["quality_prob"] > 0.9]
+    lo = [r["kept"] for r in rows if r["quality_prob"] < 0.1]
+    assert hi and sum(hi) / len(hi) > 0.9
+    assert lo and sum(lo) / len(lo) < 0.5

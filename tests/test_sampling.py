@@ -139,3 +139,53 @@ def test_pack_sequences_rejects_bad_context(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pt.raises(ValueError):
         pack_sequences(docs, 0)
+
+
+def test_cap_per_group_basic(spark):
+    from fabstir_vectordb_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"src{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(df, cap=4).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, grp in by_src.items():
+        assert len(grp) == 10                       # all rows emitted
+        assert sum(r["grp_kept"] for r in grp) == 4  # exactly cap kept
+        ranks = sorted(r["grp_rank"] for r in grp)
+        assert ranks == list(range(1, 11))           # dense 1..n ranks
+        kept_ranks = {r["grp_rank"] for r in grp if r["grp_kept"]}
+        assert kept_ranks == {1, 2, 3, 4}
+
+
+def test_cap_per_group_monotone_under_growth(spark):
+    """Adding documents never rotates the kept set: survivors of the
+    bigger corpus restricted to old ids are a subset of old survivors."""
+    from fabstir_vectordb_spark.operators.sampling import cap_per_group
+
+    small = spark.createDataFrame(
+        [(i, "s") for i in range(20)], "doc_id long, source string"
+    )
+    big = spark.createDataFrame(
+        [(i, "s") for i in range(40)], "doc_id long, source string"
+    )
+    kept_small = {
+        r["doc_id"] for r in cap_per_group(small, 5).collect() if r["grp_kept"]
+    }
+    kept_big_old = {
+        r["doc_id"]
+        for r in cap_per_group(big, 5).collect()
+        if r["grp_kept"] and r["doc_id"] < 20
+    }
+    assert kept_big_old <= kept_small
+
+
+def test_cap_per_group_small_groups_all_kept(spark):
+    from fabstir_vectordb_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    out = cap_per_group(df, cap=10).collect()
+    assert all(r["grp_kept"] for r in out)
