@@ -6,6 +6,9 @@ corpus actually runs, built from this repo's certified operators.
       → language / quality / length gates  (functions/text.py)
       → exact dedup                        (operators/dedup.py)
       → MinHash-LSH near-dup + canonical   (operators/dedup.py)
+      → per-source frequency cap           (operators/sampling.py)
+      → bigram-LM typicality tail drop     (operators/lm.py)
+      → model-based quality filter         (operators/quality_model.py)
       → benchmark decontamination          (operators/dedup.py)
       → deterministic train/val/test split (operators/sampling.py)
       → sequence packing into context windows (operators/sampling.py)
@@ -25,7 +28,12 @@ from pyspark.sql import functions as F
 
 from fabstir_vectordb_spark.functions import text as X
 from fabstir_vectordb_spark.operators import dedup as DD
-from fabstir_vectordb_spark.operators.sampling import assign_split, pack_sequences
+from fabstir_vectordb_spark.operators.lm import bigram_lm_score
+from fabstir_vectordb_spark.operators.sampling import (
+    assign_split,
+    cap_per_group,
+    pack_sequences,
+)
 
 
 def curate_corpus(
@@ -41,6 +49,11 @@ def curate_corpus(
     split_weights: list[tuple[str, float]] | None = None,
     benchmark: DataFrame | None = None,
     decontaminate_ngram: int = 13,
+    source_col: str | None = None,
+    max_per_source: int | None = None,
+    lm_drop_fraction: float | None = None,
+    quality_model=None,
+    pareto_alpha: float | None = None,
 ) -> DataFrame:
     """Run the curation funnel; returns one row per SURVIVING document:
     (id, text, n_tokens, quality, lang, split) — with boilerplate
@@ -52,6 +65,19 @@ def curate_corpus(
     Set a stage's parameter to None to skip it.  Gates mirror
     corpus_filter's certified thresholds; near-dup canonicalization
     keeps the min-id representative (dedup_canonical semantics).
+
+    Optional round-5 stages (all None-skipped by default):
+      * ``max_per_source`` (+ ``source_col``): at most N survivors per
+        domain, chosen by the deterministic md5-rank window
+        (cap_per_group) — runs AFTER dedup so duplicates don't consume
+        a domain's budget.
+      * ``lm_drop_fraction``: fit the bigram LM on the surviving corpus
+        and drop the least-typical fraction (the perplexity-filter
+        analogue).  The cut point is an approxQuantile over the score
+        column — one extra aggregate pass, scalar to the driver.
+      * ``quality_model``: a fitted QualityClassifier; survivors are
+        scored JVM-side and, when ``pareto_alpha`` is set, kept by the
+        stochastic Pareto rule, else by prob > 0.5.
     """
     cur = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 
@@ -96,6 +122,40 @@ def curate_corpus(
             canon.filter(F.col("id") == F.col("canonical_id")).select("id"),
             "id",
         )
+
+    if max_per_source is not None:
+        if source_col is None:
+            raise ValueError("max_per_source requires source_col")
+        srcmap = docs.select(
+            F.col(id_col).alias("id"), F.col(source_col).alias("__src")
+        )
+        capped = cap_per_group(
+            cur.join(srcmap, "id"), max_per_source,
+            group_col="__src", id_col="id",
+        )
+        cur = capped.filter(F.col("grp_kept")).drop(
+            "__src", "grp_rank", "grp_kept"
+        )
+
+    if lm_drop_fraction is not None:
+        if not 0.0 <= lm_drop_fraction < 1.0:
+            raise ValueError(f"lm_drop_fraction must be in [0, 1), got {lm_drop_fraction}")
+        if lm_drop_fraction > 0.0:
+            scored = cur.join(
+                bigram_lm_score(cur, id_col="id", text_col="text"), "id"
+            )
+            thr = scored.approxQuantile("lm_score", [lm_drop_fraction], 0.001)[0]
+            cur = scored.filter(F.col("lm_score") >= thr).drop("lm_score")
+
+    if quality_model is not None:
+        qscored = cur.join(
+            quality_model.score(cur, id_col="id", text_col="text"), "id"
+        )
+        if pareto_alpha is not None:
+            kept = quality_model.keep_pareto(qscored, alpha=pareto_alpha)
+            cur = kept.filter(F.col("kept")).drop("quality_prob", "kept")
+        else:
+            cur = qscored.filter(F.col("quality_prob") > 0.5).drop("quality_prob")
 
     if benchmark is not None:
         cur = DD.remove_contaminated(

@@ -157,3 +157,89 @@ def test_chunk_documents_layout(spark):
     assert got[(1, 0)]["n_tokens"] == 2 and got[(1, 0)]["chunk_text"] == "a b"
     # whitespace-only doc emits nothing
     assert not any(k[0] == 2 for k in got)
+
+
+def _sourced_corpus(spark):
+    rows = [
+        (i, "the and of " + " ".join(f"w{i}_{j} the" for j in range(15))
+            + " is in it a words to stay realistic", f"src{i % 2}")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_curate_corpus_source_cap(spark):
+    docs = _sourced_corpus(spark)
+    out = curate_corpus(
+        docs,
+        boilerplate_min_doc_freq=None,
+        lang="en", min_quality=0.0, max_repetition=0.9,
+        token_bounds=(5, 5000), near_dup_threshold=None,
+        source_col="source", max_per_source=7,
+    )
+    counts = {
+        r["source"]: r["c"]
+        for r in out.join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        ).groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    assert counts == {"src0": 7, "src1": 7}
+    # internal columns don't leak
+    assert {"__src", "grp_rank", "grp_kept"}.isdisjoint(out.columns)
+
+
+def test_curate_corpus_lm_tail_drop(spark):
+    # 32 docs sharing a dominant bigram pattern + 8 gibberish docs whose
+    # bigrams are all singletons — the LM tail the filter must drop
+    typical = [
+        (i, " ".join(["alpha beta"] * 12) + f" tail{i}") for i in range(32)
+    ]
+    # gibberish docs with DISTINCT scores (mixing in i common bigrams
+    # raises doc i's mean slightly) — ties would all sit exactly on the
+    # quantile threshold, where the conservative >= keep retains them
+    gibberish = [
+        (
+            50 + i,
+            " ".join(f"g{i}_{j}" for j in range(24))
+            + " " + " ".join(["alpha beta"] * i),
+        )
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        typical + gibberish, "doc_id long, text string"
+    )
+    out = curate_corpus(
+        docs, boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+        max_repetition=1.0, token_bounds=(1, 5000), near_dup_threshold=None,
+        lm_drop_fraction=0.2,
+    )
+    ids = {r["id"] for r in out.select("id").collect()}
+    assert set(range(32)) <= ids            # every typical doc survives
+    dropped = {50 + i for i in range(8)} - ids
+    assert len(dropped) >= 7                # the tail is gone (boundary
+    #   doc may survive the conservative >= threshold keep)
+    assert "lm_score" not in out.columns
+
+
+def test_curate_corpus_quality_model_stage(spark):
+    from fabstir_vectordb_spark.operators.quality_model import QualityClassifier
+
+    good = [
+        (i, "the and of " + " ".join(f"w{i}_{j} the" for j in range(15))
+            + " is in it a words to stay realistic", 1)
+        for i in range(30)
+    ]
+    bad = [(100 + i, " ".join(["spam"] * 25), 0) for i in range(30)]
+    labeled = spark.createDataFrame(
+        good + bad, "doc_id long, text string, label int"
+    )
+    clf = QualityClassifier.fit(labeled, dim=16)
+    out = curate_corpus(
+        labeled.drop("label"),
+        boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+        max_repetition=1.0, token_bounds=(1, 5000), near_dup_threshold=None,
+        quality_model=clf,
+    )
+    ids = {r["id"] for r in out.select("id").collect()}
+    assert all(i < 100 for i in ids)   # spam docs filtered
+    assert len(ids) >= 25              # good docs overwhelmingly kept
