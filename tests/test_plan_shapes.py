@@ -155,3 +155,39 @@ def test_sql_ann_rewrite_prunes_and_delegates(spark, tmp_path, embeddings):
     # delegation: un-rewritable SQL runs verbatim
     plain = _executed(ann_sql(spark, "SELECT count(*) AS n FROM sqlann_view", cat))
     assert "PartitionFilters: [isnotnull" not in plain
+
+
+def test_cap_per_group_single_keyed_exchange(spark):
+    from fabstir_vectordb_spark.operators.sampling import cap_per_group
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _executed(cap_per_group(docs.select("doc_id", "source"), 10))
+    # one hash exchange on the group key; never a global sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "source" in plan.split("Exchange hashpartitioning")[1][:120]
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_bigram_lm_no_global_window_no_python(spark):
+    from fabstir_vectordb_spark.operators.lm import bigram_lm_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _executed(bigram_lm_score(docs))
+    # counts come from hash aggregation (map-side partial), not windows
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    # the only single-partition exchange is the scalar vocab-size
+    # aggregate (its input is already partial-aggregated per partition)
+    assert plan.count("Exchange SinglePartition") == 1
+    # partial aggregation bounds the shuffled volume to distinct n-grams
+    assert "partial_count" in plan
+
+
+def test_quality_features_stay_jvm_side(spark):
+    from fabstir_vectordb_spark.operators.quality_model import quality_features
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _executed(quality_features(docs, dim=8))
+    assert "BatchEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
