@@ -1106,8 +1106,31 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-frequency >= 50 (operators/dedup.py:remove_boilerplate_lines).
     The oracle replays planting + hot-line removal in SQL, so the hot
     set, the per-doc kept/removed counts, and the md5 of every cleaned
-    document are all hash-checked."""
+    document are all hash-checked.
+
+    Round 5 adds cross-document repeated-substring detection
+    (operators/dedup.py duplicated_spans — the Lee et al. ACL-2022
+    procedure at token granularity): a shared 10-token paragraph is
+    planted on every 3rd doc, 8-token windows are hashed, windows
+    occurring >= 2x corpus-wide mark their tokens, and overlapping hot
+    windows merge into maximal spans (gaps-and-islands per doc).  The
+    oracle replays windowing, occurrence counting, and the island
+    merge in SQL — dup_tokens/n_dup_spans are value-hashed per doc."""
     docs = _t(spark, sf_dir, "documents")
+    para = " p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    planted_sp = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(para)))
+        .otherwise(F.col("text"))
+        .alias("text3"),
+    )
+    sp = DD.duplicated_spans(
+        planted_sp, span_tokens=8, text_col="text3", id_col="doc_id"
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("dup_tokens"),
+        F.col("n_dup_spans"),
+    )
     planted = docs.select(
         "doc_id",
         F.concat_ws(
@@ -1124,11 +1147,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", X.fingerprint("text").alias("fp"))
         .join(clean.withColumnRenamed("id", "doc_id"), "doc_id")
+        .join(sp, "doc_id")
         .select(
             "doc_id", "fp",
             F.md5("clean_text").alias("clean_md5"),
             F.col("kept_lines").cast("long").alias("kept_lines"),
             F.col("removed_lines").cast("long").alias("removed_lines"),
+            "dup_tokens", "n_dup_spans",
         )
     )
 
@@ -3063,14 +3088,52 @@ WITH planted AS (
   FROM kept GROUP BY doc_id
 ), tot AS (
   SELECT doc_id, count(*) AS total FROM lines GROUP BY doc_id
+), sp_t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN concat(text, ' p1 p2 p3 p4 p5 p6 p7 p8 p9 p10')
+              ELSE text END AS text3
+  FROM documents
+), sp_tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text3), '\\s+') AS tk FROM sp_t
+), sp_w AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(tk[i:i+7], ' ')) AS h
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+        FROM sp_tok WHERE len(tk) >= 8)
+), sp_hot AS (
+  SELECT h FROM sp_w GROUP BY h HAVING count(*) >= 2
+), sp_dup AS (
+  SELECT doc_id, pos FROM sp_w JOIN sp_hot USING (h)
+), sp_isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + 8) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS nw
+  FROM sp_dup
+), sp_isl2 AS (
+  SELECT doc_id, pos,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM sp_isl
+), sp_spans AS (
+  SELECT doc_id, isl, min(pos) AS s, max(pos + 8) AS e
+  FROM sp_isl2 GROUP BY doc_id, isl
+), sp_doc AS (
+  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+         CAST(count(*) AS BIGINT) AS n_dup_spans
+  FROM sp_spans GROUP BY doc_id
 )
 SELECT d.doc_id, {_FP} AS fp,
        md5(coalesce(a.clean_text, '')) AS clean_md5,
        CAST(coalesce(a.kept_lines, 0) AS BIGINT) AS kept_lines,
-       CAST(t.total - coalesce(a.kept_lines, 0) AS BIGINT) AS removed_lines
+       CAST(t.total - coalesce(a.kept_lines, 0) AS BIGINT) AS removed_lines,
+       CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
 FROM documents d
 JOIN tot t USING (doc_id)
 LEFT JOIN agg a USING (doc_id)
+LEFT JOIN sp_doc s USING (doc_id)
 """
 
 _ORACLES["streaming_dedup"] = f"SELECT DISTINCT {_FP} AS fp FROM documents"

@@ -298,3 +298,57 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_duplicated_spans_cross_doc(spark):
+    from fabstir_vectordb_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "u0 u1 u2 c1 c2 c3 c4 c5 c6 v0"),
+            (1, "c1 c2 c3 c4 c5 c6 z0 z1 z2 z3"),
+            (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),   # all unique
+            (3, "r1 r2 r3 r4 r5 x r1 r2 r3 r4 r5"),  # internal repeat
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in duplicated_spans(docs, span_tokens=5).collect()}
+    # shared 6-token run: two overlapping hot windows merge to one span
+    assert (got[0]["dup_tokens"], got[0]["n_dup_spans"]) == (6, 1)
+    assert got[0]["dup_ratio"] == pytest.approx(0.6)
+    assert (got[1]["dup_tokens"], got[1]["n_dup_spans"]) == (6, 1)
+    # unique doc untouched
+    assert (got[2]["dup_tokens"], got[2]["n_dup_spans"]) == (0, 0)
+    # within-doc repetition also counts as >= 2 occurrences
+    assert (got[3]["dup_tokens"], got[3]["n_dup_spans"]) == (10, 2)
+    # below-window doc: no windows, nothing flagged
+    assert (got[4]["dup_tokens"], got[4]["n_dup_spans"]) == (0, 0)
+
+
+def test_remove_duplicated_spans_trims(spark):
+    from fabstir_vectordb_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "u0 u1 u2 c1 c2 c3 c4 c5 c6 v0"),
+            (1, "c1 c2 c3 c4 c5 c6 z0 z1 z2 z3"),
+            (2, "w0 w1 w2 w3 w4"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in remove_duplicated_spans(docs, span_tokens=5).collect()}
+    assert got[0]["clean_text"] == "u0 u1 u2 v0"
+    assert got[1]["clean_text"] == "z0 z1 z2 z3"
+    assert got[2]["clean_text"] == "w0 w1 w2 w3 w4"
+    assert got[0]["dup_tokens"] == 6 and got[2]["dup_tokens"] == 0
+
+
+def test_duplicated_spans_rejects_bad_params(spark):
+    from fabstir_vectordb_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        duplicated_spans(docs, span_tokens=0)
+    with pytest.raises(ValueError):
+        duplicated_spans(docs, min_occurrences=1)
