@@ -3,6 +3,7 @@ corpus actually runs, built from this repo's certified operators.
 
     raw documents
       → line-level boilerplate removal     (operators/dedup.py)
+      → cross-doc repeated-span trim       (operators/dedup.py)
       → language / quality / length gates  (functions/text.py)
       → exact dedup                        (operators/dedup.py)
       → MinHash-LSH near-dup + canonical   (operators/dedup.py)
@@ -54,6 +55,7 @@ def curate_corpus(
     lm_drop_fraction: float | None = None,
     quality_model=None,
     pareto_alpha: float | None = None,
+    trim_span_tokens: int | None = None,
 ) -> DataFrame:
     """Run the curation funnel; returns one row per SURVIVING document:
     (id, text, n_tokens, quality, lang, split) — with boilerplate
@@ -78,6 +80,11 @@ def curate_corpus(
       * ``quality_model``: a fitted QualityClassifier; survivors are
         scored JVM-side and, when ``pareto_alpha`` is set, kept by the
         stochastic Pareto rule, else by prob > 0.5.
+      * ``trim_span_tokens``: cross-document repeated-substring trim
+        (duplicated_spans / Lee et al.) — windows of this many tokens
+        occurring twice+ corpus-wide are removed from every document,
+        right after boilerplate removal and before the gates (so
+        length/repetition gates judge the trimmed text).
     """
     cur = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 
@@ -86,6 +93,12 @@ def curate_corpus(
             cur, boilerplate_min_doc_freq, text_col="text", id_col="id"
         )
         cur = cleaned.select("id", F.col("clean_text").alias("text"))
+
+    if trim_span_tokens is not None:
+        trimmed = DD.remove_duplicated_spans(
+            cur, span_tokens=trim_span_tokens, text_col="text", id_col="id"
+        )
+        cur = trimmed.select("id", F.col("clean_text").alias("text"))
 
     toks = X.whitespace_tokens("text")
     cur = cur.select(

@@ -243,3 +243,24 @@ def test_curate_corpus_quality_model_stage(spark):
     ids = {r["id"] for r in out.select("id").collect()}
     assert all(i < 100 for i in ids)   # spam docs filtered
     assert len(ids) >= 25              # good docs overwhelmingly kept
+
+
+def test_curate_corpus_span_trim(spark):
+    shared = " ".join(f"c{j}" for j in range(12))
+    rows = [
+        (i, "the and of is in it a " + " ".join(f"w{i}_{j}" for j in range(10))
+            + " " + shared)
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(
+        docs, boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+        max_repetition=1.0, token_bounds=(1, 5000), near_dup_threshold=None,
+        trim_span_tokens=8,
+    )
+    texts = {r["id"]: r["text"] for r in out.collect()}
+    assert len(texts) == 20
+    # the shared 12-token tail is trimmed from every doc
+    assert all("c0" not in t and "c11" not in t for t in texts.values())
+    # each doc's unique prefix survives
+    assert all(f"w{i}_0" in texts[i] for i in range(20))
