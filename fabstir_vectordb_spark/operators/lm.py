@@ -46,14 +46,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import whitespace_tokens
+from .dedup import _parallelize
 
 
 def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, w1, w2) — one row per bigram occurrence, document order
     preserved by construction (transform over the token array), zero
-    rows for docs with < 2 tokens."""
-    toks = docs.select(
-        F.col(id_col).alias("id"), whitespace_tokens(text_col).alias("__t")
+    rows for docs with < 2 tokens.
+
+    The conditional `_parallelize` spread (dedup.py) protects the
+    explode from a single-file scan's 1-partition layout — a no-op on
+    an already-parallel 100 TB input."""
+    toks = _parallelize(
+        docs.select(
+            F.col(id_col).alias("id"), whitespace_tokens(text_col).alias("__t")
+        )
     )
     pairs = F.when(
         F.size("__t") >= 2,
@@ -97,7 +104,8 @@ class BigramLM:
         bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
         contexts = bg.groupBy("w1").agg(F.count("*").alias("cctx"))
         vocab = (
-            docs.select(F.explode(whitespace_tokens(text_col)).alias("tok"))
+            _parallelize(docs.select(whitespace_tokens(text_col).alias("__t")))
+            .select(F.explode("__t").alias("tok"))
             .agg(F.countDistinct("tok").alias("v"))
         )
         return BigramLM(bigrams=bigrams, contexts=contexts, vocab=vocab, k=k)

@@ -47,22 +47,90 @@ def quality_features(
     out_col: str = "features",
 ) -> DataFrame:
     """(id, features): hashed bag-of-words (``dim`` buckets) with four
-    dense quality signals appended — one codegen projection, no UDFs."""
+    dense quality signals appended — no UDFs anywhere.
+
+    The sparse half uses the explode-aggregate form of the hashing
+    trick, NOT the per-component expression form of
+    ``functions.text.hashed_embedding`` (that form re-walks the token
+    array per output component — O(dim x tokens) md5 evaluations,
+    right for SQL-certifiable dim-8 vectors, ruinous for dim-64 model
+    features): each token emits ONE (bucket, ±1) pair via two xxhash64
+    evaluations (native JVM hash, no string building), pairs partially
+    aggregate map-side, and the dim-array assembles from a per-doc
+    map — total work O(tokens), one keyed shuffle whose volume is at
+    most docs x dim rows.  The dense signals ride the same tokenize
+    projection and join back on id (co-partitioned after the groupBy,
+    so AQE plans a local join)."""
     from pyspark.ml.functions import array_to_vector
 
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("__text"),
-        T.whitespace_tokens(text_col).alias("__toks"),
+    from .dedup import _parallelize
+
+    d = int(dim)
+    if d <= 0:
+        raise ValueError("dim must be positive")
+    toks = _parallelize(
+        docs.select(
+            F.col(id_col).alias("id"),
+            T.whitespace_tokens(text_col).alias("__toks"),
+        )
     )
-    dense = F.array(
-        F.least(T.token_count_from("__toks").cast("double") / 1000.0, F.lit(1.0)),
-        T.stopword_ratio_from("__toks"),
-        T.repetition_ratio_from("__toks", 1),
-        T.repetition_ratio_from("__toks", 3),
+    dense = toks.select(
+        "id",
+        F.array(
+            F.least(
+                T.token_count_from("__toks").cast("double") / 1000.0, F.lit(1.0)
+            ),
+            T.stopword_ratio_from("__toks"),
+            T.repetition_ratio_from("__toks", 1),
+            T.repetition_ratio_from("__toks", 3),
+        ).alias("__dense"),
     )
-    feats = F.concat(T.hashed_embedding("__toks", dim), dense)
-    return toks.select("id", array_to_vector(feats).alias(out_col))
+    pairs = toks.select(
+        "id", F.explode("__toks").alias("__tk")
+    ).select(
+        "id",
+        F.pmod(F.xxhash64(F.col("__tk"), F.lit("qb")), F.lit(d)).alias("__b"),
+        F.when(
+            F.pmod(F.xxhash64(F.col("__tk"), F.lit("qs")), F.lit(2)) == 0, 1.0
+        ).otherwise(-1.0).alias("__v"),
+    )
+    vecs = (
+        pairs.groupBy("id", "__b")
+        .agg(F.sum("__v").alias("__s"))
+        .groupBy("id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__b", "__s"))
+            ).alias("__m")
+        )
+        .select(
+            "id",
+            F.expr(
+                f"transform(sequence(0, {d - 1}), "
+                f"i -> coalesce(__m[cast(i as bigint)], 0.0d))"
+            ).alias("__raw"),
+        )
+    )
+    nrm = F.sqrt(
+        F.aggregate("__raw", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    unit = F.when(nrm == 0.0, F.col("__raw")).otherwise(
+        F.transform("__raw", lambda x: x / nrm)
+    )
+    # left join: docs whose token array is empty get a zero sparse half
+    zero = F.expr(f"array_repeat(0.0d, {d})")
+    return (
+        dense.join(vecs, "id", "left")
+        .select(
+            "id",
+            array_to_vector(
+                F.concat(
+                    F.coalesce(unit, zero),
+                    F.col("__dense"),
+                )
+            ).alias(out_col),
+        )
+    )
 
 
 class QualityClassifier:
