@@ -974,42 +974,18 @@ def remove_contaminated(
     return docs.join(keep, id_col, "left_semi")
 
 
-def duplicated_spans(
+def _span_frames(
     docs: DataFrame,
-    span_tokens: int = 20,
-    min_occurrences: int = 2,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Cross-document repeated-substring detection — the public
-    "deduplicating training data" procedure (Lee et al., ACL 2022) at
-    token granularity: any ``span_tokens``-token window whose content
-    occurs ``min_occurrences``+ times ANYWHERE in the corpus marks its
-    tokens as duplicated, and overlapping duplicated windows merge into
-    maximal spans.  This catches what document-level dedup cannot:
-    boilerplate paragraphs, licence blocks, and quoted chunks embedded
-    inside otherwise-unique documents.
-
-    Output, one row per input document:
-      (id, n_tokens, dup_tokens, n_dup_spans, dup_ratio)
-    where ``dup_tokens`` is the size of the union of duplicated windows
-    and ``n_dup_spans`` the count of maximal merged spans.  Feed
-    ``dup_ratio`` to a gate, or use the span bounds variant below to
-    trim.
-
-    Scale shape (all derived small keys, never raw text):
-      1. one tokenize projection + window explode — each position emits
-         a single md5 of its window (position list, not text, flows on);
-      2. occurrence counting is a hash aggregation on the md5 (map-side
-         partial; shuffled volume = distinct windows);
-      3. hot windows rejoin the (id, pos, hash) stream on the hash —
-         a plain hash join AQE can skew-split;
-      4. span merging is gaps-and-islands per document: a window keyed
-         by doc id over at most len-L+1 narrow rows — high-cardinality
-         partition key, no global sort.
-    The whole computation is SQL-replayable (certified as
-    doc_fingerprint's dup columns).
-    """
+    span_tokens: int,
+    min_occurrences: int,
+    id_col: str,
+    text_col: str,
+):
+    """Shared core of the repeated-substring family: returns
+    ``(toks, spans)`` where ``toks`` is (id, __t token array) behind the
+    conditional parallelize spread and ``spans`` is one row per maximal
+    duplicated span (id, s, e) — L-token window hashes, corpus-wide
+    occurrence counting, hot-window rejoin, gaps-and-islands merge."""
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
     if min_occurrences < 2:
@@ -1020,94 +996,8 @@ def duplicated_spans(
             F.col(id_col).alias("id"), whitespace_tokens(text_col).alias("__t")
         )
     )
-    base = toks.select("id", F.size("__t").alias("n_tokens"), "__t")
-    wins = base.select(
-        "id",
-        "n_tokens",
-        F.explode(
-            F.when(
-                F.col("n_tokens") >= L,
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n_tokens") - L),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.md5(
-                            F.concat_ws(" ", F.slice("__t", i + 1, L))
-                        ).alias("h"),
-                    ),
-                ),
-            ).otherwise(F.array())
-        ).alias("w"),
-    ).select("id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-    hot = (
-        wins.groupBy("h")
-        .agg(F.count("*").alias("occ"))
-        .filter(F.col("occ") >= min_occurrences)
-        .select("h")
-    )
-    dup = wins.join(hot, "h").select("id", "pos")
-    w = Window.partitionBy("id").orderBy("pos")
-    prev_max_end = F.max(F.col("pos") + L).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = dup.withColumn(
-        "__new", (F.col("pos") > F.coalesce(prev_max_end, F.lit(-1))).cast("long")
-    ).withColumn("__island", F.sum("__new").over(w))
-    spans = islands.groupBy("id", "__island").agg(
-        F.min("pos").alias("s"), F.max(F.col("pos") + L).alias("e")
-    )
-    per_doc = spans.groupBy("id").agg(
-        F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
-        F.count("*").cast("long").alias("n_dup_spans"),
-    )
-    return (
-        base.select("id", F.col("n_tokens").cast("long").alias("n_tokens"))
-        .join(per_doc, "id", "left")
-        .select(
-            "id",
-            "n_tokens",
-            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.when(F.col("n_tokens") > 0,
-                   F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"))
-            .otherwise(F.lit(0.0)).alias("dup_ratio"),
-        )
-    )
-
-
-def remove_duplicated_spans(
-    docs: DataFrame,
-    span_tokens: int = 20,
-    min_occurrences: int = 2,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    out_col: str = "clean_text",
-) -> DataFrame:
-    """Trimming variant of :func:`duplicated_spans`: rebuild each
-    document with its duplicated-span tokens removed (Lee et al.'s
-    actual dedup step — one copy could be kept corpus-wide, but the
-    simple every-occurrence trim is what bounds memorization).
-
-    Output: (id, out_col, n_tokens, dup_tokens).  The rebuild filters
-    each doc's token array through its own span list with a codegen HOF
-    (no second explode of the corpus); span lists ride along as a small
-    array column after a per-doc aggregation.
-    """
-    L = int(span_tokens)
-    flags = duplicated_spans(
-        docs, span_tokens=span_tokens, min_occurrences=min_occurrences,
-        id_col=id_col, text_col=text_col,
-    )
-    # recompute span bounds (same plan prefix as duplicated_spans; the
-    # optimizer shares the scan) and collect them per doc as an array
-    toks = _parallelize(
-        docs.select(
-            F.col(id_col).alias("id"), whitespace_tokens(text_col).alias("__t")
-        )
-    )
     wins = toks.select(
         "id",
-        "__t",
         F.explode(
             F.when(
                 F.size("__t") >= L,
@@ -1142,10 +1032,94 @@ def remove_duplicated_spans(
         .withColumn("__island", F.sum("__new").over(w))
         .groupBy("id", "__island")
         .agg(F.min("pos").alias("s"), F.max(F.col("pos") + L).alias("e"))
-        .groupBy("id")
-        .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
+        .select("id", "s", "e")
     )
-    joined = toks.join(spans, "id", "left").withColumn(
+    return toks, spans
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    span_tokens: int = 20,
+    min_occurrences: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the public
+    "deduplicating training data" procedure (Lee et al., ACL 2022) at
+    token granularity: any ``span_tokens``-token window whose content
+    occurs ``min_occurrences``+ times ANYWHERE in the corpus marks its
+    tokens as duplicated, and overlapping duplicated windows merge into
+    maximal spans.  This catches what document-level dedup cannot:
+    boilerplate paragraphs, licence blocks, and quoted chunks embedded
+    inside otherwise-unique documents.
+
+    Output, one row per input document:
+      (id, n_tokens, dup_tokens, n_dup_spans, dup_ratio)
+    where ``dup_tokens`` is the size of the union of duplicated windows
+    and ``n_dup_spans`` the count of maximal merged spans.  Feed
+    ``dup_ratio`` to a gate, or use :func:`remove_duplicated_spans` to
+    trim.
+
+    Scale shape (all derived small keys, never raw text):
+      1. one tokenize projection + window explode — each position emits
+         a single md5 of its window (position list, not text, flows on);
+      2. occurrence counting is a hash aggregation on the md5 (map-side
+         partial; shuffled volume = distinct windows);
+      3. hot windows rejoin the (id, pos, hash) stream on the hash —
+         a plain hash join AQE can skew-split;
+      4. span merging is gaps-and-islands per document: a window keyed
+         by doc id over at most len-L+1 narrow rows — high-cardinality
+         partition key, no global sort.
+    The whole computation is SQL-replayable (certified as
+    doc_fingerprint's dup columns).
+    """
+    toks, spans = _span_frames(
+        docs, span_tokens, min_occurrences, id_col, text_col
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
+        F.count("*").cast("long").alias("n_dup_spans"),
+    )
+    return (
+        toks.select("id", F.size("__t").cast("long").alias("n_tokens"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(F.col("n_tokens") > 0,
+                   F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"))
+            .otherwise(F.lit(0.0)).alias("dup_ratio"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    span_tokens: int = 20,
+    min_occurrences: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Trimming variant of :func:`duplicated_spans`: rebuild each
+    document with its duplicated-span tokens removed (Lee et al.'s
+    actual dedup step — one copy could be kept corpus-wide, but the
+    simple every-occurrence trim is what bounds memorization).
+
+    Output: (id, out_col, n_tokens, dup_tokens).  The rebuild filters
+    each doc's token array through its own span list with a codegen HOF
+    (no second explode of the corpus); span lists ride along as a small
+    array column after a per-doc aggregation.
+    """
+    toks, spans = _span_frames(
+        docs, span_tokens, min_occurrences, id_col, text_col
+    )
+    span_lists = spans.groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("__spans")
+    )
+    joined = toks.join(span_lists, "id", "left").withColumn(
         "__spans", F.coalesce("__spans", F.array())
     )
     covered = lambda i: F.exists(  # noqa: E731 — local plan builder

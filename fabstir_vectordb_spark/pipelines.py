@@ -154,11 +154,18 @@ def curate_corpus(
         if not 0.0 <= lm_drop_fraction < 1.0:
             raise ValueError(f"lm_drop_fraction must be in [0, 1), got {lm_drop_fraction}")
         if lm_drop_fraction > 0.0:
+            # persist: approxQuantile is an action, and without the cache
+            # the filter below would re-execute the whole upstream funnel
+            # (boilerplate, span trim, dedup joins, LM fit) a second time
             scored = cur.join(
                 bigram_lm_score(cur, id_col="id", text_col="text"), "id"
-            )
-            thr = scored.approxQuantile("lm_score", [lm_drop_fraction], 0.001)[0]
-            cur = scored.filter(F.col("lm_score") >= thr).drop("lm_score")
+            ).persist()
+            q = scored.approxQuantile("lm_score", [lm_drop_fraction], 0.001)
+            if q:  # empty corpus at this stage -> nothing to drop
+                cur = scored.filter(F.col("lm_score") >= q[0])
+            else:
+                cur = scored
+            cur = cur.drop("lm_score")
 
     if quality_model is not None:
         qscored = cur.join(
