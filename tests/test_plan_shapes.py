@@ -191,3 +191,17 @@ def test_quality_features_stay_jvm_side(spark):
     plan = _executed(quality_features(docs, dim=8))
     assert "BatchEvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_duplicated_spans_text_never_shuffles(spark):
+    from fabstir_vectordb_spark.operators.dedup import duplicated_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _executed(duplicated_spans(docs, span_tokens=8))
+    assert "BatchEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # only (id, pos, h) / (id, s, e) rows cross exchanges — the token
+    # arrays and raw text stay inside their scan-side stage
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg[:200]
+        assert "text" not in head and "__t" not in head
