@@ -1,0 +1,101 @@
+"""Quickstart: the reference's workflow on this engine, end to end.
+
+Covers the surface a fabstir-vectordb user needs on day one — session
+create / add / search (with metadata filters) / train an ANN index /
+save + load — plus the two extension axes: bulk DataFrame retrieval
+and the training-corpus curation pipeline.
+
+Run:  python examples/quickstart.py
+(uses the sf0.001 fixture tables; finishes in ~1 min on local[8])
+"""
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def main(spark: SparkSession, workdir: str) -> dict:
+    out = {}
+
+    # --- 1. session lifecycle: create -> add -> search -----------------
+    from fabstir_vectordb_spark.session import VectorDbSession
+
+    sess = VectorDbSession(spark)  # dimension inferred from the first add
+    sess.add_vectors(
+        [
+            {"id": f"v{i}",
+             "vector": [math.cos(i), math.sin(i), i * 0.1, 1.0],
+             "metadata": {"category": "even" if i % 2 == 0 else "odd",
+                          "rank": i}}
+            for i in range(50)
+        ]
+    )
+    hits = sess.search([1.0, 0.0, 0.0, 1.0], k=3)
+    out["top_hit"] = hits[0]["id"]
+
+    # metadata filtering uses the reference's Mongo-style dialect and
+    # compiles to pushed-down Catalyst predicates
+    filtered = sess.search(
+        [1.0, 0.0, 0.0, 1.0], k=3,
+        filter={"category": "even", "rank": {"$lt": 20}},
+    )
+    out["filtered_ids"] = [h["id"] for h in filtered]
+
+    # --- 2. ANN: train IVF, probe-pruned search, persist ---------------
+    sess.train_index(n_clusters=4)
+    out["ann_hit"] = sess.search([1.0, 0.0, 0.0, 1.0], k=1, n_probe=2)[0]["id"]
+    path = f"{workdir}/session_save"
+    sess.save(path, checksums=True)
+    restored = VectorDbSession.load(spark, path)
+    out["restored_count"] = restored.get_stats()["vectorCount"]
+
+    # --- 3. bulk retrieval: both sides DataFrames, no driver loops -----
+    from fabstir_vectordb_spark.operators.knn import knn_bulk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    bulk = knn_bulk(emb, queries, k=3, metric="cosine",
+                    id_col="vec_id", vector_col="embedding")
+    out["bulk_rows"] = bulk.count()
+
+    # --- 4. corpus curation: the LLM-pipeline axis ---------------------
+    from fabstir_vectordb_spark.pipelines import curate_corpus, pack_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    curated = curate_corpus(
+        docs,
+        boilerplate_min_doc_freq=None,
+        lang="en", min_quality=0.0, max_repetition=0.9,
+        token_bounds=(5, 5000),
+        near_dup_threshold=0.8,
+        source_col="source", max_per_source=10,
+    )
+    out["curated"] = curated.count()
+    out["packed_bins"] = (
+        pack_corpus(curated, context_len=256, split="train")
+        .select("bin_id").distinct().count()
+    )
+    return out
+
+
+if __name__ == "__main__":
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("quickstart")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import tempfile
+
+    print(main(spark, tempfile.mkdtemp(prefix="quickstart_")))

@@ -1,0 +1,20 @@
+"""The examples/quickstart.py walkthrough must keep running — it is the
+switch-from-the-reference artifact."""
+
+import importlib.util
+from pathlib import Path
+
+
+def test_quickstart_end_to_end(spark, tmp_path):
+    path = Path(__file__).resolve().parent.parent / "examples" / "quickstart.py"
+    spec = importlib.util.spec_from_file_location("quickstart", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(spark, str(tmp_path))
+    assert out["top_hit"] == "v0"           # query IS v0's vector
+    assert set(out["filtered_ids"]) <= {f"v{i}" for i in range(0, 20, 2)}
+    assert out["ann_hit"] == "v0"
+    assert out["restored_count"] == 50
+    assert out["bulk_rows"] == 15           # 5 queries x k=3
+    assert 0 < out["curated"] <= 500
+    assert out["packed_bins"] > 0
