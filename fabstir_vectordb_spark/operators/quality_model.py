@@ -45,6 +45,7 @@ def quality_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "features",
+    as_vector: bool = True,
 ) -> DataFrame:
     """(id, features): hashed bag-of-words (``dim`` buckets) with four
     dense quality signals appended — no UDFs anywhere.
@@ -119,18 +120,10 @@ def quality_features(
     )
     # left join: docs whose token array is empty get a zero sparse half
     zero = F.expr(f"array_repeat(0.0d, {d})")
-    return (
-        dense.join(vecs, "id", "left")
-        .select(
-            "id",
-            array_to_vector(
-                F.concat(
-                    F.coalesce(unit, zero),
-                    F.col("__dense"),
-                )
-            ).alias(out_col),
-        )
-    )
+    feats = F.concat(F.coalesce(unit, zero), F.col("__dense"))
+    if as_vector:
+        feats = array_to_vector(feats)
+    return dense.join(vecs, "id", "left").select("id", feats.alias(out_col))
 
 
 class QualityClassifier:
@@ -183,18 +176,36 @@ class QualityClassifier:
         id_col: str = "doc_id",
         out_col: str = "quality_prob",
     ) -> DataFrame:
-        """(id, out_col): P(positive) per document — broadcast
-        coefficients, narrow map, no shuffle beyond the feature join."""
-        from pyspark.ml.functions import vector_to_array
+        """(id, out_col): P(positive) per document.
 
-        feats = quality_features(docs, dim=self.dim, text_col=text_col, id_col=id_col)
-        return (
-            self.model.transform(feats)
-            .select(
-                "id",
-                F.element_at(vector_to_array("probability"), 2).alias(out_col),
-            )
+        The model is linear, so scoring bypasses ``model.transform``
+        (whose prediction path is a per-row JVM closure over ml.linalg
+        vectors) and evaluates ``sigmoid(w . x + b)`` directly as a
+        whole-stage-codegen expression: coefficients become a literal
+        array (68 doubles for the default config), the dot product is a
+        single ``zip_with``/``aggregate`` fold, and nothing leaves the
+        array representation.  Identical arithmetic to transform's
+        probability column (pinned by test) — end-to-end cost is
+        dominated by feature generation either way, so the win here is
+        staying codegen (no ml.linalg row objects, no UDF boundary) and
+        keeping the whole score plan SQL-explainable."""
+        coefs = [float(c) for c in self.model.coefficients]
+        b = float(self.model.intercept)
+        feats = quality_features(
+            docs, dim=self.dim, text_col=text_col, id_col=id_col,
+            as_vector=False,
         )
+        wx = F.aggregate(
+            F.zip_with(
+                "features",
+                F.array(*[F.lit(c) for c in coefs]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-(wx + F.lit(b))))
+        return feats.select("id", prob.alias(out_col))
 
     def keep_pareto(
         self,

@@ -69,3 +69,21 @@ def test_keep_pareto(spark, labeled):
     lo = [r["kept"] for r in rows if r["quality_prob"] < 0.1]
     assert hi and sum(hi) / len(hi) > 0.9
     assert lo and sum(lo) / len(lo) < 0.5
+
+
+def test_expression_scoring_matches_ml_transform(spark, labeled):
+    """The codegen sigmoid(w.x+b) path must reproduce model.transform's
+    probability column exactly (same arithmetic, different engine path)."""
+    from pyspark.ml.functions import vector_to_array
+
+    clf = QualityClassifier.fit(labeled, dim=16)
+    ours = {r["id"]: r["quality_prob"] for r in clf.score(labeled).collect()}
+    feats = quality_features(labeled, dim=16)
+    ref = {
+        r["id"]: r["p"]
+        for r in clf.model.transform(feats)
+        .select("id", F.element_at(vector_to_array("probability"), 2).alias("p"))
+        .collect()
+    }
+    assert set(ours) == set(ref)
+    assert all(abs(ours[i] - ref[i]) < 1e-12 for i in ours)
