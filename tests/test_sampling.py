@@ -189,3 +189,32 @@ def test_cap_per_group_small_groups_all_kept(spark):
     )
     out = cap_per_group(df, cap=10).collect()
     assert all(r["grp_kept"] for r in out)
+
+
+def test_cap_per_group_property(spark):
+    """For arbitrary (id, group) multisets: ranks dense 1..n per group,
+    kept == min(cap, group size), and the kept set is the lexicographic
+    min under the (md5 bucket, id) order — checked against a pure-Python
+    replay of the same hash."""
+    import hashlib
+
+    rows = [(i, f"g{i % 7}") for i in range(83)] + [(1000 + i, "g0") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    from fabstir_vectordb_spark.operators.sampling import cap_per_group
+
+    got = cap_per_group(df, cap=3).collect()
+
+    def bucket(i):
+        h = hashlib.md5(f"{i}|cap".encode()).hexdigest()
+        return int(h[:8], 16)
+
+    expect = {}
+    by_g = {}
+    for i, g in rows:
+        by_g.setdefault(g, []).append(i)
+    for g, ids in by_g.items():
+        order = sorted(ids, key=lambda i: (bucket(i), i))
+        for rank, i in enumerate(order, 1):
+            expect[i] = (rank, rank <= 3)
+    for r in got:
+        assert (r["grp_rank"], r["grp_kept"]) == expect[r["doc_id"]]
