@@ -3943,6 +3943,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     (end-to-end compaction invariance + integrity + pruning)
     #   corpus_filter gains n_gram_hits/contaminated (benchmark
     #     decontamination, full SQL shingle-join replay)
+    # Round-5 curation-operator additions (also inside existing slots):
+    #   corpus_filter gains source/grp_rank/grp_kept (per-source
+    #     frequency capping, full SQL window replay)
+    #   text_stats gains lm_bigram (bigram-LM typicality score, full
+    #     SQL counts+smoothing replay) and emb0/emb1 (hashed embedding)
+    #   keyword_bm25 gains part=vocab (vocabulary stats off the same
+    #     postings CTE: query_id=term, id=df, score=tf)
+    #   doc_fingerprint gains dup_tokens/n_dup_spans (cross-document
+    #     repeated-substring detection incl. the gaps-and-islands merge,
+    #     full SQL replay over a planted shared paragraph)
+    #   (model-TRAINING surfaces stay pytest-certified by contract:
+    #    operators/quality_model.py L-BFGS fit is iterative/non-SQL;
+    #    its scoring arithmetic is pinned to ml transform by test)
     return {
         "knn_metrics": q_knn_metrics,
         "knn_bulk": q_knn_bulk,
