@@ -817,7 +817,12 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     PII_PATTERNS).  The fixture plants known PII (doc_id%5: email,
     %7: URL, %11: phone) so counts are nonzero; the oracle replays the
     identical regex chain and compares match counts AND the md5 of the
-    redacted text."""
+    redacted text.
+
+    Round 5 adds the domains column (functions/text.py url_domains —
+    sorted distinct lowercased hostnames, the domain-curation input
+    when no source column exists), emitted comma-joined and replayed
+    verbatim in SQL."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "text",
         F.concat(
@@ -833,6 +838,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.pii_counts("text", "url").cast("long").alias("n_url"),
         X.pii_counts("text", "digits").cast("long").alias("n_number"),
         F.md5(X.redact_pii("text")).alias("redacted_fp"),
+        F.concat_ws(",", X.url_domains("text")).alias("domains"),
     )
 
 
@@ -3027,7 +3033,10 @@ SELECT doc_id,
   md5(regexp_replace(regexp_replace(regexp_replace(text,
       '{_PII_EMAIL}', '<EMAIL>', 'g'),
       '{_PII_URL}', '<URL>', 'g'),
-      '{_PII_NUM}', '<NUMBER>', 'g')) AS redacted_fp
+      '{_PII_NUM}', '<NUMBER>', 'g')) AS redacted_fp,
+  coalesce(array_to_string(list_sort(list_distinct(list_transform(
+      regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1),
+      h -> lower(h)))), ','), '') AS domains
 FROM t
 """
 

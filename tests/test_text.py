@@ -116,3 +116,20 @@ def test_pii_redaction(spark):
     assert out[1]["nu"] == 2 and out[1]["red"] == "see <URL> and <URL>"
     assert out[2]["nn"] == 1 and out[2]["red"] == "call +<NUMBER> now"
     assert out[3]["red"] == rows[3][1]  # short digits untouched
+
+
+def test_url_domains(spark):
+    from fabstir_vectordb_spark.functions.text import url_domains
+
+    df = spark.createDataFrame(
+        [
+            (0, "see https://Ex.COM/a?b=1 and http://sub.b.org/x plus https://ex.com/other"),
+            (1, "no urls here"),
+            (2, "ftp://not.matched and https://only-this.net"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["d"] for r in df.select("doc_id", url_domains("text").alias("d")).collect()}
+    assert got[0] == ["ex.com", "sub.b.org"]      # deduped, sorted, lowered
+    assert got[1] == []
+    assert got[2] == ["only-this.net"]
