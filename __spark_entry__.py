@@ -3035,8 +3035,8 @@ SELECT doc_id,
       '{_PII_URL}', '<URL>', 'g'),
       '{_PII_NUM}', '<NUMBER>', 'g')) AS redacted_fp,
   coalesce(array_to_string(list_sort(list_distinct(list_transform(
-      regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1),
-      h -> lower(h)))), ','), '') AS domains
+      regexp_extract_all(text, 'https?://(?:[^/@\\s]+@)?([A-Za-z0-9.-]+)', 1),
+      h -> regexp_replace(lower(h), '[.]+$', '')))), ','), '') AS domains
 FROM t
 """
 

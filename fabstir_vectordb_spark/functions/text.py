@@ -259,18 +259,24 @@ def pii_counts(text: Column | str, kind: str) -> Column:
     return F.size(F.regexp_extract_all(_c(text), F.lit(pattern), F.lit(0)))
 
 
-_URL_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+_URL_DOMAIN_PATTERN = r"https?://(?:[^/@\s]+@)?([A-Za-z0-9.-]+)"
 
 
 def url_domains(text: Column | str) -> Column:
     """Sorted distinct hostnames of every URL in a document
     (``array<string>``) — the input to domain-level curation (per-domain
     capping via cap_per_group, blocklist filtering) when the corpus has
-    no source column.  Lowercased; ports/paths/userinfo excluded by the
-    capture group.  The pattern parses identically under Java regex and
-    RE2, so the extraction is SQL-replayable like the PII chain."""
+    no source column.  Lowercased; an optional userinfo prefix
+    (``user:pw@``) is skipped by a non-capturing group, ports/paths end
+    the capture, and a trailing FQDN dot (``ex.com.``) is normalized
+    away so both spellings bin to one domain.  The pattern parses
+    identically under Java regex and RE2, so the extraction is
+    SQL-replayable like the PII chain."""
     hosts = F.regexp_extract_all(_c(text), F.lit(_URL_DOMAIN_PATTERN), F.lit(1))
-    return F.array_sort(F.array_distinct(F.transform(hosts, F.lower)))
+    norm = F.transform(
+        hosts, lambda h: F.regexp_replace(F.lower(h), r"[.]+$", "")
+    )
+    return F.array_sort(F.array_distinct(norm))
 
 
 def redact_pii(text: Column | str, kinds: list[str] | None = None) -> Column:

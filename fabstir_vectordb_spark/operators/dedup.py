@@ -996,11 +996,17 @@ def _span_frames(
             F.col(id_col).alias("id"), whitespace_tokens(text_col).alias("__t")
         )
     )
+    # whitespace-only text tokenizes to [''] (the engine-wide n_tokens=1
+    # convention) — but an empty document shares no CONTENT with another
+    # empty document, so window emission treats it as having no tokens;
+    # without this, L=1 would cross-flag every pair of empty docs via
+    # the shared md5('') window
+    empty = (F.size("__t") == 1) & (F.element_at("__t", 1) == "")
     wins = toks.select(
         "id",
         F.explode(
             F.when(
-                F.size("__t") >= L,
+                (F.size("__t") >= L) & ~empty,
                 F.transform(
                     F.sequence(F.lit(0), F.size("__t") - L),
                     lambda i: F.struct(

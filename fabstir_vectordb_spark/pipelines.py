@@ -56,7 +56,7 @@ def curate_corpus(
     quality_model=None,
     pareto_alpha: float | None = None,
     trim_span_tokens: int | None = None,
-    truncate_lineage: bool = True,
+    cache_stages: bool = True,
 ) -> DataFrame:
     """Run the curation funnel; returns one row per SURVIVING document:
     (id, text, n_tokens, quality, lang, split) — with boilerplate
@@ -87,20 +87,26 @@ def curate_corpus(
         right after boilerplate removal and before the gates (so
         length/repetition gates judge the trimmed text).
 
-    ``truncate_lineage`` (default True) inserts a lazy localCheckpoint
-    at every self-referencing stage boundary.  This is load-bearing at
-    scale: dedup/near-dup/LM/model/decontaminate each reference the
-    running frame in MULTIPLE plan branches (the frame plus a derived
-    aggregate joined back), and Spark does not common-subexpression-
-    eliminate across join branches — without truncation the upstream
-    subtree re-executes per branch and the recompute factor compounds
-    per stage (measured: the full funnel at 200k docs ran 2000+ stages
-    and did not finish in 20 min; truncated it finishes in ~2 min).
-    Set False only for tiny corpora where keeping the plan fully lazy
-    matters more than recompute.
+    ``cache_stages`` (default True) persists the running frame at every
+    self-referencing stage boundary.  This is load-bearing at scale:
+    dedup/near-dup/LM/model/decontaminate each reference the running
+    frame in MULTIPLE plan branches (the frame plus a derived aggregate
+    joined back), and Spark does not common-subexpression-eliminate
+    across join branches — without the cache the upstream subtree
+    re-executes per branch and the recompute factor compounds per stage
+    (measured: the full funnel at 200k docs ran 2000+ stages and did
+    not finish in 20 min; cached it finishes in ~3 min).
+    persist(MEMORY_AND_DISK) rather than localCheckpoint on purpose:
+    cached blocks are evictable under memory pressure AND recomputable
+    from lineage after executor loss, so the funnel stays fault-
+    tolerant on a real cluster (a checkpoint-truncated plan cannot
+    recompute lost blocks).  Set False only for tiny corpora where
+    keeping the plan fully lazy matters more than recompute.
     """
+    from pyspark import StorageLevel
+
     def _trunc(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=False) if truncate_lineage else df
+        return df.persist(StorageLevel.MEMORY_AND_DISK) if cache_stages else df
 
     cur = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 

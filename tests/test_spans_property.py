@@ -40,7 +40,7 @@ def _reference(texts: list[str], L: int, min_occ: int = 2):
     return out
 
 
-# single-space-joined words over a 4-letter alphabet: heavy collisions
+# single-space-joined words over a 2-letter alphabet: heavy collisions
 _word = st.text(alphabet="ab", min_size=1, max_size=2)
 _text = st.lists(_word, min_size=0, max_size=25).map(" ".join)
 
@@ -70,8 +70,8 @@ def test_spans_match_reference(spark, texts, L):
     for i, (n, dup, spans, kept) in ref.items():
         # note: ''.split() == [] but Spark's split('') == [''] — reference
         # uses .split() so skip the empty-text token-count comparison and
-        # check the duplication outputs, which agree (no windows either way
-        # when L > token count)
+        # check the duplication outputs, which agree (the operator
+        # explicitly emits no windows for whitespace-only docs)
         if texts[i].strip():
             assert got[i] == (n, dup, spans), (i, texts[i])
             assert trimmed[i] == kept, (i, texts[i])
