@@ -87,26 +87,34 @@ def curate_corpus(
         right after boilerplate removal and before the gates (so
         length/repetition gates judge the trimmed text).
 
-    ``cache_stages`` (default True) persists the running frame at every
-    self-referencing stage boundary.  This is load-bearing at scale:
-    dedup/near-dup/LM/model/decontaminate each reference the running
-    frame in MULTIPLE plan branches (the frame plus a derived aggregate
-    joined back), and Spark does not common-subexpression-eliminate
-    across join branches — without the cache the upstream subtree
-    re-executes per branch and the recompute factor compounds per stage
-    (measured: the full funnel at 200k docs ran 2000+ stages and did
-    not finish in 20 min; cached it finishes in ~3 min).
-    persist(MEMORY_AND_DISK) rather than localCheckpoint on purpose:
-    cached blocks are evictable under memory pressure AND recomputable
-    from lineage after executor loss, so the funnel stays fault-
-    tolerant on a real cluster (a checkpoint-truncated plan cannot
-    recompute lost blocks).  Set False only for tiny corpora where
-    keeping the plan fully lazy matters more than recompute.
+    ``cache_stages`` (default True) checkpoints the running frame at
+    every self-referencing stage boundary.  This is load-bearing at
+    scale, for TWO compounding reasons: dedup/near-dup/LM/model/
+    decontaminate each reference the running frame in MULTIPLE plan
+    branches (the frame plus a derived aggregate joined back), Spark
+    does not common-subexpression-eliminate across join branches, and
+    the duplication is a TREE — both the recompute work and the logical
+    plan itself grow ~2^stages.  Measured at 200k docs: the naive
+    funnel ran 2000+ stages without finishing in 20 min, and a
+    persist()-only variant (which bounds recompute but keeps the full
+    lineage tree) OOM'd the driver building a 1.3 GB plan string.  So
+    plan TRUNCATION is required, not just caching: with a configured
+    ``sparkContext.setCheckpointDir`` the frame takes a RELIABLE
+    checkpoint (truncated plan + blocks on durable storage =
+    fault-tolerant on a real cluster); without one it falls back to
+    ``localCheckpoint`` (truncated plan, executor-local blocks — fine
+    for local mode, lost-executor recompute impossible, which is the
+    documented trade-off of not setting a checkpoint dir).  Set False
+    only for tiny corpora where full laziness matters more.
     """
-    from pyspark import StorageLevel
-
     def _trunc(df: DataFrame) -> DataFrame:
-        return df.persist(StorageLevel.MEMORY_AND_DISK) if cache_stages else df
+        if not cache_stages:
+            return df
+        sc = df.sparkSession.sparkContext
+        get_dir = getattr(sc, "getCheckpointDir", lambda: None)
+        if get_dir() is not None:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
 
     cur = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 

@@ -264,3 +264,31 @@ def test_curate_corpus_span_trim(spark):
     assert all("c0" not in t and "c11" not in t for t in texts.values())
     # each doc's unique prefix survives
     assert all(f"w{i}_0" in texts[i] for i in range(20))
+
+
+def test_curate_corpus_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """With a checkpoint dir configured, stage boundaries take RELIABLE
+    checkpoints (fault-tolerant truncation); the funnel output is
+    unchanged either way."""
+    docs = _sourced_corpus(spark)
+    base = {
+        r["id"] for r in curate_corpus(
+            docs, boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+            max_repetition=1.0, token_bounds=(1, 5000), near_dup_threshold=0.7,
+        ).select("id").collect()
+    }
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        with_dir = {
+            r["id"] for r in curate_corpus(
+                docs, boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+                max_repetition=1.0, token_bounds=(1, 5000), near_dup_threshold=0.7,
+            ).select("id").collect()
+        }
+        import os
+        assert any(os.scandir(str(tmp_path / "ckpt")))  # checkpoint written
+    finally:
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.empty()
+        )
+    assert with_dir == base
