@@ -292,3 +292,29 @@ def test_curate_corpus_reliable_checkpoint_when_dir_set(spark, tmp_path):
             spark.sparkContext._jvm.scala.Option.empty()
         )
     assert with_dir == base
+
+
+def test_curate_corpus_survives_empty_survivor_set(spark):
+    """Every stage ON, gates tuned so NOTHING survives: the funnel must
+    return an empty frame (correct schema), not crash in a later stage
+    (quantile on empty, model scoring on empty, decontaminate on empty)."""
+    from fabstir_vectordb_spark.operators.quality_model import QualityClassifier
+
+    docs = _sourced_corpus(spark)
+    labeled = docs.withColumn("label", (F.col("doc_id") % 2 == 0).cast("int"))
+    clf = QualityClassifier.fit(labeled, dim=8, max_iter=5)
+    bench = docs.limit(1).select("text")
+    out = curate_corpus(
+        docs,
+        boilerplate_min_doc_freq=1000,
+        lang="en", min_quality=0.99, max_repetition=0.0,   # kills everything
+        token_bounds=(10, 5000),
+        near_dup_threshold=0.8,
+        benchmark=bench, decontaminate_ngram=8,
+        source_col="source", max_per_source=5,
+        lm_drop_fraction=0.2,
+        quality_model=clf, pareto_alpha=9.0,
+        trim_span_tokens=8,
+    )
+    assert out.count() == 0
+    assert {"id", "text", "n_tokens", "split"} <= set(out.columns)
