@@ -864,11 +864,19 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling.py cap_per_group — "at most N docs per domain", the
     over-represented-host control): deterministic md5-rank window
     inside each source, cap 15, emitting grp_rank + grp_kept; the
-    oracle replays the identical window."""
+    oracle replays the identical window.
+
+    And token-budget corpus mixing (operators/sampling.py
+    mix_by_source — the pretraining data-mixture stage): sources
+    src0/src1/src2 get weights 0.5/0.3/0.2 of a 5000-token budget,
+    per-source keep fractions derive from real token totals (capped at
+    1.0 — downsample only), and keeps use the id-hash uniform; the
+    oracle replays totals, budgets, rounding, and the keep compare."""
     from fabstir_vectordb_spark.operators.dedup import decontaminate
     from fabstir_vectordb_spark.operators.sampling import (
         assign_split,
         cap_per_group,
+        mix_by_source,
         sample_keep,
     )
 
@@ -901,7 +909,12 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps = cap_per_group(docs.select("doc_id", "source"), cap=15).select(
         "doc_id", "source", "grp_rank", "grp_kept"
     )
-    return out.join(dec, "doc_id").join(caps, "doc_id")
+    mix = mix_by_source(
+        docs.select("doc_id", "text", "source"),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total_tokens=5000,
+    ).select("doc_id", r6("mix_frac").alias("mix_frac"), "mix_kept")
+    return out.join(dec, "doc_id").join(caps, "doc_id").join(mix, "doc_id")
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3249,6 +3262,16 @@ WITH t AS (
       CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|cap')), 1, 8)) AS BIGINT),
       doc_id) AS grp_rank
   FROM documents
+), mixtot AS (
+  SELECT source, sum(CAST(len({_TOKS}) AS DOUBLE)) AS tot
+  FROM documents GROUP BY source
+), mixb AS (
+  SELECT source,
+    (round(least(1.0,
+       CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                   WHEN 'src2' THEN 0.2 ELSE 0.0 END
+       * 5000.0 / greatest(tot, 1.0)), 6) + 0.0) AS mix_frac
+  FROM mixtot
 )
 SELECT sig.doc_id, lang, quality, n_tokens, rep_3gram,
   (lang = 'en' AND quality >= 0.3 AND rep_3gram <= 0.2
@@ -3264,10 +3287,14 @@ SELECT sig.doc_id, lang, quality, n_tokens, rep_3gram,
   COALESCE(h.n_gram_hits, 0) >= 1 AS contaminated,
   caps.source AS source,
   CAST(caps.grp_rank AS BIGINT) AS grp_rank,
-  caps.grp_rank <= 15 AS grp_kept
+  caps.grp_rank <= 15 AS grp_kept,
+  mixb.mix_frac AS mix_frac,
+  (CAST(concat('0x', substr(md5(concat(CAST(sig.doc_id AS VARCHAR), '|mix')), 1, 8)) AS BIGINT)
+   / 4294967296.0 < mixb.mix_frac) AS mix_kept
 FROM sig
 LEFT JOIN hits h ON sig.doc_id = h.doc_id
 JOIN caps ON sig.doc_id = caps.doc_id
+JOIN mixb ON caps.source = mixb.source
 """
 
 _ORACLES["dedup_exact"] = f"""
@@ -3954,7 +3981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     decontamination, full SQL shingle-join replay)
     # Round-5 curation-operator additions (also inside existing slots):
     #   corpus_filter gains source/grp_rank/grp_kept (per-source
-    #     frequency capping, full SQL window replay)
+    #     frequency capping, full SQL window replay) and
+    #     mix_frac/mix_kept (token-budget corpus mixing, full SQL replay)
     #   text_stats gains lm_bigram (bigram-LM typicality score, full
     #     SQL counts+smoothing replay) and emb0/emb1 (hashed embedding)
     #   keyword_bm25 gains part=vocab (vocabulary stats off the same

@@ -131,6 +131,78 @@ def cap_per_group(
     return ranked.withColumn(keep_col, F.col(rank_col) <= cap)
 
 
+def mix_by_source(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "mix",
+    frac_col: str = "mix_frac",
+    keep_col: str = "mix_kept",
+) -> DataFrame:
+    """Token-budget corpus mixing — the "data mixture" stage of a
+    pretraining pipeline (the public procedure behind every published
+    mixture table: each source contributes a target fraction of the
+    token budget, downsampled from whatever it happens to hold).
+
+    For each source s with mixture weight w_s, the target budget is
+    ``w_s * total_tokens``; the per-source keep fraction is
+    ``min(1, budget_s / tokens_s)`` (a source smaller than its budget
+    is kept whole — this operator downsamples, it does not upsample),
+    and documents are kept by the same engine-independent id-hash
+    uniform as :func:`sample_keep`, so the realized mixture tracks the
+    target in expectation and is reproducible run-to-run and engine-
+    to-engine.  Sources absent from ``weights`` get fraction 0.
+
+    Emits ``frac_col`` (the applied fraction, rounded to 6 for
+    cross-engine comparability) and ``keep_col`` next to the input
+    columns.
+
+    Scale shape: ONE aggregation for per-source token totals (tiny
+    result, broadcast back), then a pure column-expression keep flag —
+    no shuffle of the corpus itself, no driver collect.
+    """
+    from fabstir_vectordb_spark.functions.text import whitespace_tokens
+
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be > 0, got {total_tokens}")
+    bad = [w for w in weights.values() if w < 0]
+    if bad:
+        raise ValueError(f"negative mixture weights: {bad}")
+    n_tok = (
+        F.col(n_tokens_col)
+        if n_tokens_col
+        else F.size(whitespace_tokens(F.col(text_col)))
+    )
+    sized = docs.withColumn("__n_tok", n_tok.cast("double"))
+    totals = sized.groupBy(group_col).agg(F.sum("__n_tok").alias("__tot"))
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    budgets = totals.withColumn(
+        "__frac",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(wmap[F.col(group_col)], F.lit(0.0))
+                * F.lit(float(total_tokens))
+                / F.greatest(F.col("__tot"), F.lit(1.0)),
+            ),
+            6,
+        ),
+    ).select(group_col, "__frac")
+    u = _bucket(F.col(id_col), salt) / F.lit(_BUCKETS)
+    return (
+        sized.join(F.broadcast(budgets), group_col)
+        .withColumn(frac_col, F.col("__frac"))
+        .withColumn(keep_col, u < F.col(frac_col))
+        .drop("__n_tok", "__frac")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (training-data pipelines)
 # ---------------------------------------------------------------------------

@@ -218,3 +218,53 @@ def test_cap_per_group_property(spark):
             expect[i] = (rank, rank <= 3)
     for r in got:
         assert (r["grp_rank"], r["grp_kept"]) == expect[r["doc_id"]]
+
+
+def test_mix_by_source_budgets(spark):
+    from fabstir_vectordb_spark.operators.sampling import mix_by_source
+
+    # src0: 1000 docs x 10 tokens = 10k tokens; src1: 100 x 10 = 1k
+    rows = [(i, " ".join(["t"] * 10), "src0") for i in range(1000)]
+    rows += [(10_000 + i, " ".join(["t"] * 10), "src1") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mix_by_source(
+        docs, {"src0": 0.5, "src1": 0.5}, total_tokens=2000
+    ).cache()
+    fr = {r["source"]: r["mix_frac"] for r in
+          out.select("source", "mix_frac").distinct().collect()}
+    # src0 budget 1000 tokens over 10k held -> 0.1; src1 budget 1000 over
+    # 1k held -> capped at 1.0 (downsample only)
+    assert fr == {"src0": 0.1, "src1": 1.0}
+    kept = {r["source"]: r["c"] for r in
+            out.filter("mix_kept").groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert kept["src1"] == 100                 # whole small source kept
+    assert 60 <= kept["src0"] <= 140           # ~10% of 1000, hash-binomial
+    # deterministic: same keeps on rerun
+    again = {r["doc_id"] for r in
+             mix_by_source(docs, {"src0": 0.5, "src1": 0.5}, 2000)
+             .filter("mix_kept").select("doc_id").collect()}
+    assert again == {r["doc_id"] for r in out.filter("mix_kept").select("doc_id").collect()}
+
+
+def test_mix_by_source_unlisted_source_dropped(spark):
+    from fabstir_vectordb_spark.operators.sampling import mix_by_source
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "known"), (1, "d e f", "unknown")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: (r["mix_frac"], r["mix_kept"]) for r in
+           mix_by_source(docs, {"known": 1.0}, total_tokens=100).collect()}
+    assert out["known"] == (1.0, True)
+    assert out["unknown"][0] == 0.0 and not out["unknown"][1]
+
+
+def test_mix_by_source_rejects_bad_params(spark):
+    import pytest as _pt
+    from fabstir_vectordb_spark.operators.sampling import mix_by_source
+
+    docs = spark.createDataFrame([(0, "x", "s")], "doc_id long, text string, source string")
+    with _pt.raises(ValueError):
+        mix_by_source(docs, {"s": 1.0}, total_tokens=0)
+    with _pt.raises(ValueError):
+        mix_by_source(docs, {"s": -0.1}, total_tokens=10)
