@@ -33,6 +33,7 @@ from fabstir_vectordb_spark.operators.lm import bigram_lm_score
 from fabstir_vectordb_spark.operators.sampling import (
     assign_split,
     cap_per_group,
+    mix_by_source,
     pack_sequences,
 )
 
@@ -52,6 +53,8 @@ def curate_corpus(
     decontaminate_ngram: int = 13,
     source_col: str | None = None,
     max_per_source: int | None = None,
+    mixture: dict[str, float] | None = None,
+    mixture_tokens: int | None = None,
     lm_drop_fraction: float | None = None,
     quality_model=None,
     pareto_alpha: float | None = None,
@@ -74,6 +77,10 @@ def curate_corpus(
         domain, chosen by the deterministic md5-rank window
         (cap_per_group) — runs AFTER dedup so duplicates don't consume
         a domain's budget.
+      * ``mixture`` (+ ``mixture_tokens``, ``source_col``): token-budget
+        data mixing (mix_by_source) — per-source keep fractions derived
+        from the survivors' real token totals against the target
+        mixture; runs after capping so budgets see the capped corpus.
       * ``lm_drop_fraction``: fit the bigram LM on the surviving corpus
         and drop the least-typical fraction (the perplexity-filter
         analogue).  The cut point is an approxQuantile over the score
@@ -181,6 +188,22 @@ def curate_corpus(
         )
         cur = capped.filter(F.col("grp_kept")).drop(
             "__src", "grp_rank", "grp_kept"
+        )
+
+    if mixture is not None:
+        if source_col is None:
+            raise ValueError("mixture requires source_col")
+        if mixture_tokens is None:
+            raise ValueError("mixture requires mixture_tokens")
+        srcmap = docs.select(
+            F.col(id_col).alias("id"), F.col(source_col).alias("__src")
+        )
+        mixed = mix_by_source(
+            cur.join(srcmap, "id"), mixture, mixture_tokens,
+            group_col="__src", id_col="id", n_tokens_col="n_tokens",
+        )
+        cur = mixed.filter(F.col("mix_kept")).drop(
+            "__src", "mix_frac", "mix_kept"
         )
 
     if lm_drop_fraction is not None:

@@ -318,3 +318,30 @@ def test_curate_corpus_survives_empty_survivor_set(spark):
     )
     assert out.count() == 0
     assert {"id", "text", "n_tokens", "split"} <= set(out.columns)
+
+
+def test_curate_corpus_mixture_stage(spark):
+    from pyspark.sql import functions as _F
+
+    # src0 holds 10x the tokens of src1; a 50/50 mixture with a budget
+    # of twice src1's tokens keeps ~all of src1 and ~10% of src0
+    rows = [
+        (i, "the and of " + " ".join(f"w{i}_{j}" for j in range(12)), "src0")
+        for i in range(200)
+    ] + [
+        (1000 + i, "the and of " + " ".join(f"v{i}_{j}" for j in range(12)), "src1")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_corpus(
+        docs, boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+        max_repetition=1.0, token_bounds=(1, 5000), near_dup_threshold=None,
+        source_col="source", mixture={"src0": 0.5, "src1": 0.5},
+        mixture_tokens=2 * 20 * 15,
+    )
+    kept = {r["source"]: r["c"] for r in out.join(
+        docs.select(_F.col("doc_id").alias("id"), "source"), "id"
+    ).groupBy("source").agg(_F.count("*").alias("c")).collect()}
+    assert kept.get("src1", 0) == 20            # small source kept whole
+    assert 5 <= kept.get("src0", 0) <= 40       # ~10% of 200
+    assert {"mix_frac", "mix_kept", "__src"}.isdisjoint(out.columns)
