@@ -909,10 +909,15 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps = cap_per_group(docs.select("doc_id", "source"), cap=15).select(
         "doc_id", "source", "grp_rank", "grp_kept"
     )
+    # reuse sig's n_tokens (n_tokens_col=) instead of re-tokenizing the
+    # corpus a second time just for the mixing totals
     mix = mix_by_source(
-        docs.select("doc_id", "text", "source"),
+        sig.select("doc_id", "n_tokens").join(
+            docs.select("doc_id", "source"), "doc_id"
+        ),
         {"src0": 0.5, "src1": 0.3, "src2": 0.2},
         total_tokens=5000,
+        n_tokens_col="n_tokens",
     ).select("doc_id", r6("mix_frac").alias("mix_frac"), "mix_kept")
     return out.join(dec, "doc_id").join(caps, "doc_id").join(mix, "doc_id")
 

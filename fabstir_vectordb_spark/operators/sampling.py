@@ -195,9 +195,13 @@ def mix_by_source(
         ),
     ).select(group_col, "__frac")
     u = _bucket(F.col(id_col), salt) / F.lit(_BUCKETS)
+    # LEFT join + coalesce-to-0: a NULL group key never equi-matches its
+    # own budget row, and rows must not silently vanish — a null-source
+    # document gets an auditable frac=0.0 / kept=false decision (its
+    # group cannot appear in `weights`, so 0 is also the correct budget)
     return (
-        sized.join(F.broadcast(budgets), group_col)
-        .withColumn(frac_col, F.col("__frac"))
+        sized.join(F.broadcast(budgets), group_col, "left")
+        .withColumn(frac_col, F.coalesce(F.col("__frac"), F.lit(0.0)))
         .withColumn(keep_col, u < F.col(frac_col))
         .drop("__n_tok", "__frac")
     )

@@ -120,7 +120,15 @@ def curate_corpus(
         sc = df.sparkSession.sparkContext
         get_dir = getattr(sc, "getCheckpointDir", lambda: None)
         if get_dir() is not None:
-            return df.checkpoint(eager=False)
+            # persist BEFORE the reliable checkpoint: RDD.checkpoint()
+            # does not persist, so without this the lineage would
+            # recompute once per plan branch AND once more for the
+            # checkpoint-write job (the Spark docs' own recommendation)
+            from pyspark import StorageLevel
+
+            return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(
+                eager=False
+            )
         return df.localCheckpoint(eager=False)
 
     cur = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
@@ -195,6 +203,7 @@ def curate_corpus(
             raise ValueError("mixture requires source_col")
         if mixture_tokens is None:
             raise ValueError("mixture requires mixture_tokens")
+        cur = _trunc(cur)  # mix_by_source joins its totals aggregate back
         srcmap = docs.select(
             F.col(id_col).alias("id"), F.col(source_col).alias("__src")
         )

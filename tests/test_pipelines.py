@@ -285,8 +285,11 @@ def test_curate_corpus_reliable_checkpoint_when_dir_set(spark, tmp_path):
                 max_repetition=1.0, token_bounds=(1, 5000), near_dup_threshold=0.7,
             ).select("id").collect()
         }
-        import os
-        assert any(os.scandir(str(tmp_path / "ckpt")))  # checkpoint written
+        import glob as _glob
+
+        # setCheckpointDir itself mkdirs an empty <uuid> subdir, so
+        # assert on actual rdd-* checkpoint payload directories
+        assert _glob.glob(str(tmp_path / "ckpt" / "*" / "rdd-*"))
     finally:
         getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
             spark.sparkContext._jvm.scala.Option.empty()

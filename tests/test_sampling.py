@@ -268,3 +268,17 @@ def test_mix_by_source_rejects_bad_params(spark):
         mix_by_source(docs, {"s": 1.0}, total_tokens=0)
     with _pt.raises(ValueError):
         mix_by_source(docs, {"s": -0.1}, total_tokens=10)
+
+
+def test_mix_by_source_null_group_kept_with_zero_frac(spark):
+    from fabstir_vectordb_spark.operators.sampling import mix_by_source
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "s"), (1, "d e f", None)],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["doc_id"]: r for r in
+            mix_by_source(docs, {"s": 1.0}, total_tokens=100).collect()}
+    assert set(rows) == {0, 1}              # null-source row NOT dropped
+    assert rows[1]["mix_frac"] == 0.0 and not rows[1]["mix_kept"]
+    assert rows[0]["mix_kept"]
