@@ -1139,7 +1139,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurring >= 2x corpus-wide mark their tokens, and overlapping hot
     windows merge into maximal spans (gaps-and-islands per doc).  The
     oracle replays windowing, occurrence counting, and the island
-    merge in SQL — dup_tokens/n_dup_spans are value-hashed per doc."""
+    merge in SQL — dup_tokens/n_dup_spans are value-hashed per doc,
+    and span_clean_md5 hashes the TRIMMED text (remove_duplicated_spans
+    — the codegen HOF rebuild), with the oracle re-deriving the kept
+    token sequence by anti-joining positions against the span table."""
     docs = _t(spark, sf_dir, "documents")
     para = " p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
     planted_sp = docs.select(
@@ -1154,6 +1157,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         F.col("dup_tokens"),
         F.col("n_dup_spans"),
+    )
+    sp_clean = DD.remove_duplicated_spans(
+        planted_sp, span_tokens=8, text_col="text3", id_col="doc_id"
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.md5("clean_text").alias("span_clean_md5"),
     )
     planted = docs.select(
         "doc_id",
@@ -1172,12 +1181,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", X.fingerprint("text").alias("fp"))
         .join(clean.withColumnRenamed("id", "doc_id"), "doc_id")
         .join(sp, "doc_id")
+        .join(sp_clean, "doc_id")
         .select(
             "doc_id", "fp",
             F.md5("clean_text").alias("clean_md5"),
             F.col("kept_lines").cast("long").alias("kept_lines"),
             F.col("removed_lines").cast("long").alias("removed_lines"),
-            "dup_tokens", "n_dup_spans",
+            "dup_tokens", "n_dup_spans", "span_clean_md5",
         )
     )
 
@@ -3150,17 +3160,30 @@ WITH planted AS (
   SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_tokens,
          CAST(count(*) AS BIGINT) AS n_dup_spans
   FROM sp_spans GROUP BY doc_id
+), sp_kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM (SELECT doc_id, unnest(tk) AS tok,
+               generate_subscripts(tk, 1) AS p
+        FROM sp_tok) t
+  LEFT JOIN sp_spans sp
+    ON t.doc_id = sp.doc_id AND (t.p - 1) >= sp.s AND (t.p - 1) < sp.e
+  WHERE sp.s IS NULL
+), sp_clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct
+  FROM sp_kept GROUP BY doc_id
 )
 SELECT d.doc_id, {_FP} AS fp,
        md5(coalesce(a.clean_text, '')) AS clean_md5,
        CAST(coalesce(a.kept_lines, 0) AS BIGINT) AS kept_lines,
        CAST(t.total - coalesce(a.kept_lines, 0) AS BIGINT) AS removed_lines,
        CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-       CAST(coalesce(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+       CAST(coalesce(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       md5(coalesce(spc.ct, '')) AS span_clean_md5
 FROM documents d
 JOIN tot t USING (doc_id)
 LEFT JOIN agg a USING (doc_id)
 LEFT JOIN sp_doc s USING (doc_id)
+LEFT JOIN sp_clean spc USING (doc_id)
 """
 
 _ORACLES["streaming_dedup"] = f"SELECT DISTINCT {_FP} AS fp FROM documents"
