@@ -205,3 +205,18 @@ def test_duplicated_spans_text_never_shuffles(spark):
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         head = seg[:200]
         assert "text" not in head and "__t" not in head
+
+
+def test_mix_by_source_broadcasts_budgets_no_corpus_shuffle(spark):
+    from fabstir_vectordb_spark.operators.sampling import mix_by_source
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(8)
+    plan = _executed(mix_by_source(docs, {"src0": 0.5, "src1": 0.5}, 1000))
+    # the per-source budget table is the broadcast side; the corpus
+    # itself never hash-exchanges for the join
+    assert "BroadcastHashJoin" in plan
+    # exchanges exist only inside the totals-aggregation subtree (tiny,
+    # keyed on source), never carrying the text column
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text#" not in seg.split("\n")[0]
+    assert "BatchEvalPython" not in plan
