@@ -1151,17 +1151,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text3"),
     )
-    sp = DD.duplicated_spans(
+    # ONE span computation serves all three certified columns (the trim
+    # variant also reports dup_tokens/n_dup_spans from its span lists)
+    sp = DD.remove_duplicated_spans(
         planted_sp, span_tokens=8, text_col="text3", id_col="doc_id"
     ).select(
         F.col("id").alias("doc_id"),
         F.col("dup_tokens"),
         F.col("n_dup_spans"),
-    )
-    sp_clean = DD.remove_duplicated_spans(
-        planted_sp, span_tokens=8, text_col="text3", id_col="doc_id"
-    ).select(
-        F.col("id").alias("doc_id"),
         F.md5("clean_text").alias("span_clean_md5"),
     )
     planted = docs.select(
@@ -1181,7 +1178,6 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", X.fingerprint("text").alias("fp"))
         .join(clean.withColumnRenamed("id", "doc_id"), "doc_id")
         .join(sp, "doc_id")
-        .join(sp_clean, "doc_id")
         .select(
             "doc_id", "fp",
             F.md5("clean_text").alias("clean_md5"),

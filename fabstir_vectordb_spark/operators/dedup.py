@@ -1142,4 +1142,5 @@ def remove_duplicated_spans(
             F.col("__spans"), F.lit(0).cast("long"),
             lambda acc, sp: acc + (sp["e"] - sp["s"]).cast("long"),
         ).alias("dup_tokens"),
+        F.size("__spans").cast("long").alias("n_dup_spans"),
     )
