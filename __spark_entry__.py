@@ -580,12 +580,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dependency-free perplexity-filter analogue): each doc's mean
     ln P(w2|w1) under the add-0.5-smoothed bigram model fit on this
     same corpus; the oracle replays counts, smoothing, and the mean
-    in SQL, with <2-token docs floored to exactly 0.0."""
+    in SQL.  The operator emits NULL for <2-token docs (so the funnel's
+    low-tail gate drops rather than keeps them — ADVICE r5); this
+    certified column coalesces the NULL to 0.0 on BOTH engines to keep
+    the comparison about the LM arithmetic."""
     from fabstir_vectordb_spark.operators.lm import bigram_lm_score
 
     docs = _t(spark, sf_dir, "documents")
     lm = bigram_lm_score(docs, k=0.5).select(
-        F.col("id").alias("doc_id"), r6("lm_score").alias("lm_bigram")
+        F.col("id").alias("doc_id"),
+        r6(F.coalesce(F.col("lm_score"), F.lit(0.0))).alias("lm_bigram"),
     )
     # tokenize once behind an exchange: the repartition is both the
     # parallelism spread for single-file inputs and the barrier that stops

@@ -403,16 +403,38 @@ class HNSWIndex:
         M, M0, ef_c, m_l, seed = self.M, self.M0, self.ef_construction, self.m_l, self.seed
 
         prep = self._prep(new_vectors, self.vector_col)
-        if self.partitioner == "kmeans" and self._routers is not None:
+        if self.partitioner == "kmeans":
             # route new vectors to their nearest-centroid graph so the
-            # probe-pruned search keeps seeing cluster-coherent graphs
+            # probe-pruned search keeps seeing cluster-coherent graphs.
+            # Routers lost across a reload (index re-instantiated, graph
+            # read back from disk) are REDERIVED from the graph itself
+            # (per-graph mean vectors, one bounded G-row collect) rather
+            # than silently falling back to hash assignment — hash-placed
+            # inserts land in cluster-incoherent graphs that a
+            # probe_graphs<G search would systematically miss (ADVICE r5).
             from fabstir_vectordb_spark.operators.ivf import IVFIndex
 
-            prep = IVFIndex(
-                centroids=self._routers, id_col=self.id_col,
-                vector_col=self.vector_col,
-            ).assign(prep)
-            graph_expr = F.col("cluster_id").cast("int")
+            if self._routers is None:
+                rows = self.graph_routers(graph).collect()
+                if rows:
+                    cents = np.zeros(
+                        (G, len(rows[0]["__router"])), dtype=np.float64
+                    )
+                    for r in rows:
+                        cents[int(r["graph_id"])] = np.asarray(
+                            r["__router"], dtype=np.float64
+                        )
+                    self._routers = cents
+            if self._routers is not None:
+                prep = IVFIndex(
+                    centroids=self._routers, id_col=self.id_col,
+                    vector_col=self.vector_col,
+                ).assign(prep)
+                graph_expr = F.col("cluster_id").cast("int")
+            else:  # empty graph: nothing to route against yet
+                graph_expr = F.pmod(
+                    F.xxhash64(F.col(self.id_col)), F.lit(G)
+                ).cast("int")
         else:
             graph_expr = F.pmod(
                 F.xxhash64(F.col(self.id_col)), F.lit(G)

@@ -118,7 +118,16 @@ class BigramLM:
         out_col: str = "lm_score",
     ) -> DataFrame:
         """(id, out_col): mean ln P(w2|w1) over the document's bigrams;
-        0.0 for documents with < 2 tokens (no evidence either way).
+        NULL for documents with < 2 tokens (no bigram evidence).
+
+        NULL — not 0.0 — because 0.0 is strictly greater than every
+        real mean ln-probability, so a 0.0 sentinel would make any
+        "drop the low tail" gate (pipelines.curate_corpus
+        lm_drop_fraction) unconditionally KEEP empty/one-token docs —
+        the opposite of a typicality filter's intent.  NULL is ignored
+        by approxQuantile and fails a ``>= threshold`` predicate, so
+        such docs are excluded from the quantile and dropped by the
+        gate.
 
         Unseen bigrams/contexts (scoring text outside the training
         corpus) coalesce to count 0 — exactly the smoothed floor
@@ -139,10 +148,7 @@ class BigramLM:
         )
         per_doc = scored.groupBy("id").agg(F.avg("__lp").alias(out_col))
         ids = docs.select(F.col(id_col).alias("id"))
-        return (
-            ids.join(per_doc, "id", "left")
-            .select("id", F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col))
-        )
+        return ids.join(per_doc, "id", "left").select("id", out_col)
 
 
 def bigram_lm_score(

@@ -114,7 +114,7 @@ def curate_corpus(
     documented trade-off of not setting a checkpoint dir).  Set False
     only for tiny corpora where full laziness matters more.
     """
-    def _trunc(df: DataFrame) -> DataFrame:
+    def _trunc(df: DataFrame, eager: bool = False) -> DataFrame:
         if not cache_stages:
             return df
         sc = df.sparkSession.sparkContext
@@ -127,9 +127,9 @@ def curate_corpus(
             from pyspark import StorageLevel
 
             return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(
-                eager=False
+                eager=eager
             )
-        return df.localCheckpoint(eager=False)
+        return df.localCheckpoint(eager=eager)
 
     cur = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 
@@ -146,10 +146,15 @@ def curate_corpus(
         )
         cur = trimmed.select("id", F.col("clean_text").alias("text"))
 
+    # Conditional spread (operators/dedup._parallelize): single-file
+    # small-SF inputs arrive as 1 scan partition and must fan out, but an
+    # already-parallel 100 TB corpus must NOT pay a full raw-text shuffle
+    # here — the exchange only fires when scan parallelism is clearly
+    # below the cluster's.  Expression duplication without the barrier is
+    # bounded: Spark's CollapseProject refuses to inline a non-cheap
+    # producer (the tokenize split) that is referenced more than once.
     toks = X.whitespace_tokens("text")
-    cur = cur.select(
-        "id", "text", toks.alias("__toks")
-    ).repartition(cur.sparkSession.sparkContext.defaultParallelism)
+    cur = DD._parallelize(cur.select("id", "text", toks.alias("__toks")))
     cur = cur.select(
         "id", "text",
         X.token_count_from("__toks").cast("long").alias("n_tokens"),
@@ -222,16 +227,28 @@ def curate_corpus(
             cur = _trunc(cur)
             # persist: approxQuantile is an action, and without the cache
             # the filter below would re-execute the whole upstream funnel
-            # (boilerplate, span trim, dedup joins, LM fit) a second time
+            # (boilerplate, span trim, dedup joins, LM fit) a second time.
+            # The persist is released below (eager truncation of the gated
+            # survivors first, so nothing downstream still needs the
+            # blocks) — otherwise every curate_corpus call would leak a
+            # cached frame for the lifetime of the session.
             scored = cur.join(
                 bigram_lm_score(cur, id_col="id", text_col="text"), "id"
-            ).persist()
+            )
+            if cache_stages:
+                scored = scored.persist()
             q = scored.approxQuantile("lm_score", [lm_drop_fraction], 0.001)
+            # NULL scores (<2-token docs: no bigram evidence) are ignored
+            # by the quantile and FAIL the >= gate — a typicality filter
+            # must drop, not keep, evidence-free documents (ADVICE r5).
             if q:  # empty corpus at this stage -> nothing to drop
                 cur = scored.filter(F.col("lm_score") >= q[0])
             else:
                 cur = scored
             cur = cur.drop("lm_score")
+            if cache_stages:
+                cur = _trunc(cur, eager=True)
+                scored.unpersist()
 
     if quality_model is not None:
         cur = _trunc(cur)

@@ -108,7 +108,10 @@ def explain_rewrite(catalog: AnnCatalog, sql: str) -> str:
     if m is None:
         return "exact"
     e = catalog.lookup(m.group("view"))
-    if e is None or m.group("vec") != e.index.vector_col:
+    if e is None:
+        return "exact"
+    # same checks ann_sql enforces, so the report matches the real path
+    if m.group("id") != e.index.id_col or m.group("vec") != e.index.vector_col:
         return "exact"
     return "ivf"
 
@@ -135,9 +138,11 @@ def ann_sql(
     # delegate to spark.sql if it isn't
     try:
         qrow = spark.sql(f"SELECT ({m.group('q')}) AS q").first()
+        # NULL or non-array constants (e.g. a scalar) must delegate,
+        # not crash: the un-rewritten statement is always the fallback.
+        qvec = [float(x) for x in qrow["q"]]
     except Exception:
         return spark.sql(sql)
-    qvec = [float(x) for x in qrow["q"]]
     k = int(m.group("k"))
     metric = _METRICS[m.group("fn").lower()]
     if n_probe is None:

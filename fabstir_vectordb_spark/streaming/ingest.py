@@ -166,10 +166,13 @@ def write_graph_stream(
     from fabstir_vectordb_spark.operators.hnsw import read_graph, write_graph
 
     def _versions() -> list[str]:
+        # suffix grammar: ".v{batch}" or ".v{batch}r{retry}" (see sink)
         out = []
         for p in glob.glob(glob.escape(graph_path) + ".v*"):
+            tag = p.rsplit(".v", 1)[1]
+            batch, _, retry = tag.partition("r")
             try:
-                out.append((int(p.rsplit(".v", 1)[1]), p))
+                out.append(((int(batch), int(retry) if retry else 0), p))
             except ValueError:
                 continue
         return [p for _, p in sorted(out)]
@@ -195,6 +198,16 @@ def write_graph_stream(
             legacy = f"{graph_path}.v-1"
             os.rename(graph_path, legacy)
             _relink(legacy)
+        vdir = f"{graph_path}.v{batch_id}"
+        # Retry of a batch that already PUBLISHED (crash landed between
+        # the relink and the checkpoint commit): graph_path already points
+        # at this batch's version and all older versions were pruned, so
+        # deleting vdir here would irrecoverably destroy the graph.  The
+        # batch is idempotent-complete — skip it.
+        if os.path.lexists(graph_path) and os.path.realpath(
+            graph_path
+        ) == os.path.abspath(vdir):
+            return
         batch = batch_df.select(
             F.col("id").alias(hnsw_index.id_col),
             F.col("vector").alias(hnsw_index.vector_col),
@@ -204,9 +217,17 @@ def write_graph_stream(
             updated = hnsw_index.insert(graph, batch)
         else:
             updated = hnsw_index.build(batch)
-        vdir = f"{graph_path}.v{batch_id}"
-        if os.path.exists(vdir):  # retry of a half-written batch
-            shutil.rmtree(vdir)
+        if os.path.exists(vdir):
+            # Retry of a half-written batch.  Never rmtree a directory the
+            # pointer could resolve to (checked above); write to a fresh
+            # suffixed version instead of deleting, so the currently-linked
+            # graph stays readable even if the lazy plan hasn't run yet.
+            suffix = 0
+            fresh = vdir
+            while os.path.exists(fresh):
+                suffix += 1
+                fresh = f"{vdir}r{suffix}"
+            vdir = fresh
         write_graph(updated, vdir)
         _relink(vdir)
         for stale in _versions():

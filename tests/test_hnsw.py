@@ -407,3 +407,39 @@ def test_hash_graphs_routed_via_mean_routers(spark):
     got = _group(rows)
     assert set(got) == {r["query_id"] for r in q.collect()}
     assert all(len(rs) <= 5 for rs in got.values())
+
+
+def test_routed_insert_survives_reload(spark, tmp_path):
+    """insert() on a kmeans index whose routers were LOST (fresh index
+    object over a graph read back from disk) must rederive routers from
+    the graph — pre-fix it silently fell back to hash assignment, so new
+    vectors landed in cluster-incoherent graphs that a probe_graphs<G
+    search systematically missed (ADVICE r5)."""
+    from fabstir_vectordb_spark.operators.hnsw import (
+        HNSWIndex, read_graph, write_graph,
+    )
+
+    vec = _clustered_vecs(spark, n=300)
+    h = HNSWIndex(M=8, M0=16, ef_construction=64, num_graphs=6,
+                  partitioner="kmeans")
+    gpath = str(tmp_path / "g_reload")
+    write_graph(h.build(vec), gpath)
+
+    # reload with a FRESH index object: _routers is None, num_graphs unset
+    h2 = HNSWIndex(M=8, M0=16, ef_construction=64, partitioner="kmeans")
+    graph = read_graph(spark, gpath)
+    newv = _clustered_vecs(spark, n=60, seed=10).select(
+        (F.col("id") + 1000).alias("id"), "vector"
+    )
+    updated = h2.insert(graph, newv).cache()
+    assert updated.count() == 360
+    assert h2._routers is not None  # rederived, not hash fallback
+
+    # probe-pruned search must still find the freshly inserted vectors
+    q = newv.limit(6).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("vector")
+    )
+    rows = h2.search_bulk(updated, q, 3, ef=400, probe_graphs=2).collect()
+    got = _group(rows)
+    for qid, rs in got.items():
+        assert rs[0]["id"] == qid and rs[0]["distance"] == 0.0

@@ -38,9 +38,11 @@ def test_fit_counts(spark, corpus):
 
 def test_score_arithmetic_and_edges(spark, corpus):
     scored = {r["id"]: r["lm_score"] for r in bigram_lm_score(corpus, k=0.5).collect()}
-    # every doc present, short/empty docs get exactly 0.0
+    # every doc present; <2-token docs score NULL (no bigram evidence) so
+    # a low-tail gate DROPS them instead of always keeping a 0.0 sentinel
+    # that sits above every real mean ln-probability (ADVICE r5)
     assert set(scored) == {0, 1, 2, 3, 4, 5}
-    assert scored[4] == 0.0 and scored[5] == 0.0
+    assert scored[4] is None and scored[5] is None
     # doc 1 = 'a b a b': bigrams ab, ba, ab
     v = 7.0
     p_ab = (9 + 0.5) / (9 + 0.5 * v)

@@ -220,3 +220,30 @@ def test_mix_by_source_broadcasts_budgets_no_corpus_shuffle(spark):
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         assert "text#" not in seg.split("\n")[0]
     assert "BatchEvalPython" not in plan
+
+
+def test_funnel_gate_stage_no_text_shuffle_when_already_parallel(spark):
+    """The funnel's gate stage must NOT repartition an already-parallel
+    corpus: pre-fix, curate_corpus unconditionally repartitioned the full
+    (id, text, __toks) projection — one avoidable raw-text shuffle per
+    funnel run at 100 TB.  Post-fix it goes through dedup._parallelize,
+    which is a no-op when scan parallelism matches the cluster's, so no
+    Exchange in the whole minimal funnel may output the tokenized-text
+    column."""
+    from fabstir_vectordb_spark.pipelines import curate_corpus
+
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(par)
+    )
+    out = curate_corpus(
+        docs,
+        boilerplate_min_doc_freq=None,
+        near_dup_threshold=None,
+        lang=None,
+        cache_stages=False,
+    )
+    plan = _executed(out)
+    for seg in plan.split("Exchange ")[1:]:
+        head = seg.split("\n")[0]
+        assert "__toks" not in head and "text#" not in head, head

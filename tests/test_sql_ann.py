@@ -117,3 +117,34 @@ def test_column_ref_query_expr_delegates(spark, setup):
     out = ann_sql(spark, sql, cat)
     assert out.count() == 5
     assert all(r["distance"] == 0.0 for r in out.collect())
+
+
+def test_null_constant_query_delegates(spark, setup):
+    """A NULL (or non-array) constant query expression must DELEGATE to
+    spark.sql, never crash the rewriter (ADVICE r5): the un-rewritten
+    statement is always the correctness fallback."""
+    cat, _ = setup
+    sql = (
+        "SELECT id, vec_l2(vector, CAST(NULL AS ARRAY<FLOAT>)) AS distance "
+        "FROM vecs ORDER BY distance LIMIT 5"
+    )
+    out = ann_sql(spark, sql, cat)  # must not raise
+    assert out.count() == 5  # vec_l2(v, NULL) is NULL; LIMIT still yields rows
+
+
+def test_explain_rewrite_checks_id_col(spark, setup):
+    """explain_rewrite must apply the same id_col check ann_sql enforces,
+    so it never reports 'ivf' for a statement that takes the exact path."""
+    cat, qsql = setup
+    spark.sql("SELECT id AS rowid, vector FROM vecs").createOrReplaceTempView(
+        "vecs_renamed"
+    )
+    e = cat.lookup("vecs")
+    cat.register("vecs_renamed", e.index, e.clustered, n_rows=e.n_rows)
+    sql = (
+        f"SELECT rowid, vec_l2(vector, {qsql}) AS distance "
+        f"FROM vecs_renamed ORDER BY distance LIMIT 5"
+    )
+    assert explain_rewrite(cat, sql) == "exact"
+    out = ann_sql(spark, sql, cat)  # delegates on the id_col mismatch
+    assert out.count() == 5

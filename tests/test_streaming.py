@@ -208,3 +208,45 @@ def test_stream_graph_swap_crash_recovery(spark, tmp_path):
     assert g.count() == 22  # old 15 recovered + 7 new, nothing lost
     ids = {r["id"] for r in g.select("id").collect()}
     assert ids == {f"h{i}" for i in range(22)}
+
+
+def test_stream_graph_retry_after_publish_is_idempotent(spark, tmp_path):
+    """A foreachBatch RETRY of a batch that already PUBLISHED (crash
+    landed between the pointer relink and the checkpoint commit) must
+    not destroy the graph: pre-fix, the sink rmtree'd the very version
+    directory `graph_path` pointed at — with all older versions already
+    pruned, the whole graph was irrecoverably lost (ADVICE r5 high).
+    The sink must detect pointer==vdir and treat the batch as done."""
+    import os
+
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex, read_graph
+
+    idx = HNSWIndex(M=128, M0=128, ef_construction=128, num_graphs=2,
+                    id_col="id", vector_col="vector")
+    src = tmp_path / "gin3"
+    gpath = str(tmp_path / "graph3")
+    ck = str(tmp_path / "ck_retry")
+    _write_records(src, [
+        {"id": f"r{i}", "vector": [float(i), 1.0], "metadata": None,
+         "ts": "2026-01-10T12:00:00.000Z"}
+        for i in range(12)
+    ])
+    q = SI.write_graph_stream(
+        SI.read_vector_stream(spark, str(src)), idx, gpath, ck
+    )
+    q.awaitTermination(60)
+    assert read_graph(spark, gpath).count() == 12
+    published = os.path.realpath(gpath)
+
+    # simulate the retry: rerun batch 0 from a WIPED checkpoint so the
+    # sink sees the same batch_id with the pointer already at its vdir
+    import shutil
+
+    shutil.rmtree(ck)
+    q = SI.write_graph_stream(
+        SI.read_vector_stream(spark, str(src)), idx, gpath, ck
+    )
+    q.awaitTermination(60)
+    g = read_graph(spark, gpath)
+    assert g.count() == 12  # nothing lost, nothing duplicated
+    assert os.path.realpath(gpath) == published  # skipped, not rewritten
