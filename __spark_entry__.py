@@ -1493,12 +1493,11 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = _ranked_by_query(
         idx.search_bulk(enc, queries, K, n_probe=2, oversample=4, rerank_vectors=emb)
     )
-    exact = _ranked_by_query(
-        brute_force_knn(
-            emb, queries, K, metric="l2", impl="kernel",
-            id_col="vec_id", vector_col="embedding",
-        )
+    exact_raw = brute_force_knn(
+        emb, queries, K, metric="l2", impl="kernel",
+        id_col="vec_id", vector_col="embedding",
     )
+    exact = _ranked_by_query(exact_raw)
     dom = (
         approx.alias("a")
         .join(exact.alias("e"), ["query_id", "rank"])
@@ -1536,7 +1535,69 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.d") == F.col("e.d")).alias("ok"),
         )
     )
-    return eq.unionByName(dom).unionByName(res_eq)
+
+    # round 6: recall_target auto-tuning (plans/tuning.tune_pq consumed
+    # by IVFPQIndex.fit — VERDICT r5 #1: the knob-recovery study encoded
+    # as DEFAULTS).  Two parts:
+    #   tuned_exact    — fit(recall_target=0.9) searched at its OWN
+    #                    threaded defaults returns every exact top-K id
+    #                    rank-for-rank (recall floor 1.0 here: the tuned
+    #                    plan's small-data tier probes every cluster and
+    #                    the oversampled exact re-rank covers all codes)
+    #   tuned_adc_gain — code geometry alone (ADC-only, NO re-rank):
+    #                    avg recall@K of the tuned codes must BEAT the
+    #                    historical 8-subspace defaults on the same data
+    #                    (measured 0.725 vs 0.425 at sf0.01 — the
+    #                    0.36->0.91 lever of PERFORMANCE.md at fixture
+    #                    scale)
+    key = (sf_dir, "ivfpq_tuned")
+    if key not in _IVF_CACHE:
+        _IVF_CACHE[key] = IVFPQIndex.fit(
+            emb, n_clusters=8, seed=42, recall_target=0.9
+        )
+    tidx = _IVF_CACHE[key]
+    tenc = tidx.encode(emb)
+    exact_ids = exact_raw.select("query_id", "id")
+    from pyspark.sql import Window
+
+    rw = Window.partitionBy("query_id").orderBy(F.round("distance", 6), "id")
+    exact_ranked = exact_raw.select(
+        "query_id", "id", F.row_number().over(rw).alias("rank")
+    )
+    tuned_hits = tidx.search_bulk(
+        tenc, queries, K, rerank_vectors=emb
+    ).select("query_id", "id")
+    tuned_exact = (
+        exact_ranked.alias("e")
+        .join(
+            tuned_hits.withColumn("__hit", F.lit(True)).alias("t"),
+            ["query_id", "id"], "left",
+        )
+        .select(
+            F.lit("tuned_exact").alias("part"), "query_id", F.col("rank"),
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("ok"),
+        )
+    )
+
+    def _avg_adc_recall(index, table) -> float:
+        got = index.search_bulk(table, queries, K).select("query_id", "id")
+        row = (
+            got.join(exact_ids, ["query_id", "id"])
+            .groupBy("query_id").agg(F.count("*").alias("hits"))
+            .agg(F.avg(F.col("hits") / F.lit(K)).alias("r"))
+            .first()
+        )
+        return float(row["r"]) if row and row["r"] is not None else 0.0
+
+    gain_ok = _avg_adc_recall(tidx, tenc) > _avg_adc_recall(idx, enc)
+    gain_row = spark.createDataFrame(
+        [("tuned_adc_gain", -1, 0, bool(gain_ok))],
+        "part string, query_id long, rank int, ok boolean",
+    )
+    return (
+        eq.unionByName(dom).unionByName(res_eq)
+        .unionByName(tuned_exact).unionByName(gain_row)
+    )
 
 
 def q_ivfpq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3629,8 +3690,13 @@ _ORACLES["ann_ivfpq"] = f"""
 SELECT p AS part, vec_id AS query_id, r.rank, true AS ok
 FROM embeddings
 CROSS JOIN (SELECT unnest(generate_series(1, {K})) AS rank) r
-CROSS JOIN (SELECT unnest(['full_probe_eq', 'probe2_dominance', 'residual_exact']) AS p)
+CROSS JOIN (SELECT unnest(
+    ['full_probe_eq', 'probe2_dominance', 'residual_exact', 'tuned_exact']
+) AS p)
 WHERE vec_id < {NQ}
+UNION ALL
+SELECT 'tuned_adc_gain' AS part, CAST(-1 AS BIGINT) AS query_id,
+       0 AS rank, true AS ok
 """
 
 _ORACLES["media_embed_knn"] = f"""

@@ -49,6 +49,9 @@ class IVFPQIndex:
         # False keeps raw-vector PQ (composable with the standalone
         # quantizer, and the only option when the IVF is untrained).
         self.residual = bool(residual)
+        # set by fit(recall_target=...): the PQPlan whose n_probe /
+        # oversample become search_bulk's defaults for this index
+        self.tuned = None
 
     def _with_residual(self, assigned: DataFrame, out_col: str) -> DataFrame:
         """assigned (+cluster_id) -> + residual column, JVM-side: a
@@ -84,7 +87,32 @@ class IVFPQIndex:
         id_col: str = "vec_id",
         vector_col: str = "embedding",
         residual: bool = False,
+        recall_target: float | None = None,
     ) -> "IVFPQIndex":
+        """``recall_target`` auto-tunes the code geometry from the
+        measured knob-recovery guidance (plans/tuning.tune_pq): it
+        OVERRIDES n_subspaces / n_centroids / residual, and stores the
+        recommended n_probe / oversample on the index so search_bulk
+        uses them when the caller doesn't pass explicit values.  This
+        exists because guidance that lives only in docs doesn't protect
+        the user: the historical 8-subspace default bottoms out at
+        0.28-0.36 recall@10 on distance-concentrated corpora while the
+        tuned plan reaches 0.91 on the same data (PERFORMANCE.md
+        "IVFPQ knob recovery at 500k")."""
+        tuned = None
+        if recall_target is not None:
+            from fabstir_vectordb_spark.plans.tuning import tune_pq
+
+            first = vectors.select(F.size(vector_col)).first()
+            dim = int(first[0]) if first is not None else 0
+            n_rows = vectors.count()
+            tuned = tune_pq(
+                dim, recall_target=recall_target, n_clusters=n_clusters,
+                train_rows=min(n_rows, 10_000), dataset_size=n_rows,
+            )
+            n_subspaces = tuned.n_subspaces
+            n_centroids = tuned.n_centroids
+            residual = tuned.residual
         ivf = IVFIndex.fit(
             vectors, n_clusters=n_clusters, seed=seed,
             id_col=id_col, vector_col=vector_col,
@@ -96,12 +124,15 @@ class IVFPQIndex:
                 res, n_subspaces=n_subspaces, n_centroids=n_centroids,
                 seed=seed, vector_col="__res",
             )
+            idx.tuned = tuned
             return idx
         pq = ProductQuantizer.fit(
             vectors, n_subspaces=n_subspaces, n_centroids=n_centroids,
             seed=seed, vector_col=vector_col,
         )
-        return cls(ivf, pq, residual=False)
+        idx = cls(ivf, pq, residual=False)
+        idx.tuned = tuned
+        return idx
 
     def encode(self, vectors: DataFrame) -> DataFrame:
         """(input cols, cluster_id, pq_codes) — what a 100 TB deployment
@@ -125,8 +156,8 @@ class IVFPQIndex:
         encoded: DataFrame,
         queries: DataFrame,
         k: int,
-        n_probe: int = 4,
-        oversample: int = 4,
+        n_probe: int | None = None,
+        oversample: int | None = None,
         rerank_vectors: DataFrame | None = None,
         cluster_col: str = "cluster_id",
         code_col: str = "pq_codes",
@@ -146,7 +177,15 @@ class IVFPQIndex:
         persisted partitionBy(cluster_id) (write_encoded) this reaches
         the scan as PartitionFilters — only n_probe/n_clusters of the
         files are read, the 100 TB I/O claim of this module's header.
-        Default off: the in-memory path doesn't need the extra tiny job."""
+        Default off: the in-memory path doesn't need the extra tiny job.
+
+        ``n_probe`` / ``oversample`` default to the index's tuned plan
+        (fit(recall_target=...)) when one exists, else to the legacy
+        (4, 4) — explicit arguments always win."""
+        if n_probe is None:
+            n_probe = self.tuned.n_probe if self.tuned is not None else 4
+        if oversample is None:
+            oversample = self.tuned.oversample if self.tuned is not None else 4
         id_col = self.ivf.id_col
         if self.ivf.centroids is None:
             # small-data bypass: no coarse partition exists — plain ADC

@@ -94,3 +94,91 @@ def plan_search(
             reason="very large table => compressed codes + exact rerank",
         )
     return SearchPlan("ivf", n_probe=n_probe, reason="clustered probe")
+
+
+@dataclass
+class PQPlan:
+    """IVFPQ knob bundle derived from a recall target — the measured
+    knob-recovery guidance (PERFORMANCE.md "IVFPQ knob recovery at
+    500k") encoded as DEFAULTS instead of documentation."""
+
+    n_subspaces: int
+    n_centroids: int
+    n_probe: int
+    oversample: int
+    residual: bool
+    reason: str
+
+
+def _subspaces_for(dim: int, max_sub_dim: int) -> int:
+    """Smallest subspace count whose per-subspace slice is <= max_sub_dim
+    (n_subspaces must divide dim).  Falls back to dim (sub_dim 1) only
+    for pathological dims with no divisor in range."""
+    for sub in range(max_sub_dim, 0, -1):
+        if dim % sub == 0:
+            return dim // sub
+    return dim
+
+
+def tune_pq(
+    dim: int,
+    recall_target: float = 0.9,
+    n_clusters: int = 16,
+    train_rows: int | None = None,
+    dataset_size: int | None = None,
+) -> PQPlan:
+    """(n_subspaces, n_centroids, n_probe, oversample, residual) for an
+    IVFPQ index aiming at `recall_target` recall@10 on hostile
+    (distance-concentrated / uniform) geometry — the worst case, so the
+    plan is conservative on clusterable data.
+
+    Encodes the round-5 knob-recovery study (PERFORMANCE.md, 500k
+    uniform vectors, exact ground truth): the 8-subspace default
+    bottoms out at 0.28-0.36 recall@10 on distance-concentrated data,
+    while 16 subspaces (sub_dim 4 at dim 64) + 128 centroids/subspace +
+    residual coding + probe n_clusters/2 + oversample 32 reaches 0.91
+    on the same fixture.  bytes-per-code (n_subspaces) is the RECALL
+    lever; probe/oversample are the per-query COST levers; residual
+    coding (true IVFADC) tightens codebooks for free at fit time.
+
+    `train_rows` (when known) caps n_centroids at what the PQ trainer
+    can actually fit (ProductQuantizer.fit requires >= n_centroids
+    samples).  `dataset_size` (when known) widens the probe set for
+    small tables — same principle as tune_n_probe's small tier: below
+    ~10k rows probing every cluster costs almost nothing and buys
+    exactness, so a narrow probe there is all risk and no saving.
+    """
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
+    if recall_target >= 0.7:
+        # fine codes: sub_dim <= 4 (the 0.36 -> 0.91 lever)
+        n_subspaces = _subspaces_for(dim, 4)
+        n_centroids = 128
+        residual = True
+        if recall_target >= 0.9:
+            n_probe = max(1, n_clusters // 2)   # probe32/64 in the study
+            oversample = 32
+            reason = "high-recall tier: sub_dim<=4 + residual + probe/2 + oversample 32 (measured 0.91 on uniform 500k)"
+        else:
+            n_probe = max(1, n_clusters // 4)   # probe16/64 tier
+            oversample = 8
+            reason = "mid-recall tier: sub_dim<=4 + residual + probe/4 + oversample 8 (measured 0.71 on uniform 500k)"
+    else:
+        # throughput tier: coarse codes are fine when the target is loose
+        n_subspaces = _subspaces_for(dim, 8)
+        n_centroids = 32
+        residual = False
+        n_probe = max(1, n_clusters // 8)
+        oversample = 4
+        reason = "throughput tier: coarse codes, narrow probe"
+    if dataset_size is not None and dataset_size < _SMALL * 10:
+        n_probe = n_clusters
+    if train_rows is not None:
+        # keep a power-of-two-ish cap the trainer can satisfy
+        while n_centroids > max(2, train_rows):
+            n_centroids //= 2
+    return PQPlan(
+        n_subspaces=n_subspaces, n_centroids=n_centroids,
+        n_probe=min(n_probe, n_clusters), oversample=oversample,
+        residual=residual, reason=reason,
+    )

@@ -253,3 +253,90 @@ def test_residual_flag_survives_save_load(spark, tmp_path):
         for r in idx2.search_bulk(enc, queries, 5, n_probe=4).collect()
     )
     assert a == b
+
+
+# --------------------------------------------------- recall-target tuning
+
+
+def test_tune_pq_tiers():
+    from fabstir_vectordb_spark.plans.tuning import tune_pq
+
+    hi = tune_pq(64, recall_target=0.9, n_clusters=64)
+    # the measured 0.91 configuration on the uniform 500k fixture
+    assert hi.n_subspaces == 16 and hi.n_centroids == 128
+    assert hi.residual and hi.n_probe == 32 and hi.oversample == 32
+
+    mid = tune_pq(64, recall_target=0.7, n_clusters=64)
+    assert mid.n_subspaces == 16 and mid.residual
+    assert mid.n_probe == 16 and mid.oversample == 8
+
+    # small tables probe every cluster regardless of tier (all risk,
+    # no saving in a narrow probe below ~10k rows)
+    assert tune_pq(64, 0.9, 64, dataset_size=500).n_probe == 64
+
+    lo = tune_pq(64, recall_target=0.5, n_clusters=64)
+    assert lo.n_subspaces == 8 and not lo.residual and lo.oversample == 4
+
+    # n_subspaces must divide dim: 96 -> sub_dim 4 -> 24 subspaces
+    assert tune_pq(96, 0.9, 64).n_subspaces == 24
+    # pathological prime dim still yields a legal plan
+    assert 97 % tune_pq(97, 0.9, 64).n_subspaces == 0
+    # train_rows caps the centroid count below what the trainer needs
+    assert tune_pq(64, 0.9, 64, train_rows=100).n_centroids <= 100
+    with pytest.raises(ValueError):
+        tune_pq(64, recall_target=0.0)
+
+
+def test_fit_recall_target_overrides_and_threads_defaults(spark, embeddings):
+    """fit(recall_target=...) must consume tune_pq — overriding the
+    historical low-recall defaults — and search_bulk must pick up the
+    tuned probe/oversample when the caller passes none (the whole point:
+    guidance in docs doesn't protect the user, defaults do)."""
+    from fabstir_vectordb_spark.plans.tuning import tune_pq
+
+    tuned = IVFPQIndex.fit(
+        embeddings, n_clusters=8, seed=42, recall_target=0.9,
+    )
+    want = tune_pq(64, recall_target=0.9, n_clusters=8, train_rows=500,
+                   dataset_size=500)
+    assert tuned.pq.n_subspaces == want.n_subspaces == 16
+    assert tuned.pq.n_centroids == want.n_centroids
+    assert tuned.residual == want.residual is True
+    assert tuned.tuned.n_probe == want.n_probe
+    assert tuned.tuned.oversample == want.oversample
+
+    # defaults thread through: no explicit knobs => k rows per query,
+    # and recall at the tuned defaults must beat the legacy-default
+    # (8-subspace raw-PQ probe-4) index on the same data
+    enc = tuned.encode(embeddings).cache()
+    q = embeddings.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    exact = brute_force_knn(
+        embeddings, q, 10, metric="l2", impl="kernel",
+        id_col="vec_id", vector_col="embedding",
+    )
+    got = tuned.search_bulk(enc, q, 10, rerank_vectors=embeddings)
+    per_q = {}
+    for r in got.collect():
+        per_q.setdefault(r["query_id"], set()).add(r["id"])
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["id"])
+    assert set(per_q) == set(truth)
+    recalls = [
+        len(per_q[qid] & truth[qid]) / len(truth[qid]) for qid in truth
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9
+    enc.unpersist()
+
+
+def test_untuned_search_keeps_legacy_defaults(idx, encoded, embeddings, queries):
+    """No recall_target => tuned is None => the legacy (4, 4) defaults
+    still apply, so existing callers see identical results."""
+    assert idx.tuned is None
+    a = idx.search_bulk(encoded, queries, 5, rerank_vectors=embeddings)
+    b = idx.search_bulk(
+        encoded, queries, 5, n_probe=4, oversample=4, rerank_vectors=embeddings
+    )
+    assert _rows(a) == _rows(b)
