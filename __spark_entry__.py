@@ -600,6 +600,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.word_tokens("text").alias("__bpe"),
     ).repartition(spark.sparkContext.defaultParallelism)
     emb = X.hashed_embedding("__toks", 8)
+    # Round 6: subword (BPE) token counting (operators/subword.py —
+    # greedy longest-match over a LITERAL merge vocabulary so the oracle
+    # can replay the matcher with a recursive scan over the same list;
+    # the learner is certified in tests/test_subword.py).  n_subword is
+    # the token-budget contract an LLM trainer actually bills in.
+    from fabstir_vectordb_spark.operators.subword import subword_token_counts
+
+    sub = subword_token_counts(docs, _SW_VOCAB, id_col="doc_id")
     return toks.select(
         "doc_id",
         X.token_count_from("__toks").cast("long").alias("n_tokens"),
@@ -611,7 +619,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
         r6(F.element_at(emb, 1)).alias("emb0"),
         r6(F.element_at(emb, 2)).alias("emb1"),
-    ).join(lm, "doc_id")
+    ).join(lm, "doc_id").join(sub, "doc_id")
 
 
 def q_text_stats_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,7 +931,82 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_tokens=5000,
         n_tokens_col="n_tokens",
     ).select("doc_id", r6("mix_frac").alias("mix_frac"), "mix_kept")
-    return out.join(dec, "doc_id").join(caps, "doc_id").join(mix, "doc_id")
+
+    # Round 6: END-TO-END funnel certification (VERDICT r5 #2 — stages
+    # were individually certified, the WIRING was not).  curate_corpus
+    # runs ONCE with every SQL-replayable stage ON over a planted copy
+    # of the corpus (so each stage genuinely fires: constant-text docs
+    # for exact dedup, a 45-token constant tail in 1/7 of docs for
+    # span-trim at min_occurrences=3, hot footer lines for boilerplate;
+    # the fixture's own near-dup pairs — which occur exactly twice —
+    # survive the min-occurrences-3 trim and are the near-dup stage's
+    # prey), and the per-doc `funnel_stage` column records the FIRST
+    # stage that dropped each document ('survived' otherwise), derived
+    # from curate_corpus's own audit frames — equality of this map
+    # implies every per-stage survivor set and count.  The oracle
+    # replays the full chain stage by stage (boilerplate -> span trim
+    # -> gates -> exact dedup -> near-dup components -> per-source cap
+    # -> token-budget mix -> exact-threshold LM gate -> decontaminate).
+    # quality_model stays off (the L-BFGS fit is the documented
+    # non-SQL stage); lm_exact_threshold=True is the bit-reproducible
+    # certification mode of the LM gate."""
+    from fabstir_vectordb_spark.pipelines import curate_corpus
+
+    const_dup = (
+        "the quick brown fox jumps over the lazy dog and then it runs away home"
+    )
+    tail = " ".join(f"tail{i}" for i in range(45))
+    body = F.when(
+        F.col("doc_id") % 40 == 1, F.lit(const_dup)
+    ).otherwise(F.col("text"))
+    body = F.when(
+        F.col("doc_id") % 7 == 2, F.concat(body, F.lit(" " + tail))
+    ).otherwise(body)
+    planted = docs.select(
+        "doc_id", "source",
+        F.concat_ws(
+            "\n", body,
+            F.when(F.col("doc_id") % 2 == 0, F.lit("-- shared footer --")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("subscribe to our newsletter")),
+        ).alias("text"),
+    )
+    aud: dict = {}
+    curate_corpus(
+        planted, id_col="doc_id", text_col="text",
+        boilerplate_min_doc_freq=50,
+        lang="en", min_quality=0.3, max_repetition=0.2,
+        token_bounds=(10, 5000),
+        near_dup_threshold=0.8,
+        benchmark=docs.filter(F.col("doc_id") % 50 == 0).select("text"),
+        decontaminate_ngram=8,
+        source_col="source", max_per_source=15,
+        mixture={f"src{i}": 0.05 for i in range(20)}, mixture_tokens=15000,
+        lm_drop_fraction=0.1, lm_exact_threshold=True,
+        trim_span_tokens=20, trim_span_min_occurrences=3,
+        audit=aud,
+    )
+    stage_order = [
+        "gates", "exact_dedup", "near_dup", "cap", "mix", "lm", "decontaminate",
+    ]
+    fs = docs.select("doc_id")
+    for name in stage_order:
+        fs = fs.join(
+            aud[name].select(
+                F.col("id").alias("doc_id"), F.lit(True).alias(f"__in_{name}")
+            ),
+            "doc_id", "left",
+        )
+    stage_expr = F.lit("survived")
+    for name in reversed(stage_order):
+        stage_expr = F.when(
+            F.col(f"__in_{name}").isNull(), F.lit(name)
+        ).otherwise(stage_expr)
+    funnel = fs.select("doc_id", stage_expr.alias("funnel_stage"))
+
+    return (
+        out.join(dec, "doc_id").join(caps, "doc_id").join(mix, "doc_id")
+        .join(funnel, "doc_id")
+    )
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2871,11 +2954,47 @@ SELECT * FROM (VALUES
 # --- text-analysis / dedup oracles ----------------------------------------
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+# literal BPE-ish merge vocabulary for the certified n_subword column —
+# multi-char subwords only (single chars are the implicit fallback);
+# matcher = greedy longest-match, max subword length 3
+_SW_VOCAB = [
+    "the", "th", "he", "in", "ing", "ion", "er", "en", "es", "on",
+    "re", "at", "or", "an", "st", "ar", "te", "ed", "nd", "to",
+]
+_SW_VOCAB_SQL = "[" + ", ".join(f"'{v}'" for v in _SW_VOCAB) + "]"
 _SW_EN = "['the','and','of','to','is','in','it','a']"
 _FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 _ORACLES["text_stats"] = f"""
-WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+WITH RECURSIVE
+sw_words AS MATERIALIZED (
+  SELECT DISTINCT lower(tok) AS w
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  WHERE length(tok) > 0
+),
+-- greedy longest-match scan: one cursor row per (word, position); the
+-- step is the longest vocab subword at the cursor (3, then 2) else one
+-- fallback character; token count = number of steps
+sw_steps AS (
+  SELECT w, 1 AS pos, 0 AS n FROM sw_words
+  UNION ALL
+  SELECT w,
+    pos + CASE WHEN list_contains({_SW_VOCAB_SQL}, substr(w, pos, 3)) THEN 3
+               WHEN list_contains({_SW_VOCAB_SQL}, substr(w, pos, 2)) THEN 2
+               ELSE 1 END,
+    n + 1
+  FROM sw_steps WHERE pos <= length(w)
+),
+sw_counts AS MATERIALIZED (
+  SELECT w, max(n) AS n_sub FROM sw_steps GROUP BY w
+),
+sw_doc AS MATERIALIZED (
+  SELECT doc_id, sum(c.n_sub) AS n_subword
+  FROM (SELECT doc_id, lower(unnest({_TOKS})) AS w FROM documents) x
+  JOIN sw_counts c ON x.w = c.w
+  GROUP BY doc_id
+),
+t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
 c AS (
   SELECT doc_id, text, toks, len(toks) AS sz,
     CASE WHEN len(toks) >= 3
@@ -2931,10 +3050,12 @@ SELECT c.doc_id,
        ELSE 0.0 END AS rep_3gram,
   (round(CASE WHEN enrm = 0 THEN ev[1] ELSE ev[1] / enrm END, 6) + 0.0) AS emb0,
   (round(CASE WHEN enrm = 0 THEN ev[2] ELSE ev[2] / enrm END, 6) + 0.0) AS emb1,
-  (round(COALESCE(lms.lm, 0.0), 6) + 0.0) AS lm_bigram
+  (round(COALESCE(lms.lm, 0.0), 6) + 0.0) AS lm_bigram,
+  CAST(COALESCE(swd.n_subword, 0) AS BIGINT) AS n_subword
 FROM c
 JOIN e ON c.doc_id = e.doc_id
 LEFT JOIN lms ON c.doc_id = lms.doc_id
+LEFT JOIN sw_doc swd ON c.doc_id = swd.doc_id
 """
 
 _ORACLES["index_maintenance"] = """
@@ -3283,8 +3404,237 @@ SELECT 'chunk' AS part, doc_id, ci AS bin_id,
 FROM ch
 """
 
+# The funnel replay (corpus_filter's funnel_stage column): the whole
+# curate_corpus chain re-derived stage by stage in SQL over the same
+# planted corpus.  Names are f_-prefixed to stay clear of the main
+# oracle's CTEs.  Stage order mirrors pipelines.curate_corpus exactly:
+# boilerplate -> span trim (L=20, min_occurrences=3) -> gates -> exact
+# dedup -> near-dup connected components -> per-source cap(15) ->
+# token-budget mix (0.05 x 15000 per source) -> exact-threshold LM gate
+# (drop fraction 0.1) -> 8-gram decontamination vs the doc_id%50 bench.
+_FUNNEL_CTES = f"""
+f_in AS (
+  SELECT doc_id, source,
+    concat_ws(chr(10),
+      CASE WHEN doc_id % 7 = 2
+           THEN concat(CASE WHEN doc_id % 40 = 1
+                            THEN 'the quick brown fox jumps over the lazy dog and then it runs away home'
+                            ELSE text END,
+                       ' ', {{TAIL}})
+           ELSE CASE WHEN doc_id % 40 = 1
+                     THEN 'the quick brown fox jumps over the lazy dog and then it runs away home'
+                     ELSE text END END,
+      CASE WHEN doc_id % 2 = 0 THEN '-- shared footer --' END,
+      CASE WHEN doc_id % 5 = 0 THEN 'subscribe to our newsletter' END) AS t0
+  FROM documents
+), f_lines AS (
+  SELECT doc_id, unnest(string_split(t0, chr(10))) AS line,
+         generate_subscripts(string_split(t0, chr(10)), 1) AS pos
+  FROM f_in
+), f_hot AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS df FROM f_lines GROUP BY line
+  ) WHERE df >= 50
+), f_bp AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t1
+  FROM f_lines WHERE line NOT IN (SELECT line FROM f_hot)
+  GROUP BY doc_id
+), f_tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(t1), '\\s+') AS tk FROM f_bp
+), f_w AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(tk[i:i+19], ' ')) AS h
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 19)) AS i
+        FROM f_tok WHERE len(tk) >= 20)
+), f_whot AS (
+  SELECT h FROM f_w GROUP BY h HAVING count(*) >= 3
+), f_dup AS (
+  SELECT doc_id, pos FROM f_w JOIN f_whot USING (h)
+), f_isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + 20) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS nw
+  FROM f_dup
+), f_isl2 AS (
+  SELECT doc_id, pos,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM f_isl
+), f_spans AS (
+  SELECT doc_id, isl, min(pos) AS s, max(pos + 20) AS e
+  FROM f_isl2 GROUP BY doc_id, isl
+), f_kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM (SELECT doc_id, unnest(tk) AS tok,
+               generate_subscripts(tk, 1) AS p
+        FROM f_tok) t
+  LEFT JOIN f_spans sp
+    ON t.doc_id = sp.doc_id AND (t.p - 1) >= sp.s AND (t.p - 1) < sp.e
+  WHERE sp.s IS NULL
+), f_t2 AS MATERIALIZED (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS t2
+  FROM f_kept GROUP BY doc_id
+), f_g AS MATERIALIZED (
+  SELECT doc_id, t2, regexp_split_to_array(trim(t2), '\\s+') AS tk2,
+         list_transform(regexp_split_to_array(trim(t2), '\\s+'),
+                        tk -> lower(tk)) AS lt2
+  FROM f_t2
+), f_v AS (
+  SELECT doc_id, t2, tk2,
+    len(list_filter(lt2, tk -> list_contains({_SW_EN}, tk))) AS v_en,
+    len(list_filter(lt2, tk -> list_contains(['el','la','de','que','y','en','un','los'], tk))) AS v_es,
+    len(list_filter(lt2, tk -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], tk))) AS v_de,
+    len(list_filter(lt2, tk -> list_contains(['le','la','et','les','des','est','une','dans'], tk))) AS v_fr
+  FROM f_g
+), f_sig AS (
+  SELECT doc_id, t2, tk2,
+    CASE WHEN regexp_matches(t2, '[一-鿿]') THEN 'zh'
+         WHEN regexp_matches(t2, '[Ѐ-ӿ]') THEN 'ru'
+         WHEN regexp_matches(t2, '[؀-ۿ]') THEN 'ar'
+         WHEN v_es > v_en AND v_es >= v_de AND v_es >= v_fr THEN 'es'
+         WHEN v_de > v_en AND v_de >= v_fr THEN 'de'
+         WHEN v_fr > v_en THEN 'fr'
+         ELSE 'en' END AS lang,
+    len(tk2) AS n2,
+    (0.25 * least(1.0, CAST(len(tk2) AS DOUBLE) / 64.0)
+     + 0.25 * least(1.0, (CASE WHEN len(tk2) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(tk2, tk -> list_contains({_SW_EN}, lower(tk)))) AS DOUBLE) / len(tk2) END) * 4.0)
+     + 0.25 * (1.0 - least(1.0, (CASE WHEN length(t2) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(t2, '[^0-9]', '', 'g')) AS DOUBLE) / length(t2) END) * 4.0))
+     + 0.25 * (1.0 - least(1.0, (CASE WHEN length(t2) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(t2, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(t2) END) * 4.0))
+    ) AS q2,
+    CASE WHEN len(tk2) >= 3
+         THEN 1.0 - CAST(len(list_distinct(
+                list_transform(generate_series(1, len(tk2) - 2),
+                  i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2])
+              )) AS DOUBLE) / (len(tk2) - 2)
+         ELSE 0.0 END AS rep2
+  FROM f_v
+), f_gate AS MATERIALIZED (
+  SELECT doc_id, t2, tk2 FROM f_sig
+  WHERE lang = 'en' AND q2 >= 0.3 AND rep2 <= 0.2 AND n2 BETWEEN 10 AND 5000
+), f_ex AS (
+  SELECT doc_id, t2, tk2,
+         md5(trim(regexp_replace(lower(t2), '\\s+', ' ', 'g'))) AS fp
+  FROM f_gate
+), f_exk AS MATERIALIZED (
+  SELECT doc_id, t2, tk2 FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS cid FROM f_ex
+  ) WHERE doc_id = cid
+), f_sh AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN len(tk2) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(tk2) - 2),
+              i -> concat_ws(' ', tk2[i], tk2[i + 1], tk2[i + 2])))
+         ELSE [] END AS grams
+  FROM f_exk
+), f_pair AS MATERIALIZED (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM f_sh a JOIN f_sh b ON a.doc_id < b.doc_id
+  WHERE len(a.grams) > 0 AND len(b.grams) > 0
+    AND len(list_intersect(a.grams, b.grams)) > 0
+    AND round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) >= 0.8
+), f_e AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM f_pair
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM f_pair
+), f_r AS (
+  SELECT doc_id AS id, doc_id AS lab FROM f_exk
+  UNION
+  SELECT f_e.dst AS id, f_r.lab FROM f_r JOIN f_e ON f_e.src = f_r.id
+), f_nd AS MATERIALIZED (
+  SELECT k.doc_id, k.t2, k.tk2 FROM f_exk k
+  JOIN (SELECT id, min(lab) AS cid2 FROM f_r GROUP BY id) c
+    ON k.doc_id = c.id AND k.doc_id = c.cid2
+), f_capk AS MATERIALIZED (
+  SELECT doc_id, t2, tk2, source FROM (
+    SELECT n.doc_id, n.t2, n.tk2, d.source,
+      row_number() OVER (PARTITION BY d.source ORDER BY
+        CAST(concat('0x', substr(md5(concat(CAST(n.doc_id AS VARCHAR), '|cap')), 1, 8)) AS BIGINT),
+        n.doc_id) AS rn
+    FROM f_nd n JOIN documents d ON n.doc_id = d.doc_id
+  ) WHERE rn <= 15
+), f_mixb AS (
+  SELECT source,
+    (round(least(1.0, 0.05 * 15000.0 / greatest(
+       sum(CAST(len(tk2) AS DOUBLE)), 1.0)), 6) + 0.0) AS frac
+  FROM f_capk GROUP BY source
+), f_mixk AS MATERIALIZED (
+  SELECT c.doc_id, c.t2, c.tk2 FROM f_capk c JOIN f_mixb m ON c.source = m.source
+  WHERE (CAST(concat('0x', substr(md5(concat(CAST(c.doc_id AS VARCHAR), '|mix')), 1, 8)) AS BIGINT)
+         / 4294967296.0) < m.frac
+), f_bgr AS (
+  SELECT doc_id, tk2[i] AS w1, tk2[i + 1] AS w2
+  FROM (SELECT doc_id, tk2, unnest(generate_series(1, len(tk2) - 1)) AS i
+        FROM f_mixk WHERE len(tk2) >= 2)
+), f_c12 AS (
+  SELECT w1, w2, count(*) AS cnt FROM f_bgr GROUP BY 1, 2
+), f_cctx AS (
+  SELECT w1, count(*) AS cnt FROM f_bgr GROUP BY 1
+), f_vv AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(tk2) AS tok FROM f_mixk)
+), f_lms AS MATERIALIZED (
+  SELECT b.doc_id,
+         (round(avg(ln((f_c12.cnt + 0.5) / (f_cctx.cnt + 0.5 * f_vv.v))), 6) + 0.0) AS s
+  FROM f_bgr b
+  JOIN f_c12 ON b.w1 = f_c12.w1 AND b.w2 = f_c12.w2
+  JOIN f_cctx ON b.w1 = f_cctx.w1
+  CROSS JOIN f_vv
+  GROUP BY b.doc_id
+), f_thr AS (
+  SELECT max(s) AS t FROM (
+    SELECT s, row_number() OVER (ORDER BY s) AS rn FROM f_lms
+  ) qq CROSS JOIN (SELECT count(*) AS n FROM f_lms) cc
+  WHERE qq.rn <= greatest(1, CAST(ceil(0.1 * cc.n) AS BIGINT))
+), f_lmk AS MATERIALIZED (
+  SELECT m.doc_id, m.t2, m.tk2 FROM f_mixk m
+  JOIN f_lms USING (doc_id) CROSS JOIN f_thr
+  WHERE f_lms.s >= f_thr.t
+), f_dsh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(tk2) - 7),
+             i -> concat_ws(' ', tk2[i], tk2[i+1], tk2[i+2], tk2[i+3],
+                            tk2[i+4], tk2[i+5], tk2[i+6], tk2[i+7])))) AS sh
+  FROM f_lmk WHERE len(tk2) >= 8
+), f_bsh AS MATERIALIZED (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+      generate_series(1, len({_TOKS}) - 7),
+      i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2], {_TOKS}[i+3],
+                     {_TOKS}[i+4], {_TOKS}[i+5], {_TOKS}[i+6], {_TOKS}[i+7])))) AS sh
+  FROM documents WHERE doc_id % 50 = 0 AND len({_TOKS}) >= 8
+), f_final AS MATERIALIZED (
+  SELECT doc_id FROM f_lmk
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM f_dsh JOIN f_bsh USING (sh))
+), fstage AS (
+  SELECT d.doc_id,
+    CASE WHEN g.doc_id IS NULL THEN 'gates'
+         WHEN e.doc_id IS NULL THEN 'exact_dedup'
+         WHEN n.doc_id IS NULL THEN 'near_dup'
+         WHEN cp.doc_id IS NULL THEN 'cap'
+         WHEN mx.doc_id IS NULL THEN 'mix'
+         WHEN lk.doc_id IS NULL THEN 'lm'
+         WHEN fn.doc_id IS NULL THEN 'decontaminate'
+         ELSE 'survived' END AS funnel_stage
+  FROM documents d
+  LEFT JOIN f_gate g ON d.doc_id = g.doc_id
+  LEFT JOIN f_exk e ON d.doc_id = e.doc_id
+  LEFT JOIN f_nd n ON d.doc_id = n.doc_id
+  LEFT JOIN f_capk cp ON d.doc_id = cp.doc_id
+  LEFT JOIN f_mixk mx ON d.doc_id = mx.doc_id
+  LEFT JOIN f_lmk lk ON d.doc_id = lk.doc_id
+  LEFT JOIN f_final fn ON d.doc_id = fn.doc_id
+)""".replace(
+    "{TAIL}",
+    "'" + " ".join(f"tail{i}" for i in range(45)) + "'",
+)
+
 _ORACLES["corpus_filter"] = f"""
-WITH t AS (
+WITH RECURSIVE {_FUNNEL_CTES},
+t AS (
   SELECT doc_id, text, {_TOKS} AS toks,
          list_transform({_TOKS}, tk -> lower(tk)) AS lt
   FROM documents
@@ -3379,11 +3729,13 @@ SELECT sig.doc_id, lang, quality, n_tokens, rep_3gram,
   caps.grp_rank <= 15 AS grp_kept,
   mixb.mix_frac AS mix_frac,
   (CAST(concat('0x', substr(md5(concat(CAST(sig.doc_id AS VARCHAR), '|mix')), 1, 8)) AS BIGINT)
-   / 4294967296.0 < mixb.mix_frac) AS mix_kept
+   / 4294967296.0 < mixb.mix_frac) AS mix_kept,
+  fst.funnel_stage AS funnel_stage
 FROM sig
 LEFT JOIN hits h ON sig.doc_id = h.doc_id
 JOIN caps ON sig.doc_id = caps.doc_id
 JOIN mixb ON caps.source = mixb.source
+JOIN fstage fst ON sig.doc_id = fst.doc_id
 """
 
 _ORACLES["dedup_exact"] = f"""

@@ -56,10 +56,13 @@ def curate_corpus(
     mixture: dict[str, float] | None = None,
     mixture_tokens: int | None = None,
     lm_drop_fraction: float | None = None,
+    lm_exact_threshold: bool = False,
     quality_model=None,
     pareto_alpha: float | None = None,
     trim_span_tokens: int | None = None,
+    trim_span_min_occurrences: int = 2,
     cache_stages: bool = True,
+    audit: dict | None = None,
 ) -> DataFrame:
     """Run the curation funnel; returns one row per SURVIVING document:
     (id, text, n_tokens, quality, lang, split) — with boilerplate
@@ -93,6 +96,21 @@ def curate_corpus(
         occurring twice+ corpus-wide are removed from every document,
         right after boilerplate removal and before the gates (so
         length/repetition gates judge the trimmed text).
+
+    ``lm_exact_threshold=True`` replaces the approxQuantile cut with an
+    EXACT rank rule on round-6 scores — keep docs whose round(score, 6)
+    is >= the ceil(lm_drop_fraction * n)-th smallest such score (n =
+    docs with a non-NULL score) — making the gate bit-reproducible
+    across engines (the certification/replay mode; the approx sketch
+    stays the scale default).  ``trim_span_min_occurrences`` threads
+    through to remove_duplicated_spans.
+
+    ``audit`` (pass an empty dict) collects, per drop-capable stage, the
+    slim survivor-id frame right after that stage runs — keys in funnel
+    order: gates, exact_dedup, near_dup, cap, mix, lm, quality,
+    decontaminate (only stages that ran appear).  The frames share the
+    funnel's checkpointed lineage, so materializing them re-reads
+    truncated plans, not the whole funnel per stage.
 
     ``cache_stages`` (default True) checkpoints the running frame at
     every self-referencing stage boundary.  This is load-bearing at
@@ -131,6 +149,10 @@ def curate_corpus(
             )
         return df.localCheckpoint(eager=eager)
 
+    def _audit(name: str, frame: DataFrame) -> None:
+        if audit is not None:
+            audit[name] = frame.select("id")
+
     cur = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 
     if boilerplate_min_doc_freq is not None:
@@ -142,7 +164,9 @@ def curate_corpus(
     if trim_span_tokens is not None:
         cur = _trunc(cur)
         trimmed = DD.remove_duplicated_spans(
-            cur, span_tokens=trim_span_tokens, text_col="text", id_col="id"
+            cur, span_tokens=trim_span_tokens,
+            min_occurrences=trim_span_min_occurrences,
+            text_col="text", id_col="id",
         )
         cur = trimmed.select("id", F.col("clean_text").alias("text"))
 
@@ -170,6 +194,7 @@ def curate_corpus(
     if min_quality is not None:
         gate = gate & (F.col("quality") >= min_quality)
     cur = cur.filter(gate).drop("rep_3gram")
+    _audit("gates", cur)
 
     # exact dedup: keep the canonical (min-id) member of each group
     cur = _trunc(cur)
@@ -177,6 +202,7 @@ def curate_corpus(
     cur = cur.join(
         groups.filter(~F.col("is_duplicate")).select("id"), "id"
     )
+    _audit("exact_dedup", cur)
 
     if near_dup_threshold is not None:
         cur = _trunc(cur)
@@ -188,6 +214,7 @@ def curate_corpus(
             canon.filter(F.col("id") == F.col("canonical_id")).select("id"),
             "id",
         )
+        _audit("near_dup", cur)
 
     if max_per_source is not None:
         if source_col is None:
@@ -202,6 +229,7 @@ def curate_corpus(
         cur = capped.filter(F.col("grp_kept")).drop(
             "__src", "grp_rank", "grp_kept"
         )
+        _audit("cap", cur)
 
     if mixture is not None:
         if source_col is None:
@@ -219,6 +247,7 @@ def curate_corpus(
         cur = mixed.filter(F.col("mix_kept")).drop(
             "__src", "mix_frac", "mix_kept"
         )
+        _audit("mix", cur)
 
     if lm_drop_fraction is not None:
         if not 0.0 <= lm_drop_fraction < 1.0:
@@ -237,18 +266,39 @@ def curate_corpus(
             )
             if cache_stages:
                 scored = scored.persist()
-            q = scored.approxQuantile("lm_score", [lm_drop_fraction], 0.001)
             # NULL scores (<2-token docs: no bigram evidence) are ignored
-            # by the quantile and FAIL the >= gate — a typicality filter
-            # must drop, not keep, evidence-free documents (ADVICE r5).
-            if q:  # empty corpus at this stage -> nothing to drop
-                cur = scored.filter(F.col("lm_score") >= q[0])
+            # by the cut-point computation and FAIL the >= gate — a
+            # typicality filter must drop, not keep, evidence-free
+            # documents (ADVICE r5).
+            if lm_exact_threshold:
+                import math
+
+                scores = scored.filter(
+                    F.col("lm_score").isNotNull()
+                ).select(F.round("lm_score", 6).alias("__s"))
+                n = scores.count()
+                if n > 0:
+                    kth = max(1, math.ceil(lm_drop_fraction * n))
+                    t = (
+                        scores.orderBy("__s").limit(kth)
+                        .agg(F.max("__s")).first()[0]
+                    )
+                    cur = scored.filter(F.round("lm_score", 6) >= t)
+                else:
+                    cur = scored
             else:
-                cur = scored
+                q = scored.approxQuantile(
+                    "lm_score", [lm_drop_fraction], 0.001
+                )
+                if q:  # empty corpus at this stage -> nothing to drop
+                    cur = scored.filter(F.col("lm_score") >= q[0])
+                else:
+                    cur = scored
             cur = cur.drop("lm_score")
             if cache_stages:
                 cur = _trunc(cur, eager=True)
                 scored.unpersist()
+            _audit("lm", cur)
 
     if quality_model is not None:
         cur = _trunc(cur)
@@ -260,12 +310,14 @@ def curate_corpus(
             cur = kept.filter(F.col("kept")).drop("quality_prob", "kept")
         else:
             cur = qscored.filter(F.col("quality_prob") > 0.5).drop("quality_prob")
+        _audit("quality", cur)
 
     if benchmark is not None:
         cur = _trunc(cur)
         cur = DD.remove_contaminated(
             cur, benchmark, n=decontaminate_ngram, id_col="id", text_col="text"
         )
+        _audit("decontaminate", cur)
 
     return assign_split(cur, weights=split_weights, id_col="id")
 

@@ -348,3 +348,33 @@ def test_curate_corpus_mixture_stage(spark):
     assert kept.get("src1", 0) == 20            # small source kept whole
     assert 5 <= kept.get("src0", 0) <= 40       # ~10% of 200
     assert {"mix_frac", "mix_kept", "__src"}.isdisjoint(out.columns)
+
+
+def test_curate_corpus_audit_and_exact_lm_threshold(spark):
+    """The round-6 certification hooks: `audit` collects per-stage
+    survivor-id frames in funnel order, and lm_exact_threshold makes the
+    LM gate an exact rank rule on round-6 scores (drop the lowest
+    ceil(p*n), NULL-score docs always dropped)."""
+    rows = (
+        [(i, "the cat sat on the mat and then the dog sat too " + f"u{i}",
+          "src0") for i in range(30)]
+        + [(100, "zz qq xx yy ww vv uu tt ss rr aa bb", "src0")]  # atypical
+        + [(101, "one", "src0")]                                  # <2 tokens
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    aud = {}
+    out = curate_corpus(
+        docs, boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+        max_repetition=1.0, token_bounds=(1, 5000), near_dup_threshold=None,
+        lm_drop_fraction=0.1, lm_exact_threshold=True, audit=aud,
+    )
+    assert list(aud) == ["gates", "exact_dedup", "lm"]
+    ids = {r["id"] for r in out.select("id").collect()}
+    lm_ids = {r["id"] for r in aud["lm"].collect()}
+    assert ids == lm_ids
+    assert 101 not in ids          # NULL score -> dropped by the gate
+    assert 100 not in ids          # the planted atypical doc is the low tail
+    # exact rule: n=31 scored docs, ceil(0.1*31)=4 lowest round-6 scores
+    # define the threshold; everything >= survives
+    gate_n = {r["id"] for r in aud["exact_dedup"].collect()}
+    assert len(gate_n) == 32 and len(ids) >= 31 - 4
