@@ -114,18 +114,34 @@ def bm25_search(
 
     if postings is None:
         postings = build_postings(docs, text_col=text_col, id_col=id_col)
-    # corpus stats WITHOUT a second tokenize pass: dl is constant per doc,
-    # so sum(dl) over distinct (id, dl) postings pairs equals the corpus
-    # token total exactly; zero-token docs (absent from postings, dl=0)
-    # are corrected for by a tokenize-free count(*) on docs.  The former
-    # form re-tokenized the whole corpus just for avgdl — at 100 TB that
-    # was one avoidable full scan per index build.
-    per_doc = postings.select("id", "dl").distinct().agg(
-        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tot")
-    ).collect()[0]
-    n_docs = docs.count() if docs is not None else per_doc["n"]
-    avgdl = (per_doc["tot"] / n_docs) if n_docs else 1.0
-    avgdl = avgdl or 1.0  # all-empty corpus: no postings anyway, avoid 0-div
+    # corpus stats WITHOUT a second tokenize pass AND without driver
+    # actions: dl is constant per doc, so sum(dl) over distinct (id, dl)
+    # postings pairs equals the corpus token total exactly; zero-token
+    # docs (absent from postings) are corrected for by a tokenize-free
+    # count(*) on docs.  Both land in ONE single-row aggregate that is
+    # broadcast-cross-joined into the scoring plan — the former
+    # collect()-at-construction form ran two extra driver-blocking jobs
+    # per search (measured +1.1 s fixed overhead at sf0.1, the round-5
+    # keyword_bm25 bench regression), and before that the stats
+    # re-tokenized the whole corpus (one avoidable 100 TB scan).
+    post_stats = postings.select("id", "dl").distinct().agg(
+        F.count("*").cast("double").alias("__n_post"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("double").alias("__tot"),
+    )
+    if docs is not None:
+        post_stats = post_stats.crossJoin(
+            docs.agg(F.count("*").cast("double").alias("__n_docs"))
+        )
+    else:
+        post_stats = post_stats.withColumn("__n_docs", F.col("__n_post"))
+    raw_avgdl = F.when(
+        F.col("__n_docs") > 0.0, F.col("__tot") / F.col("__n_docs")
+    ).otherwise(F.lit(1.0))
+    stats = post_stats.select(
+        "__n_docs",
+        # all-empty corpus: no postings anyway, avoid 0-div
+        F.when(raw_avgdl != 0.0, raw_avgdl).otherwise(F.lit(1.0)).alias("__avgdl"),
+    )
 
     df_by_term = postings.groupBy("term").agg(F.countDistinct("id").alias("df"))
     # one row per (query, distinct term): duplicate terms in a query score
@@ -136,15 +152,16 @@ def bm25_search(
     )
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     tf_part = (
         F.col("tf") * (k1 + 1.0)
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl))))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl")))
     )
     scored = (
         qterms.join(df_by_term, "term")
         .join(postings, "term")
+        .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "id")
         .agg(F.sum(idf * tf_part).alias("score"))
     )
