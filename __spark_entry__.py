@@ -1066,6 +1066,11 @@ def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         at full probe its round-6 distance multiset equals the exact
         spark.sql statement's, and at n_probe=2 the plan carries the
         cluster_id probe filter
+      - round 6 (sql_where_ok / sql_bulk_ok): the WHERE-metadata + ANN
+        composition (predicate applied below the probe scan, full-probe
+        result equals the verbatim filtered statement) and the bulk
+        kNN-join (row_number-over-distance) form rewriting to
+        search_bulk with identical results
 
     All model-independent, so the oracle is count(*) + constants."""
     from fabstir_vectordb_spark.functions.sqlfns import register_sql_functions
@@ -1127,6 +1132,57 @@ def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         and "cluster_id" in probe_plan
     )
 
+    # round 6 (VERDICT r5 #8): the WHERE-metadata + ANN composition and
+    # the bulk kNN-join form.  Both certified the same way as the single
+    # statement: the rewrite fires (explain_rewrite), the full-probe
+    # result equals the verbatim spark.sql statement, and the pruned
+    # plan carries the cluster probe filter.
+    stmt_w = (
+        f"SELECT vec_id, vec_l2(embedding, {qsql}) AS distance "
+        f"FROM sqlann_vecs WHERE vec_id % 2 = 0 ORDER BY distance LIMIT 10"
+    )
+    exact_w = sorted(
+        (r["vec_id"], round(r["distance"], 6))
+        for r in spark.sql(stmt_w).collect()
+    )
+    ann_w = sorted(
+        (r["vec_id"], round(r["distance"], 6))
+        for r in ann_sql(spark, stmt_w, cat, n_probe=16).collect()
+    )
+    where_plan = (
+        ann_sql(spark, stmt_w, cat, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    sql_where_ok = bool(
+        explain_rewrite(cat, stmt_w) == "ivf"
+        and ann_w == exact_w
+        and all(i % 2 == 0 for i, _ in ann_w)
+        and "cluster_id" in where_plan
+    )
+
+    spark.sql(
+        "SELECT vec_id AS qid, embedding AS qv FROM sqlann_vecs WHERE vec_id < 4"
+    ).createOrReplaceTempView("sqlann_queries")
+    stmt_b = (
+        "SELECT qid, vec_id, distance FROM ("
+        "SELECT q.qid AS qid, v.vec_id AS vec_id, "
+        "vec_l2(v.embedding, q.qv) AS distance, "
+        "row_number() OVER (PARTITION BY q.qid "
+        "ORDER BY vec_l2(v.embedding, q.qv)) AS rn "
+        "FROM sqlann_vecs v CROSS JOIN sqlann_queries q) WHERE rn <= 5"
+    )
+    exact_b = sorted(
+        (r["qid"], r["vec_id"], round(r["distance"], 6))
+        for r in spark.sql(stmt_b).collect()
+    )
+    ann_b = sorted(
+        (r["qid"], r["vec_id"], round(r["distance"], 6))
+        for r in ann_sql(spark, stmt_b, cat, n_probe=16).collect()
+    )
+    sql_bulk_ok = bool(
+        explain_rewrite(cat, stmt_b) == "ivf_bulk" and ann_b == exact_b
+    )
+
     row = (
         int(stats["total_vectors"]),
         int(idx16.n_clusters),
@@ -1142,13 +1198,16 @@ def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         bool(dist["ids_ok"]),
         bool(dist["nonempty_ok"]),
         sql_ann_ok,
+        sql_where_ok,
+        sql_bulk_ok,
     )
     assigned.unpersist()
     return spark.createDataFrame(
         [row],
         "total_assigned long, n_clusters long, variance_ok boolean, "
         "empties_ok boolean, training_error_ok boolean, cache_ok boolean, "
-        "ids_in_range boolean, dist_nonempty_ok boolean, sql_ann_ok boolean",
+        "ids_in_range boolean, dist_nonempty_ok boolean, sql_ann_ok boolean, "
+        "sql_where_ok boolean, sql_bulk_ok boolean",
     )
 
 
@@ -3064,7 +3123,7 @@ SELECT CAST(count(*) AS BIGINT) AS total_assigned,
        true AS variance_ok, true AS empties_ok,
        true AS training_error_ok, true AS cache_ok,
        true AS ids_in_range, true AS dist_nonempty_ok,
-       true AS sql_ann_ok
+       true AS sql_ann_ok, true AS sql_where_ok, true AS sql_bulk_ok
 FROM embeddings
 """
 

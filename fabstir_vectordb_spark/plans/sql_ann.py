@@ -52,15 +52,47 @@ _METRICS = {
 
 # the canonical vector-search statement (see module doc).  The query
 # expression is captured greedily up to the last ')' before AS, so
-# nested calls like array(...) / cast(... as array<float>) parse.
+# nested calls like array(...) / cast(... as array<float>) parse.  An
+# optional WHERE clause (metadata predicate over the view's columns)
+# composes filter + ANN: the predicate is applied BELOW the probe scan,
+# so both the cluster probe filter and the pushed predicate reach the
+# parquet source.
 _PATTERN = re.compile(
     r"""
     ^\s*SELECT\s+(?P<id>\w+)\s*,\s*
     (?P<fn>vec_l2|vec_cosine_distance)\s*\(\s*
         (?P<vec>\w+)\s*,\s*(?P<q>.+)\)\s+AS\s+(?P<alias>\w+)\s+
     FROM\s+(?P<view>\w+)\s+
+    (?:WHERE\s+(?P<where>.+?)\s+)?
     ORDER\s+BY\s+(?P<order>\w+)(?:\s+ASC)?\s+
     LIMIT\s+(?P<k>\d+)\s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+# the canonical BULK form — a kNN join against a registered queries
+# view, written as the standard row_number-over-distance idiom (legal
+# verbatim Spark SQL, which is what makes delegation the correctness
+# fallback):
+#
+#   SELECT <qid>, <id>, <alias> FROM (
+#     SELECT q.<qid> AS <qid>, v.<id> AS <id>,
+#            vec_l2(v.<vec>, q.<qvec>) AS <alias>,
+#            row_number() OVER (PARTITION BY q.<qid>
+#                               ORDER BY vec_l2(v.<vec>, q.<qvec>)) AS <rn>
+#     FROM <view> v CROSS JOIN <queries_view> q
+#   ) WHERE <rn> <= <k>
+_BULK_PATTERN = re.compile(
+    r"""
+    ^\s*SELECT\s+(?P<oqid>\w+)\s*,\s*(?P<oid>\w+)\s*,\s*(?P<oalias>\w+)\s+
+    FROM\s*\(\s*
+      SELECT\s+q\.(?P<qid>\w+)\s+AS\s+(?P<aqid>\w+)\s*,\s*
+      v\.(?P<id>\w+)\s+AS\s+(?P<aid>\w+)\s*,\s*
+      (?P<fn>vec_l2|vec_cosine_distance)\s*\(\s*v\.(?P<vec>\w+)\s*,\s*q\.(?P<qvec>\w+)\s*\)\s+AS\s+(?P<alias>\w+)\s*,\s*
+      row_number\s*\(\s*\)\s+OVER\s*\(\s*PARTITION\s+BY\s+q\.(?P<pqid>\w+)\s+
+      ORDER\s+BY\s+(?P<fn2>vec_l2|vec_cosine_distance)\s*\(\s*v\.(?P<vec2>\w+)\s*,\s*q\.(?P<qvec2>\w+)\s*\)\s*\)\s+AS\s+(?P<rn>\w+)\s+
+      FROM\s+(?P<view>\w+)\s+v\s+CROSS\s+JOIN\s+(?P<qview>\w+)\s+q\s*
+    \)\s*WHERE\s+(?P<rn2>\w+)\s*<=\s*(?P<k>\d+)\s*;?\s*$
     """,
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
@@ -101,19 +133,48 @@ def _parse(sql: str):
     return m
 
 
+def _parse_bulk(sql: str):
+    m = _BULK_PATTERN.match(sql)
+    if not m:
+        return None
+    g = m.group
+    # every repeated name must agree, or the statement means something
+    # other than the canonical kNN join — delegate
+    consistent = (
+        g("fn").lower() == g("fn2").lower()
+        and g("vec") == g("vec2")
+        and g("qvec") == g("qvec2")
+        and g("qid") == g("pqid")
+        and g("rn") == g("rn2")
+        and g("oqid") == g("aqid")
+        and g("oid") == g("aid")
+        and g("oalias") == g("alias")
+    )
+    return m if consistent else None
+
+
 def explain_rewrite(catalog: AnnCatalog, sql: str) -> str:
-    """'ivf' if the statement would take the pruned index plan,
-    'exact' if it delegates to spark.sql untouched."""
+    """'ivf' / 'ivf_bulk' if the statement would take the pruned index
+    plan (single / kNN-join form), 'exact' if it delegates to spark.sql
+    untouched."""
     m = _parse(sql)
-    if m is None:
-        return "exact"
-    e = catalog.lookup(m.group("view"))
-    if e is None:
-        return "exact"
-    # same checks ann_sql enforces, so the report matches the real path
-    if m.group("id") != e.index.id_col or m.group("vec") != e.index.vector_col:
-        return "exact"
-    return "ivf"
+    if m is not None:
+        e = catalog.lookup(m.group("view"))
+        if e is None:
+            return "exact"
+        # same checks ann_sql enforces, so the report matches the real path
+        if m.group("id") != e.index.id_col or m.group("vec") != e.index.vector_col:
+            return "exact"
+        return "ivf"
+    b = _parse_bulk(sql)
+    if b is not None:
+        e = catalog.lookup(b.group("view"))
+        if e is None:
+            return "exact"
+        if b.group("id") != e.index.id_col or b.group("vec") != e.index.vector_col:
+            return "exact"
+        return "ivf_bulk"
+    return "exact"
 
 
 def ann_sql(
@@ -123,35 +184,84 @@ def ann_sql(
     n_probe: int | None = None,
 ) -> DataFrame:
     """Run ``sql``, substituting the probe-pruned IVF plan when the
-    statement matches the canonical vector-search shape over a
-    registered view; otherwise ``spark.sql(sql)`` verbatim."""
+    statement matches a canonical vector-search shape over a registered
+    view; otherwise ``spark.sql(sql)`` verbatim.
+
+    Shapes rewritten (see the two pattern docstrings): the single-query
+    ORDER BY ... LIMIT k statement — with an optional WHERE metadata
+    predicate, which is applied BELOW the probe scan so the pushed
+    predicate and the cluster probe filter both reach the parquet
+    source — and the bulk kNN-join (row_number-over-distance) form
+    against a second registered queries view."""
     m = _parse(sql)
-    if m is None:
-        return spark.sql(sql)
-    e = catalog.lookup(m.group("view"))
-    if e is None:
-        return spark.sql(sql)
-    idx = e.index
-    if m.group("id") != idx.id_col or m.group("vec") != idx.vector_col:
-        return spark.sql(sql)
-    # the query vector must be a constant expression (no column refs);
-    # delegate to spark.sql if it isn't
-    try:
-        qrow = spark.sql(f"SELECT ({m.group('q')}) AS q").first()
-        # NULL or non-array constants (e.g. a scalar) must delegate,
-        # not crash: the un-rewritten statement is always the fallback.
-        qvec = [float(x) for x in qrow["q"]]
-    except Exception:
-        return spark.sql(sql)
-    k = int(m.group("k"))
-    metric = _METRICS[m.group("fn").lower()]
-    if n_probe is None:
-        n_probe = tune_n_probe(e.n_rows, k, idx.n_clusters)
-    queries = spark.createDataFrame(
-        [("q0", qvec)], "query_id string, vector array<float>"
-    )
-    res = idx.search(e.clustered, queries, k, n_probe=n_probe, metric=metric)
-    return res.select(
-        F.col("id").alias(m.group("id")),
-        F.col("distance").alias(m.group("alias")),
-    )
+    if m is not None:
+        e = catalog.lookup(m.group("view"))
+        if e is None:
+            return spark.sql(sql)
+        idx = e.index
+        if m.group("id") != idx.id_col or m.group("vec") != idx.vector_col:
+            return spark.sql(sql)
+        # the query vector must be a constant expression (no column
+        # refs); delegate to spark.sql if it isn't
+        try:
+            qrow = spark.sql(f"SELECT ({m.group('q')}) AS q").first()
+            # NULL or non-array constants (e.g. a scalar) must delegate,
+            # not crash: the un-rewritten statement is always the
+            # fallback.
+            qvec = [float(x) for x in qrow["q"]]
+        except Exception:
+            return spark.sql(sql)
+        k = int(m.group("k"))
+        metric = _METRICS[m.group("fn").lower()]
+        if n_probe is None:
+            n_probe = tune_n_probe(e.n_rows, k, idx.n_clusters)
+        clustered = e.clustered
+        if m.group("where"):
+            # filter + ANN composition: the predicate restricts the
+            # clustered table BEFORE probing, so it stacks with the
+            # cluster_id probe filter below the scan.  A predicate the
+            # view can't evaluate (bad column, alias reference) falls
+            # back to the verbatim statement.
+            try:
+                clustered = clustered.filter(F.expr(m.group("where")))
+                clustered.schema  # force analysis now, not at action time
+            except Exception:
+                return spark.sql(sql)
+        queries = spark.createDataFrame(
+            [("q0", qvec)], "query_id string, vector array<float>"
+        )
+        res = idx.search(clustered, queries, k, n_probe=n_probe, metric=metric)
+        return res.select(
+            F.col("id").alias(m.group("id")),
+            F.col("distance").alias(m.group("alias")),
+        )
+
+    b = _parse_bulk(sql)
+    if b is not None:
+        e = catalog.lookup(b.group("view"))
+        if e is None:
+            return spark.sql(sql)
+        idx = e.index
+        if b.group("id") != idx.id_col or b.group("vec") != idx.vector_col:
+            return spark.sql(sql)
+        try:
+            qdf = spark.table(b.group("qview")).select(
+                F.col(b.group("qid")).alias("query_id"),
+                F.col(b.group("qvec")).alias("vector"),
+            )
+        except Exception:
+            return spark.sql(sql)
+        k = int(b.group("k"))
+        metric = _METRICS[b.group("fn").lower()]
+        if n_probe is None:
+            n_probe = tune_n_probe(e.n_rows, k, idx.n_clusters)
+        res = idx.search_bulk(
+            e.clustered, qdf, k, n_probe=n_probe, metric=metric
+        )
+        return res.select(
+            F.col("query_id").alias(b.group("oqid")),
+            F.col("id").alias(b.group("oid")),
+            F.col("distance").alias(b.group("oalias")),
+        )
+
+    return spark.sql(sql)

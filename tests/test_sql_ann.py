@@ -148,3 +148,118 @@ def test_explain_rewrite_checks_id_col(spark, setup):
     assert explain_rewrite(cat, sql) == "exact"
     out = ann_sql(spark, sql, cat)  # delegates on the id_col mismatch
     assert out.count() == 5
+
+
+def _bulk_stmt(fn="vec_l2", k=3, rn="rn"):
+    return (
+        f"SELECT query_id, id, distance FROM ("
+        f"SELECT q.query_id AS query_id, v.id AS id, "
+        f"{fn}(v.vector, q.qvec) AS distance, "
+        f"row_number() OVER (PARTITION BY q.query_id "
+        f"ORDER BY {fn}(v.vector, q.qvec)) AS {rn} "
+        f"FROM vecs v CROSS JOIN vecq q) WHERE {rn} <= {k}"
+    )
+
+
+@pytest.fixture(scope="module")
+def qview(spark, setup):
+    spark.sql(
+        "SELECT id AS query_id, vector AS qvec FROM vecs WHERE id < 5"
+    ).createOrReplaceTempView("vecq")
+
+
+def test_where_composition_equals_exact(spark, setup):
+    """WHERE metadata predicate + ANN: at full probe the rewritten
+    filtered search equals the verbatim filtered statement."""
+    cat, qsql = setup
+    sql = (
+        f"SELECT id, vec_l2(vector, {qsql}) AS distance "
+        f"FROM vecs WHERE id % 2 = 0 ORDER BY distance LIMIT 10"
+    )
+    assert explain_rewrite(cat, sql) == "ivf"
+    exact = sorted(
+        (r["id"], round(r["distance"], 6)) for r in spark.sql(sql).collect()
+    )
+    ann = sorted(
+        (r["id"], round(r["distance"], 6))
+        for r in ann_sql(spark, sql, cat, n_probe=4).collect()
+    )
+    assert ann == exact
+    assert all(i % 2 == 0 for i, _ in ann)
+
+
+def test_where_bad_predicate_delegates(spark, setup):
+    """A predicate the view can't analyze (unknown column) must fall
+    back to the verbatim statement's own error, not crash the rewriter
+    at plan-build time with a different exception."""
+    cat, qsql = setup
+    sql = (
+        f"SELECT id, vec_l2(vector, {qsql}) AS distance "
+        f"FROM vecs WHERE no_such_col = 1 ORDER BY distance LIMIT 5"
+    )
+    with pytest.raises(Exception):
+        ann_sql(spark, sql, cat).collect()  # same failure surface as spark.sql
+
+
+def test_where_plan_pushes_predicate_and_prunes(spark, setup, tmp_path):
+    """The composed plan must reach the parquet scan with BOTH the
+    cluster probe filter (PartitionFilters) and the metadata predicate
+    (PushedFilters) — filter below the probe scan, the 100 TB shape."""
+    from fabstir_vectordb_spark.operators.ivf import write_clustered
+
+    cat, qsql = setup
+    e = cat.lookup("vecs")
+    path = str(tmp_path / "sqlann_clustered")
+    write_clustered(
+        spark.table("vecs"), e.index, path
+    )
+    loaded = spark.read.parquet(path)
+    cat.register("vecs_disk", e.index, loaded, n_rows=e.n_rows)
+    spark.table("vecs").createOrReplaceTempView("vecs_disk")
+    sql = (
+        f"SELECT id, vec_l2(vector, {qsql}) AS distance "
+        f"FROM vecs_disk WHERE id < 200 ORDER BY distance LIMIT 5"
+    )
+    plan = (
+        ann_sql(spark, sql, cat, n_probe=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "cluster_id" in plan.split("PartitionFilters")[1][:200]
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "id" in pushed and "200" in pushed
+
+
+def test_bulk_rewrite_equals_exact(spark, setup, qview):
+    """The canonical kNN-join statement rewrites to search_bulk; at full
+    probe it equals the verbatim row_number-over-distance statement."""
+    cat, _ = setup
+    sql = _bulk_stmt()
+    assert explain_rewrite(cat, sql) == "ivf_bulk"
+    exact = sorted(
+        (r["query_id"], r["id"], round(r["distance"], 6))
+        for r in spark.sql(sql).collect()
+    )
+    ann = sorted(
+        (r["query_id"], r["id"], round(r["distance"], 6))
+        for r in ann_sql(spark, sql, cat, n_probe=4).collect()
+    )
+    assert ann == exact
+    assert len({q for q, _, _ in ann}) == 5 and len(ann) == 15
+
+
+def test_bulk_inconsistent_names_delegates(spark, setup, qview):
+    """Mismatched repeated names mean the statement is NOT the canonical
+    kNN join — it must run verbatim, not get rewritten."""
+    cat, _ = setup
+    sql = (
+        "SELECT query_id, id, distance FROM ("
+        "SELECT q.query_id AS query_id, v.id AS id, "
+        "vec_l2(v.vector, q.qvec) AS distance, "
+        "row_number() OVER (PARTITION BY q.query_id "
+        "ORDER BY vec_cosine_distance(v.vector, q.qvec)) AS rn "  # fn mismatch
+        "FROM vecs v CROSS JOIN vecq q) WHERE rn <= 3"
+    )
+    assert explain_rewrite(cat, sql) == "exact"
+    assert ann_sql(spark, sql, cat).count() == 15  # verbatim run still works
