@@ -470,7 +470,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     part='hnsw_routed' (round 5) is the kmeans-partitioned build with
     probe_graphs=2 of 4 — the routed fan-out that keeps per-query cost
     flat as the corpus grows; routing only PRUNES candidates, so the
-    same dominance/at-most-k contract applies.
+    same dominance/at-most-k contract applies.  Round 6 strengthens the
+    build with multi-assignment (assign_graphs=2 — the ANN spill trick:
+    each vector lands in its two nearest-router graphs, recovering the
+    boundary vectors a pruned probe misses), and part='spill_ok'
+    certifies the spilled layout (exactly 2 copies per vector, results
+    deduplicated).
 
     part='graph_stats' (SURVEY §2 row 58; hnsw/operations.rs:227-272)
     certifies the graph-statistics surface on the same built graph: the
@@ -505,16 +510,43 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         hnsw_idx.search_bulk(graph, queries, K, ef=64), exact, queries
     ).select(F.lit("hnsw").alias("part"), "query_id", "dominated", "at_most_k")
 
+    # round 6: the routed build now SPILLS (assign_graphs=2 — each
+    # vector lands in its two nearest-router graphs, operators/hnsw.py
+    # multi-assignment), recovering the boundary vectors a probe-pruned
+    # search misses under single assignment (recall >= 0.9 at R/G=1/8
+    # on the clusterable fixture, tests/test_hnsw.py).  The dominance /
+    # at-most-k contract is unchanged — spilled duplicates are collapsed
+    # per (query, id) before the global top-k — and the spill_ok row
+    # certifies the layout: exactly 2 copies of every vector, and the
+    # probe-pruned results duplicate-free.
     routed_idx = HNSWIndex(
         M=16, M0=32, ef_construction=100, num_graphs=4,
         id_col="vec_id", vector_col="embedding", partitioner="kmeans",
+        assign_graphs=2,
     )
-    routed_graph = routed_idx.build(emb)
-    routed = _ann_contract_rows(
-        routed_idx.search_bulk(routed_graph, queries, K, ef=64, probe_graphs=2),
-        exact, queries,
-    ).select(
+    routed_graph = routed_idx.build(emb).cache()
+    routed_res = routed_idx.search_bulk(
+        routed_graph, queries, K, ef=64, probe_graphs=2
+    ).cache()
+    routed = _ann_contract_rows(routed_res, exact, queries).select(
         F.lit("hnsw_routed").alias("part"), "query_id", "dominated", "at_most_k"
+    )
+    spill = routed_graph.groupBy("id").count().agg(
+        F.count("*").alias("n_ids"),
+        F.min("count").alias("mn"), F.max("count").alias("mx"),
+    ).collect()[0]
+    dupfree = routed_res.groupBy("query_id", "id").count().agg(
+        F.max("count").alias("m")
+    ).collect()[0]
+    n_emb = emb.count()
+    spill_row = spark.createDataFrame(
+        [(
+            "spill_ok",
+            int(spill["n_ids"]),
+            bool(spill["mn"] == 2 and spill["mx"] == 2 and spill["n_ids"] == n_emb),
+            bool(dupfree["m"] == 1),
+        )],
+        "part string, query_id long, dominated boolean, at_most_k boolean",
     )
 
     st = hnsw_idx.graph_stats(graph)
@@ -532,7 +564,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "part string, query_id long, dominated boolean, at_most_k boolean",
     )
-    return lsh.unionByName(hnsw).unionByName(routed).unionByName(stats_row)
+    return (
+        lsh.unionByName(hnsw).unionByName(routed)
+        .unionByName(spill_row).unionByName(stats_row)
+    )
 
 
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2997,6 +3032,11 @@ WHERE vec_id < {NQ}
 UNION ALL
 -- graph_stats: node count == corpus size (one node per vector)
 SELECT 'graph_stats' AS part, (SELECT count(*) FROM embeddings) AS query_id,
+       true AS dominated, true AS at_most_k
+UNION ALL
+-- spill_ok: multi-assigned build holds exactly 2 copies of every
+-- vector and probe-pruned results are duplicate-free
+SELECT 'spill_ok' AS part, (SELECT count(*) FROM embeddings) AS query_id,
        true AS dominated, true AS at_most_k
 """,
     # recall bounds / monotonicity / exactness-at-full-probe are theorems

@@ -223,7 +223,8 @@ class HNSWIndex:
 
     def __init__(self, M=16, M0=32, ef_construction=200, num_graphs=None, seed=42,
                  id_col="id", vector_col="vector", metric="l2",
-                 target_graph_size=4096, partitioner="hash"):
+                 target_graph_size=4096, partitioner="hash",
+                 assign_graphs=1):
         self.M, self.M0, self.ef_construction = int(M), int(M0), int(ef_construction)
         self.num_graphs = num_graphs
         # when num_graphs is not pinned, build() sizes G so each graph
@@ -243,6 +244,20 @@ class HNSWIndex:
             raise ValueError(f"unknown partitioner {partitioner!r}")
         self.partitioner = partitioner
         self._routers = None  # np.ndarray (G, dim) for kmeans builds
+        # multi-assignment (kmeans only): insert each vector into its
+        # `assign_graphs` nearest-router graphs — the public ANN "spill"
+        # trick (cf. spill trees / SPANN's boundary replication).  A
+        # boundary vector sits near 2+ routers; single-assignment puts
+        # it in exactly one graph, so a probe-pruned search arriving via
+        # the OTHER router misses it systematically.  Spilling costs
+        # assign_graphs x storage/build and buys routed recall at small
+        # probe budgets; search results are deduplicated per (query, id)
+        # before the global top-k, so exactness contracts are unchanged.
+        if int(assign_graphs) < 1:
+            raise ValueError("assign_graphs must be >= 1")
+        if int(assign_graphs) > 1 and partitioner != "kmeans":
+            raise ValueError("assign_graphs > 1 requires partitioner='kmeans'")
+        self.assign_graphs = int(assign_graphs)
         self.seed = int(seed)
         self.id_col, self.vector_col = id_col, vector_col
         if metric not in ("l2", "cosine"):
@@ -254,6 +269,30 @@ class HNSWIndex:
         # emitted distances are converted back to 1 - cos.
         self.metric = metric
         self.m_l = 1.0 / math.log(max(self.M, 2))
+
+    def _route(self, router_ivf, prep: DataFrame,
+               deleted_col: str | None = None) -> DataFrame:
+        """``prep`` + cluster_id, honoring multi-assignment: top-1 is
+        the plain broadcast nearest-centroid pass; assign_graphs > 1
+        emits one row per (vector, nearest-graph) pair via the probe
+        kernel — map-only (the vector rides through the kernel), no
+        join back, so spilling adds zero corpus shuffles.  A deleted
+        flag (rare at build time) is re-attached via a slim id join."""
+        if self.assign_graphs <= 1:
+            return router_ivf.assign(prep)
+        pairs = router_ivf.probe_pairs(
+            prep, self.assign_graphs,
+            query_id_col=self.id_col, query_vector_col=self.vector_col,
+        ).select(
+            F.col("query_id").alias(self.id_col),
+            F.col("__qv").alias(self.vector_col),
+            F.col("__blk").cast("int").alias("cluster_id"),
+        )
+        if deleted_col is not None:
+            pairs = pairs.join(
+                prep.select(self.id_col, deleted_col), self.id_col
+            )
+        return pairs
 
     def _prep(self, df: DataFrame, col: str) -> DataFrame:
         """Unit-normalize `col` in place for cosine mode (JVM-side HOF).
@@ -321,7 +360,7 @@ class HNSWIndex:
                 vector_col=self.vector_col,
             )
             graph_expr = F.col("cluster_id").cast("int")
-            prep = router_ivf.assign(prep)
+            prep = self._route(router_ivf, prep, deleted_col)
         else:
             graph_expr = F.pmod(
                 F.xxhash64(F.col(self.id_col)), F.lit(G)
@@ -426,10 +465,13 @@ class HNSWIndex:
                         )
                     self._routers = cents
             if self._routers is not None:
-                prep = IVFIndex(
-                    centroids=self._routers, id_col=self.id_col,
-                    vector_col=self.vector_col,
-                ).assign(prep)
+                prep = self._route(
+                    IVFIndex(
+                        centroids=self._routers, id_col=self.id_col,
+                        vector_col=self.vector_col,
+                    ),
+                    prep, deleted_col,
+                )
                 graph_expr = F.col("cluster_id").cast("int")
             else:  # empty graph: nothing to route against yet
                 graph_expr = F.pmod(
@@ -679,6 +721,16 @@ class HNSWIndex:
             .cogroup(qrep.groupBy("graph_id"))
             .applyInPandas(graph_topk, out_schema)
         )
+        if self.partitioner == "kmeans":
+            # kmeans graphs may hold spilled copies (assign_graphs > 1,
+            # or a reloaded multi-assigned graph): the same id can come
+            # back from two graphs with the same distance and would eat
+            # two of the k slots.  Collapse per (query, id) before the
+            # global top-k; hash graphs are disjoint by construction and
+            # skip the extra (tiny, Q x G x k row) exchange.
+            partials = partials.groupBy("query_id", "id").agg(
+                F.min("distance").alias("distance")
+            )
         return topk_per_query(partials, k)
 
     def evaluate_recall(
@@ -704,7 +756,7 @@ class HNSWIndex:
         )
         live = graph.filter(~F.col("deleted")).select(
             F.col("id").alias(self.id_col), F.col("vector").alias(self.vector_col)
-        )
+        ).dropDuplicates([self.id_col])  # spilled copies count once
         exact = brute_force_knn(
             live, queries, k,
             id_col=self.id_col, vector_col=self.vector_col,

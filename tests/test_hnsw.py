@@ -443,3 +443,76 @@ def test_routed_insert_survives_reload(spark, tmp_path):
     got = _group(rows)
     for qid, rs in got.items():
         assert rs[0]["id"] == qid and rs[0]["distance"] == 0.0
+
+
+def test_multi_assignment_requires_kmeans(spark):
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
+
+    with pytest.raises(ValueError):
+        HNSWIndex(partitioner="hash", assign_graphs=2)
+    with pytest.raises(ValueError):
+        HNSWIndex(partitioner="kmeans", assign_graphs=0)
+
+
+def test_multi_assignment_spills_and_dedups(spark):
+    """assign_graphs=2 places every vector in its two nearest-router
+    graphs (~2x rows), and search results stay duplicate-free with
+    exactly k rows per query."""
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
+
+    vec = _clustered_vecs(spark, n=400, centers=4)
+    h = HNSWIndex(M=8, M0=16, ef_construction=64, num_graphs=4,
+                  partitioner="kmeans", assign_graphs=2)
+    graph = h.build(vec).cache()
+    assert graph.count() == 800  # every vector in exactly 2 graphs
+    assert graph.select("id").distinct().count() == 400
+    per_id = graph.groupBy("id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_id] == [2]
+
+    q = vec.limit(5).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("vector")
+    )
+    rows = h.search_bulk(graph, q, 5, ef=200).collect()
+    got = _group(rows)
+    for qid, rs in got.items():
+        ids = [r["id"] for r in rs]
+        assert len(ids) == len(set(ids)) == 5  # k rows, no duplicates
+        assert rs[0]["id"] == qid and rs[0]["distance"] == 0.0
+
+
+def test_multi_assignment_recovers_routed_recall(spark):
+    """The point of spilling (VERDICT r5 #6): at a small probe budget
+    (R/G = 1/8) on clusterable data, assign_graphs=2 must recover the
+    boundary vectors single-assignment misses — recall >= 0.9 and at
+    least as good as the unspilled build."""
+    import numpy as np
+
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
+    from fabstir_vectordb_spark.operators.knn import brute_force_knn
+
+    vec = _clustered_vecs(spark, n=1600, dim=12, centers=8, seed=4)
+    q = vec.filter(F.col("id") % 80 == 3).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("vector")
+    )
+    exact = brute_force_knn(
+        vec, q, 10, id_col="id", vector_col="vector", impl="kernel"
+    )
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["id"])
+
+    def routed_recall(assign_graphs):
+        h = HNSWIndex(M=8, M0=16, ef_construction=64, num_graphs=8,
+                      partitioner="kmeans", assign_graphs=assign_graphs)
+        graph = h.build(vec).cache()
+        got = {}
+        for r in h.search_bulk(graph, q, 10, ef=400, probe_graphs=1).collect():
+            got.setdefault(r["query_id"], set()).add(r["id"])
+        graph.unpersist()
+        per = [len(got.get(k, set()) & truth[k]) / 10 for k in truth]
+        return sum(per) / len(per)
+
+    r1 = routed_recall(1)
+    r2 = routed_recall(2)
+    assert r2 >= r1
+    assert r2 >= 0.9
