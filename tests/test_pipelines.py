@@ -394,6 +394,8 @@ def test_curate_corpus_releases_persisted_blocks(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    baseline = cm.cachedData().size()  # other tests may legitimately cache
     for _ in range(2):
         out = curate_corpus(
             docs, boilerplate_min_doc_freq=None, lang=None, min_quality=None,
@@ -401,4 +403,4 @@ def test_curate_corpus_releases_persisted_blocks(spark):
             near_dup_threshold=None, lm_drop_fraction=0.1,
         )
         out.count()
-        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        assert cm.cachedData().size() == baseline
