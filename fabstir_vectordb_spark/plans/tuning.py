@@ -62,6 +62,7 @@ class SearchPlan:
     n_probe: int | None = None
     oversample: int | None = None
     reason: str = ""
+    pq: "PQPlan | None" = None  # code-geometry knobs when strategy == "pq"
 
 
 def plan_search(
@@ -72,6 +73,8 @@ def plan_search(
     filter_selectivity: float | None = None,
     pq_available: bool = False,
     brute_force_threshold: int = 10_000,
+    dim: int | None = None,
+    recall_target: float | None = None,
 ) -> SearchPlan:
     """Pick the physical strategy for a similarity join.
 
@@ -89,9 +92,21 @@ def plan_search(
         return SearchPlan("brute", reason="selective filter => exact scan of subset")
     n_probe = tune_n_probe(dataset_size, k, n_clusters)
     if pq_available and dataset_size > _LARGE:
+        # when the caller states a recall target (and the dim to plan
+        # codes for), attach the measured knob bundle — tune_pq — so the
+        # PQ tier's geometry isn't left at the low-recall defaults
+        pq = (
+            tune_pq(dim, recall_target=recall_target, n_clusters=n_clusters,
+                    dataset_size=dataset_size)
+            if dim is not None and recall_target is not None
+            else None
+        )
         return SearchPlan(
-            "pq", n_probe=n_probe, oversample=4,
+            "pq",
+            n_probe=pq.n_probe if pq else n_probe,
+            oversample=pq.oversample if pq else 4,
             reason="very large table => compressed codes + exact rerank",
+            pq=pq,
         )
     return SearchPlan("ivf", n_probe=n_probe, reason="clustered probe")
 

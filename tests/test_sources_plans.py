@@ -86,3 +86,17 @@ def test_plan_search_strategies():
     assert plan_search(
         50_000_000, 10, 256, pq_available=True
     ).strategy == "pq"
+
+
+def test_plan_search_pq_tier_consumes_tune_pq():
+    from fabstir_vectordb_spark.plans.tuning import plan_search, tune_pq
+
+    p = plan_search(
+        20_000_000, 10, 256, pq_available=True, dim=64, recall_target=0.9
+    )
+    want = tune_pq(64, 0.9, 256, dataset_size=20_000_000)
+    assert p.strategy == "pq" and p.pq == want
+    assert p.n_probe == want.n_probe and p.oversample == want.oversample
+    # without a stated target the legacy knobs stand
+    p2 = plan_search(20_000_000, 10, 256, pq_available=True)
+    assert p2.strategy == "pq" and p2.pq is None and p2.oversample == 4
