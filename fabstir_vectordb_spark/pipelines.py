@@ -61,6 +61,7 @@ def curate_corpus(
     pareto_alpha: float | None = None,
     trim_span_tokens: int | None = None,
     trim_span_min_occurrences: int = 2,
+    subword_vocab: list[str] | None = None,
     cache_stages: bool = True,
     audit: dict | None = None,
 ) -> DataFrame:
@@ -96,6 +97,15 @@ def curate_corpus(
         occurring twice+ corpus-wide are removed from every document,
         right after boilerplate removal and before the gates (so
         length/repetition gates judge the trimmed text).
+
+    ``subword_vocab`` (a BPE merge list from operators/subword.learn_bpe
+    or any literal vocabulary) switches every token BUDGET downstream of
+    the gates — n_tokens, the length gate itself, mix_by_source's
+    totals, and pack_corpus over the returned frame — to subword counts
+    (greedy longest-match), the unit an LLM trainer actually bills in;
+    whitespace counts overestimate a trainer's budget by a
+    corpus-dependent 1.2-1.5x.  Gate signals that are linguistic rather
+    than budgetary (quality, lang, repetition) stay whitespace-based.
 
     ``lm_exact_threshold=True`` replaces the approxQuantile cut with an
     EXACT rank rule on round-6 scores — keep docs whose round(score, 6)
@@ -186,6 +196,18 @@ def curate_corpus(
         X.lang_id("text", "__toks").alias("lang"),
         X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
     )
+    if subword_vocab is not None:
+        from fabstir_vectordb_spark.operators.subword import (
+            subword_token_counts,
+        )
+
+        sub = subword_token_counts(
+            cur, subword_vocab, id_col="id", text_col="text",
+            out_col="__n_sub",
+        )
+        cur = cur.join(sub, "id").withColumn(
+            "n_tokens", F.col("__n_sub")
+        ).drop("__n_sub")
     gate = F.col("n_tokens").between(*token_bounds) & (
         F.col("rep_3gram") <= max_repetition
     )

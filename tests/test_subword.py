@@ -144,3 +144,30 @@ def test_plan_shape_no_corpus_kernel(spark, corpus):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # exactly one Python stage: the per-distinct-word encoder
     assert plan.count("MapInPandas") == 1
+
+
+def test_curate_corpus_subword_budgets(spark):
+    """subword_vocab switches the funnel's token budgets to subword
+    counts: n_tokens in the output is the greedy-match count, and the
+    length gate judges it."""
+    from fabstir_vectordb_spark.pipelines import curate_corpus
+
+    rows = [
+        (0, "the then there thesis theme that these той"),  # expands
+        (1, "xy"),                                          # 2 subwords only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = ["the", "th", "he"]
+    out = curate_corpus(
+        docs, boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+        max_repetition=1.0, token_bounds=(10, 5000), near_dup_threshold=None,
+        subword_vocab=vocab, cache_stages=False,
+    )
+    got = {r["id"]: r["n_tokens"] for r in out.collect()}
+    exp = {
+        r["doc_id"]: r["n_subword"]
+        for r in subword_token_counts(docs, vocab).collect()
+    }
+    # doc 1 has 2 subword tokens < 10 -> gated out on the SUBWORD budget
+    assert 1 not in got
+    assert got[0] == exp[0] > 8  # whitespace count is 8; subword exceeds it
