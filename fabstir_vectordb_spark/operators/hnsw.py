@@ -741,6 +741,7 @@ class HNSWIndex:
         ef: int | None = None,
         query_id_col: str = "query_id",
         query_vector_col: str = "vector",
+        probe_graphs: int | None = None,
     ) -> dict:
         """ANN vs exhaustive ground truth over the graph's own live
         vectors — the same self-evaluation harness as
@@ -753,6 +754,7 @@ class HNSWIndex:
         ann = self.search_bulk(
             graph, queries, k, ef=ef,
             query_id_col=query_id_col, query_vector_col=query_vector_col,
+            probe_graphs=probe_graphs,
         )
         live = graph.filter(~F.col("deleted")).select(
             F.col("id").alias(self.id_col), F.col("vector").alias(self.vector_col)

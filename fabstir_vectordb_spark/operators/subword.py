@@ -51,11 +51,12 @@ __all__ = [
 
 
 def learn_bpe(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     num_merges: int = 200,
     text_col: str = "text",
     max_train_words: int = 50_000,
     lowercase: bool = True,
+    word_counts: DataFrame | None = None,
 ) -> list[str]:
     """Learn a BPE merge vocabulary; returns the multi-char subwords in
     merge order (earlier = more frequent).  Deterministic: pair ties
@@ -65,18 +66,34 @@ def learn_bpe(
     The distributed part is ONE aggregation (distinct words + counts);
     the merge loop is driver-local over that dict — the standard BPE
     trainer formulation, which operates on word frequencies, never the
-    running text."""
-    toks = whitespace_tokens(text_col)
-    w = F.explode(toks).alias("w")
-    words = (
-        docs.select(w)
-        .select((F.lower("w") if lowercase else F.col("w")).alias("w"))
-        .filter(F.length("w") > 0)
-        .groupBy("w").agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), "w")
-        .limit(max_train_words)
-        .collect()
-    )
+    running text.  Pass ``word_counts`` — any (w, cnt) frame, e.g.
+    keyword.vocab_stats over an existing postings artifact with tf as
+    cnt — to skip even that single corpus scan (the same
+    no-double-scan contract bm25's stats keep)."""
+    if word_counts is not None:
+        words = (
+            word_counts.select(
+                F.col("w").cast("string").alias("w"),
+                F.col("cnt").cast("long").alias("cnt"),
+            )
+            .orderBy(F.desc("cnt"), "w")
+            .limit(max_train_words)
+            .collect()
+        )
+    else:
+        if docs is None:
+            raise ValueError("need docs or word_counts")
+        toks = whitespace_tokens(text_col)
+        w = F.explode(toks).alias("w")
+        words = (
+            docs.select(w)
+            .select((F.lower("w") if lowercase else F.col("w")).alias("w"))
+            .filter(F.length("w") > 0)
+            .groupBy("w").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "w")
+            .limit(max_train_words)
+            .collect()
+        )
     # word -> (symbol tuple, count); start from characters
     freq: dict[tuple[str, ...], int] = {}
     for r in words:

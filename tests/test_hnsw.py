@@ -516,3 +516,19 @@ def test_multi_assignment_recovers_routed_recall(spark):
     r2 = routed_recall(2)
     assert r2 >= r1
     assert r2 >= 0.9
+
+
+def test_evaluate_recall_probe_graphs_passthrough(spark):
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
+
+    vec = _clustered_vecs(spark, n=300)
+    h = HNSWIndex(M=8, M0=16, ef_construction=64, num_graphs=6,
+                  partitioner="kmeans", assign_graphs=2)
+    graph = h.build(vec).cache()
+    q = vec.limit(4).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("vector")
+    )
+    full = h.evaluate_recall(graph, q, 5, ef=300)
+    routed = h.evaluate_recall(graph, q, 5, ef=300, probe_graphs=2)
+    assert full["avg_recall"] == 1.0           # exhaustive fan-out stays exact
+    assert 0.0 <= routed["avg_recall"] <= 1.0  # pruned probe well-defined

@@ -171,3 +171,22 @@ def test_curate_corpus_subword_budgets(spark):
     # doc 1 has 2 subword tokens < 10 -> gated out on the SUBWORD budget
     assert 1 not in got
     assert got[0] == exp[0] > 8  # whitespace count is 8; subword exceeds it
+
+
+def test_learn_bpe_from_word_counts(spark):
+    """learn_bpe(word_counts=...) consumes a precomputed (w, cnt) frame
+    (e.g. vocab_stats over a postings artifact) and must produce the
+    same merges as the docs path — zero corpus scans."""
+    docs = spark.createDataFrame(
+        [(0, "low low low low low lower lower newest newest")],
+        "doc_id long, text string",
+    )
+    wc = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 2)], "w string, cnt long"
+    )
+    assert learn_bpe(word_counts=wc, num_merges=4) == learn_bpe(
+        docs, num_merges=4
+    )
+    with pytest.raises(ValueError):
+        learn_bpe()
+
