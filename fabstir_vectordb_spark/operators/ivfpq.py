@@ -302,8 +302,17 @@ class IVFPQIndex:
 
         self.ivf.save(path)
         self.pq.save(path)
+        meta = {"residual": self.residual}
+        if self.tuned is not None:
+            # the tuned plan must SURVIVE the save/load cycle: a user who
+            # fit with recall_target and reloads later would otherwise
+            # silently fall back to the legacy (4, 4) search defaults —
+            # the exact docs-not-defaults trap tune_pq exists to close
+            from dataclasses import asdict
+
+            meta["tuned"] = asdict(self.tuned)
         with open(os.path.join(path, "ivfpq.json"), "w") as f:
-            json.dump({"residual": self.residual}, f)
+            json.dump(meta, f)
 
     @classmethod
     def load(cls, path: str) -> "IVFPQIndex":
@@ -313,11 +322,21 @@ class IVFPQIndex:
         from fabstir_vectordb_spark.operators.pq import ProductQuantizer
 
         residual = False
+        tuned = None
         meta_path = os.path.join(path, "ivfpq.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
-                residual = bool(json.load(f).get("residual", False))
-        return cls(IVFIndex.load(path), ProductQuantizer.load(path), residual=residual)
+                meta = json.load(f)
+            residual = bool(meta.get("residual", False))
+            if meta.get("tuned") is not None:
+                from fabstir_vectordb_spark.plans.tuning import PQPlan
+
+                tuned = PQPlan(**meta["tuned"])
+        idx = cls(
+            IVFIndex.load(path), ProductQuantizer.load(path), residual=residual
+        )
+        idx.tuned = tuned
+        return idx
 
 
 def write_encoded(

@@ -340,3 +340,27 @@ def test_untuned_search_keeps_legacy_defaults(idx, encoded, embeddings, queries)
         encoded, queries, 5, n_probe=4, oversample=4, rerank_vectors=embeddings
     )
     assert _rows(a) == _rows(b)
+
+
+def test_tuned_plan_survives_save_load(spark, embeddings, tmp_path):
+    """fit(recall_target=...)'s knob bundle must survive the save/load
+    cycle — a reloaded index that silently reverted to the legacy (4,4)
+    search defaults would be exactly the docs-not-defaults trap tune_pq
+    exists to close."""
+    tuned = IVFPQIndex.fit(embeddings, n_clusters=8, seed=42, recall_target=0.9)
+    path = str(tmp_path / "tuned_idx")
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tuned.save(path)
+    loaded = IVFPQIndex.load(path)
+    assert loaded.tuned == tuned.tuned
+    assert loaded.residual == tuned.residual
+    # threaded defaults behave identically post-reload
+    enc = tuned.encode(embeddings)
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    a = _rows(tuned.search_bulk(enc, q, 5, rerank_vectors=embeddings))
+    b = _rows(loaded.search_bulk(enc, q, 5, rerank_vectors=embeddings))
+    assert a == b

@@ -9,10 +9,15 @@ plus a planted boilerplate footer line and a repeated span so the
 boilerplate and span-trim stages have real work.
 
 Usage: python tools/funnel_smoke.py [n_docs] [--checkpoint-dir DIR]
+                                    [--stage-times]
 Prints one JSON line {"n_docs": N, "funnel_s": S, "survivors": K, ...}.
 --checkpoint-dir exercises the RELIABLE checkpoint branch of
 curate_corpus's stage truncation (persist + checkpoint to durable
-storage) instead of localCheckpoint.
+storage) instead of localCheckpoint.  --stage-times materializes the
+funnel's audit frames in order and reports the incremental wall-clock
+per drop stage (each count triggers exactly the work between that
+stage's checkpoint and the previous one), locating which stage owns
+the time at a given scale.
 """
 
 from __future__ import annotations
@@ -82,10 +87,12 @@ def main() -> int:
 
     from fabstir_vectordb_spark.pipelines import curate_corpus
 
+    stage_times = "--stage-times" in sys.argv
     docs = synth_docs(spark, n_docs).repartition(64).cache()
     docs.count()
 
     bench = docs.filter(F.col("doc_id") % 5000 == 0).select("text")
+    aud: dict = {}
     t0 = time.time()
     out = curate_corpus(
         docs,
@@ -104,16 +111,27 @@ def main() -> int:
         lm_drop_fraction=0.05,
         trim_span_tokens=20,
         trim_span_min_occurrences=3,
+        audit=aud if stage_times else None,
     )
+    stage_s = {}
+    if stage_times:
+        prev = time.time()
+        for name, frame in aud.items():
+            n = frame.count()
+            stage_s[name] = {"s": round(time.time() - prev, 1), "rows": n}
+            prev = time.time()
     survivors = out.count()
     wall = round(time.time() - t0, 1)
-    print(json.dumps({
+    rec = {
         "n_docs": n_docs,
         "funnel_s": wall,
         "us_per_doc": round(wall * 1e6 / n_docs, 1),
         "survivors": survivors,
         "checkpoint": "reliable" if ckpt else "local",
-    }))
+    }
+    if stage_times:
+        rec["stage_s"] = stage_s
+    print(json.dumps(rec))
     return 0
 
 
