@@ -165,6 +165,13 @@ def explain_rewrite(catalog: AnnCatalog, sql: str) -> str:
         # same checks ann_sql enforces, so the report matches the real path
         if m.group("id") != e.index.id_col or m.group("vec") != e.index.vector_col:
             return "exact"
+        if m.group("where"):
+            # a predicate the view can't analyze delegates in ann_sql —
+            # the report must not claim the index path for it
+            try:
+                e.clustered.filter(F.expr(m.group("where"))).schema
+            except Exception:
+                return "exact"
         return "ivf"
     b = _parse_bulk(sql)
     if b is not None:

@@ -263,3 +263,15 @@ def test_bulk_inconsistent_names_delegates(spark, setup, qview):
     )
     assert explain_rewrite(cat, sql) == "exact"
     assert ann_sql(spark, sql, cat).count() == 15  # verbatim run still works
+
+
+def test_explain_rewrite_bad_where_reports_exact(spark, setup):
+    """explain_rewrite applies the same WHERE analyzability check
+    ann_sql enforces — it must never report 'ivf' for a statement that
+    would actually delegate."""
+    cat, qsql = setup
+    sql = (
+        f"SELECT id, vec_l2(vector, {qsql}) AS distance "
+        f"FROM vecs WHERE no_such_col = 1 ORDER BY distance LIMIT 5"
+    )
+    assert explain_rewrite(cat, sql) == "exact"
