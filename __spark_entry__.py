@@ -528,8 +528,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed_res = routed_idx.search_bulk(
         routed_graph, queries, K, ef=64, probe_graphs=2
     ).cache()
-    routed = _ann_contract_rows(routed_res, exact, queries).select(
-        F.lit("hnsw_routed").alias("part"), "query_id", "dominated", "at_most_k"
+    # contract rows are one-per-query (tiny): collect them eagerly so
+    # BOTH caches can be released here instead of pinning a 2x-spilled
+    # graph (vectors + neighbor lists) in executor storage for the rest
+    # of the certification run
+    routed = spark.createDataFrame(
+        _ann_contract_rows(routed_res, exact, queries).select(
+            F.lit("hnsw_routed").alias("part"),
+            "query_id", "dominated", "at_most_k",
+        ).collect(),
+        "part string, query_id long, dominated boolean, at_most_k boolean",
     )
     spill = routed_graph.groupBy("id").count().agg(
         F.count("*").alias("n_ids"),
@@ -538,6 +546,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupfree = routed_res.groupBy("query_id", "id").count().agg(
         F.max("count").alias("m")
     ).collect()[0]
+    routed_res.unpersist()
+    routed_graph.unpersist()
     n_emb = emb.count()
     spill_row = spark.createDataFrame(
         [(

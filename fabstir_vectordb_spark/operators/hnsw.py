@@ -721,16 +721,20 @@ class HNSWIndex:
             .cogroup(qrep.groupBy("graph_id"))
             .applyInPandas(graph_topk, out_schema)
         )
-        if self.partitioner == "kmeans":
-            # kmeans graphs may hold spilled copies (assign_graphs > 1,
-            # or a reloaded multi-assigned graph): the same id can come
-            # back from two graphs with the same distance and would eat
-            # two of the k slots.  Collapse per (query, id) before the
-            # global top-k; hash graphs are disjoint by construction and
-            # skip the extra (tiny, Q x G x k row) exchange.
-            partials = partials.groupBy("query_id", "id").agg(
-                F.min("distance").alias("distance")
-            )
+        # Graphs may hold spilled copies (assign_graphs > 1, or a graph
+        # built elsewhere with multi-assignment and reloaded through a
+        # default-configured index — nothing in the parquet layout records
+        # the spill, so the instance's partitioner knob is NOT evidence of
+        # disjointness): the same id can come back from two graphs with
+        # the same distance and would eat two of the k slots.  Collapse
+        # per (query, id) before the global top-k — unconditionally,
+        # because correctness must key on the graph's contents, not this
+        # instance's configuration.  The exchange is tiny (Q x G x k rows,
+        # already the partials' size) and a no-op reduction on disjoint
+        # hash graphs.
+        partials = partials.groupBy("query_id", "id").agg(
+            F.min("distance").alias("distance")
+        )
         return topk_per_query(partials, k)
 
     def evaluate_recall(

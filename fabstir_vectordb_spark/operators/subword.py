@@ -71,14 +71,20 @@ def learn_bpe(
     cnt — to skip even that single corpus scan (the same
     no-double-scan contract bm25's stats keep)."""
     if word_counts is not None:
+        # honor ``lowercase`` here too: a cased count frame would train
+        # cased merges the (lowercasing-by-default) encoder can never
+        # match, silently degrading every capitalized word to the
+        # per-character fallback.  Re-aggregate after folding so cased
+        # variants of one word pool their counts.
+        wcol = F.col("w").cast("string")
+        wc = word_counts.select(
+            (F.lower(wcol) if lowercase else wcol).alias("w"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        if lowercase:
+            wc = wc.groupBy("w").agg(F.sum("cnt").alias("cnt"))
         words = (
-            word_counts.select(
-                F.col("w").cast("string").alias("w"),
-                F.col("cnt").cast("long").alias("cnt"),
-            )
-            .orderBy(F.desc("cnt"), "w")
-            .limit(max_train_words)
-            .collect()
+            wc.orderBy(F.desc("cnt"), "w").limit(max_train_words).collect()
         )
     else:
         if docs is None:

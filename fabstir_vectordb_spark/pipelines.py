@@ -201,6 +201,12 @@ def curate_corpus(
             subword_token_counts,
         )
 
+        # self-referencing stage: `sub` derives from cur (two internal
+        # scans — distinct-word explode + per-doc explode) and joins back
+        # onto cur, so without a barrier the whole pre-gate pipeline
+        # (boilerplate removal, span trim, tokenize) evaluates three
+        # times.  Same rule as every other self-joining funnel stage.
+        cur = _trunc(cur)
         sub = subword_token_counts(
             cur, subword_vocab, id_col="id", text_col="text",
             out_col="__n_sub",
@@ -286,8 +292,12 @@ def curate_corpus(
             scored = cur.join(
                 bigram_lm_score(cur, id_col="id", text_col="text"), "id"
             )
-            if cache_stages:
-                scored = scored.persist()
+            # UNCONDITIONAL persist (independent of cache_stages): the
+            # threshold computation below is an action, and without the
+            # cache it plus the downstream filter would re-execute the
+            # whole upstream funnel two to three times.  Released
+            # unconditionally after the gate (see below).
+            scored = scored.persist()
             # NULL scores (<2-token docs: no bigram evidence) are ignored
             # by the cut-point computation and FAIL the >= gate — a
             # typicality filter must drop, not keep, evidence-free
@@ -318,8 +328,15 @@ def curate_corpus(
                     cur = scored
             cur = cur.drop("lm_score")
             if cache_stages:
+                # eager truncation of the gated survivors first, so
+                # nothing downstream still needs the blocks
                 cur = _trunc(cur, eager=True)
-                scored.unpersist()
+            # release in BOTH modes — otherwise every curate_corpus call
+            # leaks a cached frame for the session's lifetime.  With
+            # cache_stages=False the downstream filter recomputes its
+            # lineage once when consumed (the explicit no-cache trade);
+            # the threshold actions above were still served from cache.
+            scored.unpersist()
             _audit("lm", cur)
 
     if quality_model is not None:

@@ -172,6 +172,16 @@ def explain_rewrite(catalog: AnnCatalog, sql: str) -> str:
                 e.clustered.filter(F.expr(m.group("where"))).schema
             except Exception:
                 return "exact"
+        # the query expression must evaluate to a non-NULL array constant
+        # or ann_sql delegates — mirror that check (the SELECT is
+        # constant-only: no table scan, trivial cost)
+        try:
+            qrow = e.clustered.sparkSession.sql(
+                f"SELECT ({m.group('q')}) AS q"
+            ).first()
+            [float(x) for x in qrow["q"]]
+        except Exception:
+            return "exact"
         return "ivf"
     b = _parse_bulk(sql)
     if b is not None:
@@ -179,6 +189,15 @@ def explain_rewrite(catalog: AnnCatalog, sql: str) -> str:
         if e is None:
             return "exact"
         if b.group("id") != e.index.id_col or b.group("vec") != e.index.vector_col:
+            return "exact"
+        # ann_sql delegates when the queries view doesn't resolve in the
+        # session — the report must take the same path, not promise an
+        # index plan the execution never uses
+        try:
+            e.clustered.sparkSession.table(b.group("qview")).select(
+                b.group("qid"), b.group("qvec")
+            ).schema
+        except Exception:
             return "exact"
         return "ivf_bulk"
     return "exact"

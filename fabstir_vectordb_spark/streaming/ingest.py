@@ -201,13 +201,18 @@ def write_graph_stream(
         vdir = f"{graph_path}.v{batch_id}"
         # Retry of a batch that already PUBLISHED (crash landed between
         # the relink and the checkpoint commit): graph_path already points
-        # at this batch's version and all older versions were pruned, so
-        # deleting vdir here would irrecoverably destroy the graph.  The
-        # batch is idempotent-complete — skip it.
-        if os.path.lexists(graph_path) and os.path.realpath(
-            graph_path
-        ) == os.path.abspath(vdir):
-            return
+        # at one of this batch's versions — the bare ".v{batch}" OR a
+        # retry-suffixed ".v{batch}r{n}" (a prior retry of a half-written
+        # batch publishes under an r-suffix; see below) — and all older
+        # versions were pruned, so re-running the insert would duplicate
+        # every id in the batch.  The batch is idempotent-complete — skip.
+        if os.path.lexists(graph_path):
+            real = os.path.realpath(graph_path)
+            vabs = os.path.abspath(vdir)
+            if real == vabs or (
+                real.startswith(vabs + "r") and real[len(vabs) + 1 :].isdigit()
+            ):
+                return
         batch = batch_df.select(
             F.col("id").alias(hnsw_index.id_col),
             F.col("vector").alias(hnsw_index.vector_col),

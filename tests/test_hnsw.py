@@ -532,3 +532,35 @@ def test_evaluate_recall_probe_graphs_passthrough(spark):
     routed = h.evaluate_recall(graph, q, 5, ef=300, probe_graphs=2)
     assert full["avg_recall"] == 1.0           # exhaustive fan-out stays exact
     assert 0.0 <= routed["avg_recall"] <= 1.0  # pruned probe well-defined
+
+
+def test_reloaded_spilled_graph_dedups_under_default_instance(spark, tmp_path):
+    """Dedup must key on the GRAPH's contents, not the instance's
+    partitioner knob: a multi-assigned (spilled) graph persisted with
+    write_graph and reloaded through a default-configured index (nothing
+    in the parquet layout records the spill) must still return k
+    duplicate-free rows per query — pre-fix, each spilled copy came back
+    once per graph with identical distance and ate two top-k slots."""
+    from fabstir_vectordb_spark.operators.hnsw import (
+        HNSWIndex, read_graph, write_graph,
+    )
+
+    vec = _clustered_vecs(spark, n=300, centers=4)
+    builder = HNSWIndex(M=8, M0=16, ef_construction=64, num_graphs=4,
+                        partitioner="kmeans", assign_graphs=2)
+    path = str(tmp_path / "spilled_graph")
+    write_graph(builder.build(vec), path)
+
+    # a LATER process: default instance (hash partitioner), reloaded graph
+    reader = HNSWIndex(M=8, M0=16, ef_construction=64)
+    graph = read_graph(spark, path)
+    q = vec.limit(5).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("vector")
+    )
+    rows = reader.search_bulk(graph, q, 5, ef=200).collect()
+    got = _group(rows)
+    assert len(got) == 5
+    for qid, rs in got.items():
+        ids = [r["id"] for r in rs]
+        assert len(ids) == len(set(ids)) == 5  # k rows, no duplicates
+        assert rs[0]["id"] == qid and rs[0]["distance"] == 0.0

@@ -250,3 +250,55 @@ def test_stream_graph_retry_after_publish_is_idempotent(spark, tmp_path):
     g = read_graph(spark, gpath)
     assert g.count() == 12  # nothing lost, nothing duplicated
     assert os.path.realpath(gpath) == published  # skipped, not rewritten
+
+
+def test_stream_graph_retry_of_rsuffixed_publish_is_idempotent(spark, tmp_path):
+    """A batch can PUBLISH under a retry-suffixed version (".v{b}r{n}":
+    a prior retry found a half-written ".v{b}" and wrote to a fresh
+    suffixed dir).  A further retry of the same batch must recognize
+    that r-suffixed published version and skip — pre-fix, the guard only
+    matched the bare ".v{b}" name, so the sink re-inserted the whole
+    batch into a graph that already contained it (silent duplicate ids
+    that permanently inflate the graph)."""
+    import os
+    import shutil
+
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex, read_graph
+
+    idx = HNSWIndex(M=128, M0=128, ef_construction=128, num_graphs=2,
+                    id_col="id", vector_col="vector")
+    src = tmp_path / "gin4"
+    gpath = str(tmp_path / "graph4")
+    ck = str(tmp_path / "ck_retry_r")
+    _write_records(src, [
+        {"id": f"s{i}", "vector": [float(i), 1.0], "metadata": None,
+         "ts": "2026-01-10T12:00:00.000Z"}
+        for i in range(10)
+    ])
+    q = SI.write_graph_stream(
+        SI.read_vector_stream(spark, str(src)), idx, gpath, ck
+    )
+    q.awaitTermination(60)
+    assert read_graph(spark, gpath).count() == 10
+
+    # simulate the r-suffix publish: the version batch 0 landed in is
+    # renamed to ".v0r1" and the pointer re-linked to it (exactly the
+    # on-disk state after a half-write retry published), then the
+    # checkpoint is wiped so batch 0 replays
+    published = os.path.realpath(gpath)
+    assert published.endswith(".v0")
+    rdir = published + "r1"
+    os.rename(published, rdir)
+    os.remove(gpath)
+    os.symlink(rdir, gpath)
+    shutil.rmtree(ck)
+
+    q = SI.write_graph_stream(
+        SI.read_vector_stream(spark, str(src)), idx, gpath, ck
+    )
+    q.awaitTermination(60)
+    g = read_graph(spark, gpath)
+    assert g.count() == 10  # NOT 20: the replay was skipped
+    ids = [r["id"] for r in g.select("id").collect()]
+    assert sorted(ids) == sorted({f"s{i}" for i in range(10)})
+    assert os.path.realpath(gpath) == rdir  # pointer untouched

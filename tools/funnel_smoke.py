@@ -65,12 +65,28 @@ def synth_docs(spark, n: int):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n_docs = int(args[0]) if args else 200_000
+    # flag VALUES must not leak into the positional list (the old
+    # "drop everything starting with --" filter kept the checkpoint
+    # dir and crashed int() on flag-only invocations)
+    argv = sys.argv[1:]
+    pos: list[str] = []
     ckpt = None
-    for i, a in enumerate(sys.argv):
-        if a == "--checkpoint-dir" and i + 1 < len(sys.argv):
-            ckpt = sys.argv[i + 1]
+    stage_times = False
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--checkpoint-dir":
+            if i + 1 >= len(argv):
+                raise SystemExit("--checkpoint-dir needs a value")
+            ckpt = argv[i + 1]
+            i += 2
+        elif a == "--stage-times":
+            stage_times = True
+            i += 1
+        else:
+            pos.append(a)
+            i += 1
+    n_docs = int(pos[0]) if pos else 200_000
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -87,7 +103,6 @@ def main() -> int:
 
     from fabstir_vectordb_spark.pipelines import curate_corpus
 
-    stage_times = "--stage-times" in sys.argv
     docs = synth_docs(spark, n_docs).repartition(64).cache()
     docs.count()
 
