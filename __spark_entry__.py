@@ -977,6 +977,34 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens_col="n_tokens",
     ).select("doc_id", r6("mix_frac").alias("mix_frac"), "mix_kept")
 
+    # Round 6: DSIR importance resampling (operators/dsir.py — Xie et
+    # al., NeurIPS 2023: hashed-bigram target/raw log-ratio weights +
+    # deterministic Gumbel top-k, the standard target-directed corpus
+    # selector).  Target = every 17th doc (a deterministic exemplar
+    # set); 512 buckets, add-0.5 smoothing, temperature 2, keep 150.
+    # Every step — md5 bucket hash, smoothed ln ratios, per-doc mean,
+    # hash-derived Gumbel, rounded-key ranking — replays exactly in
+    # the oracle's SQL.
+    from fabstir_vectordb_spark.operators.dsir import (
+        dsir_score,
+        dsir_select,
+        fit_dsir_ratios,
+    )
+
+    ratios = fit_dsir_ratios(
+        docs.filter(F.pmod("doc_id", 17) == 3), docs,
+        n=2, num_buckets=512, k=0.5,
+    )
+    ds = dsir_select(
+        dsir_score(docs, ratios, n=2, num_buckets=512),
+        k_keep=150, temperature=2.0,
+    ).select(
+        F.col("id").alias("doc_id"),
+        r6("dsir_score").alias("dsir_score"),
+        r6("dsir_key").alias("dsir_key"),
+        F.col("selected").alias("dsir_selected"),
+    )
+
     # Round 6: END-TO-END funnel certification (VERDICT r5 #2 — stages
     # were individually certified, the WIRING was not).  curate_corpus
     # runs ONCE with every SQL-replayable stage ON over a planted copy
@@ -1050,7 +1078,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         out.join(dec, "doc_id").join(caps, "doc_id").join(mix, "doc_id")
-        .join(funnel, "doc_id")
+        .join(funnel, "doc_id").join(ds, "doc_id")
     )
 
 
@@ -3820,6 +3848,43 @@ t AS (
                    WHEN 'src2' THEN 0.2 ELSE 0.0 END
        * 5000.0 / greatest(tot, 1.0)), 6) + 0.0) AS mix_frac
   FROM mixtot
+), dsng AS (
+  -- DSIR: hashed bigram buckets (B=512), one row per occurrence
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(concat(toks[i], ' ', toks[i+1], '|dsir')), 1, 8)) AS BIGINT) % 512 AS bucket
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2)
+), dstc AS (
+  SELECT bucket, count(*) AS tc FROM dsng WHERE doc_id % 17 = 3 GROUP BY bucket
+), dsrc AS (
+  SELECT bucket, count(*) AS rc FROM dsng GROUP BY bucket
+), dsj AS (
+  SELECT s.bucket, COALESCE(tc.tc, 0) AS tc, COALESCE(rc.rc, 0) AS rc
+  FROM (SELECT unnest(generate_series(0, 511)) AS bucket) s
+  LEFT JOIN dstc tc USING (bucket) LEFT JOIN dsrc rc USING (bucket)
+), dstot AS (
+  SELECT sum(tc) AS tt, sum(rc) AS rt FROM dsj
+), dsratio AS (
+  -- add-0.5 smoothing; kB = 0.5 * 512 = 256
+  SELECT bucket,
+         ln((tc + 0.5) / (tt + 256.0)) - ln((rc + 0.5) / (rt + 256.0)) AS lr
+  FROM dsj CROSS JOIN dstot
+), dssc AS (
+  SELECT g.doc_id, avg(r.lr) AS s
+  FROM dsng g JOIN dsratio r USING (bucket) GROUP BY g.doc_id
+), dskey AS (
+  -- Gumbel key: score / temperature(=2) + -ln(-ln(u)), u hash-derived
+  SELECT d.doc_id, dssc.s,
+    dssc.s / 2.0 + (-ln(-ln(
+      ((CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), '|gum')), 1, 8)) AS BIGINT)
+        % 16777216) + 0.5) / 16777216.0))) AS gk
+  FROM documents d LEFT JOIN dssc ON d.doc_id = dssc.doc_id
+), dssel AS (
+  SELECT doc_id, s, gk,
+    CASE WHEN gk IS NULL THEN false
+         ELSE row_number() OVER (ORDER BY round(gk, 6) DESC NULLS LAST, doc_id) <= 150
+    END AS dsir_selected
+  FROM dskey
 )
 SELECT sig.doc_id, lang, quality, n_tokens, rep_3gram,
   (lang = 'en' AND quality >= 0.3 AND rep_3gram <= 0.2
@@ -3839,12 +3904,16 @@ SELECT sig.doc_id, lang, quality, n_tokens, rep_3gram,
   mixb.mix_frac AS mix_frac,
   (CAST(concat('0x', substr(md5(concat(CAST(sig.doc_id AS VARCHAR), '|mix')), 1, 8)) AS BIGINT)
    / 4294967296.0 < mixb.mix_frac) AS mix_kept,
-  fst.funnel_stage AS funnel_stage
+  fst.funnel_stage AS funnel_stage,
+  (round(dssel.s, 6) + 0.0) AS dsir_score,
+  (round(dssel.gk, 6) + 0.0) AS dsir_key,
+  dssel.dsir_selected AS dsir_selected
 FROM sig
 LEFT JOIN hits h ON sig.doc_id = h.doc_id
 JOIN caps ON sig.doc_id = caps.doc_id
 JOIN mixb ON caps.source = mixb.source
 JOIN fstage fst ON sig.doc_id = fst.doc_id
+JOIN dssel ON sig.doc_id = dssel.doc_id
 """
 
 _ORACLES["dedup_exact"] = f"""
@@ -4548,6 +4617,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (model-TRAINING surfaces stay pytest-certified by contract:
     #    operators/quality_model.py L-BFGS fit is iterative/non-SQL;
     #    its scoring arithmetic is pinned to ml transform by test)
+    # Round-6 additions (all inside existing slots):
+    #   corpus_filter gains funnel_stage (end-to-end curate_corpus
+    #     wiring: per-doc first-dropping-stage map, SQL-replayed stage
+    #     by stage incl. the recursive near-dup component CTE) and
+    #     dsir_score/dsir_key/dsir_selected (DSIR importance
+    #     resampling, Xie et al. 2023 — hashed-bigram log-ratio
+    #     weights + deterministic Gumbel top-k, full SQL replay)
+    #   text_stats gains n_subword (subword/BPE token counts by greedy
+    #     longest-match over a literal merge vocab, recursive-cursor
+    #     SQL replay) and n_bpe (word-pattern token counts)
+    #   ann_lsh gains spill_ok (multi-assignment spilled layout:
+    #     exactly-2 copies per vector + duplicate-free pruned results)
+    #   index_maintenance sql_ann_ok extends to the WHERE-metadata
+    #     composition and the bulk kNN-join rewrite
     return {
         "knn_metrics": q_knn_metrics,
         "knn_bulk": q_knn_bulk,

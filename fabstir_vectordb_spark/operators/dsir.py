@@ -1,0 +1,223 @@
+"""Data Selection with Importance Resampling (DSIR) — select raw-corpus
+documents whose hashed n-gram distribution looks like a small TARGET
+corpus (Xie et al., NeurIPS 2023, "Data Selection for Language Models
+via Importance Resampling"; the hashed-n-gram formulation is the
+paper's own scalable variant).
+
+Method, faithfully:
+
+1. Hash every word n-gram of both corpora into ``num_buckets`` buckets
+   (the hashing trick — same md5 arithmetic as
+   functions/text.hashed_embedding, so every step replays exactly in
+   any SQL engine).
+2. Fit two smoothed bag-of-hashed-n-grams unigram models — target and
+   raw — as per-bucket probabilities.
+3. Importance weight per document: mean over its n-grams of
+   ``ln p_target(bucket) - ln p_raw(bucket)`` (the paper sums; the mean
+   is the length-normalized variant, which keeps the weight comparable
+   across document lengths — selection by sum degenerates to "prefer
+   long documents" under budget-per-document sampling).
+4. Gumbel top-k resampling: keep the ``k_keep`` documents with the
+   largest ``weight / temperature + Gumbel(0,1)`` — sampling WITHOUT
+   replacement proportional to softmax(weight / temperature) (the
+   Gumbel-top-k trick, Kool et al., ICML 2019).  The Gumbel noise is
+   derived from md5(doc id), so the draw is deterministic, reproducible
+   across runs/engines, and independent of partitioning.
+
+100 TB shape: the target corpus is SMALL by definition (that is the
+premise of the method) — its bucket counts collapse to at most
+``num_buckets`` rows.  The raw corpus is touched twice, both times
+map-side-combinable: one aggregation to ``num_buckets`` keys to fit
+p_raw, one explode→broadcast-join→per-doc mean to score (shuffle keyed
+on doc id only).  The ratio table (num_buckets rows) is broadcast; the
+raw text itself never shuffles.  Selection ranks one scalar per doc —
+a single global sort of (id, key) pairs, the same cost class as any
+top-k; for a fraction-based keep at extreme scale, replace the
+row_number with a quantile threshold on the key.
+
+No reference counterpart (the reference engine has no text surface);
+extension-axis per SURVEY §2's LLM-pipeline mandate, same family as
+operators/sampling.py's capping/mixing and operators/lm.py's
+typicality gate: DSIR is the standard *target-directed* selector those
+corpus-level controls lack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.functions.text import whitespace_tokens
+from fabstir_vectordb_spark.operators.dedup import _parallelize
+
+__all__ = ["fit_dsir_ratios", "dsir_score", "dsir_select"]
+
+
+def _hash_bucket(col: Column, num_buckets: int, salt: str) -> Column:
+    """Engine-reproducible bucket id: first 8 hex chars of
+    md5(value|salt) as an integer, mod num_buckets — the exact scheme
+    hashed_embedding / cap_per_group certify against DuckDB."""
+    h = F.md5(F.concat_ws("|", col, F.lit(salt)))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(num_buckets)
+    )
+
+
+def _doc_ngram_buckets(
+    docs: DataFrame,
+    n: int,
+    num_buckets: int,
+    text_col: str,
+    id_col: str,
+    salt: str,
+) -> DataFrame:
+    """(id, bucket): one row per word n-gram occurrence.  The n-gram is
+    the space-join of n consecutive whitespace tokens (positions
+    0..len-n), hashed straight to its bucket — the n-gram string never
+    leaves the expression."""
+    toks = whitespace_tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("__t") - F.lit(n)),
+        lambda i: F.array_join(F.slice("__t", i + 1, n), " "),
+    )
+    return (
+        _parallelize(
+            docs.select(F.col(id_col).alias("id"), toks.alias("__t"))
+        )
+        .filter(F.size("__t") >= n)
+        .select("id", F.explode(grams).alias("__g"))
+        .select("id", _hash_bucket(F.col("__g"), num_buckets, salt).alias("bucket"))
+    )
+
+
+def fit_dsir_ratios(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    n: int = 2,
+    num_buckets: int = 4096,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-bucket importance log-ratio table: (bucket, log_ratio) for
+    every bucket 0..num_buckets-1 (unseen buckets get the smoothed
+    floor on both sides, hence ratio 0 only when both corpora miss the
+    bucket equally).  ``k`` is add-k smoothing on counts.
+
+    Output is at most ``num_buckets`` rows — broadcast it to score.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    if k <= 0:
+        raise ValueError(f"smoothing k must be > 0, got {k}")
+    spark = raw_docs.sparkSession
+    B = int(num_buckets)
+
+    def counts(docs: DataFrame, name: str) -> DataFrame:
+        return (
+            _doc_ngram_buckets(docs, n, B, text_col, id_col, salt)
+            .groupBy("bucket")
+            .agg(F.count("*").alias(name))
+        )
+
+    tc = counts(target_docs, "tc")
+    rc = counts(raw_docs, "rc")
+    # dense bucket spine so unseen buckets carry their smoothed floor
+    spine = spark.range(B).select(F.col("id").alias("bucket"))
+    joined = (
+        spine.join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+    )
+    # totals are two scalars: fold them in via a 1-row cross join (the
+    # broadcast-totals pattern mix_by_source certifies)
+    totals = joined.agg(
+        F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
+    )
+    kB = float(k) * B
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tc") + F.lit(float(k))) / (F.col("tt") + F.lit(kB)))
+            - F.log((F.col("rc") + F.lit(float(k))) / (F.col("rt") + F.lit(kB)))
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_score(
+    docs: DataFrame,
+    ratios: DataFrame,
+    n: int = 2,
+    num_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+    out_col: str = "dsir_score",
+) -> DataFrame:
+    """(id, out_col): mean per-n-gram importance log-ratio; NULL for
+    documents with fewer than ``n`` tokens (no evidence — same
+    contract, and for the same gate-safety reason, as
+    lm.BigramLM.score's NULL)."""
+    bg = _doc_ngram_buckets(docs, n, int(num_buckets), text_col, id_col, salt)
+    per_doc = (
+        bg.join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(F.avg("log_ratio").alias(out_col))
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select("id", out_col)
+
+
+def dsir_select(
+    scored: DataFrame,
+    k_keep: int,
+    temperature: float = 1.0,
+    id_col: str = "id",
+    score_col: str = "dsir_score",
+    salt: str = "gum",
+    key_col: str = "dsir_key",
+    selected_col: str = "selected",
+) -> DataFrame:
+    """Gumbel top-k resampling over scored documents: adds
+    ``key_col = score/temperature + Gumbel(0,1)`` and a boolean
+    ``selected_col`` marking the ``k_keep`` largest keys.
+
+    The Gumbel variate is hash-derived — u = (md5-int mod 2^24 + 0.5)
+    / 2^24 in (0,1), g = -ln(-ln(u)) — so selection is a pure function
+    of (id, score): deterministic under retries, re-partitioning, and
+    engine replay.  NULL scores (no n-gram evidence) get a NULL key and
+    are never selected.  Ranking uses the 6-dp-rounded key with id as
+    the tiebreak, the repo-wide cross-engine ordering contract."""
+    if k_keep < 0:
+        raise ValueError(f"k_keep must be >= 0, got {k_keep}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)))
+    u = (
+        F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(1 << 24))
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 24))
+    gumbel = -F.log(-F.log(u))
+    key = F.col(score_col) / F.lit(float(temperature)) + gumbel
+    w = Window.orderBy(
+        F.desc(F.round(key_col, 6)), F.col(id_col)
+    )
+    return (
+        scored.withColumn(key_col, key)
+        .withColumn(
+            selected_col,
+            F.when(
+                F.col(key_col).isNotNull(),
+                F.row_number().over(w) <= F.lit(int(k_keep)),
+            ).otherwise(F.lit(False)),
+        )
+    )

@@ -57,6 +57,11 @@ def curate_corpus(
     mixture_tokens: int | None = None,
     lm_drop_fraction: float | None = None,
     lm_exact_threshold: bool = False,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
+    dsir_temperature: float = 1.0,
+    dsir_num_buckets: int = 4096,
+    dsir_ngram: int = 2,
     quality_model=None,
     pareto_alpha: float | None = None,
     trim_span_tokens: int | None = None,
@@ -89,6 +94,14 @@ def curate_corpus(
         and drop the least-typical fraction (the perplexity-filter
         analogue).  The cut point is an approxQuantile over the score
         column — one extra aggregate pass, scalar to the driver.
+      * ``dsir_target`` (+ ``dsir_keep``): target-directed selection
+        (DSIR, Xie et al. 2023 — operators/dsir.py): fit hashed-n-gram
+        importance log-ratios between the target frame and the
+        survivors, then keep the ``dsir_keep`` documents with the
+        largest Gumbel-perturbed weights (deterministic, hash-derived
+        noise; ``dsir_temperature`` sharpens toward pure top-k as it
+        approaches 0).  Runs after the LM gate: typicality first
+        prunes junk, then DSIR steers toward the target domain.
       * ``quality_model``: a fitted QualityClassifier; survivors are
         scored JVM-side and, when ``pareto_alpha`` is set, kept by the
         stochastic Pareto rule, else by prob > 0.5.
@@ -338,6 +351,43 @@ def curate_corpus(
             # the threshold actions above were still served from cache.
             scored.unpersist()
             _audit("lm", cur)
+
+    if dsir_target is not None:
+        if dsir_keep is None:
+            raise ValueError("dsir_target requires dsir_keep")
+        from fabstir_vectordb_spark.operators.dsir import (
+            dsir_score,
+            dsir_select,
+            fit_dsir_ratios,
+        )
+
+        # target-directed selection (DSIR, Xie et al. 2023): fit the
+        # hashed-n-gram log-ratio on (target, survivors-so-far) and
+        # Gumbel-top-k the survivors.  Self-referencing stage (the raw
+        # model AND the scores both derive from cur) — barrier first,
+        # same rule as the LM gate.
+        cur = _trunc(cur)
+        # the target only contributes n-gram counts — accept any frame
+        # with the text column, id optional (mirrors ``benchmark``)
+        tgt = dsir_target.select(
+            F.col(text_col).alias("text"),
+            F.lit(0).cast("long").alias("id"),
+        )
+        ratios = fit_dsir_ratios(
+            tgt, cur, n=dsir_ngram, num_buckets=dsir_num_buckets,
+            text_col="text", id_col="id",
+        )
+        sel = dsir_select(
+            dsir_score(
+                cur, ratios, n=dsir_ngram, num_buckets=dsir_num_buckets,
+                id_col="id",
+            ),
+            k_keep=dsir_keep, temperature=dsir_temperature,
+        )
+        cur = cur.join(
+            sel.filter(F.col("selected")).select("id"), "id"
+        )
+        _audit("dsir", cur)
 
     if quality_model is not None:
         cur = _trunc(cur)

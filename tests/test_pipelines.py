@@ -404,3 +404,45 @@ def test_curate_corpus_releases_persisted_blocks(spark):
         )
         out.count()
         assert cm.cachedData().size() == baseline
+
+
+def test_curate_corpus_dsir_stage(spark):
+    """Target-directed selection inside the funnel: with a style-A
+    target, DSIR keeps style-A survivors and drops style-B, the audit
+    frame records the stage, and the id set is deterministic across
+    repartitionings."""
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(f"alpha{j % 5} beta{(i + j) % 4}"
+                                 for j in range(8)) + f" uniq{i}"))
+    for i in range(30, 90):
+        rows.append((i, " ".join(f"gamma{j % 5} delta{(i + j) % 4}"
+                                 for j in range(8)) + f" uniq{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") < 10).select("text")
+
+    aud = {}
+    out = curate_corpus(
+        docs, boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+        max_repetition=1.0, token_bounds=(1, 5000), near_dup_threshold=None,
+        dsir_target=target, dsir_keep=20, dsir_temperature=0.05,
+        dsir_num_buckets=256, audit=aud,
+    )
+    kept = {r["id"] for r in out.select("id").collect()}
+    assert len(kept) == 20
+    assert kept <= set(range(30))  # near-zero temperature: pure top-k = style A
+    assert "dsir" in aud and aud["dsir"].count() == 20
+
+    out2 = curate_corpus(
+        docs.repartition(7), boilerplate_min_doc_freq=None, lang=None,
+        min_quality=None, max_repetition=1.0, token_bounds=(1, 5000),
+        near_dup_threshold=None,
+        dsir_target=target, dsir_keep=20, dsir_temperature=0.05,
+        dsir_num_buckets=256,
+    )
+    assert {r["id"] for r in out2.select("id").collect()} == kept
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        curate_corpus(docs, dsir_target=target)  # dsir_keep required
