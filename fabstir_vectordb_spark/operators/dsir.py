@@ -177,26 +177,43 @@ def dsir_score(
 
 def dsir_select(
     scored: DataFrame,
-    k_keep: int,
+    k_keep: int | None = None,
     temperature: float = 1.0,
     id_col: str = "id",
     score_col: str = "dsir_score",
     salt: str = "gum",
     key_col: str = "dsir_key",
     selected_col: str = "selected",
+    keep_fraction: float | None = None,
 ) -> DataFrame:
     """Gumbel top-k resampling over scored documents: adds
     ``key_col = score/temperature + Gumbel(0,1)`` and a boolean
-    ``selected_col`` marking the ``k_keep`` largest keys.
+    ``selected_col`` marking the kept documents.
 
     The Gumbel variate is hash-derived — u = (md5-int mod 2^24 + 0.5)
-    / 2^24 in (0,1), g = -ln(-ln(u)) — so selection is a pure function
+    / 2^24 in (0,1), g = -ln(-ln(u)) — so the key is a pure function
     of (id, score): deterministic under retries, re-partitioning, and
     engine replay.  NULL scores (no n-gram evidence) get a NULL key and
-    are never selected.  Ranking uses the 6-dp-rounded key with id as
-    the tiebreak, the repo-wide cross-engine ordering contract."""
-    if k_keep < 0:
+    are never selected.
+
+    Exactly one of two keep rules:
+
+    * ``k_keep`` — exact count via a global rank on the 6-dp-rounded
+      key with id as the tiebreak (the repo-wide cross-engine ordering
+      contract; this is the oracle-certifiable mode).  The rank is a
+      single-partition sort of ONE scalar per doc — fine up to ~10^8
+      docs; beyond that use the fraction mode.
+    * ``keep_fraction`` — the 100 TB path: the cut point is an
+      approxQuantile over the key (one aggregate pass, no global
+      sort), and the keep is a plain distributed filter.  The kept
+      count is approximate by the quantile's 1e-3 relative error —
+      the standard trade for unbounded scale."""
+    if (k_keep is None) == (keep_fraction is None):
+        raise ValueError("pass exactly one of k_keep / keep_fraction")
+    if k_keep is not None and k_keep < 0:
         raise ValueError(f"k_keep must be >= 0, got {k_keep}")
+    if keep_fraction is not None and not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     from pyspark.sql import Window
@@ -208,16 +225,24 @@ def dsir_select(
     ) / F.lit(float(1 << 24))
     gumbel = -F.log(-F.log(u))
     key = F.col(score_col) / F.lit(float(temperature)) + gumbel
+    keyed = scored.withColumn(key_col, key)
+
+    if keep_fraction is not None:
+        q = keyed.approxQuantile(key_col, [1.0 - float(keep_fraction)], 0.001)
+        thresh = q[0] if q else None  # None: every key NULL or empty frame
+        return keyed.withColumn(
+            selected_col,
+            F.lit(False) if thresh is None
+            else (F.col(key_col).isNotNull() & (F.col(key_col) >= F.lit(thresh))),
+        )
+
     w = Window.orderBy(
         F.desc(F.round(key_col, 6)), F.col(id_col)
     )
-    return (
-        scored.withColumn(key_col, key)
-        .withColumn(
-            selected_col,
-            F.when(
-                F.col(key_col).isNotNull(),
-                F.row_number().over(w) <= F.lit(int(k_keep)),
-            ).otherwise(F.lit(False)),
-        )
+    return keyed.withColumn(
+        selected_col,
+        F.when(
+            F.col(key_col).isNotNull(),
+            F.row_number().over(w) <= F.lit(int(k_keep)),
+        ).otherwise(F.lit(False)),
     )

@@ -59,6 +59,7 @@ def curate_corpus(
     lm_exact_threshold: bool = False,
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
+    dsir_keep_fraction: float | None = None,
     dsir_temperature: float = 1.0,
     dsir_num_buckets: int = 4096,
     dsir_ngram: int = 2,
@@ -94,7 +95,8 @@ def curate_corpus(
         and drop the least-typical fraction (the perplexity-filter
         analogue).  The cut point is an approxQuantile over the score
         column — one extra aggregate pass, scalar to the driver.
-      * ``dsir_target`` (+ ``dsir_keep``): target-directed selection
+      * ``dsir_target`` (+ ``dsir_keep`` or ``dsir_keep_fraction``):
+        target-directed selection
         (DSIR, Xie et al. 2023 — operators/dsir.py): fit hashed-n-gram
         importance log-ratios between the target frame and the
         survivors, then keep the ``dsir_keep`` documents with the
@@ -353,8 +355,12 @@ def curate_corpus(
             _audit("lm", cur)
 
     if dsir_target is not None:
-        if dsir_keep is None:
-            raise ValueError("dsir_target requires dsir_keep")
+        if dsir_keep is None and dsir_keep_fraction is None:
+            raise ValueError(
+                "dsir_target requires dsir_keep (exact count) or "
+                "dsir_keep_fraction (quantile threshold, the no-global-"
+                "sort scale mode)"
+            )
         from fabstir_vectordb_spark.operators.dsir import (
             dsir_score,
             dsir_select,
@@ -382,7 +388,8 @@ def curate_corpus(
                 cur, ratios, n=dsir_ngram, num_buckets=dsir_num_buckets,
                 id_col="id",
             ),
-            k_keep=dsir_keep, temperature=dsir_temperature,
+            k_keep=dsir_keep, keep_fraction=dsir_keep_fraction,
+            temperature=dsir_temperature,
         )
         cur = cur.join(
             sel.filter(F.col("selected")).select("id"), "id"

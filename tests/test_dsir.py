@@ -119,3 +119,28 @@ def test_validation(spark):
         dsir_select(scored, k_keep=-1)
     with pytest.raises(ValueError):
         dsir_select(scored, k_keep=1, temperature=0.0)
+
+
+def test_fraction_mode_matches_topk_at_scale_free_cut(scored):
+    """keep_fraction is the no-global-sort scale path: its threshold
+    filter must agree with the exact top-k at the same cut (up to the
+    quantile's documented tolerance) and never select NULL keys."""
+    n = scored.count()
+    exact = dsir_select(scored, k_keep=n // 4, temperature=1.0)
+    frac = dsir_select(scored, keep_fraction=0.25, temperature=1.0)
+    e = {r["id"] for r in exact.filter("selected").collect()}
+    f = {r["id"] for r in frac.filter("selected").collect()}
+    # same cut point, approximate count: overlap must dominate
+    assert len(e & f) >= int(0.9 * len(e))
+    assert abs(len(f) - len(e)) <= max(3, int(0.1 * len(e)))
+
+
+def test_fraction_mode_validation(scored):
+    with pytest.raises(ValueError):
+        dsir_select(scored)  # neither rule
+    with pytest.raises(ValueError):
+        dsir_select(scored, k_keep=5, keep_fraction=0.5)  # both
+    with pytest.raises(ValueError):
+        dsir_select(scored, keep_fraction=0.0)
+    with pytest.raises(ValueError):
+        dsir_select(scored, keep_fraction=1.5)

@@ -247,3 +247,24 @@ def test_funnel_gate_stage_no_text_shuffle_when_already_parallel(spark):
     for seg in plan.split("Exchange ")[1:]:
         head = seg.split("\n")[0]
         assert "__toks" not in head and "text#" not in head, head
+
+
+def test_dsir_score_broadcasts_ratios_no_text_shuffle(spark):
+    """DSIR's 100 TB contract (operators/dsir.py): the ratio table
+    (num_buckets rows) is the broadcast side of the scoring join, and
+    no exchange ever carries the raw text — the only hash exchanges key
+    on the derived bucket (fit) or the doc id (per-doc mean)."""
+    from fabstir_vectordb_spark.operators.dsir import (
+        dsir_score, fit_dsir_ratios,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(8)
+    ratios = fit_dsir_ratios(
+        docs.filter(F.pmod("doc_id", 17) == 3), docs, n=2, num_buckets=128
+    )
+    plan = _executed(dsir_score(docs, ratios, n=2, num_buckets=128))
+    assert "BroadcastHashJoin" in plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text#" not in seg.split("\n")[0]
+    assert "BatchEvalPython" not in plan
