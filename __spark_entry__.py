@@ -483,7 +483,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings (every vector becomes exactly one node); `dominated`
     bundles the structural invariants (graphs == num_graphs, no
     deletions, max_level in [0,16]); `at_most_k` bounds the layer-0
-    average degree by M0 with nonnegative edge count."""
+    average degree by M0 with nonnegative edge count.
+
+    part='hnsw_compact'/'compact_ok' (round 6) certify graph compaction
+    (compact_graph — the tombstone vacuum): every 5th vector deleted,
+    tombstone-heavy graphs rebuilt over the survivors, per-query ANN
+    contract re-checked against exact kNN over the LIVE set, and the
+    live count SQL-checked (count of vec_id % 5 <> 0)."""
     from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
     from fabstir_vectordb_spark.operators.lsh import LSHIndex
 
@@ -559,6 +565,45 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part string, query_id long, dominated boolean, at_most_k boolean",
     )
 
+    # round 6: HNSW graph compaction (compact_graph — the tombstone
+    # vacuum, SURVEY §2 row 52's index-side analogue): delete every 5th
+    # vector, compact at a threshold every graph crosses, then certify
+    # (per-query rows, part='hnsw_compact') that the compacted graph's
+    # search keeps the ANN contract against exact kNN over the
+    # SURVIVORS, and (summary row, part='compact_ok') that no
+    # tombstones remain and the live count — SQL-checked as
+    # count(vec_id % 5 <> 0) — is preserved.
+    tomb = graph.withColumn("deleted", F.pmod("id", 5) == 0)
+    compacted = hnsw_idx.compact_graph(tomb, min_deleted_fraction=0.05).cache()
+    live = tomb.filter("NOT deleted").select(
+        F.col("id").alias("vec_id"), F.col("vector").alias("embedding")
+    )
+    exact_live = brute_force_knn(
+        live, queries, K, metric="l2", impl="kernel",
+        id_col="vec_id", vector_col="embedding",
+    )
+    hc = spark.createDataFrame(
+        _ann_contract_rows(
+            hnsw_idx.search_bulk(compacted, queries, K, ef=64),
+            exact_live, queries,
+        ).select(
+            F.lit("hnsw_compact").alias("part"),
+            "query_id", "dominated", "at_most_k",
+        ).collect(),
+        "part string, query_id long, dominated boolean, at_most_k boolean",
+    )
+    n_live = compacted.count()
+    compact_row = spark.createDataFrame(
+        [(
+            "compact_ok",
+            int(n_live),
+            bool(n_live == live.count()),
+            bool(compacted.filter("deleted").count() == 0),
+        )],
+        "part string, query_id long, dominated boolean, at_most_k boolean",
+    )
+    compacted.unpersist()
+
     st = hnsw_idx.graph_stats(graph)
     graph.unpersist()
     stats_row = spark.createDataFrame(
@@ -577,6 +622,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lsh.unionByName(hnsw).unionByName(routed)
         .unionByName(spill_row).unionByName(stats_row)
+        .unionByName(hc).unionByName(compact_row)
     )
 
 
@@ -3065,7 +3111,8 @@ WHERE vec_id < {NQ}
 """,
     "ann_lsh": f"""
 SELECT p.part, vec_id AS query_id, true AS dominated, true AS at_most_k
-FROM embeddings CROSS JOIN (SELECT unnest(['lsh', 'hnsw', 'hnsw_routed']) AS part) p
+FROM embeddings CROSS JOIN
+     (SELECT unnest(['lsh', 'hnsw', 'hnsw_routed', 'hnsw_compact']) AS part) p
 WHERE vec_id < {NQ}
 UNION ALL
 -- graph_stats: node count == corpus size (one node per vector)
@@ -3075,6 +3122,12 @@ UNION ALL
 -- spill_ok: multi-assigned build holds exactly 2 copies of every
 -- vector and probe-pruned results are duplicate-free
 SELECT 'spill_ok' AS part, (SELECT count(*) FROM embeddings) AS query_id,
+       true AS dominated, true AS at_most_k
+UNION ALL
+-- compact_ok: compaction preserves the live set (every 5th vector was
+-- tombstoned) and leaves no tombstones behind
+SELECT 'compact_ok' AS part,
+       (SELECT count(*) FROM embeddings WHERE vec_id % 5 <> 0) AS query_id,
        true AS dominated, true AS at_most_k
 """,
     # recall bounds / monotonicity / exactness-at-full-probe are theorems
@@ -4629,6 +4682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     SQL replay) and n_bpe (word-pattern token counts)
     #   ann_lsh gains spill_ok (multi-assignment spilled layout:
     #     exactly-2 copies per vector + duplicate-free pruned results)
+    #     and hnsw_compact/compact_ok (graph compaction: tombstone
+    #     vacuum preserves the live set, search contract holds over
+    #     the survivors, SQL-checked live count)
     #   index_maintenance sql_ann_ok extends to the WHERE-metadata
     #     composition and the bulk kNN-join rewrite
     return {

@@ -212,6 +212,54 @@ def _entry_pos(levels: np.ndarray, ids: np.ndarray) -> int:
     return int(at_top[np.argsort(ids[at_top], kind="stable")[0]])
 
 
+def _graph_schema(id_t) -> "T.StructType":
+    """The persisted per-node graph row (build, insert, and compaction
+    all emit it)."""
+    return T.StructType(
+        [
+            T.StructField("graph_id", T.IntegerType(), False),
+            T.StructField("id", id_t, False),
+            T.StructField("level", T.IntegerType(), False),
+            T.StructField("neighbors", T.ArrayType(T.ArrayType(id_t)), False),
+            T.StructField("vector", T.ArrayType(T.DoubleType()), False),
+            T.StructField("deleted", T.BooleanType(), False),
+        ]
+    )
+
+
+def _build_kernel(out_schema, M, M0, ef_c, m_l, seed):
+    """One-graph-per-task build kernel over (id, __v, deleted,
+    graph_id, __h) rows — shared by build() and compact_graph() so a
+    compacted graph is bit-identical to a fresh build of its
+    survivors."""
+
+    def build_graph(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        # sorted-id insertion: deterministic graphs (see module doc)
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        levels = _levels_from_hash(
+            pdf["__h"].to_numpy().astype(np.uint64), m_l, seed
+        )
+        nbrs, _ = _build_local_graph(V, levels, M, M0, ef_c)
+        ids = pdf["id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "graph_id": pdf["graph_id"].to_numpy(),
+                "id": ids,
+                "level": levels,
+                "neighbors": [
+                    [ids[layer].tolist() for layer in node] for node in nbrs
+                ],
+                "vector": [v.tolist() for v in V],
+                "deleted": pdf["deleted"].to_numpy(),
+            }
+        )
+
+    return build_graph
+
+
 class HNSWIndex:
     """Partition-local HNSW over a vectors DataFrame.
 
@@ -372,41 +420,8 @@ class HNSWIndex:
             graph_expr.alias("graph_id"),
             F.xxhash64(F.col(self.id_col), F.lit(self.seed)).alias("__h"),
         )
-        out_schema = T.StructType(
-            [
-                T.StructField("graph_id", T.IntegerType(), False),
-                T.StructField("id", id_t, False),
-                T.StructField("level", T.IntegerType(), False),
-                T.StructField("neighbors", T.ArrayType(T.ArrayType(id_t)), False),
-                T.StructField("vector", T.ArrayType(T.DoubleType()), False),
-                T.StructField("deleted", T.BooleanType(), False),
-            ]
-        )
-
-        def build_graph(pdf: pd.DataFrame) -> pd.DataFrame:
-            if pdf.empty:
-                return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-            # sorted-id insertion: deterministic graphs (see module doc)
-            pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
-            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
-            levels = _levels_from_hash(
-                pdf["__h"].to_numpy().astype(np.uint64), m_l, seed
-            )
-            nbrs, _ = _build_local_graph(V, levels, M, M0, ef_c)
-            ids = pdf["id"].to_numpy()
-            return pd.DataFrame(
-                {
-                    "graph_id": pdf["graph_id"].to_numpy(),
-                    "id": ids,
-                    "level": levels,
-                    "neighbors": [
-                        [ids[layer].tolist() for layer in node] for node in nbrs
-                    ],
-                    "vector": [v.tolist() for v in V],
-                    "deleted": pdf["deleted"].to_numpy(),
-                }
-            )
-
+        out_schema = _graph_schema(id_t)
+        build_graph = _build_kernel(out_schema, M, M0, ef_c, m_l, seed)
         return src.groupBy("graph_id").applyInPandas(build_graph, out_schema)
 
     def insert(
@@ -585,6 +600,70 @@ class HNSWIndex:
             )
 
         return graph.groupBy("graph_id").applyInPandas(mean_kernel, out_schema)
+
+    def compact_graph(
+        self,
+        graph: DataFrame,
+        min_deleted_fraction: float = 0.2,
+    ) -> DataFrame:
+        """Rebuild the graphs whose tombstone fraction reaches the
+        threshold; every other graph passes through untouched.
+
+        Soft deletes tombstone nodes (search traverses THROUGH them but
+        filters them from results — deleteVector semantics,
+        hnsw/core.rs:418-448), so a heavily-deleted graph spends its
+        beam on dead nodes and its storage on dead vectors.  Compaction
+        is the HNSW analogue of the session's parquet vacuum
+        (session.py vacuum / sources/deletes.py): drop the tombstones
+        and re-link edges over the survivors.
+
+        Guarantees: the live (id, vector) set is unchanged, so every
+        search contract (dominance, exactness at complete-graph config)
+        holds identically on the compacted graph; graph membership is
+        preserved (nodes keep their graph_id — no re-routing, so a
+        kmeans-routed layout stays cluster-coherent); a rebuilt graph
+        is bit-identical to a fresh build of its survivors (shared
+        kernel, hash-derived levels).
+
+        Cost shape at scale: one tiny per-graph aggregate (G rows to
+        the driver) picks the rebuild set; only those graphs' live rows
+        shuffle into the one-task-per-graph rebuild — graphs below the
+        threshold are never touched, so the cost tracks the tombstone
+        mass, not the corpus."""
+        if not 0.0 < min_deleted_fraction <= 1.0:
+            raise ValueError(
+                f"min_deleted_fraction must be in (0, 1], got {min_deleted_fraction}"
+            )
+        frac = graph.groupBy("graph_id").agg(
+            F.avg(F.col("deleted").cast("double")).alias("__df")
+        )
+        hot = [
+            int(r["graph_id"])
+            for r in frac.filter(
+                F.col("__df") >= float(min_deleted_fraction)
+            ).collect()
+        ]
+        if not hot:
+            return graph
+        keep = graph.filter(~F.col("graph_id").isin(hot))
+        src = (
+            graph.filter(F.col("graph_id").isin(hot) & ~F.col("deleted"))
+            .select(
+                "id",
+                F.col("vector").alias("__v"),
+                F.lit(False).alias("deleted"),
+                "graph_id",
+                F.xxhash64(F.col("id"), F.lit(self.seed)).alias("__h"),
+            )
+        )
+        id_t = graph.schema["id"].dataType
+        out_schema = _graph_schema(id_t)
+        kernel = _build_kernel(
+            out_schema, self.M, self.M0, self.ef_construction, self.m_l,
+            self.seed,
+        )
+        rebuilt = src.groupBy("graph_id").applyInPandas(kernel, out_schema)
+        return keep.unionByName(rebuilt)
 
     def search_bulk(
         self,

@@ -564,3 +564,84 @@ def test_reloaded_spilled_graph_dedups_under_default_instance(spark, tmp_path):
         ids = [r["id"] for r in rs]
         assert len(ids) == len(set(ids)) == 5  # k rows, no duplicates
         assert rs[0]["id"] == qid and rs[0]["distance"] == 0.0
+
+
+def test_compact_graph_drops_tombstones_preserves_search(spark):
+    """compact_graph removes tombstoned nodes from heavily-deleted
+    graphs, leaves cold graphs untouched, keeps graph membership, and
+    — because build and compaction share the kernel — a compacted
+    graph equals a fresh build of its survivors row for row."""
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
+    from fabstir_vectordb_spark.operators.knn import brute_force_knn
+
+    vec = _clustered_vecs(spark, n=240, centers=4)
+    h = HNSWIndex(M=128, M0=128, ef_construction=128, num_graphs=2)
+    graph = h.build(vec)
+    # tombstone a third of the corpus
+    tomb = graph.withColumn("deleted", F.pmod("id", 3) == 0).cache()
+
+    compacted = h.compact_graph(tomb, min_deleted_fraction=0.2).cache()
+    assert compacted.filter("deleted").count() == 0
+    live = tomb.filter("NOT deleted")
+    assert compacted.count() == live.count()
+
+    # identical search results at the complete-graph config
+    q = vec.limit(6).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("vector")
+    )
+    before = h.search_bulk(tomb, q, 5, ef=240).orderBy(
+        "query_id", "distance", "id").collect()
+    after = h.search_bulk(compacted, q, 5, ef=240).orderBy(
+        "query_id", "distance", "id").collect()
+    assert [(r["query_id"], r["id"]) for r in before] == [
+        (r["query_id"], r["id"]) for r in after
+    ]
+    exact = brute_force_knn(
+        live.select(F.col("id"), F.col("vector")), q, 5,
+        id_col="id", vector_col="vector",
+    ).orderBy("query_id", "distance", "id").collect()
+    assert [(r["query_id"], r["id"]) for r in after] == [
+        (r["query_id"], r["id"]) for r in exact
+    ]
+
+    # compacted graph == fresh build of the survivors, row for row
+    fresh = h.build(live.select("id", "vector"))
+    def rows(df):
+        return sorted(
+            (r["graph_id"], r["id"], r["level"], r["neighbors"], r["vector"])
+            for r in df.collect()
+        )
+    assert rows(compacted) == rows(fresh)
+
+
+def test_compact_graph_threshold_spares_cold_graphs(spark):
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
+
+    vec = _clustered_vecs(spark, n=200, centers=4)
+    h = HNSWIndex(M=8, M0=16, ef_construction=64, num_graphs=4)
+    graph = h.build(vec).cache()
+    # tombstone ONLY inside one graph
+    victim = int(graph.select("graph_id").first()["graph_id"])
+    tomb = graph.withColumn(
+        "deleted", (F.col("graph_id") == victim) & (F.pmod("id", 2) == 0)
+    )
+    compacted = h.compact_graph(tomb, min_deleted_fraction=0.2)
+    # victim graph rebuilt tombstone-free; every other graph passes
+    # through with identical rows (tombstones elsewhere: none existed)
+    assert compacted.filter(
+        (F.col("graph_id") == victim) & F.col("deleted")).count() == 0
+    cold_before = sorted(
+        (r["id"], r["level"]) for r in
+        tomb.filter(F.col("graph_id") != victim).collect())
+    cold_after = sorted(
+        (r["id"], r["level"]) for r in
+        compacted.filter(F.col("graph_id") != victim).collect())
+    assert cold_before == cold_after
+
+    # below-threshold: nothing rebuilt, frame passes through
+    same = h.compact_graph(tomb, min_deleted_fraction=0.9)
+    assert same.filter("deleted").count() == tomb.filter("deleted").count()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        h.compact_graph(tomb, min_deleted_fraction=0.0)
