@@ -60,6 +60,59 @@ def deduped_ingest(
     )
 
 
+def curate_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    lang: str | None = "en",
+    min_quality: float | None = 0.3,
+    max_repetition: float = 0.2,
+    token_bounds: tuple[int, int] = (10, 5000),
+    dedup_watermark: str | None = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming half of the curation funnel: apply the STATELESS gate
+    signals (language id, quality score, intra-doc repetition, token
+    bounds — pipelines.curate_corpus's gate stage, same thresholds,
+    same column expressions) to a document stream at ingest time,
+    optionally preceded by watermarked exact-id dedup (bounded state).
+
+    Gating at ingest is the standard split of the funnel for a
+    continuously-arriving corpus: per-document signals are pure column
+    expressions (no state, no shuffle — they stream at line rate and
+    whole-stage-codegen), while the corpus-level stages (near-dup,
+    capping, mixing, LM, DSIR) need corpus totals and stay batch over
+    the accumulated survivor table.  Emits the same audit columns the
+    batch gate certifies (lang/quality/n_tokens/rep_3gram + passed), so
+    a dropped document is explainable from the stream itself.
+
+    No reference counterpart (streaming surface stubbed there);
+    extension-axis, same contract as the batch gate stage at
+    pipelines.py (certified via corpus_filter)."""
+    from fabstir_vectordb_spark.functions import text as X
+
+    if dedup_watermark is not None:
+        stream = stream.withWatermark(
+            ts_col, dedup_watermark
+        ).dropDuplicatesWithinWatermark([id_col])
+    toks = X.whitespace_tokens(text_col)
+    sig = stream.withColumn("__toks", toks).select(
+        "*",
+        X.lang_id(text_col, "__toks").alias("lang"),
+        X.quality_score(text_col, "__toks").alias("quality"),
+        X.token_count_from("__toks").cast("long").alias("n_tokens"),
+        X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
+    ).drop("__toks")
+    gate = F.col("n_tokens").between(*token_bounds) & (
+        F.col("rep_3gram") <= max_repetition
+    )
+    if lang is not None:
+        gate = gate & (F.col("lang") == lang)
+    if min_quality is not None:
+        gate = gate & (F.col("quality") >= min_quality)
+    return sig.withColumn("passed", gate)
+
+
 def as_change_events(stream: DataFrame, event_type: str = "Inserted") -> DataFrame:
     """Shape an ingest stream into the reference's event feed
     (client/rust.rs:72-88): (event_type, vector_id, ts)."""

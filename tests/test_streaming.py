@@ -302,3 +302,75 @@ def test_stream_graph_retry_of_rsuffixed_publish_is_idempotent(spark, tmp_path):
     ids = [r["id"] for r in g.select("id").collect()]
     assert sorted(ids) == sorted({f"s{i}" for i in range(10)})
     assert os.path.realpath(gpath) == rdir  # pointer untouched
+
+
+def test_curate_stream_matches_batch_gate(spark, tmp_path):
+    """Streaming gate == batch gate: the same documents pushed through
+    curate_stream (file source, availableNow) carry exactly the signal
+    columns and passed verdicts the batch stage computes, and the
+    watermarked dedup drops a duplicate id."""
+    from pyspark.sql import types as T
+
+    from fabstir_vectordb_spark.functions import text as X
+
+    docs = [
+        ("d0", "the quick brown fox jumps over the lazy dog and keeps "
+               "running through the quiet field with a steady pace"),
+        ("d1", "tiny"),                                  # length gate
+        ("d2", "la casa de la familia es grande y los vecinos hablan en "
+               "un tono alegre durante la tarde en el barrio"),  # lang gate
+        ("d3", " ".join(["spam ham"] * 30)),             # repetition gate
+        ("d4", "numbers 111 222 333 444 555 666 777 888 999 000 111 222 "
+               "333 444 555"),
+    ]
+    src = tmp_path / "cin"
+    src.mkdir(parents=True, exist_ok=True)
+    with open(src / "docs.json", "w") as f:
+        for i, (did, text) in enumerate(docs):
+            f.write(json.dumps(
+                {"id": did, "text": text,
+                 "ts": f"2026-01-10T12:{i:02d}:00.000Z"}) + "\n")
+        # duplicate id inside the watermark -> dropped
+        f.write(json.dumps(
+            {"id": "d0", "text": "duplicate copy",
+             "ts": "2026-01-10T12:00:30.000Z"}) + "\n")
+
+    schema = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ])
+    stream = spark.readStream.format("json").schema(schema).load(str(src))
+    gated = SI.curate_stream(stream, token_bounds=(10, 5000))
+    _run_to_memory(gated, "curate_test")
+    out = {r["id"]: r for r in spark.sql("select * from curate_test").collect()}
+
+    assert len(out) == 5  # duplicate d0 dropped
+    # batch replay of the same gate over the same docs
+    batch = spark.createDataFrame(docs, "id string, text string")
+    toks = X.whitespace_tokens("text")
+    expected = {
+        r["id"]: r
+        for r in batch.withColumn("__toks", toks).select(
+            "id",
+            X.lang_id("text", "__toks").alias("lang"),
+            X.quality_score("text", "__toks").alias("quality"),
+            X.token_count_from("__toks").cast("long").alias("n_tokens"),
+            X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
+        ).collect()
+    }
+    for did, exp in expected.items():
+        got = out[did]
+        assert got["lang"] == exp["lang"]
+        assert got["n_tokens"] == exp["n_tokens"]
+        assert abs(got["quality"] - exp["quality"]) < 1e-12
+        assert abs(got["rep_3gram"] - exp["rep_3gram"]) < 1e-12
+        want_pass = (
+            10 <= exp["n_tokens"] <= 5000
+            and exp["rep_3gram"] <= 0.2
+            and exp["lang"] == "en"
+            and exp["quality"] >= 0.3
+        )
+        assert got["passed"] == want_pass, did
+    assert not out["d1"]["passed"] and not out["d3"]["passed"]
+    assert out["d0"]["passed"]
