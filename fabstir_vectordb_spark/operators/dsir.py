@@ -49,18 +49,17 @@ from pyspark.sql import functions as F
 
 from fabstir_vectordb_spark.functions.text import whitespace_tokens
 from fabstir_vectordb_spark.operators.dedup import _parallelize
+from fabstir_vectordb_spark.operators.sampling import _bucket
 
 __all__ = ["fit_dsir_ratios", "dsir_score", "dsir_select"]
 
 
 def _hash_bucket(col: Column, num_buckets: int, salt: str) -> Column:
-    """Engine-reproducible bucket id: first 8 hex chars of
-    md5(value|salt) as an integer, mod num_buckets — the exact scheme
-    hashed_embedding / cap_per_group certify against DuckDB."""
-    h = F.md5(F.concat_ws("|", col, F.lit(salt)))
-    return F.pmod(
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(num_buckets)
-    )
+    """Engine-reproducible bucket id: the md5(value|salt) uniform that
+    cap_per_group / assign_split certify against DuckDB
+    (operators/sampling.py:_bucket — ONE copy of the hash arithmetic),
+    folded mod num_buckets."""
+    return F.pmod(_bucket(col, salt), F.lit(num_buckets))
 
 
 def _doc_ngram_buckets(
@@ -218,10 +217,8 @@ def dsir_select(
         raise ValueError(f"temperature must be > 0, got {temperature}")
     from pyspark.sql import Window
 
-    h = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)))
     u = (
-        F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(1 << 24))
-        + F.lit(0.5)
+        F.pmod(_bucket(F.col(id_col), salt), F.lit(1 << 24)) + F.lit(0.5)
     ) / F.lit(float(1 << 24))
     gumbel = -F.log(-F.log(u))
     key = F.col(score_col) / F.lit(float(temperature)) + gumbel

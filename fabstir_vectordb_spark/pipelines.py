@@ -38,6 +38,38 @@ from fabstir_vectordb_spark.operators.sampling import (
 )
 
 
+def gate_signal_columns(text_col: str = "text", toks_col: str = "__toks"):
+    """The funnel's per-document gate signals over a pre-tokenized text
+    column — THE single definition both the batch gate stage
+    (curate_corpus) and the streaming gate (streaming/ingest.py
+    curate_stream) select from, so the two surfaces cannot silently
+    diverge.  Pure column expressions: no state, no shuffle."""
+    return [
+        X.lang_id(text_col, toks_col).alias("lang"),
+        X.quality_score(text_col, toks_col).alias("quality"),
+        X.token_count_from(toks_col).cast("long").alias("n_tokens"),
+        X.repetition_ratio_from(toks_col, 3).alias("rep_3gram"),
+    ]
+
+
+def gate_predicate(
+    token_bounds: tuple[int, int],
+    max_repetition: float,
+    lang: str | None,
+    min_quality: float | None,
+):
+    """The gate verdict over gate_signal_columns' outputs — shared by
+    the batch and streaming gates (see gate_signal_columns)."""
+    gate = F.col("n_tokens").between(*token_bounds) & (
+        F.col("rep_3gram") <= max_repetition
+    )
+    if lang is not None:
+        gate = gate & (F.col("lang") == lang)
+    if min_quality is not None:
+        gate = gate & (F.col("quality") >= min_quality)
+    return gate
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -132,7 +164,7 @@ def curate_corpus(
 
     ``audit`` (pass an empty dict) collects, per drop-capable stage, the
     slim survivor-id frame right after that stage runs — keys in funnel
-    order: gates, exact_dedup, near_dup, cap, mix, lm, quality,
+    order: gates, exact_dedup, near_dup, cap, mix, lm, dsir, quality,
     decontaminate (only stages that ran appear).  The frames share the
     funnel's checkpointed lineage, so materializing them re-reads
     truncated plans, not the whole funnel per stage.
@@ -204,13 +236,7 @@ def curate_corpus(
     # producer (the tokenize split) that is referenced more than once.
     toks = X.whitespace_tokens("text")
     cur = DD._parallelize(cur.select("id", "text", toks.alias("__toks")))
-    cur = cur.select(
-        "id", "text",
-        X.token_count_from("__toks").cast("long").alias("n_tokens"),
-        X.quality_score("text", "__toks").alias("quality"),
-        X.lang_id("text", "__toks").alias("lang"),
-        X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
-    )
+    cur = cur.select("id", "text", *gate_signal_columns("text", "__toks"))
     if subword_vocab is not None:
         from fabstir_vectordb_spark.operators.subword import (
             subword_token_counts,
@@ -229,13 +255,7 @@ def curate_corpus(
         cur = cur.join(sub, "id").withColumn(
             "n_tokens", F.col("__n_sub")
         ).drop("__n_sub")
-    gate = F.col("n_tokens").between(*token_bounds) & (
-        F.col("rep_3gram") <= max_repetition
-    )
-    if lang is not None:
-        gate = gate & (F.col("lang") == lang)
-    if min_quality is not None:
-        gate = gate & (F.col("quality") >= min_quality)
+    gate = gate_predicate(token_bounds, max_repetition, lang, min_quality)
     cur = cur.filter(gate).drop("rep_3gram")
     _audit("gates", cur)
 

@@ -89,28 +89,33 @@ def curate_stream(
     No reference counterpart (streaming surface stubbed there);
     extension-axis, same contract as the batch gate stage at
     pipelines.py (certified via corpus_filter)."""
+    # the ONE definition of the gate signals + verdict, shared with the
+    # batch funnel so the two surfaces cannot silently diverge
     from fabstir_vectordb_spark.functions import text as X
+    from fabstir_vectordb_spark.pipelines import (
+        gate_predicate,
+        gate_signal_columns,
+    )
 
+    reserved = {"lang", "quality", "n_tokens", "rep_3gram", "passed", "__toks"}
+    clash = reserved & set(stream.columns)
+    if clash:
+        raise ValueError(
+            f"curate_stream emits columns {sorted(clash)} that the input "
+            "stream already carries — rename or drop them first"
+        )
     if dedup_watermark is not None:
         stream = stream.withWatermark(
             ts_col, dedup_watermark
         ).dropDuplicatesWithinWatermark([id_col])
     toks = X.whitespace_tokens(text_col)
     sig = stream.withColumn("__toks", toks).select(
-        "*",
-        X.lang_id(text_col, "__toks").alias("lang"),
-        X.quality_score(text_col, "__toks").alias("quality"),
-        X.token_count_from("__toks").cast("long").alias("n_tokens"),
-        X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
+        "*", *gate_signal_columns(text_col, "__toks")
     ).drop("__toks")
-    gate = F.col("n_tokens").between(*token_bounds) & (
-        F.col("rep_3gram") <= max_repetition
+    return sig.withColumn(
+        "passed",
+        gate_predicate(token_bounds, max_repetition, lang, min_quality),
     )
-    if lang is not None:
-        gate = gate & (F.col("lang") == lang)
-    if min_quality is not None:
-        gate = gate & (F.col("quality") >= min_quality)
-    return sig.withColumn("passed", gate)
 
 
 def as_change_events(stream: DataFrame, event_type: str = "Inserted") -> DataFrame:
@@ -261,7 +266,10 @@ def write_graph_stream(
         # every id in the batch.  The batch is idempotent-complete — skip.
         if os.path.lexists(graph_path):
             real = os.path.realpath(graph_path)
-            vabs = os.path.abspath(vdir)
+            # realpath BOTH sides: an ancestor symlink anywhere in the
+            # data dir (e.g. /tmp on macOS) would otherwise make the
+            # comparison silently never match and re-insert the batch
+            vabs = os.path.realpath(vdir)
             if real == vabs or (
                 real.startswith(vabs + "r") and real[len(vabs) + 1 :].isdigit()
             ):
