@@ -84,6 +84,19 @@ def main(spark: SparkSession, workdir: str) -> dict:
         pack_corpus(curated, context_len=256, split="train")
         .select("bin_id").distinct().count()
     )
+
+    # --- 5. target-directed selection (DSIR) ---------------------------
+    from fabstir_vectordb_spark.operators.dsir import (
+        dsir_score, dsir_select, fit_dsir_ratios,
+    )
+
+    target = docs.filter(F.pmod("doc_id", 10) == 1)  # "looks like this"
+    ratios = fit_dsir_ratios(target, docs, n=2, num_buckets=1024)
+    picked = dsir_select(
+        dsir_score(docs, ratios, n=2, num_buckets=1024),
+        k_keep=50, temperature=0.5,
+    ).filter("selected")
+    out["dsir_selected"] = picked.count()
     return out
 
 
