@@ -100,3 +100,74 @@ def test_plan_search_pq_tier_consumes_tune_pq():
     # without a stated target the legacy knobs stand
     p2 = plan_search(20_000_000, 10, 256, pq_available=True)
     assert p2.strategy == "pq" and p2.pq is None and p2.oversample == 4
+
+
+def test_tune_hnsw_tiers():
+    """The measured routed fan-out guidance as defaults: exactness
+    keeps full fan-out, 0.9 prunes to G/8 WITH the 2x spill, loose
+    halves the budget again; ef floors at the realistic default."""
+    import pytest
+
+    from fabstir_vectordb_spark.plans.tuning import tune_hnsw
+
+    exact = tune_hnsw(500_000, 10, recall_target=0.99)
+    assert exact.probe_graphs is None and exact.assign_graphs == 1
+    assert exact.num_graphs == 123  # ceil(500k / 4096)
+
+    routed = tune_hnsw(500_000, 10, recall_target=0.9)
+    assert routed.probe_graphs == 123 // 8 and routed.assign_graphs == 2
+
+    loose = tune_hnsw(500_000, 10, recall_target=0.5)
+    assert loose.probe_graphs == 123 // 16 and loose.assign_graphs == 2
+    # probe budget monotone in the recall target
+    assert loose.probe_graphs < routed.probe_graphs
+
+    assert tune_hnsw(500_000, 200, recall_target=0.9).ef == 400  # 2k floor
+    assert tune_hnsw(2_000, 10, recall_target=0.9).probe_graphs == 1
+
+    for bad in (dict(dataset_size=0), dict(k=0), dict(recall_target=0.0),
+                dict(recall_target=1.5)):
+        kw = dict(dataset_size=500_000, k=10, recall_target=0.9)
+        kw.update(bad)
+        with pytest.raises(ValueError):
+            tune_hnsw(**kw)
+
+
+def test_tune_hnsw_plan_reaches_target_on_clusterable(spark):
+    """Consumption: an index built with the 0.9-tier plan knobs reaches
+    the target on clusterable data — the same fixture the guidance was
+    measured on (tests/test_hnsw.py recovery study)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.operators.hnsw import HNSWIndex
+    from fabstir_vectordb_spark.operators.knn import brute_force_knn
+    from fabstir_vectordb_spark.plans.tuning import tune_hnsw
+
+    rng = np.random.RandomState(4)
+    centers = rng.normal(0, 10, size=(8, 12))
+    rows = [
+        (i, (centers[i % 8] + rng.normal(0, 0.5, 12)).tolist())
+        for i in range(1600)
+    ]
+    vec = spark.createDataFrame(rows, "id long, vector array<double>")
+    plan = tune_hnsw(1600, 10, recall_target=0.9, target_graph_size=200)
+    assert plan.num_graphs == 8 and plan.probe_graphs == 1
+    h = HNSWIndex(M=8, M0=16, ef_construction=64,
+                  num_graphs=plan.num_graphs, partitioner="kmeans",
+                  assign_graphs=plan.assign_graphs)
+    graph = h.build(vec).cache()
+    q = vec.filter(F.col("id") % 80 == 3).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("vector")
+    )
+    truth = {}
+    for r in brute_force_knn(vec, q, 10, id_col="id",
+                             vector_col="vector", impl="kernel").collect():
+        truth.setdefault(r["query_id"], set()).add(r["id"])
+    got = {}
+    for r in h.search_bulk(graph, q, 10, ef=max(plan.ef, 400),
+                           probe_graphs=plan.probe_graphs).collect():
+        got.setdefault(r["query_id"], set()).add(r["id"])
+    graph.unpersist()
+    per = [len(got.get(kq, set()) & truth[kq]) / 10 for kq in truth]
+    assert sum(per) / len(per) >= 0.9
