@@ -83,7 +83,13 @@ def _doc_ngram_buckets(
         _parallelize(
             docs.select(F.col(id_col).alias("id"), toks.alias("__t"))
         )
-        .filter(F.size("__t") >= n)
+        # size >= n, and never the [''] that split('') produces — an
+        # empty document has NO n-grams, not one phantom empty gram
+        # (matters at n=1; n >= 2 already excludes the size-1 array)
+        .filter(
+            (F.size("__t") >= n)
+            & ~((F.size("__t") == 1) & (F.element_at("__t", 1) == ""))
+        )
         .select("id", F.explode(grams).alias("__g"))
         .select("id", _hash_bucket(F.col("__g"), num_buckets, salt).alias("bucket"))
     )
