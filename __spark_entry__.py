@@ -1439,16 +1439,44 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = DD.remove_boilerplate_lines(
         planted, min_doc_freq=50, text_col="text2", id_col="doc_id"
     )
+    # Round 6: paragraph-level keep-first dedup (operators/dedup.py
+    # dedup_paragraphs — the RefinedWeb granularity between hot-line
+    # boilerplate and document dedup).  Planted layout: every doc gains
+    # a second paragraph — a shared promo on every 4th doc (keep-first:
+    # only doc 0's copy survives) or a unique solo line; the fixture's
+    # own exact-duplicate documents additionally exercise first-
+    # paragraph dedup across docs.  The oracle replays splitting,
+    # normalized fingerprints, the keep-first window, and the ordered
+    # rebuild — para_clean_md5/kept_paras/removed_paras all hash-check.
+    planted_pd = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", "text",
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("copied promo paragraph")
+            ).otherwise(F.concat(F.lit("solo "), F.col("doc_id"))),
+        ).alias("text4"),
+    )
+    pd_ = DD.dedup_paragraphs(
+        planted_pd, text_col="text4", id_col="doc_id"
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.md5("clean_text").alias("para_clean_md5"),
+        F.col("kept_paras").cast("long").alias("kept_paras"),
+        F.col("removed_paras").cast("long").alias("removed_paras"),
+    )
     return (
         docs.select("doc_id", X.fingerprint("text").alias("fp"))
         .join(clean.withColumnRenamed("id", "doc_id"), "doc_id")
         .join(sp, "doc_id")
+        .join(pd_, "doc_id")
         .select(
             "doc_id", "fp",
             F.md5("clean_text").alias("clean_md5"),
             F.col("kept_lines").cast("long").alias("kept_lines"),
             F.col("removed_lines").cast("long").alias("removed_lines"),
             "dup_tokens", "n_dup_spans", "span_clean_md5",
+            "para_clean_md5", "kept_paras", "removed_paras",
         )
     )
 
@@ -3543,6 +3571,39 @@ WITH planted AS (
 ), sp_clean AS (
   SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct
   FROM sp_kept GROUP BY doc_id
+), pd_src AS (
+  -- paragraph-level keep-first dedup: every doc gains a 2nd paragraph
+  -- (shared promo on every 4th doc, unique solo line otherwise)
+  SELECT doc_id,
+         concat_ws(chr(10), text,
+           CASE WHEN doc_id % 4 = 0 THEN 'copied promo paragraph'
+                ELSE 'solo ' || doc_id END) AS text4
+  FROM documents
+), pd_all AS (
+  SELECT doc_id, i - 1 AS pos, p[i] AS para
+  FROM (SELECT doc_id, string_split(text4, chr(10)) AS p,
+               unnest(generate_series(1, len(string_split(text4, chr(10))))) AS i
+        FROM pd_src)
+), pd_drop AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(para), '\\s+', ' ', 'g')))
+             ORDER BY doc_id, pos) AS rn
+    FROM pd_all WHERE len(trim(para)) > 0)
+  WHERE rn > 1
+), pd_kept AS (
+  SELECT a.doc_id, a.pos, a.para
+  FROM pd_all a
+  WHERE NOT EXISTS (SELECT 1 FROM pd_drop dd
+                    WHERE dd.doc_id = a.doc_id AND dd.pos = a.pos)
+), pd_out AS (
+  SELECT doc_id,
+         md5(coalesce(string_agg(para, chr(10) ORDER BY pos), '')) AS para_clean_md5,
+         CAST(count(*) AS BIGINT) AS kept_paras
+  FROM pd_kept GROUP BY doc_id
+), pd_tot AS (
+  SELECT doc_id, count(*) AS ptotal FROM pd_all GROUP BY doc_id
 )
 SELECT d.doc_id, {_FP} AS fp,
        md5(coalesce(a.clean_text, '')) AS clean_md5,
@@ -3550,12 +3611,17 @@ SELECT d.doc_id, {_FP} AS fp,
        CAST(t.total - coalesce(a.kept_lines, 0) AS BIGINT) AS removed_lines,
        CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
        CAST(coalesce(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-       md5(coalesce(spc.ct, '')) AS span_clean_md5
+       md5(coalesce(spc.ct, '')) AS span_clean_md5,
+       COALESCE(po.para_clean_md5, md5('')) AS para_clean_md5,
+       CAST(coalesce(po.kept_paras, 0) AS BIGINT) AS kept_paras,
+       CAST(pt.ptotal - coalesce(po.kept_paras, 0) AS BIGINT) AS removed_paras
 FROM documents d
 JOIN tot t USING (doc_id)
 LEFT JOIN agg a USING (doc_id)
 LEFT JOIN sp_doc s USING (doc_id)
 LEFT JOIN sp_clean spc USING (doc_id)
+LEFT JOIN pd_out po USING (doc_id)
+JOIN pd_tot pt USING (doc_id)
 """
 
 _ORACLES["streaming_dedup"] = f"SELECT DISTINCT {_FP} AS fp FROM documents"
@@ -4687,6 +4753,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     the survivors, SQL-checked live count)
     #   index_maintenance sql_ann_ok extends to the WHERE-metadata
     #     composition and the bulk kNN-join rewrite
+    #   corpus_filter also gains dsir_score/dsir_key/dsir_selected
+    #     (DSIR importance resampling, full SQL replay)
+    #   doc_fingerprint gains para_clean_md5/kept_paras/removed_paras
+    #     (paragraph-level keep-first dedup, full SQL replay incl. the
+    #     ordered rebuild)
     return {
         "knn_metrics": q_knn_metrics,
         "knn_bulk": q_knn_bulk,

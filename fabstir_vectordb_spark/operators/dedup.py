@@ -893,6 +893,75 @@ def remove_boilerplate_lines(
     )
 
 
+def dedup_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Exact paragraph-level dedup with KEEP-FIRST semantics (the
+    RefinedWeb / MassiveText granularity between line-level boilerplate
+    and document-level dedup): a paragraph whose normalized fingerprint
+    occurs more than once corpus-wide is kept only at its FIRST
+    occurrence — min (doc id, position) — and removed everywhere else,
+    including repeats inside one document.  Empty / whitespace-only
+    paragraphs are structure, not content: never fingerprinted, never
+    removed.  Paragraph order is otherwise preserved.
+
+    Distinct from remove_boilerplate_lines (which drops a hot line from
+    EVERY document once its doc-frequency crosses a threshold): here
+    the first occurrence always survives, so unique content that later
+    gets scraped into other pages is deduplicated without being lost.
+
+    100 TB shape: the corpus TEXT never shuffles.  One explode carries
+    only (id, pos, 16-byte fingerprint) into the keep-first aggregation
+    (one exchange keyed on the fingerprint); losers collapse to per-doc
+    drop-position arrays (bounded by each doc's paragraph count) that
+    join back on id; the rebuild is an index-aware HOF filter over the
+    document's own split array — whole-stage codegen, no Python.
+
+    Output: (id, clean_text, kept_paras, removed_paras).
+    """
+    from fabstir_vectordb_spark.functions.text import normalized_text
+
+    split_col = F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
+    base = docs.select(F.col(id_col).alias("id"), split_col.alias("__paras"))
+    paras = (
+        base.select(
+            "id", F.posexplode("__paras").alias("pos", "__p")
+        )
+        .select("id", "pos", F.md5(normalized_text("__p")).alias("__fp"),
+                (F.length(F.trim("__p")) > 0).alias("__content"))
+        .filter("__content")
+    )
+    w = Window.partitionBy("__fp").orderBy("id", "pos")
+    drops = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("__drop"))
+    )
+    return (
+        base.join(drops, "id", "left")
+        .select(
+            "id",
+            F.filter(
+                "__paras",
+                lambda x, i: F.when(
+                    F.col("__drop").isNull(), F.lit(True)
+                ).otherwise(~F.array_contains(F.col("__drop"), i)),
+            ).alias("__kept"),
+            F.size("__paras").alias("__total"),
+        )
+        .select(
+            "id",
+            F.array_join("__kept", sep).alias("clean_text"),
+            F.size("__kept").alias("kept_paras"),
+            (F.col("__total") - F.size("__kept")).alias("removed_paras"),
+        )
+    )
+
+
 # ----------------------------------------------- benchmark decontamination
 
 

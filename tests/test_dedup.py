@@ -352,3 +352,46 @@ def test_duplicated_spans_rejects_bad_params(spark):
         duplicated_spans(docs, span_tokens=0)
     with pytest.raises(ValueError):
         duplicated_spans(docs, min_occurrences=1)
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    """Keep-first paragraph dedup: the first (doc, pos) occurrence of a
+    normalized paragraph survives, every later occurrence — across docs
+    AND within one doc — is removed; empty paragraphs are structure and
+    always survive; normalization folds case/whitespace."""
+    from fabstir_vectordb_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "unique zero\nSHARED PARA\nalso unique"),
+            (1, "SHARED PARA\nown text one"),
+            (2, "own two\nown two\nother"),
+            (3, "a\n\n\nb"),
+            (4, "shared   para"),  # normalized == doc 0's paragraph
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert got[0]["clean_text"] == "unique zero\nSHARED PARA\nalso unique"
+    assert got[0]["removed_paras"] == 0
+    assert got[1]["clean_text"] == "own text one"
+    assert got[1]["removed_paras"] == 1
+    assert got[2]["clean_text"] == "own two\nother"  # within-doc repeat
+    assert got[3]["clean_text"] == "a\n\n\nb"        # empties untouched
+    assert got[3]["kept_paras"] == 4
+    assert got[4]["clean_text"] == "" and got[4]["removed_paras"] == 1
+    # totals: kept + removed == paragraph count
+    for r in got.values():
+        assert r["kept_paras"] >= 0 and r["removed_paras"] >= 0
+
+
+def test_dedup_paragraphs_noop_when_unique(spark):
+    from fabstir_vectordb_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(i, f"para {i} a\npara {i} b") for i in range(6)],
+        "doc_id long, text string",
+    )
+    got = dedup_paragraphs(docs).collect()
+    assert all(r["removed_paras"] == 0 for r in got)
+    assert all(r["kept_paras"] == 2 for r in got)
