@@ -97,6 +97,7 @@ def curate_corpus(
     dsir_ngram: int = 2,
     quality_model=None,
     pareto_alpha: float | None = None,
+    paragraph_dedup: bool = False,
     trim_span_tokens: int | None = None,
     trim_span_min_occurrences: int = 2,
     subword_vocab: list[str] | None = None,
@@ -139,6 +140,11 @@ def curate_corpus(
       * ``quality_model``: a fitted QualityClassifier; survivors are
         scored JVM-side and, when ``pareto_alpha`` is set, kept by the
         stochastic Pareto rule, else by prob > 0.5.
+      * ``paragraph_dedup``: keep-first paragraph dedup
+        (dedup_paragraphs — RefinedWeb granularity): later copies of a
+        normalized paragraph are removed across and within documents,
+        first occurrence always survives; runs after boilerplate
+        removal and before the span trim.
       * ``trim_span_tokens``: cross-document repeated-substring trim
         (duplicated_spans / Lee et al.) — windows of this many tokens
         occurring twice+ corpus-wide are removed from every document,
@@ -217,6 +223,14 @@ def curate_corpus(
             cur, boilerplate_min_doc_freq, text_col="text", id_col="id"
         )
         cur = cleaned.select("id", F.col("clean_text").alias("text"))
+
+    if paragraph_dedup:
+        # keep-first paragraph dedup (dedup_paragraphs): self-
+        # referencing (the drop table derives from cur and joins back),
+        # so barrier first — same rule as the span trim below
+        cur = _trunc(cur)
+        pd_ = DD.dedup_paragraphs(cur, text_col="text", id_col="id")
+        cur = pd_.select("id", F.col("clean_text").alias("text"))
 
     if trim_span_tokens is not None:
         cur = _trunc(cur)

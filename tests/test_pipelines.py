@@ -446,3 +446,23 @@ def test_curate_corpus_dsir_stage(spark):
 
     with pytest.raises(ValueError):
         curate_corpus(docs, dsir_target=target)  # dsir_keep required
+
+
+def test_curate_corpus_paragraph_dedup_stage(spark):
+    """paragraph_dedup inside the funnel: the shared paragraph survives
+    only in the first document; unique paragraphs untouched."""
+    rows = [
+        (0, "unique zero line with plenty of words here\nSHARED PROMO PARA"),
+        (1, "SHARED PROMO PARA\nown one line with plenty of words here"),
+        (2, "own two line with plenty of words here too"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(
+        docs, boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+        max_repetition=1.0, token_bounds=(1, 5000), near_dup_threshold=None,
+        paragraph_dedup=True,
+    )
+    texts = {r["id"]: r["text"] for r in out.collect()}
+    assert "SHARED PROMO PARA" in texts[0]
+    assert "SHARED PROMO PARA" not in texts[1]
+    assert texts[2] == rows[2][1]
