@@ -925,7 +925,14 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 5 adds the domains column (functions/text.py url_domains —
     sorted distinct lowercased hostnames, the domain-curation input
     when no source column exists), emitted comma-joined and replayed
-    verbatim in SQL."""
+    verbatim in SQL.
+
+    Round 6 adds html_text_fp (functions/text.py strip_html — the
+    ingest-side HTML-to-text extraction, deliberately
+    backreference-free so the same regex chain parses under Java regex
+    and RE2): the fixture text is wrapped in markup with a style block,
+    a script holding a '<', a comment, and entities; the oracle replays
+    the identical strip/decode/collapse chain and md5-compares."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "text",
         F.concat(
@@ -935,6 +942,13 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 11 == 0, F.lit(" call +1 (415) 555-0100")).otherwise(F.lit("")),
         ),
     )
+    html = F.concat(
+        F.lit('<html><head><style>p{color:red}</style></head>'
+              '<body><p class="x">'),
+        F.col("text"),
+        F.lit('</p><script>var x = 1 < 2;</script><!-- note -->'
+              '&amp; &lt;done&gt;&nbsp;</body></html>'),
+    )
     return docs.select(
         "doc_id",
         X.pii_counts("text", "email").cast("long").alias("n_email"),
@@ -942,6 +956,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.pii_counts("text", "digits").cast("long").alias("n_number"),
         F.md5(X.redact_pii("text")).alias("redacted_fp"),
         F.concat_ws(",", X.url_domains("text")).alias("domains"),
+        F.md5(X.strip_html(html)).alias("html_text_fp"),
     )
 
 
@@ -3464,7 +3479,20 @@ SELECT doc_id,
       '{_PII_NUM}', '<NUMBER>', 'g')) AS redacted_fp,
   coalesce(array_to_string(list_sort(list_distinct(list_transform(
       regexp_extract_all(text, 'https?://(?:[^/@\\s]+@)?([A-Za-z0-9.-]+)', 1),
-      h -> regexp_replace(lower(h), '[.]+$', '')))), ','), '') AS domains
+      h -> regexp_replace(lower(h), '[.]+$', '')))), ','), '') AS domains,
+  md5(trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        concat('<html><head><style>p{{color:red}}</style></head><body><p class="x">',
+               text,
+               '</p><script>var x = 1 < 2;</script><!-- note -->&amp; &lt;done&gt;&nbsp;</body></html>'),
+        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '(?s)<[^>]+>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      '&nbsp;', ' '), '&amp;', '&'),
+    '\\s+', ' ', 'g'))) AS html_text_fp
 FROM t
 """
 
@@ -4758,6 +4786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   doc_fingerprint gains para_clean_md5/kept_paras/removed_paras
     #     (paragraph-level keep-first dedup, full SQL replay incl. the
     #     ordered rebuild)
+    #   pii_redact gains html_text_fp (strip_html ingest extraction,
+    #     identical regex chain replayed under RE2)
     return {
         "knn_metrics": q_knn_metrics,
         "knn_bulk": q_knn_bulk,

@@ -290,6 +290,36 @@ def redact_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
     return out
 
 
+# decode order matters: the five specific entities first, &amp; LAST —
+# so double-escaped "&amp;lt;" correctly yields the literal text "&lt;"
+_HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def strip_html(text: Column | str) -> Column:
+    """Plain text from HTML markup — the ingest-side extraction pass a
+    web-scraped corpus needs before any text stage runs.  Regex-only
+    and deliberately backreference-free, so the identical chain parses
+    under Java regex (Spark) and RE2 (DuckDB and friends) and the
+    output is oracle-replayable: drop <script>/<style> blocks WITH
+    their contents, drop comments, strip remaining tags, decode the six
+    basic entities (&amp; last, so double-escapes resolve one level),
+    collapse whitespace.  NOT an HTML5 parser — malformed nesting
+    degrades to plain tag-stripping; compose with
+    remove_boilerplate_lines / dedup_paragraphs for main-content
+    extraction."""
+    out = _c(text)
+    out = F.regexp_replace(out, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def hashed_embedding(tokens: Column | str, dim: int = 64, salt: str = "emb") -> Column:
     """Feature-hashed bag-of-words embedding — the hashing trick
     (Weinberger et al., ICML 2009): each token adds ±1 to one of

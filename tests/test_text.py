@@ -133,3 +133,26 @@ def test_url_domains(spark):
     assert got[0] == ["ex.com", "sub.b.org"]      # deduped, sorted, lowered
     assert got[1] == []
     assert got[2] == ["only-this.net"]
+
+
+def test_strip_html(spark):
+    from fabstir_vectordb_spark.functions.text import strip_html
+
+    cases = [
+        ("<html><body><p class='x'>Hello <b>world</b></p></body></html>",
+         "Hello world"),
+        ("<script>var x = 1 < 2;</script>keep<style>p{color:red}</style>me",
+         "keep me"),
+        ("<!-- comment -->text &amp; more &lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;end",
+         'text & more <tag> "q" \'a\' end'),
+        ("&amp;lt;", "&lt;"),   # double-escape resolves ONE level
+        ("plain text stays", "plain text stays"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i long, t string"
+    )
+    got = {r["i"]: r["out"] for r in df.select(
+        "i", strip_html("t").alias("out")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
