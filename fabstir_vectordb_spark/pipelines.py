@@ -74,6 +74,7 @@ def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    html_input: bool = False,
     boilerplate_min_doc_freq: int | None = 1000,
     lang: str | None = "en",
     min_quality: float = 0.3,
@@ -140,6 +141,8 @@ def curate_corpus(
       * ``quality_model``: a fitted QualityClassifier; survivors are
         scored JVM-side and, when ``pareto_alpha`` is set, kept by the
         stochastic Pareto rule, else by prob > 0.5.
+      * ``html_input``: run strip_html first, so every downstream stage
+        judges extracted text, not markup.
       * ``paragraph_dedup``: keep-first paragraph dedup
         (dedup_paragraphs — RefinedWeb granularity): later copies of a
         normalized paragraph are removed across and within documents,
@@ -217,6 +220,12 @@ def curate_corpus(
             audit[name] = frame.select("id")
 
     cur = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    if html_input:
+        # ingest extraction first: every downstream stage (boilerplate,
+        # dedup, gates, LM) judges TEXT, not markup.  Pure column
+        # expression — no state, no shuffle.
+        cur = cur.select("id", X.strip_html("text").alias("text"))
 
     if boilerplate_min_doc_freq is not None:
         cleaned = DD.remove_boilerplate_lines(

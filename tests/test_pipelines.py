@@ -466,3 +466,19 @@ def test_curate_corpus_paragraph_dedup_stage(spark):
     assert "SHARED PROMO PARA" in texts[0]
     assert "SHARED PROMO PARA" not in texts[1]
     assert texts[2] == rows[2][1]
+
+
+def test_curate_corpus_html_input(spark):
+    docs = spark.createDataFrame(
+        [(0, "<p>the quick brown fox jumps over the lazy dog and runs "
+             "far away home</p><script>drop()</script>")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs, html_input=True, boilerplate_min_doc_freq=None, lang=None,
+        min_quality=None, max_repetition=1.0, token_bounds=(1, 5000),
+        near_dup_threshold=None,
+    ).collect()
+    assert len(out) == 1
+    assert "<p>" not in out[0]["text"] and "drop()" not in out[0]["text"]
+    assert out[0]["text"].startswith("the quick brown fox")
