@@ -3187,6 +3187,11 @@ SELECT * FROM (VALUES
 # --- text-analysis / dedup oracles ----------------------------------------
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+# strip_html's block-tag pattern (functions/text.py _HTML_BLOCK_TAG) —
+# the SAME regex string, so the oracle replays the identical chain
+from fabstir_vectordb_spark.functions.text import (  # noqa: E402
+    _HTML_BLOCK_TAG as _HTML_BLOCK,
+)
 # literal BPE-ish merge vocabulary for the certified n_subword column —
 # multi-char subwords only (single chars are the implicit fallback);
 # matcher = greedy longest-match, max subword length 3
@@ -3480,19 +3485,23 @@ SELECT doc_id,
   coalesce(array_to_string(list_sort(list_distinct(list_transform(
       regexp_extract_all(text, 'https?://(?:[^/@\\s]+@)?([A-Za-z0-9.-]+)', 1),
       h -> regexp_replace(lower(h), '[.]+$', '')))), ','), '') AS domains,
-  md5(trim(regexp_replace(
+  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
     replace(replace(replace(replace(replace(replace(
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         concat('<html><head><style>p{{color:red}}</style></head><body><p class="x">',
                text,
                '</p><script>var x = 1 < 2;</script><!-- note -->&amp; &lt;done&gt;&nbsp;</body></html>'),
         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         '(?s)<!--.*?-->', ' ', 'g'),
+        '{_HTML_BLOCK}', chr(10), 'g'),
         '(?s)<[^>]+>', ' ', 'g'),
       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
       '&nbsp;', ' '), '&amp;', '&'),
-    '\\s+', ' ', 'g'))) AS html_text_fp
+    '[ \\t\\r\\f]+', ' ', 'g'),
+    ' ?\\n ?', chr(10), 'g'),
+    '\\n+', chr(10), 'g'),
+    '^\\s+|\\s+$', '', 'g')) AS html_text_fp
 FROM t
 """
 

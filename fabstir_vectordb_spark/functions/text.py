@@ -298,26 +298,42 @@ _HTML_ENTITIES = [
 ]
 
 
+# block-level elements become NEWLINES (not spaces), so the extracted
+# text keeps line/paragraph structure for the downstream granularity
+# stages (remove_boilerplate_lines splits on \n, dedup_paragraphs
+# fingerprints per paragraph) — collapsing everything to one line would
+# silently neuter both
+_HTML_BLOCK_TAG = (
+    r"(?is)</?(?:html|head|body|p|div|br|li|ul|ol|h[1-6]|tr|table|"
+    r"blockquote|pre|section|article|header|footer|form|figure)\b[^>]*>"
+)
+
+
 def strip_html(text: Column | str) -> Column:
     """Plain text from HTML markup — the ingest-side extraction pass a
     web-scraped corpus needs before any text stage runs.  Regex-only
     and deliberately backreference-free, so the identical chain parses
     under Java regex (Spark) and RE2 (DuckDB and friends) and the
     output is oracle-replayable: drop <script>/<style> blocks WITH
-    their contents, drop comments, strip remaining tags, decode the six
-    basic entities (&amp; last, so double-escapes resolve one level),
-    collapse whitespace.  NOT an HTML5 parser — malformed nesting
-    degrades to plain tag-stripping; compose with
-    remove_boilerplate_lines / dedup_paragraphs for main-content
-    extraction."""
+    their contents, drop comments, turn BLOCK-level tags into newlines
+    (preserving the line/paragraph structure remove_boilerplate_lines
+    and dedup_paragraphs operate on) and inline tags into spaces,
+    decode the six basic entities (&amp; last, so double-escapes
+    resolve one level), collapse spaces within lines and blank lines
+    between them.  NOT an HTML5 parser — malformed nesting degrades to
+    plain tag-stripping."""
     out = _c(text)
     out = F.regexp_replace(out, r"(?is)<script[^>]*>.*?</script>", " ")
     out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
     out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, _HTML_BLOCK_TAG, "\n")
     out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
     for ent, rep in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    out = F.regexp_replace(out, r"[ \t\r\f]+", " ")   # spaces within lines
+    out = F.regexp_replace(out, r" ?\n ?", "\n")      # spaces around breaks
+    out = F.regexp_replace(out, r"\n+", "\n")         # blank lines
+    return F.regexp_replace(out, r"^\s+|\s+$", "")
 
 
 def hashed_embedding(tokens: Column | str, dim: int = 64, salt: str = "emb") -> Column:

@@ -228,10 +228,12 @@ def tune_hnsw(
     R/G = 1/8 with single assignment lost boundary vectors (0.63 on
     hostile data), and multi-assignment (assign_graphs=2, the spill
     trick) recovered >= 0.9 at the same probe budget on clusterable
-    data.  So: a >=0.99 target keeps the full fan-out (routing is a
-    throughput trade, never an exactness one); a >=0.9 target prunes
-    to G/8 WITH the 2x spill that makes that budget safe; a loose
-    target halves the probe budget again.  ``ef`` floors at the
+    data.  So: any target ABOVE 0.9 keeps the full fan-out — the pruned
+    tier's evidence stops at 0.9, and a plan must never promise recall
+    its measurement doesn't cover (routing is a throughput trade,
+    never an exactness one); a target up to 0.9 prunes to G/8 WITH the
+    2x spill that makes that budget safe; a loose target (< 0.7)
+    halves the probe budget again.  ``ef`` floors at the
     measured realistic default (64) and never below 2k so the beam
     can hold the answer set.
     """
@@ -243,12 +245,12 @@ def tune_hnsw(
         raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
     g = max(1, -(-dataset_size // max(target_graph_size, 1)))
     ef = max(64, 2 * k)
-    if recall_target >= 0.99:
+    if recall_target > 0.9:
         return HNSWPlan(
             num_graphs=g, probe_graphs=None, assign_graphs=1, ef=ef,
-            reason="exactness tier: full fan-out (measured 0.985 on the adversarial 500k fixture); routing only trades recall for cost",
+            reason="exactness tier: full fan-out (measured 0.985 on the adversarial 500k fixture); the pruned tier's evidence stops at 0.9, so any higher target escalates here",
         )
-    if recall_target >= 0.9:
+    if recall_target >= 0.7:
         return HNSWPlan(
             num_graphs=g, probe_graphs=max(1, g // 8), assign_graphs=2, ef=ef,
             reason="routed tier: probe G/8 with 2x spill (measured >= 0.9 at R/G = 1/8 with assign_graphs=2; 0.63 without the spill)",

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -55,9 +56,14 @@ def _reference(texts, target_ids, n, B, k, temperature, k_keep):
         u = (_md5_int(str(i), "gum") % (1 << 24) + 0.5) / float(1 << 24)
         key = s / temperature + (-math.log(-math.log(u)))
         out[i] = (s, key, None)
+    # HALF_UP like Spark's F.round (BigDecimal of Double.toString) —
+    # Python's bankers' round() could flip a boundary tie the other way
+    def _r6(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
     ranked = sorted(
         (i for i in out if out[i][1] is not None),
-        key=lambda i: (-round(out[i][1], 6), i),
+        key=lambda i: (-_r6(out[i][1]), i),
     )
     chosen = set(ranked[:k_keep])
     return {

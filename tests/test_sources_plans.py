@@ -114,6 +114,10 @@ def test_tune_hnsw_tiers():
     assert exact.probe_graphs is None and exact.assign_graphs == 1
     assert exact.num_graphs == 123  # ceil(500k / 4096)
 
+    # a target ABOVE the pruned tier's measured 0.9 must escalate to
+    # full fan-out — never promise recall the measurement doesn't cover
+    assert tune_hnsw(500_000, 10, recall_target=0.95).probe_graphs is None
+
     routed = tune_hnsw(500_000, 10, recall_target=0.9)
     assert routed.probe_graphs == 123 // 8 and routed.assign_graphs == 2
 
@@ -165,7 +169,8 @@ def test_tune_hnsw_plan_reaches_target_on_clusterable(spark):
                              vector_col="vector", impl="kernel").collect():
         truth.setdefault(r["query_id"], set()).add(r["id"])
     got = {}
-    for r in h.search_bulk(graph, q, 10, ef=max(plan.ef, 400),
+    # the plan's OWN ef — the test must exercise the knobs it certifies
+    for r in h.search_bulk(graph, q, 10, ef=plan.ef,
                            probe_graphs=plan.probe_graphs).collect():
         got.setdefault(r["query_id"], set()).add(r["id"])
     graph.unpersist()

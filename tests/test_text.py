@@ -148,6 +148,11 @@ def test_strip_html(spark):
         ("&amp;lt;", "&lt;"),   # double-escape resolves ONE level
         ("plain text stays", "plain text stays"),
         ("", ""),
+        # block tags keep line/paragraph STRUCTURE (newlines), so the
+        # downstream line/paragraph granularity stages stay meaningful
+        ("<p>para one</p><p>para two</p><div>three</div>",
+         "para one\npara two\nthree"),
+        ("line a<br>line b", "line a\nline b"),
     ]
     df = spark.createDataFrame(
         [(i, s) for i, (s, _) in enumerate(cases)], "i long, t string"

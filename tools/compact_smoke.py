@@ -72,7 +72,14 @@ def main() -> int:
     compact_s = time.time() - t0
 
     n_live = tomb.filter("NOT deleted").count()
-    n_rebuilt = g - (g - (g + 3) // 4)  # graphs with graph_id % 4 == 0
+    # MEASURE the rebuild set with compact_graph's own selection rule,
+    # don't assume it from the planting parity
+    n_rebuilt = (
+        tomb.groupBy("graph_id")
+        .agg(F.avg(F.col("deleted").cast("double")).alias("f"))
+        .filter(F.col("f") >= 0.3)
+        .count()
+    )
 
     print(json.dumps({
         "n_vectors": n_vec,
