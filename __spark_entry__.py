@@ -1356,9 +1356,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     part='chunk' (round 5) certifies the sibling RAG chunker
     (chunk_documents: 32-token windows, 8-token overlap): layout AND
     content — chunk_md5 hashes each chunk's exact token-slice text, so
-    the SQL replay checks every chunk's bytes, not just its span."""
+    the SQL replay checks every chunk's bytes, not just its span.
+
+    Round 6 adds shuffle_key (operators/sampling.py epoch_shuffle_key,
+    epoch 1): the deterministic per-epoch dataloader shuffle key a
+    training reader orders bins by — a pure md5 column, replayed
+    verbatim in SQL (chunk rows carry the same derivation from their
+    bin_id, so the column is certified on both parts)."""
     from fabstir_vectordb_spark.operators.sampling import (
         chunk_documents,
+        epoch_shuffle_key,
         pack_sequences,
     )
 
@@ -1370,6 +1377,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_tok",
         "tokens_in_bin",
         F.lit("n").alias("chunk_md5"),
+        epoch_shuffle_key("bin_id", epoch=1).alias("shuffle_key"),
     )
     ch = chunk_documents(
         docs, chunk_tokens=32, overlap_tokens=8, id_col="doc_id", text_col="text"
@@ -1380,6 +1388,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_tok").cast("long").alias("start_tok"),
         F.col("n_tokens").cast("long").alias("tokens_in_bin"),
         F.md5("chunk_text").alias("chunk_md5"),
+        epoch_shuffle_key(F.col("chunk_idx").cast("long"), epoch=1).alias(
+            "shuffle_key"
+        ),
     )
     return pack.unionByName(ch)
 
@@ -3686,14 +3697,16 @@ c AS (
 SELECT 'pack' AS part, doc_id, bin_id, start_tok,
        least(start_tok + n, (bin_id + 1) * 128)
          - greatest(start_tok, bin_id * 128) AS tokens_in_bin,
-       'n' AS chunk_md5
+       'n' AS chunk_md5,
+       CAST(concat('0x', substr(md5(concat(CAST(bin_id AS VARCHAR), '|shuffle1')), 1, 8)) AS BIGINT) AS shuffle_key
 FROM spans
 UNION ALL
 SELECT 'chunk' AS part, doc_id, ci AS bin_id,
        CAST(ci * 24 AS BIGINT) AS start_tok,
        least(32, n - ci * 24) AS tokens_in_bin,
        md5(array_to_string(toks[CAST(ci * 24 + 1 AS BIGINT)
-                                : CAST(ci * 24 + 32 AS BIGINT)], ' ')) AS chunk_md5
+                                : CAST(ci * 24 + 32 AS BIGINT)], ' ')) AS chunk_md5,
+       CAST(concat('0x', substr(md5(concat(CAST(ci AS VARCHAR), '|shuffle1')), 1, 8)) AS BIGINT) AS shuffle_key
 FROM ch
 """
 

@@ -74,6 +74,24 @@ def sample_keep(id_col: Column | str, fraction: float, salt: str = "sample") -> 
     return (_bucket(c, salt) / F.lit(_BUCKETS)) < fraction
 
 
+def epoch_shuffle_key(
+    bin_col: Column | str, epoch: int = 0, salt: str = "shuffle"
+) -> Column:
+    """Deterministic per-epoch shuffle key for packed context windows —
+    the dataloader-side companion to pack_sequences: a training reader
+    orders bins by this key to get a reproducible epoch-specific
+    permutation (epoch 0, 1, ... each derive a different order from the
+    same data).  A pure column expression: no global sort here — the
+    SORT belongs to the consumer (distributed readers range-partition
+    on the key), which is what keeps this usable at any corpus size.
+    Engine-reproducible md5 arithmetic, so an epoch's order is
+    auditable in SQL."""
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    c = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    return _bucket(c, f"{salt}{int(epoch)}")
+
+
 def deterministic_sample(
     df: DataFrame,
     fraction: float,

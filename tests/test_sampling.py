@@ -282,3 +282,31 @@ def test_mix_by_source_null_group_kept_with_zero_frac(spark):
     assert set(rows) == {0, 1}              # null-source row NOT dropped
     assert rows[1]["mix_frac"] == 0.0 and not rows[1]["mix_kept"]
     assert rows[0]["mix_kept"]
+
+
+def test_epoch_shuffle_key(spark):
+    """Deterministic per-epoch dataloader shuffle: same epoch -> same
+    order, different epochs -> different orders, all pure functions of
+    (bin_id, epoch)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.operators.sampling import epoch_shuffle_key
+
+    bins = spark.range(200).select(F.col("id").alias("bin_id"))
+
+    def order(epoch):
+        return [
+            r["bin_id"]
+            for r in bins.select(
+                "bin_id", epoch_shuffle_key("bin_id", epoch=epoch).alias("k")
+            ).orderBy("k", "bin_id").collect()
+        ]
+
+    e0a, e0b, e1 = order(0), order(0), order(1)
+    assert e0a == e0b                      # reproducible within an epoch
+    assert e0a != e1                       # epochs permute differently
+    assert sorted(e0a) == sorted(e1) == list(range(200))  # permutations
+    assert e0a != list(range(200))         # actually shuffled
+    with pytest.raises(ValueError):
+        epoch_shuffle_key("bin_id", epoch=-1)
