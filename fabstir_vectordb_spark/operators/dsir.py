@@ -62,35 +62,57 @@ def _hash_bucket(col: Column, num_buckets: int, salt: str) -> Column:
     return F.pmod(_bucket(col, salt), F.lit(num_buckets))
 
 
+def _ns(n) -> list[int]:
+    """Normalize the n-gram order spec: an int is one order, a (lo, hi)
+    tuple is the inclusive range — (1, 2) is the DSIR paper's
+    unigram+bigram feature set."""
+    if isinstance(n, tuple):
+        lo, hi = int(n[0]), int(n[1])
+        if lo < 1 or hi < lo:
+            raise ValueError(f"n range must satisfy 1 <= lo <= hi, got {n}")
+        return list(range(lo, hi + 1))
+    if int(n) < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return [int(n)]
+
+
 def _doc_ngram_buckets(
     docs: DataFrame,
-    n: int,
+    n,
     num_buckets: int,
     text_col: str,
     id_col: str,
     salt: str,
 ) -> DataFrame:
-    """(id, bucket): one row per word n-gram occurrence.  The n-gram is
-    the space-join of n consecutive whitespace tokens (positions
-    0..len-n), hashed straight to its bucket — the n-gram string never
-    leaves the expression."""
+    """(id, bucket): one row per word n-gram occurrence, over every
+    order in ``n`` (int or inclusive (lo, hi) range).  Each n-gram is
+    the space-join of consecutive whitespace tokens, hashed straight to
+    its bucket — the gram string never leaves the expression."""
     toks = whitespace_tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("__t") - F.lit(n)),
-        lambda i: F.array_join(F.slice("__t", i + 1, n), " "),
+    # an empty document has NO n-grams — never the [''] that split('')
+    # produces (one phantom empty gram at order 1)
+    nonempty = ~((F.size("__t") == 1) & (F.element_at("__t", 1) == ""))
+
+    def gram_arr(order: int):
+        return F.when(
+            (F.size("__t") >= order) & nonempty,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - F.lit(order)),
+                lambda i: F.array_join(F.slice("__t", i + 1, order), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    orders = _ns(n)
+    grams = (
+        gram_arr(orders[0])
+        if len(orders) == 1
+        else F.concat(*[gram_arr(o) for o in orders])
     )
     return (
         _parallelize(
             docs.select(F.col(id_col).alias("id"), toks.alias("__t"))
         )
-        # size >= n, and never the [''] that split('') produces — an
-        # empty document has NO n-grams, not one phantom empty gram
-        # (matters at n=1; n >= 2 already excludes the size-1 array)
-        .filter(
-            (F.size("__t") >= n)
-            & ~((F.size("__t") == 1) & (F.element_at("__t", 1) == ""))
-        )
-        .select("id", F.explode(grams).alias("__g"))
+        .select("id", F.explode(grams).alias("__g"))  # empty arrays vanish
         .select("id", _hash_bucket(F.col("__g"), num_buckets, salt).alias("bucket"))
     )
 
@@ -98,7 +120,7 @@ def _doc_ngram_buckets(
 def fit_dsir_ratios(
     target_docs: DataFrame,
     raw_docs: DataFrame,
-    n: int = 2,
+    n: int | tuple[int, int] = 2,
     num_buckets: int = 4096,
     k: float = 0.5,
     text_col: str = "text",
@@ -112,8 +134,7 @@ def fit_dsir_ratios(
 
     Output is at most ``num_buckets`` rows — broadcast it to score.
     """
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
+    _ns(n)  # validates int or (lo, hi) range
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
     if k <= 0:
@@ -159,7 +180,7 @@ def fit_dsir_ratios(
 def dsir_score(
     docs: DataFrame,
     ratios: DataFrame,
-    n: int = 2,
+    n: int | tuple[int, int] = 2,
     num_buckets: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",

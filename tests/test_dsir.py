@@ -144,3 +144,27 @@ def test_fraction_mode_validation(scored):
         dsir_select(scored, keep_fraction=0.0)
     with pytest.raises(ValueError):
         dsir_select(scored, keep_fraction=1.5)
+
+
+def test_ngram_range_unigram_plus_bigram(spark, corpus):
+    """The DSIR paper's feature set: n=(1, 2) pools unigrams AND
+    bigrams.  Separation still holds, and a one-token doc now HAS
+    evidence (a unigram) instead of a NULL score."""
+    docs = corpus.unionByName(
+        spark.createDataFrame([(950, "alpha0")], "doc_id long, text string")
+    )
+    target = docs.filter(F.col("doc_id") < 20)
+    ratios = fit_dsir_ratios(target, docs, n=(1, 2), num_buckets=B, k=0.5)
+    scored = {r["id"]: r["dsir_score"]
+              for r in dsir_score(docs, ratios, n=(1, 2), num_buckets=B).collect()}
+    a = [scored[i] for i in range(40)]
+    b = [scored[i] for i in range(40, 120)]
+    assert min(a) > max(b)
+    assert scored[950] is not None          # unigram evidence at order 1
+    assert scored[950] > max(b)             # and it's target-flavored
+    import pytest
+
+    with pytest.raises(ValueError):
+        fit_dsir_ratios(target, docs, n=(2, 1))
+    with pytest.raises(ValueError):
+        fit_dsir_ratios(target, docs, n=(0, 2))
