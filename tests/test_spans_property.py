@@ -77,3 +77,51 @@ def test_spans_match_reference(spark, texts, L):
             assert trimmed[i] == kept, (i, texts[i])
         else:
             assert got[i][1] == 0 and got[i][2] == 0
+
+
+def _para_reference(texts: list[str]):
+    """Pure-Python keep-first paragraph dedup (normalized fingerprint =
+    lowercase + whitespace-collapse + trim; empty paragraphs never
+    fingerprinted)."""
+    seen = set()
+    out = {}
+    for i, t in enumerate(texts):
+        paras = t.split("\n")
+        kept = []
+        removed = 0
+        for p in paras:
+            norm = " ".join(p.lower().split())
+            if norm == "":
+                kept.append(p)
+                continue
+            if norm in seen:
+                removed += 1
+            else:
+                seen.add(norm)
+                kept.append(p)
+        out[i] = ("\n".join(kept), len(kept), removed)
+    return out
+
+
+_para = st.lists(_word, min_size=0, max_size=4).map(" ".join)
+_ptext = st.lists(_para, min_size=1, max_size=5).map("\n".join)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_ptext, min_size=1, max_size=8))
+def test_paragraph_dedup_matches_reference(spark, texts):
+    from fabstir_vectordb_spark.operators.dedup import dedup_paragraphs
+
+    ref = _para_reference(texts)
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["clean_text"], r["kept_paras"], r["removed_paras"])
+        for r in dedup_paragraphs(docs).collect()
+    }
+    assert got == ref
