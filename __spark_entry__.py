@@ -689,6 +689,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         X.whitespace_tokens("text").alias("__toks"),
         X.word_tokens("text").alias("__bpe"),
+        X.sentence_count("text").cast("long").alias("__nsent"),
     ).repartition(spark.sparkContext.defaultParallelism)
     emb = X.hashed_embedding("__toks", 8)
     # Round 6: subword (BPE) token counting (operators/subword.py —
@@ -710,6 +711,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
         r6(F.element_at(emb, 1)).alias("emb0"),
         r6(F.element_at(emb, 2)).alias("emb1"),
+        # round 6: heuristic sentence segmentation (functions/text.py
+        # split_sentences — capture-group replacement, RE2-replayable)
+        F.col("__nsent").alias("n_sentences"),
     ).join(lm, "doc_id").join(sub, "doc_id")
 
 
@@ -3300,7 +3304,10 @@ SELECT c.doc_id,
   (round(CASE WHEN enrm = 0 THEN ev[1] ELSE ev[1] / enrm END, 6) + 0.0) AS emb0,
   (round(CASE WHEN enrm = 0 THEN ev[2] ELSE ev[2] / enrm END, 6) + 0.0) AS emb1,
   (round(COALESCE(lms.lm, 0.0), 6) + 0.0) AS lm_bigram,
-  CAST(COALESCE(swd.n_subword, 0) AS BIGINT) AS n_subword
+  CAST(COALESCE(swd.n_subword, 0) AS BIGINT) AS n_subword,
+  CAST(len(list_filter(string_split(
+    regexp_replace(text, '([.!?]+)\s+', concat('\1', chr(10)), 'g'),
+    chr(10)), s -> len(trim(s)) > 0)) AS BIGINT) AS n_sentences
 FROM c
 JOIN e ON c.doc_id = e.doc_id
 LEFT JOIN lms ON c.doc_id = lms.doc_id

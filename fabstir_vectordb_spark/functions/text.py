@@ -290,6 +290,27 @@ def redact_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
     return out
 
 
+def split_sentences(text: Column | str) -> Column:
+    """Sentence segmentation as a pure column expression: terminal
+    punctuation runs ([.!?]+) followed by whitespace end a sentence;
+    existing newlines also separate.  Implemented as a capture-group
+    replacement (supported by BOTH Java regex and RE2 — pattern-side
+    lookbehind is not) followed by one split, so the segmentation
+    replays in SQL.  Heuristic by design: abbreviations ("Dr. Smith")
+    over-split — acceptable for stats/chunk boundaries, not a
+    linguistic segmenter.  Empty segments are dropped."""
+    # the replacement needs a REAL newline char: Java replacement-string
+    # backslash escapes would turn r"\n" into a literal 'n'
+    marked = F.regexp_replace(_c(text), r"([.!?]+)\s+", "$1\n")
+    return F.filter(
+        F.split(marked, r"\n"), lambda s: F.length(F.trim(s)) > 0
+    )
+
+
+def sentence_count(text: Column | str) -> Column:
+    return F.size(split_sentences(text))
+
+
 # decode order matters: the five specific entities first, &amp; LAST —
 # so double-escaped "&amp;lt;" correctly yields the literal text "&lt;"
 _HTML_ENTITIES = [

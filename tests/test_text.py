@@ -161,3 +161,28 @@ def test_strip_html(spark):
         "i", strip_html("t").alias("out")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_split_sentences(spark):
+    from fabstir_vectordb_spark.functions.text import (
+        sentence_count,
+        split_sentences,
+    )
+
+    cases = [
+        ("One. Two! Three? Four", ["One.", "Two!", "Three?", "Four"]),
+        ("Wait... really?! yes", ["Wait...", "really?!", "yes"]),
+        ("line one\nline two", ["line one", "line two"]),
+        ("no terminal punctuation", ["no terminal punctuation"]),
+        ("trailing. ", ["trailing."]),
+        ("", []),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i long, t string"
+    )
+    got = {r["i"]: (r["s"], r["n"]) for r in df.select(
+        "i", split_sentences("t").alias("s"), sentence_count("t").alias("n")
+    ).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i][0] == want, (i, got[i][0], want)
+        assert got[i][1] == len(want)
