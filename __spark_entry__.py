@@ -1043,10 +1043,12 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", r6("mix_frac").alias("mix_frac"), "mix_kept")
 
     # Round 6: DSIR importance resampling (operators/dsir.py — Xie et
-    # al., NeurIPS 2023: hashed-bigram target/raw log-ratio weights +
+    # al., NeurIPS 2023: hashed-n-gram target/raw log-ratio weights +
     # deterministic Gumbel top-k, the standard target-directed corpus
-    # selector).  Target = every 17th doc (a deterministic exemplar
-    # set); 512 buckets, add-0.5 smoothing, temperature 2, keep 150.
+    # selector).  The PAPER's feature set: n=(1, 2) pools unigrams AND
+    # bigrams into one hashed space.  Target = every 17th doc (a
+    # deterministic exemplar set); 512 buckets, add-0.5 smoothing,
+    # temperature 2, keep 150.
     # Every step — md5 bucket hash, smoothed ln ratios, per-doc mean,
     # hash-derived Gumbel, rounded-key ranking — replays exactly in
     # the oracle's SQL.
@@ -1058,10 +1060,10 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ratios = fit_dsir_ratios(
         docs.filter(F.pmod("doc_id", 17) == 3), docs,
-        n=2, num_buckets=512, k=0.5,
+        n=(1, 2), num_buckets=512, k=0.5,
     )
     ds = dsir_select(
-        dsir_score(docs, ratios, n=2, num_buckets=512),
+        dsir_score(docs, ratios, n=(1, 2), num_buckets=512),
         k_keep=150, temperature=2.0,
     ).select(
         F.col("id").alias("doc_id"),
@@ -4025,7 +4027,13 @@ t AS (
        * 5000.0 / greatest(tot, 1.0)), 6) + 0.0) AS mix_frac
   FROM mixtot
 ), dsng AS (
-  -- DSIR: hashed bigram buckets (B=512), one row per occurrence
+  -- DSIR: hashed n-gram buckets (B=512, orders 1 AND 2 — the paper's
+  -- unigram+bigram feature set), one row per occurrence
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(concat(toks[i], '|dsir')), 1, 8)) AS BIGINT) % 512 AS bucket
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        FROM t WHERE NOT (len(toks) = 1 AND toks[1] = ''))
+  UNION ALL
   SELECT doc_id,
     CAST(concat('0x', substr(md5(concat(toks[i], ' ', toks[i+1], '|dsir')), 1, 8)) AS BIGINT) % 512 AS bucket
   FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
