@@ -1394,9 +1394,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_tok").cast("long").alias("start_tok"),
         F.col("n_tokens").cast("long").alias("tokens_in_bin"),
         F.md5("chunk_text").alias("chunk_md5"),
-        epoch_shuffle_key(F.col("chunk_idx").cast("long"), epoch=1).alias(
-            "shuffle_key"
-        ),
+        # key on the GLOBALLY unique (doc, chunk) identity — keying on
+        # chunk_idx alone would give every document's chunk k the same
+        # key (a degenerate, fully correlated order, not a shuffle)
+        epoch_shuffle_key(
+            F.concat_ws("#", F.col("doc_id"), F.col("chunk_idx")), epoch=1
+        ).alias("shuffle_key"),
     )
     return pack.unionByName(ch)
 
@@ -3308,7 +3311,7 @@ SELECT c.doc_id,
   (round(COALESCE(lms.lm, 0.0), 6) + 0.0) AS lm_bigram,
   CAST(COALESCE(swd.n_subword, 0) AS BIGINT) AS n_subword,
   CAST(len(list_filter(string_split(
-    regexp_replace(text, '([.!?]+)\s+', concat('\1', chr(10)), 'g'),
+    regexp_replace(text, '([.!?]+)\\s+', concat('\\1', chr(10)), 'g'),
     chr(10)), s -> len(trim(s)) > 0)) AS BIGINT) AS n_sentences
 FROM c
 JOIN e ON c.doc_id = e.doc_id
@@ -3647,7 +3650,8 @@ WITH planted AS (
            row_number() OVER (
              PARTITION BY md5(trim(regexp_replace(lower(para), '\\s+', ' ', 'g')))
              ORDER BY doc_id, pos) AS rn
-    FROM pd_all WHERE len(trim(para)) > 0)
+    FROM pd_all
+    WHERE trim(regexp_replace(lower(para), '\\s+', ' ', 'g')) <> '')
   WHERE rn > 1
 ), pd_kept AS (
   SELECT a.doc_id, a.pos, a.para
@@ -3715,7 +3719,7 @@ SELECT 'chunk' AS part, doc_id, ci AS bin_id,
        least(32, n - ci * 24) AS tokens_in_bin,
        md5(array_to_string(toks[CAST(ci * 24 + 1 AS BIGINT)
                                 : CAST(ci * 24 + 32 AS BIGINT)], ' ')) AS chunk_md5,
-       CAST(concat('0x', substr(md5(concat(CAST(ci AS VARCHAR), '|shuffle1')), 1, 8)) AS BIGINT) AS shuffle_key
+       CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#', CAST(ci AS VARCHAR), '|shuffle1')), 1, 8)) AS BIGINT) AS shuffle_key
 FROM ch
 """
 

@@ -930,9 +930,13 @@ def dedup_paragraphs(
         base.select(
             "id", F.posexplode("__paras").alias("pos", "__p")
         )
-        .select("id", "pos", F.md5(normalized_text("__p")).alias("__fp"),
-                (F.length(F.trim("__p")) > 0).alias("__content"))
-        .filter("__content")
+        # the content gate uses the SAME normalization as the
+        # fingerprint (F.trim strips spaces only — a tab-only paragraph
+        # would otherwise pass the gate yet fingerprint as md5("") and
+        # get keep-first-deduped, violating the structure contract)
+        .select("id", "pos", normalized_text("__p").alias("__norm"))
+        .filter(F.length("__norm") > 0)
+        .select("id", "pos", F.md5("__norm").alias("__fp"))
     )
     w = Window.partitionBy("__fp").orderBy("id", "pos")
     drops = (

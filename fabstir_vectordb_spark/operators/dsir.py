@@ -67,6 +67,11 @@ def _ns(n) -> list[int]:
     tuple is the inclusive range — (1, 2) is the DSIR paper's
     unigram+bigram feature set."""
     if isinstance(n, tuple):
+        if len(n) != 2:
+            raise ValueError(
+                f"n must be an int or a (lo, hi) PAIR, got {n!r} — a longer "
+                "tuple would silently drop orders"
+            )
         lo, hi = int(n[0]), int(n[1])
         if lo < 1 or hi < lo:
             raise ValueError(f"n range must satisfy 1 <= lo <= hi, got {n}")
@@ -187,8 +192,9 @@ def dsir_score(
     salt: str = "dsir",
     out_col: str = "dsir_score",
 ) -> DataFrame:
-    """(id, out_col): mean per-n-gram importance log-ratio; NULL for
-    documents with fewer than ``n`` tokens (no evidence — same
+    """(id, out_col): mean per-n-gram importance log-ratio; NULL when
+    the document has no gram at ANY requested order — fewer than the
+    smallest order's tokens, or empty (no evidence — same
     contract, and for the same gate-safety reason, as
     lm.BigramLM.score's NULL)."""
     bg = _doc_ngram_buckets(docs, n, int(num_buckets), text_col, id_col, salt)

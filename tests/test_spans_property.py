@@ -103,7 +103,16 @@ def _para_reference(texts: list[str]):
     return out
 
 
-_para = st.lists(_word, min_size=0, max_size=4).map(" ".join)
+# mixed-case words plus whitespace-only paragraph candidates, so the
+# property exercises BOTH the lowercase/collapse normalization and the
+# whitespace-only-is-structure gate (a tab-only paragraph must never
+# be fingerprinted or removed)
+_pword = st.text(alphabet="abAB", min_size=1, max_size=2)
+_para = st.one_of(
+    st.just("\t"),
+    st.just(" "),
+    st.lists(_pword, min_size=0, max_size=4).map(" ".join),
+)
 _ptext = st.lists(_para, min_size=1, max_size=5).map("\n".join)
 
 
