@@ -1,0 +1,152 @@
+"""Cross-batch incremental dedup: a fingerprint ledger.
+
+The scenario every continuously-crawled training corpus hits: each new
+batch must be deduplicated against EVERYTHING ever kept, not just
+against itself (operators/dedup.exact_dedup) or a watermark horizon
+(streaming dropDuplicatesWithinWatermark — bounded state by design).
+The ledger is the unbounded-history complement: an append-only parquet
+table holding one row per kept document — its 16-byte content
+fingerprint (functions/text.fingerprint: md5 of lowercased,
+whitespace-collapsed text) — giving keep-first semantics ACROSS
+batches, the same contract dedup_paragraphs keeps within a corpus.
+
+100 TB shape:
+- the ledger stores fingerprints only (16 bytes + partition column per
+  kept doc — ~1.6 TB of ledger per 100 billion documents, trivially
+  parquet-compressed), never text;
+- the batch-vs-history check is one left-anti join keyed on the
+  fingerprint: Spark broadcasts a small ledger automatically and
+  sort-merge-joins a big one on slim keys; the ledger is WRITTEN
+  partitioned by a 1-hex-char fingerprint prefix (16 partitions) so a
+  filtered lookup can prune, and AQE handles skew (md5 is uniform, so
+  there is none);
+- commits are append-only parquet writes — no compaction, no rewrite
+  of history on the hot path.  A crash between filter and commit
+  re-ingests the batch (at-least-once on the ledger); duplicate
+  fingerprint ROWS in the ledger are harmless for dedup semantics
+  (set membership) and reclaimable with compact().
+
+Reference parity: none (the reference has no text surface); this is
+extension-axis, the batch-boundary sibling of streaming/ingest.py's
+watermarked dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.functions.text import fingerprint
+
+__all__ = ["FingerprintLedger"]
+
+
+class FingerprintLedger:
+    """Append-only fingerprint history for cross-batch exact dedup.
+
+    Typical loop::
+
+        ledger = FingerprintLedger(spark, path)
+        fresh = ledger.filter_new(batch)       # in-batch + vs-history
+        ...gates / curation over fresh...
+        ledger.commit(kept)                    # kept docs join history
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- internals -----------------------------------------------------
+
+    def _read(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return None  # no commits yet
+
+    @staticmethod
+    def _fp(docs: DataFrame, text_col: str) -> DataFrame:
+        return docs.withColumn("__fp", fingerprint(text_col))
+
+    # -- API -----------------------------------------------------------
+
+    def filter_new(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Documents not seen before: first drop in-batch duplicates
+        (keep min id — exact_dedup's canonical rule), then anti-join
+        the batch's fingerprints against the ledger.  Returns the input
+        columns unchanged; ordering/keep-first is deterministic."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+        batch = (
+            self._fp(docs, text_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        led = self._read()
+        if led is not None:
+            batch = batch.join(
+                led.select("fp").withColumnRenamed("fp", "__fp").distinct(),
+                "__fp",
+                "left_anti",
+            )
+        return batch.drop("__fp")
+
+    def commit(
+        self,
+        kept: DataFrame,
+        text_col: str = "text",
+    ) -> None:
+        """Append the kept documents' fingerprints to the ledger —
+        partitioned by a 1-hex-char prefix for pruned lookups.  Append
+        is the only write mode: history is immutable on the hot path."""
+        rows = self._fp(kept, text_col).select(
+            F.col("__fp").alias("fp"),
+            F.substring("__fp", 1, 1).alias("fp_prefix"),
+        )
+        rows.write.mode("append").partitionBy("fp_prefix").parquet(self.path)
+
+    def contains(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """(input columns..., seen boolean) — membership probe without
+        filtering, for audit flows."""
+        led = self._read()
+        batch = self._fp(docs, text_col)
+        if led is None:
+            return batch.withColumn("seen", F.lit(False)).drop("__fp")
+        marks = (
+            led.select(F.col("fp").alias("__fp")).distinct()
+            .withColumn("__seen", F.lit(True))
+        )
+        return (
+            batch.join(marks, "__fp", "left")
+            .withColumn("seen", F.coalesce("__seen", F.lit(False)))
+            .drop("__fp", "__seen")
+        )
+
+    def size(self) -> int:
+        """Distinct fingerprints on record."""
+        led = self._read()
+        return 0 if led is None else led.select("fp").distinct().count()
+
+    def compact(self) -> None:
+        """Rewrite the ledger to distinct fingerprints — reclaims the
+        duplicate rows an at-least-once crash loop may have appended.
+        Write-then-swap via a versioned directory would make this
+        atomic under concurrent readers; single-writer pipelines (the
+        normal deployment) can rewrite in place via an intermediate
+        local checkpoint, which is what we do."""
+        led = self._read()
+        if led is None:
+            return
+        distinct = led.select("fp", "fp_prefix").distinct().localCheckpoint(
+            eager=True
+        )
+        distinct.write.mode("overwrite").partitionBy("fp_prefix").parquet(
+            self.path
+        )

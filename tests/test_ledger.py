@@ -1,0 +1,65 @@
+"""Cross-batch fingerprint ledger (sources/ledger.py): keep-first
+semantics across batches, at-least-once commit safety, membership
+probe, and compaction."""
+
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.sources.ledger import FingerprintLedger
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_batch_keep_first(spark, tmp_path):
+    led = FingerprintLedger(spark, str(tmp_path / "led"))
+
+    b1 = _docs(spark, [
+        (0, "alpha content"),
+        (1, "beta content"),
+        (2, "ALPHA   content"),   # in-batch dup of 0 (normalized)
+    ])
+    f1 = led.filter_new(b1)
+    ids1 = sorted(r["doc_id"] for r in f1.collect())
+    assert ids1 == [0, 1]         # in-batch dup dropped, min id kept
+    led.commit(f1)
+
+    b2 = _docs(spark, [
+        (10, "beta content"),     # seen in batch 1 -> dropped
+        (11, "gamma content"),    # new
+    ])
+    f2 = led.filter_new(b2)
+    assert sorted(r["doc_id"] for r in f2.collect()) == [11]
+    led.commit(f2)
+    assert led.size() == 3
+
+    # third batch: everything already known
+    b3 = _docs(spark, [(20, "alpha content"), (21, "gamma content")])
+    assert led.filter_new(b3).count() == 0
+
+
+def test_commit_is_at_least_once_safe(spark, tmp_path):
+    led = FingerprintLedger(spark, str(tmp_path / "led2"))
+    b = _docs(spark, [(0, "only doc")])
+    kept = led.filter_new(b)
+    led.commit(kept)
+    led.commit(kept)              # crash-retry double commit
+    assert led.size() == 1        # set semantics: size counts DISTINCT
+    assert led.filter_new(b).count() == 0
+    led.compact()                 # reclaims the duplicate rows
+    assert led.size() == 1
+    raw = spark.read.parquet(str(tmp_path / "led2"))
+    assert raw.count() == 1       # physically one row after compaction
+
+
+def test_contains_probe_and_empty_ledger(spark, tmp_path):
+    led = FingerprintLedger(spark, str(tmp_path / "led3"))
+    b = _docs(spark, [(0, "x one"), (1, "y two")])
+    # empty ledger: nothing seen
+    assert {r["seen"] for r in led.contains(b).collect()} == {False}
+    led.commit(led.filter_new(b))
+    probe = _docs(spark, [(5, "x one"), (6, "z three")])
+    got = {r["doc_id"]: r["seen"] for r in led.contains(probe).collect()}
+    assert got == {5: True, 6: False}
+    # input columns pass through unchanged
+    assert set(led.contains(probe).columns) == {"doc_id", "text", "seen"}
