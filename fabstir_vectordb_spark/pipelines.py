@@ -473,6 +473,37 @@ def pack_corpus(
     return pack_sequences(part, context_len, id_col="id", n_tokens_col="n_tokens")
 
 
+def curate_incremental(
+    ledger,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **curate_kwargs,
+) -> DataFrame:
+    """Incremental curation for a continuously-crawled corpus: drop
+    everything the FingerprintLedger (sources/ledger.py) has already
+    processed, run the batch funnel over only the genuinely new
+    documents, and record them as processed.
+
+    Ledger semantics are PROCESSED-not-kept: a document the gates
+    rejected is still committed, so a future identical crawl is never
+    re-curated (re-processing rejected content every batch is the
+    failure mode a crawl ledger exists to prevent).  Within and across
+    batches the first occurrence wins — the same keep-first contract
+    as dedup_paragraphs, at document granularity over unbounded
+    history.
+
+    The fresh set is eagerly checkpointed once: both the funnel and
+    the ledger commit consume it, and the commit must record exactly
+    the rows the funnel saw."""
+    fresh = ledger.filter_new(
+        new_docs, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+    out = curate_corpus(fresh, id_col=id_col, text_col=text_col, **curate_kwargs)
+    ledger.commit(fresh, text_col=text_col)
+    return out
+
+
 def rag_ingest(
     docs: DataFrame,
     chunk_tokens: int = 256,

@@ -63,3 +63,32 @@ def test_contains_probe_and_empty_ledger(spark, tmp_path):
     assert got == {5: True, 6: False}
     # input columns pass through unchanged
     assert set(led.contains(probe).columns) == {"doc_id", "text", "seen"}
+
+
+def test_curate_incremental_two_batches(spark, tmp_path):
+    """The incremental loop: batch 2 re-delivers batch-1 content (plus
+    a doc batch 1's gates REJECTED) — none of it is re-curated; only
+    the genuinely new document flows through the funnel."""
+    from fabstir_vectordb_spark.pipelines import curate_incremental
+
+    led = FingerprintLedger(spark, str(tmp_path / "cled"))
+    kw = dict(
+        boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+        max_repetition=1.0, token_bounds=(3, 5000), near_dup_threshold=None,
+    )
+    b1 = _docs(spark, [
+        (0, "the first document with several words"),
+        (1, "no"),                                    # rejected: too short
+    ])
+    out1 = curate_incremental(led, b1, **kw)
+    assert {r["id"] for r in out1.collect()} == {0}
+    assert led.size() == 2                            # PROCESSED, not kept
+
+    b2 = _docs(spark, [
+        (10, "the first document with several words"),  # re-crawl of 0
+        (11, "no"),                                      # re-crawl of rejected 1
+        (12, "a genuinely new document arrives here"),
+    ])
+    out2 = curate_incremental(led, b2, **kw)
+    assert {r["id"] for r in out2.collect()} == {12}
+    assert led.size() == 3
