@@ -16,10 +16,13 @@ batches, the same contract dedup_paragraphs keeps within a corpus.
   parquet-compressed), never text;
 - the batch-vs-history check is one left-anti join keyed on the
   fingerprint: Spark broadcasts a small ledger automatically and
-  sort-merge-joins a big one on slim keys; the ledger is WRITTEN
-  partitioned by a 1-hex-char fingerprint prefix (16 partitions) so a
-  filtered lookup can prune, and AQE handles skew (md5 is uniform, so
-  there is none);
+  sort-merge-joins a big one.  The BATCH's rows ride that one exchange
+  (the in-batch keep-first window partitions on the same key, so the
+  planner reuses it); the HISTORY side moves fingerprints only — the
+  accumulated corpus never re-materializes text.  The ledger is
+  WRITTEN partitioned by a 1-hex-char fingerprint prefix (16
+  partitions) so a filtered lookup can prune, and AQE handles skew
+  (md5 is uniform, so there is none);
 - commits are append-only parquet writes — no compaction, no rewrite
   of history on the hot path.  A crash between filter and commit
   re-ingests the batch (at-least-once on the ledger); duplicate
