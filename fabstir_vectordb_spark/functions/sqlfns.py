@@ -69,6 +69,22 @@ RETURNS DOUBLE RETURN acos(greatest(-1.0, least(1.0,
 CREATE OR REPLACE TEMPORARY FUNCTION similarity_score(distance DOUBLE)
 RETURNS DOUBLE RETURN 1.0 / (1.0 + distance)
 """,
+    # --- text-curation kernels (mirror functions/text.py expressions,
+    # so the SQL surface and the DataFrame surface cannot diverge) ---
+    "text_fingerprint": """
+CREATE OR REPLACE TEMPORARY FUNCTION text_fingerprint(t STRING)
+RETURNS STRING RETURN md5(trim(regexp_replace(lower(t), '\\\\s+', ' ')))
+""",
+    "doc_token_count": """
+CREATE OR REPLACE TEMPORARY FUNCTION doc_token_count(t STRING)
+RETURNS INT RETURN size(split(trim(t), '\\\\s+'))
+""",
+    "doc_sentence_count": """
+CREATE OR REPLACE TEMPORARY FUNCTION doc_sentence_count(t STRING)
+RETURNS INT RETURN size(filter(
+    split(regexp_replace(t, '([.!?]+)\\\\s+', concat('$1', chr(10))), chr(10)),
+    s -> length(trim(s)) > 0))
+""",
 }
 
 

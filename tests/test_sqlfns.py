@@ -81,3 +81,42 @@ def test_sql_knn_end_to_end(spark, embeddings, sql_ready):
 def test_similarity_score(spark, sql_ready):
     assert spark.sql("SELECT similarity_score(0.0) AS s").collect()[0]["s"] == 1.0
     assert spark.sql("SELECT similarity_score(1.0) AS s").collect()[0]["s"] == 0.5
+
+
+def test_text_curation_sql_functions(spark, sql_ready):
+    """The SQL text kernels must agree exactly with the DataFrame
+    expressions they mirror (functions/text.py)."""
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.functions import text as X
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Hello   WORLD. second sentence! third?  tail"),
+            (1, "hello world. second sentence! third? tail"),
+            (2, ""),
+            (3, "one"),
+        ],
+        "i long, t string",
+    )
+    docs.createOrReplaceTempView("sqlfn_docs")
+    via_sql = {
+        r["i"]: (r["fp"], r["tc"], r["sc"])
+        for r in spark.sql(
+            "SELECT i, text_fingerprint(t) AS fp, doc_token_count(t) AS tc, "
+            "doc_sentence_count(t) AS sc FROM sqlfn_docs"
+        ).collect()
+    }
+    via_df = {
+        r["i"]: (r["fp"], r["tc"], r["sc"])
+        for r in docs.select(
+            "i",
+            X.fingerprint("t").alias("fp"),
+            X.token_count("t").cast("int").alias("tc"),
+            X.sentence_count("t").cast("int").alias("sc"),
+        ).collect()
+    }
+    assert via_sql == via_df
+    # normalization: case/whitespace variants share a fingerprint
+    assert via_sql[0][0] == via_sql[1][0]
+    assert via_sql[0][2] == 4  # three terminated sentences + the tail
