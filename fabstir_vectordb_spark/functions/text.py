@@ -177,8 +177,14 @@ def quality_score(text: Column | str, tokens: Column | str | None = None) -> Col
 
 
 def normalized_text(text: Column | str) -> Column:
-    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
-    return F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+    """Canonical form for fingerprinting: lowercase, collapse
+    whitespace; NULL folds to '' — null text IS no content, and a NULL
+    here would poison every fingerprint equality downstream (NULL
+    never equals NULL in a join, so null-text docs would silently
+    escape every dedup pass and ledger check forever)."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.coalesce(_c(text), F.lit(""))), r"\s+", " ")
+    )
 
 
 def fingerprint(text: Column | str) -> Column:

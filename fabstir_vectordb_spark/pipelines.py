@@ -478,6 +478,7 @@ def curate_incremental(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    commit: bool = True,
     **curate_kwargs,
 ) -> DataFrame:
     """Incremental curation for a continuously-crawled corpus: drop
@@ -493,14 +494,31 @@ def curate_incremental(
     as dedup_paragraphs, at document granularity over unbounded
     history.
 
-    The fresh set is eagerly checkpointed once: both the funnel and
-    the ledger commit consume it, and the commit must record exactly
-    the rows the funnel saw."""
-    fresh = ledger.filter_new(
-        new_docs, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=True)
+    Durability contract — choose per deployment:
+
+    * ``commit=True`` (default): the ledger is updated HERE, before the
+      caller persists the curated output.  A crash in that window skips
+      the batch permanently (at-most-once OUTPUT) — acceptable when a
+      crawl re-delivers content eventually.
+    * ``commit=False`` (at-least-once output): persist the returned
+      frame first, then call ``ledger.commit(new_docs)`` — committing
+      the WHOLE batch is a valid superset (duplicate ledger rows are
+      set-membership-harmless and compactable), so no intermediate
+      frame needs to survive the crash.
+
+    The fresh set is checkpointed once — reliably when a checkpoint
+    dir is configured (the funnel's own _trunc rule), else locally —
+    because both the funnel and the commit consume it and must see
+    exactly the same rows."""
+    fresh = ledger.filter_new(new_docs, text_col=text_col, id_col=id_col)
+    sc = new_docs.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        fresh = fresh.checkpoint(eager=True)
+    else:
+        fresh = fresh.localCheckpoint(eager=True)
     out = curate_corpus(fresh, id_col=id_col, text_col=text_col, **curate_kwargs)
-    ledger.commit(fresh, text_col=text_col)
+    if commit:
+        ledger.commit(fresh, text_col=text_col)
     return out
 
 

@@ -5,10 +5,14 @@ batch must be deduplicated against EVERYTHING ever kept, not just
 against itself (operators/dedup.exact_dedup) or a watermark horizon
 (streaming dropDuplicatesWithinWatermark — bounded state by design).
 The ledger is the unbounded-history complement: an append-only parquet
-table holding one row per kept document — its 16-byte content
+table holding one row per RECORDED document — its 16-byte content
 fingerprint (functions/text.fingerprint: md5 of lowercased,
-whitespace-collapsed text) — giving keep-first semantics ACROSS
-batches, the same contract dedup_paragraphs keeps within a corpus.
+whitespace-collapsed text; NULL text folds to '') — giving keep-first
+semantics ACROSS batches, the same contract dedup_paragraphs keeps
+within a corpus.  What "recorded" means is the caller's policy: commit
+survivors for kept-only history, or every processed doc so rejected
+content is never re-curated (pipelines.curate_incremental does the
+latter).
 
 100 TB shape:
 - the ledger stores fingerprints only (16 bytes + partition column per
@@ -47,12 +51,14 @@ __all__ = ["FingerprintLedger"]
 class FingerprintLedger:
     """Append-only fingerprint history for cross-batch exact dedup.
 
-    Typical loop::
+    Typical loop (processed-not-kept policy, what curate_incremental
+    uses — committing only gate-survivors is equally valid when
+    rejected content SHOULD be re-examined on a future crawl)::
 
         ledger = FingerprintLedger(spark, path)
         fresh = ledger.filter_new(batch)       # in-batch + vs-history
         ...gates / curation over fresh...
-        ledger.commit(kept)                    # kept docs join history
+        ledger.commit(fresh)                   # processed docs join history
     """
 
     def __init__(self, spark: SparkSession, path: str):
@@ -62,10 +68,19 @@ class FingerprintLedger:
     # -- internals -----------------------------------------------------
 
     def _read(self) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.parquet(self.path)
-        except Exception:
-            return None  # no commits yet
+        except AnalysisException as e:
+            # ONLY path-not-found means "no commits yet" — any other
+            # failure (permissions, corrupt footer, transient store
+            # error) must raise, or a 10M-fingerprint history would
+            # silently read as empty and the whole batch would pass as
+            # new
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
 
     @staticmethod
     def _fp(docs: DataFrame, text_col: str) -> DataFrame:
@@ -80,24 +95,24 @@ class FingerprintLedger:
         id_col: str = "doc_id",
     ) -> DataFrame:
         """Documents not seen before: first drop in-batch duplicates
-        (keep min id — exact_dedup's canonical rule), then anti-join
-        the batch's fingerprints against the ledger.  Returns the input
-        columns unchanged; ordering/keep-first is deterministic."""
-        from pyspark.sql import Window
+        via operators/dedup.drop_exact_duplicates (keep min id — the
+        ONE canonical rule, shared so in-corpus and cross-batch dedup
+        cannot diverge), then anti-join the batch's fingerprints
+        against the ledger (no distinct on the history side: anti-join
+        is set-membership already).  Returns the input columns
+        unchanged; keep-first is deterministic."""
+        from fabstir_vectordb_spark.operators.dedup import (
+            drop_exact_duplicates,
+        )
 
-        w = Window.partitionBy("__fp").orderBy(F.col(id_col))
-        batch = (
-            self._fp(docs, text_col)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+        batch = self._fp(
+            drop_exact_duplicates(docs, text_col=text_col, id_col=id_col),
+            text_col,
         )
         led = self._read()
         if led is not None:
             batch = batch.join(
-                led.select("fp").withColumnRenamed("fp", "__fp").distinct(),
-                "__fp",
-                "left_anti",
+                led.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
             )
         return batch.drop("__fp")
 
@@ -140,16 +155,21 @@ class FingerprintLedger:
     def compact(self) -> None:
         """Rewrite the ledger to distinct fingerprints — reclaims the
         duplicate rows an at-least-once crash loop may have appended.
-        Write-then-swap via a versioned directory would make this
-        atomic under concurrent readers; single-writer pipelines (the
-        normal deployment) can rewrite in place via an intermediate
-        local checkpoint, which is what we do."""
+        Write-to-temp THEN swap (the sources/deletes.py vacuum
+        pattern): the durable temp copy exists on disk before the old
+        directory is touched, so a crash at any point leaves either the
+        old or the new complete ledger — never a hole in the dedup
+        history."""
+        import os
+        import shutil
+        import uuid
+
         led = self._read()
         if led is None:
             return
-        distinct = led.select("fp", "fp_prefix").distinct().localCheckpoint(
-            eager=True
-        )
-        distinct.write.mode("overwrite").partitionBy("fp_prefix").parquet(
-            self.path
-        )
+        tmp = f"{self.path}__compact-{uuid.uuid4().hex[:8]}"
+        led.select("fp", "fp_prefix").distinct().write.mode(
+            "overwrite"
+        ).partitionBy("fp_prefix").parquet(tmp)
+        shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
