@@ -92,3 +92,24 @@ def test_curate_incremental_two_batches(spark, tmp_path):
     out2 = curate_incremental(led, b2, **kw)
     assert {r["id"] for r in out2.collect()} == {12}
     assert led.size() == 3
+
+
+def test_null_text_documents_are_remembered(spark, tmp_path):
+    """NULL text folds to the empty fingerprint (normalized_text's
+    null-safety): the first null/empty-text doc is recorded and every
+    later one — null OR empty — is recognized as seen.  Pre-fix, NULL
+    fingerprints never matched in the anti-join and such docs escaped
+    the ledger forever."""
+    led = FingerprintLedger(spark, str(tmp_path / "lednull"))
+    b1 = spark.createDataFrame(
+        [(0, None), (1, "real content here")], "doc_id long, text string"
+    )
+    f1 = led.filter_new(b1)
+    assert {r["doc_id"] for r in f1.collect()} == {0, 1}
+    led.commit(f1)
+
+    b2 = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "   ")], "doc_id long, text string"
+    )
+    # all three normalize to the already-recorded empty fingerprint
+    assert led.filter_new(b2).count() == 0
