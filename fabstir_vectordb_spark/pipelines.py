@@ -512,8 +512,16 @@ def curate_incremental(
     exactly the same rows."""
     fresh = ledger.filter_new(new_docs, text_col=text_col, id_col=id_col)
     sc = new_docs.sparkSession.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isDefined():
-        fresh = fresh.checkpoint(eager=True)
+    get_dir = getattr(sc, "getCheckpointDir", lambda: None)
+    if get_dir() is not None:
+        # persist BEFORE the reliable checkpoint — same rule as the
+        # funnel's _trunc (RDD.checkpoint() does not persist, so the
+        # lineage would otherwise recompute per consumer)
+        from pyspark import StorageLevel
+
+        fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(
+            eager=True
+        )
     else:
         fresh = fresh.localCheckpoint(eager=True)
     out = curate_corpus(fresh, id_col=id_col, text_col=text_col, **curate_kwargs)
