@@ -473,6 +473,51 @@ def pack_corpus(
     return pack_sequences(part, context_len, id_col="id", n_tokens_col="n_tokens")
 
 
+def rag_search(
+    idx,
+    assigned_chunks: DataFrame,
+    queries: DataFrame,
+    k_docs: int,
+    k_chunks: int = 32,
+    n_probe: int | None = None,
+    metric: str = "l2",
+) -> DataFrame:
+    """Document-level retrieval over a chunked index — the query half
+    of the RAG workflow rag_ingest feeds: search the chunk index, pool
+    each document's score to its BEST chunk (min distance — MaxSim
+    pooling in distance form), and return the top ``k_docs`` documents
+    per query as (query_id, id, distance).
+
+    ``assigned_chunks`` is the rag_ingest frame after ``idx.assign``
+    (it must carry chunk_id + doc_id).  ``k_chunks`` is the chunk-level
+    over-fetch: a document can only rank by chunks that survived the
+    chunk top-k, so raise it when documents are long relative to the
+    chunk size.
+
+    Scale shape: the chunk search is the index's own probe-pruned
+    plan; everything after operates on Q x k_chunks rows — the
+    chunk->doc attribution joins THAT tiny side against the slim
+    (chunk_id, doc_id) projection (broadcast-friendly), and the pooling
+    groupBy touches the same rows.  The chunk table itself is never
+    re-shuffled."""
+    from fabstir_vectordb_spark.operators.topk import topk_per_query
+
+    kwargs = {"metric": metric}
+    if n_probe is not None:
+        kwargs["n_probe"] = n_probe
+    hits = idx.search_bulk(assigned_chunks, queries, k_chunks, **kwargs)
+    doc_map = assigned_chunks.select(
+        F.col("chunk_id").alias("id"), "doc_id"
+    )
+    pooled = (
+        hits.join(doc_map, "id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("distance").alias("distance"))
+        .select("query_id", F.col("doc_id").alias("id"), "distance")
+    )
+    return topk_per_query(pooled, k_docs)
+
+
 def curate_incremental(
     ledger,
     new_docs: DataFrame,

@@ -482,3 +482,41 @@ def test_curate_corpus_html_input(spark):
     assert len(out) == 1
     assert "<p>" not in out[0]["text"] and "drop()" not in out[0]["text"]
     assert out[0]["text"].startswith("the quick brown fox")
+
+
+def test_rag_search_document_pooling(spark):
+    """rag_search pools chunk hits to documents by best chunk: a query
+    made from doc 12's own chunk retrieves doc 12 at rank 1 with
+    distance 0, each document appears at most once per query, and the
+    duplicate-text doc (99 == doc 7's text) ties doc 7 exactly."""
+    from fabstir_vectordb_spark.operators.ivf import IVFIndex
+    from fabstir_vectordb_spark.pipelines import rag_ingest, rag_search
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}_{j}" for j in range(40)) + " shared tail words")
+            for i in range(30)
+        ]
+        + [(99, " ".join(f"w7_{j}" for j in range(40)) + " shared tail words")],
+        "doc_id long, text string",
+    )
+    ing = rag_ingest(docs, chunk_tokens=16, overlap_tokens=4,
+                     embedding_dim=32).cache()
+    idx = IVFIndex.fit(
+        ing, n_clusters=4, seed=3, id_col="chunk_id", vector_col="embedding"
+    )
+    assigned = idx.assign(ing).cache()
+    q = ing.filter(
+        (F.col("doc_id") == 12) & (F.col("chunk_idx") == 1)
+    ).select(
+        F.col("chunk_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    res = rag_search(idx, assigned, q, k_docs=5, k_chunks=16, n_probe=4)
+    rows = res.orderBy("distance", "id").collect()
+    assert rows[0]["id"] == 12 and rows[0]["distance"] == 0.0
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 5  # one row per document
+    # duplicate-text doc pools to the same best distance as its twin
+    d = {r["id"]: r["distance"] for r in rows}
+    if 7 in d and 99 in d:
+        assert d[7] == d[99]
