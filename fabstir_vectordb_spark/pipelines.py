@@ -502,15 +502,27 @@ def rag_search(
     re-shuffled."""
     from fabstir_vectordb_spark.operators.topk import topk_per_query
 
-    kwargs = {"metric": metric}
-    if n_probe is not None:
+    import inspect
+
+    # forward only the knobs THIS index's search accepts — rag_ingest
+    # output serves IVF, IVFPQ, and HNSW indexes, whose search_bulk
+    # signatures differ (metric / n_probe / ef)
+    accepted = inspect.signature(idx.search_bulk).parameters
+    kwargs = {}
+    if "metric" in accepted:
+        kwargs["metric"] = metric
+    if n_probe is not None and "n_probe" in accepted:
         kwargs["n_probe"] = n_probe
     hits = idx.search_bulk(assigned_chunks, queries, k_chunks, **kwargs)
     doc_map = assigned_chunks.select(
         F.col("chunk_id").alias("id"), "doc_id"
     )
     pooled = (
-        hits.join(doc_map, "id")
+        # broadcast the PROVABLY tiny side (Q x k_chunks rows): hits
+        # comes out of a mapInPandas kernel, so Catalyst has no size
+        # statistics and would otherwise sort-merge-shuffle the whole
+        # chunk table
+        doc_map.join(F.broadcast(hits), "id")
         .groupBy("query_id", "doc_id")
         .agg(F.min("distance").alias("distance"))
         .select("query_id", F.col("doc_id").alias("id"), "distance")
@@ -561,12 +573,16 @@ def curate_incremental(
     if get_dir() is not None:
         # persist BEFORE the reliable checkpoint — same rule as the
         # funnel's _trunc (RDD.checkpoint() does not persist, so the
-        # lineage would otherwise recompute per consumer)
+        # lineage would otherwise recompute per consumer) — and RELEASE
+        # the pre-checkpoint cache once the eager write lands: a crawl
+        # loop calls this per batch, and DataFrame caches are not
+        # GC-reclaimed, so a leak here grows executor storage without
+        # bound
         from pyspark import StorageLevel
 
-        fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(
-            eager=True
-        )
+        held = fresh.persist(StorageLevel.MEMORY_AND_DISK)
+        fresh = held.checkpoint(eager=True)
+        held.unpersist()
     else:
         fresh = fresh.localCheckpoint(eager=True)
     out = curate_corpus(fresh, id_col=id_col, text_col=text_col, **curate_kwargs)

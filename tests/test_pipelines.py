@@ -507,16 +507,22 @@ def test_rag_search_document_pooling(spark):
     )
     assigned = idx.assign(ing).cache()
     q = ing.filter(
-        (F.col("doc_id") == 12) & (F.col("chunk_idx") == 1)
+        (F.col("doc_id").isin(12, 7)) & (F.col("chunk_idx") == 1)
     ).select(
         F.col("chunk_id").alias("query_id"), F.col("embedding").alias("vector")
     )
     res = rag_search(idx, assigned, q, k_docs=5, k_chunks=16, n_probe=4)
-    rows = res.orderBy("distance", "id").collect()
-    assert rows[0]["id"] == 12 and rows[0]["distance"] == 0.0
-    ids = [r["id"] for r in rows]
-    assert len(ids) == len(set(ids)) == 5  # one row per document
-    # duplicate-text doc pools to the same best distance as its twin
-    d = {r["id"]: r["distance"] for r in rows}
-    if 7 in d and 99 in d:
-        assert d[7] == d[99]
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: (r["distance"], r["id"]))
+        ids = [r["id"] for r in rows]
+        assert len(ids) == len(set(ids)) == 5  # one row per document
+    # self-retrieval: doc 12's chunk ranks doc 12 first at distance 0
+    assert by_q["12#1"][0]["id"] == 12 and by_q["12#1"][0]["distance"] == 0.0
+    # duplicate-text doc: 99 shares doc 7's text, so BOTH pool to
+    # distance 0 for doc 7's own query — the tie is checked
+    # unconditionally here
+    d7 = {r["id"]: r["distance"] for r in by_q["7#1"]}
+    assert d7[7] == 0.0 and d7[99] == 0.0
