@@ -85,7 +85,24 @@ def main(spark: SparkSession, workdir: str) -> dict:
         .select("bin_id").distinct().count()
     )
 
-    # --- 5. target-directed selection (DSIR) ---------------------------
+    # --- 5. RAG: chunk -> embed -> index -> document retrieval ---------
+    from fabstir_vectordb_spark.operators.ivf import IVFIndex
+    from fabstir_vectordb_spark.pipelines import rag_ingest, rag_search
+
+    ing = rag_ingest(docs, chunk_tokens=32, overlap_tokens=8,
+                     embedding_dim=32)
+    ridx = IVFIndex.fit(ing, n_clusters=4, seed=7,
+                        id_col="chunk_id", vector_col="embedding")
+    assigned = ridx.assign(ing)
+    rq = ing.limit(3).select(
+        F.col("chunk_id").alias("query_id"),
+        F.col("embedding").alias("vector"),
+    )
+    out["rag_docs"] = rag_search(
+        ridx, assigned, rq, k_docs=3, k_chunks=8, n_probe=4
+    ).count()
+
+    # --- 6. target-directed selection (DSIR) ---------------------------
     from fabstir_vectordb_spark.operators.dsir import (
         dsir_score, dsir_select, fit_dsir_ratios,
     )
