@@ -268,3 +268,30 @@ def test_dsir_score_broadcasts_ratios_no_text_shuffle(spark):
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         assert "text#" not in seg.split("\n")[0]
     assert "BatchEvalPython" not in plan
+
+
+def test_rag_search_broadcasts_hits_after_chunk_search(spark):
+    """rag_search's post-search work must broadcast the Q x k_chunks
+    hit set for the chunk->doc attribution — without the hint the
+    planner has no size statistics for the mapInPandas output and
+    sort-merge-shuffles the whole chunk table per query batch."""
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.operators.ivf import IVFIndex
+    from fabstir_vectordb_spark.pipelines import rag_ingest, rag_search
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ing = rag_ingest(docs, chunk_tokens=16, overlap_tokens=4,
+                     embedding_dim=16)
+    idx = IVFIndex.fit(ing, n_clusters=4, seed=1,
+                       id_col="chunk_id", vector_col="embedding")
+    assigned = idx.assign(ing)
+    q = ing.limit(2).select(
+        F.col("chunk_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    plan = _executed(rag_search(idx, assigned, q, k_docs=3, k_chunks=8,
+                                n_probe=4))
+    assert "BroadcastHashJoin" in plan
+    # no exchange after the search may carry the chunk text
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "chunk_text#" not in seg.split("\n")[0]
