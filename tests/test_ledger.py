@@ -113,3 +113,18 @@ def test_null_text_documents_are_remembered(spark, tmp_path):
     )
     # all three normalize to the already-recorded empty fingerprint
     assert led.filter_new(b2).count() == 0
+
+
+def test_corrupt_ledger_raises_instead_of_reading_empty(spark, tmp_path):
+    """Only path-not-found means 'no commits yet' — a corrupt ledger
+    must raise, never silently read as empty history (which would pass
+    the whole batch as new and flood the corpus with duplicates)."""
+    import pytest
+
+    path = tmp_path / "ledbad"
+    path.mkdir()
+    (path / "part-00000.parquet").write_bytes(b"this is not parquet")
+    led = FingerprintLedger(spark, str(path))
+    b = _docs(spark, [(0, "content")])
+    with pytest.raises(Exception):
+        led.filter_new(b).collect()
