@@ -79,8 +79,26 @@ class FingerprintLedger:
             # silently read as empty and the whole batch would pass as
             # new
             if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                leftovers = self._swap_leftovers()
+                if leftovers:
+                    raise RuntimeError(
+                        f"ledger missing at {self.path} but compaction "
+                        f"leftovers exist ({leftovers}): a compact() swap "
+                        "was interrupted. Rename the newest leftover back "
+                        "to the ledger path (its '__old-*' copy is the "
+                        "complete pre-compaction history; '__compact-*' "
+                        "may be partial) instead of starting empty."
+                    ) from e
                 return None
             raise
+
+    def _swap_leftovers(self) -> list[str]:
+        import glob
+
+        return sorted(
+            glob.glob(f"{self.path}__old-*")
+            + glob.glob(f"{self.path}__compact-*")
+        )
 
     @staticmethod
     def _fp(docs: DataFrame, text_col: str) -> DataFrame:
@@ -155,11 +173,17 @@ class FingerprintLedger:
     def compact(self) -> None:
         """Rewrite the ledger to distinct fingerprints — reclaims the
         duplicate rows an at-least-once crash loop may have appended.
-        Write-to-temp THEN swap (the sources/deletes.py vacuum
-        pattern): the durable temp copy exists on disk before the old
-        directory is touched, so a crash at any point leaves either the
-        old or the new complete ledger — never a hole in the dedup
-        history."""
+
+        Crash safety: write-to-temp, then TWO atomic renames (live
+        aside, temp in), then delete the aside copy.  A complete copy of
+        the history therefore exists on disk at every instant; the only
+        crash window with nothing AT the live path is between the two
+        renames, and _read() refuses to treat that state as an empty
+        ledger — it sees the '__old-*' leftover and raises with the
+        recovery step instead of silently passing every future batch as
+        new.  Stale leftovers from an interrupted run are swept first
+        (safe: the live ledger is intact whenever they coexist with
+        it)."""
         import os
         import shutil
         import uuid
@@ -167,9 +191,14 @@ class FingerprintLedger:
         led = self._read()
         if led is None:
             return
-        tmp = f"{self.path}__compact-{uuid.uuid4().hex[:8]}"
+        for stale in self._swap_leftovers():
+            shutil.rmtree(stale)
+        tag = uuid.uuid4().hex[:8]
+        tmp = f"{self.path}__compact-{tag}"
         led.select("fp", "fp_prefix").distinct().write.mode(
             "overwrite"
         ).partitionBy("fp_prefix").parquet(tmp)
-        shutil.rmtree(self.path)
+        old = f"{self.path}__old-{tag}"
+        os.rename(self.path, old)
         os.rename(tmp, self.path)
+        shutil.rmtree(old)

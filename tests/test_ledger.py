@@ -128,3 +128,45 @@ def test_corrupt_ledger_raises_instead_of_reading_empty(spark, tmp_path):
     b = _docs(spark, [(0, "content")])
     with pytest.raises(Exception):
         led.filter_new(b).collect()
+
+
+def test_interrupted_compact_swap_raises_not_empty(spark, tmp_path):
+    """A crash between compact()'s two renames leaves the history at
+    '__old-*' and nothing at the live path.  _read() must refuse to
+    treat that as an empty ledger — the '__old' copy IS the complete
+    dedup history — and must name the recovery step."""
+    import os
+
+    import pytest
+
+    led = FingerprintLedger(spark, str(tmp_path / "ledswap"))
+    b = _docs(spark, [(0, "swap content")])
+    led.commit(led.filter_new(b))
+    # simulate the crash window: live dir renamed aside, new not yet in
+    os.rename(str(tmp_path / "ledswap"), str(tmp_path / "ledswap__old-cafe1234"))
+    with pytest.raises(RuntimeError, match="compact.*interrupted|interrupted"):
+        led.filter_new(b).collect()
+    # operator recovery: rename the old copy back -> ledger works again
+    os.rename(str(tmp_path / "ledswap__old-cafe1234"), str(tmp_path / "ledswap"))
+    assert led.filter_new(b).count() == 0
+
+
+def test_compact_sweeps_stale_leftovers(spark, tmp_path):
+    """Stale '__compact-*' temp dirs from an interrupted run (live
+    ledger intact) are swept by the next compact(), and the swap leaves
+    exactly the live directory behind."""
+    import os
+
+    led = FingerprintLedger(spark, str(tmp_path / "ledsweep"))
+    b = _docs(spark, [(0, "sweep one"), (1, "sweep two")])
+    kept = led.filter_new(b)
+    led.commit(kept)
+    led.commit(kept)  # duplicate rows to reclaim
+    stale = tmp_path / "ledsweep__compact-deadbeef"
+    stale.mkdir()
+    (stale / "junk").write_text("partial write from a crashed run")
+    led.compact()
+    names = sorted(os.listdir(tmp_path))
+    assert names == ["ledsweep"]  # no __old-*, no __compact-* remain
+    assert led.size() == 2
+    assert spark.read.parquet(str(tmp_path / "ledsweep")).count() == 2
