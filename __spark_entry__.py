@@ -3018,6 +3018,80 @@ def q_pq_bulk_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rag_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level RAG retrieval (pipelines.py:rag_search): search a
+    chunk-level ANN index, pool each document to its BEST chunk (min
+    distance — MaxSim pooling in distance form), return top-5 docs per
+    query.  The chunk table is the embeddings fixture with a synthetic
+    many-chunks-per-doc map (doc = vec_id % 100); the index is IVF at
+    FULL probe, which is exactly brute force (the ann_ivf_full
+    equivalence), so the oracle replays the whole path in SQL: chunk
+    top-32 per query -> min-pool per (query, doc) -> doc top-5.  The
+    chunk-level over-fetch (k_chunks=32) is part of the contract — a
+    doc can only rank by chunks that survived the chunk top-k — and the
+    oracle truncates at the same depth.  Min-pooling commutes with the
+    round-at-6 discipline (rounding is monotone), so round(min(raw)) ==
+    min(round(raw)) and both engines agree at the hash level."""
+    from fabstir_vectordb_spark.operators.ivf import IVFIndex
+    from fabstir_vectordb_spark.pipelines import rag_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    chunks = emb.select(
+        F.col("vec_id").alias("chunk_id"),
+        (F.col("vec_id") % 100).alias("doc_id"),
+        "embedding",
+    )
+    idx = IVFIndex.fit(
+        chunks, n_clusters=8, id_col="chunk_id", vector_col="embedding"
+    )
+    assigned = idx.assign(chunks)
+    queries = (
+        emb.filter(F.col("vec_id") < 500)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+    )
+    res = rag_search(
+        idx, assigned, queries, k_docs=5, k_chunks=32, n_probe=8, metric="l2"
+    )
+    return res.select("query_id", "id", r6("distance").alias("distance"))
+
+
+def q_ledger_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch fingerprint ledger (sources/ledger.py) certified over
+    REAL committed files, the stateful-over-FS pattern of
+    q_backup_restore: batch 1 (even doc_ids) is filtered and committed
+    to a fresh on-disk ledger; then the FULL corpus arrives as batch 2.
+    Emits per doc: seen (contains() membership probe against the
+    committed history) and kept (filter_new survivor — in-batch
+    keep-first min-id AND not in history).  The oracle replays both
+    flags from the fingerprint definition alone: history = distinct fps
+    of even docs; kept = doc is its fp group's min id and the fp is not
+    in history.  This is the cross-batch keep-first contract an
+    incremental crawl loop (pipelines.curate_incremental) relies on."""
+    import os
+    import tempfile
+
+    from fabstir_vectordb_spark.sources.ledger import FingerprintLedger
+
+    docs = _t(spark, sf_dir, "documents")
+    led = FingerprintLedger(
+        spark, os.path.join(tempfile.mkdtemp(prefix="ledger_cert_"), "led")
+    )
+    led.commit(led.filter_new(docs.filter(F.col("doc_id") % 2 == 0)))
+    kept = (
+        led.filter_new(docs)
+        .select("doc_id")
+        .withColumn("__kept", F.lit(True))
+    )
+    return (
+        led.contains(docs)
+        .select("doc_id", "seen")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id", "seen", F.coalesce("__kept", F.lit(False)).alias("kept")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, same parquet tables as views)
 # --------------------------------------------------------------------------
@@ -4104,6 +4178,39 @@ JOIN fstage fst ON sig.doc_id = fst.doc_id
 JOIN dssel ON sig.doc_id = dssel.doc_id
 """
 
+_ORACLES["rag_doc_search"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 500
+), d AS (
+  SELECT q.query_id, e.vec_id AS id, {_L2} AS distance
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rn
+  FROM d
+), hits AS (
+  SELECT query_id, id, distance FROM r WHERE rn <= 32
+), pooled AS (
+  SELECT query_id, id % 100 AS id, min(distance) AS distance
+  FROM hits GROUP BY query_id, id % 100
+), pr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rn
+  FROM pooled
+)
+SELECT query_id, id, (distance + 0.0) AS distance FROM pr WHERE rn <= 5
+"""
+
+_ORACLES["ledger_history"] = f"""
+WITH f AS (SELECT doc_id, {_FP} AS fp FROM documents),
+hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+m AS (
+  SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS canon FROM f
+)
+SELECT m.doc_id,
+       (h.fp IS NOT NULL) AS seen,
+       (m.doc_id = m.canon AND h.fp IS NULL) AS kept
+FROM m LEFT JOIN hist h USING (fp)
+"""
+
 _ORACLES["dedup_exact"] = f"""
 WITH f AS (SELECT doc_id AS id, {_FP} AS fp FROM documents)
 SELECT id,
@@ -4880,6 +4987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "quantize_roundtrip": q_quantize_roundtrip,
         "hybrid_merge": q_hybrid_merge,
+        "rag_doc_search": q_rag_doc_search,
+        "ledger_history": q_ledger_history,
     }
 
 
