@@ -2958,7 +2958,18 @@ def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cogrouped block-gather kernel, no driver collect) returns
         EXACTLY the driver-collect adc_knn rows for the same model
 
-    Both hold for ANY fitted model => constant all-true oracle."""
+    Round 6 adds the OPQ rotation (operators/opq.py, Ge et al. CVPR
+    2013) as two more parts:
+
+      opq_dominance — the same rank-wise rerank-dominance contract run
+        on a quantizer fit with opq=True: the rotation is orthonormal,
+        so rerank distances stay TRUE distances and the >= theorem is
+        untouched by rotation
+      opq_mse       — one summary row: reconstruction MSE of the
+        opq=True model <= the raw model on the training prefix, true
+        by fit's keep-only-on-strict-improvement construction
+
+    All hold for ANY fitted model => constant all-true oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     pqr = _ranked_by_query(_pq_result(spark, sf_dir))
     exact = _ranked_by_query(
@@ -2967,18 +2978,52 @@ def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             metric="l2", impl="kernel", id_col="vec_id", vector_col="embedding",
         )
     )
-    dom = (
-        pqr.alias("a")
-        .join(exact.alias("e"), ["query_id", "rank"])
-        .select(
-            F.lit("adc_dominance").alias("part"),
-            "query_id", "rank", (F.col("a.d") >= F.col("e.d")).alias("ok"),
+
+    def _dom(ranked: DataFrame, part: str) -> DataFrame:
+        return (
+            ranked.alias("a")
+            .join(exact.alias("e"), ["query_id", "rank"])
+            .select(
+                F.lit(part).alias("part"),
+                "query_id", "rank", (F.col("a.d") >= F.col("e.d")).alias("ok"),
+            )
         )
-    )
+
     bulk_eq = q_pq_bulk_invariant(spark, sf_dir).select(
         F.lit("bulk_equiv").alias("part"), "query_id", "rank", "ok"
     )
-    return dom.unionByName(bulk_eq)
+
+    import numpy as _np
+
+    from fabstir_vectordb_spark.operators.opq import train_mse as _tmse
+
+    raw = _pq_model(spark, sf_dir)
+    opq = ProductQuantizer.fit(
+        emb, n_subspaces=8, n_centroids=32, seed=42,
+        vector_col="embedding", opq=True,
+    )
+    opq_res = _ranked_by_query(
+        opq.adc_knn(
+            opq.encode(emb), _query_vectors(spark, sf_dir), K,
+            rerank_vectors=emb, oversample=4,
+        )
+    )
+    X = _np.asarray(
+        [
+            _np.asarray(r[0], dtype=_np.float64)
+            for r in emb.select("embedding").limit(10_000).collect()
+        ]
+    )
+    mse_ok = _tmse(X, opq.codebooks, opq.rotation) <= _tmse(X, raw.codebooks, None)
+    mse_row = spark.createDataFrame(
+        [("opq_mse", -1, 0, bool(mse_ok))], "part string, query_id long, rank int, ok boolean"
+    )
+    return (
+        _dom(pqr, "adc_dominance")
+        .unionByName(bulk_eq)
+        .unionByName(_dom(opq_res, "opq_dominance"))
+        .unionByName(mse_row)
+    )
 
 
 def q_pq_bulk_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4784,8 +4829,13 @@ _ORACLES["pq_adc_knn"] = f"""
 SELECT p.part, vec_id AS query_id, r.rank, true AS ok
 FROM embeddings
 CROSS JOIN (SELECT unnest(generate_series(1, {K})) AS rank) r
-CROSS JOIN (SELECT unnest(['adc_dominance', 'bulk_equiv']) AS part) p
+CROSS JOIN (SELECT unnest(
+    ['adc_dominance', 'bulk_equiv', 'opq_dominance']
+) AS part) p
 WHERE vec_id < {NQ}
+UNION ALL
+SELECT 'opq_mse' AS part, CAST(-1 AS BIGINT) AS query_id,
+       0 AS rank, true AS ok
 """
 
 # three exact-kNN metrics + the thresholded-score contract in one

@@ -88,6 +88,7 @@ class IVFPQIndex:
         vector_col: str = "embedding",
         residual: bool = False,
         recall_target: float | None = None,
+        opq: bool | str = False,
     ) -> "IVFPQIndex":
         """``recall_target`` auto-tunes the code geometry from the
         measured knob-recovery guidance (plans/tuning.tune_pq): it
@@ -122,13 +123,13 @@ class IVFPQIndex:
             res = idx._with_residual(ivf.assign(vectors), "__res")
             idx.pq = ProductQuantizer.fit(
                 res, n_subspaces=n_subspaces, n_centroids=n_centroids,
-                seed=seed, vector_col="__res",
+                seed=seed, vector_col="__res", opq=opq,
             )
             idx.tuned = tuned
             return idx
         pq = ProductQuantizer.fit(
             vectors, n_subspaces=n_subspaces, n_centroids=n_centroids,
-            seed=seed, vector_col=vector_col,
+            seed=seed, vector_col=vector_col, opq=opq,
         )
         idx = cls(ivf, pq, residual=False)
         idx.tuned = tuned
@@ -212,7 +213,9 @@ class IVFPQIndex:
             F.col(code_col).alias("__codes"),
             F.col(cluster_col).cast("int").alias("__blk"),
         )
-        bc = encoded.sparkSession.sparkContext.broadcast(self.pq.codebooks)
+        bc = encoded.sparkSession.sparkContext.broadcast(
+            (self.pq.codebooks, self.pq.rotation)
+        )
         bc_cents = (
             encoded.sparkSession.sparkContext.broadcast(self.ivf.centroids)
             if self.residual
@@ -239,7 +242,7 @@ class IVFPQIndex:
             # x - centroid, so ||x - q|| == ||code - (q - centroid)||.
             if vpdf.empty or qpdf.empty:
                 return pd.DataFrame({"query_id": [], "id": [], "distance": []})
-            books = bc.value
+            books, rot = bc.value
             codes = np.asarray([np.asarray(c) for c in vpdf["__codes"]])
             ids = vpdf["id"].to_numpy()
             if ids.dtype == object:
@@ -251,6 +254,10 @@ class IVFPQIndex:
                 q = np.asarray(qv, dtype=np.float64)
                 if residual:
                     q = q - cent
+                if rot is not None:
+                    # codes encode R*(x - c) (or R*x raw): rotate AFTER
+                    # the residual shift so LUT space matches code space
+                    q = q @ rot
                 table = np.stack(
                     [
                         np.einsum(

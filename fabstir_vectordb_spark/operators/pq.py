@@ -71,9 +71,22 @@ def exact_rerank(
 
 
 class ProductQuantizer:
-    """codebooks: (M, K, sub_dim) float64 array."""
+    """codebooks: (M, K, sub_dim) float64 array.
 
-    def __init__(self, n_subspaces: int, n_centroids: int, dim: int, codebooks: np.ndarray):
+    ``rotation``: optional (dim, dim) orthonormal OPQ pre-rotation
+    (operators/opq.py).  When set, codes quantize ``x @ R`` and every
+    query LUT is built from ``q @ R`` — distances are preserved exactly
+    (R^T R = I), so all downstream contracts (rerank, dominance,
+    thresholds) are unchanged; only code quality improves."""
+
+    def __init__(
+        self,
+        n_subspaces: int,
+        n_centroids: int,
+        dim: int,
+        codebooks: np.ndarray,
+        rotation: np.ndarray | None = None,
+    ):
         if dim % n_subspaces != 0:
             raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
         self.n_subspaces = n_subspaces
@@ -81,6 +94,7 @@ class ProductQuantizer:
         self.dim = dim
         self.sub_dim = dim // n_subspaces
         self.codebooks = codebooks
+        self.rotation = rotation
 
     # ------------------------------------------------------------- train
 
@@ -94,10 +108,19 @@ class ProductQuantizer:
         iters: int = 25,
         seed: int = 42,
         vector_col: str = "embedding",
+        opq: bool | str = False,
     ) -> "ProductQuantizer":
         """Sample `train_size` vectors (deterministic) and fit M per-subspace
         codebooks (vector_ops.rs:415-447; defaults mirror train_size=10000,
-        25 iters from ivf/core.rs:50-60)."""
+        25 iters from ivf/core.rs:50-60).
+
+        ``opq``: learn an orthonormal pre-rotation first (operators/
+        opq.py) — True for the full non-parametric alternating solver,
+        "pca" for the eigenvalue-balanced PCA rotation only.  The
+        rotation is kept ONLY if it strictly reduces reconstruction MSE
+        on the training sample vs the unrotated fit — opq=True is
+        therefore never worse than opq=False on the sample by
+        construction (the auto-fallback a default must have)."""
         sample = [
             np.asarray(r[0], dtype=np.float64)
             for r in df.select(vector_col).limit(train_size).collect()
@@ -111,13 +134,34 @@ class ProductQuantizer:
         if dim % n_subspaces != 0:
             raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
         sub = dim // n_subspaces
-        rng = np.random.RandomState(seed)
-        books = np.stack(
-            [
-                _kmeans_fit(X[:, m * sub : (m + 1) * sub], n_centroids, iters, rng)
-                for m in range(n_subspaces)
-            ]
+
+        def _books(Xs: np.ndarray) -> np.ndarray:
+            rng = np.random.RandomState(seed)
+            return np.stack(
+                [
+                    _kmeans_fit(Xs[:, m * sub : (m + 1) * sub], n_centroids, iters, rng)
+                    for m in range(n_subspaces)
+                ]
+            )
+
+        books = _books(X)
+        if not opq:
+            return cls(n_subspaces, n_centroids, dim, books)
+
+        from fabstir_vectordb_spark.operators.opq import (
+            fit_rotation,
+            pca_balanced_rotation,
+            train_mse,
         )
+
+        R = (
+            pca_balanced_rotation(X, n_subspaces)
+            if opq == "pca"
+            else fit_rotation(X, n_subspaces, n_centroids, seed=seed)
+        )
+        rot_books = _books(X @ R)
+        if train_mse(X, rot_books, R) < train_mse(X, books, None):
+            return cls(n_subspaces, n_centroids, dim, rot_books, rotation=R)
         return cls(n_subspaces, n_centroids, dim, books)
 
     # ------------------------------------------------------------ encode
@@ -126,20 +170,22 @@ class ProductQuantizer:
         self, df: DataFrame, vector_col: str = "embedding", code_col: str = "pq_codes"
     ) -> DataFrame:
         """vector -> array<int> of M centroid indices (vector_ops.rs:449-485)."""
-        bc = df.sparkSession.sparkContext.broadcast(self.codebooks)
+        bc = df.sparkSession.sparkContext.broadcast((self.codebooks, self.rotation))
         M, sub = self.n_subspaces, self.sub_dim
         out_schema = T.StructType(
             list(df.schema) + [T.StructField(code_col, T.ArrayType(T.IntegerType()), True)]
         )
 
         def kernel(batches):
-            books = bc.value
+            books, rot = bc.value
             for pdf in batches:
                 if pdf.empty:
                     continue
                 V = np.asarray(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
                 )
+                if rot is not None:
+                    V = V @ rot
                 codes = np.empty((len(V), M), dtype=np.int32)
                 for m in range(M):
                     Xm = V[:, m * sub : (m + 1) * sub]
@@ -159,22 +205,27 @@ class ProductQuantizer:
     def decode(
         self, df: DataFrame, code_col: str = "pq_codes", out_col: str = "decoded"
     ) -> DataFrame:
-        """codes -> reconstructed vector (vector_ops.rs:487-511)."""
-        bc = df.sparkSession.sparkContext.broadcast(self.codebooks)
+        """codes -> reconstructed vector in the ORIGINAL space
+        (vector_ops.rs:487-511): with an OPQ rotation the lookup
+        reconstructs the rotated vector, so it is rotated back
+        (R^T = R^{-1} for orthonormal R)."""
+        bc = df.sparkSession.sparkContext.broadcast((self.codebooks, self.rotation))
         out_schema = T.StructType(
             list(df.schema) + [T.StructField(out_col, T.ArrayType(T.DoubleType()), True)]
         )
 
         def kernel(batches):
-            books = bc.value
+            books, rot = bc.value
             for pdf in batches:
                 if pdf.empty:
                     continue
                 recon = [
-                    np.concatenate([books[m][c[m]] for m in range(len(c))]).tolist()
+                    np.concatenate([books[m][c[m]] for m in range(len(c))])
                     for c in pdf[code_col]
                 ]
-                yield pdf.assign(**{out_col: recon})
+                if rot is not None:
+                    recon = [r @ rot.T for r in recon]
+                yield pdf.assign(**{out_col: [r.tolist() for r in recon]})
 
         return df.mapInPandas(kernel, out_schema)
 
@@ -236,6 +287,10 @@ class ProductQuantizer:
         qrows = queries.select(query_id_col, query_vector_col).collect()
         qids = [r[0] for r in qrows]
         Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        if self.rotation is not None:
+            # LUTs are built in rotated space; distances are unchanged
+            # because the rotation is orthonormal
+            Q = Q @ self.rotation
         bc = spark.sparkContext.broadcast((qids, Q, self.codebooks))
         M, sub = self.n_subspaces, self.sub_dim
 
@@ -333,7 +388,7 @@ class ProductQuantizer:
 
         spark = codes_df.sparkSession
         VB = vector_blocks or spark.sparkContext.defaultParallelism
-        bc = spark.sparkContext.broadcast(self.codebooks)
+        bc = spark.sparkContext.broadcast((self.codebooks, self.rotation))
         M, sub = self.n_subspaces, self.sub_dim
 
         v = codes_df.select(
@@ -360,7 +415,7 @@ class ProductQuantizer:
         def block_adc(vpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
             if vpdf.empty or qpdf.empty:
                 return pd.DataFrame({"query_id": [], "id": [], "distance": []})
-            books = bc.value
+            books, rot = bc.value
             codes = np.asarray([np.asarray(c) for c in vpdf["__codes"]])
             ids = vpdf["id"].to_numpy()
             if ids.dtype == object:
@@ -369,6 +424,8 @@ class ProductQuantizer:
             out_q, out_id, out_d = [], [], []
             for qid, qv in zip(qpdf["query_id"], qpdf["__qv"]):
                 q = np.asarray(qv, dtype=np.float64)
+                if rot is not None:
+                    q = q @ rot
                 # (M, K) subspace table, then M gathers per row
                 table = np.stack(
                     [
@@ -413,6 +470,10 @@ class ProductQuantizer:
             "dim": self.dim,
             "codebooks": self.codebooks.tolist(),
         }
+        if self.rotation is not None:
+            # the rotation is part of the code geometry: codes saved
+            # without it would decode/search wrong after reload
+            meta["rotation"] = self.rotation.tolist()
         with open(os.path.join(path, "pq.json"), "w") as f:
             json.dump(meta, f)
 
@@ -420,9 +481,11 @@ class ProductQuantizer:
     def load(cls, path: str) -> "ProductQuantizer":
         with open(os.path.join(path, "pq.json")) as f:
             meta = json.load(f)
+        rot = meta.get("rotation")
         return cls(
             meta["n_subspaces"],
             meta["n_centroids"],
             meta["dim"],
             np.asarray(meta["codebooks"]),
+            rotation=None if rot is None else np.asarray(rot),
         )
