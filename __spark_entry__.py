@@ -3063,6 +3063,43 @@ def q_pq_bulk_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-bit sketch search (operators/binary.py) — the FIRST
+    approximate path certified hash-exact rather than by contract: the
+    Rademacher planes are data-independent literals and the component
+    quantizer is trunc (identical in numpy and SQL), so the oracle
+    replays the ENTIRE pipeline — signature words (bit-exact), packed
+    xor/bit_count Hamming ranking, and the oversampled exact-L2 rerank —
+    in pure DuckDB SQL.
+
+      part='hamming' — top-10 per query by (hamming, id) over 64-bit
+        signatures, integer distances
+      part='rerank'  — hamming top-40 candidates re-ranked by exact
+        float L2 (round-6), top-10
+
+    500 queries x the embeddings fixture, same shape as knn_bulk."""
+    from fabstir_vectordb_spark.operators.binary import BinarySketch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sk = BinarySketch.fit(dim=64, bits=64, seed=42)
+    sigs = sk.encode(emb)
+    queries = (
+        emb.filter(F.col("vec_id") < 500)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+    )
+    ham = sk.hamming_knn_bulk(sigs, queries, K).select(
+        F.lit("hamming").alias("part"), "query_id", "id",
+        F.col("distance").cast("double").alias("score"),
+    )
+    rr = sk.hamming_knn_bulk(
+        sigs, queries, K, rerank_vectors=emb, oversample=4
+    ).select(
+        F.lit("rerank").alias("part"), "query_id", "id",
+        r6("distance").alias("score"),
+    )
+    return ham.unionByName(rr)
+
+
 def q_rag_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level RAG retrieval (pipelines.py:rag_search): search a
     chunk-level ANN index, pool each document to its BEST chunk (min
@@ -4223,6 +4260,73 @@ JOIN fstage fst ON sig.doc_id = fst.doc_id
 JOIN dssel ON sig.doc_id = dssel.doc_id
 """
 
+def _binary_hamming_oracle() -> str:
+    """The signature words are generated from the SAME seeded planes the
+    Spark query uses — a pure function of the embedding, so the whole
+    sketch pipeline replays in SQL (see q_binary_hamming).  The sig CTE
+    is MATERIALIZED: it is referenced three times and DuckDB's CTE
+    inlining would otherwise re-evaluate the 64-dot projection per
+    reference."""
+    from fabstir_vectordb_spark.operators.binary import BinarySketch
+
+    sk = BinarySketch.fit(dim=64, bits=64, seed=42)
+
+    def dot(p: int) -> str:
+        arr = ", ".join(str(int(v)) for v in sk.planes[p])
+        return (
+            "list_sum(list_transform(list_zip(embedding, [" + arr + "]), "
+            "x -> trunc(CAST(x[1] AS DOUBLE) * 1000) * x[2]))"
+        )
+
+    words = []
+    for w in range(sk.words):
+        terms = " + ".join(
+            f"(CASE WHEN {dot(w * 32 + j)} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(32)
+        )
+        words.append(f"({terms}) AS s{w}")
+    sig_select = ", ".join(words)
+    hd = " + ".join(
+        f"bit_count(xor(CAST(s.s{w} AS BIGINT), CAST(qs.s{w} AS BIGINT)))"
+        for w in range(sk.words)
+    )
+    l2 = (
+        "(round(sqrt(list_sum(list_transform(list_zip(e.embedding, q.qv), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))), 6) + 0.0)"
+    )
+    return f"""
+WITH sig AS MATERIALIZED (
+  SELECT vec_id, {sig_select} FROM embeddings
+), qs AS (
+  SELECT vec_id AS query_id, * EXCLUDE (vec_id) FROM sig WHERE vec_id < 500
+), d AS (
+  SELECT qs.query_id, s.vec_id AS id, {hd} AS hd
+  FROM sig s CROSS JOIN qs
+), hr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hd, id) AS rn
+  FROM d
+), ex AS (
+  SELECT c.query_id, c.id, {l2} AS distance
+  FROM (SELECT query_id, id FROM hr WHERE rn <= {K * 4}) c
+  JOIN embeddings e ON e.vec_id = c.id
+  JOIN (SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 500) q
+    ON q.query_id = c.query_id
+), er AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rn
+  FROM ex
+)
+SELECT 'hamming' AS part, query_id, id, CAST(hd AS DOUBLE) AS score
+FROM hr WHERE rn <= {K}
+UNION ALL
+SELECT 'rerank' AS part, query_id, id, (distance + 0.0) AS score
+FROM er WHERE rn <= {K}
+"""
+
+
+_ORACLES["binary_hamming"] = _binary_hamming_oracle()
+
 _ORACLES["rag_doc_search"] = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 500
@@ -5039,6 +5143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_merge": q_hybrid_merge,
         "rag_doc_search": q_rag_doc_search,
         "ledger_history": q_ledger_history,
+        "binary_hamming": q_binary_hamming,
     }
 
 
