@@ -114,6 +114,9 @@ class IVFPQIndex:
             n_subspaces = tuned.n_subspaces
             n_centroids = tuned.n_centroids
             residual = tuned.residual
+            # an explicit opq argument always wins; otherwise the tuned
+            # plan's recommendation applies (guidance-into-defaults)
+            opq = opq or tuned.opq
         ivf = IVFIndex.fit(
             vectors, n_clusters=n_clusters, seed=seed,
             id_col=id_col, vector_col=vector_col,

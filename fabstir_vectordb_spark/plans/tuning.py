@@ -123,6 +123,9 @@ class PQPlan:
     oversample: int
     residual: bool
     reason: str
+    # OPQ pre-rotation (operators/opq.py).  Defaulted for load
+    # compatibility with pre-rotation saved plans (ivfpq.json).
+    opq: bool = False
 
 
 def _subspaces_for(dim: int, max_sub_dim: int) -> int:
@@ -165,24 +168,32 @@ def tune_pq(
     """
     if not 0.0 < recall_target <= 1.0:
         raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
+    # OPQ rides on every recall-seeking tier: the 500k study
+    # (PERFORMANCE.md "OPQ rotation recall study") measured +0.20
+    # recall@10 at the same code bytes on correlated data and a
+    # verified no-op on uniform (fit's strict-improvement gate declines
+    # the rotation), so the only cost is corpus-independent fit time.
     if recall_target >= 0.7:
         # fine codes: sub_dim <= 4 (the 0.36 -> 0.91 lever)
         n_subspaces = _subspaces_for(dim, 4)
         n_centroids = 128
         residual = True
+        opq = True
         if recall_target >= 0.9:
             n_probe = max(1, n_clusters // 2)   # probe32/64 in the study
             oversample = 32
-            reason = "high-recall tier: sub_dim<=4 + residual + probe/2 + oversample 32 (measured 0.91 on uniform 500k)"
+            reason = "high-recall tier: sub_dim<=4 + residual + OPQ + probe/2 + oversample 32 (measured 0.91 on uniform 500k; OPQ adds +0.20 on correlated)"
         else:
             n_probe = max(1, n_clusters // 4)   # probe16/64 tier
             oversample = 8
-            reason = "mid-recall tier: sub_dim<=4 + residual + probe/4 + oversample 8 (measured 0.71 on uniform 500k)"
+            reason = "mid-recall tier: sub_dim<=4 + residual + OPQ + probe/4 + oversample 8 (measured 0.71 on uniform 500k)"
     else:
-        # throughput tier: coarse codes are fine when the target is loose
+        # throughput tier: coarse codes are fine when the target is
+        # loose; skip OPQ to keep the fit cheap
         n_subspaces = _subspaces_for(dim, 8)
         n_centroids = 32
         residual = False
+        opq = False
         n_probe = max(1, n_clusters // 8)
         oversample = 4
         reason = "throughput tier: coarse codes, narrow probe"
@@ -195,7 +206,7 @@ def tune_pq(
     return PQPlan(
         n_subspaces=n_subspaces, n_centroids=n_centroids,
         n_probe=min(n_probe, n_clusters), oversample=oversample,
-        residual=residual, reason=reason,
+        residual=residual, reason=reason, opq=opq,
     )
 
 

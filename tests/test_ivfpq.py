@@ -265,9 +265,12 @@ def test_tune_pq_tiers():
     # the measured 0.91 configuration on the uniform 500k fixture
     assert hi.n_subspaces == 16 and hi.n_centroids == 128
     assert hi.residual and hi.n_probe == 32 and hi.oversample == 32
+    # OPQ rides on recall tiers (500k study: +0.20 on correlated,
+    # verified no-op on uniform via the strict-improvement fallback)
+    assert hi.opq
 
     mid = tune_pq(64, recall_target=0.7, n_clusters=64)
-    assert mid.n_subspaces == 16 and mid.residual
+    assert mid.n_subspaces == 16 and mid.residual and mid.opq
     assert mid.n_probe == 16 and mid.oversample == 8
 
     # small tables probe every cluster regardless of tier (all risk,
@@ -276,6 +279,7 @@ def test_tune_pq_tiers():
 
     lo = tune_pq(64, recall_target=0.5, n_clusters=64)
     assert lo.n_subspaces == 8 and not lo.residual and lo.oversample == 4
+    assert not lo.opq  # throughput tier keeps the fit cheap
 
     # n_subspaces must divide dim: 96 -> sub_dim 4 -> 24 subspaces
     assert tune_pq(96, 0.9, 64).n_subspaces == 24
