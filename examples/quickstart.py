@@ -114,6 +114,19 @@ def main(spark: SparkSession, workdir: str) -> dict:
         k_keep=50, temperature=0.5,
     ).filter("selected")
     out["dsir_selected"] = picked.count()
+
+    # --- 7. compressed tiers: binary Hamming scan + OPQ-rotated PQ -----
+    from fabstir_vectordb_spark.operators.binary import BinarySketch
+    from fabstir_vectordb_spark.operators.pq import ProductQuantizer
+
+    sk = BinarySketch.fit(dim=64, bits=128)          # 16 bytes/vector
+    sigs = sk.encode(emb)
+    out["binary_hits"] = sk.hamming_knn(
+        sigs, queries, k=3, rerank_vectors=emb, oversample=4
+    ).count()
+    pq = ProductQuantizer.fit(emb, n_subspaces=8, n_centroids=16,
+                              opq=True)              # rotation auto-kept
+    out["pq_rotated"] = pq.rotation is not None      # only if it helps
     return out
 
 
