@@ -897,6 +897,18 @@ def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("id"), "score",
         )
     )
+    # round 6: exact-phrase matching over the positional index — the
+    # same first-3-token query strings ARE consecutive-token phrases,
+    # so every query matches at least its source doc; full SQL replay
+    # (ppost/phq/pocc CTEs in the oracle)
+    from fabstir_vectordb_spark.operators.keyword import phrase_search
+
+    part_phrase = phrase_search(
+        docs, queries, id_col="doc_id", phrase_col="query"
+    ).select(
+        F.lit("phrase").alias("part"), "query_id", "id",
+        F.col("n_occurrences").cast("double").alias("score"),
+    )
     part_vocab = (
         vocab_stats(postings=post)
         .orderBy(F.col("tf").desc(), F.col("term"))
@@ -914,6 +926,7 @@ def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(part_equiv)
         .unionByName(part_probe)
         .unionByName(part_vocab)
+        .unionByName(part_phrase)
     )
 
 
@@ -3606,7 +3619,28 @@ WITH t AS (
          row_number() OVER (
              PARTITION BY query_id ORDER BY round(score, 6) DESC, id) AS rn
   FROM ws
+), ppost AS (
+  -- positional postings: 0-based token position (phrase_search replay)
+  SELECT id, i - 1 AS pos, toks[i] AS term
+  FROM (SELECT id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)
+), phq AS (
+  -- phrase = the same first-3-token query strings, re-tokenized
+  SELECT 'q' || CAST(id AS VARCHAR) AS query_id, j - 1 AS poff, toks[j] AS term,
+         least(len(toks), 3) AS plen
+  FROM (SELECT id, toks, unnest(generate_series(1, least(len(toks), 3))) AS j
+        FROM t WHERE id IN (0, 10, 20, 30))
+), pocc AS (
+  SELECT query_id, id, pstart FROM (
+    SELECT phq.query_id, ppost.id, phq.plen,
+           ppost.pos - phq.poff AS pstart
+    FROM phq JOIN ppost ON phq.term = ppost.term
+  )
+  GROUP BY query_id, id, plen, pstart
+  HAVING count(*) = plen AND pstart >= 0
 )
+SELECT 'phrase' AS part, query_id, id, CAST(count(*) AS DOUBLE) AS score
+FROM pocc GROUP BY query_id, id
+UNION ALL
 SELECT 'bm25' AS part, query_id, id, (round(score, 6) + 0.0) AS score
 FROM lex WHERE rank <= 10
 UNION ALL

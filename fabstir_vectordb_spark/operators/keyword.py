@@ -170,3 +170,74 @@ def bm25_search(
         scored.select("query_id", "id", F.col("score").alias("distance")),
         k, order_col="distance", ascending=False,
     ).select("query_id", "id", F.round("distance", 6).alias("score"))
+
+
+def build_positional_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, term, pos): the positional inverted index — build_postings
+    plus the 0-based token position, the artifact phrase and proximity
+    queries need.  Same single-tokenize, conditional-parallelize
+    contract as build_postings; positions make rows unique, so there is
+    no aggregate at all — one explode projection."""
+    toks = _parallelize(
+        docs.select(F.col(id_col).alias("id"), _terms(F.col(text_col)).alias("__t"))
+    )
+    return toks.select(
+        "id", F.posexplode("__t").alias("pos", "term")
+    ).select("id", "term", F.col("pos").cast("long").alias("pos"))
+
+
+def phrase_search(
+    docs: DataFrame | None,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+    postings_pos: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-phrase matching over the positional index: one row per
+    (query, doc) whose text contains the phrase's tokens CONSECUTIVELY,
+    with the occurrence count — the positional-index primitive of every
+    search engine (Manning, Raghavan & Schutze, IIR ch. 2.4), absent
+    from bag-of-words BM25.
+
+    One join, not an n-way self-join: each phrase explodes to
+    (query_id, term, offset); joining against (id, term, pos) on the
+    term and grouping by (query_id, id, start = pos - offset) counts how
+    many of the phrase's offsets are present at that alignment — a group
+    that hits all n offsets is one occurrence at ``start``.  Shuffle
+    keys: term (the postings join), then (query, doc, start) — the
+    candidate rows only, never the corpus.  Multi-token phrases only
+    (a 1-token "phrase" is a term lookup — use bm25_search).
+
+    Output: (query_id, id, n_occurrences), every match, unranked —
+    compose with topk_per_query or feed n_occurrences into a scorer.
+    """
+    if postings_pos is None:
+        if docs is None:
+            raise ValueError("need docs or postings_pos")
+        postings_pos = build_positional_postings(
+            docs, text_col=text_col, id_col=id_col
+        )
+    from pyspark.sql.window import Window
+
+    pterms = phrases.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(_terms(F.col(phrase_col))).alias("offset", "term"),
+    ).withColumn("__len", F.count("*").over(Window.partitionBy("query_id")))
+    aligned = pterms.join(postings_pos, "term").select(
+        "query_id", "id", "__len",
+        (F.col("pos") - F.col("offset")).alias("__start"),
+    )
+    occ = (
+        aligned.groupBy("query_id", "id", "__len", "__start")
+        .agg(F.count("*").alias("__hits"))
+        .filter((F.col("__hits") == F.col("__len")) & (F.col("__start") >= 0))
+    )
+    return occ.groupBy("query_id", "id").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )

@@ -96,3 +96,63 @@ def test_vocab_stats_from_postings_and_docs(spark):
         r["term"]: (r["tf"], r["df"]) for r in vocab_stats(postings=post).collect()
     }
     assert got2 == got
+
+
+# ------------------------------------------------------- phrase search
+
+
+def test_phrase_search_occurrences(spark):
+    from fabstir_vectordb_spark.operators.keyword import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat the cat sat"),
+            (1, "a cat sat quietly"),
+            (2, "the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    ph = spark.createDataFrame(
+        [
+            ("p0", "cat sat"),       # doc 0 twice, doc 1 once
+            ("p1", "the mat"),       # docs 0 and 2
+            ("p2", "sat on the"),    # doc 0 only
+            ("p3", "cat on"),        # nowhere (non-adjacent)
+            ("p4", "Cat SAT"),       # case-folded like bm25's terms
+        ],
+        "query_id string, phrase string",
+    )
+    got = {
+        (r["query_id"], r["id"]): r["n_occurrences"]
+        for r in phrase_search(docs, ph).collect()
+    }
+    assert got == {
+        ("p0", 0): 2, ("p0", 1): 1,
+        ("p1", 0): 1, ("p1", 2): 1,
+        ("p2", 0): 1,
+        ("p4", 0): 2, ("p4", 1): 1,
+    }
+
+
+def test_phrase_search_repeated_word_and_boundaries(spark):
+    from fabstir_vectordb_spark.operators.keyword import (
+        build_positional_postings,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the the cat"), (1, "the cat the")],
+        "doc_id long, text string",
+    )
+    ph = spark.createDataFrame(
+        [("r0", "the the"), ("r1", "cat the")], "query_id string, phrase string"
+    )
+    # prebuilt positional postings path (the persisted-artifact pattern)
+    pp = build_positional_postings(docs)
+    got = {
+        (r["query_id"], r["id"]): r["n_occurrences"]
+        for r in phrase_search(None, ph, postings_pos=pp).collect()
+    }
+    # "the the" only in doc 0; "cat the" only in doc 1 (no wraparound,
+    # no start<0 alignment leaking through)
+    assert got == {("r0", 0): 1, ("r1", 1): 1}
