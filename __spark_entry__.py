@@ -949,7 +949,14 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     backreference-free so the same regex chain parses under Java regex
     and RE2): the fixture text is wrapped in markup with a style block,
     a script holding a '<', a comment, and entities; the oracle replays
-    the identical strip/decode/collapse chain and md5-compares."""
+    the identical strip/decode/collapse chain and md5-compares.
+
+    Round 6 also adds unicode hygiene: nfc_fp (functions/text.py
+    normalize_unicode — UAX #15 NFC over a planted DECOMPOSED suffix,
+    so 'e'+COMBINING ACUTE composes on the Spark side and DuckDB's
+    nfc_normalize must produce the same bytes) and ctrl_fp
+    (strip_control_chars over planted C0 bytes — tab/newline/CR kept,
+    the rest dropped, same class regex in both engines)."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "text",
         F.concat(
@@ -966,7 +973,23 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('</p><script>var x = 1 < 2;</script><!-- note -->'
               '&amp; &lt;done&gt;&nbsp;</body></html>'),
     )
-    return docs.select(
+    # round 6: unicode hygiene — NFC normalization (mapInPandas over
+    # stdlib unicodedata; DuckDB's nfc_normalize is the same UAX #15
+    # NFC, so the fingerprint replays byte-exactly) and C0-control-char
+    # stripping (pure column regex).  Both run over planted
+    # decomposed/control suffixes so the certification is non-vacuous
+    # on an ASCII fixture.
+    staged = X.normalize_unicode(
+        docs.withColumn(
+            "__u",
+            # explicitly DECOMPOSED suffix (combining acute/ring) so the
+            # Spark-side normalize composes real work, same bytes as the
+            # oracle's chr(769)/chr(778) construction
+            F.concat(F.col("text"), F.lit(" cafe\u0301 A\u030a \ufb01")),
+        ),
+        text_col="__u",
+    )
+    return staged.select(
         "doc_id",
         X.pii_counts("text", "email").cast("long").alias("n_email"),
         X.pii_counts("text", "url").cast("long").alias("n_url"),
@@ -974,6 +997,12 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(X.redact_pii("text")).alias("redacted_fp"),
         F.concat_ws(",", X.url_domains("text")).alias("domains"),
         F.md5(X.strip_html(html)).alias("html_text_fp"),
+        F.md5("__u").alias("nfc_fp"),
+        F.md5(
+            X.strip_control_chars(
+                F.concat(F.col("text"), F.lit(" a\x01b\x02"))
+            )
+        ).alias("ctrl_fp"),
     )
 
 
@@ -3714,7 +3743,11 @@ SELECT doc_id,
     '[ \\t\\r\\f]+', ' ', 'g'),
     ' ?\\n ?', chr(10), 'g'),
     '\\n+', chr(10), 'g'),
-    '^\\s+|\\s+$', '', 'g')) AS html_text_fp
+    '^\\s+|\\s+$', '', 'g')) AS html_text_fp,
+  md5(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)
+      || ' ' || chr(64257))) AS nfc_fp,
+  md5(regexp_replace(text || ' a' || chr(1) || 'b' || chr(2),
+      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS ctrl_fp
 FROM t
 """
 

@@ -404,3 +404,58 @@ def hashed_embedding(tokens: Column | str, dim: int = 64, salt: str = "emb") -> 
     raw = F.transform(F.sequence(F.lit(0), F.lit(d - 1)), _component)
     nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
     return F.when(nrm == 0.0, raw).otherwise(F.transform(raw, lambda x: x / nrm))
+
+
+_CONTROL_CHARS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def strip_control_chars(text: Column | str) -> Column:
+    """Remove C0 control characters except tab/newline/CR (the bytes
+    mojibake and binary-contaminated crawls leave in text).  Pure
+    column expression; the class pattern is Java-regex == RE2 ==
+    POSIX, so the scrub is SQL-auditable like redact_pii."""
+    return F.regexp_replace(_c(text), _CONTROL_CHARS, "")
+
+
+def normalize_unicode(
+    df: "DataFrame",
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFC",
+) -> "DataFrame":
+    """Unicode-normalize a text column (default NFC — the canonical
+    composition every dedup fingerprint should see: 'e' + COMBINING
+    ACUTE and precomposed 'é' are the same text but different bytes,
+    so without this the exact-dedup ledger treats them as distinct
+    documents).
+
+    Spark has no built-in normalizer, so this is an Arrow-batched
+    mapInPandas over stdlib unicodedata — map-only, no shuffle, the
+    multimodal-kernel pattern.  DuckDB's nfc_normalize implements the
+    same UAX #15 NFC, which is what makes the column oracle-replayable
+    (verified byte-identical for combining sequences in tests).
+    NULLs pass through as NULL."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    out = out_col or text_col
+    fields = [f for f in df.schema.fields if f.name != out]
+    schema = T.StructType(fields + [T.StructField(out, T.StringType(), True)])
+    names = [f.name for f in schema.fields]
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            norm = pdf[text_col].map(
+                lambda s: None if s is None else unicodedata.normalize(form, s)
+            )
+            yield pdf.drop(columns=[out], errors="ignore").assign(
+                **{out: norm}
+            )[names]
+
+    return df.mapInPandas(kernel, schema)

@@ -75,6 +75,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     html_input: bool = False,
+    normalize_nfc: bool = False,
     boilerplate_min_doc_freq: int | None = 1000,
     lang: str | None = "en",
     min_quality: float = 0.3,
@@ -141,6 +142,9 @@ def curate_corpus(
       * ``quality_model``: a fitted QualityClassifier; survivors are
         scored JVM-side and, when ``pareto_alpha`` is set, kept by the
         stochastic Pareto rule, else by prob > 0.5.
+      * ``normalize_nfc``: NFC-compose + strip C0 control chars before
+        anything fingerprints the text, so byte-variant spellings of
+        the same string dedup together (runs after ``html_input``).
       * ``html_input``: run strip_html first, so every downstream stage
         judges extracted text, not markup.
       * ``paragraph_dedup``: keep-first paragraph dedup
@@ -226,6 +230,13 @@ def curate_corpus(
         # dedup, gates, LM) judges TEXT, not markup.  Pure column
         # expression — no state, no shuffle.
         cur = cur.select("id", X.strip_html("text").alias("text"))
+
+    if normalize_nfc:
+        # canonical byte form before any fingerprint: NFC composition
+        # (Arrow map pass) + C0 control strip (column expr), so 'e'+
+        # COMBINING ACUTE and precomposed 'é' dedup as the same doc
+        cur = X.normalize_unicode(cur, text_col="text")
+        cur = cur.select("id", X.strip_control_chars("text").alias("text"))
 
     if boilerplate_min_doc_freq is not None:
         cleaned = DD.remove_boilerplate_lines(

@@ -526,3 +526,27 @@ def test_rag_search_document_pooling(spark):
     # unconditionally here
     d7 = {r["id"]: r["distance"] for r in by_q["7#1"]}
     assert d7[7] == 0.0 and d7[99] == 0.0
+
+
+def test_funnel_normalize_nfc_dedups_byte_variants(spark):
+    """Two documents identical modulo unicode composition and a stray
+    control byte must collapse to ONE survivor when normalize_nfc is on
+    (and stay two 'distinct' docs when it's off — the failure the stage
+    exists to prevent)."""
+    from fabstir_vectordb_spark.pipelines import curate_corpus
+
+    body = "the quick brown fox jumps over the lazy dog caf"
+    composed = body + "\u00e9"            # ...café, precomposed
+    decomposed = body + "e\u0301\x01"     # ...cafe + combining + C0 byte
+    docs = spark.createDataFrame(
+        [(0, composed), (1, decomposed)], "doc_id long, text string"
+    )
+    kw = dict(
+        boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+        max_repetition=1.0, token_bounds=(3, 5000), near_dup_threshold=None,
+    )
+    off = curate_corpus(docs, **kw)
+    assert off.count() == 2               # byte-distinct without the stage
+    on = curate_corpus(docs, normalize_nfc=True, **kw)
+    rows = on.collect()
+    assert [r["id"] for r in rows] == [0]  # keep-first min id survives

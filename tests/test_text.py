@@ -186,3 +186,53 @@ def test_split_sentences(spark):
     for i, (_, want) in enumerate(cases):
         assert got[i][0] == want, (i, got[i][0], want)
         assert got[i][1] == len(want)
+
+
+# ------------------------------------------------ unicode normalization
+
+
+def test_strip_control_chars(spark):
+    from fabstir_vectordb_spark.functions.text import strip_control_chars
+
+    df = spark.createDataFrame(
+        [(0, "ok\x00te\x1fxt\twith\ntab"), (1, None)], "id long, text string"
+    )
+    got = df.select(strip_control_chars("text").alias("t")).collect()
+    assert got[0]["t"] == "oktext\twith\ntab"  # tab/newline survive
+    assert got[1]["t"] is None
+
+
+def test_normalize_unicode_nfc(spark):
+    import hashlib
+    import unicodedata
+
+    from fabstir_vectordb_spark.functions.text import normalize_unicode
+
+    decomposed = "café Å ﬁ"  # e+combining, A+ring, fi-ligature
+    df = spark.createDataFrame(
+        [(0, decomposed), (1, "plain ascii"), (2, None)], "id long, text string"
+    )
+    rows = {r["id"]: r["text"] for r in normalize_unicode(df).collect()}
+    assert rows[0] == unicodedata.normalize("NFC", decomposed)
+    assert rows[0] != decomposed          # composition actually happened
+    assert "ﬁ" in rows[0]            # NFC preserves the ligature (NFKC wouldn't)
+    assert rows[1] == "plain ascii"
+    assert rows[2] is None
+
+    # cross-engine contract: byte-identical to DuckDB's nfc_normalize
+    import duckdb
+
+    d = duckdb.sql(
+        "SELECT md5(nfc_normalize('cafe' || chr(769) || ' ' || chr(65) "
+        "|| chr(778) || ' ' || chr(64257)))"
+    ).fetchone()[0]
+    assert hashlib.md5(rows[0].encode()).hexdigest() == d
+
+    # out_col variant keeps the original column
+    both = normalize_unicode(df, out_col="norm").filter("id = 0").first()
+    assert both["text"] == decomposed and both["norm"] == rows[0]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        normalize_unicode(df, form="NFX")
