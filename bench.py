@@ -370,6 +370,32 @@ def _amortized(spark, sf_dir: str, timed) -> dict:
             g.unpersist()
         except Exception as e:
             print(f"hnsw amortized stage failed: {e}", file=sys.stderr)
+
+        # binary sign-bit sketch — the zero-training coarse-scan tier:
+        # encode once (one-time like the index builds), then Hamming
+        # scan + oversampled exact rerank per query batch
+        try:
+            from fabstir_vectordb_spark.operators.binary import BinarySketch
+
+            sk = BinarySketch.fit(dim=64, bits=256)
+            t0 = time.time()
+            sigs = sk.encode(corpus).select("vec_id", "sig").cache()
+            sigs.count()
+            bin_build_s = time.time() - t0
+
+            def bin_scan():
+                sk.hamming_knn_bulk(
+                    sigs, queries, K_AM, rerank_vectors=corpus, oversample=4
+                ).write.format("noop").mode("overwrite").save()
+
+            bin_scan()  # warm
+            out["binary_encode_s"] = round(bin_build_s, 2)
+            out["binary_ms_per_query"] = round(
+                timed(bin_scan) * 1000.0 / NQ_AM, 3
+            )
+            sigs.unpersist()
+        except Exception as e:
+            print(f"binary amortized stage failed: {e}", file=sys.stderr)
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -295,3 +295,38 @@ def test_rag_search_broadcasts_hits_after_chunk_search(spark):
     # no exchange after the search may carry the chunk text
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         assert "chunk_text#" not in seg.split("\n")[0]
+
+
+def test_phrase_search_never_shuffles_text(spark):
+    """phrase_search's exchanges carry only slim keys — the postings
+    join on term and the (query, doc, alignment) aggregate; the
+    document text must never cross a shuffle."""
+    from fabstir_vectordb_spark.operators.keyword import phrase_search
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ph = spark.createDataFrame(
+        [("p0", "the quick brown")], "query_id string, phrase string"
+    )
+    plan = _executed(phrase_search(docs, ph, id_col="doc_id"))
+    for seg in plan.split("Exchange")[1:]:
+        assert "text#" not in seg.split("\n")[0]
+
+
+def test_binary_encode_is_map_only(spark, embeddings):
+    """Signature encoding is one Arrow map pass — any Exchange in the
+    encode plan means the sketch build started shuffling the corpus."""
+    from fabstir_vectordb_spark.operators.binary import BinarySketch
+
+    sk = BinarySketch.fit(dim=64, bits=64)
+    plan = _executed(sk.encode(embeddings.select("vec_id", "embedding")))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_normalize_unicode_is_map_only(spark):
+    """NFC normalization must stay a scan-shaped pass."""
+    from fabstir_vectordb_spark.functions.text import normalize_unicode
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _executed(normalize_unicode(docs.select("doc_id", "text")))
+    assert "Exchange" not in plan
