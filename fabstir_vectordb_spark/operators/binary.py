@@ -170,13 +170,6 @@ class BinarySketch:
             )
 
         spark = sigs.sparkSession
-        qrows = queries.select(query_id_col, query_vector_col).collect()
-        qids = [r[0] for r in qrows]
-        Q = self._sign_words(
-            np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
-        )
-        bc = spark.sparkContext.broadcast((qids, Q))
-
         out_schema = T.StructType(
             [
                 T.StructField("query_id", queries.schema[query_id_col].dataType, False),
@@ -184,6 +177,14 @@ class BinarySketch:
                 T.StructField("distance", T.LongType(), False),
             ]
         )
+        qrows = queries.select(query_id_col, query_vector_col).collect()
+        if not qrows:  # 0-row matmul has no shape — and no work either
+            return spark.createDataFrame([], out_schema)
+        qids = [r[0] for r in qrows]
+        Q = self._sign_words(
+            np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        )
+        bc = spark.sparkContext.broadcast((qids, Q))
 
         def kernel(batches):
             qids_l, Qw = bc.value

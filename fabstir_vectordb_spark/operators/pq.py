@@ -285,6 +285,19 @@ class ProductQuantizer:
 
         spark = codes_df.sparkSession
         qrows = queries.select(query_id_col, query_vector_col).collect()
+        if not qrows:  # np.stack over zero query LUTs has no shape
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(
+                            "query_id", queries.schema[query_id_col].dataType, False
+                        ),
+                        T.StructField("id", codes_df.schema[id_col].dataType, False),
+                        T.StructField("distance", T.DoubleType(), False),
+                    ]
+                ),
+            )
         qids = [r[0] for r in qrows]
         Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
         if self.rotation is not None:

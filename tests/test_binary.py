@@ -154,3 +154,24 @@ def test_save_load_roundtrip(spark, tmp_path):
 def test_bits_must_be_word_multiple():
     with pytest.raises(ValueError):
         BinarySketch.fit(dim=16, bits=100)
+
+
+def test_empty_query_set_returns_empty(spark):
+    """Zero queries must yield zero rows, not a zero-shape matmul crash
+    — both the binary point path and PQ's adc_knn (same collect-side
+    LUT construction)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.operators.pq import ProductQuantizer
+
+    rng = np.random.RandomState(11)
+    X = rng.normal(size=(60, 16))
+    df = _df(spark, X)
+    noq = df.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    sk = BinarySketch.fit(dim=16, bits=64)
+    assert sk.hamming_knn(sk.encode(df), noq, 5).count() == 0
+    pq = ProductQuantizer.fit(df, n_subspaces=4, n_centroids=8)
+    assert pq.adc_knn(pq.encode(df), noq, 5).count() == 0
