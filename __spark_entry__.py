@@ -2959,6 +2959,37 @@ def _pq_model(spark: SparkSession, sf_dir: str) -> "ProductQuantizer":
     return _PQ_CACHE[sf_dir]
 
 
+_OPQ_CACHE: dict[str, tuple] = {}
+
+
+def _opq_model(spark: SparkSession, sf_dir: str, raw) -> tuple:
+    """(opq-fitted quantizer, mse_ok) per sf_dir — the rotation fit and
+    the 10k-sample MSE comparison are deterministic per fixture, so the
+    cert path pays the alternating solver and the sample collect once
+    per process, same pattern as _PQ_CACHE."""
+    if sf_dir not in _OPQ_CACHE:
+        import numpy as _np
+
+        from fabstir_vectordb_spark.operators.opq import train_mse as _tmse
+
+        emb = _t(spark, sf_dir, "embeddings")
+        opq = ProductQuantizer.fit(
+            emb, n_subspaces=8, n_centroids=32, seed=42,
+            vector_col="embedding", opq=True,
+        )
+        X = _np.asarray(
+            [
+                _np.asarray(r[0], dtype=_np.float64)
+                for r in emb.select("embedding").limit(10_000).collect()
+            ]
+        )
+        mse_ok = _tmse(X, opq.codebooks, opq.rotation) <= _tmse(
+            X, raw.codebooks, None
+        )
+        _OPQ_CACHE[sf_dir] = (opq, bool(mse_ok))
+    return _OPQ_CACHE[sf_dir]
+
+
 def _pq_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     pq = _pq_model(spark, sf_dir)
@@ -3035,28 +3066,14 @@ def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("bulk_equiv").alias("part"), "query_id", "rank", "ok"
     )
 
-    import numpy as _np
-
-    from fabstir_vectordb_spark.operators.opq import train_mse as _tmse
-
     raw = _pq_model(spark, sf_dir)
-    opq = ProductQuantizer.fit(
-        emb, n_subspaces=8, n_centroids=32, seed=42,
-        vector_col="embedding", opq=True,
-    )
+    opq, mse_ok = _opq_model(spark, sf_dir, raw)
     opq_res = _ranked_by_query(
         opq.adc_knn(
             opq.encode(emb), _query_vectors(spark, sf_dir), K,
             rerank_vectors=emb, oversample=4,
         )
     )
-    X = _np.asarray(
-        [
-            _np.asarray(r[0], dtype=_np.float64)
-            for r in emb.select("embedding").limit(10_000).collect()
-        ]
-    )
-    mse_ok = _tmse(X, opq.codebooks, opq.rotation) <= _tmse(X, raw.codebooks, None)
     mse_row = spark.createDataFrame(
         [("opq_mse", -1, 0, bool(mse_ok))], "part string, query_id long, rank int, ok boolean"
     )

@@ -66,6 +66,23 @@ def _popcount(x: np.ndarray) -> np.ndarray:
     return _POP16[x.view(np.uint16)].sum(axis=1, dtype=np.int64)
 
 
+def _pack_words(
+    V: np.ndarray, planes: np.ndarray, scale: int
+) -> np.ndarray:
+    """(n, dim) floats -> (n, W) uint32 packed sign words.  The ONE
+    copy of the trunc/project/shift/pack arithmetic — every encode path
+    and every query-side LUT must call this, or corpus and query
+    signatures (and the SQL oracle) silently desynchronize."""
+    bits = planes.shape[0]
+    S = np.trunc(V * scale)  # integer-valued float64, exact
+    proj = S @ planes.T.astype(np.float64)  # integer-valued
+    b = (proj > 0).astype(np.uint32)
+    shifts = (np.arange(bits, dtype=np.uint32) % _WORD).astype(np.uint32)
+    return np.bitwise_or.reduce(
+        (b << shifts).reshape(len(V), bits // _WORD, _WORD), axis=2
+    ).astype(np.uint32)
+
+
 class BinarySketch:
     """``planes``: (bits, dim) int8 matrix of +-1 hyperplane signs."""
 
@@ -94,21 +111,13 @@ class BinarySketch:
 
     def _sign_words(self, V: np.ndarray) -> np.ndarray:
         """(n, dim) floats -> (n, W) uint32 packed sign words."""
-        S = np.trunc(V * self.scale)  # integer-valued float64, exact
-        proj = S @ self.planes.T.astype(np.float64)  # integer-valued
-        bits = (proj > 0).astype(np.uint32)
-        shifts = (np.arange(self.bits, dtype=np.uint32) % _WORD).astype(np.uint32)
-        shifted = bits << shifts
-        return np.bitwise_or.reduce(
-            shifted.reshape(len(V), self.words, _WORD), axis=2
-        ).astype(np.uint32)
+        return _pack_words(V, self.planes, self.scale)
 
     def encode(
         self, df: DataFrame, vector_col: str = "embedding", sig_col: str = "sig"
     ) -> DataFrame:
         """Input columns + ``sig_col`` array<bigint> of packed words."""
         bc = df.sparkSession.sparkContext.broadcast((self.planes, self.scale))
-        words, bits_n = self.words, self.bits
 
         out_schema = T.StructType(
             list(df.schema) + [T.StructField(sig_col, T.ArrayType(T.LongType()), True)]
@@ -116,19 +125,13 @@ class BinarySketch:
 
         def kernel(batches):
             planes, scale = bc.value
-            pT = planes.T.astype(np.float64)
-            shifts = (np.arange(bits_n, dtype=np.uint32) % _WORD).astype(np.uint32)
             for pdf in batches:
                 if pdf.empty:
                     continue
                 V = np.asarray(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
                 )
-                proj = np.trunc(V * scale) @ pT
-                b = (proj > 0).astype(np.uint32) << shifts
-                packed = np.bitwise_or.reduce(
-                    b.reshape(len(V), words, _WORD), axis=2
-                )
+                packed = _pack_words(V, planes, scale)
                 yield pdf.assign(
                     **{sig_col: [w.astype(np.int64).tolist() for w in packed]}
                 )
@@ -246,8 +249,6 @@ class BinarySketch:
 
         spark = sigs.sparkSession
         VB = vector_blocks or spark.sparkContext.defaultParallelism
-        bc = spark.sparkContext.broadcast((self.planes, self.scale))
-        words, bits_n = self.words, self.bits
 
         v = sigs.select(
             F.col(id_col).alias("id"),
@@ -255,10 +256,19 @@ class BinarySketch:
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(VB)).cast("int").alias("__blk"),
         )
         blocks = spark.range(VB).select(F.col("id").cast("int").alias("__blk"))
-        qrep = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(query_vector_col).alias("__qv"),
-        ).crossJoin(blocks)
+        # encode queries ONCE (one map pass over Q rows), then replicate
+        # only the packed words across blocks: 2-8 longs per (query,
+        # block) row instead of the raw float vector, and the per-block
+        # kernel skips VB-fold re-projection of every query
+        qsigs = self.encode(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vector_col).alias("__qv"),
+            ),
+            vector_col="__qv",
+            sig_col="__qsig",
+        ).select("query_id", "__qsig")
+        qrep = qsigs.crossJoin(blocks)
 
         out_schema = T.StructType(
             [
@@ -271,19 +281,13 @@ class BinarySketch:
         def block_scan(vpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
             if vpdf.empty or qpdf.empty:
                 return pd.DataFrame({"query_id": [], "id": [], "distance": []})
-            planes, scale = bc.value
-            pT = planes.T.astype(np.float64)
-            shifts = (np.arange(bits_n, dtype=np.uint32) % _WORD).astype(np.uint32)
             Vw = np.asarray([np.asarray(s, dtype=np.uint32) for s in vpdf["__sig"]])
             ids = vpdf["id"].to_numpy()
             if ids.dtype == object:
                 ids = ids.astype(str)
             out_q, out_id, out_d = [], [], []
-            for qid, qv in zip(qpdf["query_id"], qpdf["__qv"]):
-                q = np.asarray(qv, dtype=np.float64)
-                proj = np.trunc(q * scale) @ pT
-                qb = (proj > 0).astype(np.uint32) << shifts
-                qw = np.bitwise_or.reduce(qb.reshape(words, _WORD), axis=1)
+            for qid, qsig in zip(qpdf["query_id"], qpdf["__qsig"]):
+                qw = np.asarray(qsig, dtype=np.uint32)
                 d = _popcount(np.bitwise_xor(Vw, qw[None, :]))
                 if len(d) > k:
                     part = np.argpartition(d, k - 1)

@@ -88,7 +88,7 @@ class IVFPQIndex:
         vector_col: str = "embedding",
         residual: bool = False,
         recall_target: float | None = None,
-        opq: bool | str = False,
+        opq: bool | str | None = None,
     ) -> "IVFPQIndex":
         """``recall_target`` auto-tunes the code geometry from the
         measured knob-recovery guidance (plans/tuning.tune_pq): it
@@ -114,9 +114,12 @@ class IVFPQIndex:
             n_subspaces = tuned.n_subspaces
             n_centroids = tuned.n_centroids
             residual = tuned.residual
-            # an explicit opq argument always wins; otherwise the tuned
-            # plan's recommendation applies (guidance-into-defaults)
-            opq = opq or tuned.opq
+            # an explicit opq argument (True OR False) always wins; only
+            # the None default takes the tuned plan's recommendation —
+            # `opq or tuned.opq` would make an explicit False
+            # indistinguishable from unset and force the rotation fit
+            if opq is None:
+                opq = tuned.opq
         ivf = IVFIndex.fit(
             vectors, n_clusters=n_clusters, seed=seed,
             id_col=id_col, vector_col=vector_col,

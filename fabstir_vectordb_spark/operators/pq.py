@@ -108,7 +108,7 @@ class ProductQuantizer:
         iters: int = 25,
         seed: int = 42,
         vector_col: str = "embedding",
-        opq: bool | str = False,
+        opq: bool | str | None = False,
     ) -> "ProductQuantizer":
         """Sample `train_size` vectors (deterministic) and fit M per-subspace
         codebooks (vector_ops.rs:415-447; defaults mirror train_size=10000,

@@ -95,10 +95,30 @@ class FingerprintLedger:
     def _swap_leftovers(self) -> list[str]:
         import glob
 
+        esc = glob.escape(self.path)  # a '[3]' in the path is not a charclass
         return sorted(
-            glob.glob(f"{self.path}__old-*")
-            + glob.glob(f"{self.path}__compact-*")
+            glob.glob(esc + "__old-*") + glob.glob(esc + "__compact-*")
         )
+
+    def _guard_interrupted_swap(self) -> None:
+        """Refuse to write a fresh ledger over an interrupted compact():
+        if nothing lives at the path but swap leftovers exist, an append
+        would CREATE a new live directory holding only this batch — and
+        the next compact()'s leftover sweep would then delete the
+        '__old-*' copy that holds the complete history.  Same recovery
+        contract as _read()."""
+        import os
+
+        if not os.path.exists(self.path):
+            leftovers = self._swap_leftovers()
+            if leftovers:
+                raise RuntimeError(
+                    f"ledger missing at {self.path} but compaction "
+                    f"leftovers exist ({leftovers}): recover the "
+                    "'__old-*' copy (rename it back) before committing, "
+                    "or the history would be silently replaced by this "
+                    "batch."
+                )
 
     @staticmethod
     def _fp(docs: DataFrame, text_col: str) -> DataFrame:
@@ -142,6 +162,7 @@ class FingerprintLedger:
         """Append the kept documents' fingerprints to the ledger —
         partitioned by a 1-hex-char prefix for pruned lookups.  Append
         is the only write mode: history is immutable on the hot path."""
+        self._guard_interrupted_swap()
         rows = self._fp(kept, text_col).select(
             F.col("__fp").alias("fp"),
             F.substring("__fp", 1, 1).alias("fp_prefix"),

@@ -170,3 +170,45 @@ def test_compact_sweeps_stale_leftovers(spark, tmp_path):
     assert names == ["ledsweep"]  # no __old-*, no __compact-* remain
     assert led.size() == 2
     assert spark.read.parquet(str(tmp_path / "ledsweep")).count() == 2
+
+
+def test_commit_refuses_to_replace_interrupted_swap(spark, tmp_path):
+    """A bare commit() while the live path is missing but swap leftovers
+    exist must raise — otherwise the append CREATES a fresh one-batch
+    ledger and the next compact()'s sweep deletes the '__old-*' copy
+    holding the complete history."""
+    import os
+
+    import pytest
+
+    led = FingerprintLedger(spark, str(tmp_path / "ledguard"))
+    b = _docs(spark, [(0, "guard content")])
+    led.commit(led.filter_new(b))
+    os.rename(
+        str(tmp_path / "ledguard"), str(tmp_path / "ledguard__old-feed1234")
+    )
+    with pytest.raises(RuntimeError, match="leftovers"):
+        led.commit(b)
+    # history still recoverable: nothing was written at the live path
+    assert not os.path.exists(str(tmp_path / "ledguard"))
+    os.rename(
+        str(tmp_path / "ledguard__old-feed1234"), str(tmp_path / "ledguard")
+    )
+    assert led.filter_new(b).count() == 0
+
+
+def test_swap_guard_survives_glob_metachars_in_path(spark, tmp_path):
+    """A '[3]' in the ledger path must not disable the interrupted-swap
+    detection (glob would read it as a character class)."""
+    import os
+
+    import pytest
+
+    base = tmp_path / "run[3]"
+    base.mkdir()
+    led = FingerprintLedger(spark, str(base / "led"))
+    b = _docs(spark, [(0, "meta content")])
+    led.commit(led.filter_new(b))
+    os.rename(str(base / "led"), str(base / "led__old-abcd1234"))
+    with pytest.raises(RuntimeError):
+        led.filter_new(b).collect()

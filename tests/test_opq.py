@@ -185,3 +185,24 @@ def test_ivfpq_opq_full_probe_equals_exact(spark):
         id_col="vec_id", vector_col="embedding",
     )
     assert _ranked(got) == _ranked(exact)
+
+
+def test_explicit_opq_false_beats_tuned_recommendation(spark):
+    """fit(recall_target=..., opq=False) must SKIP the rotation fit even
+    though the tuned plan recommends it — explicit False is a real
+    override, not an alias for unset (the `opq or tuned.opq` trap)."""
+    from fabstir_vectordb_spark.operators.ivfpq import IVFPQIndex
+
+    X = _correlated(n=300, seed=12)
+    df = _df(spark, X)
+    forced_off = IVFPQIndex.fit(
+        df, n_clusters=4, recall_target=0.9, opq=False,
+        id_col="vec_id", vector_col="embedding",
+    )
+    assert forced_off.pq.rotation is None
+    default_on = IVFPQIndex.fit(
+        df, n_clusters=4, recall_target=0.9,
+        id_col="vec_id", vector_col="embedding",
+    )
+    assert default_on.tuned.opq  # the plan still recommends it
+    assert default_on.pq.rotation is not None  # and None picked it up
