@@ -3122,6 +3122,27 @@ def q_pq_bulk_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization + per-session rollup
+    (operators/stats.py sessionize/session_stats) over the events
+    fixture at a 1-hour gap: one exchange keyed on user_id, windows and
+    the rollup reuse it.  All time arithmetic is integer microseconds
+    (unix_micros == DuckDB epoch_us), so the oracle replays the break
+    rule, the dense per-user session index, and the duration exactly;
+    sum_value rounds at 6 like every float aggregate."""
+    from fabstir_vectordb_spark.operators.stats import (
+        session_stats,
+        sessionize,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = session_stats(sessionize(ev, gap_seconds=3600))
+    return s.select(
+        "session_id", "user_id", "n_events", "duration_us",
+        r6("sum_value").alias("sum_value"),
+    )
+
+
 def q_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary sign-bit sketch search (operators/binary.py) — the FIRST
     approximate path certified hash-exact rather than by contract: the
@@ -5064,6 +5085,29 @@ FROM events
 GROUP BY 1, 2
 """
 
+_ORACLES["event_sessions"] = """
+WITH l AS (
+  SELECT user_id, event_id, value, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) > 3600000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM l
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sidx
+  FROM f
+)
+SELECT concat(CAST(user_id AS VARCHAR), '#', CAST(sidx AS VARCHAR)) AS session_id,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us,
+       (round(sum(value), 6) + 0.0) AS sum_value
+FROM s GROUP BY user_id, sidx
+"""
+
 _ORACLES["event_percentiles"] = """
 SELECT event_type, count(*) AS n,
   (round(avg(value), 6) + 0.0) AS mean,
@@ -5228,6 +5272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_doc_search": q_rag_doc_search,
         "ledger_history": q_ledger_history,
         "binary_hamming": q_binary_hamming,
+        "event_sessions": q_event_sessions,
     }
 
 

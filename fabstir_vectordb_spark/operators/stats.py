@@ -158,3 +158,73 @@ def percentile_stats(
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: input columns + ``out_col``,
+    where a new session starts at a user's first event or whenever the
+    gap from their previous event exceeds ``gap_seconds`` — the
+    standard event-analytics primitive (and the batch twin of
+    Structured Streaming's session_window, which streaming/ingest.py
+    can apply to the same event stream).
+
+    Determinism: the within-user order is (ts, tiebreak_col), and all
+    time arithmetic is integer MICROSECONDS (unix_micros here,
+    epoch_us in the SQL replay) — second-truncating functions disagree
+    across engines on sub-second gaps that straddle a second boundary.
+
+    Scale shape: ONE exchange keyed on the user column; both window
+    passes (lag, running sum) and the downstream per-session aggregate
+    reuse that partitioning, so the planner plans a single shuffle.
+    Session ids are '<user>#<k>' with k dense per user — stable under
+    corpus growth on the left of any later event, exactly like the
+    ledger/capping id-hash contracts."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    # cast: parquet files may carry TIMESTAMP_NTZ, which unix_micros
+    # rejects; with the UTC session default the reinterpretation is
+    # byte-stable
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    brk = F.when(
+        F.lag(us).over(w).isNull()
+        | ((us - F.lag(us).over(w)) > gap_seconds * 1_000_000),
+        1,
+    ).otherwise(0)
+    return events.withColumn(
+        out_col,
+        F.concat_ws(
+            "#",
+            F.col(user_col).cast("string"),
+            F.sum(brk)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("string"),
+        ),
+    )
+
+
+def session_stats(
+    sessionized: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Per-session rollup over a sessionize() frame: event count,
+    duration in exact microseconds, and the value sum — one hash
+    aggregate on the session id (which begins with the user id, so it
+    co-partitions with sessionize()'s exchange)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return sessionized.groupBy(session_col).agg(
+        F.first(user_col).alias(user_col),
+        F.count("*").cast("long").alias("n_events"),
+        (F.max(us) - F.min(us)).cast("long").alias("duration_us"),
+        F.sum(value_col).alias("sum_value"),
+    )

@@ -330,3 +330,20 @@ def test_normalize_unicode_is_map_only(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _executed(normalize_unicode(docs.select("doc_id", "text")))
     assert "Exchange" not in plan
+
+
+def test_sessionize_single_user_exchange(spark):
+    """sessionize + session_stats must plan exactly ONE exchange on the
+    user key — the lag window, the running sum, and the rollup all
+    reuse it (extra exchanges mean the windows lost the partitioning)."""
+    from fabstir_vectordb_spark.operators.stats import (
+        session_stats,
+        sessionize,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _executed(session_stats(sessionize(ev, gap_seconds=3600)))
+    assert plan.count("Exchange hashpartitioning") <= 2  # user key + final agg
+    # the raw event 'props' payload never crosses a shuffle
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "props#" not in seg.split("\n")[0]
