@@ -181,13 +181,28 @@ def sessionize(
     across engines on sub-second gaps that straddle a second boundary.
 
     Scale shape: ONE exchange keyed on the user column; both window
-    passes (lag, running sum) and the downstream per-session aggregate
-    reuse that partitioning, so the planner plans a single shuffle.
-    Session ids are '<user>#<k>' with k dense per user — stable under
-    corpus growth on the left of any later event, exactly like the
-    ledger/capping id-hash contracts."""
+    passes (lag, running sum) and session_stats' rollup (which groups
+    on (user, session) precisely so ClusteredDistribution is satisfied
+    by the window's hashpartitioning(user)) reuse that partitioning —
+    plan-asserted in tests/test_plan_shapes.py.  Session ids are
+    '<user>#<k>' with k dense per user — stable under corpus growth on
+    the left of any later event, exactly like the ledger/capping
+    id-hash contracts.  NULL users fold to the literal 'null' (they
+    sessionize together — the window puts all NULL keys in one
+    partition); note the SQL-replay contract assumes non-null users
+    and timestamps (engines disagree on NULL concat and NULL ordering).
+    """
+    from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
+    ts_type = events.schema[ts_col].dataType
+    if not isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        # a bigint-nanos delivery (the nanosAsLong parquet shape) would
+        # otherwise cast as epoch SECONDS and silently make every event
+        # its own session
+        raise TypeError(
+            f"{ts_col} must be a timestamp column, got {ts_type.simpleString()}"
+        )
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     # cast: parquet files may carry TIMESTAMP_NTZ, which unix_micros
     # rejects; with the UTC session default the reinterpretation is
@@ -202,7 +217,7 @@ def sessionize(
         out_col,
         F.concat_ws(
             "#",
-            F.col(user_col).cast("string"),
+            F.coalesce(F.col(user_col).cast("string"), F.lit("null")),
             F.sum(brk)
             .over(w.rowsBetween(Window.unboundedPreceding, 0))
             .cast("string"),
@@ -218,13 +233,21 @@ def session_stats(
     session_col: str = "session_id",
 ) -> DataFrame:
     """Per-session rollup over a sessionize() frame: event count,
-    duration in exact microseconds, and the value sum — one hash
-    aggregate on the session id (which begins with the user id, so it
-    co-partitions with sessionize()'s exchange)."""
+    duration in exact microseconds, and the value sum.  Grouping on
+    (user, session) — NOT session alone — lets the planner satisfy the
+    aggregate's distribution with sessionize()'s existing
+    hashpartitioning(user) exchange: one shuffle for the whole
+    window+rollup pipeline instead of two (and user_col is a group key,
+    not an order-dependent first())."""
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    return sessionized.groupBy(session_col).agg(
-        F.first(user_col).alias(user_col),
-        F.count("*").cast("long").alias("n_events"),
-        (F.max(us) - F.min(us)).cast("long").alias("duration_us"),
-        F.sum(value_col).alias("sum_value"),
+    return (
+        sessionized.groupBy(user_col, session_col)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.max(us) - F.min(us)).cast("long").alias("duration_us"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            session_col, user_col, "n_events", "duration_us", "sum_value"
+        )
     )

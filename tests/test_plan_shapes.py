@@ -334,8 +334,10 @@ def test_normalize_unicode_is_map_only(spark):
 
 def test_sessionize_single_user_exchange(spark):
     """sessionize + session_stats must plan exactly ONE exchange on the
-    user key — the lag window, the running sum, and the rollup all
-    reuse it (extra exchanges mean the windows lost the partitioning)."""
+    user key — the lag window, the running sum, AND the rollup all
+    reuse it (the rollup groups on (user, session) precisely so
+    hashpartitioning(user) satisfies its distribution; grouping on
+    session alone regresses to a second full shuffle)."""
     from fabstir_vectordb_spark.operators.stats import (
         session_stats,
         sessionize,
@@ -343,7 +345,8 @@ def test_sessionize_single_user_exchange(spark):
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     plan = _executed(session_stats(sessionize(ev, gap_seconds=3600)))
-    assert plan.count("Exchange hashpartitioning") <= 2  # user key + final agg
-    # the raw event 'props' payload never crosses a shuffle
-    for seg in plan.split("Exchange hashpartitioning")[1:]:
-        assert "props#" not in seg.split("\n")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    # column pruning: the raw event 'props' payload must not appear
+    # ANYWHERE in the executed plan (not just in partition keys — a
+    # vacuous key-only check would miss pruning regressions)
+    assert "props#" not in plan
