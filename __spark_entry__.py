@@ -3143,6 +3143,70 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal joins (operators/temporal.py) over the events fixture,
+    both parts fully SQL-replayed:
+
+      asof  — for every 'click' event, the latest same-user 'view' at
+              or before it within a 2 h tolerance (the trades/quotes
+              as-of join; the union+last(struct) single-window plan vs
+              DuckDB's NATIVE ASOF JOIN — two entirely independent
+              implementations must agree row-for-row).  The view side
+              is deduplicated on (user, ts) keeping the max event_id,
+              because both engines' as-of semantics are otherwise
+              nondeterministic on timestamp collisions.
+      range — bucketed point-in-interval join of every event into its
+              user's session [min ts, max ts] intervals (from
+              sessionize; same-user sessions are disjoint, so this
+              must reproduce the session assignment — the oracle is a
+              plain inequality join).
+
+    Output: (part, id=left event id, ref=matched id, score)."""
+    from pyspark.sql.window import Window as _W
+
+    from fabstir_vectordb_spark.operators.stats import sessionize
+    from fabstir_vectordb_spark.operators.temporal import asof_join, range_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    a = asof_join(
+        clicks, views, on="user_id", value_cols=["event_id", "value"],
+        tolerance_seconds=7200,
+    )
+    part_asof = a.select(
+        F.lit("asof").alias("part"),
+        F.col("event_id").alias("id"),
+        F.coalesce(F.col("event_id_r").cast("string"), F.lit("none")).alias("ref"),
+        F.coalesce(r6("value_r"), F.lit(-1.0)).alias("score"),
+    )
+    s = sessionize(ev, gap_seconds=3600)
+    bounds = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("start"), F.max("ts").alias("end")
+    )
+    part_range = range_join(
+        ev, bounds, on="user_id", bucket_seconds=3600
+    ).select(
+        F.lit("range").alias("part"),
+        F.col("event_id").alias("id"),
+        F.col("session_id").alias("ref"),
+        F.lit(1.0).alias("score"),
+    )
+    return part_asof.unionByName(part_range)
+
+
 def q_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary sign-bit sketch search (operators/binary.py) — the FIRST
     approximate path certified hash-exact rather than by contract: the
@@ -5108,6 +5172,54 @@ SELECT concat(CAST(user_id AS VARCHAR), '#', CAST(sidx AS VARCHAR)) AS session_i
 FROM s GROUP BY user_id, sidx
 """
 
+_ORACLES["event_asof"] = """
+WITH v AS (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), aj AS (
+  SELECT c.event_id AS id, c.ts AS lts, v.ts AS rts,
+         v.event_id AS rid, v.value AS rvalue
+  FROM c ASOF LEFT JOIN v
+    ON c.user_id = v.user_id AND c.ts >= v.ts
+), l AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) > 3600000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM l
+), sx AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sidx
+  FROM f
+), bounds AS (
+  SELECT user_id, sidx, min(ts) AS s0, max(ts) AS s1
+  FROM sx GROUP BY user_id, sidx
+)
+SELECT 'asof' AS part, id,
+       CASE WHEN rts IS NULL
+              OR epoch_us(lts) - epoch_us(rts) > 7200000000
+            THEN 'none' ELSE CAST(rid AS VARCHAR) END AS ref,
+       CASE WHEN rts IS NULL
+              OR epoch_us(lts) - epoch_us(rts) > 7200000000
+            THEN -1.0 ELSE (round(rvalue, 6) + 0.0) END AS score
+FROM aj
+UNION ALL
+SELECT 'range' AS part, e.event_id AS id,
+       concat(CAST(b.user_id AS VARCHAR), '#', CAST(b.sidx AS VARCHAR)) AS ref,
+       1.0 AS score
+FROM events e JOIN bounds b
+  ON e.user_id = b.user_id AND e.ts >= b.s0 AND e.ts <= b.s1
+"""
+
 _ORACLES["event_percentiles"] = """
 SELECT event_type, count(*) AS n,
   (round(avg(value), 6) + 0.0) AS mean,
@@ -5273,6 +5385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ledger_history": q_ledger_history,
         "binary_hamming": q_binary_hamming,
         "event_sessions": q_event_sessions,
+        "event_asof": q_event_asof,
     }
 
 

@@ -1,0 +1,157 @@
+"""Temporal joins: as-of and range (point-in-interval) — the two
+classic time-series operators the DataFrame API has no primitive for,
+named in this engine's design brief as the canonical "custom operator"
+cases.
+
+**As-of join** (the trades/quotes join): for each left row, the LATEST
+right row of the same key with ``right.ts <= left.ts`` (optionally
+within a tolerance).  The naive formulation is an inequality join —
+O(L x R) per key — and Spark has no ASOF keyword.  The scalable
+formulation used here is the classic union trick: tag both sides, union
+them, sort each key's timeline once (right rows before left rows at
+equal timestamps, so the boundary is inclusive), and carry the last
+right row forward with ``last(struct, ignorenulls=True)`` over an
+unbounded-preceding row frame.  ONE exchange (the key), ONE window
+pass, no inequality join anywhere.  The right row travels as a STRUCT
+so its columns can never mix across rows (per-column ``last`` would
+pair column A of one row with column B of another whenever right-side
+values contain NULLs).
+
+**Range join** (point-in-interval): pair each point with the intervals
+of its key that contain it.  The naive form is again an inequality
+join; the scalable form buckets time — each interval replicates to the
+fixed-width buckets it covers, points join on (key, bucket) equality,
+and the exact containment predicate filters.  A (point, interval) pair
+can only meet in the point's own bucket, so no dedup stage is needed.
+Pick ``bucket_seconds`` near the typical interval length: too small
+replicates intervals, too large inflates the per-bucket candidate set.
+
+Both replay exactly in SQL (DuckDB has a native ASOF JOIN; the range
+predicate is a plain inequality join at oracle scale), which is what
+certifies them — see __spark_entry__ ``event_asof``.
+
+Reference parity: none (no temporal surface in the reference);
+extension-axis alongside operators/stats.py's sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def _micros(col):
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_ts_col: str | None = None,
+    value_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    right_order_col: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: ``left``'s columns plus, per value column,
+    ``<col><suffix>`` from the latest right row with
+    ``right_ts <= left_ts`` for the same ``on`` key — NULL when no such
+    row exists (or the match is older than ``tolerance_seconds``).
+    Also emits ``ts<suffix>``, the matched right timestamp.
+
+    ``right_order_col``: tie-break among right rows sharing (key, ts);
+    the LARGEST wins (the latest writer).  Without it, equal-timestamp
+    right rows are matched arbitrarily — pass one whenever right
+    timestamps can collide, or the result is not deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    rts = right_ts_col or ts_col
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, rts)]
+
+    payload = F.struct(
+        F.col(rts).cast("timestamp").alias("__rts"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    r = right.select(
+        F.col(on).alias(on),
+        F.col(rts).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__side"),
+        (F.col(right_order_col) if right_order_col else F.lit(0)).alias("__ord"),
+        payload.alias("__rv"),
+    )
+    l = left.select(
+        F.col(on).alias(on),
+        F.col(ts_col).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__ord"].dataType).alias("__ord"),
+        F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    r = r.withColumn(
+        "__lrow", F.lit(None).cast(l.schema["__lrow"].dataType)
+    )
+    # right rows sort BEFORE left rows at the same instant (side 0 < 1):
+    # the boundary right.ts == left.ts is an inclusive match; among
+    # equal right timestamps the largest __ord sorts last and wins
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__ord"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        l.unionByName(r)
+        .withColumn("__match", F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance_seconds is not None:
+        lag_us = F.unix_micros(F.col("__ts")) - F.unix_micros(
+            F.col("__match.__rts")
+        )
+        carried = carried.withColumn(
+            "__match",
+            F.when(lag_us <= tolerance_seconds * 1_000_000, F.col("__match")),
+        )
+    out_left = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    out_right = [F.col("__match.__rts").alias(f"ts{suffix}")] + [
+        F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in value_cols
+    ]
+    return carried.select(*out_left, *out_right)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner point-in-interval join: one row per (point, containing
+    interval) pair of the same key, ``start <= ts <= end`` inclusive —
+    points' columns plus the interval's.  Equality-join on
+    (key, time-bucket) with the exact predicate as a post-filter; the
+    interval side replicates per covered bucket, the point side never
+    duplicates (a pair meets only in the point's own bucket)."""
+    b_us = int(bucket_seconds) * 1_000_000
+    p = points.withColumn("__bkt", F.floor(_micros(ts_col) / b_us).cast("long"))
+    iv = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(_micros(start_col) / b_us).cast("long"),
+                F.floor(_micros(end_col) / b_us).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, [on, "__bkt"]).filter(
+        (_micros(ts_col) >= _micros(start_col))
+        & (_micros(ts_col) <= _micros(end_col))
+    )
+    return joined.drop("__bkt")

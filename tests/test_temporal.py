@@ -1,0 +1,140 @@
+"""Temporal joins (operators/temporal.py): as-of semantics (latest
+right <= left, inclusive boundary, tolerance, no-match NULLs,
+deterministic ties) and bucketed range-join exactness across bucket
+boundaries."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.operators.temporal import asof_join, range_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def test_asof_basic_latest_and_boundary(spark):
+    left = spark.createDataFrame(
+        [(0, _ts(10), 7), (1, _ts(4), 7), (2, _ts(100), 8), (3, _ts(1), 9)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts(4), 7, 1.0),   # equal ts -> inclusive match for left 1
+            (101, _ts(9), 7, 2.0),   # latest <= 10 for left 0
+            (102, _ts(11), 7, 3.0),  # in the future of both
+            (103, _ts(50), 8, 4.0),
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    got = {
+        r["event_id"]: (r["value_r"], r["ts_r"])
+        for r in asof_join(
+            left, right, on="user_id", value_cols=["value"],
+            right_order_col="event_id",
+        ).collect()
+    }
+    assert got[0] == (2.0, _ts(9))
+    assert got[1] == (1.0, _ts(4))    # boundary ts==ts matches
+    assert got[2] == (4.0, _ts(50))
+    assert got[3] == (None, None)     # user 9: no right rows at all
+
+
+def test_asof_tolerance_and_tie_break(spark):
+    left = spark.createDataFrame(
+        [(0, _ts(1000), 1), (1, _ts(20), 1)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(15), 1, 1.0), (11, _ts(15), 1, 2.0)],  # duplicate ts
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    got = {
+        r["event_id"]: r["value_r"]
+        for r in asof_join(
+            left, right, on="user_id", value_cols=["value"],
+            tolerance_seconds=60, right_order_col="event_id",
+        ).collect()
+    }
+    assert got[1] == 2.0      # largest right_order_col wins the tie
+    assert got[0] is None     # match exists but is 985s old > 60s tolerance
+
+
+def test_asof_struct_keeps_right_row_atomic(spark):
+    """A NULL in one right value column must not splice columns from
+    different right rows (the per-column last() trap the struct
+    payload exists to prevent)."""
+    left = spark.createDataFrame(
+        [(0, _ts(30), 1)], "event_id long, ts timestamp, user_id long"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(10), 1, 1.0, "a"), (11, _ts(20), 1, None, "b")],
+        "event_id long, ts timestamp, user_id long, value double, tag string",
+    )
+    row = asof_join(
+        left, right, on="user_id", value_cols=["value", "tag"],
+        right_order_col="event_id",
+    ).first()
+    # the matched row is event 11 wholesale: NULL value AND tag 'b' —
+    # never (1.0, 'b') spliced across rows
+    assert row["value_r"] is None and row["tag_r"] == "b"
+
+
+def test_range_join_across_bucket_boundaries(spark):
+    points = spark.createDataFrame(
+        [(0, _ts(5), 1), (1, _ts(3599), 1), (2, _ts(7200), 1), (3, _ts(50), 2)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("s1", _ts(0), _ts(4000), 1),      # spans a 3600s bucket edge
+            ("s2", _ts(7000), _ts(8000), 1),
+            ("s3", _ts(100), _ts(200), 2),     # point 3 is OUTSIDE
+        ],
+        "iv_id string, start timestamp, end timestamp, user_id long",
+    )
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in range_join(
+            points, intervals, on="user_id", bucket_seconds=3600
+        ).collect()
+    )
+    assert got == [(0, "s1"), (1, "s1"), (2, "s2")]
+    # exactness is bucket-size independent
+    tiny = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in range_join(
+            points, intervals, on="user_id", bucket_seconds=7
+        ).collect()
+    )
+    assert tiny == got
+
+
+def test_range_join_reproduces_session_assignment(spark, events):
+    """Self-consistency at fixture scale: range-joining events into
+    their own sessions' [min ts, max ts] intervals must reproduce the
+    sessionize() assignment exactly (same-user sessions are disjoint)."""
+    from fabstir_vectordb_spark.operators.stats import sessionize
+
+    ev = events.limit(2000)
+    s = sessionize(ev, gap_seconds=3600)
+    bounds = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("start"), F.max("ts").alias("end")
+    )
+    rj = range_join(
+        ev, bounds, on="user_id", bucket_seconds=3600
+    ).select("event_id", F.col("session_id").alias("rj_session"))
+    diff = (
+        s.select("event_id", "session_id")
+        .join(rj, "event_id", "full")
+        .filter(
+            F.col("session_id").isNull()
+            | F.col("rj_session").isNull()
+            | (F.col("session_id") != F.col("rj_session"))
+        )
+        .count()
+    )
+    assert diff == 0
