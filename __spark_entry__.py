@@ -1558,9 +1558,47 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_exact_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-dedup operator alone (bench shape — one md5 shuffle)."""
     docs = _t(spark, sf_dir, "documents")
     return DD.exact_dedup(docs).select("id", "canonical_id", "group_size", "is_duplicate")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup + the cross-batch fingerprint ledger in one
+    part-discriminated row (merged round 7 to bring the registry back
+    under the driver's 50-slot window; the round-6 `ledger_history`
+    slot folds in here — its standalone body lives on as
+    q_ledger_history and is reused verbatim, so the merged hash
+    certifies it exactly.  bench.py times q_dedup_exact_raw so the
+    ledger's FS commits never enter the benchmark).
+
+    Common column map (part, id, ref, n, flag):
+      exact:       ref=canonical_id, n=group_size, flag=is_duplicate
+                   (the former dedup_exact body)
+      ledger_seen: flag = committed-history membership probe
+                   (FingerprintLedger.contains after batch-1 commit)
+      ledger_kept: flag = filter_new survivor (in-batch keep-first
+                   min-id AND not in history)
+    Unused slots are -1/0."""
+    exact = q_dedup_exact_raw(spark, sf_dir).select(
+        F.lit("exact").alias("part"), "id",
+        F.col("canonical_id").alias("ref"),
+        F.col("group_size").cast("long").alias("n"),
+        F.col("is_duplicate").alias("flag"),
+    )
+    led = q_ledger_history(spark, sf_dir)
+
+    def _flag(col: str) -> DataFrame:
+        return led.select(
+            F.lit(f"ledger_{col}").alias("part"),
+            F.col("doc_id").alias("id"),
+            F.lit(-1).cast("long").alias("ref"),
+            F.lit(0).cast("long").alias("n"),
+            F.col(col).alias("flag"),
+        )
+
+    return exact.unionByName(_flag("seen")).unionByName(_flag("kept"))
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2743,7 +2781,7 @@ def q_hybrid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_event_percentiles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p99 + count/mean per event type
     (search_integration.rs:491-552's perf monitor as a grouped agg)."""
     ev = _t(spark, sf_dir, "events")
@@ -2752,6 +2790,65 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", r6("mean").alias("mean"),
         r6("p50").alias("p50"), r6("p99").alias("p99"),
     )
+
+
+def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three certified views of the events fixture in one
+    part-discriminated row (merged round 7 to bring the registry back
+    under the driver's 50-slot window — the round-6 `event_sessions`
+    and `event_asof` slots fold in here; their standalone bodies live
+    on as q_event_sessions / q_event_asof, SQL-replayed verbatim):
+
+      pctl           — exact p50/p99 + count/mean per event type
+                       (the former event_percentiles body)
+      session        — gaps-and-islands sessionization + per-session
+                       rollup (operators/stats.py sessionize +
+                       session_stats, 1 h gap)
+      asof / range   — the temporal joins (operators/temporal.py):
+                       as-of click→view vs DuckDB's NATIVE ASOF JOIN;
+                       bucketed point-in-interval session assignment
+
+    Common column map (part, key, ref, n, x1, x2, x3):
+      pctl:    key=event_type, ref='',        n=count, x1=mean,
+               x2=p50, x3=p99
+      session: key=session_id, ref=user_id,   n=n_events,
+               x1=duration_us (exact in double < 2^53), x2=sum_value
+      asof:    key=left event_id, ref=matched event_id or 'none',
+               x1=matched value or -1
+      range:   key=event_id, ref=session_id, x1=1
+    Unused slots are 0/''. Every mapping is injective per part, so the
+    merged hash certifies each constituent exactly as the standalone
+    rows did."""
+    zl = F.lit(0).cast("long")
+    zd = F.lit(0.0)
+    p = q_event_percentiles_raw(spark, sf_dir).select(
+        F.lit("pctl").alias("part"),
+        F.col("event_type").alias("key"),
+        F.lit("").alias("ref"),
+        F.col("n").cast("long").alias("n"),
+        F.col("mean").alias("x1"),
+        F.col("p50").alias("x2"),
+        F.col("p99").alias("x3"),
+    )
+    s = q_event_sessions(spark, sf_dir).select(
+        F.lit("session").alias("part"),
+        F.col("session_id").alias("key"),
+        F.col("user_id").cast("string").alias("ref"),
+        F.col("n_events").cast("long").alias("n"),
+        F.col("duration_us").cast("double").alias("x1"),
+        F.col("sum_value").alias("x2"),
+        zd.alias("x3"),
+    )
+    t = q_event_asof(spark, sf_dir).select(
+        "part",
+        F.col("id").cast("string").alias("key"),
+        F.col("ref"),
+        zl.alias("n"),
+        F.col("score").alias("x1"),
+        zd.alias("x2"),
+        zd.alias("x3"),
+    )
+    return p.unionByName(s).unionByName(t)
 
 
 def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2844,7 +2941,20 @@ def q_hybrid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 same L2 SQL oracle as knn_l2.
 
     The two 'indices' of the merge parts are the label<5 / label>=5
-    halves of the table."""
+    halves of the table.
+
+    Round 7 folds two round-6 slots in here (registry back under the
+    50-slot driver window; standalone bodies live on and are reused
+    verbatim, so the merged hash certifies them exactly):
+
+      rag_doc     — document-level RAG retrieval (pipelines.rag_search):
+                    chunk top-32 per query -> min-pool per doc -> doc
+                    top-5, IVF at full probe ≡ brute force, full SQL
+                    replay (q_rag_doc_search)
+      bin_hamming — binary sign-bit sketch top-10 by packed
+                    xor/bit_count Hamming, bit-exact signature replay
+      bin_rerank  — the sketch's oversampled exact-L2 rerank tier
+                    (both from q_binary_hamming)"""
     hybrid = q_hybrid_merge_raw(spark, sf_dir).select(
         F.lit("hybrid").alias("part"), "query_id", "id",
         F.col("distance").alias("score"),
@@ -2873,7 +2983,18 @@ def q_hybrid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ann_fanout").alias("part"), "query_id", "id",
         r6("distance").alias("score"),
     )
-    return hybrid.unionByName(weighted).unionByName(fanout)
+    rag = q_rag_doc_search(spark, sf_dir).select(
+        F.lit("rag_doc").alias("part"), "query_id", "id",
+        F.col("distance").alias("score"),
+    )
+    binh = q_binary_hamming(spark, sf_dir).select(
+        F.concat(F.lit("bin_"), F.col("part")).alias("part"),
+        "query_id", "id", "score",
+    )
+    return (
+        hybrid.unionByName(weighted).unionByName(fanout)
+        .unionByName(rag).unionByName(binh)
+    )
 
 
 def q_hybrid_merge_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4529,13 +4650,29 @@ SELECT m.doc_id,
 FROM m LEFT JOIN hist h USING (fp)
 """
 
-_ORACLES["dedup_exact"] = f"""
+_ORACLES["dedup_exact_raw"] = f"""
 WITH f AS (SELECT doc_id AS id, {_FP} AS fp FROM documents)
 SELECT id,
   min(id) OVER (PARTITION BY fp) AS canonical_id,
   COUNT(*) OVER (PARTITION BY fp) AS group_size,
   id <> min(id) OVER (PARTITION BY fp) AS is_duplicate
 FROM f
+"""
+
+# exact dedup + the cross-batch ledger flags in one part-discriminated
+# result (round-7 registry consolidation; column map in q_dedup_exact)
+_ORACLES["dedup_exact"] = f"""
+SELECT 'exact' AS part, id, canonical_id AS ref, group_size AS n,
+       is_duplicate AS flag
+FROM ({_ORACLES["dedup_exact_raw"]})
+UNION ALL
+SELECT 'ledger_seen' AS part, doc_id AS id, CAST(-1 AS BIGINT) AS ref,
+       CAST(0 AS BIGINT) AS n, seen AS flag
+FROM ({_ORACLES["ledger_history"]})
+UNION ALL
+SELECT 'ledger_kept' AS part, doc_id AS id, CAST(-1 AS BIGINT) AS ref,
+       CAST(0 AS BIGINT) AS n, kept AS flag
+FROM ({_ORACLES["ledger_history"]})
 """
 
 _ORACLES["dedup_ngram_jaccard"] = f"""
@@ -5080,7 +5217,9 @@ FROM r WHERE rn <= {K}
 
 # both merge operators + the end-to-end HNSW+IVF fan-out in one result,
 # discriminated by part (the fan-out runs both sides at their exactness
-# hooks, so its oracle is plain exact kNN)
+# hooks, so its oracle is plain exact kNN).  Round 7 folds in the
+# rag_doc_search and binary_hamming constituents (registry
+# consolidation; their standalone oracles are reused verbatim).
 _ORACLES["hybrid_merge"] = f"""
 SELECT 'hybrid' AS part, query_id, id, distance AS score
 FROM ({_ORACLES["hybrid_merge"]})
@@ -5090,6 +5229,12 @@ FROM ({_ORACLES["merge_weighted"]})
 UNION ALL
 SELECT 'ann_fanout' AS part, query_id, id, distance AS score
 FROM ({_ORACLES["knn_l2"]})
+UNION ALL
+SELECT 'rag_doc' AS part, query_id, id, distance AS score
+FROM ({_ORACLES["rag_doc_search"]})
+UNION ALL
+SELECT concat('bin_', part) AS part, query_id, id, score
+FROM ({_ORACLES["binary_hamming"]})
 """
 
 # the streaming accumulator's reconstructed final state must equal exact
@@ -5220,12 +5365,31 @@ FROM events e JOIN bounds b
   ON e.user_id = b.user_id AND e.ts >= b.s0 AND e.ts <= b.s1
 """
 
-_ORACLES["event_percentiles"] = """
+_ORACLES["event_percentiles_raw"] = """
 SELECT event_type, count(*) AS n,
   (round(avg(value), 6) + 0.0) AS mean,
   (round(quantile_cont(value, 0.5), 6) + 0.0) AS p50,
   (round(quantile_cont(value, 0.99), 6) + 0.0) AS p99
 FROM events GROUP BY event_type
+"""
+
+# percentiles + sessionization + temporal joins over the events fixture
+# in one part-discriminated result (round-7 registry consolidation;
+# column map in q_event_percentiles; constituent oracles reused
+# verbatim)
+_ORACLES["event_percentiles"] = f"""
+SELECT 'pctl' AS part, event_type AS key, '' AS ref, n,
+       mean AS x1, p50 AS x2, p99 AS x3
+FROM ({_ORACLES["event_percentiles_raw"]})
+UNION ALL
+SELECT 'session' AS part, session_id AS key,
+       CAST(user_id AS VARCHAR) AS ref, n_events AS n,
+       CAST(duration_us AS DOUBLE) AS x1, sum_value AS x2, 0.0 AS x3
+FROM ({_ORACLES["event_sessions"]})
+UNION ALL
+SELECT part, CAST(id AS VARCHAR) AS key, ref, CAST(0 AS BIGINT) AS n,
+       score AS x1, 0.0 AS x2, 0.0 AS x3
+FROM ({_ORACLES["event_asof"]})
 """
 
 
@@ -5330,6 +5494,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     ordered rebuild)
     #   pii_redact gains html_text_fp (strip_html ingest extraction,
     #     identical regex chain replayed under RE2)
+    # Round-7 consolidations (the five round-6 slots that overflowed the
+    # 50-entry driver window fold into existing slots as parts; every
+    # standalone body + oracle lives on and is reused verbatim, so the
+    # merged hashes certify them exactly):
+    #   event_sessions + event_asof -> event_percentiles
+    #     (parts session / asof / range; former body -> part=pctl)
+    #   rag_doc_search + binary_hamming -> hybrid_merge
+    #     (parts rag_doc / bin_hamming / bin_rerank)
+    #   ledger_history -> dedup_exact
+    #     (parts ledger_seen / ledger_kept; former body -> part=exact;
+    #      bench.py times q_dedup_exact_raw so ledger FS commits never
+    #      enter the benchmark)
     return {
         "knn_metrics": q_knn_metrics,
         "knn_bulk": q_knn_bulk,
@@ -5381,11 +5557,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "quantize_roundtrip": q_quantize_roundtrip,
         "hybrid_merge": q_hybrid_merge,
-        "rag_doc_search": q_rag_doc_search,
-        "ledger_history": q_ledger_history,
-        "binary_hamming": q_binary_hamming,
-        "event_sessions": q_event_sessions,
-        "event_asof": q_event_asof,
     }
 
 

@@ -99,6 +99,7 @@ def main() -> int:
             "ann_ivf_probe": E.q_ann_ivf_probe_raw,
             "simhash": E.q_simhash_raw,
             "hybrid_merge": E.q_hybrid_merge_raw,
+            "dedup_exact": E.q_dedup_exact_raw,
             "text_stats": E.q_text_stats_raw,
             "text_quality": E.q_text_quality_raw,
             "keyword_bm25": E.q_keyword_bm25_raw,
