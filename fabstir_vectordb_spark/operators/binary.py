@@ -203,10 +203,19 @@ class BinarySketch:
                 out_q, out_id, out_d = [], [], []
                 for j, qid in enumerate(qids_l):
                     d = _popcount(np.bitwise_xor(Vw, Qw[j][None, :]))
-                    order = np.lexsort((ids, d))[:k]
-                    out_q.extend([qid] * len(order))
-                    out_id.extend(ids[order].tolist())
-                    out_d.extend(d[order].astype(np.int64).tolist())
+                    # argpartition shortlist (the bulk kernel's shape):
+                    # O(n) select of the k-th distance, then lexsort only
+                    # the <=thresh tie set instead of the whole partition
+                    if len(d) > k:
+                        part = np.argpartition(d, k - 1)
+                        thresh = d[part[:k]].max()
+                        cand = np.flatnonzero(d <= thresh)
+                        cand = cand[np.lexsort((ids[cand], d[cand]))][:k]
+                    else:
+                        cand = np.lexsort((ids, d))[:k]
+                    out_q.extend([qid] * len(cand))
+                    out_id.extend(ids[cand].tolist())
+                    out_d.extend(d[cand].astype(np.int64).tolist())
                 yield pd.DataFrame({"query_id": out_q, "id": out_id, "distance": out_d})
 
         partials = sigs.select(

@@ -64,9 +64,22 @@ def asof_join(
     Also emits ``ts<suffix>``, the matched right timestamp.
 
     ``right_order_col``: tie-break among right rows sharing (key, ts);
-    the LARGEST wins (the latest writer).  Without it, equal-timestamp
-    right rows are matched arbitrarily — pass one whenever right
-    timestamps can collide, or the result is not deterministic.
+    the LARGEST wins (the latest writer).  Without it the tie-break
+    falls back to ``xxhash64`` of the right payload struct — an
+    arbitrary but DETERMINISTIC winner, so reruns and retried tasks
+    agree (fully identical duplicate rows tie harmlessly: either copy
+    carries the same payload).  Pass a real order column whenever the
+    collision winner is semantically meaningful (e.g. a sequence
+    number); the hash fallback only guarantees stability, not
+    latest-writer semantics.
+
+    Skew boundary: the single window serializes each key in one task —
+    a pathologically hot key (one key holding ~10^8 rows) becomes a
+    straggler, inherent to any windowed as-of.  Escape hatch: split
+    that key's timeline into coarse chunks (e.g. by day), run the
+    as-of per chunk, and patch each chunk's leading unmatched rows
+    from the previous chunk's last right row — or cap/sample the hot
+    key upstream the way ``cap_per_group`` does for sampling.
     """
     from pyspark.sql.window import Window
 
@@ -78,11 +91,14 @@ def asof_join(
         F.col(rts).cast("timestamp").alias("__rts"),
         *[F.col(c).alias(c) for c in value_cols],
     )
+    order = (
+        F.col(right_order_col) if right_order_col else F.xxhash64(payload)
+    )
     r = right.select(
         F.col(on).alias(on),
         F.col(rts).cast("timestamp").alias("__ts"),
         F.lit(0).alias("__side"),
-        (F.col(right_order_col) if right_order_col else F.lit(0)).alias("__ord"),
+        order.alias("__ord"),
         payload.alias("__rv"),
     )
     l = left.select(
@@ -138,9 +154,25 @@ def range_join(
     points' columns plus the interval's.  Equality-join on
     (key, time-bucket) with the exact predicate as a post-filter; the
     interval side replicates per covered bucket, the point side never
-    duplicates (a pair meets only in the point's own bucket)."""
+    duplicates (a pair meets only in the point's own bucket).
+
+    Malformed intervals (``end < start``) are dropped BEFORE the bucket
+    explode: they can contain no point (``start <= ts <= end`` is
+    unsatisfiable), and without the filter Spark's ``sequence`` would
+    silently generate a DESCENDING bucket list for them (default step
+    -1 when start > stop), replicating garbage buckets that only the
+    containment filter pays to discard.
+
+    Skew boundary: an interval spanning B buckets emits B rows — one
+    open-ended or year-long interval at hourly buckets replicates
+    ~9,000x.  Pick ``bucket_seconds`` near the TYPICAL interval length,
+    and split or clamp pathological long-lived intervals upstream
+    (e.g. cap at a max duration, or break them into day-sized
+    sub-intervals — containment results are identical since the pieces
+    tile the original)."""
     b_us = int(bucket_seconds) * 1_000_000
     p = points.withColumn("__bkt", F.floor(_micros(ts_col) / b_us).cast("long"))
+    intervals = intervals.filter(_micros(start_col) <= _micros(end_col))
     iv = intervals.withColumn(
         "__bkt",
         F.explode(

@@ -204,10 +204,28 @@ class FingerprintLedger:
         recovery step instead of silently passing every future batch as
         new.  Stale leftovers from an interrupted run are swept first
         (safe: the live ledger is intact whenever they coexist with
-        it)."""
+        it).
+
+        LOCAL FILESYSTEM ONLY: the swap relies on POSIX directory
+        rename atomicity (and the leftover sweep on local glob), which
+        object stores (s3://...) and cross-device mounts do not
+        provide.  Checked UP FRONT so a non-local ledger path fails
+        before the sweep runs, not mid-swap.  commit()/filter_new()/
+        contains() remain plain Spark parquet I/O and work on any
+        Hadoop filesystem — only this maintenance rewrite is
+        local-bound (an object-store variant would write-new +
+        repoint a manifest instead of renaming)."""
         import os
         import shutil
         import uuid
+
+        if "://" in self.path and not self.path.startswith("file://"):
+            raise ValueError(
+                f"compact() requires a local filesystem ledger path "
+                f"(atomic directory rename); got {self.path!r}. "
+                "Run compaction on a local copy, or leave duplicate "
+                "rows in place — they are harmless for dedup semantics."
+            )
 
         led = self._read()
         if led is None:

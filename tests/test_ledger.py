@@ -2,6 +2,7 @@
 semantics across batches, at-least-once commit safety, membership
 probe, and compaction."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from fabstir_vectordb_spark.sources.ledger import FingerprintLedger
@@ -212,3 +213,12 @@ def test_swap_guard_survives_glob_metachars_in_path(spark, tmp_path):
     os.rename(str(base / "led"), str(base / "led__old-abcd1234"))
     with pytest.raises(RuntimeError):
         led.filter_new(b).collect()
+
+
+def test_compact_refuses_non_local_path(spark):
+    """compact()'s two-rename swap relies on POSIX directory-rename
+    atomicity; an object-store ledger path must fail UP FRONT (before
+    the leftover sweep), not mid-swap."""
+    led = FingerprintLedger(spark, "s3://bucket/ledger")
+    with pytest.raises(ValueError, match="local filesystem"):
+        led.compact()

@@ -138,3 +138,105 @@ def test_range_join_reproduces_session_assignment(spark, events):
         .count()
     )
     assert diff == 0
+
+
+def test_asof_default_tie_break_is_deterministic(spark):
+    """Without right_order_col, colliding (key, ts) right rows fall back
+    to an xxhash64-of-payload tie-break: arbitrary which row wins, but
+    STABLE — the same winner regardless of input row order or
+    partitioning, and the winner's payload arrives intact (never a
+    splice of the colliding rows)."""
+    left = spark.createDataFrame(
+        [(0, _ts(30), 1)], "event_id long, ts timestamp, user_id long"
+    )
+    rows = [
+        (10, _ts(15), 1, 1.0, "a"),
+        (11, _ts(15), 1, 2.0, "b"),
+        (12, _ts(15), 1, 3.0, "c"),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, value double, tag string"
+
+    def run(rws, parts):
+        right = spark.createDataFrame(rws, schema).repartition(parts)
+        return asof_join(
+            left, right, on="user_id", value_cols=["event_id", "value", "tag"]
+        ).first()
+
+    first = run(rows, 1)
+    assert (first["event_id_r"], first["value_r"], first["tag_r"]) in {
+        (10, 1.0, "a"), (11, 2.0, "b"), (12, 3.0, "c")
+    }
+    for rws, parts in [(rows[::-1], 1), (rows, 4), (rows[::-1], 7)]:
+        again = run(rws, parts)
+        assert (again["event_id_r"], again["value_r"], again["tag_r"]) == (
+            first["event_id_r"], first["value_r"], first["tag_r"]
+        )
+
+
+def test_range_join_drops_inverted_intervals_before_explode(spark):
+    """end < start is unsatisfiable (no point can be contained), and
+    pre-filtering it also prevents Spark's sequence() from generating a
+    DESCENDING bucket list (default step -1), which would replicate an
+    inverted year-long interval into ~thousands of garbage bucket rows
+    that only the containment filter pays to discard."""
+    points = spark.createDataFrame(
+        [(0, _ts(5), 1)], "event_id long, ts timestamp, user_id long"
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("ok", _ts(0), _ts(10), 1),
+            # inverted AND spanning ~10k hourly buckets if exploded
+            ("bad", _ts(40_000_000), _ts(0), 1),
+        ],
+        "iv_id string, start timestamp, end timestamp, user_id long",
+    )
+    got = [
+        (r["event_id"], r["iv_id"])
+        for r in range_join(
+            points, intervals, on="user_id", bucket_seconds=3600
+        ).collect()
+    ]
+    assert got == [(0, "ok")]
+
+
+def test_asof_hot_key_matches_inequality_join(spark):
+    """Degenerate skew: ONE key holding the entire timeline (the case
+    the docstring names as the serialization boundary).  Correctness
+    must hold even though the window runs in a single task — checked
+    against the naive inequality-join formulation at a size where
+    O(L x R) is still affordable."""
+    n = 800
+    left = spark.createDataFrame(
+        [(i, _ts(3 * i + 1), 1) for i in range(n)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, _ts(5 * i), 1, float(i)) for i in range(n)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    got = asof_join(
+        left, right, on="user_id", value_cols=["value"],
+        right_order_col="event_id",
+    ).select("event_id", "value_r")
+    naive = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") <= F.col("l.ts")),
+            "left",
+        )
+        .groupBy(F.col("l.event_id").alias("event_id"))
+        .agg(F.max_by("r.value", F.struct("r.ts", "r.event_id")).alias("value_r"))
+    )
+    diff = (
+        got.join(naive, "event_id", "full")
+        .filter(
+            ~(
+                (got["value_r"].isNull() & naive["value_r"].isNull())
+                | (got["value_r"] == naive["value_r"])
+            )
+        )
+        .count()
+    )
+    assert diff == 0
