@@ -158,6 +158,62 @@ def windowed_event_counts(
     )
 
 
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of operators/stats.sessionize + session_stats:
+    per-session rollups over a live event stream via
+    ``session_window`` — Spark's native merging-session state, so
+    sessions spanning micro-batches merge correctly and state is
+    bounded by the watermark (a session closes, emits, and its state
+    drops once the watermark passes its end).
+
+    Boundary parity with the batch operator: batch breaks a session on
+    gap STRICTLY GREATER than ``gap_seconds`` (an exactly-gap-sized
+    pause stays in-session), and ``session_window``'s merge is
+    INCLUSIVE at the window edge (an event at exactly
+    ``prev + gap`` merges; +1 microsecond breaks — probed empirically,
+    pinned by tests/test_streaming.py's boundary test), so the raw gap
+    gives event-for-event agreement at every boundary — certified
+    stream≡batch on the same fixture in tests/test_streaming.py.
+
+    Output, one row per closed session (plus the in-flight ones under
+    complete/update mode): (user, session_start, n_events, duration_us,
+    sum_value) — the session_stats rollup keyed by (user, start) rather
+    than the batch dense '<user>#<k>' index, which needs full history
+    and has no streaming meaning.  duration_us is exact integer
+    microseconds (max - min event time), NOT the padded window span
+    (session_window.end includes the trailing gap).
+
+    Scale shape: one shuffle keyed (user, session-window); the
+    watermark bounds state to open sessions only — at any instant
+    that's O(active users), independent of stream length."""
+    gap = f"{int(gap_seconds) * 1_000_000} microseconds"
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.max(us) - F.min(us)).cast("long").alias("duration_us"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(us).alias("start_us"),
+        )
+        .select(
+            user_col,
+            F.col("start_us").alias("session_start_us"),
+            "n_events",
+            "duration_us",
+            "sum_value",
+        )
+    )
+
+
 def write_vectors_stream(
     stream: DataFrame,
     table_path: str,

@@ -374,3 +374,96 @@ def test_curate_stream_matches_batch_gate(spark, tmp_path):
         assert got["passed"] == want_pass, did
     assert not out["d1"]["passed"] and not out["d3"]["passed"]
     assert out["d0"]["passed"]
+
+
+def test_sessionize_stream_equals_batch(spark, tmp_path, events):
+    """sessionize_stream ≡ batch sessionize + session_stats on the same
+    fixture, replayed in several micro-batches so sessions SPAN batch
+    boundaries (the merging-session state path).  Complete mode emits
+    every session including those the final watermark hasn't closed,
+    making the bounded-input comparison exact.  The replay is
+    UNORDERED (repartition shuffles rows across files), so the
+    watermark must exceed the fixture's whole time span or genuinely
+    late rows are — correctly — dropped/finalized instead of merged,
+    which is engine behavior, not batch parity.  Keys are
+    (user, session start) — the batch dense '<user>#<k>' index has no
+    streaming meaning, so the batch side is keyed the same way."""
+    from fabstir_vectordb_spark.operators.stats import session_stats, sessionize
+
+    ev = events.limit(4000).select("user_id", "ts", "value", "event_id")
+    src = tmp_path / "sess_src"
+    ev.repartition(6).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double, event_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        SI.sessionize_stream(stream, gap_seconds=3600, watermark="3650 days")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start_us"], r["n_events"],
+         r["duration_us"], round(r["sum_value"], 6))
+        for r in spark.table("sess_stream").collect()
+    }
+
+    batch = session_stats(sessionize(ev, gap_seconds=3600))
+    starts = (
+        sessionize(ev, gap_seconds=3600)
+        .groupBy("user_id", "session_id")
+        .agg(F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("start_us"))
+    )
+    expect = {
+        (r["user_id"], r["start_us"], r["n_events"],
+         r["duration_us"], round(r["sum_value"], 6))
+        for r in batch.join(starts, ["user_id", "session_id"]).collect()
+    }
+    assert got == expect
+
+
+def test_sessionize_stream_exact_gap_boundary(spark, tmp_path):
+    """Pin the merge boundary: an exactly-gap-sized pause stays
+    IN-SESSION (batch semantics: break on strictly-greater gap;
+    session_window's merge is inclusive at the window edge), while
+    gap+1us breaks.  If a Spark upgrade ever flips the edge to
+    exclusive, this fails and sessionize_stream needs a +1us gap
+    adjustment to restore batch parity."""
+    import json as _json
+
+    src = tmp_path / "gap_src"
+    src.mkdir()
+    rows = [
+        # user 1: second event exactly 60s after the first -> SAME session
+        {"user_id": 1, "ts": "2026-01-10T12:00:00.000Z", "value": 1.0, "event_id": 0},
+        {"user_id": 1, "ts": "2026-01-10T12:01:00.000Z", "value": 1.0, "event_id": 1},
+        # user 2: 60.000001s pause -> TWO sessions
+        {"user_id": 2, "ts": "2026-01-10T12:00:00.000Z", "value": 1.0, "event_id": 2},
+        {"user_id": 2, "ts": "2026-01-10T12:01:00.000001Z", "value": 1.0, "event_id": 3},
+    ]
+    with open(src / "b0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double, event_id long"
+    ).json(str(src))
+    q = (
+        SI.sessionize_stream(stream, gap_seconds=60, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("sess_gap")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.table("sess_gap").collect()
+    )
+    assert got == [(1, 2), (2, 1), (2, 1)]
