@@ -1,0 +1,192 @@
+"""SQL surface for the as-of join (plans/sql_temporal.py): the
+canonical ASOF [LEFT] JOIN statement rewrites to asof_join's
+single-exchange plan; non-ASOF statements delegate to spark.sql
+verbatim; malformed ASOF raises (Spark cannot parse the keyword, so
+there is no verbatim fallback)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.plans.sql_temporal import (
+    AsofSyntaxError,
+    asof_sql,
+    explain_asof,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+@pytest.fixture(scope="module")
+def views(spark):
+    left = spark.createDataFrame(
+        [
+            (0, _ts(10), 7),
+            (1, _ts(4), 7),
+            (2, _ts(100), 8),
+            (3, _ts(1), 9),  # no right rows for user 9
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts(4), 7, 1.0),
+            (101, _ts(9), 7, 2.0),
+            (102, _ts(11), 7, 3.0),  # future of every left row
+            (103, _ts(50), 8, 4.0),
+        ],
+        "quote_id long, qts timestamp, uid long, value double",
+    )
+    left.createOrReplaceTempView("trades")
+    right.createOrReplaceTempView("quotes")
+    return left, right
+
+
+ASOF_LEFT = """
+SELECT l.event_id, l.ts, r.value AS quote_value, r.qts AS quote_ts
+FROM trades l ASOF LEFT JOIN quotes r
+  ON l.user_id = r.uid AND l.ts >= r.qts
+"""
+
+EXPECT = {
+    0: (2.0, _ts(9)),
+    1: (1.0, _ts(4)),  # inclusive boundary
+    2: (4.0, _ts(50)),
+    3: (None, None),
+}
+
+
+def test_asof_left_join_rewrites_and_matches(spark, views):
+    assert explain_asof(ASOF_LEFT) == "asof"
+    got = {
+        r["event_id"]: (r["quote_value"], r["quote_ts"])
+        for r in asof_sql(spark, ASOF_LEFT).collect()
+    }
+    assert got == EXPECT
+
+
+def test_asof_inner_join_drops_unmatched(spark, views):
+    inner = ASOF_LEFT.replace("ASOF LEFT JOIN", "ASOF JOIN")
+    assert explain_asof(inner) == "asof"
+    got = {
+        r["event_id"]: (r["quote_value"], r["quote_ts"])
+        for r in asof_sql(spark, inner).collect()
+    }
+    assert got == {k: v for k, v in EXPECT.items() if v[0] is not None}
+
+
+def test_mirrored_on_clause_normalizes(spark, views):
+    mirrored = """
+    SELECT l.event_id, r.value AS quote_value
+    FROM trades l ASOF LEFT JOIN quotes r
+      ON r.uid = l.user_id AND r.qts <= l.ts
+    """
+    got = {
+        r["event_id"]: r["quote_value"]
+        for r in asof_sql(spark, mirrored).collect()
+    }
+    assert got == {k: v[0] for k, v in EXPECT.items()}
+
+
+def test_right_key_column_in_select(spark, views):
+    sql = """
+    SELECT l.event_id, r.uid AS matched_uid, r.value AS v
+    FROM trades l ASOF JOIN quotes r
+      ON l.user_id = r.uid AND l.ts >= r.qts
+    """
+    got = {
+        r["event_id"]: (r["matched_uid"], r["v"])
+        for r in asof_sql(spark, sql).collect()
+    }
+    assert got == {0: (7, 2.0), 1: (7, 1.0), 2: (8, 4.0)}
+
+
+def test_non_asof_statement_delegates(spark, views):
+    sql = "SELECT count(*) AS n FROM trades"
+    assert explain_asof(sql) == "delegate"
+    assert asof_sql(spark, sql).first()["n"] == 4
+
+
+def test_malformed_asof_raises_not_delegates(spark, views):
+    # Spark cannot parse ASOF at all, so a shape miss must raise the
+    # canonical-form error instead of delegating into a parse failure
+    for bad in (
+        "SELECT * FROM trades l ASOF LEFT JOIN quotes r ON l.user_id = r.uid",
+        # inequality keyed the wrong way (right ts >= left ts)
+        """SELECT l.event_id FROM trades l ASOF JOIN quotes r
+           ON l.user_id = r.uid AND r.qts >= l.ts""",
+        # expression select items are out of shape
+        """SELECT l.event_id + 1 FROM trades l ASOF JOIN quotes r
+           ON l.user_id = r.uid AND l.ts >= r.qts""",
+    ):
+        with pytest.raises(AsofSyntaxError):
+            asof_sql(spark, bad)
+    with pytest.raises(AsofSyntaxError):
+        explain_asof(
+            "SELECT l.a FROM t l ASOF JOIN u r ON l.k = x.k AND l.ts >= r.ts"
+        )
+
+
+def test_rewrite_matches_duckdb_semantics_on_fixture(spark, events):
+    """Fixture-scale cross-check: the SQL-surface rewrite must equal
+    the directly-called asof_join on the click->view shape that
+    event_percentiles certifies against DuckDB's native ASOF JOIN."""
+    from pyspark.sql.window import Window as _W
+
+    from fabstir_vectordb_spark.operators.temporal import asof_join
+
+    ev = events.limit(3000)
+    views_df = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("user_id").alias("vuser"),
+            F.col("ts").alias("vts"),
+            F.col("event_id").alias("vid"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks.createOrReplaceTempView("clicks_v")
+    views_df.createOrReplaceTempView("views_v")
+    got = asof_sql(
+        spark,
+        """SELECT l.event_id, r.vid AS matched, r.vts AS matched_ts
+           FROM clicks_v l ASOF LEFT JOIN views_v r
+             ON l.user_id = r.vuser AND l.ts >= r.vts""",
+    )
+    direct = asof_join(
+        clicks,
+        views_df.withColumnRenamed("vuser", "user_id"),
+        on="user_id",
+        right_ts_col="vts",
+        value_cols=["vid"],
+    ).select(
+        "event_id",
+        F.col("vid_r").alias("matched"),
+        F.col("ts_r").alias("matched_ts"),
+    )
+    diff = (
+        got.alias("g")
+        .join(direct.alias("d"), "event_id", "full")
+        .filter(
+            ~(
+                (F.col("g.matched").eqNullSafe(F.col("d.matched")))
+                & (F.col("g.matched_ts").eqNullSafe(F.col("d.matched_ts")))
+            )
+        )
+        .count()
+    )
+    assert diff == 0
