@@ -151,14 +151,21 @@ class BinarySketch:
         query_vector_col: str = "vector",
         rerank_vectors: DataFrame | None = None,
         rerank_vector_col: str = "embedding",
-        oversample: int = 4,
+        oversample: int | None = None,
     ) -> DataFrame:
         """Top-k by Hamming distance over the signature table (query set
         collected, the adc_knn pattern).  With ``rerank_vectors`` the
         Hamming scan over-fetches k*oversample and exact float L2
-        re-ranks — coarse integer scan, exact math on the shortlist."""
+        re-ranks — coarse integer scan, exact math on the shortlist.
+        ``oversample=None`` consumes the planner default
+        (plans/tuning.tune_binary — 4, the certified depth)."""
         from fabstir_vectordb_spark.operators.pq import exact_rerank
         from fabstir_vectordb_spark.operators.topk import topk_per_query
+
+        if oversample is None:
+            from fabstir_vectordb_spark.plans.tuning import tune_binary
+
+            oversample = tune_binary(self.dim, k).oversample
 
         if rerank_vectors is not None:
             cand = self.hamming_knn(
@@ -235,13 +242,20 @@ class BinarySketch:
         vector_blocks: int | None = None,
         rerank_vectors: DataFrame | None = None,
         rerank_vector_col: str = "embedding",
-        oversample: int = 4,
+        oversample: int | None = None,
     ) -> DataFrame:
         """Bulk companion (query set stays a DataFrame end-to-end) — the
         knn_bulk / adc_knn_bulk cogroup-block shape, identical per-pair
-        math and (distance, id) tie order as ``hamming_knn``."""
+        math and (distance, id) tie order as ``hamming_knn``.
+        ``oversample=None`` consumes the planner default
+        (plans/tuning.tune_binary)."""
         from fabstir_vectordb_spark.operators.pq import exact_rerank
         from fabstir_vectordb_spark.operators.topk import topk_per_query
+
+        if oversample is None:
+            from fabstir_vectordb_spark.plans.tuning import tune_binary
+
+            oversample = tune_binary(self.dim, k).oversample
 
         if rerank_vectors is not None:
             cand = self.hamming_knn_bulk(

@@ -56,13 +56,69 @@ def plan_near_dup(n_rows: int, brute_force_limit: int = 100_000) -> str:
     return "brute" if n_rows <= brute_force_limit else "cluster"
 
 
+# Binary sign-bit tier boundary (operators/binary.py), from the
+# measured scan series (PERFORMANCE.md "Binary scan series extended to
+# 5M"): 20.2 ms/query at 2M vectors, 76.0 ms at 5M — the full Hamming
+# scan crosses the reference's 58 ms warm point between 2M and 5M on
+# the bench box, so 2M is the conservative per-executor linear-scan
+# ceiling.  Scale-out note: the scan is embarrassingly parallel, so the
+# CLUSTER ceiling is 2M x executors; this constant is per executor.
+BINARY_SCAN_CEILING = 2_000_000
+
+
+@dataclass
+class BinaryPlan:
+    """Binary sketch knob bundle (operators/binary.py BinarySketch) —
+    the measured defaults encoded as a planner decision, the tune_pq
+    pattern for the fourth tier."""
+
+    bits: int
+    oversample: int
+    reason: str
+
+
+def tune_binary(
+    dim: int, k: int = 10, recall_target: float | None = None
+) -> BinaryPlan:
+    """Sketch geometry + rerank depth for the binary tier.
+
+    bits: 4 sign bits per input dimension (the 256-bit-at-dim-64 smoke
+    configuration that produced the measured series), rounded up to the
+    32-bit word multiple BinarySketch requires and clamped to [64, 512]
+    — below 64 the Hamming histogram is too coarse to rank, above 512
+    the scan loses its 16x I/O advantage over raw floats.
+
+    oversample (exact-L2 rerank depth, in units of k): 4 is the
+    certified default (the hash-exact driver row); 8 recovers >= 0.8
+    of the exact top-10 on clusterable data (pinned by
+    tests/test_binary.py's recall floor) and is the smoke
+    configuration; 16 is the conservative doubling for stricter
+    targets — callers chasing >= 0.95 on hard distributions should
+    measure with evaluate-recall style checks rather than trust a
+    static knob (the sketch is data-independent, so recall depends
+    entirely on the data's cluster structure)."""
+    words = max(64, min(512, 4 * int(dim)))
+    bits = ((words + 31) // 32) * 32
+    if recall_target is None:
+        ovr, why = 4, "certified default"
+    elif recall_target <= 0.8:
+        ovr, why = 8, "measured >=0.8 recall floor on clusterable data"
+    else:
+        ovr, why = 16, "conservative doubling; measure recall at target"
+    return BinaryPlan(
+        bits=bits, oversample=ovr,
+        reason=f"4 bits/dim sign sketch; oversample {ovr}: {why}",
+    )
+
+
 @dataclass
 class SearchPlan:
-    strategy: str  # "brute" | "ivf" | "pq"
+    strategy: str  # "brute" | "ivf" | "pq" | "binary"
     n_probe: int | None = None
     oversample: int | None = None
     reason: str = ""
     pq: "PQPlan | None" = None  # code-geometry knobs when strategy == "pq"
+    binary: "BinaryPlan | None" = None  # sketch knobs when strategy == "binary"
 
 
 def plan_search(
@@ -75,11 +131,18 @@ def plan_search(
     brute_force_threshold: int = 10_000,
     dim: int | None = None,
     recall_target: float | None = None,
+    binary_available: bool = False,
 ) -> SearchPlan:
     """Pick the physical strategy for a similarity join.
 
-    - tiny tables (or no trained index): exact scan — the reference's
-      "HNSW-only/small-dataset mode" (hybrid/core.rs:262-269) generalized
+    - tiny tables: exact scan — the reference's "HNSW-only/small-dataset
+      mode" (hybrid/core.rs:262-269) generalized
+    - untrained above the exact-scan comfort zone with a sketch on hand
+      (``binary_available``): the binary sign-bit tier — zero-training,
+      16x less scan I/O than floats; past BINARY_SCAN_CEILING per
+      executor the plan still prefers it over a raw exact scan but the
+      reason says to train IVF/IVFPQ (the measured archive path:
+      17.6 ms/query at 5M vs binary's 76 ms)
     - selective metadata filter: pre-filtered exact scan (the filtered
       subset is small; pruning clusters first would only LOSE recall —
       this supersedes the reference's k*3 oversample post-filter)
@@ -87,6 +150,28 @@ def plan_search(
       (codes are M bytes/vector vs 4*dim).
     """
     if n_clusters is None or dataset_size < brute_force_threshold:
+        if (
+            binary_available
+            and n_clusters is None
+            and dataset_size >= brute_force_threshold
+        ):
+            b = tune_binary(dim or 64, k, recall_target)
+            over_ceiling = dataset_size > BINARY_SCAN_CEILING
+            return SearchPlan(
+                "binary",
+                oversample=b.oversample,
+                reason=(
+                    "untrained + sketch available => zero-training "
+                    "Hamming scan"
+                    + (
+                        "; ABOVE per-executor scan ceiling — train "
+                        "IVF/IVFPQ for latency"
+                        if over_ceiling
+                        else ""
+                    )
+                ),
+                binary=b,
+            )
         return SearchPlan("brute", reason="below index threshold / untrained")
     if has_filter and (filter_selectivity or 1.0) <= 0.01:
         return SearchPlan("brute", reason="selective filter => exact scan of subset")

@@ -176,3 +176,68 @@ def test_tune_hnsw_plan_reaches_target_on_clusterable(spark):
     graph.unpersist()
     per = [len(got.get(kq, set()) & truth[kq]) / 10 for kq in truth]
     assert sum(per) / len(per) >= 0.9
+
+
+def test_plan_search_binary_tier():
+    from fabstir_vectordb_spark.plans.tuning import (
+        BINARY_SCAN_CEILING,
+        plan_search,
+        tune_binary,
+    )
+
+    # untrained + sketch available above the exact-scan comfort zone
+    # => binary, consuming tune_binary's knobs
+    p = plan_search(500_000, 10, None, binary_available=True, dim=64)
+    assert p.strategy == "binary"
+    assert p.binary == tune_binary(64, 10)
+    assert p.oversample == p.binary.oversample == 4
+    # no sketch => the old brute answer stands
+    assert plan_search(500_000, 10, None).strategy == "brute"
+    # a trained index always wins over the sketch
+    assert plan_search(500_000, 10, 256, binary_available=True).strategy == "ivf"
+    # tiny tables stay brute even with a sketch
+    assert plan_search(100, 10, None, binary_available=True).strategy == "brute"
+    # above the per-executor ceiling the plan still prefers the sketch
+    # over a raw exact scan but tells the caller to train
+    big = plan_search(
+        BINARY_SCAN_CEILING * 3, 10, None, binary_available=True, dim=64
+    )
+    assert big.strategy == "binary" and "train" in big.reason.lower()
+
+
+def test_tune_binary_knobs():
+    from fabstir_vectordb_spark.plans.tuning import tune_binary
+
+    assert tune_binary(64).bits == 256        # the measured-series config
+    assert tune_binary(32).bits == 128
+    assert tune_binary(8).bits == 64          # floor
+    assert tune_binary(1024).bits == 512      # cap
+    assert tune_binary(64).bits % 32 == 0
+    assert tune_binary(64).oversample == 4                        # certified
+    assert tune_binary(64, recall_target=0.8).oversample == 8     # pinned floor
+    assert tune_binary(64, recall_target=0.95).oversample == 16   # conservative
+
+
+def test_binary_sketch_consumes_planner_default(spark):
+    """hamming_knn/_bulk with oversample=None must equal the explicit
+    tune_binary depth — the planner default is CONSUMED, not just
+    documented."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.operators.binary import BinarySketch
+
+    rng = np.random.RandomState(3)
+    X = rng.normal(size=(200, 16))
+    df = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(len(X))],
+        "vec_id bigint, embedding array<double>",
+    )
+    sk = BinarySketch.fit(dim=16, bits=64, seed=5)
+    sigs = sk.encode(df)
+    qs = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    auto = sk.hamming_knn(sigs, qs, 5, rerank_vectors=df).collect()
+    explicit = sk.hamming_knn(sigs, qs, 5, rerank_vectors=df, oversample=4).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
