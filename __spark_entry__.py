@@ -2807,6 +2807,19 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       asof / range   — the temporal joins (operators/temporal.py):
                        as-of click→view vs DuckDB's NATIVE ASOF JOIN;
                        bucketed point-in-interval session assignment
+      stream_session — a REAL Structured Streaming run of
+                       sessionize_stream (streaming/ingest.py,
+                       session_window merging-session state) over the
+                       same events replayed unordered in micro-batches;
+                       keyed (user, exact session start µs).  The
+                       hash-certified columns are the INTEGER-EXACT
+                       ones (key, n_events, duration_us) — the float
+                       sum is certified with rounding by the batch
+                       `session` part and the pytest stream≡batch
+                       equivalence, and is excluded here because
+                       micro-batch partial aggregation reorders the
+                       float sum (a round-at-6 boundary flake would be
+                       engine-order noise, not a wrong answer)
 
     Common column map (part, key, ref, n, x1, x2, x3):
       pctl:    key=event_type, ref='',        n=count, x1=mean,
@@ -2816,6 +2829,8 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       asof:    key=left event_id, ref=matched event_id or 'none',
                x1=matched value or -1
       range:   key=event_id, ref=session_id, x1=1
+      stream_session: key='<user>@<start_us>', ref=user_id,
+               n=n_events, x1=duration_us
     Unused slots are 0/''. Every mapping is injective per part, so the
     merged hash certifies each constituent exactly as the standalone
     rows did."""
@@ -2848,7 +2863,58 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         zd.alias("x2"),
         zd.alias("x3"),
     )
-    return p.unionByName(s).unionByName(t)
+    ss = q_stream_sessions(spark, sf_dir).select(
+        F.lit("stream_session").alias("part"),
+        F.concat_ws(
+            "@", F.col("user_id").cast("string"),
+            F.col("session_start_us").cast("string"),
+        ).alias("key"),
+        F.col("user_id").cast("string").alias("ref"),
+        F.col("n_events").cast("long").alias("n"),
+        F.col("duration_us").cast("double").alias("x1"),
+        zd.alias("x2"),
+        zd.alias("x3"),
+    )
+    return p.unionByName(s).unionByName(t).unionByName(ss)
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sessionize_stream as a real finite streaming run (the
+    q_streaming_window pattern): events replayed UNORDERED in
+    micro-batches (maxFilesPerTrigger=1 over a repartitioned copy), a
+    watermark wider than the fixture's time span so nothing is late,
+    complete output mode so sessions the final watermark hasn't closed
+    still emit."""
+    import tempfile
+    import uuid
+
+    from fabstir_vectordb_spark.streaming.ingest import sessionize_stream
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    src = tempfile.mkdtemp(prefix="ssess_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, value double, event_id bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"ssess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(stream, gap_seconds=3600, watermark="3650 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming query did not finish within 300s")
+    return spark.table(name).select(
+        "user_id", "session_start_us", "n_events", "duration_us"
+    )
 
 
 def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5313,7 +5379,8 @@ SELECT concat(CAST(user_id AS VARCHAR), '#', CAST(sidx AS VARCHAR)) AS session_i
        user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us,
-       (round(sum(value), 6) + 0.0) AS sum_value
+       (round(sum(value), 6) + 0.0) AS sum_value,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS start_us
 FROM s GROUP BY user_id, sidx
 """
 
@@ -5390,6 +5457,12 @@ UNION ALL
 SELECT part, CAST(id AS VARCHAR) AS key, ref, CAST(0 AS BIGINT) AS n,
        score AS x1, 0.0 AS x2, 0.0 AS x3
 FROM ({_ORACLES["event_asof"]})
+UNION ALL
+SELECT 'stream_session' AS part,
+       concat(CAST(user_id AS VARCHAR), '@', CAST(start_us AS VARCHAR)) AS key,
+       CAST(user_id AS VARCHAR) AS ref, n_events AS n,
+       CAST(duration_us AS DOUBLE) AS x1, 0.0 AS x2, 0.0 AS x3
+FROM ({_ORACLES["event_sessions"]})
 """
 
 
@@ -5499,7 +5572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # standalone body + oracle lives on and is reused verbatim, so the
     # merged hashes certify them exactly):
     #   event_sessions + event_asof -> event_percentiles
-    #     (parts session / asof / range; former body -> part=pctl)
+    #     (parts session / asof / range; former body -> part=pctl;
+    #      + part=stream_session, new r7: sessionize_stream as a real
+    #      finite streaming run, integer-exact columns hash-certified)
     #   rag_doc_search + binary_hamming -> hybrid_merge
     #     (parts rag_doc / bin_hamming / bin_rerank)
     #   ledger_history -> dedup_exact

@@ -1,4 +1,6 @@
-"""SQL surface for the temporal joins: ``ASOF JOIN`` statement rewrite.
+"""SQL surface for the temporal joins: ``ASOF JOIN`` statement rewrite
+plus the bucketed range-join substitution for the canonical
+key-equality + BETWEEN interval statement (``range_sql``, below).
 
 Spark SQL has no ``ASOF JOIN`` keyword (DuckDB, QuestDB, and kdb expose
 one; it is the canonical way users WRITE an as-of join), so the
@@ -49,7 +51,13 @@ from pyspark.sql import functions as F
 
 from fabstir_vectordb_spark.operators.temporal import asof_join
 
-__all__ = ["AsofSyntaxError", "asof_sql", "explain_asof"]
+__all__ = [
+    "AsofSyntaxError",
+    "asof_sql",
+    "explain_asof",
+    "explain_range",
+    "range_sql",
+]
 
 _CANONICAL = (
     "SELECT <l>.<col> [AS <name>], ... FROM <left_view> <l> "
@@ -189,4 +197,144 @@ def asof_sql(spark: SparkSession, sql: str) -> DataFrame:
             sel.append(F.col("ts_r").alias(name))
         else:
             sel.append(F.col(f"{_r(c)}_r").alias(name))
+    return out.select(*sel)
+
+
+# ---------------------------------------------------------------- range
+
+# the canonical point-in-interval join.  Unlike ASOF this is legal
+# Spark SQL (equality join + BETWEEN filter), so the full ann_sql
+# contract applies: rewrite when the shape matches, DELEGATE verbatim
+# whenever it doesn't — the un-rewritten statement computes the same
+# answer.  The rewrite is the classic range-join optimization: Spark's
+# native plan enumerates |points_k| x |intervals_k| pairs per key
+# before filtering; the bucketed plan pairs only candidates sharing a
+# time bucket.
+_RANGE_PATTERN = re.compile(
+    r"""
+    ^\s*SELECT\s+(?P<select>.+?)\s+
+    FROM\s+(?P<v1>\w+)\s+(?:AS\s+)?(?P<a1>\w+)\s+
+    JOIN\s+(?P<v2>\w+)\s+(?:AS\s+)?(?P<a2>\w+)\s+
+    ON\s+(?P<e1a>\w+)\.(?P<e1c>\w+)\s*=\s*(?P<e2a>\w+)\.(?P<e2c>\w+)\s+
+    AND\s+(?P<ta>\w+)\.(?P<tc>\w+)\s+BETWEEN\s+
+    (?P<sa>\w+)\.(?P<sc>\w+)\s+AND\s+(?P<ea>\w+)\.(?P<ec>\w+)
+    \s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+
+def _parse_range(sql: str):
+    """Normalized parse of the canonical range-join statement, or None
+    (=> delegate: the statement is ordinary SQL and Spark computes the
+    same answer without the bucketed plan)."""
+    m = _RANGE_PATTERN.match(sql)
+    if not m:
+        return None
+    g = m.group
+    aliases = {g("a1").lower(): g("v1"), g("a2").lower(): g("v2")}
+    pal = g("ta").lower()  # the BETWEEN's probe side owns the points
+    if g("sa").lower() != g("ea").lower():
+        return None  # start and end from different tables: not the shape
+    ial = g("sa").lower()
+    if pal == ial or pal not in aliases or ial not in aliases:
+        return None
+    # equality: one side each, either order
+    eq = {}
+    for a, c in ((g("e1a").lower(), g("e1c")), (g("e2a").lower(), g("e2c"))):
+        if a not in aliases:
+            return None
+        eq[a] = c
+    if set(eq) != {pal, ial}:
+        return None
+    items = []
+    for raw in g("select").split(","):
+        im = _ITEM.match(raw)
+        if not im:
+            return None
+        al = im.group("al").lower()
+        if al not in aliases:
+            return None
+        items.append(
+            (al, im.group("col"), im.group("name") or im.group("col"))
+        )
+    return {
+        "pview": aliases[pal],
+        "iview": aliases[ial],
+        "pal": pal,
+        "ial": ial,
+        "pkey": eq[pal],
+        "ikey": eq[ial],
+        "ts": g("tc"),
+        "start": g("sc"),
+        "end": g("ec"),
+        "items": items,
+    }
+
+
+def explain_range(spark: SparkSession, sql: str) -> str:
+    """'range' when the statement takes the bucketed rewrite,
+    'delegate' when it runs on spark.sql verbatim (always a correct
+    answer for this shape — Spark parses it natively)."""
+    return "range" if _resolve_range(spark, sql) is not None else "delegate"
+
+
+def _resolve_range(spark: SparkSession, sql: str):
+    """Parse + bind: delegate (None) unless the views resolve and the
+    selected column names stay unambiguous after the join (the two
+    frames keep their own column names; a shared name other than the
+    join key cannot be mapped, and the verbatim statement is correct)."""
+    p = _parse_range(sql)
+    if p is None:
+        return None
+    try:
+        points = spark.table(p["pview"])
+        intervals = spark.table(p["iview"])
+    except Exception:
+        return None
+    pcols, icols = set(points.columns), set(intervals.columns)
+    needed = {
+        ("p", p["pkey"]), ("p", p["ts"]),
+        ("i", p["ikey"]), ("i", p["start"]), ("i", p["end"]),
+    } | {("p" if al == p["pal"] else "i", c) for al, c, _ in p["items"]}
+    for side, c in needed:
+        if c not in (pcols if side == "p" else icols):
+            return None
+    # key alignment rename happens below; any OTHER shared column name
+    # would be ambiguous in the joined frame => delegate
+    shared = (pcols & icols) - ({p["pkey"]} if p["pkey"] == p["ikey"] else set())
+    if shared:
+        return None
+    return p, points, intervals
+
+
+def range_sql(
+    spark: SparkSession, sql: str, bucket_seconds: int = 3600
+) -> DataFrame:
+    """Run ``sql``: the canonical key-equality + BETWEEN interval join
+    rewrites to operators/temporal.range_join's bucketed plan; anything
+    else — including ambiguous column bindings — delegates to
+    ``spark.sql`` verbatim, which computes the same result by the
+    native equality-join-then-filter plan."""
+    from fabstir_vectordb_spark.operators.temporal import range_join
+
+    resolved = _resolve_range(spark, sql)
+    if resolved is None:
+        return spark.sql(sql)
+    p, points, intervals = resolved
+    if p["ikey"] != p["pkey"]:
+        intervals = intervals.withColumnRenamed(p["ikey"], p["pkey"])
+    out = range_join(
+        points,
+        intervals,
+        on=p["pkey"],
+        ts_col=p["ts"],
+        start_col=p["start"],
+        end_col=p["end"],
+        bucket_seconds=bucket_seconds,
+    )
+    sel = []
+    for al, c, name in p["items"]:
+        src = p["pkey"] if (al == p["ial"] and c == p["ikey"]) else c
+        sel.append(F.col(src).alias(name))
     return out.select(*sel)

@@ -190,3 +190,94 @@ def test_rewrite_matches_duckdb_semantics_on_fixture(spark, events):
         .count()
     )
     assert diff == 0
+
+
+RANGE_SQL = """
+SELECT p.event_id, i.iv_id AS session, p.ts
+FROM pts p JOIN ivs i
+  ON p.user_id = i.uid AND p.ts BETWEEN i.s AND i.e
+"""
+
+
+@pytest.fixture(scope="module")
+def range_views(spark):
+    pts = spark.createDataFrame(
+        [
+            (0, _ts(5), 1), (1, _ts(3599), 1), (2, _ts(7200), 1),
+            (3, _ts(50), 2), (4, _ts(150), 2),
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("s1", _ts(0), _ts(4000), 1),
+            ("s2", _ts(7000), _ts(8000), 1),
+            ("s3", _ts(100), _ts(200), 2),
+        ],
+        "iv_id string, s timestamp, e timestamp, uid long",
+    )
+    pts.createOrReplaceTempView("pts")
+    ivs.createOrReplaceTempView("ivs")
+    return pts, ivs
+
+
+def test_range_sql_rewrites_and_equals_verbatim(spark, range_views):
+    from fabstir_vectordb_spark.plans.sql_temporal import (
+        explain_range,
+        range_sql,
+    )
+
+    assert explain_range(spark, RANGE_SQL) == "range"
+    got = sorted(
+        (r["event_id"], r["session"]) for r in range_sql(spark, RANGE_SQL).collect()
+    )
+    verbatim = sorted(
+        (r["event_id"], r["session"]) for r in spark.sql(RANGE_SQL).collect()
+    )
+    assert got == verbatim == [(0, "s1"), (1, "s1"), (2, "s2"), (4, "s3")]
+    # bucket size must not change the answer
+    tiny = sorted(
+        (r["event_id"], r["session"])
+        for r in range_sql(spark, RANGE_SQL, bucket_seconds=7).collect()
+    )
+    assert tiny == got
+
+
+def test_range_sql_delegates_out_of_shape(spark, range_views):
+    from fabstir_vectordb_spark.plans.sql_temporal import (
+        explain_range,
+        range_sql,
+    )
+
+    # expression select item / plain aggregate — legal Spark SQL,
+    # delegate verbatim and run
+    for sql in (
+        "SELECT p.event_id + 1 AS x FROM pts p JOIN ivs i "
+        "ON p.user_id = i.uid AND p.ts BETWEEN i.s AND i.e",
+        "SELECT count(*) AS n FROM pts",
+    ):
+        assert explain_range(spark, sql) == "delegate"
+        range_sql(spark, sql).collect()  # runs via spark.sql
+
+    # unknown view: delegates, and spark.sql raises its own
+    # TABLE_OR_VIEW_NOT_FOUND — the same error the user's typo deserves
+    from pyspark.errors import AnalysisException
+
+    missing = (
+        "SELECT p.event_id FROM nosuch p JOIN ivs i "
+        "ON p.user_id = i.uid AND p.ts BETWEEN i.s AND i.e"
+    )
+    assert explain_range(spark, missing) == "delegate"
+    with pytest.raises(AnalysisException):
+        range_sql(spark, missing).collect()
+
+    # shared non-key column name => unmappable after the join => delegate
+    spark.createDataFrame(
+        [("s1", _ts(0), _ts(10), 1, 9.9)],
+        "iv_id string, s timestamp, e timestamp, uid long, ts double",
+    ).createOrReplaceTempView("ivs_shared")
+    sql = (
+        "SELECT p.event_id FROM pts p JOIN ivs_shared i "
+        "ON p.user_id = i.uid AND p.ts BETWEEN i.s AND i.e"
+    )
+    assert explain_range(spark, sql) == "delegate"
