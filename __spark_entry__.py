@@ -1450,15 +1450,45 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality score + language ID in one per-doc scan (merged round 3 to
     free a registry slot; both remain individually oracle-checked).
     Tokenize ONCE behind the exchange; quality's token terms and the 4
-    language votes all read the materialized array."""
+    language votes all read the materialized array.
+
+    Round 7 adds the Gopher heuristic bundle (functions/text.py
+    gopher_rules — Rae et al. 2021 Appendix A1.1) as g_* columns.  The
+    fixture docs are single-line prose, so the query PLANTS the
+    pathologies the rules exist to catch (the doc_fingerprint
+    instrument pattern): bullet lines on doc_id%4==1, a trailing
+    ellipsis teaser on %4==2, symbol/number soup on %4==3.  Every rule
+    is a pure column expression, so measures AND pass verdicts are
+    fully SQL-replayed."""
     docs = _t(spark, sf_dir, "documents")
+    plant = (
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.lit("\n• bullet item\n• second bullet"),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit("\nread the full story..."))
+        .when(F.col("doc_id") % 4 == 3, F.lit("\n#### 12345 @@@ 999"))
+        .otherwise(F.lit(""))
+    )
     base = docs.select(
-        "doc_id", "text", X.whitespace_tokens("text").alias("__toks")
-    ).repartition(spark.sparkContext.defaultParallelism)
+        "doc_id",
+        "text",
+        F.concat(F.col("text"), plant).alias("__gtext"),
+        X.whitespace_tokens("text").alias("__toks"),
+    ).withColumn("__gtoks", X.whitespace_tokens("__gtext")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    g = X.gopher_rules("__gtext", "__gtoks")
     return base.select(
         "doc_id",
         r6(X.quality_score("text", "__toks")).alias("quality"),
         X.lang_id("text", "__toks").alias("pred_lang"),
+        r6(g["symbol_ratio"]).alias("g_symbol"),
+        r6(g["bullet_frac"]).alias("g_bullet"),
+        r6(g["ellipsis_frac"]).alias("g_ellipsis"),
+        r6(g["alpha_frac"]).alias("g_alpha"),
+        g["required_hits"].cast("long").alias("g_required"),
+        g["pass"].alias("g_pass"),
     )
 
 
@@ -4065,9 +4095,67 @@ FROM v
 """
 
 # quality + lang-id merged into one per-doc scan (see q_text_quality)
+# Gopher rule replay over the SAME planted text as q_text_quality:
+# integer counts -> IEEE-identical divisions -> identical measures AND
+# boolean verdicts (the pass thresholds compare the same doubles)
+_GOPHER_SQL = """
+WITH g AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 4 = 1
+                 THEN chr(10) || '• bullet item' || chr(10) || '• second bullet'
+                 WHEN doc_id % 4 = 2 THEN chr(10) || 'read the full story...'
+                 WHEN doc_id % 4 = 3 THEN chr(10) || '#### 12345 @@@ 999'
+                 ELSE '' END AS gt
+  FROM documents
+), tt AS (
+  SELECT doc_id, gt,
+    regexp_split_to_array(trim(gt), '\\s+') AS toks,
+    string_split(gt, chr(10)) AS lines
+  FROM g
+), m AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    CAST(length(gt) - length(replace(gt, '#', '')) AS DOUBLE)
+      + (length(gt) - length(replace(gt, '...', ''))) / 3
+      + (length(gt) - length(replace(gt, '…', ''))) AS symcnt,
+    len(list_filter(lines, l -> regexp_matches(l, '^\\s*[•\\-\\*]'))) AS bl,
+    len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS el,
+    len(lines) AS nl,
+    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS aw,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+        w -> len(list_filter(toks, t -> lower(t) = w)) > 0)) AS req,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+              / len(toks) END AS meanlen
+  FROM tt
+), r AS (
+  SELECT doc_id, n_words, meanlen, req,
+    CASE WHEN n_words = 0 THEN 0.0 ELSE symcnt / n_words END AS sym,
+    CASE WHEN nl = 0 THEN 0.0 ELSE CAST(bl AS DOUBLE) / nl END AS bullet,
+    CASE WHEN nl = 0 THEN 0.0 ELSE CAST(el AS DOUBLE) / nl END AS ell,
+    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(aw AS DOUBLE) / n_words END AS alpha
+  FROM m
+)
+SELECT doc_id,
+  (round(sym, 6) + 0.0) AS g_symbol,
+  (round(bullet, 6) + 0.0) AS g_bullet,
+  (round(ell, 6) + 0.0) AS g_ellipsis,
+  (round(alpha, 6) + 0.0) AS g_alpha,
+  CAST(req AS BIGINT) AS g_required,
+  (n_words >= 50 AND n_words <= 100000
+   AND meanlen >= 3.0 AND meanlen <= 10.0
+   AND sym <= 0.1 AND bullet <= 0.9 AND ell <= 0.3
+   AND alpha >= 0.8 AND req >= 2) AS g_pass
+FROM r
+"""
+
 _ORACLES["text_quality"] = f"""
-SELECT q.doc_id, q.quality, l.pred_lang
-FROM ({_QUALITY_SQL}) q JOIN ({_LANG_SQL}) l ON q.doc_id = l.doc_id
+SELECT q.doc_id, q.quality, l.pred_lang,
+       gg.g_symbol, gg.g_bullet, gg.g_ellipsis, gg.g_alpha,
+       gg.g_required, gg.g_pass
+FROM ({_QUALITY_SQL}) q
+JOIN ({_LANG_SQL}) l ON q.doc_id = l.doc_id
+JOIN ({_GOPHER_SQL}) gg ON q.doc_id = gg.doc_id
 """
 
 _ORACLES["doc_fingerprint"] = f"""

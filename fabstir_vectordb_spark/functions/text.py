@@ -459,3 +459,131 @@ def normalize_unicode(
             )[names]
 
     return df.mapInPandas(kernel, schema)
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1 —
+# the MassiveText heuristic filter set; also the C4/RefinedWeb family's
+# shared vocabulary).  Each rule is a pure column expression (HOFs +
+# backreference-free regex, Java regex == RE2), so the whole bundle is
+# SQL-replayable — certified in the text_quality driver row.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def symbol_to_word_ratio(text: Column | str, tokens: Column | str | None = None) -> Column:
+    """(# count + ellipsis count) / word count — Gopher rule 3's
+    symbol-noise measure.  Ellipses count as '...' runs or the U+2026
+    character; counts come from length deltas (no per-char explode)."""
+    t = _c(text)
+    toks = _c(tokens) if tokens is not None else whitespace_tokens(text)
+    n = F.size(toks)
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    dots = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    uni = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (hashes + dots + uni).cast("double") / n.cast("double")
+    )
+
+
+def bullet_line_fraction(text: Column | str) -> Column:
+    """Fraction of lines starting with a bullet marker (•, -, or *) —
+    Gopher rule 4 measures list-shaped pages."""
+    lines = F.split(_c(text), "\n")
+    n = F.size(lines)
+    hits = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[•\-\*]"))
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / n.cast("double")
+    )
+
+
+def ellipsis_line_fraction(text: Column | str) -> Column:
+    """Fraction of lines ending with an ellipsis — Gopher rule 5
+    measures truncated/teaser pages."""
+    lines = F.split(_c(text), "\n")
+    n = F.size(lines)
+    hits = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / n.cast("double")
+    )
+
+
+def alpha_word_fraction(text: Column | str, tokens: Column | str | None = None) -> Column:
+    """Fraction of words containing at least one alphabetic character —
+    Gopher rule 6 catches symbol/number soup."""
+    toks = _c(tokens) if tokens is not None else whitespace_tokens(text)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / n.cast("double")
+    )
+
+
+def required_word_hits(text: Column | str, tokens: Column | str | None = None) -> Column:
+    """How many of Gopher's eight required English words appear —
+    rule 7's natural-language evidence (>= 2 passes)."""
+    toks = _c(tokens) if tokens is not None else whitespace_tokens(text)
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    return F.size(
+        F.filter(req, lambda w: F.exists(toks, lambda t: F.lower(t) == w))
+    )
+
+
+def gopher_rules(
+    text: Column | str,
+    tokens: Column | str | None = None,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_required_hits: int = 2,
+) -> Column:
+    """The Gopher heuristic bundle as ONE struct column: the seven rule
+    measures plus per-rule booleans and the conjunction ``pass``.
+    Thresholds default to the paper's; a curation funnel gates on
+    ``gopher_rules(text).pass`` or composes individual rules.  Pass
+    ``tokens`` (materialized behind an exchange) in hot paths — every
+    word-level rule then reads the one array."""
+    toks = _c(tokens) if tokens is not None else whitespace_tokens(text)
+    n = F.size(toks)
+    mean_len = avg_token_len_from(toks)
+    sym = symbol_to_word_ratio(text, toks)
+    bullet = bullet_line_fraction(text)
+    ell = ellipsis_line_fraction(text)
+    alpha = alpha_word_fraction(text, toks)
+    req = required_word_hits(text, toks)
+    ok_words = (n >= min_words) & (n <= max_words)
+    ok_mean = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    ok_sym = sym <= max_symbol_ratio
+    ok_bullet = bullet <= max_bullet_frac
+    ok_ell = ell <= max_ellipsis_frac
+    ok_alpha = alpha >= min_alpha_frac
+    ok_req = req >= min_required_hits
+    return F.struct(
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        bullet.alias("bullet_frac"),
+        ell.alias("ellipsis_frac"),
+        alpha.alias("alpha_frac"),
+        req.alias("required_hits"),
+        ok_words.alias("ok_words"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol"),
+        ok_bullet.alias("ok_bullet"),
+        ok_ell.alias("ok_ellipsis"),
+        ok_alpha.alias("ok_alpha"),
+        ok_req.alias("ok_required"),
+        (
+            ok_words & ok_mean & ok_sym & ok_bullet & ok_ell & ok_alpha & ok_req
+        ).alias("pass"),
+    )

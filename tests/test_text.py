@@ -236,3 +236,38 @@ def test_normalize_unicode_nfc(spark):
 
     with pytest.raises(ValueError):
         normalize_unicode(df, form="NFX")
+
+
+def test_gopher_rules_planted_pathologies(spark):
+    """Each Gopher rule (Rae et al. 2021 A1.1) fires on the pathology it
+    exists to catch and passes healthy prose."""
+    from fabstir_vectordb_spark.functions import text as X
+
+    healthy = (
+        "the quick brown fox jumps over that lazy dog and it runs off "
+        "with a bone to have some fun of its own be sure " * 3
+    )
+    rows = [
+        (0, healthy),
+        (1, "short text"),                                  # rule 1: too few words
+        (2, " ".join(["####"] * 60)),                       # rules 3/6/7: symbols, no alpha
+        (3, "\n".join(["• item " + str(i) for i in range(10)])),   # rule 4: bullets
+        (4, "\n".join([f"teaser {i}..." for i in range(10)])),     # rule 5: ellipses
+        (5, " ".join(["supercalifragilistic"] * 60)),       # rule 2: mean len > 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = X.gopher_rules("text")
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", g.alias("g")).collect()
+    }
+    assert got[0]["pass"] is True
+    assert got[1]["ok_words"] is False
+    assert got[2]["ok_symbol"] is False
+    assert got[2]["ok_alpha"] is False
+    assert got[2]["ok_required"] is False
+    assert got[3]["ok_bullet"] is False
+    assert got[4]["ok_ellipsis"] is False
+    assert got[5]["ok_mean_word_len"] is False
+    for k in (1, 2, 3, 4, 5):
+        assert got[k]["pass"] is False
