@@ -38,18 +38,31 @@ from fabstir_vectordb_spark.operators.sampling import (
 )
 
 
-def gate_signal_columns(text_col: str = "text", toks_col: str = "__toks"):
+def gate_signal_columns(
+    text_col: str = "text",
+    toks_col: str = "__toks",
+    gopher: bool | dict = False,
+):
     """The funnel's per-document gate signals over a pre-tokenized text
     column — THE single definition both the batch gate stage
     (curate_corpus) and the streaming gate (streaming/ingest.py
     curate_stream) select from, so the two surfaces cannot silently
-    diverge.  Pure column expressions: no state, no shuffle."""
-    return [
+    diverge.  Pure column expressions: no state, no shuffle.
+
+    ``gopher``: truthy adds the Gopher heuristic bundle
+    (functions/text.gopher_rules, certified in text_quality) as a
+    struct signal; a dict overrides the paper thresholds (its keys are
+    gopher_rules keyword arguments)."""
+    cols = [
         X.lang_id(text_col, toks_col).alias("lang"),
         X.quality_score(text_col, toks_col).alias("quality"),
         X.token_count_from(toks_col).cast("long").alias("n_tokens"),
         X.repetition_ratio_from(toks_col, 3).alias("rep_3gram"),
     ]
+    if gopher:
+        kw = gopher if isinstance(gopher, dict) else {}
+        cols.append(X.gopher_rules(text_col, toks_col, **kw).alias("gopher"))
+    return cols
 
 
 def gate_predicate(
@@ -57,6 +70,7 @@ def gate_predicate(
     max_repetition: float,
     lang: str | None,
     min_quality: float | None,
+    gopher: bool | dict = False,
 ):
     """The gate verdict over gate_signal_columns' outputs — shared by
     the batch and streaming gates (see gate_signal_columns)."""
@@ -67,6 +81,8 @@ def gate_predicate(
         gate = gate & (F.col("lang") == lang)
     if min_quality is not None:
         gate = gate & (F.col("quality") >= min_quality)
+    if gopher:
+        gate = gate & F.col("gopher")["pass"]
     return gate
 
 
@@ -81,6 +97,7 @@ def curate_corpus(
     min_quality: float = 0.3,
     max_repetition: float = 0.2,
     token_bounds: tuple[int, int] = (10, 5000),
+    gopher: bool | dict = False,
     near_dup_threshold: float | None = 0.8,
     split_weights: list[tuple[str, float]] | None = None,
     benchmark: DataFrame | None = None,
@@ -142,6 +159,13 @@ def curate_corpus(
       * ``quality_model``: a fitted QualityClassifier; survivors are
         scored JVM-side and, when ``pareto_alpha`` is set, kept by the
         stochastic Pareto rule, else by prob > 0.5.
+      * ``gopher`` (round 7): add the Gopher heuristic bundle
+        (functions/text.gopher_rules, certified in text_quality) to the
+        gate conjunction — True for paper thresholds, a dict to
+        override them.  Same stage, zero extra passes: the rules are
+        pure column expressions over the already-materialized token
+        array, and the streaming gate (curate_stream) accepts the same
+        knob so batch and stream cannot diverge.
       * ``normalize_nfc``: NFC-compose + strip C0 control chars before
         anything fingerprints the text, so byte-variant spellings of
         the same string dedup together (runs after ``html_input``).
@@ -270,7 +294,9 @@ def curate_corpus(
     # producer (the tokenize split) that is referenced more than once.
     toks = X.whitespace_tokens("text")
     cur = DD._parallelize(cur.select("id", "text", toks.alias("__toks")))
-    cur = cur.select("id", "text", *gate_signal_columns("text", "__toks"))
+    cur = cur.select(
+        "id", "text", *gate_signal_columns("text", "__toks", gopher=gopher)
+    )
     if subword_vocab is not None:
         from fabstir_vectordb_spark.operators.subword import (
             subword_token_counts,
@@ -289,8 +315,10 @@ def curate_corpus(
         cur = cur.join(sub, "id").withColumn(
             "n_tokens", F.col("__n_sub")
         ).drop("__n_sub")
-    gate = gate_predicate(token_bounds, max_repetition, lang, min_quality)
-    cur = cur.filter(gate).drop("rep_3gram")
+    gate = gate_predicate(
+        token_bounds, max_repetition, lang, min_quality, gopher=gopher
+    )
+    cur = cur.filter(gate).drop("rep_3gram", "gopher")
     _audit("gates", cur)
 
     # exact dedup: keep the canonical (min-id) member of each group

@@ -70,6 +70,7 @@ def curate_stream(
     token_bounds: tuple[int, int] = (10, 5000),
     dedup_watermark: str | None = "10 minutes",
     ts_col: str = "ts",
+    gopher: bool | dict = False,
 ) -> DataFrame:
     """Streaming half of the curation funnel: apply the STATELESS gate
     signals (language id, quality score, intra-doc repetition, token
@@ -98,6 +99,8 @@ def curate_stream(
     )
 
     reserved = {"lang", "quality", "n_tokens", "rep_3gram", "passed", "__toks"}
+    if gopher:
+        reserved = reserved | {"gopher"}
     clash = reserved & set(stream.columns)
     if clash:
         raise ValueError(
@@ -110,11 +113,11 @@ def curate_stream(
         ).dropDuplicatesWithinWatermark([id_col])
     toks = X.whitespace_tokens(text_col)
     sig = stream.withColumn("__toks", toks).select(
-        "*", *gate_signal_columns(text_col, "__toks")
+        "*", *gate_signal_columns(text_col, "__toks", gopher=gopher)
     ).drop("__toks")
     return sig.withColumn(
         "passed",
-        gate_predicate(token_bounds, max_repetition, lang, min_quality),
+        gate_predicate(token_bounds, max_repetition, lang, min_quality, gopher=gopher),
     )
 
 

@@ -550,3 +550,61 @@ def test_funnel_normalize_nfc_dedups_byte_variants(spark):
     on = curate_corpus(docs, normalize_nfc=True, **kw)
     rows = on.collect()
     assert [r["id"] for r in rows] == [0]  # keep-first min id survives
+
+
+def test_gopher_gate_in_funnel_and_stream_parity(spark, tmp_path):
+    """The gopher knob gates the batch funnel and the streaming gate
+    identically: a bullet-list doc dies only when the knob is on, and
+    curate_stream's verdicts equal the batch predicate doc-for-doc."""
+    import json as _json
+
+    from fabstir_vectordb_spark.pipelines import curate_corpus
+    from fabstir_vectordb_spark.streaming import ingest as SI
+
+    prose = (
+        "the quick brown fox jumps over that lazy dog and it runs off "
+        "with a bone to have some fun of its own be sure to watch it go"
+    )
+    bullets = "\n".join(["• the item of note " + str(i) for i in range(12)])
+    docs = spark.createDataFrame(
+        [(0, prose), (1, prose + "\n" + bullets)],
+        "doc_id long, text string",
+    )
+    kw = dict(
+        boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+        max_repetition=1.0, token_bounds=(1, 10_000),
+        near_dup_threshold=None, cache_stages=False,
+    )
+    # relaxed thresholds so ONLY the bullet rule can kill doc 1
+    g = {"min_words": 5, "min_required_hits": 1, "min_alpha_frac": 0.5}
+    base = {r["id"] for r in curate_corpus(docs, **kw).select("id").collect()}
+    gated = {
+        r["id"]
+        for r in curate_corpus(docs, gopher=g, **kw).select("id").collect()
+    }
+    assert base == {0, 1} and gated == {0}
+
+    src = tmp_path / "gop_src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for i, text in ((0, prose), (1, prose + "\n" + bullets)):
+            f.write(_json.dumps(
+                {"id": str(i), "text": text,
+                 "ts": f"2026-01-10T12:0{i}:00.000Z"}) + "\n")
+    stream = spark.readStream.schema(
+        "id string, text string, ts timestamp"
+    ).json(str(src))
+    q = (
+        SI.curate_stream(
+            stream, lang=None, min_quality=None, max_repetition=1.0,
+            token_bounds=(1, 10_000), dedup_watermark=None, gopher=g,
+        )
+        .writeStream.format("memory").queryName("gop_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    verdicts = {
+        r["id"]: (r["passed"], r["gopher"]["ok_bullet"])
+        for r in spark.table("gop_stream").collect()
+    }
+    assert verdicts == {"0": (True, True), "1": (False, False)}
