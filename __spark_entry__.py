@@ -700,21 +700,61 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fabstir_vectordb_spark.operators.subword import subword_token_counts
 
     sub = subword_token_counts(docs, _SW_VOCAB, id_col="doc_id")
-    return toks.select(
+
+    # Round 7: the Gopher A1.2 repetition-signal family
+    # (operators/repetition.py — duplicate line/paragraph fractions,
+    # top/duplicated n-gram char fractions).  Fixture docs are
+    # single-line, so duplicated lines (%3==0) and paragraphs (%5==0)
+    # are PLANTED (the text_quality instrument pattern); the n-gram
+    # signals fire on the natural word repetition.  DuckDB replays the
+    # counting with unnest + GROUP BY — an independent implementation
+    # of the same documented definitions.
+    from fabstir_vectordb_spark.operators.repetition import (
+        repetition_signals,
+    )
+
+    planted = docs.select(
         "doc_id",
-        X.token_count_from("__toks").cast("long").alias("n_tokens"),
-        X.unique_token_count_from("__toks").cast("long").alias("n_unique"),
-        r6(X.avg_token_len_from("__toks")).alias("avg_token_len"),
-        r6(X.stopword_ratio_from("__toks")).alias("stopword_ratio"),
-        F.size("__bpe").cast("long").alias("n_bpe"),
-        X.repetition_ratio_from("__toks", 1).alias("rep_1gram"),
-        X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
-        r6(F.element_at(emb, 1)).alias("emb0"),
-        r6(F.element_at(emb, 2)).alias("emb1"),
-        # round 6: heuristic sentence segmentation (functions/text.py
-        # split_sentences — capture-group replacement, RE2-replayable)
-        F.col("__nsent").alias("n_sentences"),
-    ).join(lm, "doc_id").join(sub, "doc_id")
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nrepeated line alpha\nrepeated line alpha"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\n\npara beta beta beta\n\npara beta beta beta"),
+            ).otherwise(F.lit("")),
+        ).alias("gt"),
+    )
+    rep = repetition_signals(planted, text_col="gt", id_col="doc_id").select(
+        F.col("id").alias("doc_id"),
+        r6("dup_line_frac").alias("g_dup_line"),
+        r6("dup_line_char_frac").alias("g_dup_line_char"),
+        r6("dup_para_frac").alias("g_dup_para"),
+        r6("top_2gram_char_frac").alias("g_top2"),
+        r6("dup_5gram_char_frac").alias("g_dup5"),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            X.token_count_from("__toks").cast("long").alias("n_tokens"),
+            X.unique_token_count_from("__toks").cast("long").alias("n_unique"),
+            r6(X.avg_token_len_from("__toks")).alias("avg_token_len"),
+            r6(X.stopword_ratio_from("__toks")).alias("stopword_ratio"),
+            F.size("__bpe").cast("long").alias("n_bpe"),
+            X.repetition_ratio_from("__toks", 1).alias("rep_1gram"),
+            X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
+            r6(F.element_at(emb, 1)).alias("emb0"),
+            r6(F.element_at(emb, 2)).alias("emb1"),
+            # round 6: heuristic sentence segmentation (functions/text.py
+            # split_sentences — capture-group replacement, RE2-replayable)
+            F.col("__nsent").alias("n_sentences"),
+        )
+        .join(lm, "doc_id")
+        .join(sub, "doc_id")
+        .join(rep, "doc_id")
+    )
 
 
 def q_text_stats_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3806,6 +3846,86 @@ c AS (
   JOIN cctx ON b.w1 = cctx.w1
   CROSS JOIN vv
   GROUP BY b.doc_id
+),
+-- Gopher A1.2 repetition signals over the SAME planted text as
+-- q_text_stats (dup lines %3==0, dup paragraphs %5==0); counting via
+-- unnest + GROUP BY — independent of the operator's hash-counter pass
+rp AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || 'repeated line alpha'
+                 || chr(10) || 'repeated line alpha' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN chr(10) || chr(10) || 'para beta beta beta'
+                 || chr(10) || chr(10) || 'para beta beta beta'
+            ELSE '' END AS gt
+  FROM documents
+),
+rt AS (
+  SELECT doc_id, gt, length(gt) AS lgt,
+         regexp_split_to_array(trim(gt), '\\s+') AS w
+  FROM rp
+),
+rl AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(gt, chr(10)),
+                            x -> trim(x) <> '')) AS u
+  FROM rp
+),
+rlc AS (SELECT doc_id, u, count(*) AS c FROM rl GROUP BY doc_id, u),
+rla AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dlf,
+    CAST(sum(CASE WHEN c > 1 THEN c * length(u) ELSE 0 END) AS DOUBLE)
+      / sum(c * length(u)) AS dlcf
+  FROM rlc GROUP BY doc_id
+),
+rq AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(gt, '\\n\\s*\\n'),
+                            x -> trim(x) <> '')) AS u
+  FROM rp
+),
+rqc AS (SELECT doc_id, u, count(*) AS c FROM rq GROUP BY doc_id, u),
+rqa AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dpf
+  FROM rqc GROUP BY doc_id
+),
+r2c AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+          FROM rt WHERE len(w) >= 2)
+  ) GROUP BY doc_id, g
+),
+r2a AS (
+  SELECT x.doc_id, CAST(x.c * length(x.g) AS DOUBLE) / t.lgt AS t2
+  FROM (
+    SELECT doc_id, c, g,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, g DESC) AS rn
+    FROM r2c
+  ) x JOIN rt t ON x.doc_id = t.doc_id
+  WHERE x.rn = 1 AND t.lgt > 0
+),
+r5c AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                || ' ' || w[i+4] AS g
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+          FROM rt WHERE len(w) >= 5)
+  ) GROUP BY doc_id, g
+),
+r5a AS (
+  SELECT r.doc_id,
+    CAST(sum(CASE WHEN r.c > 1 THEN r.c * length(r.g) ELSE 0 END)
+         AS DOUBLE) / any_value(t.lgt) AS d5
+  FROM r5c r JOIN rt t ON r.doc_id = t.doc_id
+  WHERE t.lgt > 0
+  GROUP BY r.doc_id
 )
 SELECT c.doc_id,
   sz AS n_tokens,
@@ -3829,11 +3949,20 @@ SELECT c.doc_id,
   CAST(COALESCE(swd.n_subword, 0) AS BIGINT) AS n_subword,
   CAST(len(list_filter(string_split(
     regexp_replace(text, '([.!?]+)\\s+', concat('\\1', chr(10)), 'g'),
-    chr(10)), s -> len(trim(s)) > 0)) AS BIGINT) AS n_sentences
+    chr(10)), s -> len(trim(s)) > 0)) AS BIGINT) AS n_sentences,
+  (round(COALESCE(rla.dlf, 0.0), 6) + 0.0) AS g_dup_line,
+  (round(COALESCE(rla.dlcf, 0.0), 6) + 0.0) AS g_dup_line_char,
+  (round(COALESCE(rqa.dpf, 0.0), 6) + 0.0) AS g_dup_para,
+  (round(COALESCE(r2a.t2, 0.0), 6) + 0.0) AS g_top2,
+  (round(COALESCE(r5a.d5, 0.0), 6) + 0.0) AS g_dup5
 FROM c
 JOIN e ON c.doc_id = e.doc_id
 LEFT JOIN lms ON c.doc_id = lms.doc_id
 LEFT JOIN sw_doc swd ON c.doc_id = swd.doc_id
+LEFT JOIN rla ON c.doc_id = rla.doc_id
+LEFT JOIN rqa ON c.doc_id = rqa.doc_id
+LEFT JOIN r2a ON c.doc_id = r2a.doc_id
+LEFT JOIN r5a ON c.doc_id = r5a.doc_id
 """
 
 _ORACLES["index_maintenance"] = """
