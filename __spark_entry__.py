@@ -1029,6 +1029,28 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         text_col="__u",
     )
+    # Round 7: the C4 cleaning rules (functions/text.py c4_clean_lines /
+    # c4_page_flags — Raffel et al. 2020 §2.2).  Fixture docs are
+    # single-line, so the pathologies are PLANTED: a keepable terminal-
+    # punctuation line + a short line + a javascript line + an
+    # unpunctuated line on %3==0, 'lorem ipsum' on %13==0, '{' on
+    # %17==0.  The oracle replays the line predicate and page flags.
+    c4text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(
+                "\nThis planted line stays right here today."
+                "\ntoo short."
+                "\nthis javascript line must go away now."
+                "\nno terminal punctuation on this line"
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\nLorem Ipsum dolor sit amet.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("\nvar config = { a: 1 };")).otherwise(F.lit("")),
+    )
+    c4 = X.c4_clean_lines(c4text)
+    flags = X.c4_page_flags(c4text)
     return staged.select(
         "doc_id",
         X.pii_counts("text", "email").cast("long").alias("n_email"),
@@ -1043,6 +1065,11 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.col("text"), F.lit(" a\x01b\x02"))
             )
         ).alias("ctrl_fp"),
+        F.md5(c4["clean_text"]).alias("c4_fp"),
+        c4["kept_lines"].alias("c4_kept"),
+        c4["removed_lines"].alias("c4_removed"),
+        flags["has_lorem_ipsum"].alias("c4_lorem"),
+        flags["has_curly_brace"].alias("c4_curly"),
     )
 
 
@@ -4154,6 +4181,14 @@ FROM (
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_URL = "https?://[^\\s]+"
 _PII_NUM = "[0-9][0-9 ()+.-]{7,}[0-9]"
+# C4 line-retention predicate (keep: trimmed line ends in terminal
+# punctuation, >= 3 words, no 'javascript') — shared by the fp and the
+# count columns below
+_C4_KEEP = (
+    "l -> regexp_matches(trim(l), '[.!?\"]$') "
+    "AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3 "
+    "AND NOT contains(lower(l), 'javascript')"
+)
 _ORACLES["pii_redact"] = f"""
 WITH t AS (
   SELECT doc_id,
@@ -4163,6 +4198,22 @@ WITH t AS (
       CASE WHEN doc_id % 11 = 0 THEN ' call +1 (415) 555-0100' ELSE '' END
     ) AS text
   FROM documents
+),
+-- C4 cleaning over the SAME pii-planted text the Spark query extends
+c4 AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN
+         chr(10) || 'This planted line stays right here today.'
+         || chr(10) || 'too short.'
+         || chr(10) || 'this javascript line must go away now.'
+         || chr(10) || 'no terminal punctuation on this line'
+       ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN chr(10) || 'Lorem Ipsum dolor sit amet.' ELSE '' END
+    || CASE WHEN doc_id % 17 = 0
+            THEN chr(10) || 'var config = {{ a: 1 }};' ELSE '' END AS ct
+  FROM t
 )
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
@@ -4195,8 +4246,17 @@ SELECT doc_id,
   md5(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)
       || ' ' || chr(64257))) AS nfc_fp,
   md5(regexp_replace(text || ' a' || chr(1) || 'b' || chr(2),
-      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS ctrl_fp
-FROM t
+      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS ctrl_fp,
+  md5(coalesce(array_to_string(
+      list_filter(string_split(ct, chr(10)), {_C4_KEEP}), chr(10)), '')) AS c4_fp,
+  CAST(len(list_filter(string_split(ct, chr(10)), {_C4_KEEP}))
+       AS BIGINT) AS c4_kept,
+  CAST(len(string_split(ct, chr(10)))
+       - len(list_filter(string_split(ct, chr(10)), {_C4_KEEP}))
+       AS BIGINT) AS c4_removed,
+  contains(lower(ct), 'lorem ipsum') AS c4_lorem,
+  contains(ct, '{{') AS c4_curly
+FROM t JOIN c4 USING (doc_id)
 """
 
 _LANG_SQL = f"""

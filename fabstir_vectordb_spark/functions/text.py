@@ -587,3 +587,51 @@ def gopher_rules(
             ok_words & ok_mean & ok_sym & ok_bullet & ok_ell & ok_alpha & ok_req
         ).alias("pass"),
     )
+
+
+# C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning...", §2.2 — the line/page heuristics that built C4
+# from Common Crawl).  Same certification discipline as gopher_rules:
+# pure column expressions, backreference-free regex (Java == RE2),
+# replayed in the pii_redact driver row.  The paper's remaining rules
+# map to existing operators: three-sentence-span dedup ==
+# operators/dedup.duplicated_spans; page-level sentence minimum ==
+# gate on sentence_count; the "bad words" page filter is a caller-
+# provided blocklist (no wordlist ships here).
+
+
+def c4_keep_line(line: Column, min_words: int = 3) -> Column:
+    """C4's line-retention predicate: the trimmed line ends in a
+    terminal punctuation mark (. ! ? or a closing double quote), holds
+    at least ``min_words`` whitespace words, and does not mention
+    'javascript' (case-insensitive)."""
+    t = F.trim(line)
+    return (
+        t.rlike('[.!?"]$')
+        & (F.size(F.split(t, r"\s+")) >= min_words)
+        & ~F.lower(t).contains("javascript")
+    )
+
+
+def c4_clean_lines(text: Column | str, min_words: int = 3) -> Column:
+    """Apply the C4 line filter: struct(clean_text, kept_lines,
+    removed_lines).  Line order is preserved (filter keeps array
+    order); the cleaned text re-joins with newlines."""
+    lines = F.split(_c(text), "\n")
+    kept = F.filter(lines, lambda l: c4_keep_line(l, min_words))
+    return F.struct(
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.size(kept).cast("long").alias("kept_lines"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("removed_lines"),
+    )
+
+
+def c4_page_flags(text: Column | str) -> Column:
+    """C4's page-level drop signals: struct(has_lorem_ipsum,
+    has_curly_brace) — pages matching either are discarded wholesale
+    (the brace flags source code; lorem ipsum flags template junk)."""
+    t = _c(text)
+    return F.struct(
+        F.lower(t).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        t.contains("{").alias("has_curly_brace"),
+    )

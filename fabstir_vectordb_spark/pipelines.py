@@ -24,6 +24,8 @@ analogue — the reference is the vector store this pipeline would feed.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -98,6 +100,7 @@ def curate_corpus(
     max_repetition: float = 0.2,
     token_bounds: tuple[int, int] = (10, 5000),
     gopher: bool | dict = False,
+    gopher_repetition: bool | dict = False,
     near_dup_threshold: float | None = 0.8,
     split_weights: list[tuple[str, float]] | None = None,
     benchmark: DataFrame | None = None,
@@ -166,6 +169,13 @@ def curate_corpus(
         pure column expressions over the already-materialized token
         array, and the streaming gate (curate_stream) accepts the same
         knob so batch and stream cannot diverge.
+      * ``gopher_repetition`` (round 7): drop documents whose Gopher
+        A1.2 repetition signals (operators/repetition.py, certified in
+        text_stats) exceed the paper thresholds — True for the paper's
+        numbers, a dict to override individual thresholds (keys from
+        GOPHER_REPETITION_THRESHOLDS).  One extra Arrow map pass +
+        an id-only join back; runs with the gate stage, before any
+        dedup, like the other stateless quality screens.
       * ``normalize_nfc``: NFC-compose + strip C0 control chars before
         anything fingerprints the text, so byte-variant spellings of
         the same string dedup together (runs after ``html_input``).
@@ -319,6 +329,27 @@ def curate_corpus(
         token_bounds, max_repetition, lang, min_quality, gopher=gopher
     )
     cur = cur.filter(gate).drop("rep_3gram", "gopher")
+
+    if gopher_repetition:
+        from fabstir_vectordb_spark.operators.repetition import (
+            GOPHER_REPETITION_THRESHOLDS,
+            repetition_signals,
+        )
+
+        thresholds = dict(GOPHER_REPETITION_THRESHOLDS)
+        if isinstance(gopher_repetition, dict):
+            thresholds.update(gopher_repetition)
+        # self-referencing stage (signals derive from cur and join
+        # back): barrier first, same rule as every other such stage
+        cur = _trunc(cur)
+        sig = repetition_signals(cur, text_col="text", id_col="id")
+        keep = sig.filter(
+            reduce(
+                lambda a, b: a & b,
+                [F.col(c) <= t for c, t in thresholds.items()],
+            )
+        ).select("id")
+        cur = cur.join(keep, "id")
     _audit("gates", cur)
 
     # exact dedup: keep the canonical (min-id) member of each group

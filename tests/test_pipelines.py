@@ -608,3 +608,41 @@ def test_gopher_gate_in_funnel_and_stream_parity(spark, tmp_path):
         for r in spark.table("gop_stream").collect()
     }
     assert verdicts == {"0": (True, True), "1": (False, False)}
+
+
+def test_gopher_repetition_gate(spark):
+    """gopher_repetition drops the looping doc and keeps clean prose;
+    threshold overrides work."""
+    from fabstir_vectordb_spark.pipelines import curate_corpus
+
+    clean = " ".join(f"w{i:03d}" for i in range(120))
+    looping = "repeat me now " * 60
+    docs = spark.createDataFrame(
+        [(0, clean), (1, looping.strip())], "doc_id long, text string"
+    )
+    kw = dict(
+        boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+        max_repetition=1.0, token_bounds=(1, 10_000),
+        near_dup_threshold=None, cache_stages=False,
+    )
+    base = {r["id"] for r in curate_corpus(docs, **kw).select("id").collect()}
+    gated = {
+        r["id"]
+        for r in curate_corpus(docs, gopher_repetition=True, **kw)
+        .select("id").collect()
+    }
+    assert base == {0, 1} and gated == {0}
+    # absurdly loose override keeps everything
+    loose = {
+        r["id"]
+        for r in curate_corpus(
+            docs,
+            gopher_repetition={k: 1e9 for k in
+                               __import__(
+                                   "fabstir_vectordb_spark.operators.repetition",
+                                   fromlist=["GOPHER_REPETITION_THRESHOLDS"],
+                               ).GOPHER_REPETITION_THRESHOLDS},
+            **kw,
+        ).select("id").collect()
+    }
+    assert loose == {0, 1}

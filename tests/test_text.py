@@ -271,3 +271,40 @@ def test_gopher_rules_planted_pathologies(spark):
     assert got[5]["ok_mean_word_len"] is False
     for k in (1, 2, 3, 4, 5):
         assert got[k]["pass"] is False
+
+
+def test_c4_line_filter_and_page_flags(spark):
+    """C4 §2.2: keep lines ending in terminal punctuation with >= 3
+    words and no 'javascript'; flag lorem-ipsum and curly-brace pages."""
+    from fabstir_vectordb_spark.functions import text as X
+
+    text = (
+        "This line stays right here.\n"
+        "too short.\n"                       # 2 words
+        'He said "stop right there."\n'      # ends with quote -> kept
+        "Enable JavaScript to continue please.\n"
+        "no terminal punctuation here\n"
+        "Another good line stays too!"
+    )
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = df.select(
+        X.c4_clean_lines("text").alias("c"),
+        X.c4_page_flags("text").alias("f"),
+    ).first()
+    kept = row["c"]["clean_text"].split("\n")
+    assert kept == [
+        "This line stays right here.",
+        'He said "stop right there."',
+        "Another good line stays too!",
+    ]
+    assert row["c"]["kept_lines"] == 3 and row["c"]["removed_lines"] == 3
+    assert row["f"]["has_lorem_ipsum"] is False
+    assert row["f"]["has_curly_brace"] is False
+
+    flagged = spark.createDataFrame(
+        [(0, "Some Lorem IPSUM text."), (1, "if (x) { y(); }")],
+        "doc_id long, text string",
+    ).select("doc_id", X.c4_page_flags("text").alias("f")).collect()
+    got = {r["doc_id"]: (r["f"]["has_lorem_ipsum"], r["f"]["has_curly_brace"])
+           for r in flagged}
+    assert got == {0: (True, False), 1: (False, True)}
