@@ -94,6 +94,7 @@ def curate_corpus(
     text_col: str = "text",
     html_input: bool = False,
     normalize_nfc: bool = False,
+    c4_rules: bool = False,
     boilerplate_min_doc_freq: int | None = 1000,
     lang: str | None = "en",
     min_quality: float = 0.3,
@@ -169,6 +170,11 @@ def curate_corpus(
         pure column expressions over the already-materialized token
         array, and the streaming gate (curate_stream) accepts the same
         knob so batch and stream cannot diverge.
+      * ``c4_rules`` (round 7): the C4 §2.2 cleaning pass (certified in
+        pii_redact) — lorem-ipsum/curly-brace pages dropped wholesale,
+        then only terminal-punctuation lines with >= 3 words and no
+        'javascript' retained; runs after NFC, before boilerplate, so
+        every later stage judges the cleaned lines.
       * ``gopher_repetition`` (round 7): drop documents whose Gopher
         A1.2 repetition signals (operators/repetition.py, certified in
         text_stats) exceed the paper thresholds — True for the paper's
@@ -271,6 +277,20 @@ def curate_corpus(
         # COMBINING ACUTE and precomposed 'é' dedup as the same doc
         cur = X.normalize_unicode(cur, text_col="text")
         cur = cur.select("id", X.strip_control_chars("text").alias("text"))
+
+    if c4_rules:
+        # C4 §2.2 (functions/text.py, certified in pii_redact): drop
+        # lorem-ipsum / curly-brace pages wholesale, then keep only
+        # terminal-punctuation lines with enough words.  Page flags
+        # evaluate BEFORE the line rewrite (a brace on a discarded line
+        # still damns the page, per the paper).  Pure column
+        # expressions — no state, no shuffle.
+        flags = X.c4_page_flags("text")
+        cur = cur.filter(
+            ~flags["has_lorem_ipsum"] & ~flags["has_curly_brace"]
+        ).select(
+            "id", X.c4_clean_lines("text")["clean_text"].alias("text")
+        )
 
     if boilerplate_min_doc_freq is not None:
         cleaned = DD.remove_boilerplate_lines(

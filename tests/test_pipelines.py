@@ -646,3 +646,38 @@ def test_gopher_repetition_gate(spark):
         ).select("id").collect()
     }
     assert loose == {0, 1}
+
+
+def test_c4_rules_funnel_stage(spark):
+    """c4_rules drops flagged pages wholesale and line-filters the
+    survivors before any later stage sees the text."""
+    from fabstir_vectordb_spark.pipelines import curate_corpus
+
+    good = (
+        "This opening line has plenty of words and ends well.\n"
+        "fragment without punctuation\n"
+        "The second keeper line also ends with a period."
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "A fine sentence here. But lorem ipsum lurks below."),
+            (2, "Code page with a brace { inside it."),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(
+        boilerplate_min_doc_freq=None, lang=None, min_quality=None,
+        max_repetition=1.0, token_bounds=(1, 10_000),
+        near_dup_threshold=None, cache_stages=False,
+    )
+    out = {
+        r["id"]: r["text"]
+        for r in curate_corpus(docs, c4_rules=True, **kw)
+        .select("id", "text").collect()
+    }
+    assert set(out) == {0}
+    assert out[0].split("\n") == [
+        "This opening line has plenty of words and ends well.",
+        "The second keeper line also ends with a period.",
+    ]

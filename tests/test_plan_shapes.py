@@ -350,3 +350,64 @@ def test_sessionize_single_user_exchange(spark):
     # ANYWHERE in the executed plan (not just in partition keys — a
     # vacuous key-only check would miss pruning regressions)
     assert "props#" not in plan
+
+
+def test_repetition_signals_is_map_only(spark):
+    """The A1.2 repetition-signal pass is one Arrow map — any Exchange
+    means per-doc counting started shuffling the corpus."""
+    from fabstir_vectordb_spark.operators.repetition import (
+        repetition_signals,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _executed(repetition_signals(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_asof_sql_rewrite_single_exchange_per_key(spark):
+    """The ASOF JOIN statement rewrite must produce asof_join's
+    single-window plan: exactly one hashpartitioning exchange on the
+    join key and NO join operator anywhere (the whole point is that no
+    inequality join exists in the plan)."""
+    from fabstir_vectordb_spark.plans.sql_temporal import asof_sql
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.filter(F.col("event_type") == "click").createOrReplaceTempView(
+        "ps_clicks"
+    )
+    ev.filter(F.col("event_type") == "view").createOrReplaceTempView(
+        "ps_views"
+    )
+    df = asof_sql(
+        spark,
+        """SELECT l.event_id, r.value AS v
+           FROM ps_clicks l ASOF LEFT JOIN ps_views r
+             ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    )
+    plan = _executed(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
+
+
+def test_range_sql_rewrite_no_nested_loop(spark):
+    """The bucketed range rewrite must be an EQUALITY join on
+    (key, bucket) — no nested-loop/cartesian operator (which is what
+    a pure inequality join degenerates to without the equality key)."""
+    from fabstir_vectordb_spark.plans.sql_temporal import range_sql
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.createOrReplaceTempView("ps_pts")
+    ev.groupBy("user_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    ).createOrReplaceTempView("ps_ivs")
+    df = range_sql(
+        spark,
+        """SELECT p.event_id FROM ps_pts p JOIN ps_ivs i
+           ON p.user_id = i.user_id AND p.ts BETWEEN i.s AND i.e""",
+    )
+    plan = _executed(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
