@@ -1,0 +1,134 @@
+"""Event analytics: sessionization, temporal joins, and their SQL
+surfaces, end to end on the events fixture.
+
+Covers the round-6/7 temporal tier the way a user would reach it:
+  1. gaps-and-islands sessionization + per-session rollup (batch)
+  2. the same sessions from a live stream (session_window twin)
+  3. as-of join — attach the latest same-user 'view' to every 'click'
+  4. the ASOF JOIN statement form (Spark has no such keyword; the
+     rewriter turns it into the single-exchange plan)
+  5. point-in-interval range join via the canonical BETWEEN statement
+
+Run:  python examples/event_analytics.py
+(uses the sf0.001 fixture tables; finishes in ~1 min on local[8])
+"""
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def main(spark: SparkSession) -> dict:
+    out = {}
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+    # --- 1. batch sessionization + rollup ------------------------------
+    from fabstir_vectordb_spark.operators.stats import (
+        session_stats,
+        sessionize,
+    )
+
+    sessions = session_stats(sessionize(events, gap_seconds=3600))
+    out["n_sessions"] = sessions.count()
+    out["longest_session_events"] = sessions.agg(
+        F.max("n_events")
+    ).first()[0]
+
+    # --- 2. the same sessions from a stream ----------------------------
+    from fabstir_vectordb_spark.streaming.ingest import sessionize_stream
+
+    src = tempfile.mkdtemp(prefix="evex_")
+    events.select("user_id", "ts", "value", "event_id").repartition(
+        4
+    ).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, value double, event_id bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=3600, watermark="3650 days")
+        .writeStream.format("memory")
+        .queryName("evex_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out["n_sessions_streamed"] = spark.table("evex_sessions").count()
+    assert out["n_sessions_streamed"] == out["n_sessions"]
+
+    # --- 3. as-of join (operator form) ---------------------------------
+    from fabstir_vectordb_spark.operators.temporal import asof_join
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    attributed = asof_join(
+        clicks, views, on="user_id", value_cols=["event_id", "value"],
+        tolerance_seconds=7200, right_order_col="event_id",
+    )
+    out["clicks_with_view"] = attributed.filter(
+        F.col("ts_r").isNotNull()
+    ).count()
+
+    # --- 4. the same thing as the canonical ASOF statement -------------
+    from fabstir_vectordb_spark.plans.sql_temporal import asof_sql
+
+    clicks.createOrReplaceTempView("clicks")
+    views.createOrReplaceTempView("views")
+    sql_hits = asof_sql(
+        spark,
+        """SELECT l.event_id, r.event_id AS view_id, r.value AS view_value
+           FROM clicks l ASOF JOIN views r
+             ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    )
+    out["asof_sql_rows"] = sql_hits.count()
+
+    # --- 5. range join via the canonical BETWEEN statement -------------
+    from fabstir_vectordb_spark.plans.sql_temporal import range_sql
+
+    bounds = (
+        sessionize(events, gap_seconds=3600)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    events.createOrReplaceTempView("ev")
+    bounds.createOrReplaceTempView("session_bounds")
+    assigned = range_sql(
+        spark,
+        """SELECT p.event_id, i.session_id
+           FROM ev p JOIN session_bounds i
+             ON p.user_id = i.user_id AND p.ts BETWEEN i.s AND i.e""",
+        bucket_seconds=3600,
+    )
+    out["events_assigned"] = assigned.count()
+    assert out["events_assigned"] == events.count()
+
+    return out
+
+
+if __name__ == "__main__":
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("event_analytics_example")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for k, v in main(spark).items():
+        print(f"{k}: {v}")
