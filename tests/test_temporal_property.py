@@ -1,0 +1,78 @@
+"""Property-based as-of join: for ANY small left/right event sets —
+including same-key timestamp collisions on both sides and keys present
+on only one side — asof_join's union + last(struct) single-window plan
+must reproduce a pure-Python reference of the spec: latest right row
+with ts <= left ts (inclusive), largest ``right_order_col`` winning
+ties, NULL beyond tolerance or when no match exists."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fabstir_vectordb_spark.operators.temporal import asof_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(seconds):
+    return T0 + dt.timedelta(seconds=int(seconds))
+
+
+_key = st.integers(min_value=0, max_value=2)      # few keys => collisions
+_sec = st.integers(min_value=0, max_value=50)     # tight range => ts ties
+
+_left = st.lists(
+    st.tuples(_key, _sec), min_size=1, max_size=12
+)
+_right = st.lists(
+    st.tuples(_key, _sec, st.integers(min_value=0, max_value=100)),
+    min_size=0, max_size=12,
+)
+
+
+def _reference(left, right, tolerance):
+    """{left index: (matched order value | None)} by the spec."""
+    out = {}
+    for li, (lk, lt) in enumerate(left):
+        best = None
+        for rk, rt, order in right:
+            if rk != lk or rt > lt:
+                continue
+            if tolerance is not None and lt - rt > tolerance:
+                continue
+            # latest ts wins; among equal ts the LARGEST order wins
+            if best is None or (rt, order) > best:
+                best = (rt, order)
+        out[li] = None if best is None else best[1]
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left, right=_right,
+       tolerance=st.sampled_from([None, 0, 5, 20]))
+def test_asof_matches_reference(spark, left, right, tolerance):
+    ldf = spark.createDataFrame(
+        [(i, _ts(t), k) for i, (k, t) in enumerate(left)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(t), o) for (k, t, o) in right],
+        "user_id long, ts timestamp, ord long",
+    ) if right else spark.createDataFrame(
+        [], "user_id long, ts timestamp, ord long"
+    )
+    got = {
+        r["event_id"]: r["ord_r"]
+        for r in asof_join(
+            ldf, rdf, on="user_id", value_cols=["ord"],
+            tolerance_seconds=tolerance, right_order_col="ord",
+        ).collect()
+    }
+    assert got == _reference(left, right, tolerance)
