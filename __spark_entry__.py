@@ -3891,7 +3891,8 @@ rp AS (
 ),
 rt AS (
   SELECT doc_id, gt, length(gt) AS lgt,
-         regexp_split_to_array(trim(gt), '\\s+') AS w
+         list_filter(regexp_split_to_array(gt, '\\s+'),
+                     x -> x <> '') AS w
   FROM rp
 ),
 rl AS (

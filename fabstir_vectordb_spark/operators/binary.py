@@ -213,7 +213,7 @@ class BinarySketch:
                     # argpartition shortlist (the bulk kernel's shape):
                     # O(n) select of the k-th distance, then lexsort only
                     # the <=thresh tie set instead of the whole partition
-                    if len(d) > k:
+                    if len(d) > k > 0:
                         part = np.argpartition(d, k - 1)
                         thresh = d[part[:k]].max()
                         cand = np.flatnonzero(d <= thresh)

@@ -110,11 +110,19 @@ def repetition_signals(
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 text = text or ""
-                lines = [l for l in text.split("\n") if l.strip()]
-                paras = [p for p in re.split(r"\n\s*\n", text) if p.strip()]
+                # whitespace semantics are pinned to the DuckDB oracle's:
+                # blank-unit filter = trim() (SPACES only, so a tab-only
+                # line is a unit), splits = RE2 \s = [\t\n\f\r ] (ASCII —
+                # \xa0 and other Unicode whitespace are word characters)
+                lines = [l for l in text.split("\n") if l.strip(" ")]
+                paras = [
+                    p
+                    for p in re.split(r"\n[\t\n\f\r ]*\n", text)
+                    if p.strip(" ")
+                ]
                 lf, lcf = _dup_fracs(lines)
                 pf, pcf = _dup_fracs(paras)
-                words = text.split()
+                words = [w for w in re.split(r"[\t\n\f\r ]+", text) if w]
                 L = len(text)
                 rec = [did, lf, lcf, pf, pcf]
                 for n in top_ns:

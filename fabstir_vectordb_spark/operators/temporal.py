@@ -56,12 +56,18 @@ def asof_join(
     tolerance_seconds: int | None = None,
     right_order_col: str | None = None,
     suffix: str = "_r",
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: ``left``'s columns plus, per value column,
     ``<col><suffix>`` from the latest right row with
     ``right_ts <= left_ts`` for the same ``on`` key — NULL when no such
     row exists (or the match is older than ``tolerance_seconds``).
     Also emits ``ts<suffix>``, the matched right timestamp.
+
+    Right rows whose timestamp is NULL (or casts to NULL) are dropped
+    up front: a NULL timestamp satisfies no ``right_ts <= left_ts``
+    comparison, and carrying it into the timeline would make it sort
+    first and masquerade as a match older than everything.
 
     ``right_order_col``: tie-break among right rows sharing (key, ts);
     the LARGEST wins (the latest writer).  Without it the tie-break
@@ -73,19 +79,31 @@ def asof_join(
     number); the hash fallback only guarantees stability, not
     latest-writer semantics.
 
-    Skew boundary: the single window serializes each key in one task —
-    a pathologically hot key (one key holding ~10^8 rows) becomes a
-    straggler, inherent to any windowed as-of.  Escape hatch: split
-    that key's timeline into coarse chunks (e.g. by day), run the
-    as-of per chunk, and patch each chunk's leading unmatched rows
-    from the previous chunk's last right row — or cap/sample the hot
-    key upstream the way ``cap_per_group`` does for sampling.
+    Skew boundary and its escape hatch: the single window serializes
+    each key in one task — a pathologically hot key (one key holding
+    ~10^8 rows) becomes a straggler, inherent to any windowed as-of.
+    ``chunk_seconds`` is the opt-in two-pass fix: both sides split into
+    fixed ``chunk_seconds`` periods, the window partitions by
+    (key, chunk) — per-chunk parallelism, the hot key's timeline now
+    spreads across tasks — and each chunk's leading unmatched left rows
+    patch from the latest CLOSING right row of any earlier chunk
+    (closings are one row per (key, chunk), so the per-key serialized
+    pass shrinks from #rows to #chunks).  Answers are identical to the
+    plain operator for every input (property-tested); pick a chunk
+    near the hot key's natural period (e.g. a day).  For non-skewed
+    keys prefer the plain single-window form — two extra exchanges buy
+    nothing there.  Alternatively cap/sample the hot key upstream the
+    way ``cap_per_group`` does for sampling.
     """
     from pyspark.sql.window import Window
 
     rts = right_ts_col or ts_col
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, rts)]
+
+    # NULL right timestamps can never match (see docstring); dropping
+    # them also keeps ts_r a reliable "matched" sentinel downstream
+    right = right.filter(F.col(rts).cast("timestamp").isNotNull())
 
     payload = F.struct(
         F.col(rts).cast("timestamp").alias("__rts"),
@@ -112,11 +130,19 @@ def asof_join(
     r = r.withColumn(
         "__lrow", F.lit(None).cast(l.schema["__lrow"].dataType)
     )
+    part_cols = [on]
+    if chunk_seconds is not None:
+        ck_us = int(chunk_seconds) * 1_000_000
+        # floor, not a truncating cast: pre-epoch timestamps are
+        # negative micros and must bucket downward like range_join's
+        ck = F.floor(F.unix_micros(F.col("__ts")) / ck_us).cast("long")
+        l, r = l.withColumn("__ck", ck), r.withColumn("__ck", ck)
+        part_cols = [on, "__ck"]
     # right rows sort BEFORE left rows at the same instant (side 0 < 1):
     # the boundary right.ts == left.ts is an inclusive match; among
     # equal right timestamps the largest __ord sorts last and wins
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("__ts"), F.col("__side"), F.col("__ord"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -125,6 +151,40 @@ def asof_join(
         .withColumn("__match", F.last("__rv", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
+    if chunk_seconds is not None:
+        # pass 2 — patch across chunk boundaries.  One CLOSING right row
+        # per (key, chunk): the max by (ts, ord), i.e. exactly the row
+        # pass 1's window would carry at the chunk's end.  Chunk
+        # timestamps are monotone in the chunk id, so for a left chunk
+        # the latest closing among STRICTLY EARLIER chunks is the
+        # correct pre-chunk match; probes sort before closings at the
+        # same chunk id (a same-chunk closing may postdate the left row
+        # — pass 1 already resolved in-chunk visibility).
+        closing = r.groupBy(on, "__ck").agg(
+            F.max_by("__rv", F.struct("__ts", "__ord")).alias("__cv")
+        )
+        probes = l.select(on, "__ck").distinct()
+        tl = probes.select(
+            on,
+            "__ck",
+            F.lit(0).alias("__cside"),
+            F.lit(None).cast(closing.schema["__cv"].dataType).alias("__cv"),
+        ).unionByName(
+            closing.select(on, "__ck", F.lit(1).alias("__cside"), "__cv")
+        )
+        wc = (
+            Window.partitionBy(on)
+            .orderBy("__ck", "__cside")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carry = (
+            tl.withColumn("__carry", F.last("__cv", ignorenulls=True).over(wc))
+            .filter(F.col("__cside") == 0)
+            .select(on, "__ck", "__carry")
+        )
+        carried = carried.join(carry, [on, "__ck"], "left").withColumn(
+            "__match", F.coalesce("__match", "__carry")
+        )
     if tolerance_seconds is not None:
         lag_us = F.unix_micros(F.col("__ts")) - F.unix_micros(
             F.col("__match.__rts")

@@ -305,6 +305,17 @@ def _resolve_range(spark: SparkSession, sql: str):
     shared = (pcols & icols) - ({p["pkey"]} if p["pkey"] == p["ikey"] else set())
     if shared:
         return None
+    # the bucketed plan routes ts/start/end through a cast-to-timestamp
+    # bucket key; on non-temporal columns (a string ts, an int epoch)
+    # that cast can disagree with the verbatim BETWEEN comparison, so
+    # only genuinely temporal bindings take the rewrite — everything
+    # else delegates, keeping the 'verbatim computes the same answer'
+    # contract literal
+    pdt, idt = dict(points.dtypes), dict(intervals.dtypes)
+    for dt, cols in ((pdt, (p["ts"],)), (idt, (p["start"], p["end"]))):
+        for c in cols:
+            if not (dt[c].startswith("timestamp") or dt[c] == "date"):
+                return None
     return p, points, intervals
 
 

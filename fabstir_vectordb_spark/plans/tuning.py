@@ -149,11 +149,17 @@ def plan_search(
     - otherwise IVF probe; PQ+rerank when memory pressure dominates
       (codes are M bytes/vector vs 4*dim).
     """
+    selective = has_filter and (filter_selectivity or 1.0) <= 0.01
     if n_clusters is None or dataset_size < brute_force_threshold:
         if (
             binary_available
             and n_clusters is None
             and dataset_size >= brute_force_threshold
+            # a highly selective filter beats the sketch: the exact scan
+            # of the pre-filtered subset is both cheaper AND exact, so
+            # the documented 'selective filter => exact scan' rule wins
+            # over the approximate Hamming tier
+            and not selective
         ):
             b = tune_binary(dim or 64, k, recall_target)
             over_ceiling = dataset_size > BINARY_SCAN_CEILING
@@ -173,7 +179,7 @@ def plan_search(
                 binary=b,
             )
         return SearchPlan("brute", reason="below index threshold / untrained")
-    if has_filter and (filter_selectivity or 1.0) <= 0.01:
+    if selective:
         return SearchPlan("brute", reason="selective filter => exact scan of subset")
     n_probe = tune_n_probe(dataset_size, k, n_clusters)
     if pq_available and dataset_size > _LARGE:

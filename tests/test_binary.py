@@ -175,3 +175,19 @@ def test_empty_query_set_returns_empty(spark):
     assert sk.hamming_knn(sk.encode(df), noq, 5).count() == 0
     pq = ProductQuantizer.fit(df, n_subspaces=4, n_centroids=8)
     assert pq.adc_knn(pq.encode(df), noq, 5).count() == 0
+
+
+def test_k_zero_returns_empty_not_valueerror(spark):
+    """k=0 must return an empty frame on both kernels: the argpartition
+    shortlist (np.argpartition(d, k - 1)) would raise on the empty
+    slice if taken, so the shortlist is guarded with len(d) > k > 0."""
+    rng = np.random.RandomState(12)
+    X = rng.normal(size=(40, 16))
+    df = _df(spark, X)
+    q = df.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    sk = BinarySketch.fit(dim=16, bits=64)
+    sigs = sk.encode(df)
+    assert sk.hamming_knn(sigs, q, 0).count() == 0
+    assert sk.hamming_knn_bulk(sigs, q, 0).count() == 0

