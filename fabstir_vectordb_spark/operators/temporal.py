@@ -207,7 +207,7 @@ def range_join(
     ts_col: str = "ts",
     start_col: str = "start",
     end_col: str = "end",
-    bucket_seconds: int = 3600,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Inner point-in-interval join: one row per (point, containing
     interval) pair of the same key, ``start <= ts <= end`` inclusive —
@@ -215,6 +215,14 @@ def range_join(
     (key, time-bucket) with the exact predicate as a post-filter; the
     interval side replicates per covered bucket, the point side never
     duplicates (a pair meets only in the point's own bucket).
+
+    ``bucket_seconds=None`` (the default) auto-tunes: the median
+    interval length of the actual data, snapped to a fixed grid
+    (plans/tuning.tune_range) — one extra aggregate job per side at
+    plan time, nothing per-query.  Pass an explicit width to skip the
+    measurement (e.g. when the typical interval length is known or the
+    same tables join repeatedly).  Any width computes the same answer;
+    this knob is purely about replication vs candidate-set size.
 
     Malformed intervals (``end < start``) are dropped BEFORE the bucket
     explode: they can contain no point (``start <= ts <= end`` is
@@ -230,6 +238,13 @@ def range_join(
     (e.g. cap at a max duration, or break them into day-sized
     sub-intervals — containment results are identical since the pieces
     tile the original)."""
+    if bucket_seconds is None:
+        from fabstir_vectordb_spark.plans.tuning import tune_range
+
+        bucket_seconds = tune_range(
+            points, intervals, on,
+            ts_col=ts_col, start_col=start_col, end_col=end_col,
+        ).bucket_seconds
     b_us = int(bucket_seconds) * 1_000_000
     p = points.withColumn("__bkt", F.floor(_micros(ts_col) / b_us).cast("long"))
     intervals = intervals.filter(_micros(start_col) <= _micros(end_col))

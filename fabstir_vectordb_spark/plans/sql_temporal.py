@@ -320,13 +320,18 @@ def _resolve_range(spark: SparkSession, sql: str):
 
 
 def range_sql(
-    spark: SparkSession, sql: str, bucket_seconds: int = 3600
+    spark: SparkSession, sql: str, bucket_seconds: int | None = None
 ) -> DataFrame:
     """Run ``sql``: the canonical key-equality + BETWEEN interval join
     rewrites to operators/temporal.range_join's bucketed plan; anything
     else — including ambiguous column bindings — delegates to
     ``spark.sql`` verbatim, which computes the same result by the
-    native equality-join-then-filter plan."""
+    native equality-join-then-filter plan.
+
+    ``bucket_seconds=None`` (the default) auto-tunes the bucket width
+    from the data's median interval length via plans/tuning.tune_range
+    (the tune_binary contract: measured study -> planner default); pass
+    a width to pin it."""
     from fabstir_vectordb_spark.operators.temporal import range_join
 
     resolved = _resolve_range(spark, sql)

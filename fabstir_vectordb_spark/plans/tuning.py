@@ -111,6 +111,104 @@ def tune_binary(
     )
 
 
+# Range-join density crossover (operators/temporal.range_join vs the
+# native equality-join + BETWEEN plan), from the measured series
+# (PERFORMANCE.md "range-join crossover", tools/range_join_compare.py):
+# at 3,000 points/key the native plan still wins (0.7x), at 30,000 the
+# bucketed plan wins 1.6x, and the gap grows with density (4.8x at
+# 400,000) — native enumerates points_k x intervals_k candidate pairs
+# per key (quadratic in per-key density), bucketed is ~linear.
+RANGE_DENSITY_CROSSOVER = 3_000
+
+# candidate bucket widths (1 min .. 1 day): the measured guidance is
+# "bucket near the typical interval length"; a fixed grid keeps plan
+# shapes predictable and avoids pathological widths from outlier medians
+_BUCKET_GRID = (60, 300, 900, 3600, 14400, 86400)
+
+
+@dataclass
+class RangePlan:
+    """Physical-strategy decision for a point-in-interval join — the
+    tune_binary -> BinarySketch contract for the temporal tier."""
+
+    strategy: str  # "native" | "bucketed"
+    bucket_seconds: int
+    points_per_key: float
+    median_interval_seconds: float
+    reason: str
+
+
+def tune_range(
+    points,
+    intervals,
+    on: str,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> RangePlan:
+    """Measure the two quantities the range-join decision depends on and
+    encode the crossover study as a plan:
+
+    - ``bucket_seconds``: the median interval length (percentile_approx
+      over the intervals table), snapped to the nearest _BUCKET_GRID
+      width in log space — too-small buckets replicate intervals,
+      too-large ones inflate per-bucket candidate sets, and the
+      measured sweet spot is "near the typical interval length"
+      (operators/temporal.range_join docstring).
+    - ``strategy``: "bucketed" when points-per-key exceeds
+      RANGE_DENSITY_CROSSOVER (the measured boundary where the native
+      plan's quadratic per-key pair enumeration starts losing),
+      "native" below it.  Both strategies compute identical answers;
+      this is purely a latency call.
+
+    Cost: one aggregate job per side (count + approx_count_distinct
+    (+ percentile_approx); partial aggregation, no wide shuffle) — a
+    one-time planning cost like IVFIndex.fit, not per-query work.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    def _us(col):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    i = intervals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(on).alias("keys"),
+        F.percentile_approx(
+            (_us(end_col) - _us(start_col)) / 1e6, F.lit(0.5), F.lit(1000)
+        ).alias("med_len"),
+    ).first()
+    p = points.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(on).alias("keys"),
+    ).first()
+    med = float(i["med_len"]) if i["med_len"] is not None else 3600.0
+    bucket = min(
+        _BUCKET_GRID,
+        key=lambda b: abs(math.log(b) - math.log(max(med, 1.0))),
+    )
+    ppk = p["n"] / max(p["keys"] or 0, 1)
+    if p["n"] == 0 or i["n"] == 0:
+        return RangePlan(
+            "native", bucket, ppk, med,
+            "degenerate input (an empty side): nothing to bucket",
+        )
+    if ppk <= RANGE_DENSITY_CROSSOVER:
+        return RangePlan(
+            "native", bucket, ppk, med,
+            f"{ppk:.0f} points/key <= crossover "
+            f"{RANGE_DENSITY_CROSSOVER}: native pair enumeration is "
+            "cheap and skips the bucket explode",
+        )
+    return RangePlan(
+        "bucketed", bucket, ppk, med,
+        f"{ppk:.0f} points/key > crossover {RANGE_DENSITY_CROSSOVER}: "
+        "native per-key pair enumeration is quadratic; bucketed is "
+        f"~linear (median interval {med:.0f}s => {bucket}s buckets)",
+    )
+
+
 @dataclass
 class SearchPlan:
     strategy: str  # "brute" | "ivf" | "pq" | "binary"

@@ -257,3 +257,95 @@ def test_plan_search_selective_filter_beats_binary_tier():
     assert plan_search(
         1_000_000, 10, None, binary_available=True, dim=64
     ).strategy == "binary"
+
+
+def test_tune_range_encodes_measured_crossover(spark):
+    """tune_range reproduces the range_join_compare study: sparse keys
+    (<= 3,000 points/key) plan native, dense keys plan bucketed, and
+    the bucket snaps to the grid width nearest the median interval
+    length (tune_binary's study-to-planner contract for the temporal
+    tier)."""
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.plans.tuning import (
+        RANGE_DENSITY_CROSSOVER,
+        tune_range,
+    )
+
+    base = 1_700_000_000
+
+    def mk(users, per_user, iv_len):
+        pts = spark.range(users * per_user).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % users).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(base) + F.floor(F.col("id") / users) * 60
+            ).alias("ts"),
+        )
+        ivs = spark.range(users * max(per_user // 15, 1)).select(
+            F.col("id").alias("iv_id"),
+            (F.col("id") % users).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(base) + F.floor(F.col("id") / users) * iv_len
+            ).alias("start"),
+            F.timestamp_seconds(
+                F.lit(base) + (F.floor(F.col("id") / users) + 1) * iv_len - 60
+            ).alias("end"),
+        )
+        return pts, ivs
+
+    # the study's 200-user / 3,000-points-per-key row: native wins
+    sparse = tune_range(*mk(40, 500, 900), on="user_id")
+    assert sparse.strategy == "native"
+    assert sparse.points_per_key <= RANGE_DENSITY_CROSSOVER
+    # 15-min intervals (minus the open minute) snap to the 900 s bucket
+    assert sparse.bucket_seconds == 900
+
+    # the dense side of the crossover: bucketed
+    dense = tune_range(*mk(2, 10_000, 900), on="user_id")
+    assert dense.strategy == "bucketed"
+    assert dense.points_per_key > RANGE_DENSITY_CROSSOVER
+
+    # bucket snapping: ~1-minute intervals -> 60 s, ~4 h -> 14400 s
+    assert tune_range(*mk(4, 64, 65), on="user_id").bucket_seconds == 60
+    assert tune_range(*mk(4, 64, 16000), on="user_id").bucket_seconds == 14400
+
+    # degenerate: empty intervals -> native, default-ish bucket, no crash
+    pts, ivs = mk(4, 64, 900)
+    empty = tune_range(pts, ivs.filter(F.lit(False)), on="user_id")
+    assert empty.strategy == "native"
+
+
+def test_range_join_auto_bucket_matches_explicit(spark):
+    """range_join with bucket_seconds=None (auto via tune_range) must
+    return exactly the explicit-bucket answer — the knob is latency
+    only, never semantics."""
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.operators.temporal import range_join
+
+    base = 1_700_000_000
+    pts = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).alias("user_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 37).alias("ts"),
+    )
+    ivs = spark.range(20).select(
+        F.col("id").alias("iv_id"),
+        (F.col("id") % 5).alias("user_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 300).alias("start"),
+        F.timestamp_seconds(
+            F.lit(base) + F.col("id") * 300 + 450
+        ).alias("end"),
+    )
+    auto = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in range_join(pts, ivs, on="user_id").collect()
+    )
+    explicit = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in range_join(
+            pts, ivs, on="user_id", bucket_seconds=3600
+        ).collect()
+    )
+    assert auto == explicit and auto  # non-empty and identical
