@@ -49,7 +49,7 @@ def _micros(col):
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     ts_col: str = "ts",
     right_ts_col: str | None = None,
     value_cols: list[str] | None = None,
@@ -62,7 +62,10 @@ def asof_join(
     ``<col><suffix>`` from the latest right row with
     ``right_ts <= left_ts`` for the same ``on`` key — NULL when no such
     row exists (or the match is older than ``tolerance_seconds``).
-    Also emits ``ts<suffix>``, the matched right timestamp.
+    Also emits ``ts<suffix>``, the matched right timestamp.  ``on`` may
+    be a single column name or a list (multi-key equality, DuckDB's
+    multi-condition ASOF); both sides must carry every key under the
+    same name.
 
     Right rows whose timestamp is NULL (or casts to NULL) are dropped
     up front: a NULL timestamp satisfies no ``right_ts <= left_ts``
@@ -97,9 +100,10 @@ def asof_join(
     """
     from pyspark.sql.window import Window
 
+    keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts_col or ts_col
     if value_cols is None:
-        value_cols = [c for c in right.columns if c not in (on, rts)]
+        value_cols = [c for c in right.columns if c not in (*keys, rts)]
 
     # NULL right timestamps can never match (see docstring); dropping
     # them also keeps ts_r a reliable "matched" sentinel downstream
@@ -113,14 +117,14 @@ def asof_join(
         F.col(right_order_col) if right_order_col else F.xxhash64(payload)
     )
     r = right.select(
-        F.col(on).alias(on),
+        *[F.col(k).alias(k) for k in keys],
         F.col(rts).cast("timestamp").alias("__ts"),
         F.lit(0).alias("__side"),
         order.alias("__ord"),
         payload.alias("__rv"),
     )
     l = left.select(
-        F.col(on).alias(on),
+        *[F.col(k).alias(k) for k in keys],
         F.col(ts_col).cast("timestamp").alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__ord"].dataType).alias("__ord"),
@@ -130,14 +134,14 @@ def asof_join(
     r = r.withColumn(
         "__lrow", F.lit(None).cast(l.schema["__lrow"].dataType)
     )
-    part_cols = [on]
+    part_cols = list(keys)
     if chunk_seconds is not None:
         ck_us = int(chunk_seconds) * 1_000_000
         # floor, not a truncating cast: pre-epoch timestamps are
         # negative micros and must bucket downward like range_join's
         ck = F.floor(F.unix_micros(F.col("__ts")) / ck_us).cast("long")
         l, r = l.withColumn("__ck", ck), r.withColumn("__ck", ck)
-        part_cols = [on, "__ck"]
+        part_cols = [*keys, "__ck"]
     # right rows sort BEFORE left rows at the same instant (side 0 < 1):
     # the boundary right.ts == left.ts is an inclusive match; among
     # equal right timestamps the largest __ord sorts last and wins
@@ -160,29 +164,29 @@ def asof_join(
         # correct pre-chunk match; probes sort before closings at the
         # same chunk id (a same-chunk closing may postdate the left row
         # — pass 1 already resolved in-chunk visibility).
-        closing = r.groupBy(on, "__ck").agg(
+        closing = r.groupBy(*keys, "__ck").agg(
             F.max_by("__rv", F.struct("__ts", "__ord")).alias("__cv")
         )
-        probes = l.select(on, "__ck").distinct()
+        probes = l.select(*keys, "__ck").distinct()
         tl = probes.select(
-            on,
+            *keys,
             "__ck",
             F.lit(0).alias("__cside"),
             F.lit(None).cast(closing.schema["__cv"].dataType).alias("__cv"),
         ).unionByName(
-            closing.select(on, "__ck", F.lit(1).alias("__cside"), "__cv")
+            closing.select(*keys, "__ck", F.lit(1).alias("__cside"), "__cv")
         )
         wc = (
-            Window.partitionBy(on)
+            Window.partitionBy(*keys)
             .orderBy("__ck", "__cside")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         carry = (
             tl.withColumn("__carry", F.last("__cv", ignorenulls=True).over(wc))
             .filter(F.col("__cside") == 0)
-            .select(on, "__ck", "__carry")
+            .select(*keys, "__ck", "__carry")
         )
-        carried = carried.join(carry, [on, "__ck"], "left").withColumn(
+        carried = carried.join(carry, [*keys, "__ck"], "left").withColumn(
             "__match", F.coalesce("__match", "__carry")
         )
     if tolerance_seconds is not None:

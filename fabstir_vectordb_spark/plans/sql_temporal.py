@@ -8,9 +8,14 @@ canonical statement
 
     SELECT l.<col> [AS a], ..., r.<col> [AS b], ...
     FROM <left_view> l ASOF [LEFT] JOIN <right_view> r
-      ON l.<key> = r.<key> AND l.<ts> >= r.<ts>
+      ON l.<k1> = r.<k1> [AND l.<k2> = r.<k2> ...] AND l.<ts> >= r.<ts>
+      [TOLERANCE <n> SECONDS]
 
-cannot run on ``spark.sql`` at all.  This module accepts it and
+(multi-key equality as in DuckDB's multi-condition ASOF; the TOLERANCE
+clause follows QuestDB's ASOF JOIN TOLERANCE form and maps to
+asof_join's ``tolerance_seconds`` — matches older than <n> seconds
+surface as NULL, and inner ASOF drops them) cannot run on
+``spark.sql`` at all.  This module accepts it and
 rewrites to :func:`operators.temporal.asof_join` — the union +
 last(struct) single-exchange plan — following the statement-level
 rewriter contract of plans/sql_ann.py:
@@ -62,7 +67,9 @@ __all__ = [
 _CANONICAL = (
     "SELECT <l>.<col> [AS <name>], ... FROM <left_view> <l> "
     "ASOF [LEFT] JOIN <right_view> <r> "
-    "ON <l>.<key> = <r>.<key> AND <l>.<ts> >= <r>.<ts>"
+    "ON <l>.<key> = <r>.<key> [AND <l>.<key2> = <r>.<key2> ...] "
+    "AND <l>.<ts> >= <r>.<ts> "
+    "[TOLERANCE <n> SECONDS]"
 )
 
 
@@ -78,12 +85,19 @@ _PATTERN = re.compile(
     FROM\s+(?P<lview>\w+)\s+(?:AS\s+)?(?P<lal>\w+)\s+
     ASOF\s+(?:(?P<outer>LEFT)\s+)?JOIN\s+
     (?P<rview>\w+)\s+(?:AS\s+)?(?P<ral>\w+)\s+
-    ON\s+(?P<e1a>\w+)\.(?P<e1c>\w+)\s*=\s*(?P<e2a>\w+)\.(?P<e2c>\w+)\s+
-    AND\s+(?P<i1a>\w+)\.(?P<i1c>\w+)\s*(?P<op>>=|<=)\s*(?P<i2a>\w+)\.(?P<i2c>\w+)
+    ON\s+(?P<onc>.+?)
+    (?:\s+TOLERANCE\s+(?P<tol>\d+)\s+SECONDS?)?
     \s*;?\s*$
     """,
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
+
+# ON-clause conjuncts: test the inequality form FIRST (its operator set
+# contains '='-adjacent characters the equality regex must not eat)
+_INEQ = re.compile(
+    r"^(\w+)\.(\w+)\s*(>=|<=)\s*(\w+)\.(\w+)$", re.IGNORECASE
+)
+_EQ = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$", re.IGNORECASE)
 
 _ITEM = re.compile(
     r"^\s*(?P<al>\w+)\.(?P<col>\w+)(?:\s+AS\s+(?P<name>\w+))?\s*$",
@@ -115,18 +129,48 @@ def _parse(sql: str):
             f"(expected {lal!r} or {ral!r})"
         )
 
-    # equality: one side each, either order
-    eq = {side(g("e1a")): g("e1c"), side(g("e2a")): g("e2c")}
-    if set(eq) != {"l", "r"}:
-        raise AsofSyntaxError("ON equality must join the two table aliases")
-    # inequality: normalize to l.ts >= r.ts
-    i1, i2 = (side(g("i1a")), g("i1c")), (side(g("i2a")), g("i2c"))
-    if g("op") == "<=":
-        i1, i2 = i2, i1
-    if i1[0] != "l" or i2[0] != "r":
+    # ON clause: one or more equality conjuncts + exactly one inequality
+    eq_pairs: list[tuple[str, str]] = []  # (left col, right col)
+    ineq = None
+    for conj in re.split(r"\s+AND\s+", g("onc").strip(), flags=re.IGNORECASE):
+        im = _INEQ.match(conj.strip())
+        if im and im.group(3) in (">=", "<="):
+            if ineq is not None:
+                raise AsofSyntaxError(
+                    "ON clause must contain exactly ONE ts inequality"
+                )
+            i1 = (side(im.group(1)), im.group(2))
+            i2 = (side(im.group(4)), im.group(5))
+            if im.group(3) == "<=":
+                i1, i2 = i2, i1
+            if i1[0] != "l" or i2[0] != "r":
+                raise AsofSyntaxError(
+                    "ON inequality must be <left>.<ts> >= <right>.<ts> "
+                    "(or the <= mirror)"
+                )
+            ineq = (i1[1], i2[1])
+            continue
+        em = _EQ.match(conj.strip())
+        if not em:
+            raise AsofSyntaxError(
+                f"unsupported ON conjunct {conj.strip()!r}; "
+                f"the canonical form is: {_CANONICAL}"
+            )
+        pair = {
+            side(em.group(1)): em.group(2),
+            side(em.group(3)): em.group(4),
+        }
+        if set(pair) != {"l", "r"}:
+            raise AsofSyntaxError(
+                "each ON equality must join the two table aliases"
+            )
+        eq_pairs.append((pair["l"], pair["r"]))
+    if ineq is None:
+        raise AsofSyntaxError("ON clause needs a <l>.<ts> >= <r>.<ts> term")
+    if not eq_pairs:
         raise AsofSyntaxError(
-            "ON inequality must be <left>.<ts> >= <right>.<ts> "
-            "(or the <= mirror)"
+            "ON clause needs at least one key equality "
+            "(keyless ASOF is a global as-of; add a constant key column)"
         )
     items = []
     for raw in g("select").split(","):
@@ -143,11 +187,12 @@ def _parse(sql: str):
     return {
         "lview": g("lview"),
         "rview": g("rview"),
-        "lkey": eq["l"],
-        "rkey": eq["r"],
-        "lts": i1[1],
-        "rts": i2[1],
+        "lkeys": [lc for lc, _ in eq_pairs],
+        "rkeys": [rc for _, rc in eq_pairs],
+        "lts": ineq[0],
+        "rts": ineq[1],
         "outer": bool(g("outer")),
+        "tolerance": int(g("tol")) if g("tol") else None,
         "items": items,
     }
 
@@ -168,13 +213,16 @@ def asof_sql(spark: SparkSession, sql: str) -> DataFrame:
         return spark.sql(sql)
     left = spark.table(p["lview"])
     right = spark.table(p["rview"])
-    # asof_join keys both sides on one column name; align right to left
-    if p["rkey"] != p["lkey"]:
-        right = right.withColumnRenamed(p["rkey"], p["lkey"])
+    # asof_join keys both sides on the left's column names; align the
+    # right side key by key
+    key_map = dict(zip(p["rkeys"], p["lkeys"]))
+    for rk, lk in key_map.items():
+        if rk != lk:
+            right = right.withColumnRenamed(rk, lk)
 
     def _r(c: str) -> str:
         # a selected right KEY column rides the renamed key
-        return p["lkey"] if c == p["rkey"] else c
+        return key_map.get(c, c)
 
     value_cols = sorted(
         {_r(c) for s, c, _ in p["items"] if s == "r" and c != p["rts"]}
@@ -182,10 +230,11 @@ def asof_sql(spark: SparkSession, sql: str) -> DataFrame:
     out = asof_join(
         left,
         right,
-        on=p["lkey"],
+        on=p["lkeys"],
         ts_col=p["lts"],
         right_ts_col=p["rts"],
         value_cols=value_cols,
+        tolerance_seconds=p["tolerance"],
     )
     if not p["outer"]:  # inner ASOF JOIN: unmatched left rows drop
         out = out.filter(F.col("ts_r").isNotNull())

@@ -332,3 +332,108 @@ def test_range_sql_non_temporal_columns_delegate(spark, range_views):
         "SELECT p.event_id, i.iv_id AS session FROM pts p JOIN ivs i "
         "ON p.user_id = i.uid AND p.ts BETWEEN i.s AND i.e",
     ) == "range"
+
+
+@pytest.fixture(scope="module")
+def mk_views(spark):
+    left = spark.createDataFrame(
+        [
+            (0, _ts(10), 7, "eu"),
+            (1, _ts(10), 7, "us"),   # same user, other region
+            (2, _ts(100), 8, "eu"),
+            (3, _ts(30), 7, "eu"),
+        ],
+        "event_id long, ts timestamp, user_id long, region string",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, "eu", _ts(4), 1.0),
+            (7, "us", _ts(9), 2.0),
+            (7, "eu", _ts(25), 3.0),
+            (8, "us", _ts(50), 4.0),  # wrong region for event 2
+        ],
+        "uid long, region string, qts timestamp, value double",
+    )
+    left.createOrReplaceTempView("mk_trades")
+    right.createOrReplaceTempView("mk_quotes")
+    return left, right
+
+
+def test_multi_key_asof_sql_matches_operator(spark, mk_views):
+    """Multi-key equality (DuckDB's multi-condition ASOF): the match
+    must honor EVERY key — and the rewrite must equal the direct
+    asof_join(on=[k1, k2]) operator."""
+    from fabstir_vectordb_spark.operators.temporal import asof_join
+
+    left, right = mk_views
+    sql = """
+    SELECT l.event_id, r.value AS v, r.qts AS matched_ts
+    FROM mk_trades l ASOF LEFT JOIN mk_quotes r
+      ON l.user_id = r.uid AND l.region = r.region AND l.ts >= r.qts
+    """
+    assert explain_asof(sql) == "asof"
+    got = {
+        r["event_id"]: (r["v"], r["matched_ts"])
+        for r in asof_sql(spark, sql).collect()
+    }
+    assert got == {
+        0: (1.0, _ts(4)),    # eu: latest eu quote <= 10 is ts 4
+        1: (2.0, _ts(9)),    # us: the region key separates the streams
+        2: (None, None),     # user 8 has only a us quote
+        3: (3.0, _ts(25)),
+    }
+    for chunk in (None, 7):  # plain AND the hot-key chunked escape hatch
+        direct = {
+            r["event_id"]: (r["value_r"], r["ts_r"])
+            for r in asof_join(
+                left,
+                right.withColumnRenamed("uid", "user_id"),
+                on=["user_id", "region"],
+                ts_col="ts", right_ts_col="qts", value_cols=["value"],
+                chunk_seconds=chunk,
+            ).collect()
+        }
+        assert direct == got, f"chunk={chunk}"
+
+
+def test_asof_sql_tolerance_clause(spark, mk_views):
+    """TOLERANCE <n> SECONDS maps to asof_join's tolerance_seconds:
+    matches older than n seconds surface NULL under ASOF LEFT JOIN and
+    drop under inner ASOF JOIN."""
+    base = """
+    SELECT l.event_id, r.value AS v
+    FROM mk_trades l ASOF {J} JOIN mk_quotes r
+      ON l.user_id = r.uid AND l.region = r.region AND l.ts >= r.qts
+    TOLERANCE 6 SECONDS
+    """
+    outer = base.format(J="LEFT")
+    assert explain_asof(outer) == "asof"
+    got = {
+        r["event_id"]: r["v"] for r in asof_sql(spark, outer).collect()
+    }
+    # event 0 matched ts 4 at lag 6 (inclusive), event 1 ts 9 lag 1,
+    # event 3's best match ts 25 is lag 5
+    assert got == {0: 1.0, 1: 2.0, 2: None, 3: 3.0}
+
+    tight = outer.replace("TOLERANCE 6 SECONDS", "TOLERANCE 2 SECONDS")
+    got_t = {
+        r["event_id"]: r["v"] for r in asof_sql(spark, tight).collect()
+    }
+    assert got_t == {0: None, 1: 2.0, 2: None, 3: None}
+
+    inner_t = base.format(J="").replace(
+        "TOLERANCE 6 SECONDS", "TOLERANCE 2 SECONDS"
+    )
+    got_i = {
+        r["event_id"]: r["v"] for r in asof_sql(spark, inner_t).collect()
+    }
+    assert got_i == {1: 2.0}
+
+
+def test_asof_sql_two_inequalities_raise(spark, mk_views):
+    with pytest.raises(AsofSyntaxError):
+        asof_sql(
+            spark,
+            """SELECT l.event_id FROM mk_trades l ASOF JOIN mk_quotes r
+               ON l.ts >= r.qts AND l.ts <= r.qts""",
+        )
