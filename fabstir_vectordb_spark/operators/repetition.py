@@ -52,7 +52,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["repetition_signals", "GOPHER_REPETITION_THRESHOLDS"]
+__all__ = [
+    "repetition_signals",
+    "with_repetition_signals",
+    "GOPHER_REPETITION_THRESHOLDS",
+]
 
 GOPHER_REPETITION_THRESHOLDS = {
     "dup_line_frac": 0.30,
@@ -85,6 +89,61 @@ def _dup_fracs(units: list[str]) -> tuple[float, float]:
     )
 
 
+def _signal_names(
+    top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
+) -> list[str]:
+    names = ["dup_line_frac", "dup_line_char_frac",
+             "dup_para_frac", "dup_para_char_frac"]
+    names += [f"top_{n}gram_char_frac" for n in top_ns]
+    names += [f"dup_{n}gram_char_frac" for n in dup_ns]
+    return names
+
+
+def _doc_signals(
+    text: str | None,
+    top_ns: tuple[int, ...],
+    dup_ns: tuple[int, ...],
+) -> list[float]:
+    """All A1.2 signal values for one document, in _signal_names order."""
+    text = text or ""
+    # whitespace semantics are pinned to the DuckDB oracle's:
+    # blank-unit filter = trim() (SPACES only, so a tab-only
+    # line is a unit), splits = RE2 \s = [\t\n\f\r ] (ASCII —
+    # \xa0 and other Unicode whitespace are word characters)
+    lines = [l for l in text.split("\n") if l.strip(" ")]
+    paras = [
+        p for p in re.split(r"\n[\t\n\f\r ]*\n", text) if p.strip(" ")
+    ]
+    lf, lcf = _dup_fracs(lines)
+    pf, pcf = _dup_fracs(paras)
+    words = [w for w in re.split(r"[\t\n\f\r ]+", text) if w]
+    L = len(text)
+    rec = [lf, lcf, pf, pcf]
+    for n in top_ns:
+        grams = [
+            " ".join(words[i:i + n]) for i in range(len(words) - n + 1)
+        ]
+        if grams and L:
+            counts = Counter(grams)
+            m = max(counts.values())
+            # deterministic winner: max count, then max gram
+            top = max(g for g, c in counts.items() if c == m)
+            rec.append(m * len(top) / L)
+        else:
+            rec.append(0.0)
+    for n in dup_ns:
+        grams = [
+            " ".join(words[i:i + n]) for i in range(len(words) - n + 1)
+        ]
+        if grams and L:
+            counts = Counter(grams)
+            mass = sum(len(g) * c for g, c in counts.items() if c > 1)
+            rec.append(mass / L)
+        else:
+            rec.append(0.0)
+    return rec
+
+
 def repetition_signals(
     df: DataFrame,
     text_col: str = "text",
@@ -95,11 +154,8 @@ def repetition_signals(
     """(id, <signal columns>) — one row per input document; column names
     match GOPHER_REPETITION_THRESHOLDS (for the default ns)."""
     id_type = df.schema[id_col].dataType
+    names = _signal_names(top_ns, dup_ns)
     fields = [T.StructField("id", id_type, False)]
-    names = ["dup_line_frac", "dup_line_char_frac",
-             "dup_para_frac", "dup_para_char_frac"]
-    names += [f"top_{n}gram_char_frac" for n in top_ns]
-    names += [f"dup_{n}gram_char_frac" for n in dup_ns]
     fields += [T.StructField(c, T.DoubleType(), False) for c in names]
     schema = T.StructType(fields)
 
@@ -107,51 +163,46 @@ def repetition_signals(
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                text = text or ""
-                # whitespace semantics are pinned to the DuckDB oracle's:
-                # blank-unit filter = trim() (SPACES only, so a tab-only
-                # line is a unit), splits = RE2 \s = [\t\n\f\r ] (ASCII —
-                # \xa0 and other Unicode whitespace are word characters)
-                lines = [l for l in text.split("\n") if l.strip(" ")]
-                paras = [
-                    p
-                    for p in re.split(r"\n[\t\n\f\r ]*\n", text)
-                    if p.strip(" ")
-                ]
-                lf, lcf = _dup_fracs(lines)
-                pf, pcf = _dup_fracs(paras)
-                words = [w for w in re.split(r"[\t\n\f\r ]+", text) if w]
-                L = len(text)
-                rec = [did, lf, lcf, pf, pcf]
-                for n in top_ns:
-                    grams = [
-                        " ".join(words[i:i + n])
-                        for i in range(len(words) - n + 1)
-                    ]
-                    if grams and L:
-                        counts = Counter(grams)
-                        m = max(counts.values())
-                        # deterministic winner: max count, then max gram
-                        top = max(g for g, c in counts.items() if c == m)
-                        rec.append(m * len(top) / L)
-                    else:
-                        rec.append(0.0)
-                for n in dup_ns:
-                    grams = [
-                        " ".join(words[i:i + n])
-                        for i in range(len(words) - n + 1)
-                    ]
-                    if grams and L:
-                        counts = Counter(grams)
-                        mass = sum(
-                            len(g) * c for g, c in counts.items() if c > 1
-                        )
-                        rec.append(mass / L)
-                    else:
-                        rec.append(0.0)
-                rows.append(rec)
+            rows = [
+                [did, *_doc_signals(text, top_ns, dup_ns)]
+                for did, text in zip(pdf[id_col], pdf[text_col])
+            ]
             yield pd.DataFrame(rows, columns=["id"] + names)
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+def with_repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """All input columns plus the A1.2 signal columns — the passthrough
+    twin of :func:`repetition_signals` for pipelines that cannot join a
+    signal table back (a STREAM cannot stream-stream join its own
+    derivative; the batch funnel's join-back stage needs a barrier).
+    Same kernel, same map-only plan shape, streaming-safe (stateless)."""
+    names = _signal_names(top_ns, dup_ns)
+    clash = set(names) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries signal columns {sorted(clash)}"
+        )
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.DoubleType(), False) for c in names]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sig = pd.DataFrame(
+                [_doc_signals(t, top_ns, dup_ns) for t in pdf[text_col]],
+                columns=names,
+                index=pdf.index,
+            )
+            yield pd.concat([pdf, sig], axis=1)
+
+    return df.mapInPandas(kernel, schema)

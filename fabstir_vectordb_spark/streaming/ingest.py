@@ -71,6 +71,7 @@ def curate_stream(
     dedup_watermark: str | None = "10 minutes",
     ts_col: str = "ts",
     gopher: bool | dict = False,
+    gopher_repetition: bool | dict = False,
 ) -> DataFrame:
     """Streaming half of the curation funnel: apply the STATELESS gate
     signals (language id, quality score, intra-doc repetition, token
@@ -87,12 +88,26 @@ def curate_stream(
     batch gate certifies (lang/quality/n_tokens/rep_3gram + passed), so
     a dropped document is explainable from the stream itself.
 
+    ``gopher_repetition`` (True or a thresholds dict overriding
+    operators/repetition.GOPHER_REPETITION_THRESHOLDS): also gate on the
+    Gopher A1.2 repetition-signal family — the signals are a stateless
+    Arrow map (plan-guarded map-only), so unlike the batch funnel's
+    join-back stage they attach inline via with_repetition_signals and
+    stream at ingest rate.  Signal columns ride along for auditability,
+    exactly like the A1.1 bundle.
+
     No reference counterpart (streaming surface stubbed there);
     extension-axis, same contract as the batch gate stage at
     pipelines.py (certified via corpus_filter)."""
     # the ONE definition of the gate signals + verdict, shared with the
     # batch funnel so the two surfaces cannot silently diverge
+    from functools import reduce
+
     from fabstir_vectordb_spark.functions import text as X
+    from fabstir_vectordb_spark.operators.repetition import (
+        GOPHER_REPETITION_THRESHOLDS,
+        with_repetition_signals,
+    )
     from fabstir_vectordb_spark.pipelines import (
         gate_predicate,
         gate_signal_columns,
@@ -101,6 +116,12 @@ def curate_stream(
     reserved = {"lang", "quality", "n_tokens", "rep_3gram", "passed", "__toks"}
     if gopher:
         reserved = reserved | {"gopher"}
+    rep_thresholds: dict[str, float] = {}
+    if gopher_repetition:
+        rep_thresholds = dict(GOPHER_REPETITION_THRESHOLDS)
+        if isinstance(gopher_repetition, dict):
+            rep_thresholds.update(gopher_repetition)
+        reserved = reserved | set(GOPHER_REPETITION_THRESHOLDS)
     clash = reserved & set(stream.columns)
     if clash:
         raise ValueError(
@@ -111,14 +132,23 @@ def curate_stream(
         stream = stream.withWatermark(
             ts_col, dedup_watermark
         ).dropDuplicatesWithinWatermark([id_col])
+    if rep_thresholds:
+        stream = with_repetition_signals(stream, text_col=text_col)
     toks = X.whitespace_tokens(text_col)
     sig = stream.withColumn("__toks", toks).select(
         "*", *gate_signal_columns(text_col, "__toks", gopher=gopher)
     ).drop("__toks")
-    return sig.withColumn(
-        "passed",
-        gate_predicate(token_bounds, max_repetition, lang, min_quality, gopher=gopher),
+    verdict = gate_predicate(
+        token_bounds, max_repetition, lang, min_quality, gopher=gopher
     )
+    if rep_thresholds:
+        # same drop rule as pipelines.curate_corpus's gopher_repetition
+        # stage: every signal at or under its threshold
+        verdict = verdict & reduce(
+            lambda a, b: a & b,
+            [F.col(c) <= t for c, t in rep_thresholds.items()],
+        )
+    return sig.withColumn("passed", verdict)
 
 
 def as_change_events(stream: DataFrame, event_type: str = "Inserted") -> DataFrame:

@@ -436,3 +436,16 @@ def test_chunked_asof_partitions_by_key_and_chunk(spark):
     assert re.search(r"hashpartitioning\(user_id#\d+L?, __ck#\d+", plan), (
         "expected a (key, chunk) exchange for the pass-1 window"
     )
+
+
+def test_with_repetition_signals_is_map_only(spark):
+    """The passthrough signal variant (the streaming gate's kernel) must
+    stay one Arrow map, like its project-only sibling."""
+    from fabstir_vectordb_spark.operators.repetition import (
+        with_repetition_signals,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _executed(with_repetition_signals(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan

@@ -467,3 +467,97 @@ def test_sessionize_stream_exact_gap_boundary(spark, tmp_path):
         for r in spark.table("sess_gap").collect()
     )
     assert got == [(1, 2), (2, 1), (2, 1)]
+
+
+def test_curate_stream_gopher_repetition_matches_batch(spark, tmp_path):
+    """The A1.2 repetition gate on the stream == the batch funnel's
+    gopher_repetition drop rule (every signal at or under threshold) on
+    the same planted-pathology docs — including a doc the BASE gate
+    passes and only the repetition family catches (a duplicated line in
+    otherwise low-trigram-repetition prose)."""
+    from pyspark.sql import types as T
+
+    from fabstir_vectordb_spark.functions import text as X
+    from fabstir_vectordb_spark.operators.repetition import (
+        GOPHER_REPETITION_THRESHOLDS,
+        repetition_signals,
+    )
+
+    long_a = ("the quick brown fox jumps over the lazy dog while the "
+              "morning sun rises slowly")
+    short_x = "check the daily report"
+    long_b = ("a gentle wind moves across the open field and the trees "
+              "sway with it")
+    docs = [
+        # long enough that a single once-occurring 4-gram cannot trip
+        # top_4gram_char_frac (the short-doc caveat of the A1.2 family)
+        ("d0", "the quick brown fox jumps over the lazy dog and keeps "
+               "running through the quiet field with a steady pace "
+               "while birds call from distant branches and a narrow "
+               "stream turns past smooth stones under clear light as "
+               "the afternoon settles into a calm and easy rhythm"),
+        # dup_line_frac = 0.5 (> 0.30) but cross-line trigrams stay
+        # distinct, so rep_3gram is far under the base 0.2 gate
+        ("d1", f"{long_a}\n{short_x}\n{long_b}\n{short_x}"),
+        # hammered bigram: both the base gate and top_2gram flag it
+        ("d2", " ".join(["good data"] * 40)),
+    ]
+    src = tmp_path / "grin"
+    src.mkdir(parents=True, exist_ok=True)
+    with open(src / "docs.json", "w") as f:
+        for i, (did, text) in enumerate(docs):
+            f.write(json.dumps(
+                {"id": did, "text": text,
+                 "ts": f"2026-01-10T12:{i:02d}:00.000Z"}) + "\n")
+    schema = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ])
+    stream = spark.readStream.format("json").schema(schema).load(str(src))
+    gated = SI.curate_stream(
+        stream, token_bounds=(10, 5000), gopher_repetition=True
+    )
+    _run_to_memory(gated, "grep_test")
+    out = {r["id"]: r for r in spark.sql("select * from grep_test").collect()}
+
+    batch = spark.createDataFrame(docs, "id string, text string")
+    sig = {
+        r["id"]: r for r in repetition_signals(batch, id_col="id").collect()
+    }
+    toks = X.whitespace_tokens("text")
+    base = {
+        r["id"]: r
+        for r in batch.withColumn("__toks", toks).select(
+            "id",
+            X.lang_id("text", "__toks").alias("lang"),
+            X.quality_score("text", "__toks").alias("quality"),
+            X.token_count_from("__toks").cast("long").alias("n_tokens"),
+            X.repetition_ratio_from("__toks", 3).alias("rep_3gram"),
+        ).collect()
+    }
+    for did in ("d0", "d1", "d2"):
+        base_pass = (
+            10 <= base[did]["n_tokens"] <= 5000
+            and base[did]["rep_3gram"] <= 0.2
+            and base[did]["lang"] == "en"
+            and base[did]["quality"] >= 0.3
+        )
+        rep_pass = all(
+            sig[did][c] <= t for c, t in GOPHER_REPETITION_THRESHOLDS.items()
+        )
+        assert out[did]["passed"] == (base_pass and rep_pass), did
+        # the signal columns ride along for audit, batch-identical
+        for c in GOPHER_REPETITION_THRESHOLDS:
+            assert abs(out[did][c] - sig[did][c]) < 1e-12, (did, c)
+    # d1 is the load-bearing case: base gate passes, A1.2 catches it
+    assert (
+        10 <= base["d1"]["n_tokens"] <= 5000
+        and base["d1"]["rep_3gram"] <= 0.2
+        and base["d1"]["lang"] == "en"
+        and base["d1"]["quality"] >= 0.3
+    ), "fixture drift: d1 must pass the base gate"
+    assert sig["d1"]["dup_line_frac"] > 0.30
+    assert not out["d1"]["passed"]
+    assert out["d0"]["passed"]
+    assert not out["d2"]["passed"]
