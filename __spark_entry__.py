@@ -325,6 +325,66 @@ def q_filter_or_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(pred).select("event_id", "event_type", r6("value").alias("value"))
 
 
+def q_filter_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 in ONE slot (round-8 consolidation — VERDICT r7
+    "What's missing" #5 asked for filter_* headroom): the four filter
+    queries become parts of a normalized (part, id, ref, val) frame,
+    each part reusing its standalone body VERBATIM, so the merged hash
+    certifies exactly the same computations.  Parts:
+
+      matrix          $and + $in + range over documents
+      contracts       the dialect's raise contracts as certified 1.0
+                      rows (unknown $op, empty field object, metadata
+                      schema rejection — metadata_filter.rs:188-204,
+                      schema.rs:199-205)
+      array_contains  equality on an array field = membership
+      json_props      dot-path range over a JSON metadata column
+      or_mixed        $or over a string eq and a numeric range
+    """
+    m = q_filter_matrix(spark, sf_dir)
+    matrix = m.select(
+        F.lit("matrix").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.concat_ws("/", "lang", "source").alias("ref"),
+        F.col("n_chars").cast("double").alias("val"),
+    )
+    flags = ["unknown_op_raises", "empty_field_raises", "schema_rejects"]
+    one = m.limit(1)
+    contracts = None
+    for i, n in enumerate(flags):
+        row = one.select(
+            F.lit("contracts").alias("part"),
+            F.lit(i).cast("long").alias("id"),
+            F.lit(n).alias("ref"),
+            F.col(n).cast("int").cast("double").alias("val"),
+        )
+        contracts = row if contracts is None else contracts.unionByName(row)
+    arr = q_filter_array_contains(spark, sf_dir).select(
+        F.lit("array_contains").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.col("tags_str").alias("ref"),
+        F.lit(0.0).alias("val"),
+    )
+    js = q_filter_json_props(spark, sf_dir).select(
+        F.lit("json_props").alias("part"),
+        F.col("event_id").alias("id"),
+        F.lit("k").alias("ref"),
+        F.col("k").cast("double").alias("val"),
+    )
+    orm = q_filter_or_mixed(spark, sf_dir).select(
+        F.lit("or_mixed").alias("part"),
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("ref"),
+        F.col("value").alias("val"),  # r6-rounded inside the body
+    )
+    return (
+        matrix.unionByName(contracts)
+        .unionByName(arr)
+        .unionByName(js)
+        .unionByName(orm)
+    )
+
+
 def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered search: predicate pushed BELOW ranking (supersedes the
     reference's k*3 oversampling, hybrid/core.rs:513-549)."""
@@ -3727,6 +3787,33 @@ WHERE CAST(props->>'$.k' AS INTEGER) >= 50
 SELECT event_id, event_type, (round(value, 6) + 0.0) AS value FROM events
 WHERE event_type = 'purchase' OR value > 95.0
 """,
+    # r8 consolidation: the four filter oracles above survive verbatim
+    # as building blocks; the registered slot is their UNION ALL in the
+    # normalized (part, id, ref, val) shape q_filter_dialect emits
+    "filter_dialect": """
+SELECT 'matrix' AS part, doc_id AS id, lang || '/' || source AS ref,
+       CAST(n_chars AS DOUBLE) AS val
+FROM documents
+WHERE lang IN ('en', 'es') AND n_chars >= 100 AND n_chars < 400
+UNION ALL
+SELECT 'contracts', v.id, v.ref, CAST(1 AS DOUBLE)
+FROM (VALUES (CAST(0 AS BIGINT), 'unknown_op_raises'),
+             (1, 'empty_field_raises'),
+             (2, 'schema_rejects')) AS v(id, ref)
+UNION ALL
+SELECT 'array_contains', doc_id,
+       array_to_string(string_split(text, ' ')[1:5], ' '),
+       CAST(0 AS DOUBLE)
+FROM documents
+WHERE list_contains(string_split(text, ' ')[1:5], 'spark')
+UNION ALL
+SELECT 'json_props', event_id, 'k',
+       CAST(CAST(props->>'$.k' AS INTEGER) AS DOUBLE)
+FROM events WHERE CAST(props->>'$.k' AS INTEGER) >= 50
+UNION ALL
+SELECT 'or_mixed', event_id, event_type, (round(value, 6) + 0.0)
+FROM events WHERE event_type = 'purchase' OR value > 95.0
+""",
     "knn_filtered": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {nq}
@@ -5859,16 +5946,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     (parts ledger_seen / ledger_kept; former body -> part=exact;
     #      bench.py times q_dedup_exact_raw so ledger FS commits never
     #      enter the benchmark)
+    # Round-8 consolidation (proactive headroom, VERDICT r7 "What's
+    # missing" #5 — no overflow this time, 3 slots freed up front):
+    #   filter_matrix + filter_array_contains + filter_json_props +
+    #     filter_or_mixed -> filter_dialect
+    #     (parts matrix / contracts / array_contains / json_props /
+    #      or_mixed; every standalone body + oracle lives on verbatim;
+    #      bench.py times q_filter_or_mixed raw under its historical
+    #      name so the benchmark series stays comparable)
     return {
         "knn_metrics": q_knn_metrics,
         "knn_bulk": q_knn_bulk,
         "dist_kernels": q_dist_kernels,
         "vector_norms": q_vector_norms,
         "keyword_bm25": q_keyword_bm25,
-        "filter_matrix": q_filter_matrix,
-        "filter_array_contains": q_filter_array_contains,
-        "filter_json_props": q_filter_json_props,
-        "filter_or_mixed": q_filter_or_mixed,
+        "filter_dialect": q_filter_dialect,
         "knn_filtered": q_knn_filtered,
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf_bulk": q_ann_ivf_bulk,

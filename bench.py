@@ -136,6 +136,10 @@ def main() -> int:
             "knn_cosine": E.q_knn_cosine,
             "knn_dot": E.q_knn_dot,
             "ann_ivf_probe": E.q_ann_ivf_probe_raw,
+            # r8: folded into the filter_dialect registry slot; the bench
+            # keeps timing the historical standalone body for series
+            # comparability
+            "filter_or_mixed": E.q_filter_or_mixed,
             "simhash": E.q_simhash_raw,
             "hybrid_merge": E.q_hybrid_merge_raw,
             "dedup_exact": E.q_dedup_exact_raw,
