@@ -67,11 +67,64 @@ class FingerprintLedger:
 
     # -- internals -----------------------------------------------------
 
+    def _manifest_path(self) -> str:
+        return f"{self.path}__manifest.json"
+
+    def _hfs(self, path_str: str):
+        """(Hadoop FileSystem, Path, jvm) for a path string — the
+        store-agnostic file API (works for file://, s3a://, ...)."""
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path_str)
+        return p.getFileSystem(self.spark._jsc.hadoopConfiguration()), p, jvm
+
+    def _read_manifest(self) -> dict | None:
+        import json
+
+        try:
+            fs, p, jvm = self._hfs(self._manifest_path())
+            exists = fs.exists(p)
+        except Exception:
+            # the store has no FileSystem binding in THIS session (e.g.
+            # an s3:// path without the connector): behave as the legacy
+            # layout — every downstream parquet touch of the same path
+            # will fail with the store's own loud error, so nothing is
+            # silently misread
+            return None
+        if not exists:
+            return None
+        stream = fs.open(p)
+        try:
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        return json.loads(data.decode("utf-8"))
+
+    def _write_manifest(self, m: dict) -> None:
+        """Single-object PUT — atomic on object stores and local FS
+        alike (Hadoop create(overwrite) for the former; readers see the
+        old or the new manifest, never a torn one at parquet-file
+        granularity since the payload is one small JSON object)."""
+        import json
+
+        fs, p, _ = self._hfs(self._manifest_path())
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(json.dumps(m).encode("utf-8")))
+        finally:
+            out.close()
+
+    def _data_path(self) -> str:
+        """Where the live fingerprint table lives: the manifest's
+        current generation when one exists (generational layout,
+        compact_generational), else the base path (legacy layout)."""
+        m = self._read_manifest()
+        return m["data"] if m else self.path
+
     def _read(self) -> DataFrame | None:
         from pyspark.errors import AnalysisException
 
         try:
-            return self.spark.read.parquet(self.path)
+            return self.spark.read.parquet(self._data_path())
         except AnalysisException as e:
             # ONLY path-not-found means "no commits yet" — any other
             # failure (permissions, corrupt footer, transient store
@@ -109,6 +162,10 @@ class FingerprintLedger:
         contract as _read()."""
         import os
 
+        if self._read_manifest() is not None:
+            # generational layout: there is no rename window — the
+            # manifest always points at a complete generation
+            return
         if not os.path.exists(self.path):
             leftovers = self._swap_leftovers()
             if leftovers:
@@ -167,7 +224,9 @@ class FingerprintLedger:
             F.col("__fp").alias("fp"),
             F.substring("__fp", 1, 1).alias("fp_prefix"),
         )
-        rows.write.mode("append").partitionBy("fp_prefix").parquet(self.path)
+        rows.write.mode("append").partitionBy("fp_prefix").parquet(
+            self._data_path()
+        )
 
     def contains(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
         """(input columns..., seen boolean) — membership probe without
@@ -219,12 +278,18 @@ class FingerprintLedger:
         import shutil
         import uuid
 
+        if self._read_manifest() is not None:
+            # already on the generational layout: the manifest swap IS
+            # the compaction protocol there, on any store
+            return self.compact_generational()
         if "://" in self.path and not self.path.startswith("file://"):
             raise ValueError(
                 f"compact() requires a local filesystem ledger path "
                 f"(atomic directory rename); got {self.path!r}. "
-                "Run compaction on a local copy, or leave duplicate "
-                "rows in place — they are harmless for dedup semantics."
+                "Use compact_generational() — the manifest-pointer "
+                "protocol that needs no directory rename — or leave "
+                "duplicate rows in place; they are harmless for dedup "
+                "semantics."
             )
 
         led = self._read()
@@ -241,3 +306,60 @@ class FingerprintLedger:
         os.rename(self.path, old)
         os.rename(tmp, self.path)
         shutil.rmtree(old)
+
+    def _gen_dirs(self):
+        """[(basename, Hadoop Path)] of generation directories on the
+        store, referenced or not.  Basenames are the comparison unit —
+        the store may qualify paths with a scheme the manifest string
+        doesn't carry (file:/ vs a bare local path)."""
+        fs, _, jvm = self._hfs(self.path)
+        pattern = jvm.org.apache.hadoop.fs.Path(f"{self.path}__gen-*")
+        return sorted(
+            (str(st.getPath().getName()), st.getPath())
+            for st in (fs.globStatus(pattern) or [])
+        )
+
+    def compact_generational(self) -> None:
+        """Object-store-safe compaction: the write-new-generation +
+        manifest-pointer protocol — NO directory rename anywhere, so it
+        works on rename-less stores (S3 and friends) where compact()'s
+        two-rename swap cannot.
+
+        Protocol: write the distinct history to a fresh
+        ``{path}__gen-<tag>`` directory, atomically repoint the
+        single-file ``{path}__manifest.json`` at it (one small-object
+        PUT), then best-effort delete the previous live directory (the
+        prior generation, or the legacy base directory on the first
+        generational run).  Every crash window leaves a readable
+        ledger: before the PUT the old pointer/base dir is live and the
+        new generation is an unreferenced leftover (swept by the next
+        run); after the PUT the new generation is live.  Unlike the
+        rename swap there is never an instant with nothing at the live
+        location.
+
+        After the first run the ledger is permanently on the
+        generational layout: reads and commits resolve through the
+        manifest, and compact() delegates here.  The parquet writes
+        themselves go through whatever output committer the session is
+        configured with — on object stores, use a store-appropriate
+        committer as for any Spark job."""
+        import uuid
+
+        led = self._read()
+        if led is None:
+            return
+        current = self._data_path()
+        cur_name = current.rstrip("/").rsplit("/", 1)[-1]
+        fs, _, jvm = self._hfs(self.path)
+        # sweep unreferenced generations from interrupted runs (safe:
+        # `current` is live and complete whenever leftovers coexist)
+        for name, jpath in self._gen_dirs():
+            if name != cur_name:
+                fs.delete(jpath, True)
+        gen = f"{self.path}__gen-{uuid.uuid4().hex[:8]}"
+        led.select("fp", "fp_prefix").distinct().write.mode(
+            "overwrite"
+        ).partitionBy("fp_prefix").parquet(gen)
+        self._write_manifest({"data": gen})
+        if current != gen:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(current), True)

@@ -222,3 +222,77 @@ def test_compact_refuses_non_local_path(spark):
     led = FingerprintLedger(spark, "s3://bucket/ledger")
     with pytest.raises(ValueError, match="local filesystem"):
         led.compact()
+
+
+def test_generational_compact_rename_less(spark, tmp_path, monkeypatch):
+    """compact_generational is the object-store protocol: write a new
+    generation + repoint a single-file manifest, NO Python-side
+    directory rename (asserted by poisoning os.rename/os.replace) —
+    history survives, duplicates reclaim, reads and commits resolve
+    through the manifest afterwards."""
+    import os
+    import shutil
+
+    led = FingerprintLedger(spark, str(tmp_path / "gled"))
+    b1 = led.filter_new(_docs(spark, [(0, "alpha"), (1, "beta")]))
+    led.commit(b1)
+    led.commit(b1)  # at-least-once duplicate rows
+    assert led.size() == 2
+
+    def boom(*a, **k):  # the rename-less store simulation
+        raise AssertionError("directory rename used on a rename-less store")
+
+    monkeypatch.setattr(os, "rename", boom)
+    monkeypatch.setattr(os, "replace", boom)
+    monkeypatch.setattr(shutil, "move", boom)
+    led.compact_generational()
+    assert led.size() == 2
+    # the live table now sits in a generation dir behind the manifest
+    assert (tmp_path / "gled__manifest.json").exists()
+    gen1 = led._data_path()
+    assert "__gen-" in gen1
+    # membership still works, commits land in the generation
+    b2 = led.filter_new(_docs(spark, [(2, "alpha"), (3, "gamma")]))
+    assert sorted(r["doc_id"] for r in b2.collect()) == [3]
+    led.commit(b2)
+    assert led.size() == 3
+
+    # a second compaction rotates generations and deletes the old one
+    led.compact_generational()
+    gen2 = led._data_path()
+    assert gen2 != gen1 and "__gen-" in gen2
+    assert not os.path.exists(gen1)
+    assert led.size() == 3
+
+    # compact() on the generational layout delegates (still no rename)
+    led.commit(led.filter_new(_docs(spark, [(4, "delta")])))
+    led.compact()
+    assert led.size() == 4
+    assert led._data_path() not in (gen1, gen2)
+
+
+def test_generational_compact_interrupted_run_is_recoverable(
+    spark, tmp_path
+):
+    """Crash before the manifest PUT: the freshly-written generation is
+    an unreferenced leftover; the old layout stays live, reads are
+    unaffected, and the next compaction sweeps the orphan."""
+    import os
+
+    led = FingerprintLedger(spark, str(tmp_path / "iled"))
+    led.commit(led.filter_new(_docs(spark, [(0, "one"), (1, "two")])))
+
+    # simulate the interrupted run: a complete generation exists but
+    # the manifest was never written
+    orphan = str(tmp_path / "iled__gen-deadbeef")
+    spark.read.parquet(str(tmp_path / "iled")).write.partitionBy(
+        "fp_prefix"
+    ).parquet(orphan)
+    assert led._data_path() == str(tmp_path / "iled")  # legacy still live
+    assert led.size() == 2
+
+    led.compact_generational()
+    assert led.size() == 2
+    assert not os.path.exists(orphan)          # orphan swept
+    assert "__gen-" in led._data_path()
+    assert not os.path.exists(str(tmp_path / "iled"))  # base dir retired
