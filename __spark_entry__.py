@@ -385,6 +385,121 @@ def q_filter_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 temporal-tier certification, in a slot freed by the
+    filter_dialect consolidation: every new temporal surface against an
+    independent DuckDB formulation (native ASOF JOIN / plain inequality
+    join).  Parts (part, id, ref, score):
+
+      chunked    as-of click→view with chunk_seconds=86400 (the hot-key
+                 escape hatch) — must equal DuckDB's native ASOF
+                 row-for-row.  LOAD-BEARING on this fixture: ~72% of
+                 clicks match a view from an EARLIER day (measured at
+                 sf0.01), so the cross-chunk patch pass is exercised on
+                 most rows, not an edge case.
+      multikey   as-of keyed (user_id, day): same-day matches only —
+                 DuckDB's multi-condition ASOF is the oracle.
+      sqltol     the ASOF SQL statement with multi-key equality AND a
+                 TOLERANCE 1800 SECONDS clause (plans/sql_temporal.py),
+                 replayed as native ASOF + a lag CASE.
+      range_auto range_join with bucket_seconds=None — tune_range picks
+                 the bucket from the data's median interval length; any
+                 bucket computes the same answer, so the plain
+                 inequality join certifies the auto path end-to-end.
+
+    Views are deduplicated on (user, ts) keeping the max event_id, as
+    in event_percentiles' asof part: both engines' as-of semantics are
+    tie-arbitrary on timestamp collisions."""
+    from pyspark.sql.window import Window as _W
+
+    from fabstir_vectordb_spark.operators.temporal import (
+        asof_join,
+        range_join,
+    )
+    from fabstir_vectordb_spark.plans.sql_temporal import asof_sql
+
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("user_id", "ts").orderBy(
+                    F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("rid"), "value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+
+    def _fmt(df, part, mts_col="ts_r"):
+        return df.select(
+            F.lit(part).alias("part"),
+            F.col("event_id").alias("id"),
+            F.when(F.col(mts_col).isNull(), F.lit("none"))
+            .otherwise(F.col("rid_r").cast("string"))
+            .alias("ref"),
+            F.when(F.col(mts_col).isNull(), F.lit(-1.0))
+            .otherwise(r6("value_r"))
+            .alias("score"),
+        )
+
+    chunked = _fmt(
+        asof_join(
+            clicks, views, on="user_id",
+            value_cols=["rid", "value"], chunk_seconds=86400,
+        ),
+        "chunked",
+    )
+
+    lday = clicks.withColumn("day", F.date_trunc("day", F.col("ts")))
+    rday = views.withColumn("day", F.date_trunc("day", F.col("ts")))
+    multikey = _fmt(
+        asof_join(
+            lday, rday, on=["user_id", "day"], value_cols=["rid", "value"]
+        ),
+        "multikey",
+    )
+
+    lday.createOrReplaceTempView("te8_clicks")
+    rday.createOrReplaceTempView("te8_views")
+    sqltol = _fmt(
+        asof_sql(
+            spark,
+            """SELECT l.event_id, r.rid AS rid_r, r.value AS value_r,
+                      r.ts AS mts
+               FROM te8_clicks l ASOF LEFT JOIN te8_views r
+                 ON l.user_id = r.user_id AND l.day = r.day
+                AND l.ts >= r.ts
+               TOLERANCE 1800 SECONDS""",
+        ),
+        "sqltol",
+        mts_col="mts",
+    )
+
+    bounds = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.min("ts").alias("s0"), F.max("ts").alias("s1"))
+    range_auto = range_join(
+        ev.select("event_id", "user_id", "ts"), bounds,
+        on="user_id", ts_col="ts", start_col="s0", end_col="s1",
+    ).select(
+        F.lit("range_auto").alias("part"),
+        F.col("event_id").alias("id"),
+        F.col("day").cast("date").cast("string").alias("ref"),
+        F.lit(1.0).alias("score"),
+    )
+    return (
+        chunked.unionByName(multikey)
+        .unionByName(sqltol)
+        .unionByName(range_auto)
+    )
+
+
 def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered search: predicate pushed BELOW ranking (supersedes the
     reference's k*3 oversampling, hybrid/core.rs:513-549)."""
@@ -3787,6 +3902,54 @@ WHERE CAST(props->>'$.k' AS INTEGER) >= 50
 SELECT event_id, event_type, (round(value, 6) + 0.0) AS value FROM events
 WHERE event_type = 'purchase' OR value > 95.0
 """,
+    "temporal_extras": """
+WITH v AS (
+  SELECT user_id, ts, rid, value FROM (
+    SELECT user_id, ts, event_id AS rid, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), cj AS (
+  SELECT c.event_id AS id, v.ts AS rts, v.rid, v.value AS rvalue
+  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+), cd AS (
+  SELECT *, date_trunc('day', ts) AS day FROM c
+), vd AS (
+  SELECT *, date_trunc('day', ts) AS day FROM v
+), mk AS (
+  SELECT cd.event_id AS id, cd.ts AS lts, vd.ts AS rts, vd.rid,
+         vd.value AS rvalue
+  FROM cd ASOF LEFT JOIN vd
+    ON cd.user_id = vd.user_id AND cd.day = vd.day AND cd.ts >= vd.ts
+), bounds AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         min(ts) AS s0, max(ts) AS s1
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+)
+SELECT 'chunked' AS part, id,
+       COALESCE(CAST(rid AS VARCHAR), 'none') AS ref,
+       CASE WHEN rts IS NULL THEN -1.0
+            ELSE (round(rvalue, 6) + 0.0) END AS score
+FROM cj
+UNION ALL
+SELECT 'multikey', id, COALESCE(CAST(rid AS VARCHAR), 'none'),
+       CASE WHEN rts IS NULL THEN -1.0 ELSE (round(rvalue, 6) + 0.0) END
+FROM mk
+UNION ALL
+SELECT 'sqltol', id,
+       CASE WHEN rts IS NULL OR epoch_us(lts) - epoch_us(rts) > 1800000000
+            THEN 'none' ELSE CAST(rid AS VARCHAR) END,
+       CASE WHEN rts IS NULL OR epoch_us(lts) - epoch_us(rts) > 1800000000
+            THEN -1.0 ELSE (round(rvalue, 6) + 0.0) END
+FROM mk
+UNION ALL
+SELECT 'range_auto', e.event_id, CAST(CAST(b.day AS DATE) AS VARCHAR), 1.0
+FROM events e JOIN bounds b
+  ON e.user_id = b.user_id AND e.ts >= b.s0 AND e.ts <= b.s1
+""",
     # r8 consolidation: the four filter oracles above survive verbatim
     # as building blocks; the registered slot is their UNION ALL in the
     # normalized (part, id, ref, val) shape q_filter_dialect emits
@@ -5996,6 +6159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "age_histogram": q_age_histogram,
         "hybrid_stats": q_hybrid_stats,
         "event_percentiles": q_event_percentiles,
+        "temporal_extras": q_temporal_extras,
         "streaming_window": q_streaming_window,
         "streaming_topk": q_streaming_topk,
         "pq_adc_knn": q_pq_adc_knn,
