@@ -72,6 +72,7 @@ def main() -> int:
     pos: list[str] = []
     ckpt = None
     stage_times = False
+    r7_gates = False
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -82,6 +83,9 @@ def main() -> int:
             i += 2
         elif a == "--stage-times":
             stage_times = True
+            i += 1
+        elif a == "--r7-gates":
+            r7_gates = True
             i += 1
         else:
             pos.append(a)
@@ -103,7 +107,44 @@ def main() -> int:
 
     from fabstir_vectordb_spark.pipelines import curate_corpus
 
-    docs = synth_docs(spark, n_docs).repartition(64).cache()
+    docs = synth_docs(spark, n_docs)
+    gate_kwargs: dict = {}
+    if r7_gates:
+        # the round-7 screen families ON, measuring their marginal
+        # cost over the same corpus shape:
+        # - every line gains terminal punctuation so the C4 line filter
+        #   has real work instead of vacuously emptying the synthetic
+        #   corpus (its lines end in w-words, not sentence punctuation)
+        # - Gopher A1.1 thresholds relax to the synthetic vocab (no
+        #   stopwords, digit-bearing words, 20-80-word docs): every
+        #   signal still COMPUTES — the datum measures cost, not a
+        #   vacuous 100% drop
+        # - A1.2 runs at paper thresholds (the synthetic dups repeat
+        #   ACROSS docs, not within, so signals are real but verdicts
+        #   permissive)
+        docs = docs.withColumn(
+            "text",
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.split(F.col("text"), "\n"),
+                    lambda l: F.concat(l, F.lit(" end.")),
+                ),
+            ),
+        )
+        gate_kwargs = dict(
+            c4_rules=True,
+            gopher={
+                "min_words": 0,
+                "min_required_hits": 0,
+                "min_alpha_frac": 0.0,
+                "min_mean_word_len": 0.0,
+                "max_mean_word_len": 100.0,
+                "max_symbol_ratio": 1.0,
+            },
+            gopher_repetition=True,
+        )
+    docs = docs.repartition(64).cache()
     docs.count()
 
     bench = docs.filter(F.col("doc_id") % 5000 == 0).select("text")
@@ -111,6 +152,7 @@ def main() -> int:
     t0 = time.time()
     out = curate_corpus(
         docs,
+        **gate_kwargs,
         boilerplate_min_doc_freq=1000,
         lang="en",
         min_quality=None,        # synthetic w-words have no stopwords
@@ -143,6 +185,7 @@ def main() -> int:
         "us_per_doc": round(wall * 1e6 / n_docs, 1),
         "survivors": survivors,
         "checkpoint": "reliable" if ckpt else "local",
+        "r7_gates": r7_gates,
     }
     if stage_times:
         rec["stage_s"] = stage_s
