@@ -97,6 +97,31 @@ def main(spark: SparkSession) -> dict:
     )
     out["asof_sql_rows"] = sql_hits.count()
 
+    # the statement form also takes a match-age bound (maps to the
+    # operator's tolerance_seconds; out-of-tolerance drops under inner)
+    recent_hits = asof_sql(
+        spark,
+        """SELECT l.event_id, r.event_id AS view_id
+           FROM clicks l ASOF JOIN views r
+             ON l.user_id = r.user_id AND l.ts >= r.ts
+           TOLERANCE 1800 SECONDS""",
+    )
+    out["asof_sql_recent_rows"] = recent_hits.count()
+    assert out["asof_sql_recent_rows"] <= out["asof_sql_rows"]
+
+    # hot-key escape hatch: a single entity holding most of the stream
+    # serializes the plain window; chunk_seconds spreads its timeline
+    # across tasks (identical answers — property-tested + driver-
+    # certified — so this is purely a latency knob for skewed keys)
+    chunked = asof_join(
+        clicks, views, on="user_id", value_cols=["event_id", "value"],
+        tolerance_seconds=7200, right_order_col="event_id",
+        chunk_seconds=86_400,
+    )
+    assert chunked.filter(
+        F.col("ts_r").isNotNull()
+    ).count() == out["clicks_with_view"]
+
     # --- 5. range join via the canonical BETWEEN statement -------------
     from fabstir_vectordb_spark.plans.sql_temporal import range_sql
 
@@ -112,7 +137,8 @@ def main(spark: SparkSession) -> dict:
         """SELECT p.event_id, i.session_id
            FROM ev p JOIN session_bounds i
              ON p.user_id = i.user_id AND p.ts BETWEEN i.s AND i.e""",
-        bucket_seconds=3600,
+        # no bucket_seconds: tune_range measures the intervals' median
+        # length and picks the bucket (any width computes the same rows)
     )
     out["events_assigned"] = assigned.count()
     assert out["events_assigned"] == events.count()
