@@ -6117,6 +6117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      or_mixed; every standalone body + oracle lives on verbatim;
     #      bench.py times q_filter_or_mixed raw under its historical
     #      name so the benchmark series stays comparable)
+    # Round-8 addition (in a freed slot): temporal_extras
+    #     (parts chunked / multikey / sqltol / range_auto — the chunked
+    #      hot-key as-of, multi-key as-of, the widened ASOF SQL
+    #      statement, and tune_range auto bucketing, each vs an
+    #      independent DuckDB formulation)
     return {
         "knn_metrics": q_knn_metrics,
         "knn_bulk": q_knn_bulk,

@@ -184,10 +184,24 @@ def asof_join(
         carry = (
             tl.withColumn("__carry", F.last("__cv", ignorenulls=True).over(wc))
             .filter(F.col("__cside") == 0)
-            .select(*keys, "__ck", "__carry")
+            .select(
+                *[F.col(k).alias(f"__ca_{i}") for i, k in enumerate(keys)],
+                F.col("__ck").alias("__ca_ck"),
+                "__carry",
+            )
         )
-        carried = carried.join(carry, [*keys, "__ck"], "left").withColumn(
-            "__match", F.coalesce("__match", "__carry")
+        # NULL-SAFE equality: the pass-1 window groups NULL keys together
+        # (they match each other, same as the plain operator), so the
+        # patch join must too — a plain equality join would silently
+        # skip cross-chunk matches for NULL-keyed rows and diverge from
+        # the unchunked plan
+        cond = F.col("__ck").eqNullSafe(F.col("__ca_ck"))
+        for i, k in enumerate(keys):
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__ca_{i}"))
+        carried = (
+            carried.join(carry, cond, "left")
+            .withColumn("__match", F.coalesce("__match", "__carry"))
+            .drop("__ca_ck", *[f"__ca_{i}" for i in range(len(keys))])
         )
     if tolerance_seconds is not None:
         lag_us = F.unix_micros(F.col("__ts")) - F.unix_micros(

@@ -134,3 +134,32 @@ def test_null_right_ts_never_matches(spark):
         }
         assert got[0] == (None, None)      # only a NULL-ts right row
         assert got[1] == (9, _ts(5))       # real rows unaffected
+
+
+def test_chunked_asof_null_keys_match_plain(spark):
+    """The window groups NULL keys together (NULL-keyed left rows match
+    NULL-keyed right rows); the chunked patch join must be NULL-SAFE or
+    cross-chunk matches for NULL keys silently vanish."""
+    ldf = spark.createDataFrame(
+        [(0, _ts(20), None), (1, _ts(21), 1)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    rdf = spark.createDataFrame(
+        [(None, _ts(5), 7), (1, _ts(6), 9)],
+        "user_id long, ts timestamp, ord long",
+    )
+    plain = {
+        r["event_id"]: r["ord_r"]
+        for r in asof_join(
+            ldf, rdf, on="user_id", value_cols=["ord"]
+        ).collect()
+    }
+    # ts 5 and ts 20 are in different 7-second chunks: the NULL-key
+    # match crosses a chunk boundary and exercises the patch join
+    chunked = {
+        r["event_id"]: r["ord_r"]
+        for r in asof_join(
+            ldf, rdf, on="user_id", value_cols=["ord"], chunk_seconds=7
+        ).collect()
+    }
+    assert plain == chunked == {0: 7, 1: 9}
