@@ -132,6 +132,18 @@ class FingerprintLedger:
             # silently read as empty and the whole batch would pass as
             # new
             if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                if self._read_manifest() is not None:
+                    # a manifest pointing at missing data is CORRUPTION
+                    # (someone deleted the live generation), never a
+                    # fresh start — reading empty here would silently
+                    # pass every future batch as new
+                    raise RuntimeError(
+                        f"ledger manifest {self._manifest_path()} points "
+                        f"at a missing generation ({self._data_path()}): "
+                        "the live data was deleted out-of-band. Restore "
+                        "the generation directory or remove the manifest "
+                        "EXPLICITLY to start an empty ledger."
+                    ) from e
                 leftovers = self._swap_leftovers()
                 if leftovers:
                     raise RuntimeError(
@@ -163,8 +175,17 @@ class FingerprintLedger:
         import os
 
         if self._read_manifest() is not None:
-            # generational layout: there is no rename window — the
-            # manifest always points at a complete generation
+            # generational layout: no rename window exists, but the
+            # manifest must point at LIVE data — appending into a
+            # missing generation would rebuild history from one batch
+            fs, p, _ = self._hfs(self._data_path())
+            if not fs.exists(p):
+                raise RuntimeError(
+                    f"ledger manifest {self._manifest_path()} points at "
+                    f"a missing generation ({self._data_path()}): "
+                    "restore it or remove the manifest explicitly "
+                    "before committing."
+                )
             return
         if not os.path.exists(self.path):
             leftovers = self._swap_leftovers()

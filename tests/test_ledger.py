@@ -296,3 +296,21 @@ def test_generational_compact_interrupted_run_is_recoverable(
     assert not os.path.exists(orphan)          # orphan swept
     assert "__gen-" in led._data_path()
     assert not os.path.exists(str(tmp_path / "iled"))  # base dir retired
+
+
+def test_manifest_pointing_at_missing_generation_raises(spark, tmp_path):
+    """A manifest whose generation directory was deleted out-of-band is
+    corruption, not a fresh start: reads and commits must raise instead
+    of silently rebuilding history from one batch."""
+    import shutil
+
+    led = FingerprintLedger(spark, str(tmp_path / "mled"))
+    led.commit(led.filter_new(_docs(spark, [(0, "alpha"), (1, "beta")])))
+    led.compact_generational()
+    gen = led._data_path()
+    shutil.rmtree(gen)
+
+    with pytest.raises(RuntimeError, match="missing generation"):
+        led.size()
+    with pytest.raises(RuntimeError, match="missing generation"):
+        led.commit(_docs(spark, [(2, "gamma")]))
