@@ -406,6 +406,14 @@ def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
                  the bucket from the data's median interval length; any
                  bucket computes the same answer, so the plain
                  inequality join certifies the auto path end-to-end.
+      fwd        direction='forward' (earliest view at-or-after each
+                 click, pandas merge_asof vocabulary) — replayed as
+                 DuckDB's native ASOF over NEGATED epoch micros (the
+                 comparator-direction trick), an independent
+                 formulation.
+      nearest    direction='nearest' (closer of the two legs, exact
+                 ties backward) — replayed as a CASE over the two
+                 native-ASOF legs' lags.
 
     Views are deduplicated on (user, ts) keeping the max event_id, as
     in event_percentiles' asof part: both engines' as-of semantics are
@@ -493,10 +501,27 @@ def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("date").cast("string").alias("ref"),
         F.lit(1.0).alias("score"),
     )
+
+    fwd = _fmt(
+        asof_join(
+            clicks, views, on="user_id", value_cols=["rid", "value"],
+            direction="forward",
+        ),
+        "fwd",
+    )
+    near = _fmt(
+        asof_join(
+            clicks, views, on="user_id", value_cols=["rid", "value"],
+            direction="nearest",
+        ),
+        "nearest",
+    )
     return (
         chunked.unionByName(multikey)
         .unionByName(sqltol)
         .unionByName(range_auto)
+        .unionByName(fwd)
+        .unionByName(near)
     )
 
 
@@ -3913,8 +3938,21 @@ WITH v AS (
 ), c AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ), cj AS (
-  SELECT c.event_id AS id, v.ts AS rts, v.rid, v.value AS rvalue
+  SELECT c.event_id AS id, c.ts AS lts, v.ts AS rts, v.rid,
+         v.value AS rvalue
   FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+), fj AS (
+  -- the FORWARD as-of via native ASOF over negated epoch micros:
+  -- -lts >= -rts  <=>  rts >= lts, and "latest negated" = earliest
+  SELECT cn.id, vn.nts AS fnts, vn.rid AS frid, vn.rvalue AS frv
+  FROM (SELECT event_id AS id, user_id, -epoch_us(ts) AS nts FROM c) cn
+  ASOF LEFT JOIN (
+    SELECT user_id, -epoch_us(ts) AS nts, rid, value AS rvalue FROM v
+  ) vn ON cn.user_id = vn.user_id AND cn.nts >= vn.nts
+), nr AS (
+  SELECT cj.id, cj.lts, cj.rts AS brts, cj.rid AS brid,
+         cj.rvalue AS brv, fj.fnts, fj.frid, fj.frv
+  FROM cj JOIN fj USING (id)
 ), cd AS (
   SELECT *, date_trunc('day', ts) AS day FROM c
 ), vd AS (
@@ -3949,6 +3987,27 @@ UNION ALL
 SELECT 'range_auto', e.event_id, CAST(CAST(b.day AS DATE) AS VARCHAR), 1.0
 FROM events e JOIN bounds b
   ON e.user_id = b.user_id AND e.ts >= b.s0 AND e.ts <= b.s1
+UNION ALL
+SELECT 'fwd', id, COALESCE(CAST(frid AS VARCHAR), 'none'),
+       CASE WHEN fnts IS NULL THEN -1.0 ELSE (round(frv, 6) + 0.0) END
+FROM fj
+UNION ALL
+SELECT 'nearest', id,
+  CASE
+    WHEN brts IS NULL AND fnts IS NULL THEN 'none'
+    WHEN fnts IS NULL THEN CAST(brid AS VARCHAR)
+    WHEN brts IS NULL THEN CAST(frid AS VARCHAR)
+    WHEN epoch_us(lts) - epoch_us(brts) <= (-fnts) - epoch_us(lts)
+      THEN CAST(brid AS VARCHAR)
+    ELSE CAST(frid AS VARCHAR) END,
+  CASE
+    WHEN brts IS NULL AND fnts IS NULL THEN -1.0
+    WHEN fnts IS NULL THEN (round(brv, 6) + 0.0)
+    WHEN brts IS NULL THEN (round(frv, 6) + 0.0)
+    WHEN epoch_us(lts) - epoch_us(brts) <= (-fnts) - epoch_us(lts)
+      THEN (round(brv, 6) + 0.0)
+    ELSE (round(frv, 6) + 0.0) END
+FROM nr
 """,
     # r8 consolidation: the four filter oracles above survive verbatim
     # as building blocks; the registered slot is their UNION ALL in the

@@ -57,6 +57,7 @@ def asof_join(
     right_order_col: str | None = None,
     suffix: str = "_r",
     chunk_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: ``left``'s columns plus, per value column,
     ``<col><suffix>`` from the latest right row with
@@ -66,6 +67,21 @@ def asof_join(
     be a single column name or a list (multi-key equality, DuckDB's
     multi-condition ASOF); both sides must carry every key under the
     same name.
+
+    ``direction`` (pandas merge_asof's vocabulary):
+      'backward' (default)  latest right with ``rts <= lts``
+      'forward'             EARLIEST right with ``rts >= lts``
+      'nearest'             whichever of the two is closer in time;
+                            exact ties (|lag| equal, including the
+                            rts == lts case both directions see)
+                            resolve BACKWARD
+    All three share the one-exchange union+window plan — 'forward' is
+    the same window ordered descending, 'nearest' evaluates both
+    orderings over the SAME partitioning (one exchange, two sorts).
+    ``tolerance_seconds`` bounds the match age in the direction's sense
+    (|lag| for 'nearest').  A boundary match ``rts == lts`` is inclusive
+    in every direction.  Tie-break among equal (key, ts) right rows is
+    the same largest-``right_order_col``/hash rule in every direction.
 
     Right rows whose timestamp is NULL (or casts to NULL) are dropped
     up front: a NULL timestamp satisfies no ``right_ts <= left_ts``
@@ -99,6 +115,18 @@ def asof_join(
     way ``cap_per_group`` does for sampling.
     """
     from pyspark.sql.window import Window
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward', or 'nearest'; "
+            f"got {direction!r}"
+        )
+    if chunk_seconds is not None and direction != "backward":
+        raise ValueError(
+            "chunk_seconds (the hot-key escape hatch) currently supports "
+            "only direction='backward'; run the plain operator for "
+            "forward/nearest, or chunk the backward leg only"
+        )
 
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts_col or ts_col
@@ -144,17 +172,48 @@ def asof_join(
         part_cols = [*keys, "__ck"]
     # right rows sort BEFORE left rows at the same instant (side 0 < 1):
     # the boundary right.ts == left.ts is an inclusive match; among
-    # equal right timestamps the largest __ord sorts last and wins
-    w = (
+    # equal right timestamps the largest __ord sorts last and wins.
+    # The forward window is the same traversal time-reversed
+    # (desc_nulls_first so a NULL left ts still sees nothing); 'nearest'
+    # evaluates both over the SAME partitioning — one exchange, two
+    # sorts.
+    w_b = (
         Window.partitionBy(*part_cols)
         .orderBy(F.col("__ts"), F.col("__side"), F.col("__ord"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = (
-        l.unionByName(r)
-        .withColumn("__match", F.last("__rv", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
+    w_f = (
+        Window.partitionBy(*part_cols)
+        .orderBy(
+            F.col("__ts").desc_nulls_first(), F.col("__side"), F.col("__ord")
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    u = l.unionByName(r)
+    if direction == "backward":
+        carried = u.withColumn(
+            "__match", F.last("__rv", ignorenulls=True).over(w_b)
+        ).filter(F.col("__side") == 1)
+    elif direction == "forward":
+        carried = u.withColumn(
+            "__match", F.last("__rv", ignorenulls=True).over(w_f)
+        ).filter(F.col("__side") == 1)
+    else:  # nearest: closer of the two legs, exact ties backward
+        carried = (
+            u.withColumn("__mb", F.last("__rv", ignorenulls=True).over(w_b))
+            .withColumn("__mf", F.last("__rv", ignorenulls=True).over(w_f))
+            .filter(F.col("__side") == 1)
+        )
+        lts_us = F.unix_micros(F.col("__ts"))
+        lag_b = lts_us - F.unix_micros(F.col("__mb.__rts"))
+        lag_f = F.unix_micros(F.col("__mf.__rts")) - lts_us
+        carried = carried.withColumn(
+            "__match",
+            F.when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(lag_b <= lag_f, F.col("__mb"))
+            .otherwise(F.col("__mf")),
+        ).drop("__mb", "__mf")
     if chunk_seconds is not None:
         # pass 2 — patch across chunk boundaries.  One CLOSING right row
         # per (key, chunk): the max by (ts, ord), i.e. exactly the row
@@ -204,9 +263,15 @@ def asof_join(
             .drop("__ca_ck", *[f"__ca_{i}" for i in range(len(keys))])
         )
     if tolerance_seconds is not None:
-        lag_us = F.unix_micros(F.col("__ts")) - F.unix_micros(
+        diff_us = F.unix_micros(F.col("__ts")) - F.unix_micros(
             F.col("__match.__rts")
         )
+        if direction == "backward":
+            lag_us = diff_us
+        elif direction == "forward":
+            lag_us = -diff_us
+        else:
+            lag_us = F.abs(diff_us)
         carried = carried.withColumn(
             "__match",
             F.when(lag_us <= tolerance_seconds * 1_000_000, F.col("__match")),

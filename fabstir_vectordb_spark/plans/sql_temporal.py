@@ -68,7 +68,8 @@ _CANONICAL = (
     "SELECT <l>.<col> [AS <name>], ... FROM <left_view> <l> "
     "ASOF [LEFT] JOIN <right_view> <r> "
     "ON <l>.<key> = <r>.<key> [AND <l>.<key2> = <r>.<key2> ...] "
-    "AND <l>.<ts> >= <r>.<ts> "
+    "AND <l>.<ts> >= <r>.<ts>   (backward; <= selects the FORWARD "
+    "as-of — earliest right at-or-after, DuckDB's comparator rule) "
     "[TOLERANCE <n> SECONDS]"
 )
 
@@ -141,14 +142,18 @@ def _parse(sql: str):
                 )
             i1 = (side(im.group(1)), im.group(2))
             i2 = (side(im.group(4)), im.group(5))
-            if im.group(3) == "<=":
-                i1, i2 = i2, i1
-            if i1[0] != "l" or i2[0] != "r":
+            op = im.group(3)
+            if i1[0] == i2[0]:
                 raise AsofSyntaxError(
-                    "ON inequality must be <left>.<ts> >= <right>.<ts> "
-                    "(or the <= mirror)"
+                    "ON inequality must compare the two table aliases"
                 )
-            ineq = (i1[1], i2[1])
+            if i1[0] == "r":  # mirror to the l-first form
+                i1, i2 = i2, i1
+                op = ">=" if op == "<=" else "<="
+            # l.ts >= r.ts is the classic backward as-of; l.ts <= r.ts
+            # selects the EARLIEST right at-or-after (forward), as in
+            # DuckDB's comparator-direction ASOF
+            ineq = (i1[1], i2[1], "backward" if op == ">=" else "forward")
             continue
         em = _EQ.match(conj.strip())
         if not em:
@@ -191,6 +196,7 @@ def _parse(sql: str):
         "rkeys": [rc for _, rc in eq_pairs],
         "lts": ineq[0],
         "rts": ineq[1],
+        "direction": ineq[2],
         "outer": bool(g("outer")),
         "tolerance": int(g("tol")) if g("tol") else None,
         "items": items,
@@ -235,6 +241,7 @@ def asof_sql(spark: SparkSession, sql: str) -> DataFrame:
         right_ts_col=p["rts"],
         value_cols=value_cols,
         tolerance_seconds=p["tolerance"],
+        direction=p["direction"],
     )
     if not p["outer"]:  # inner ASOF JOIN: unmatched left rows drop
         out = out.filter(F.col("ts_r").isNotNull())

@@ -117,9 +117,12 @@ def test_malformed_asof_raises_not_delegates(spark, views):
     # canonical-form error instead of delegating into a parse failure
     for bad in (
         "SELECT * FROM trades l ASOF LEFT JOIN quotes r ON l.user_id = r.uid",
-        # inequality keyed the wrong way (right ts >= left ts)
+        # strict comparators are not the canonical inclusive form
         """SELECT l.event_id FROM trades l ASOF JOIN quotes r
-           ON l.user_id = r.uid AND r.qts >= l.ts""",
+           ON l.user_id = r.uid AND l.ts > r.qts""",
+        # inequality comparing one table to itself
+        """SELECT l.event_id FROM trades l ASOF JOIN quotes r
+           ON l.user_id = r.uid AND l.ts >= l.ts""",
         # expression select items are out of shape
         """SELECT l.event_id + 1 FROM trades l ASOF JOIN quotes r
            ON l.user_id = r.uid AND l.ts >= r.qts""",
@@ -437,3 +440,28 @@ def test_asof_sql_two_inequalities_raise(spark, mk_views):
             """SELECT l.event_id FROM mk_trades l ASOF JOIN mk_quotes r
                ON l.ts >= r.qts AND l.ts <= r.qts""",
         )
+
+
+def test_forward_asof_statement(spark, views):
+    """The <= comparator selects the FORWARD as-of (earliest right
+    at-or-after, DuckDB's comparator-direction rule) — both in the
+    l-first form and the mirrored r-first form."""
+    for on_clause in (
+        "l.user_id = r.uid AND l.ts <= r.qts",
+        "l.user_id = r.uid AND r.qts >= l.ts",   # mirror, same meaning
+    ):
+        sql = f"""
+        SELECT l.event_id, r.value AS quote_value, r.qts AS quote_ts
+        FROM trades l ASOF LEFT JOIN quotes r ON {on_clause}
+        """
+        assert explain_asof(sql) == "asof"
+        got = {
+            r["event_id"]: (r["quote_value"], r["quote_ts"])
+            for r in asof_sql(spark, sql).collect()
+        }
+        assert got == {
+            0: (3.0, _ts(11)),   # earliest quote at-or-after ts 10
+            1: (1.0, _ts(4)),    # inclusive boundary
+            2: (None, None),     # u8 has no quote at-or-after ts 100
+            3: (None, None),     # u9 has no quotes at all
+        }, on_clause

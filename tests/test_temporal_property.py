@@ -163,3 +163,93 @@ def test_chunked_asof_null_keys_match_plain(spark):
         ).collect()
     }
     assert plain == chunked == {0: 7, 1: 9}
+
+
+def _reference_dir(left, right, tolerance, direction):
+    """{left index: matched order value | None} for any direction —
+    the pure-Python spec of asof_join(direction=...)."""
+    out = {}
+    for li, (lk, lt) in enumerate(left):
+        back, fwd = None, None
+        for rk, rt, order in right:
+            if rk != lk:
+                continue
+            if rt <= lt and (back is None or (rt, order) > back):
+                back = (rt, order)          # latest ts, largest order
+            if rt >= lt and (fwd is None or (-rt, order) > fwd):
+                fwd = (-rt, order)          # EARLIEST ts, largest order
+        if direction == "backward":
+            best = back
+        elif direction == "forward":
+            best = fwd and (-fwd[0], fwd[1])
+        else:  # nearest: closer leg wins, exact ties backward
+            b = back and (lt - back[0], back[1], back[0])
+            f = fwd and (-fwd[0] - lt, fwd[1], -fwd[0])
+            if b is None:
+                best = f and (f[2], f[1])
+            elif f is None or b[0] <= f[0]:
+                best = (b[2], b[1])
+            else:
+                best = (f[2], f[1])
+        if best is not None and tolerance is not None:
+            if abs(lt - best[0]) > tolerance:
+                best = None
+        out[li] = None if best is None else best[1]
+    return out
+
+
+def test_direction_reference_consistency():
+    """The direction-aware spec must agree with the original backward
+    spec on every strategy draw (sanity of the oracle itself)."""
+    import itertools
+
+    left = [(0, 5), (1, 10), (0, 10)]
+    right = [(0, 5, 1), (0, 5, 9), (0, 12, 3), (1, 2, 4)]
+    for tol in (None, 0, 5):
+        assert _reference_dir(left, right, tol, "backward") == _reference(
+            left, right, tol
+        )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left, right=_right,
+       tolerance=st.sampled_from([None, 0, 5, 20]),
+       direction=st.sampled_from(["forward", "nearest"]))
+def test_directional_asof_matches_reference(
+    spark, left, right, tolerance, direction
+):
+    """forward/nearest (pandas merge_asof semantics) against the
+    pure-Python spec: earliest-at-or-after for forward; closer leg with
+    backward tie-wins for nearest; tolerance bounds |lag|."""
+    ldf = spark.createDataFrame(
+        [(i, _ts(t), k) for i, (k, t) in enumerate(left)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(t), o) for (k, t, o) in right],
+        "user_id long, ts timestamp, ord long",
+    ) if right else spark.createDataFrame(
+        [], "user_id long, ts timestamp, ord long"
+    )
+    got = {
+        r["event_id"]: r["ord_r"]
+        for r in asof_join(
+            ldf, rdf, on="user_id", value_cols=["ord"],
+            tolerance_seconds=tolerance, right_order_col="ord",
+            direction=direction,
+        ).collect()
+    }
+    assert got == _reference_dir(left, right, tolerance, direction)
+
+
+def test_direction_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(None, None, on="k", direction="sideways")
+    with _pytest.raises(ValueError, match="chunk_seconds"):
+        asof_join(None, None, on="k", direction="forward", chunk_seconds=60)
