@@ -414,6 +414,12 @@ def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
       nearest    direction='nearest' (closer of the two legs, exact
                  ties backward) — replayed as a CASE over the two
                  native-ASOF legs' lags.
+      iv_overlap interval_join (the third temporal join: one row per
+                 OVERLAPPING interval pair of the same key, kept only
+                 in the overlap's first bucket so the output is
+                 duplicate-free without a distinct) over per-user
+                 day-spans x shifted-week-spans, auto-tuned bucket —
+                 vs a plain inequality join.
 
     Views are deduplicated on (user, ts) keeping the max event_id, as
     in event_percentiles' asof part: both engines' as-of semantics are
@@ -516,12 +522,31 @@ def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "nearest",
     )
+    from fabstir_vectordb_spark.operators.temporal import interval_join
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day_spans = ev.groupBy(
+        "user_id", F.floor(us / 86_400_000_000).cast("long").alias("d")
+    ).agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    week_spans = ev.groupBy(
+        "user_id",
+        F.floor((us + 302_400_000_000) / 604_800_000_000)
+        .cast("long")
+        .alias("w"),
+    ).agg(F.min("ts").alias("rstart"), F.max("ts").alias("rend"))
+    iv_overlap = interval_join(day_spans, week_spans, on="user_id").select(
+        F.lit("iv_overlap").alias("part"),
+        F.col("user_id").alias("id"),
+        F.concat_ws("/", F.col("d"), F.col("w")).alias("ref"),
+        F.lit(1.0).alias("score"),
+    )
     return (
         chunked.unionByName(multikey)
         .unionByName(sqltol)
         .unionByName(range_auto)
         .unionByName(fwd)
         .unionByName(near)
+        .unionByName(iv_overlap)
     )
 
 
@@ -3991,6 +4016,20 @@ UNION ALL
 SELECT 'fwd', id, COALESCE(CAST(frid AS VARCHAR), 'none'),
        CASE WHEN fnts IS NULL THEN -1.0 ELSE (round(frv, 6) + 0.0) END
 FROM fj
+UNION ALL
+SELECT 'iv_overlap', ds.user_id,
+       concat(CAST(ds.d AS VARCHAR), '/', CAST(ws.w AS VARCHAR)), 1.0
+FROM (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+         min(ts) AS s0, max(ts) AS e0
+  FROM events GROUP BY 1, 2
+) ds JOIN (
+  SELECT user_id,
+         CAST(floor((epoch_us(ts) + 302400000000) / 604800000000)
+              AS BIGINT) AS w,
+         min(ts) AS s1, max(ts) AS e1
+  FROM events GROUP BY 1, 2
+) ws ON ds.user_id = ws.user_id AND ds.s0 <= ws.e1 AND ws.s1 <= ds.e0
 UNION ALL
 SELECT 'nearest', id,
   CASE

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "interval_join", "range_join"]
 
 
 def _micros(col):
@@ -343,5 +343,92 @@ def range_join(
     joined = p.join(iv, [on, "__bkt"]).filter(
         (_micros(ts_col) >= _micros(start_col))
         & (_micros(ts_col) <= _micros(end_col))
+    )
+    return joined.drop("__bkt")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "rstart",
+    right_end: str = "rend",
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Inner interval-OVERLAP join: one row per (left interval, right
+    interval) pair of the same key whose CLOSED intervals intersect —
+    ``l.start <= r.end AND r.start <= l.end`` (touching endpoints
+    overlap) — with both sides' columns.  The third temporal join next
+    to as-of (point→latest point) and range (point→interval): sessions
+    × campaigns, downtime × incident windows, shifts × bookings.
+
+    Scalable form: both sides replicate to the fixed-width time buckets
+    they cover and equality-join on (key, bucket) with the exact
+    overlap predicate as a post-filter.  An overlapping pair meets in
+    EVERY shared bucket, so unlike range_join a dedup rule is needed —
+    but not a dedup STAGE: the pair is kept only in the bucket of
+    ``greatest(l.start, r.start)`` (the overlap's first instant, which
+    both intervals cover by definition), making the join output
+    duplicate-free by construction.
+
+    Malformed intervals (``end < start``) are dropped from both sides
+    before the explode, as in range_join.  Column names other than
+    ``on`` must be distinct across the two frames (rename before
+    joining).  ``bucket_seconds=None`` auto-tunes: the grid width
+    nearest the geometric mean of the two sides' median interval
+    lengths (one aggregate per side at plan time) — the same
+    "bucket near the typical length" rule as range_join, balanced so
+    neither side over-replicates.
+
+    Skew boundary: identical to range_join's — an interval spanning B
+    buckets emits B rows; clamp or split pathological long-lived
+    intervals upstream.
+
+    Reference parity: none (no temporal surface in the reference);
+    extension-axis with asof_join/range_join."""
+    shared = (set(left.columns) & set(right.columns)) - {on}
+    if shared:
+        raise ValueError(
+            f"interval_join requires distinct column names outside the "
+            f"key; shared: {sorted(shared)} — rename one side first"
+        )
+    left = left.filter(_micros(left_start) <= _micros(left_end))
+    right = right.filter(_micros(right_start) <= _micros(right_end))
+    if bucket_seconds is None:
+        from fabstir_vectordb_spark.plans.tuning import tune_overlap_bucket
+
+        bucket_seconds = tune_overlap_bucket(
+            left, right,
+            (left_start, left_end), (right_start, right_end),
+        )
+    b_us = int(bucket_seconds) * 1_000_000
+
+    def _explode(df, s, e):
+        return df.withColumn(
+            "__bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(_micros(s) / b_us).cast("long"),
+                    F.floor(_micros(e) / b_us).cast("long"),
+                )
+            ),
+        )
+
+    joined = _explode(left, left_start, left_end).join(
+        _explode(right, right_start, right_end), [on, "__bkt"]
+    ).filter(
+        (_micros(left_start) <= _micros(right_end))
+        & (_micros(right_start) <= _micros(left_end))
+        # keep the pair ONLY in the overlap's first bucket — both
+        # intervals cover greatest(start, start), so exactly one
+        # surviving copy exists per overlapping pair
+        & (
+            F.floor(
+                F.greatest(_micros(left_start), _micros(right_start)) / b_us
+            ).cast("long")
+            == F.col("__bkt")
+        )
     )
     return joined.drop("__bkt")

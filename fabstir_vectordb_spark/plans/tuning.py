@@ -209,6 +209,44 @@ def tune_range(
     )
 
 
+def tune_overlap_bucket(
+    left,
+    right,
+    left_cols: tuple[str, str],
+    right_cols: tuple[str, str],
+) -> int:
+    """Bucket width for interval_join: the grid value nearest (in log
+    space) the GEOMETRIC MEAN of the two sides' median interval
+    lengths — the "bucket near the typical length" rule balanced so
+    neither side over-replicates (a bucket sized to one side's short
+    intervals would explode the other side's long ones).  One aggregate
+    per side at plan time, same cost contract as tune_range."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    def med(df, s, e):
+        row = df.agg(
+            F.percentile_approx(
+                (
+                    F.unix_micros(F.col(e).cast("timestamp"))
+                    - F.unix_micros(F.col(s).cast("timestamp"))
+                )
+                / 1e6,
+                F.lit(0.5),
+                F.lit(1000),
+            ).alias("m")
+        ).first()
+        return float(row["m"]) if row["m"] is not None else 3600.0
+
+    target = math.sqrt(
+        max(med(left, *left_cols), 1.0) * max(med(right, *right_cols), 1.0)
+    )
+    return min(
+        _BUCKET_GRID, key=lambda b: abs(math.log(b) - math.log(target))
+    )
+
+
 @dataclass
 class SearchPlan:
     strategy: str  # "brute" | "ivf" | "pq" | "binary"

@@ -449,3 +449,23 @@ def test_with_repetition_signals_is_map_only(spark):
     plan = _executed(with_repetition_signals(docs))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_interval_join_is_equality_join(spark):
+    """The overlap join must be an EQUALITY join on (key, bucket) —
+    never a nested-loop/cartesian plan (what a raw overlap predicate
+    degenerates to without the bucket key)."""
+    from fabstir_vectordb_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = ev.groupBy(
+        "user_id", F.floor(us / 86_400_000_000).cast("long").alias("d")
+    ).agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    week = ev.groupBy(
+        "user_id",
+        F.floor(us / 604_800_000_000).cast("long").alias("w"),
+    ).agg(F.min("ts").alias("rstart"), F.max("ts").alias("rend"))
+    plan = _executed(interval_join(day, week, on="user_id", bucket_seconds=86_400))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

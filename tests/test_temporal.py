@@ -240,3 +240,103 @@ def test_asof_hot_key_matches_inequality_join(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_interval_join_overlap_matrix(spark):
+    """Every overlap relation (partial both ways, containment, touching
+    endpoints, disjoint) against the closed-interval spec; bucket size
+    must never change the answer; inverted intervals drop."""
+    import datetime as dt
+
+    from fabstir_vectordb_spark.operators.temporal import interval_join
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [
+            ("a1", 1, ts(0), ts(100)),
+            ("a2", 1, ts(200), ts(300)),
+            ("a3", 1, ts(500), ts(400)),   # inverted: dropped
+            ("a4", 2, ts(0), ts(100)),     # other key
+        ],
+        "lid string, user_id long, start timestamp, end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("b1", 1, ts(50), ts(150)),    # partial overlap with a1
+            ("b2", 1, ts(100), ts(250)),   # touches a1 at 100; overlaps a2
+            ("b3", 1, ts(301), ts(350)),   # disjoint from everything
+            ("b4", 1, ts(10), ts(20)),     # contained in a1
+            ("b5", 2, ts(90), ts(600)),    # overlaps a4 only (key 2)
+        ],
+        "rid string, user_id long, rstart timestamp, rend timestamp",
+    )
+    want = sorted(
+        [("a1", "b1"), ("a1", "b2"), ("a1", "b4"),
+         ("a2", "b2"), ("a4", "b5")]
+    )
+    for bucket in (7, 60, 3600, None):  # None = tune_overlap_bucket
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_join(
+                left, right, on="user_id", bucket_seconds=bucket
+            ).collect()
+        )
+        assert got == want, f"bucket={bucket}"
+
+
+def test_interval_join_matches_plain_inequality_join(spark):
+    """Fixture-scale oracle: the bucketed overlap join must equal
+    Spark's own plain inequality join (correct by construction) on
+    derived day-span x shifted-week-span intervals — including the
+    duplicate-free guarantee (one row per overlapping pair)."""
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = ev.groupBy(
+        "user_id", F.floor(us / 86_400_000_000).cast("long").alias("d")
+    ).agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    week = ev.groupBy(
+        "user_id",
+        F.floor((us + 302_400_000_000) / 604_800_000_000)
+        .cast("long")
+        .alias("w"),
+    ).agg(F.min("ts").alias("rstart"), F.max("ts").alias("rend"))
+    got = sorted(
+        (r["user_id"], r["d"], r["w"])
+        for r in interval_join(day, week, on="user_id").collect()
+    )
+    plain = sorted(
+        (r["user_id"], r["d"], r["w"])
+        for r in day.alias("a")
+        .join(
+            week.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.start") <= F.col("b.rend"))
+            & (F.col("b.rstart") <= F.col("a.end")),
+        )
+        .select("a.user_id", "d", "w")
+        .collect()
+    )
+    assert got == plain and got
+    assert len(got) == len(set(got))  # duplicate-free by construction
+
+
+def test_interval_join_rejects_shared_columns(spark):
+    import pytest as _pytest
+
+    from fabstir_vectordb_spark.operators.temporal import interval_join
+
+    df = spark.range(1).select(
+        F.col("id").alias("user_id"),
+        F.current_timestamp().alias("start"),
+        F.current_timestamp().alias("end"),
+    )
+    with _pytest.raises(ValueError, match="distinct column names"):
+        interval_join(df, df, on="user_id")
