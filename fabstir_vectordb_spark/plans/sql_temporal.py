@@ -1,6 +1,8 @@
-"""SQL surface for the temporal joins: ``ASOF JOIN`` statement rewrite
-plus the bucketed range-join substitution for the canonical
-key-equality + BETWEEN interval statement (``range_sql``, below).
+"""SQL surface for the temporal joins: ``ASOF JOIN`` statement rewrite,
+the bucketed range-join substitution for the canonical key-equality +
+BETWEEN interval statement (``range_sql``), and the bucketed
+interval-overlap substitution for the key-equality +
+two-closed-inequality statement (``overlap_sql``, below).
 
 Spark SQL has no ``ASOF JOIN`` keyword (DuckDB, QuestDB, and kdb expose
 one; it is the canonical way users WRITE an as-of join), so the
@@ -60,7 +62,9 @@ __all__ = [
     "AsofSyntaxError",
     "asof_sql",
     "explain_asof",
+    "explain_overlap",
     "explain_range",
+    "overlap_sql",
     "range_sql",
 ]
 
@@ -408,5 +412,168 @@ def range_sql(
     sel = []
     for al, c, name in p["items"]:
         src = p["pkey"] if (al == p["ial"] and c == p["ikey"]) else c
+        sel.append(F.col(src).alias(name))
+    return out.select(*sel)
+
+
+# ------------------------------------------------------------- overlap
+
+# the canonical interval-OVERLAP join statement: key equality + the two
+# closed-interval inequalities (a.s <= b.e AND b.s <= a.e, either
+# conjunct order, either written as <= or the >= mirror).  Legal Spark
+# SQL, so the full range_sql contract applies: rewrite when the shape
+# matches AND the bindings are safe, DELEGATE verbatim otherwise — the
+# un-rewritten statement computes the same answer by the native
+# (quadratic-per-key) plan.
+_OVERLAP_SHAPE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+"
+    r"FROM\s+(?P<v1>\w+)\s+(?:AS\s+)?(?P<a1>\w+)\s+"
+    r"JOIN\s+(?P<v2>\w+)\s+(?:AS\s+)?(?P<a2>\w+)\s+"
+    r"ON\s+(?P<onc>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_overlap(sql: str):
+    """Normalized parse of the canonical overlap-join statement, or
+    None (=> delegate)."""
+    m = _OVERLAP_SHAPE.match(sql)
+    if not m:
+        return None
+    g = m.group
+    if re.search(r"\bBETWEEN\b|\bASOF\b", sql, re.IGNORECASE):
+        return None  # the range/asof shapes own those statements
+    aliases = {g("a1").lower(): g("v1"), g("a2").lower(): g("v2")}
+    if len(aliases) != 2:
+        return None
+    eq = {}
+    ineqs = []  # each normalized to (lhs_alias, lhs_col, rhs_alias, rhs_col) meaning lhs <= rhs
+    for conj in re.split(r"\s+AND\s+", g("onc").strip(), flags=re.IGNORECASE):
+        im = _INEQ.match(conj.strip())
+        if im:
+            la, lc, op, ra, rc = (
+                im.group(1).lower(), im.group(2), im.group(3),
+                im.group(4).lower(), im.group(5),
+            )
+            if op == ">=":
+                la, lc, ra, rc = ra, rc, la, lc
+            if la not in aliases or ra not in aliases or la == ra:
+                return None
+            ineqs.append((la, lc, ra, rc))
+            continue
+        em = _EQ.match(conj.strip())
+        if not em:
+            return None
+        ea, ec, eb, ecc = (
+            em.group(1).lower(), em.group(2),
+            em.group(3).lower(), em.group(4),
+        )
+        if ea not in aliases or eb not in aliases or ea == eb or eq:
+            return None
+        eq = {ea: ec, eb: ecc}
+    if not eq or len(ineqs) != 2:
+        return None
+    # the two inequalities must each put a DIFFERENT side on the lhs:
+    # lhsA.startA <= rhsB.endB and lhsB.startB <= rhsA.endA
+    starts, ends = {}, {}
+    for la, lc, ra, rc in ineqs:
+        if la in starts or ra in ends:
+            return None
+        starts[la], ends[ra] = lc, rc
+    if set(starts) != set(aliases) or set(ends) != set(aliases):
+        return None
+    a1, a2 = g("a1").lower(), g("a2").lower()
+    items = []
+    for raw in g("select").split(","):
+        im = _ITEM.match(raw)
+        if not im or im.group("al").lower() not in aliases:
+            return None
+        items.append(
+            (im.group("al").lower(), im.group("col"),
+             im.group("name") or im.group("col"))
+        )
+    return {
+        "aview": aliases[a1], "bview": aliases[a2],
+        "a": a1, "b": a2,
+        "akey": eq[a1], "bkey": eq[a2],
+        "a_start": starts[a1], "a_end": ends[a1],
+        "b_start": starts[a2], "b_end": ends[a2],
+        "items": items,
+    }
+
+
+def _resolve_overlap(spark: SparkSession, sql: str):
+    """Parse + bind, mirroring _resolve_range: delegate (None) unless
+    the views resolve, every bound column exists, the interval columns
+    are genuinely temporal, and no non-key column name is shared."""
+    p = _parse_overlap(sql)
+    if p is None:
+        return None
+    try:
+        va = spark.table(p["aview"])
+        vb = spark.table(p["bview"])
+    except Exception:
+        return None
+    acols, bcols = set(va.columns), set(vb.columns)
+    needed_a = {p["akey"], p["a_start"], p["a_end"]} | {
+        c for al, c, _ in p["items"] if al == p["a"]
+    }
+    needed_b = {p["bkey"], p["b_start"], p["b_end"]} | {
+        c for al, c, _ in p["items"] if al == p["b"]
+    }
+    if not (needed_a <= acols and needed_b <= bcols):
+        return None
+    shared = (acols & bcols) - (
+        {p["akey"]} if p["akey"] == p["bkey"] else set()
+    )
+    if shared:
+        return None
+    adt, bdt = dict(va.dtypes), dict(vb.dtypes)
+    for dt, cols in (
+        (adt, (p["a_start"], p["a_end"])),
+        (bdt, (p["b_start"], p["b_end"])),
+    ):
+        for c in cols:
+            if not (dt[c].startswith("timestamp") or dt[c] == "date"):
+                return None
+    return p, va, vb
+
+
+def explain_overlap(spark: SparkSession, sql: str) -> str:
+    """'overlap' when the statement takes the bucketed interval_join
+    rewrite, 'delegate' when it runs on spark.sql verbatim (always
+    correct for this shape — Spark parses it natively)."""
+    return (
+        "overlap" if _resolve_overlap(spark, sql) is not None else "delegate"
+    )
+
+
+def overlap_sql(
+    spark: SparkSession, sql: str, bucket_seconds: int | None = None
+) -> DataFrame:
+    """Run ``sql``: the canonical key-equality + two-closed-inequality
+    interval-OVERLAP statement rewrites to
+    operators/temporal.interval_join's bucketed duplicate-free plan;
+    anything else delegates to ``spark.sql`` verbatim, which computes
+    the same result by the native (quadratic-per-key) plan.
+    ``bucket_seconds=None`` auto-tunes via tune_overlap_bucket."""
+    from fabstir_vectordb_spark.operators.temporal import interval_join
+
+    resolved = _resolve_overlap(spark, sql)
+    if resolved is None:
+        return spark.sql(sql)
+    p, va, vb = resolved
+    if p["bkey"] != p["akey"]:
+        vb = vb.withColumnRenamed(p["bkey"], p["akey"])
+    out = interval_join(
+        va, vb,
+        on=p["akey"],
+        left_start=p["a_start"], left_end=p["a_end"],
+        right_start=p["b_start"], right_end=p["b_end"],
+        bucket_seconds=bucket_seconds,
+    )
+    sel = []
+    for al, c, name in p["items"]:
+        src = p["akey"] if (al == p["b"] and c == p["bkey"]) else c
         sel.append(F.col(src).alias(name))
     return out.select(*sel)

@@ -465,3 +465,106 @@ def test_forward_asof_statement(spark, views):
             2: (None, None),     # u8 has no quote at-or-after ts 100
             3: (None, None),     # u9 has no quotes at all
         }, on_clause
+
+
+@pytest.fixture(scope="module")
+def overlap_views(spark):
+    a = spark.createDataFrame(
+        [
+            ("a1", 1, _ts(0), _ts(100)),
+            ("a2", 1, _ts(200), _ts(300)),
+            ("a3", 2, _ts(0), _ts(100)),
+        ],
+        "lid string, user_id long, s timestamp, e timestamp",
+    )
+    b = spark.createDataFrame(
+        [
+            ("b1", 1, _ts(50), _ts(150)),
+            ("b2", 1, _ts(100), _ts(250)),   # touches a1; overlaps a2
+            ("b3", 1, _ts(301), _ts(350)),   # disjoint
+            ("b4", 2, _ts(90), _ts(600)),
+        ],
+        "rid string, uid long, rs timestamp, re timestamp",
+    )
+    a.createOrReplaceTempView("ov_a")
+    b.createOrReplaceTempView("ov_b")
+    return a, b
+
+
+OVERLAP_SQL = """
+SELECT a.lid, b.rid
+FROM ov_a a JOIN ov_b b
+  ON a.user_id = b.uid AND a.s <= b.re AND b.rs <= a.e
+"""
+
+
+def test_overlap_sql_rewrites_and_equals_verbatim(spark, overlap_views):
+    from fabstir_vectordb_spark.plans.sql_temporal import (
+        explain_overlap,
+        overlap_sql,
+    )
+
+    assert explain_overlap(spark, OVERLAP_SQL) == "overlap"
+    got = sorted(
+        (r["lid"], r["rid"]) for r in overlap_sql(spark, OVERLAP_SQL).collect()
+    )
+    verbatim = sorted(
+        (r["lid"], r["rid"]) for r in spark.sql(OVERLAP_SQL).collect()
+    )
+    assert got == verbatim == sorted(
+        [("a1", "b1"), ("a1", "b2"), ("a2", "b2"), ("a3", "b4")]
+    )
+    # explicit bucket must not change the answer; >= mirrors and swapped
+    # conjunct order are the same statement
+    tiny = sorted(
+        (r["lid"], r["rid"])
+        for r in overlap_sql(spark, OVERLAP_SQL, bucket_seconds=7).collect()
+    )
+    assert tiny == got
+    mirrored = """
+    SELECT a.lid, b.rid
+    FROM ov_a a JOIN ov_b b
+      ON b.rs <= a.e AND b.re >= a.s AND a.user_id = b.uid
+    """
+    assert explain_overlap(spark, mirrored) == "overlap"
+    assert sorted(
+        (r["lid"], r["rid"]) for r in overlap_sql(spark, mirrored).collect()
+    ) == got
+
+
+def test_overlap_sql_delegates_out_of_shape(spark, overlap_views):
+    from fabstir_vectordb_spark.plans.sql_temporal import (
+        explain_overlap,
+        overlap_sql,
+    )
+
+    for sql in (
+        # one-sided inequalities (both lhs from the same table): not the
+        # overlap shape, still legal SQL
+        """SELECT a.lid FROM ov_a a JOIN ov_b b
+           ON a.user_id = b.uid AND a.s <= b.re AND a.e <= b.rs""",
+        # range (BETWEEN) statements belong to range_sql
+        """SELECT a.lid FROM ov_a a JOIN ov_b b
+           ON a.user_id = b.uid AND a.s BETWEEN b.rs AND b.re""",
+        # expression select item
+        """SELECT a.lid, b.rid, a.s + INTERVAL 1 HOUR AS x
+           FROM ov_a a JOIN ov_b b
+           ON a.user_id = b.uid AND a.s <= b.re AND b.rs <= a.e""",
+        "SELECT count(*) AS n FROM ov_a",
+    ):
+        assert explain_overlap(spark, sql) == "delegate"
+        overlap_sql(spark, sql).collect()  # runs via spark.sql
+
+    # non-temporal interval columns delegate (cast could disagree)
+    spark.createDataFrame(
+        [("x", 1, 0, 10)], "lid string, user_id long, s long, e long"
+    ).createOrReplaceTempView("ov_a_int")
+    spark.createDataFrame(
+        [("y", 1, 5, 15)], "rid string, uid long, rs long, re long"
+    ).createOrReplaceTempView("ov_b_int")
+    sql_int = """SELECT a.lid, b.rid FROM ov_a_int a JOIN ov_b_int b
+                 ON a.user_id = b.uid AND a.s <= b.re AND b.rs <= a.e"""
+    assert explain_overlap(spark, sql_int) == "delegate"
+    assert [tuple(r) for r in overlap_sql(spark, sql_int).collect()] == [
+        ("x", "y")
+    ]
