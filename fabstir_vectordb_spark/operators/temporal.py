@@ -79,7 +79,13 @@ def asof_join(
     the same window ordered descending, 'nearest' evaluates both
     orderings over the SAME partitioning (one exchange, two sorts).
     ``tolerance_seconds`` bounds the match age in the direction's sense
-    (|lag| for 'nearest').  A boundary match ``rts == lts`` is inclusive
+    (|lag| for 'nearest').  For 'nearest' the tolerance screen is
+    applied PER LEG before the closer-leg comparison — pandas
+    merge_asof's candidate rule.  (With this operator's non-negative
+    per-leg lags the two orders are provably equivalent anyway: if the
+    closer leg exceeds the tolerance the farther leg does too — but the
+    per-leg form states the pandas contract directly instead of by
+    argument.)  A boundary match ``rts == lts`` is inclusive
     in every direction.  Tie-break among equal (key, ts) right rows is
     the same largest-``right_order_col``/hash rule in every direction.
 
@@ -101,18 +107,22 @@ def asof_join(
     Skew boundary and its escape hatch: the single window serializes
     each key in one task — a pathologically hot key (one key holding
     ~10^8 rows) becomes a straggler, inherent to any windowed as-of.
-    ``chunk_seconds`` is the opt-in two-pass fix: both sides split into
-    fixed ``chunk_seconds`` periods, the window partitions by
-    (key, chunk) — per-chunk parallelism, the hot key's timeline now
-    spreads across tasks — and each chunk's leading unmatched left rows
-    patch from the latest CLOSING right row of any earlier chunk
-    (closings are one row per (key, chunk), so the per-key serialized
-    pass shrinks from #rows to #chunks).  Answers are identical to the
-    plain operator for every input (property-tested); pick a chunk
-    near the hot key's natural period (e.g. a day).  For non-skewed
-    keys prefer the plain single-window form — two extra exchanges buy
-    nothing there.  Alternatively cap/sample the hot key upstream the
-    way ``cap_per_group`` does for sampling.
+    ``chunk_seconds`` is the opt-in two-pass fix, available in EVERY
+    direction: both sides split into fixed ``chunk_seconds`` periods,
+    the window partitions by (key, chunk) — per-chunk parallelism, the
+    hot key's timeline now spreads across tasks — and each chunk's
+    unmatched left rows patch from a one-row-per-(key, chunk) boundary
+    summary of the right side: the latest CLOSING right row of earlier
+    chunks for the backward leg, the earliest OPENING right row of
+    later chunks for the forward leg (the same plan time-reversed),
+    and both for 'nearest'.  Boundary summaries are one row per
+    (key, chunk), so the per-key serialized pass shrinks from #rows to
+    #chunks.  Answers are identical to the plain operator for every
+    input and direction (property-tested); pick a chunk near the hot
+    key's natural period (e.g. a day).  For non-skewed keys prefer the
+    plain single-window form — the extra exchanges buy nothing there.
+    Alternatively cap/sample the hot key upstream the way
+    ``cap_per_group`` does for sampling.
     """
     from pyspark.sql.window import Window
 
@@ -120,12 +130,6 @@ def asof_join(
         raise ValueError(
             f"direction must be 'backward', 'forward', or 'nearest'; "
             f"got {direction!r}"
-        )
-    if chunk_seconds is not None and direction != "backward":
-        raise ValueError(
-            "chunk_seconds (the hot-key escape hatch) currently supports "
-            "only direction='backward'; run the plain operator for "
-            "forward/nearest, or chunk the backward leg only"
         )
 
     keys = [on] if isinstance(on, str) else list(on)
@@ -190,20 +194,146 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     u = l.unionByName(r)
-    if direction == "backward":
-        carried = u.withColumn(
-            "__match", F.last("__rv", ignorenulls=True).over(w_b)
-        ).filter(F.col("__side") == 1)
-    elif direction == "forward":
-        carried = u.withColumn(
-            "__match", F.last("__rv", ignorenulls=True).over(w_f)
-        ).filter(F.col("__side") == 1)
-    else:  # nearest: closer of the two legs, exact ties backward
-        carried = (
-            u.withColumn("__mb", F.last("__rv", ignorenulls=True).over(w_b))
-            .withColumn("__mf", F.last("__rv", ignorenulls=True).over(w_f))
-            .filter(F.col("__side") == 1)
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+    carried = u
+    if need_b:
+        carried = carried.withColumn(
+            "__mb", F.last("__rv", ignorenulls=True).over(w_b)
         )
+    if need_f:
+        carried = carried.withColumn(
+            "__mf", F.last("__rv", ignorenulls=True).over(w_f)
+        )
+    carried = carried.filter(F.col("__side") == 1)
+    if chunk_seconds is not None:
+        # pass 2 — patch across chunk boundaries with one-row-per-
+        # (key, chunk) BOUNDARY SUMMARIES of the right side:
+        #   closing = the max by (ts, ord), exactly the row the backward
+        #             window carries at the chunk's end;
+        #   opening = the min by ts / max by ord, exactly the row the
+        #             forward window carries at the chunk's start.
+        # Chunk timestamps are monotone in the chunk id, so a left
+        # chunk's correct out-of-chunk backward match is the latest
+        # closing among STRICTLY EARLIER chunks, and its forward match
+        # the earliest opening among STRICTLY LATER chunks (every right
+        # row of a later chunk is at-or-after every left ts of this
+        # one).  Probes sort before summaries at the same chunk id in
+        # BOTH traversals — pass 1 already resolved in-chunk
+        # visibility.  One timeline, one (key)-partitioned exchange,
+        # one sort per needed leg.
+        probes = l.select(*keys, "__ck").distinct()
+        rv_t = r.schema["__rv"].dataType
+        tl = probes.select(
+            *keys,
+            "__ck",
+            F.lit(0).alias("__cside"),
+            F.lit(None).cast(rv_t).alias("__cv"),
+            F.lit(None).cast(rv_t).alias("__ov"),
+        )
+        if need_b:
+            closing = r.groupBy(*keys, "__ck").agg(
+                F.max_by("__rv", F.struct("__ts", "__ord")).alias("__cv")
+            )
+            tl = tl.unionByName(
+                closing.select(
+                    *keys, "__ck", F.lit(1).alias("__cside"), "__cv",
+                    F.lit(None).cast(rv_t).alias("__ov"),
+                )
+            )
+        if need_f:
+            # min ts, max ord among ties: max_by over (negated micros,
+            # ord) — ord's type is caller-chosen, so negate the ts leg
+            opening = r.groupBy(*keys, "__ck").agg(
+                F.max_by(
+                    "__rv",
+                    F.struct(
+                        (-F.unix_micros(F.col("__ts"))).alias("__nts"),
+                        F.col("__ord"),
+                    ),
+                ).alias("__ov")
+            )
+            tl = tl.unionByName(
+                opening.select(
+                    *keys, "__ck", F.lit(1).alias("__cside"),
+                    F.lit(None).cast(rv_t).alias("__cv"), "__ov",
+                )
+            )
+        wc_b = (
+            Window.partitionBy(*keys)
+            .orderBy("__ck", "__cside")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        # desc_nulls_first: a NULL-ts left row has a NULL chunk id and
+        # must see NO openings (the plain forward window shows it
+        # nothing); default desc puts NULLs last, where it would wrongly
+        # inherit the earliest real opening
+        wc_f = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ck").desc_nulls_first(), "__cside")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        if need_b:
+            tl = tl.withColumn(
+                "__carry_b", F.last("__cv", ignorenulls=True).over(wc_b)
+            )
+        if need_f:
+            tl = tl.withColumn(
+                "__carry_f", F.last("__ov", ignorenulls=True).over(wc_f)
+            )
+        carry = tl.filter(F.col("__cside") == 0).select(
+            *[F.col(k).alias(f"__ca_{i}") for i, k in enumerate(keys)],
+            F.col("__ck").alias("__ca_ck"),
+            *(["__carry_b"] if need_b else []),
+            *(["__carry_f"] if need_f else []),
+        )
+        # NULL-SAFE equality: the pass-1 window groups NULL keys together
+        # (they match each other, same as the plain operator), so the
+        # patch join must too — a plain equality join would silently
+        # skip cross-chunk matches for NULL-keyed rows and diverge from
+        # the unchunked plan
+        cond = F.col("__ck").eqNullSafe(F.col("__ca_ck"))
+        for i, k in enumerate(keys):
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__ca_{i}"))
+        carried = carried.join(carry, cond, "left")
+        if need_b:
+            carried = carried.withColumn(
+                "__mb", F.coalesce("__mb", "__carry_b")
+            ).drop("__carry_b")
+        if need_f:
+            carried = carried.withColumn(
+                "__mf", F.coalesce("__mf", "__carry_f")
+            ).drop("__carry_f")
+        carried = carried.drop(
+            "__ca_ck", *[f"__ca_{i}" for i in range(len(keys))]
+        )
+    if tolerance_seconds is not None:
+        # PER LEG, before the nearest comparison (pandas merge_asof's
+        # candidate rule; equivalent either way for this operator —
+        # see the docstring — but per-leg states the contract directly)
+        tol_us = tolerance_seconds * 1_000_000
+        lts_us = F.unix_micros(F.col("__ts"))
+        if need_b:
+            carried = carried.withColumn(
+                "__mb",
+                F.when(
+                    lts_us - F.unix_micros(F.col("__mb.__rts")) <= tol_us,
+                    F.col("__mb"),
+                ),
+            )
+        if need_f:
+            carried = carried.withColumn(
+                "__mf",
+                F.when(
+                    F.unix_micros(F.col("__mf.__rts")) - lts_us <= tol_us,
+                    F.col("__mf"),
+                ),
+            )
+    if direction == "backward":
+        carried = carried.withColumnRenamed("__mb", "__match")
+    elif direction == "forward":
+        carried = carried.withColumnRenamed("__mf", "__match")
+    else:  # nearest: closer of the two surviving legs, exact ties backward
         lts_us = F.unix_micros(F.col("__ts"))
         lag_b = lts_us - F.unix_micros(F.col("__mb.__rts"))
         lag_f = F.unix_micros(F.col("__mf.__rts")) - lts_us
@@ -214,68 +344,6 @@ def asof_join(
             .when(lag_b <= lag_f, F.col("__mb"))
             .otherwise(F.col("__mf")),
         ).drop("__mb", "__mf")
-    if chunk_seconds is not None:
-        # pass 2 — patch across chunk boundaries.  One CLOSING right row
-        # per (key, chunk): the max by (ts, ord), i.e. exactly the row
-        # pass 1's window would carry at the chunk's end.  Chunk
-        # timestamps are monotone in the chunk id, so for a left chunk
-        # the latest closing among STRICTLY EARLIER chunks is the
-        # correct pre-chunk match; probes sort before closings at the
-        # same chunk id (a same-chunk closing may postdate the left row
-        # — pass 1 already resolved in-chunk visibility).
-        closing = r.groupBy(*keys, "__ck").agg(
-            F.max_by("__rv", F.struct("__ts", "__ord")).alias("__cv")
-        )
-        probes = l.select(*keys, "__ck").distinct()
-        tl = probes.select(
-            *keys,
-            "__ck",
-            F.lit(0).alias("__cside"),
-            F.lit(None).cast(closing.schema["__cv"].dataType).alias("__cv"),
-        ).unionByName(
-            closing.select(*keys, "__ck", F.lit(1).alias("__cside"), "__cv")
-        )
-        wc = (
-            Window.partitionBy(*keys)
-            .orderBy("__ck", "__cside")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        carry = (
-            tl.withColumn("__carry", F.last("__cv", ignorenulls=True).over(wc))
-            .filter(F.col("__cside") == 0)
-            .select(
-                *[F.col(k).alias(f"__ca_{i}") for i, k in enumerate(keys)],
-                F.col("__ck").alias("__ca_ck"),
-                "__carry",
-            )
-        )
-        # NULL-SAFE equality: the pass-1 window groups NULL keys together
-        # (they match each other, same as the plain operator), so the
-        # patch join must too — a plain equality join would silently
-        # skip cross-chunk matches for NULL-keyed rows and diverge from
-        # the unchunked plan
-        cond = F.col("__ck").eqNullSafe(F.col("__ca_ck"))
-        for i, k in enumerate(keys):
-            cond = cond & F.col(k).eqNullSafe(F.col(f"__ca_{i}"))
-        carried = (
-            carried.join(carry, cond, "left")
-            .withColumn("__match", F.coalesce("__match", "__carry"))
-            .drop("__ca_ck", *[f"__ca_{i}" for i in range(len(keys))])
-        )
-    if tolerance_seconds is not None:
-        diff_us = F.unix_micros(F.col("__ts")) - F.unix_micros(
-            F.col("__match.__rts")
-        )
-        if direction == "backward":
-            lag_us = diff_us
-        elif direction == "forward":
-            lag_us = -diff_us
-        else:
-            lag_us = F.abs(diff_us)
-        carried = carried.withColumn(
-            "__match",
-            F.when(lag_us <= tolerance_seconds * 1_000_000, F.col("__match")),
-        )
     out_left = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
     out_right = [F.col("__match.__rts").alias(f"ts{suffix}")] + [
         F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in value_cols

@@ -112,6 +112,43 @@ def test_chunked_asof_matches_reference(spark, left, right, tolerance, chunk):
     assert got == _reference(left, right, tolerance)
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left, right=_right,
+       tolerance=st.sampled_from([None, 0, 5, 20]),
+       chunk=st.sampled_from([1, 7, 13, 60]),
+       direction=st.sampled_from(["forward", "nearest"]))
+def test_chunked_directional_asof_matches_reference(
+    spark, left, right, tolerance, chunk, direction
+):
+    """chunk_seconds x direction: the forward boundary patch (earliest
+    OPENING right row of any later chunk) and the nearest composition of
+    both legs must reproduce the plain spec for ANY input, chunk width,
+    and tolerance (VERDICT r8 'Next round' #2)."""
+    ldf = spark.createDataFrame(
+        [(i, _ts(t), k) for i, (k, t) in enumerate(left)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(t), o) for (k, t, o) in right],
+        "user_id long, ts timestamp, ord long",
+    ) if right else spark.createDataFrame(
+        [], "user_id long, ts timestamp, ord long"
+    )
+    got = {
+        r["event_id"]: r["ord_r"]
+        for r in asof_join(
+            ldf, rdf, on="user_id", value_cols=["ord"],
+            tolerance_seconds=tolerance, right_order_col="ord",
+            chunk_seconds=chunk, direction=direction,
+        ).collect()
+    }
+    assert got == _reference_dir(left, right, tolerance, direction)
+
+
 def test_null_right_ts_never_matches(spark):
     """A NULL right timestamp satisfies no rts <= lts comparison; it
     must be dropped up front, not sorted first and carried as a match
@@ -167,7 +204,12 @@ def test_chunked_asof_null_keys_match_plain(spark):
 
 def _reference_dir(left, right, tolerance, direction):
     """{left index: matched order value | None} for any direction —
-    the pure-Python spec of asof_join(direction=...)."""
+    the pure-Python spec of asof_join(direction=...).  Tolerance is
+    applied PER LEG before the nearest comparison (pandas merge_asof's
+    candidate rule; with non-negative per-leg lags this is equivalent
+    to screening the chosen leg afterwards — if the closer leg exceeds
+    the tolerance the farther leg does too — but the per-leg form is
+    the stated contract, ADVICE r8 #2)."""
     out = {}
     for li, (lk, lt) in enumerate(left):
         back, fwd = None, None
@@ -178,11 +220,16 @@ def _reference_dir(left, right, tolerance, direction):
                 back = (rt, order)          # latest ts, largest order
             if rt >= lt and (fwd is None or (-rt, order) > fwd):
                 fwd = (-rt, order)          # EARLIEST ts, largest order
+        if tolerance is not None:           # per-leg screen
+            if back is not None and lt - back[0] > tolerance:
+                back = None
+            if fwd is not None and (-fwd[0]) - lt > tolerance:
+                fwd = None
         if direction == "backward":
             best = back
         elif direction == "forward":
             best = fwd and (-fwd[0], fwd[1])
-        else:  # nearest: closer leg wins, exact ties backward
+        else:  # nearest: closer surviving leg wins, exact ties backward
             b = back and (lt - back[0], back[1], back[0])
             f = fwd and (-fwd[0] - lt, fwd[1], -fwd[0])
             if b is None:
@@ -191,9 +238,6 @@ def _reference_dir(left, right, tolerance, direction):
                 best = (b[2], b[1])
             else:
                 best = (f[2], f[1])
-        if best is not None and tolerance is not None:
-            if abs(lt - best[0]) > tolerance:
-                best = None
         out[li] = None if best is None else best[1]
     return out
 
@@ -251,5 +295,3 @@ def test_direction_validation():
 
     with _pytest.raises(ValueError, match="direction"):
         asof_join(None, None, on="k", direction="sideways")
-    with _pytest.raises(ValueError, match="chunk_seconds"):
-        asof_join(None, None, on="k", direction="forward", chunk_seconds=60)
