@@ -312,7 +312,11 @@ class BinarySketch:
             for qid, qsig in zip(qpdf["query_id"], qpdf["__qsig"]):
                 qw = np.asarray(qsig, dtype=np.uint32)
                 d = _popcount(np.bitwise_xor(Vw, qw[None, :]))
-                if len(d) > k:
+                # `> k > 0`: at k=0 the shortlist's d[part[:0]].max()
+                # would raise on the empty slice; the else branch's
+                # lexsort[:0] returns empty instead (same guard as the
+                # point kernel above — harmonized, ADVICE r8)
+                if len(d) > k > 0:
                     part = np.argpartition(d, k - 1)
                     thresh = d[part[:k]].max()
                     cand = np.flatnonzero(d <= thresh)

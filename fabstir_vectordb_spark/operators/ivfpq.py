@@ -276,7 +276,9 @@ class IVFPQIndex:
                 )
                 d = np.sqrt(np.sum(table[marange, codes], axis=1))
                 dr = np.round(d, ROUND_DECIMALS)
-                if len(d) > fetch:
+                # `> fetch > 0`: k=0 falls to the empty lexsort[:0]
+                # branch (the shortlist's empty-slice max would raise)
+                if len(d) > fetch > 0:
                     part = np.argpartition(dr, fetch - 1)
                     thresh = dr[part[:fetch]].max()
                     cand = np.flatnonzero(dr <= thresh)

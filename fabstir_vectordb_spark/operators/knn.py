@@ -150,7 +150,9 @@ def _batch_topk_rows(
             d = _kernel_distances(metric, V[cand], Qc[j])  # exact, original form
             dr = np.round(d, ROUND_DECIMALS)
             cids = ids[cand]
-            if len(d) > k:
+            # `> k > 0`: k=0 must fall to the empty lexsort[:0] branch,
+            # not an argpartition shortlist whose empty-slice max raises
+            if len(d) > k > 0:
                 part = np.argpartition(dr, k - 1)
                 thresh = dr[part[:k]].max()
                 keep = np.flatnonzero(dr <= thresh)

@@ -452,7 +452,9 @@ class ProductQuantizer:
                 )
                 d = np.sqrt(np.sum(table[marange, codes], axis=1))
                 dr = np.round(d, ROUND_DECIMALS)
-                if len(d) > k:
+                # `> k > 0`: k=0 falls to the empty lexsort[:0] branch
+                # (the shortlist's empty-slice max would raise)
+                if len(d) > k > 0:
                     part = np.argpartition(dr, k - 1)
                     thresh = dr[part[:k]].max()
                     cand = np.flatnonzero(dr <= thresh)
