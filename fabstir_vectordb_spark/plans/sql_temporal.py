@@ -224,11 +224,37 @@ def asof_sql(spark: SparkSession, sql: str) -> DataFrame:
     left = spark.table(p["lview"])
     right = spark.table(p["rview"])
     # asof_join keys both sides on the left's column names; align the
-    # right side key by key
+    # right side key by key.  Duplicate key columns on either side
+    # cannot be expressed as a rename (each right column aligns to
+    # exactly one left name) — raise instead of silently collapsing.
+    if len(set(p["lkeys"])) != len(p["lkeys"]) or len(set(p["rkeys"])) != len(
+        p["rkeys"]
+    ):
+        raise AsofSyntaxError(
+            "duplicate key column in ON equalities: each key column may "
+            "appear in exactly one equality per side"
+        )
     key_map = dict(zip(p["rkeys"], p["lkeys"]))
-    for rk, lk in key_map.items():
-        if rk != lk:
-            right = right.withColumnRenamed(rk, lk)
+    renames = {rk: lk for rk, lk in key_map.items() if rk != lk}
+    # a left key name already on the right as a NON-key column would
+    # collide after alignment (duplicate column names, an opaque
+    # ambiguity error downstream) — fail loudly up front.  A name that
+    # is itself a right key being renamed away is fine: the two-pass
+    # temp rename below handles permuted keys (ON l.a = r.b AND
+    # l.b = r.a) without transient duplicates.
+    for rk, lk in renames.items():
+        if lk in right.columns and lk not in renames:
+            raise AsofSyntaxError(
+                f"right view column {lk!r} collides with the aligned "
+                f"name for key {rk!r} (the right side already carries a "
+                f"column named {lk!r} that is not part of the ON "
+                f"equalities); rename it before the ASOF join"
+            )
+    tmp = {rk: f"__asof_k{i}" for i, rk in enumerate(renames)}
+    for rk, t in tmp.items():
+        right = right.withColumnRenamed(rk, t)
+    for rk, t in tmp.items():
+        right = right.withColumnRenamed(t, renames[rk])
 
     def _r(c: str) -> str:
         # a selected right KEY column rides the renamed key

@@ -433,6 +433,54 @@ def test_asof_sql_tolerance_clause(spark, mk_views):
     assert got_i == {1: 2.0}
 
 
+def test_asof_sql_true_permutation_of_right_names(spark, mk_views):
+    """The genuinely adversarial case: the right view's key columns are
+    NAMED exactly the left key names but SWAPPED — r.user_id holds the
+    region string, r.region holds the uid.  Sequential renames would
+    produce duplicate columns; the two-pass rename must align both."""
+    left, right = mk_views
+    right.select(
+        F.col("region").alias("user_id"),    # string under the uid name
+        F.col("uid").alias("region"),        # uid under the region name
+        "qts", "value",
+    ).createOrReplaceTempView("mk_quotes_swapnames")
+    sql = """
+    SELECT l.event_id, r.value AS v
+    FROM mk_trades l ASOF LEFT JOIN mk_quotes_swapnames r
+      ON l.user_id = r.region AND l.region = r.user_id AND l.ts >= r.qts
+    """
+    got = {r["event_id"]: r["v"] for r in asof_sql(spark, sql).collect()}
+    assert got == {0: 1.0, 1: 2.0, 2: None, 3: 3.0}
+
+
+def test_asof_sql_key_collision_raises_cleanly(spark, mk_views):
+    """A right payload column named like a left key (but not joined on)
+    would silently duplicate after alignment; asof_sql must raise
+    AsofSyntaxError naming the clash instead of the downstream
+    ambiguous-column error (VERDICT r8 'What's wrong' #3)."""
+    left, right = mk_views
+    right.withColumn("user_id", F.lit("payload")).createOrReplaceTempView(
+        "mk_quotes_clash"
+    )
+    with pytest.raises(AsofSyntaxError, match="user_id.*collides|collides.*user_id"):
+        asof_sql(
+            spark,
+            """SELECT l.event_id, r.value AS v
+               FROM mk_trades l ASOF JOIN mk_quotes_clash r
+                 ON l.user_id = r.uid AND l.ts >= r.qts""",
+        )
+
+
+def test_asof_sql_duplicate_key_columns_raise(spark, mk_views):
+    with pytest.raises(AsofSyntaxError, match="duplicate key column"):
+        asof_sql(
+            spark,
+            """SELECT l.event_id FROM mk_trades l ASOF JOIN mk_quotes r
+               ON l.user_id = r.uid AND l.event_id = r.uid
+              AND l.ts >= r.qts""",
+        )
+
+
 def test_asof_sql_two_inequalities_raise(spark, mk_views):
     with pytest.raises(AsofSyntaxError):
         asof_sql(
