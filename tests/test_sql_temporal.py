@@ -580,6 +580,42 @@ def test_overlap_sql_rewrites_and_equals_verbatim(spark, overlap_views):
     ) == got
 
 
+def test_overlap_sql_inverted_intervals_delegate_to_verbatim(spark):
+    """ADVICE r8 (medium): an INVERTED interval (end < start) CAN
+    satisfy the two-inequality overlap predicate — l=(10,5) vs
+    r=(3,12): 10<=12 AND 3<=5 — while interval_join drops such rows by
+    contract.  The resolver's plan-time inverted-row probe must
+    delegate the statement so rewrite == verbatim holds literally even
+    on malformed data."""
+    from fabstir_vectordb_spark.plans.sql_temporal import (
+        explain_overlap,
+        overlap_sql,
+    )
+
+    spark.createDataFrame(
+        [("inv", 1, _ts(10), _ts(5)), ("ok", 1, _ts(0), _ts(4))],
+        "lid string, user_id long, s timestamp, e timestamp",
+    ).createOrReplaceTempView("ov_a_inv")
+    spark.createDataFrame(
+        [("b", 1, _ts(3), _ts(12))],
+        "rid string, uid long, rs timestamp, re timestamp",
+    ).createOrReplaceTempView("ov_b_inv")
+    sql = """SELECT a.lid, b.rid FROM ov_a_inv a JOIN ov_b_inv b
+             ON a.user_id = b.uid AND a.s <= b.re AND b.rs <= a.e"""
+    assert explain_overlap(spark, sql) == "delegate"
+    got = sorted(tuple(r) for r in overlap_sql(spark, sql).collect())
+    verbatim = sorted(tuple(r) for r in spark.sql(sql).collect())
+    # the verbatim predicate keeps the inverted pair AND the clean one
+    assert got == verbatim == [("inv", "b"), ("ok", "b")]
+
+    # clean data on the SAME statement shape still takes the rewrite
+    spark.createDataFrame(
+        [("ok", 1, _ts(0), _ts(4))],
+        "lid string, user_id long, s timestamp, e timestamp",
+    ).createOrReplaceTempView("ov_a_inv")
+    assert explain_overlap(spark, sql) == "overlap"
+
+
 def test_overlap_sql_delegates_out_of_shape(spark, overlap_views):
     from fabstir_vectordb_spark.plans.sql_temporal import (
         explain_overlap,
