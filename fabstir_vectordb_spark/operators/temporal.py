@@ -354,7 +354,7 @@ def asof_join(
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
-    on: str,
+    on: str | list[str],
     ts_col: str = "ts",
     start_col: str = "start",
     end_col: str = "end",
@@ -362,10 +362,13 @@ def range_join(
 ) -> DataFrame:
     """Inner point-in-interval join: one row per (point, containing
     interval) pair of the same key, ``start <= ts <= end`` inclusive —
-    points' columns plus the interval's.  Equality-join on
-    (key, time-bucket) with the exact predicate as a post-filter; the
-    interval side replicates per covered bucket, the point side never
-    duplicates (a pair meets only in the point's own bucket).
+    points' columns plus the interval's.  ``on`` may be a single column
+    name or a list (multi-key equality, e.g. sessions x campaigns keyed
+    (user, campaign)); both sides must carry every key under the same
+    name.  Equality-join on
+    (keys..., time-bucket) with the exact predicate as a post-filter;
+    the interval side replicates per covered bucket, the point side
+    never duplicates (a pair meets only in the point's own bucket).
 
     ``bucket_seconds=None`` (the default) auto-tunes: the median
     interval length of the actual data, snapped to a fixed grid
@@ -389,11 +392,12 @@ def range_join(
     (e.g. cap at a max duration, or break them into day-sized
     sub-intervals — containment results are identical since the pieces
     tile the original)."""
+    keys = [on] if isinstance(on, str) else list(on)
     if bucket_seconds is None:
         from fabstir_vectordb_spark.plans.tuning import tune_range
 
         bucket_seconds = tune_range(
-            points, intervals, on,
+            points, intervals, keys,
             ts_col=ts_col, start_col=start_col, end_col=end_col,
         ).bucket_seconds
     b_us = int(bucket_seconds) * 1_000_000
@@ -408,7 +412,7 @@ def range_join(
             )
         ),
     )
-    joined = p.join(iv, [on, "__bkt"]).filter(
+    joined = p.join(iv, [*keys, "__bkt"]).filter(
         (_micros(ts_col) >= _micros(start_col))
         & (_micros(ts_col) <= _micros(end_col))
     )
@@ -418,7 +422,7 @@ def range_join(
 def interval_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_start: str = "start",
     left_end: str = "end",
     right_start: str = "rstart",
@@ -428,7 +432,9 @@ def interval_join(
     """Inner interval-OVERLAP join: one row per (left interval, right
     interval) pair of the same key whose CLOSED intervals intersect —
     ``l.start <= r.end AND r.start <= l.end`` (touching endpoints
-    overlap) — with both sides' columns.  The third temporal join next
+    overlap) — with both sides' columns.  ``on`` may be a single column
+    name or a list (multi-key equality); both sides must carry every
+    key under the same name.  The third temporal join next
     to as-of (point→latest point) and range (point→interval): sessions
     × campaigns, downtime × incident windows, shifts × bookings.
 
@@ -456,11 +462,12 @@ def interval_join(
 
     Reference parity: none (no temporal surface in the reference);
     extension-axis with asof_join/range_join."""
-    shared = (set(left.columns) & set(right.columns)) - {on}
+    keys = [on] if isinstance(on, str) else list(on)
+    shared = (set(left.columns) & set(right.columns)) - set(keys)
     if shared:
         raise ValueError(
             f"interval_join requires distinct column names outside the "
-            f"key; shared: {sorted(shared)} — rename one side first"
+            f"keys; shared: {sorted(shared)} — rename one side first"
         )
     left = left.filter(_micros(left_start) <= _micros(left_end))
     right = right.filter(_micros(right_start) <= _micros(right_end))
@@ -485,7 +492,7 @@ def interval_join(
         )
 
     joined = _explode(left, left_start, left_end).join(
-        _explode(right, right_start, right_end), [on, "__bkt"]
+        _explode(right, right_start, right_end), [*keys, "__bkt"]
     ).filter(
         (_micros(left_start) <= _micros(right_end))
         & (_micros(right_start) <= _micros(left_end))

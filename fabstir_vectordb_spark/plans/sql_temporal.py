@@ -295,44 +295,87 @@ def asof_sql(spark: SparkSession, sql: str) -> DataFrame:
 # answer.  The rewrite is the classic range-join optimization: Spark's
 # native plan enumerates |points_k| x |intervals_k| pairs per key
 # before filtering; the bucketed plan pairs only candidates sharing a
-# time bucket.
-_RANGE_PATTERN = re.compile(
-    r"""
-    ^\s*SELECT\s+(?P<select>.+?)\s+
-    FROM\s+(?P<v1>\w+)\s+(?:AS\s+)?(?P<a1>\w+)\s+
-    JOIN\s+(?P<v2>\w+)\s+(?:AS\s+)?(?P<a2>\w+)\s+
-    ON\s+(?P<e1a>\w+)\.(?P<e1c>\w+)\s*=\s*(?P<e2a>\w+)\.(?P<e2c>\w+)\s+
-    AND\s+(?P<ta>\w+)\.(?P<tc>\w+)\s+BETWEEN\s+
-    (?P<sa>\w+)\.(?P<sc>\w+)\s+AND\s+(?P<ea>\w+)\.(?P<ec>\w+)
-    \s*;?\s*$
-    """,
-    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+# time bucket.  One or more key equalities are accepted (multi-key
+# like the ASOF parser) plus exactly one BETWEEN conjunct.
+_RANGE_SHAPE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+"
+    r"FROM\s+(?P<v1>\w+)\s+(?:AS\s+)?(?P<a1>\w+)\s+"
+    r"JOIN\s+(?P<v2>\w+)\s+(?:AS\s+)?(?P<a2>\w+)\s+"
+    r"ON\s+(?P<onc>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
+
+_BETWEEN = re.compile(
+    r"^(\w+)\.(\w+)\s+BETWEEN\s+(\w+)\.(\w+)\s+AND\s+(\w+)\.(\w+)$",
+    re.IGNORECASE,
+)
+
+
+def _split_conjuncts_keeping_between(onc: str):
+    """Split an ON clause on AND, re-merging the AND that belongs to a
+    BETWEEN's two bounds.  Returns None when a trailing BETWEEN is
+    missing its second bound."""
+    raw = re.split(r"\s+AND\s+", onc.strip(), flags=re.IGNORECASE)
+    conjs, i = [], 0
+    while i < len(raw):
+        piece = raw[i]
+        if re.search(r"\bBETWEEN\b", piece, re.IGNORECASE):
+            if i + 1 >= len(raw):
+                return None
+            piece = piece + " AND " + raw[i + 1]
+            i += 1
+        conjs.append(piece.strip())
+        i += 1
+    return conjs
 
 
 def _parse_range(sql: str):
     """Normalized parse of the canonical range-join statement, or None
     (=> delegate: the statement is ordinary SQL and Spark computes the
     same answer without the bucketed plan)."""
-    m = _RANGE_PATTERN.match(sql)
+    m = _RANGE_SHAPE.match(sql)
     if not m:
         return None
     g = m.group
+    if re.search(r"\bASOF\b", sql, re.IGNORECASE):
+        return None  # the ASOF shape owns those statements
     aliases = {g("a1").lower(): g("v1"), g("a2").lower(): g("v2")}
-    pal = g("ta").lower()  # the BETWEEN's probe side owns the points
-    if g("sa").lower() != g("ea").lower():
-        return None  # start and end from different tables: not the shape
-    ial = g("sa").lower()
-    if pal == ial or pal not in aliases or ial not in aliases:
+    if len(aliases) != 2:
         return None
-    # equality: one side each, either order
-    eq = {}
-    for a, c in ((g("e1a").lower(), g("e1c")), (g("e2a").lower(), g("e2c"))):
-        if a not in aliases:
+    conjs = _split_conjuncts_keeping_between(g("onc"))
+    if conjs is None:
+        return None
+    between = None
+    eq_pairs = []  # each {alias: col, alias: col}
+    for conj in conjs:
+        bm = _BETWEEN.match(conj)
+        if bm:
+            if between is not None:
+                return None  # exactly one BETWEEN
+            ta, tc, sa, sc, ea, ec = (
+                bm.group(1).lower(), bm.group(2),
+                bm.group(3).lower(), bm.group(4),
+                bm.group(5).lower(), bm.group(6),
+            )
+            if sa != ea:  # start and end from different tables
+                return None
+            if ta == sa or ta not in aliases or sa not in aliases:
+                return None
+            between = (ta, tc, sa, sc, ec)
+            continue
+        em = _EQ.match(conj)
+        if not em:
             return None
-        eq[a] = c
-    if set(eq) != {pal, ial}:
+        ea_, ec_, eb_, ecc_ = (
+            em.group(1).lower(), em.group(2),
+            em.group(3).lower(), em.group(4),
+        )
+        if ea_ not in aliases or eb_ not in aliases or ea_ == eb_:
+            return None
+        eq_pairs.append({ea_: ec_, eb_: ecc_})
+    if between is None or not eq_pairs:
         return None
+    pal, ts, ial, start, end = between
     items = []
     for raw in g("select").split(","):
         im = _ITEM.match(raw)
@@ -349,11 +392,11 @@ def _parse_range(sql: str):
         "iview": aliases[ial],
         "pal": pal,
         "ial": ial,
-        "pkey": eq[pal],
-        "ikey": eq[ial],
-        "ts": g("tc"),
-        "start": g("sc"),
-        "end": g("ec"),
+        "pkeys": [pair[pal] for pair in eq_pairs],
+        "ikeys": [pair[ial] for pair in eq_pairs],
+        "ts": ts,
+        "start": start,
+        "end": end,
         "items": items,
     }
 
@@ -365,11 +408,34 @@ def explain_range(spark: SparkSession, sql: str) -> str:
     return "range" if _resolve_range(spark, sql) is not None else "delegate"
 
 
+def _align_second_side(df, rkeys: list[str], lkeys: list[str]):
+    """Rename ``df``'s key columns ``rkeys`` to the first side's names
+    ``lkeys`` through unique temp names (two passes, so permuted key
+    names never collide mid-rename).  Returns None — the caller
+    delegates — on duplicate keys or when a target name already exists
+    as a NON-key column (the verbatim statement is always correct for
+    these shapes, so ambiguity resolves by not rewriting)."""
+    if len(set(lkeys)) != len(lkeys) or len(set(rkeys)) != len(rkeys):
+        return None
+    renames = {rk: lk for rk, lk in zip(rkeys, lkeys) if rk != lk}
+    for rk, lk in renames.items():
+        if lk in df.columns and lk not in renames:
+            return None
+    tmp = {rk: f"__tmp_k{i}" for i, rk in enumerate(renames)}
+    for rk, t in tmp.items():
+        df = df.withColumnRenamed(rk, t)
+    for rk, t in tmp.items():
+        df = df.withColumnRenamed(t, renames[rk])
+    return df
+
+
 def _resolve_range(spark: SparkSession, sql: str):
     """Parse + bind: delegate (None) unless the views resolve and the
     selected column names stay unambiguous after the join (the two
     frames keep their own column names; a shared name other than the
-    join key cannot be mapped, and the verbatim statement is correct)."""
+    join keys cannot be mapped, and the verbatim statement is correct).
+    Returns (p, points, intervals) with the interval side's keys
+    ALREADY aligned to the point side's names."""
     p = _parse_range(sql)
     if p is None:
         return None
@@ -379,17 +445,24 @@ def _resolve_range(spark: SparkSession, sql: str):
     except Exception:
         return None
     pcols, icols = set(points.columns), set(intervals.columns)
-    needed = {
-        ("p", p["pkey"]), ("p", p["ts"]),
-        ("i", p["ikey"]), ("i", p["start"]), ("i", p["end"]),
-    } | {("p" if al == p["pal"] else "i", c) for al, c, _ in p["items"]}
+    needed = (
+        {("p", pk) for pk in p["pkeys"]}
+        | {("p", p["ts"])}
+        | {("i", ik) for ik in p["ikeys"]}
+        | {("i", p["start"]), ("i", p["end"])}
+        | {("p" if al == p["pal"] else "i", c) for al, c, _ in p["items"]}
+    )
     for side, c in needed:
         if c not in (pcols if side == "p" else icols):
             return None
     # key alignment rename happens below; any OTHER shared column name
     # would be ambiguous in the joined frame => delegate
-    shared = (pcols & icols) - ({p["pkey"]} if p["pkey"] == p["ikey"] else set())
+    same_named = {pk for pk, ik in zip(p["pkeys"], p["ikeys"]) if pk == ik}
+    shared = (pcols & icols) - same_named
     if shared:
+        return None
+    intervals = _align_second_side(intervals, p["ikeys"], p["pkeys"])
+    if intervals is None:
         return None
     # the bucketed plan routes ts/start/end through a cast-to-timestamp
     # bucket key; on non-temporal columns (a string ts, an int epoch)
@@ -423,21 +496,20 @@ def range_sql(
     resolved = _resolve_range(spark, sql)
     if resolved is None:
         return spark.sql(sql)
-    p, points, intervals = resolved
-    if p["ikey"] != p["pkey"]:
-        intervals = intervals.withColumnRenamed(p["ikey"], p["pkey"])
+    p, points, intervals = resolved  # interval keys already aligned
     out = range_join(
         points,
         intervals,
-        on=p["pkey"],
+        on=p["pkeys"],
         ts_col=p["ts"],
         start_col=p["start"],
         end_col=p["end"],
         bucket_seconds=bucket_seconds,
     )
+    key_map = dict(zip(p["ikeys"], p["pkeys"]))
     sel = []
     for al, c, name in p["items"]:
-        src = p["pkey"] if (al == p["ial"] and c == p["ikey"]) else c
+        src = key_map.get(c, c) if al == p["ial"] else c
         sel.append(F.col(src).alias(name))
     return out.select(*sel)
 
@@ -472,7 +544,7 @@ def _parse_overlap(sql: str):
     aliases = {g("a1").lower(): g("v1"), g("a2").lower(): g("v2")}
     if len(aliases) != 2:
         return None
-    eq = {}
+    eq_pairs = []  # each {alias: col, alias: col} (multi-key equality)
     ineqs = []  # each normalized to (lhs_alias, lhs_col, rhs_alias, rhs_col) meaning lhs <= rhs
     for conj in re.split(r"\s+AND\s+", g("onc").strip(), flags=re.IGNORECASE):
         im = _INEQ.match(conj.strip())
@@ -494,10 +566,10 @@ def _parse_overlap(sql: str):
             em.group(1).lower(), em.group(2),
             em.group(3).lower(), em.group(4),
         )
-        if ea not in aliases or eb not in aliases or ea == eb or eq:
+        if ea not in aliases or eb not in aliases or ea == eb:
             return None
-        eq = {ea: ec, eb: ecc}
-    if not eq or len(ineqs) != 2:
+        eq_pairs.append({ea: ec, eb: ecc})
+    if not eq_pairs or len(ineqs) != 2:
         return None
     # the two inequalities must each put a DIFFERENT side on the lhs:
     # lhsA.startA <= rhsB.endB and lhsB.startB <= rhsA.endA
@@ -521,7 +593,8 @@ def _parse_overlap(sql: str):
     return {
         "aview": aliases[a1], "bview": aliases[a2],
         "a": a1, "b": a2,
-        "akey": eq[a1], "bkey": eq[a2],
+        "akeys": [pair[a1] for pair in eq_pairs],
+        "bkeys": [pair[a2] for pair in eq_pairs],
         "a_start": starts[a1], "a_end": ends[a1],
         "b_start": starts[a2], "b_end": ends[a2],
         "items": items,
@@ -541,18 +614,20 @@ def _resolve_overlap(spark: SparkSession, sql: str):
     except Exception:
         return None
     acols, bcols = set(va.columns), set(vb.columns)
-    needed_a = {p["akey"], p["a_start"], p["a_end"]} | {
+    needed_a = {*p["akeys"], p["a_start"], p["a_end"]} | {
         c for al, c, _ in p["items"] if al == p["a"]
     }
-    needed_b = {p["bkey"], p["b_start"], p["b_end"]} | {
+    needed_b = {*p["bkeys"], p["b_start"], p["b_end"]} | {
         c for al, c, _ in p["items"] if al == p["b"]
     }
     if not (needed_a <= acols and needed_b <= bcols):
         return None
-    shared = (acols & bcols) - (
-        {p["akey"]} if p["akey"] == p["bkey"] else set()
-    )
+    same_named = {ak for ak, bk in zip(p["akeys"], p["bkeys"]) if ak == bk}
+    shared = (acols & bcols) - same_named
     if shared:
+        return None
+    vb = _align_second_side(vb, p["bkeys"], p["akeys"])
+    if vb is None:
         return None
     adt, bdt = dict(va.dtypes), dict(vb.dtypes)
     for dt, cols in (
@@ -615,18 +690,17 @@ def overlap_sql(
     resolved = _resolve_overlap(spark, sql)
     if resolved is None:
         return spark.sql(sql)
-    p, va, vb = resolved
-    if p["bkey"] != p["akey"]:
-        vb = vb.withColumnRenamed(p["bkey"], p["akey"])
+    p, va, vb = resolved  # b keys already aligned to a's names
     out = interval_join(
         va, vb,
-        on=p["akey"],
+        on=p["akeys"],
         left_start=p["a_start"], left_end=p["a_end"],
         right_start=p["b_start"], right_end=p["b_end"],
         bucket_seconds=bucket_seconds,
     )
+    key_map = dict(zip(p["bkeys"], p["akeys"]))
     sel = []
     for al, c, name in p["items"]:
-        src = p["akey"] if (al == p["b"] and c == p["bkey"]) else c
+        src = key_map.get(c, c) if al == p["b"] else c
         sel.append(F.col(src).alias(name))
     return out.select(*sel)

@@ -141,7 +141,7 @@ class RangePlan:
 def tune_range(
     points,
     intervals,
-    on: str,
+    on: str | list[str],
     ts_col: str = "ts",
     start_col: str = "start",
     end_col: str = "end",
@@ -172,16 +172,20 @@ def tune_range(
     def _us(col):
         return F.unix_micros(F.col(col).cast("timestamp"))
 
+    # multi-key: distinct count of the COMPOSITE key — counting only one
+    # component would understate the key count and overstate density
+    keys = [on] if isinstance(on, str) else list(on)
+    key_expr = F.col(keys[0]) if len(keys) == 1 else F.struct(*keys)
     i = intervals.agg(
         F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(on).alias("keys"),
+        F.approx_count_distinct(key_expr).alias("keys"),
         F.percentile_approx(
             (_us(end_col) - _us(start_col)) / 1e6, F.lit(0.5), F.lit(1000)
         ).alias("med_len"),
     ).first()
     p = points.agg(
         F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(on).alias("keys"),
+        F.approx_count_distinct(key_expr).alias("keys"),
     ).first()
     med = float(i["med_len"]) if i["med_len"] is not None else 3600.0
     bucket = min(

