@@ -109,6 +109,10 @@ _ITEM = re.compile(
     re.IGNORECASE,
 )
 
+# integer dtypes eligible for the numeric-epoch rewrite mode (matches
+# operators/temporal._INT_TYPES)
+_SQL_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
 
 def _parse(sql: str):
     """Return the normalized parse of a canonical ASOF statement, or
@@ -402,10 +406,17 @@ def _parse_range(sql: str):
 
 
 def explain_range(spark: SparkSession, sql: str) -> str:
-    """'range' when the statement takes the bucketed rewrite,
-    'delegate' when it runs on spark.sql verbatim (always a correct
-    answer for this shape — Spark parses it natively)."""
-    return "range" if _resolve_range(spark, sql) is not None else "delegate"
+    """'range' when the statement takes the bucketed rewrite on
+    temporal columns, 'range_int' when it takes the NUMERIC-EPOCH
+    rewrite (all-integer ts/start/end bucketed on the raw integers —
+    no cast, so integer floor-division reproduces exactly the grouping
+    the verbatim comparison orders by), 'delegate' when it runs on
+    spark.sql verbatim (always a correct answer for this shape — Spark
+    parses it natively)."""
+    resolved = _resolve_range(spark, sql)
+    if resolved is None:
+        return "delegate"
+    return "range_int" if resolved[3] else "range"
 
 
 def _align_second_side(df, rkeys: list[str], lkeys: list[str]):
@@ -464,18 +475,25 @@ def _resolve_range(spark: SparkSession, sql: str):
     intervals = _align_second_side(intervals, p["ikeys"], p["pkeys"])
     if intervals is None:
         return None
-    # the bucketed plan routes ts/start/end through a cast-to-timestamp
-    # bucket key; on non-temporal columns (a string ts, an int epoch)
-    # that cast can disagree with the verbatim BETWEEN comparison, so
-    # only genuinely temporal bindings take the rewrite — everything
-    # else delegates, keeping the 'verbatim computes the same answer'
-    # contract literal
+    # Two rewrite modes, both literally verbatim-equivalent:
+    #   temporal  — every time column is timestamp/date (the micros
+    #               bucket key orders exactly like the native
+    #               comparison);
+    #   numeric   — every time column is INTEGER (epoch seconds/micros/
+    #               nanos): range_join buckets the raw integers, no
+    #               cast, so floor-division groups exactly as the
+    #               verbatim integer BETWEEN orders (VERDICT r8 #4 —
+    #               int-epoch event tables now reach the bucketed win
+    #               from SQL).
+    # Anything else (string ts, mixed temporal/integer) delegates: a
+    # cast could disagree with the verbatim comparison.
     pdt, idt = dict(points.dtypes), dict(intervals.dtypes)
-    for dt, cols in ((pdt, (p["ts"],)), (idt, (p["start"], p["end"]))):
-        for c in cols:
-            if not (dt[c].startswith("timestamp") or dt[c] == "date"):
-                return None
-    return p, points, intervals
+    bound = [(pdt, p["ts"]), (idt, p["start"]), (idt, p["end"])]
+    if all(dt[c] in _SQL_INT_TYPES for dt, c in bound):
+        return p, points, intervals, True
+    if all(dt[c].startswith("timestamp") or dt[c] == "date" for dt, c in bound):
+        return p, points, intervals, False
+    return None
 
 
 def range_sql(
@@ -496,7 +514,7 @@ def range_sql(
     resolved = _resolve_range(spark, sql)
     if resolved is None:
         return spark.sql(sql)
-    p, points, intervals = resolved  # interval keys already aligned
+    p, points, intervals, _raw = resolved  # interval keys already aligned
     out = range_join(
         points,
         intervals,
@@ -629,14 +647,21 @@ def _resolve_overlap(spark: SparkSession, sql: str):
     vb = _align_second_side(vb, p["bkeys"], p["akeys"])
     if vb is None:
         return None
+    # temporal vs numeric-epoch rewrite modes, as in _resolve_range:
+    # all-timestamp/date OR all-integer bounds rewrite; mixed delegates
     adt, bdt = dict(va.dtypes), dict(vb.dtypes)
-    for dt, cols in (
-        (adt, (p["a_start"], p["a_end"])),
-        (bdt, (p["b_start"], p["b_end"])),
+    bound = [
+        (adt, p["a_start"]), (adt, p["a_end"]),
+        (bdt, p["b_start"]), (bdt, p["b_end"]),
+    ]
+    if all(dt[c] in _SQL_INT_TYPES for dt, c in bound):
+        raw = True
+    elif all(
+        dt[c].startswith("timestamp") or dt[c] == "date" for dt, c in bound
     ):
-        for c in cols:
-            if not (dt[c].startswith("timestamp") or dt[c] == "date"):
-                return None
+        raw = False
+    else:
+        return None
     # INVERTED intervals (end < start) break rewrite==verbatim:
     # interval_join drops them up front (a documented operator
     # contract), but unlike range_sql's BETWEEN — unsatisfiable when
@@ -653,19 +678,21 @@ def _resolve_overlap(spark: SparkSession, sql: str):
     ):
         if not df.filter(F.col(e) < F.col(s)).isEmpty():
             return None
-    return p, va, vb
+    return p, va, vb, raw
 
 
 def explain_overlap(spark: SparkSession, sql: str) -> str:
     """'overlap' when the statement takes the bucketed interval_join
-    rewrite, 'delegate' when it runs on spark.sql verbatim (always
-    correct for this shape — Spark parses it natively).  Note this is a
-    DATA-dependent decision, not just a statement-shape one: the
-    inverted-interval probe (see _resolve_overlap) runs one small job
-    per side."""
-    return (
-        "overlap" if _resolve_overlap(spark, sql) is not None else "delegate"
-    )
+    rewrite on temporal columns, 'overlap_int' for the NUMERIC-EPOCH
+    rewrite (all-integer bounds bucketed raw), 'delegate' when it runs
+    on spark.sql verbatim (always correct for this shape — Spark parses
+    it natively).  Note this is a DATA-dependent decision, not just a
+    statement-shape one: the inverted-interval probe (see
+    _resolve_overlap) runs one small job per side."""
+    resolved = _resolve_overlap(spark, sql)
+    if resolved is None:
+        return "delegate"
+    return "overlap_int" if resolved[3] else "overlap"
 
 
 def overlap_sql(
@@ -690,7 +717,7 @@ def overlap_sql(
     resolved = _resolve_overlap(spark, sql)
     if resolved is None:
         return spark.sql(sql)
-    p, va, vb = resolved  # b keys already aligned to a's names
+    p, va, vb, _raw = resolved  # b keys already aligned to a's names
     out = interval_join(
         va, vb,
         on=p["akeys"],

@@ -125,6 +125,16 @@ RANGE_DENSITY_CROSSOVER = 3_000
 # shapes predictable and avoids pathological widths from outlier medians
 _BUCKET_GRID = (60, 300, 900, 3600, 14400, 86400)
 
+# numeric-epoch (raw integer) time columns have no known unit, so the
+# raw grid is the 1-2-5 decade ladder: wide enough for epoch seconds
+# (10^0..10^5-scale spans) through epoch nanos (10^12-scale spans),
+# same log-snap rule as the seconds grid
+_RAW_GRID = tuple(
+    m * 10**k for k in range(0, 13) for m in (1, 2, 5)
+)
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
 
 @dataclass
 class RangePlan:
@@ -172,6 +182,23 @@ def tune_range(
     def _us(col):
         return F.unix_micros(F.col(col).cast("timestamp"))
 
+    # numeric-epoch mode (all-integer time columns, mirroring
+    # range_join's dtype rule): measure spans in the RAW unit and snap
+    # to the 1-2-5 decade ladder — the seconds grid would be nonsense
+    # for unknown units
+    idt = dict(intervals.dtypes)
+    raw = (
+        dict(points.dtypes)[ts_col] in _INT_TYPES
+        and idt[start_col] in _INT_TYPES
+        and idt[end_col] in _INT_TYPES
+    )
+    if raw:
+        span = (F.col(end_col) - F.col(start_col)).cast("double")
+        grid, fallback = _RAW_GRID, 1.0
+    else:
+        span = (_us(end_col) - _us(start_col)) / 1e6
+        grid, fallback = _BUCKET_GRID, 3600.0
+
     # multi-key: distinct count of the COMPOSITE key — counting only one
     # component would understate the key count and overstate density
     keys = [on] if isinstance(on, str) else list(on)
@@ -179,17 +206,15 @@ def tune_range(
     i = intervals.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(key_expr).alias("keys"),
-        F.percentile_approx(
-            (_us(end_col) - _us(start_col)) / 1e6, F.lit(0.5), F.lit(1000)
-        ).alias("med_len"),
+        F.percentile_approx(span, F.lit(0.5), F.lit(1000)).alias("med_len"),
     ).first()
     p = points.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(key_expr).alias("keys"),
     ).first()
-    med = float(i["med_len"]) if i["med_len"] is not None else 3600.0
+    med = float(i["med_len"]) if i["med_len"] is not None else fallback
     bucket = min(
-        _BUCKET_GRID,
+        grid,
         key=lambda b: abs(math.log(b) - math.log(max(med, 1.0))),
     )
     ppk = p["n"] / max(p["keys"] or 0, 1)
@@ -229,26 +254,33 @@ def tune_overlap_bucket(
 
     from pyspark.sql import functions as F
 
+    # numeric-epoch mode, mirroring interval_join's dtype rule
+    raw = all(
+        dict(df.dtypes)[c] in _INT_TYPES
+        for df, cols in ((left, left_cols), (right, right_cols))
+        for c in cols
+    )
+
     def med(df, s, e):
+        if raw:
+            span = (F.col(e) - F.col(s)).cast("double")
+        else:
+            span = (
+                F.unix_micros(F.col(e).cast("timestamp"))
+                - F.unix_micros(F.col(s).cast("timestamp"))
+            ) / 1e6
         row = df.agg(
-            F.percentile_approx(
-                (
-                    F.unix_micros(F.col(e).cast("timestamp"))
-                    - F.unix_micros(F.col(s).cast("timestamp"))
-                )
-                / 1e6,
-                F.lit(0.5),
-                F.lit(1000),
-            ).alias("m")
+            F.percentile_approx(span, F.lit(0.5), F.lit(1000)).alias("m")
         ).first()
-        return float(row["m"]) if row["m"] is not None else 3600.0
+        if row["m"] is not None:
+            return float(row["m"])
+        return 1.0 if raw else 3600.0
 
     target = math.sqrt(
         max(med(left, *left_cols), 1.0) * max(med(right, *right_cols), 1.0)
     )
-    return min(
-        _BUCKET_GRID, key=lambda b: abs(math.log(b) - math.log(target))
-    )
+    grid = _RAW_GRID if raw else _BUCKET_GRID
+    return min(grid, key=lambda b: abs(math.log(b) - math.log(target)))
 
 
 @dataclass

@@ -385,20 +385,16 @@ def test_range_sql_non_temporal_columns_delegate(spark, range_views):
     )
     assert got == [(0, "s1")]  # 'x' is outside ['a','c'] lexicographically
 
-    # integer-epoch columns likewise delegate (cast changes the type
-    # lattice even when the answer happens to agree)
+    # MIXED temporal/integer bindings delegate (a cast would compare
+    # different units across sides)
     spark.createDataFrame(
         [(0, 5, 1)], "event_id long, ts long, user_id long"
     ).createOrReplaceTempView("pts_int")
-    spark.createDataFrame(
-        [("s1", 0, 10, 1)], "iv_id string, s long, e long, uid long"
-    ).createOrReplaceTempView("ivs_int")
-    sql_int = (
-        "SELECT p.event_id, i.iv_id AS session FROM pts_int p JOIN ivs_int i "
+    mixed = (
+        "SELECT p.event_id, i.iv_id AS session FROM pts_int p JOIN ivs i "
         "ON p.user_id = i.uid AND p.ts BETWEEN i.s AND i.e"
     )
-    assert explain_range(spark, sql_int) == "delegate"
-    assert [r["event_id"] for r in range_sql(spark, sql_int).collect()] == [0]
+    assert explain_range(spark, mixed) == "delegate"
 
     # genuinely temporal bindings still take the rewrite
     assert explain_range(
@@ -406,6 +402,69 @@ def test_range_sql_non_temporal_columns_delegate(spark, range_views):
         "SELECT p.event_id, i.iv_id AS session FROM pts p JOIN ivs i "
         "ON p.user_id = i.uid AND p.ts BETWEEN i.s AND i.e",
     ) == "range"
+
+
+def test_range_sql_numeric_epoch_mode(spark, range_views):
+    """ALL-integer ts/start/end take the NUMERIC-EPOCH rewrite
+    (VERDICT r8 'Next round' #4): buckets on the raw integers — no
+    cast, so floor-division groups exactly as the verbatim integer
+    BETWEEN orders — at epoch-seconds AND epoch-micros scales, auto-
+    tuned (raw 1-2-5 grid) or pinned."""
+    from fabstir_vectordb_spark.plans.sql_temporal import (
+        explain_range,
+        range_sql,
+    )
+
+    for unit, mul in (("sec", 1), ("us", 1_000_000)):
+        spark.createDataFrame(
+            [(0, 5 * mul, 1), (1, 3599 * mul, 1), (2, 7200 * mul, 1),
+             (3, 50 * mul, 2), (4, 150 * mul, 2)],
+            "event_id long, ts long, user_id long",
+        ).createOrReplaceTempView(f"pts_{unit}")
+        spark.createDataFrame(
+            [("s1", 0, 4000 * mul, 1), ("s2", 7000 * mul, 8000 * mul, 1),
+             ("s3", 100 * mul, 200 * mul, 2)],
+            "iv_id string, s long, e long, uid long",
+        ).createOrReplaceTempView(f"ivs_{unit}")
+        sql = (
+            f"SELECT p.event_id, i.iv_id AS session "
+            f"FROM pts_{unit} p JOIN ivs_{unit} i "
+            f"ON p.user_id = i.uid AND p.ts BETWEEN i.s AND i.e"
+        )
+        assert explain_range(spark, sql) == "range_int", unit
+        got = sorted(tuple(r) for r in range_sql(spark, sql).collect())
+        verbatim = sorted(tuple(r) for r in spark.sql(sql).collect())
+        assert got == verbatim == [
+            (0, "s1"), (1, "s1"), (2, "s2"), (4, "s3")
+        ], unit
+        pinned = sorted(
+            tuple(r)
+            for r in range_sql(spark, sql, bucket_seconds=7 * mul).collect()
+        )
+        assert pinned == got, unit
+
+
+def test_overlap_sql_numeric_epoch_mode(spark):
+    from fabstir_vectordb_spark.plans.sql_temporal import (
+        explain_overlap,
+        overlap_sql,
+    )
+
+    mul = 1_000_000  # epoch micros
+    spark.createDataFrame(
+        [("a1", 1, 0, 10 * mul), ("a2", 2, 0, 10 * mul)],
+        "lid string, user_id long, s long, e long",
+    ).createOrReplaceTempView("ov_a_us")
+    spark.createDataFrame(
+        [("b1", 1, 5 * mul, 15 * mul), ("b2", 2, 50 * mul, 60 * mul)],
+        "rid string, uid long, rs long, re long",
+    ).createOrReplaceTempView("ov_b_us")
+    sql = """SELECT a.lid, b.rid FROM ov_a_us a JOIN ov_b_us b
+             ON a.user_id = b.uid AND a.s <= b.re AND b.rs <= a.e"""
+    assert explain_overlap(spark, sql) == "overlap_int"
+    got = sorted(tuple(r) for r in overlap_sql(spark, sql).collect())
+    verbatim = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert got == verbatim == [("a1", "b1")]
 
 
 @pytest.fixture(scope="module")
@@ -710,7 +769,9 @@ def test_overlap_sql_delegates_out_of_shape(spark, overlap_views):
         assert explain_overlap(spark, sql) == "delegate"
         overlap_sql(spark, sql).collect()  # runs via spark.sql
 
-    # non-temporal interval columns delegate (cast could disagree)
+    # all-integer interval columns now take the NUMERIC-EPOCH rewrite
+    # (raw-integer buckets; see test_overlap_sql_numeric_epoch_mode);
+    # MIXED integer/timestamp bindings still delegate
     spark.createDataFrame(
         [("x", 1, 0, 10)], "lid string, user_id long, s long, e long"
     ).createOrReplaceTempView("ov_a_int")
@@ -719,7 +780,10 @@ def test_overlap_sql_delegates_out_of_shape(spark, overlap_views):
     ).createOrReplaceTempView("ov_b_int")
     sql_int = """SELECT a.lid, b.rid FROM ov_a_int a JOIN ov_b_int b
                  ON a.user_id = b.uid AND a.s <= b.re AND b.rs <= a.e"""
-    assert explain_overlap(spark, sql_int) == "delegate"
+    assert explain_overlap(spark, sql_int) == "overlap_int"
     assert [tuple(r) for r in overlap_sql(spark, sql_int).collect()] == [
         ("x", "y")
     ]
+    mixed = """SELECT a.lid, b.rid FROM ov_a_int a JOIN ov_b b
+               ON a.user_id = b.uid AND a.s <= b.re AND b.rs <= a.e"""
+    assert explain_overlap(spark, mixed) == "delegate"
