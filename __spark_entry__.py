@@ -420,6 +420,23 @@ def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
                  duplicate-free without a distinct) over per-user
                  day-spans x shifted-week-spans, auto-tuned bucket —
                  vs a plain inequality join.
+      range_long (r9) range_join with long_interval_buckets=2 at a
+                 1-hour bucket: day-wide bounds span up to 24 buckets,
+                 so MOST intervals route through the native
+                 stratification leg and the rest stay bucketed — both
+                 legs and their union certified against the same
+                 inequality-join oracle (identical answers by
+                 construction for any threshold).
+      range_mk   (r9) multi-key range_join keyed (user_id, day) — the
+                 oracle carries BOTH equalities.
+      range_int  (r9) numeric-epoch mode: the same containment join
+                 over raw epoch-micros BIGINT columns (no timestamp
+                 cast anywhere; auto-tuned raw 1-2-5 grid) — the oracle
+                 compares raw integers.
+      iv_long    (r9) interval_join with long_interval_buckets=1 at a
+                 1-hour bucket (day-spans and week-spans are both
+                 mostly 'long', so the two native legs dominate) — same
+                 oracle as iv_overlap, score 2.0.
 
     Views are deduplicated on (user, ts) keeping the max event_id, as
     in event_percentiles' asof part: both engines' as-of semantics are
@@ -540,6 +557,68 @@ def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("/", F.col("d"), F.col("w")).alias("ref"),
         F.lit(1.0).alias("score"),
     )
+
+    # r9: long-interval stratification — day-wide bounds at a 1-hour
+    # bucket span up to 24 buckets, so threshold 2 routes most rows
+    # through the native leg while short ones stay bucketed
+    range_long = range_join(
+        ev.select("event_id", "user_id", "ts"), bounds,
+        on="user_id", ts_col="ts", start_col="s0", end_col="s1",
+        bucket_seconds=3600, long_interval_buckets=2,
+    ).select(
+        F.lit("range_long").alias("part"),
+        F.col("event_id").alias("id"),
+        F.col("day").cast("date").cast("string").alias("ref"),
+        F.lit(2.0).alias("score"),
+    )
+
+    # r9: multi-key range join keyed (user_id, day)
+    pts_day = ev.select(
+        "event_id", "user_id", "ts",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    range_mk = range_join(
+        pts_day, bounds,
+        on=["user_id", "day"], ts_col="ts", start_col="s0", end_col="s1",
+        bucket_seconds=3600,
+    ).select(
+        F.lit("range_mk").alias("part"),
+        F.col("event_id").alias("id"),
+        F.col("day").cast("date").cast("string").alias("ref"),
+        F.lit(3.0).alias("score"),
+    )
+
+    # r9: numeric-epoch mode — raw BIGINT micros end to end, auto-tuned
+    # on the raw 1-2-5 grid (no timestamp cast anywhere in the plan)
+    pts_int = ev.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("tsu")
+    )
+    bounds_int = bounds.select(
+        "user_id",
+        F.col("day").cast("date").cast("string").alias("dref"),
+        F.unix_micros(F.col("s0")).alias("s0u"),
+        F.unix_micros(F.col("s1")).alias("s1u"),
+    )
+    range_int = range_join(
+        pts_int, bounds_int,
+        on="user_id", ts_col="tsu", start_col="s0u", end_col="s1u",
+    ).select(
+        F.lit("range_int").alias("part"),
+        F.col("event_id").alias("id"),
+        F.col("dref").alias("ref"),
+        F.lit(4.0).alias("score"),
+    )
+
+    # r9: interval overlap with the stratified legs dominating
+    iv_long = interval_join(
+        day_spans, week_spans, on="user_id",
+        bucket_seconds=3600, long_interval_buckets=1,
+    ).select(
+        F.lit("iv_long").alias("part"),
+        F.col("user_id").alias("id"),
+        F.concat_ws("/", F.col("d"), F.col("w")).alias("ref"),
+        F.lit(2.0).alias("score"),
+    )
     return (
         chunked.unionByName(multikey)
         .unionByName(sqltol)
@@ -547,6 +626,10 @@ def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fwd)
         .unionByName(near)
         .unionByName(iv_overlap)
+        .unionByName(range_long)
+        .unionByName(range_mk)
+        .unionByName(range_int)
+        .unionByName(iv_long)
     )
 
 
@@ -4019,6 +4102,38 @@ FROM fj
 UNION ALL
 SELECT 'iv_overlap', ds.user_id,
        concat(CAST(ds.d AS VARCHAR), '/', CAST(ws.w AS VARCHAR)), 1.0
+FROM (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+         min(ts) AS s0, max(ts) AS e0
+  FROM events GROUP BY 1, 2
+) ds JOIN (
+  SELECT user_id,
+         CAST(floor((epoch_us(ts) + 302400000000) / 604800000000)
+              AS BIGINT) AS w,
+         min(ts) AS s1, max(ts) AS e1
+  FROM events GROUP BY 1, 2
+) ws ON ds.user_id = ws.user_id AND ds.s0 <= ws.e1 AND ws.s1 <= ds.e0
+UNION ALL
+-- r9 stratified/multi-key/numeric variants: identical containment and
+-- overlap semantics, certified against the SAME inequality joins (the
+-- stratification threshold, key arity, and raw-integer bucketing are
+-- plan choices, not semantics)
+SELECT 'range_long', e.event_id, CAST(CAST(b.day AS DATE) AS VARCHAR), 2.0
+FROM events e JOIN bounds b
+  ON e.user_id = b.user_id AND e.ts >= b.s0 AND e.ts <= b.s1
+UNION ALL
+SELECT 'range_mk', e.event_id, CAST(CAST(b.day AS DATE) AS VARCHAR), 3.0
+FROM events e JOIN bounds b
+  ON e.user_id = b.user_id AND date_trunc('day', e.ts) = b.day
+ AND e.ts >= b.s0 AND e.ts <= b.s1
+UNION ALL
+SELECT 'range_int', e.event_id, CAST(CAST(b.day AS DATE) AS VARCHAR), 4.0
+FROM events e JOIN bounds b
+  ON e.user_id = b.user_id
+ AND epoch_us(e.ts) >= epoch_us(b.s0) AND epoch_us(e.ts) <= epoch_us(b.s1)
+UNION ALL
+SELECT 'iv_long', ds.user_id,
+       concat(CAST(ds.d AS VARCHAR), '/', CAST(ws.w AS VARCHAR)), 2.0
 FROM (
   SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
          min(ts) AS s0, max(ts) AS e0

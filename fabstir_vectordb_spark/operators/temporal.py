@@ -39,7 +39,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "range_join"]
+__all__ = [
+    "asof_join",
+    "clamp_intervals",
+    "interval_join",
+    "range_join",
+    "split_intervals",
+]
 
 
 def _micros(col):
@@ -370,6 +376,99 @@ def asof_join(
     return carried.select(*out_left, *out_right)
 
 
+def clamp_intervals(
+    df: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    max_seconds: int = 86400,
+) -> DataFrame:
+    """Cap every interval at ``max_seconds``: ``end`` becomes
+    ``min(end, start + max_seconds)``.  A SCREEN, not an equivalence —
+    containment/overlap beyond the cap is discarded by design (the
+    usual reading: an interval open for a year is a data bug, not a
+    year of intent).  Use :func:`split_intervals` or the joins'
+    ``long_interval_buckets`` instead when the long tail is real and
+    answers must be preserved.  Numeric-epoch columns (all-integer, as
+    in range_join) read ``max_seconds`` in their own raw unit."""
+    raw = _raw_time_mode((df, [start_col, end_col]))
+    if raw:
+        capped = F.least(
+            F.col(end_col),
+            (F.col(start_col) + F.lit(int(max_seconds))).cast(
+                df.schema[end_col].dataType
+            ),
+        )
+    else:
+        capped = F.least(
+            F.col(end_col).cast("timestamp"),
+            F.timestamp_micros(
+                _micros(start_col) + F.lit(int(max_seconds) * 1_000_000)
+            ),
+        )
+    return df.withColumn(end_col, capped)
+
+
+def split_intervals(
+    df: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    tile_seconds: int = 86400,
+    orig_prefix: str = "orig_",
+) -> DataFrame:
+    """Break each closed interval into grid-aligned tiles of width
+    ``tile_seconds``: one output row per tile, ``start_col``/``end_col``
+    REPLACED by the tile's (clamped) bounds, and the parent span
+    preserved at ``<orig_prefix><start_col>`` / ``<orig_prefix><end_col>``.
+    Tiles are disjoint at the data's resolution (a tile ends 1 µs — or
+    1 raw unit for all-integer columns — before the next begins) and
+    cover the parent exactly, so:
+
+    - ``range_join`` over the tiles is answer-preserving AS IS: a
+      contained point falls in exactly one tile of its parent, and the
+      output row carries the parent bounds in the orig columns.
+    - ``interval_join`` over tiles needs one extra keep filter (an
+      overlapping parent pair meets once per overlapping TILE pair):
+      keep only the tile pair containing the overlap's first instant
+      ``greatest(orig_l_start, orig_r_start)`` — exactly one such pair
+      exists, the same first-instant rule the join already uses for
+      buckets.  Prefer ``interval_join(long_interval_buckets=...)``,
+      which routes long intervals around the explode entirely.
+
+    Splitting bounds the per-row explode burst (a year-long interval at
+    day tiles emits 365 bounded rows instead of one row fanning out
+    ~9,000x at hourly buckets) but NOT the total bucket-row count — the
+    tiles still cover the same span.  For the total-work fix see the
+    joins' ``long_interval_buckets``.  Inverted parents (end < start)
+    are dropped, as in the joins."""
+    raw = _raw_time_mode((df, [start_col, end_col]))
+    t_u = int(tile_seconds) * (1 if raw else 1_000_000)
+    tx = (lambda c: F.col(c).cast("long")) if raw else _micros
+    df = df.filter(tx(start_col) <= tx(end_col))
+    tiled = df.withColumn(
+        "__tile",
+        F.explode(
+            F.sequence(
+                F.floor(tx(start_col) / t_u).cast("long"),
+                F.floor(tx(end_col) / t_u).cast("long"),
+            )
+        ),
+    )
+    lo = F.greatest(tx(start_col), F.col("__tile") * t_u)
+    hi = F.least(tx(end_col), (F.col("__tile") + 1) * t_u - 1)
+    if raw:
+        s_t, e_t = df.schema[start_col].dataType, df.schema[end_col].dataType
+        lo, hi = lo.cast(s_t), hi.cast(e_t)
+    else:
+        lo, hi = F.timestamp_micros(lo), F.timestamp_micros(hi)
+    return tiled.select(
+        *[c for c in df.columns if c not in (start_col, end_col)],
+        F.col(start_col).alias(f"{orig_prefix}{start_col}"),
+        F.col(end_col).alias(f"{orig_prefix}{end_col}"),
+        lo.alias(start_col),
+        hi.alias(end_col),
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -378,6 +477,7 @@ def range_join(
     start_col: str = "start",
     end_col: str = "end",
     bucket_seconds: int | None = None,
+    long_interval_buckets: int | None = None,
 ) -> DataFrame:
     """Inner point-in-interval join: one row per (point, containing
     interval) pair of the same key, ``start <= ts <= end`` inclusive —
@@ -411,13 +511,19 @@ def range_join(
     -1 when start > stop), replicating garbage buckets that only the
     containment filter pays to discard.
 
-    Skew boundary: an interval spanning B buckets emits B rows — one
-    open-ended or year-long interval at hourly buckets replicates
-    ~9,000x.  Pick ``bucket_seconds`` near the TYPICAL interval length,
-    and split or clamp pathological long-lived intervals upstream
-    (e.g. cap at a max duration, or break them into day-sized
-    sub-intervals — containment results are identical since the pieces
-    tile the original)."""
+    Skew boundary and its escape hatch: an interval spanning B buckets
+    emits B rows — one open-ended or year-long interval at hourly
+    buckets replicates ~9,000x.  Pick ``bucket_seconds`` near the
+    TYPICAL interval length; for a real long tail set
+    ``long_interval_buckets=N``: intervals spanning more than N buckets
+    SKIP the explode and take a plain key-equality join + containment
+    filter instead (they are rare by construction — that is what makes
+    them pathological — so the native leg's per-key pair enumeration is
+    cheap), and the two disjoint strata union.  Answers are identical
+    for every input and threshold (property-tested); replication per
+    interval row is then BOUNDED by N.  For a hard screen instead, see
+    :func:`clamp_intervals`; :func:`split_intervals` bounds the per-row
+    explode burst when intervals must stay on the bucketed path."""
     keys = [on] if isinstance(on, str) else list(on)
     # numeric-epoch mode: all-integer time columns bucket on the RAW
     # integers and bucket_seconds is read in the columns' own unit
@@ -436,8 +542,17 @@ def range_join(
         ).bucket_seconds
     tx = (lambda c: F.col(c).cast("long")) if raw else _micros
     b_u = int(bucket_seconds) * (1 if raw else 1_000_000)
-    p = points.withColumn("__bkt", F.floor(tx(ts_col) / b_u).cast("long"))
     intervals = intervals.filter(tx(start_col) <= tx(end_col))
+    contains = (tx(ts_col) >= tx(start_col)) & (tx(ts_col) <= tx(end_col))
+    native_iv = None
+    if long_interval_buckets is not None:
+        # stratify: intervals spanning more than N buckets skip the
+        # explode — rare by construction, so the native per-key pair
+        # enumeration is cheap — and replication per row is bounded by N
+        span = F.floor(tx(end_col) / b_u) - F.floor(tx(start_col) / b_u)
+        native_iv = intervals.filter(span > long_interval_buckets)
+        intervals = intervals.filter(span <= long_interval_buckets)
+    p = points.withColumn("__bkt", F.floor(tx(ts_col) / b_u).cast("long"))
     iv = intervals.withColumn(
         "__bkt",
         F.explode(
@@ -447,10 +562,12 @@ def range_join(
             )
         ),
     )
-    joined = p.join(iv, [*keys, "__bkt"]).filter(
-        (tx(ts_col) >= tx(start_col)) & (tx(ts_col) <= tx(end_col))
-    )
-    return joined.drop("__bkt")
+    joined = p.join(iv, [*keys, "__bkt"]).filter(contains).drop("__bkt")
+    if native_iv is not None:
+        joined = joined.unionByName(
+            points.join(native_iv, keys).filter(contains)
+        )
+    return joined
 
 
 def interval_join(
@@ -462,6 +579,7 @@ def interval_join(
     right_start: str = "rstart",
     right_end: str = "rend",
     bucket_seconds: int | None = None,
+    long_interval_buckets: int | None = None,
 ) -> DataFrame:
     """Inner interval-OVERLAP join: one row per (left interval, right
     interval) pair of the same key whose CLOSED intervals intersect —
@@ -493,9 +611,17 @@ def interval_join(
     reads in the raw unit, and the auto-tuner snaps to the 1-2-5 decade
     ladder.
 
-    Skew boundary: identical to range_join's — an interval spanning B
-    buckets emits B rows; clamp or split pathological long-lived
-    intervals upstream.
+    Skew boundary and its escape hatch: identical to range_join's — an
+    interval spanning B buckets emits B rows.  Set
+    ``long_interval_buckets=N`` to stratify: intervals spanning more
+    than N buckets skip the explode and pair through plain key-equality
+    legs with the overlap filter (long-left x all-right, short-left x
+    long-right — the three legs partition the pair space, so the union
+    is duplicate-free without any distinct).  Answers are identical for
+    every input and threshold (property-tested); replication per row is
+    then bounded by N.  :func:`clamp_intervals` is the hard screen;
+    :func:`split_intervals` + the first-instant keep filter (see its
+    docstring) is the tiling recipe when rows must stay bucketed.
 
     Reference parity: none (no temporal surface in the reference);
     extension-axis with asof_join/range_join."""
@@ -522,6 +648,24 @@ def interval_join(
             (left_start, left_end), (right_start, right_end),
         )
     b_u = int(bucket_seconds) * (1 if raw else 1_000_000)
+    overlaps = (tx(left_start) <= tx(right_end)) & (
+        tx(right_start) <= tx(left_end)
+    )
+    l_long = r_long = None
+    if long_interval_buckets is not None:
+        # stratify BOTH sides; the three legs below partition the pair
+        # space — (short, short) bucketed, (long, any) native,
+        # (short, long) native — so the union needs no distinct
+        def _span(s, e):
+            return F.floor(tx(e) / b_u) - F.floor(tx(s) / b_u)
+
+        lspan = _span(left_start, left_end)
+        rspan = _span(right_start, right_end)
+        l_long = left.filter(lspan > long_interval_buckets)
+        left = left.filter(lspan <= long_interval_buckets)
+        r_long = right.filter(rspan > long_interval_buckets)
+        r_all = right  # both right strata — the (long-left) leg's side
+        right = right.filter(rspan <= long_interval_buckets)
 
     def _explode(df, s, e):
         return df.withColumn(
@@ -537,8 +681,7 @@ def interval_join(
     joined = _explode(left, left_start, left_end).join(
         _explode(right, right_start, right_end), [*keys, "__bkt"]
     ).filter(
-        (tx(left_start) <= tx(right_end))
-        & (tx(right_start) <= tx(left_end))
+        overlaps
         # keep the pair ONLY in the overlap's first bucket — both
         # intervals cover greatest(start, start), so exactly one
         # surviving copy exists per overlapping pair
@@ -548,5 +691,9 @@ def interval_join(
             ).cast("long")
             == F.col("__bkt")
         )
-    )
-    return joined.drop("__bkt")
+    ).drop("__bkt")
+    if long_interval_buckets is not None:
+        joined = joined.unionByName(
+            l_long.join(r_all, keys).filter(overlaps)
+        ).unionByName(left.join(r_long, keys).filter(overlaps))
+    return joined
