@@ -264,13 +264,25 @@ def q_filter_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata_filter.rs:188-204: unknown $op must raise, an empty field
     object must raise) and metadata-schema rejection (schema.rs:199-205):
     wrong-typed metadata must fail validation."""
-    from fabstir_vectordb_spark.functions.schema import MetadataSchema
-
     docs = _t(spark, sf_dir, "documents")
     pred = compile_filter(
         {"$and": [{"lang": {"$in": ["en", "es"]}}, {"n_chars": {"$gte": 100, "$lt": 400}}]},
         docs.schema,
     )
+    unknown_op, empty_field, schema_rejects = _dialect_contract_flags(docs)
+    return docs.filter(pred).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.lit(unknown_op).alias("unknown_op_raises"),
+        F.lit(empty_field).alias("empty_field_raises"),
+        F.lit(schema_rejects).alias("schema_rejects"),
+    )
+
+
+def _dialect_contract_flags(docs: DataFrame) -> tuple[bool, bool, bool]:
+    """The dialect's three raise contracts, evaluated DRIVER-side (no
+    data touched): unknown $op raises, empty field object raises,
+    metadata schema rejects wrong-typed values."""
+    from fabstir_vectordb_spark.functions.schema import MetadataSchema
 
     def _raises(fn) -> bool:
         try:
@@ -285,12 +297,7 @@ def q_filter_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"fields": {"views": {"type": "number", "required": True}}}
     )
     schema_rejects = _raises(lambda: schema.validate_metadata({"views": "many"}))
-    return docs.filter(pred).select(
-        "doc_id", "lang", "source", "n_chars",
-        F.lit(unknown_op).alias("unknown_op_raises"),
-        F.lit(empty_field).alias("empty_field_raises"),
-        F.lit(schema_rejects).alias("schema_rejects"),
-    )
+    return unknown_op, empty_field, schema_rejects
 
 
 def q_filter_array_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,17 +355,21 @@ def q_filter_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("/", "lang", "source").alias("ref"),
         F.col("n_chars").cast("double").alias("val"),
     )
+    # contract rows from a LITERAL frame, not m.limit(1): the flags are
+    # driver-side booleans, and riding a filtered row would silently
+    # drop all three contracts if the matrix filter ever matched zero
+    # rows — a data-shape failure mode unrelated to the contracts
+    # themselves (ADVICE r8 #4).  The DuckDB oracle's VALUES clause
+    # always emits them; so does this.
     flags = ["unknown_op_raises", "empty_field_raises", "schema_rejects"]
-    one = m.limit(1)
-    contracts = None
-    for i, n in enumerate(flags):
-        row = one.select(
-            F.lit("contracts").alias("part"),
-            F.lit(i).cast("long").alias("id"),
-            F.lit(n).alias("ref"),
-            F.col(n).cast("int").cast("double").alias("val"),
-        )
-        contracts = row if contracts is None else contracts.unionByName(row)
+    flag_vals = _dialect_contract_flags(_t(spark, sf_dir, "documents"))
+    contracts = spark.createDataFrame(
+        [
+            ("contracts", i, n, float(bool(v)))
+            for i, (n, v) in enumerate(zip(flags, flag_vals))
+        ],
+        "part string, id long, ref string, val double",
+    )
     arr = q_filter_array_contains(spark, sf_dir).select(
         F.lit("array_contains").alias("part"),
         F.col("doc_id").alias("id"),
