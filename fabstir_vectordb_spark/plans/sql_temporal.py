@@ -70,10 +70,13 @@ __all__ = [
 
 _CANONICAL = (
     "SELECT <l>.<col> [AS <name>], ... FROM <left_view> <l> "
-    "ASOF [LEFT] JOIN <right_view> <r> "
+    "ASOF [NEAREST] [LEFT] JOIN <right_view> <r> "
     "ON <l>.<key> = <r>.<key> [AND <l>.<key2> = <r>.<key2> ...] "
     "AND <l>.<ts> >= <r>.<ts>   (backward; <= selects the FORWARD "
-    "as-of — earliest right at-or-after, DuckDB's comparator rule) "
+    "as-of — earliest right at-or-after, DuckDB's comparator rule; "
+    "with the NEAREST modifier the inequality only NAMES the two ts "
+    "columns and the closer match in either direction wins, exact "
+    "ties backward) "
     "[TOLERANCE <n> SECONDS]"
 )
 
@@ -88,7 +91,7 @@ _PATTERN = re.compile(
     r"""
     ^\s*SELECT\s+(?P<select>.+?)\s+
     FROM\s+(?P<lview>\w+)\s+(?:AS\s+)?(?P<lal>\w+)\s+
-    ASOF\s+(?:(?P<outer>LEFT)\s+)?JOIN\s+
+    ASOF\s+(?:(?P<near>NEAREST)\s+)?(?:(?P<outer>LEFT)\s+)?JOIN\s+
     (?P<rview>\w+)\s+(?:AS\s+)?(?P<ral>\w+)\s+
     ON\s+(?P<onc>.+?)
     (?:\s+TOLERANCE\s+(?P<tol>\d+)\s+SECONDS?)?
@@ -204,7 +207,11 @@ def _parse(sql: str):
         "rkeys": [rc for _, rc in eq_pairs],
         "lts": ineq[0],
         "rts": ineq[1],
-        "direction": ineq[2],
+        # the NEAREST modifier overrides the comparator's direction: the
+        # inequality then only names the two ts columns (no engine
+        # defines a nearest comparator to borrow, so this is the
+        # statement-form completion of asof_join's pandas vocabulary)
+        "direction": "nearest" if g("near") else ineq[2],
         "outer": bool(g("outer")),
         "tolerance": int(g("tol")) if g("tol") else None,
         "items": items,

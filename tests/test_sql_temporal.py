@@ -467,6 +467,61 @@ def test_overlap_sql_numeric_epoch_mode(spark):
     assert got == verbatim == [("a1", "b1")]
 
 
+def test_nearest_asof_statement(spark, views):
+    """The NEAREST modifier (VERDICT r8 'Next round' #9): the closer
+    match in either direction wins, exact ties backward; the inequality
+    then only names the two ts columns.  Parity vs the direct operator,
+    with and without TOLERANCE (per-leg, pandas semantics)."""
+    from fabstir_vectordb_spark.operators.temporal import asof_join
+
+    left, right = views
+    for tol_clause, tol in (("", None), (" TOLERANCE 5 SECONDS", 5)):
+        sql = f"""
+        SELECT l.event_id, r.value AS quote_value, r.qts AS quote_ts
+        FROM trades l ASOF NEAREST LEFT JOIN quotes r
+          ON l.user_id = r.uid AND l.ts >= r.qts{tol_clause}
+        """
+        assert explain_asof(sql) == "asof"
+        got = {
+            r["event_id"]: (r["quote_value"], r["quote_ts"])
+            for r in asof_sql(spark, sql).collect()
+        }
+        direct = {
+            r["event_id"]: (r["value_r"], r["ts_r"])
+            for r in asof_join(
+                left, right.withColumnRenamed("uid", "user_id"),
+                on="user_id", ts_col="ts", right_ts_col="qts",
+                value_cols=["value"], direction="nearest",
+                tolerance_seconds=tol,
+            ).collect()
+        }
+        assert got == direct, tol_clause
+    # without tolerance: event 0 at ts 10 picks ts 9 (lag 1) over ts 11
+    # (lag 1 too — exact tie resolves BACKWARD), event 2 picks ts 50
+    assert_no_tol = {
+        r["event_id"]: r["quote_ts"]
+        for r in asof_sql(
+            spark,
+            """SELECT l.event_id, r.qts AS quote_ts
+               FROM trades l ASOF NEAREST LEFT JOIN quotes r
+                 ON l.user_id = r.uid AND l.ts >= r.qts""",
+        ).collect()
+    }
+    assert assert_no_tol == {
+        0: _ts(9), 1: _ts(4), 2: _ts(50), 3: None
+    }
+    # inner NEAREST drops the unmatched row
+    inner = {
+        r["event_id"]
+        for r in asof_sql(
+            spark,
+            """SELECT l.event_id FROM trades l ASOF NEAREST JOIN quotes r
+                 ON l.user_id = r.uid AND l.ts >= r.qts""",
+        ).collect()
+    }
+    assert inner == {0, 1, 2}
+
+
 @pytest.fixture(scope="module")
 def mk_views(spark):
     left = spark.createDataFrame(
