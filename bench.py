@@ -240,21 +240,43 @@ def main() -> int:
 
     # box calibration, timed FIRST (same REPS/median discipline) so every
     # per-query number below can be read as a query/calibration ratio —
-    # and re-timed LAST so mid-run box drift is itself on the record
+    # and re-timed LAST so mid-run box drift is itself on the record.
+    # The WHOLE timed pass runs TWICE back-to-back (round 9 onward, the
+    # r8 verdict's ask): two independent (pre, post) calibration pairs
+    # and two normalized totals in one official record seed a normalized
+    # BAND, so cross-round comparisons no longer rest on a single point.
     _calibration(spark)  # warm the two calibration plan shapes once
-    calibration_s = round(timed(lambda: _calibration(spark)), 3)
 
-    times: dict[str, float] = {}
-    for name in names:
-        times[name] = round(
-            timed(
-                lambda: qs[name](spark, sf_dir)
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            ),
-            3,
-        )
+    def run_pass() -> dict:
+        cal_pre = round(timed(lambda: _calibration(spark)), 3)
+        times: dict[str, float] = {}
+        for name in names:
+            times[name] = round(
+                timed(
+                    lambda: qs[name](spark, sf_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                ),
+                3,
+            )
+        cal_post = round(timed(lambda: _calibration(spark)), 3)
+        total = round(sum(times.values()), 3)
+        cal = (cal_pre + cal_post) / 2.0
+        return {
+            "calibration_s": cal_pre,
+            "calibration_end_s": cal_post,
+            "queries": times,
+            "total": total,
+            "total_norm": round(total / cal, 3),
+            "queries_norm": {n: round(t / cal, 3) for n, t in times.items()},
+        }
+
+    passes = [run_pass(), run_pass()]
+    p1 = passes[0]
+    times = p1["queries"]
+    calibration_s = p1["calibration_s"]
+    calibration_end_s = p1["calibration_end_s"]
 
     # Amortized latency at the BASELINE's own scale: the reference
     # publishes 58 ms warm point-search at 100K vectors (BASELINE.md).
@@ -269,9 +291,7 @@ def main() -> int:
     except Exception as e:  # never crash the official record for this
         print(f"amortized stage failed: {e}", file=sys.stderr)
 
-    calibration_end_s = round(timed(lambda: _calibration(spark)), 3)
-
-    total = round(sum(times.values()), 3)
+    total = p1["total"]
     cal = (calibration_s + calibration_end_s) / 2.0
     print(
         json.dumps(
@@ -300,6 +320,15 @@ def main() -> int:
                 "queries_norm": {
                     n: round(t / cal, 3) for n, t in times.items()
                 },
+                # r9: the full timed pass runs twice back-to-back — two
+                # independent calibration pairs + normalized totals (the
+                # official normalized BAND; top-level fields mirror pass
+                # 1 for series compatibility)
+                "passes": passes,
+                "total_norm_band": [
+                    min(p["total_norm"] for p in passes),
+                    max(p["total_norm"] for p in passes),
+                ],
                 "amortized": amortized,
             }
         )
