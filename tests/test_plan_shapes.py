@@ -438,6 +438,69 @@ def test_chunked_asof_partitions_by_key_and_chunk(spark):
     )
 
 
+def test_chunked_asof_forward_nearest_partition_by_key_and_chunk(spark):
+    """r9: the escape hatch in the other directions keeps the same
+    pass-1 (key, chunk) exchange — the forward/nearest extension must
+    not regress to a bare-key window."""
+    import re
+
+    from fabstir_vectordb_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    for direction in ("forward", "nearest"):
+        df = asof_join(
+            clicks, views, on="user_id", value_cols=["value"],
+            chunk_seconds=86400, direction=direction,
+        )
+        plan = _executed(df)
+        assert re.search(
+            r"hashpartitioning\(user_id#\d+L?, __ck#\d+", plan
+        ), f"expected a (key, chunk) exchange for {direction}"
+        assert "CartesianProduct" not in plan
+
+
+def test_stratified_joins_have_no_cartesian_legs(spark):
+    """r9: the long_interval_buckets native legs are key-equality joins
+    with the containment/overlap predicate as a filter — never
+    nested-loop/cartesian plans."""
+    from fabstir_vectordb_spark.operators.temporal import (
+        interval_join,
+        range_join,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = ev.groupBy(
+        "user_id", F.floor(us / 86_400_000_000).cast("long").alias("d")
+    ).agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    week = ev.groupBy(
+        "user_id",
+        F.floor(us / 604_800_000_000).cast("long").alias("w"),
+    ).agg(F.min("ts").alias("rstart"), F.max("ts").alias("rend"))
+    pts = ev.select("event_id", "user_id", "ts")
+    plan = _executed(
+        range_join(
+            pts, day.withColumnRenamed("d", "dd"),
+            on="user_id", start_col="start", end_col="end",
+            bucket_seconds=3600, long_interval_buckets=2,
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    plan = _executed(
+        interval_join(
+            day, week, on="user_id",
+            bucket_seconds=3600, long_interval_buckets=1,
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_with_repetition_signals_is_map_only(spark):
     """The passthrough signal variant (the streaming gate's kernel) must
     stay one Arrow map, like its project-only sibling."""

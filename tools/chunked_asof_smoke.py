@@ -12,8 +12,10 @@ days (events every ~2.6 s, quotes every ~26 s), so day chunks give 30
 parallelizable slices and every chunk's leading rows need the
 cross-chunk patch.
 
-Usage: python tools/chunked_asof_smoke.py [n_left] [chunk_seconds]
-Prints one JSON line.
+Usage: python tools/chunked_asof_smoke.py [n_left] [chunk_seconds] [direction]
+Prints one JSON line.  ``direction`` (default backward) also accepts
+forward/nearest — round 9 extended the escape hatch to every direction
+(the forward patch carries each chunk's earliest OPENING right row).
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ from pyspark.sql import functions as F
 def main() -> int:
     n_left = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     chunk_s = int(sys.argv[2]) if len(sys.argv) > 2 else 86_400
+    direction = sys.argv[3] if len(sys.argv) > 3 else "backward"
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -82,11 +85,14 @@ def main() -> int:
         return row["n"], row["h"]
 
     out = {"n_left": n_left, "n_right": n_right, "keys": 1,
-           "chunk_seconds": chunk_s}
+           "chunk_seconds": chunk_s, "direction": direction}
 
     t0 = time.time()
     plain = checksum(
-        asof_join(left, right, on="user_id", value_cols=["value"])
+        asof_join(
+            left, right, on="user_id", value_cols=["value"],
+            direction=direction,
+        )
     )
     out["plain_s"] = round(time.time() - t0, 1)
 
@@ -94,7 +100,7 @@ def main() -> int:
     chunked = checksum(
         asof_join(
             left, right, on="user_id", value_cols=["value"],
-            chunk_seconds=chunk_s,
+            chunk_seconds=chunk_s, direction=direction,
         )
     )
     out["chunked_s"] = round(time.time() - t0, 1)
