@@ -448,6 +448,15 @@ def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
                  1-hour bucket (day-spans and week-spans are both
                  mostly 'long', so the two native legs dominate) — same
                  oracle as iv_overlap, score 2.0.
+      sql_range  (r9) the range_sql STATEMENT form (key equality +
+                 BETWEEN rewritten to the bucketed plan) — same
+                 inequality oracle, score 5.0.
+      sql_overlap (r9) the overlap_sql STATEMENT form (two-inequality
+                 overlap rewritten to the duplicate-free bucketed
+                 plan, inverted-interval probe passing) — same overlap
+                 oracle, score 6.0.
+      sql_nearest (r9) the ASOF NEAREST LEFT JOIN statement — replayed
+                 by the same two-leg CASE the nearest part uses.
 
     Views are deduplicated on (user, ts) keeping the max event_id, as
     in event_percentiles' asof part: both engines' as-of semantics are
@@ -630,6 +639,61 @@ def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("/", F.col("d"), F.col("w")).alias("ref"),
         F.lit(2.0).alias("score"),
     )
+    # r9: the three new SQL statement surfaces, driver-certified against
+    # the same independent oracles as their operator parts
+    from fabstir_vectordb_spark.plans.sql_temporal import (
+        overlap_sql,
+        range_sql,
+    )
+
+    ev.select("event_id", "user_id", "ts").createOrReplaceTempView("te9_pts")
+    bounds.createOrReplaceTempView("te9_bounds")
+    sql_range = range_sql(
+        spark,
+        """SELECT p.event_id, i.day AS dayv FROM te9_pts p JOIN te9_bounds i
+           ON p.user_id = i.user_id AND p.ts BETWEEN i.s0 AND i.s1""",
+        bucket_seconds=3600,
+    ).select(
+        F.lit("sql_range").alias("part"),
+        F.col("event_id").alias("id"),
+        F.col("dayv").cast("date").cast("string").alias("ref"),
+        F.lit(5.0).alias("score"),
+    )
+
+    day_spans.select(
+        "user_id", "d",
+        F.col("start").alias("s0x"), F.col("end").alias("e0x"),
+    ).createOrReplaceTempView("te9_day")
+    week_spans.select(
+        "user_id", "w",
+        F.col("rstart").alias("s1x"), F.col("rend").alias("e1x"),
+    ).createOrReplaceTempView("te9_week")
+    sql_overlap = overlap_sql(
+        spark,
+        """SELECT a.user_id AS uid, a.d AS d, b.w AS w
+           FROM te9_day a JOIN te9_week b
+           ON a.user_id = b.user_id AND a.s0x <= b.e1x AND b.s1x <= a.e0x""",
+        bucket_seconds=86400,
+    ).select(
+        F.lit("sql_overlap").alias("part"),
+        F.col("uid").alias("id"),
+        F.concat_ws("/", F.col("d"), F.col("w")).alias("ref"),
+        F.lit(6.0).alias("score"),
+    )
+
+    clicks.createOrReplaceTempView("te9_c")
+    views.createOrReplaceTempView("te9_v")
+    sql_nearest = _fmt(
+        asof_sql(
+            spark,
+            """SELECT l.event_id, r.rid AS rid_r, r.value AS value_r,
+                      r.ts AS mts
+               FROM te9_c l ASOF NEAREST LEFT JOIN te9_v r
+                 ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        ),
+        "sql_nearest",
+        mts_col="mts",
+    )
     return (
         chunked.unionByName(multikey)
         .unionByName(sqltol)
@@ -641,6 +705,9 @@ def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(range_mk)
         .unionByName(range_int)
         .unionByName(iv_long)
+        .unionByName(sql_range)
+        .unionByName(sql_overlap)
+        .unionByName(sql_nearest)
     )
 
 
@@ -4158,6 +4225,43 @@ FROM (
 ) ws ON ds.user_id = ws.user_id AND ds.s0 <= ws.e1 AND ws.s1 <= ds.e0
 UNION ALL
 SELECT 'nearest', id,
+  CASE
+    WHEN brts IS NULL AND fnts IS NULL THEN 'none'
+    WHEN fnts IS NULL THEN CAST(brid AS VARCHAR)
+    WHEN brts IS NULL THEN CAST(frid AS VARCHAR)
+    WHEN epoch_us(lts) - epoch_us(brts) <= (-fnts) - epoch_us(lts)
+      THEN CAST(brid AS VARCHAR)
+    ELSE CAST(frid AS VARCHAR) END,
+  CASE
+    WHEN brts IS NULL AND fnts IS NULL THEN -1.0
+    WHEN fnts IS NULL THEN (round(brv, 6) + 0.0)
+    WHEN brts IS NULL THEN (round(frv, 6) + 0.0)
+    WHEN epoch_us(lts) - epoch_us(brts) <= (-fnts) - epoch_us(lts)
+      THEN (round(brv, 6) + 0.0)
+    ELSE (round(frv, 6) + 0.0) END
+FROM nr
+UNION ALL
+-- r9 SQL statement surfaces: identical semantics to their operator
+-- parts, re-labeled
+SELECT 'sql_range', e.event_id, CAST(CAST(b.day AS DATE) AS VARCHAR), 5.0
+FROM events e JOIN bounds b
+  ON e.user_id = b.user_id AND e.ts >= b.s0 AND e.ts <= b.s1
+UNION ALL
+SELECT 'sql_overlap', ds.user_id,
+       concat(CAST(ds.d AS VARCHAR), '/', CAST(ws.w AS VARCHAR)), 6.0
+FROM (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+         min(ts) AS s0, max(ts) AS e0
+  FROM events GROUP BY 1, 2
+) ds JOIN (
+  SELECT user_id,
+         CAST(floor((epoch_us(ts) + 302400000000) / 604800000000)
+              AS BIGINT) AS w,
+         min(ts) AS s1, max(ts) AS e1
+  FROM events GROUP BY 1, 2
+) ws ON ds.user_id = ws.user_id AND ds.s0 <= ws.e1 AND ws.s1 <= ds.e0
+UNION ALL
+SELECT 'sql_nearest', id,
   CASE
     WHEN brts IS NULL AND fnts IS NULL THEN 'none'
     WHEN fnts IS NULL THEN CAST(brid AS VARCHAR)
