@@ -119,6 +119,16 @@ def asof_join(
     comparison, and carrying it into the timeline would make it sort
     first and masquerade as a match older than everything.
 
+    Numeric-epoch mode, as in range_join/interval_join: when BOTH ts
+    columns are integer dtypes (epoch seconds/micros/nanos — any unit),
+    the timeline orders on the RAW integers with no timestamp cast
+    (a bigint-micros value cast to timestamp reads as SECONDS and
+    overflows the timestamp range outright), ``ts<suffix>`` comes back
+    as the raw integer, and ``tolerance_seconds``/``chunk_seconds`` are
+    read in the columns' own unit.  Mixed integer/temporal pairs keep
+    the cast path (an int-seconds column against a timestamp column is
+    the one mixed case the cast handles correctly).
+
     ``right_order_col``: tie-break among right rows sharing (key, ts);
     the LARGEST wins (the latest writer).  Without it the tie-break
     falls back to ``xxhash64`` of the right payload struct — an
@@ -162,12 +172,23 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*keys, rts)]
 
+    # numeric-epoch mode (see docstring): both ts columns integral =>
+    # order on the raw integers, tolerance/chunk in raw units
+    raw = _raw_time_mode((left, [ts_col]), (right, [rts]))
+    tsx = (
+        (lambda c: F.col(c).cast("long"))
+        if raw
+        else (lambda c: F.col(c).cast("timestamp"))
+    )
+    us = (lambda e: e) if raw else F.unix_micros
+    unit = 1 if raw else 1_000_000
+
     # NULL right timestamps can never match (see docstring); dropping
     # them also keeps ts_r a reliable "matched" sentinel downstream
-    right = right.filter(F.col(rts).cast("timestamp").isNotNull())
+    right = right.filter(tsx(rts).isNotNull())
 
     payload = F.struct(
-        F.col(rts).cast("timestamp").alias("__rts"),
+        tsx(rts).alias("__rts"),
         *[F.col(c).alias(c) for c in value_cols],
     )
     order = (
@@ -175,14 +196,14 @@ def asof_join(
     )
     r = right.select(
         *[F.col(k).alias(k) for k in keys],
-        F.col(rts).cast("timestamp").alias("__ts"),
+        tsx(rts).alias("__ts"),
         F.lit(0).alias("__side"),
         order.alias("__ord"),
         payload.alias("__rv"),
     )
     l = left.select(
         *[F.col(k).alias(k) for k in keys],
-        F.col(ts_col).cast("timestamp").alias("__ts"),
+        tsx(ts_col).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__ord"].dataType).alias("__ord"),
         F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
@@ -193,10 +214,10 @@ def asof_join(
     )
     part_cols = list(keys)
     if chunk_seconds is not None:
-        ck_us = int(chunk_seconds) * 1_000_000
+        ck_us = int(chunk_seconds) * unit
         # floor, not a truncating cast: pre-epoch timestamps are
         # negative micros and must bucket downward like range_join's
-        ck = F.floor(F.unix_micros(F.col("__ts")) / ck_us).cast("long")
+        ck = F.floor(us(F.col("__ts")) / ck_us).cast("long")
         l, r = l.withColumn("__ck", ck), r.withColumn("__ck", ck)
         part_cols = [*keys, "__ck"]
     # right rows sort BEFORE left rows at the same instant (side 0 < 1):
@@ -273,7 +294,7 @@ def asof_join(
                 F.max_by(
                     "__rv",
                     F.struct(
-                        (-F.unix_micros(F.col("__ts"))).alias("__nts"),
+                        (-us(F.col("__ts"))).alias("__nts"),
                         F.col("__ord"),
                     ),
                 ).alias("__ov")
@@ -336,13 +357,13 @@ def asof_join(
         # PER LEG, before the nearest comparison (pandas merge_asof's
         # candidate rule; equivalent either way for this operator —
         # see the docstring — but per-leg states the contract directly)
-        tol_us = tolerance_seconds * 1_000_000
-        lts_us = F.unix_micros(F.col("__ts"))
+        tol_us = tolerance_seconds * unit
+        lts_us = us(F.col("__ts"))
         if need_b:
             carried = carried.withColumn(
                 "__mb",
                 F.when(
-                    lts_us - F.unix_micros(F.col("__mb.__rts")) <= tol_us,
+                    lts_us - us(F.col("__mb.__rts")) <= tol_us,
                     F.col("__mb"),
                 ),
             )
@@ -350,7 +371,7 @@ def asof_join(
             carried = carried.withColumn(
                 "__mf",
                 F.when(
-                    F.unix_micros(F.col("__mf.__rts")) - lts_us <= tol_us,
+                    us(F.col("__mf.__rts")) - lts_us <= tol_us,
                     F.col("__mf"),
                 ),
             )
@@ -359,9 +380,9 @@ def asof_join(
     elif direction == "forward":
         carried = carried.withColumnRenamed("__mf", "__match")
     else:  # nearest: closer of the two surviving legs, exact ties backward
-        lts_us = F.unix_micros(F.col("__ts"))
-        lag_b = lts_us - F.unix_micros(F.col("__mb.__rts"))
-        lag_f = F.unix_micros(F.col("__mf.__rts")) - lts_us
+        lts_us = us(F.col("__ts"))
+        lag_b = lts_us - us(F.col("__mb.__rts"))
+        lag_f = us(F.col("__mf.__rts")) - lts_us
         carried = carried.withColumn(
             "__match",
             F.when(F.col("__mf").isNull(), F.col("__mb"))

@@ -226,9 +226,12 @@ def explain_asof(sql: str) -> str:
 
 
 def asof_sql(spark: SparkSession, sql: str) -> DataFrame:
-    """Run ``sql``: the canonical ASOF [LEFT] JOIN statement rewrites to
-    operators/temporal.asof_join's single-exchange plan; any statement
-    without the ASOF keyword delegates to ``spark.sql`` verbatim."""
+    """Run ``sql``: the canonical ASOF [NEAREST] [LEFT] JOIN statement
+    rewrites to operators/temporal.asof_join's single-exchange plan;
+    any statement without the ASOF keyword delegates to ``spark.sql``
+    verbatim.  All-integer ts columns ride asof_join's numeric-epoch
+    mode (raw-integer ordering — epoch micros/nanos included), where
+    the TOLERANCE clause reads in the columns' own raw unit."""
     p = _parse(sql)
     if p is None:
         return spark.sql(sql)

@@ -297,6 +297,52 @@ def test_direction_validation():
         asof_join(None, None, on="k", direction="sideways")
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left, right=_right,
+       tolerance=st.sampled_from([None, 0, 5]),
+       direction=st.sampled_from(["backward", "forward", "nearest"]),
+       chunk=st.sampled_from([None, 7]))
+def test_numeric_epoch_asof_matches_timestamp_asof(
+    spark, left, right, tolerance, direction, chunk
+):
+    """Numeric-epoch mode: asof_join over raw epoch-MICROS bigints (a
+    value range whose cast-to-timestamp overflows outright — the crash
+    this mode exists to prevent) must equal the timestamp operator on
+    the same instants, every direction, chunked or not, with
+    tolerance/chunk read in the raw unit (micros here)."""
+    M = 1_000_000
+    base = 1_700_000_000 * M  # epoch micros, far beyond timestamp range
+    ldf = spark.createDataFrame(
+        [(i, base + t * M, k) for i, (k, t) in enumerate(left)],
+        "event_id long, ts long, user_id long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, base + t * M, o) for (k, t, o) in right],
+        "user_id long, ts long, ord long",
+    ) if right else spark.createDataFrame(
+        [], "user_id long, ts long, ord long"
+    )
+    got = {
+        r["event_id"]: (r["ord_r"], r["ts_r"])
+        for r in asof_join(
+            ldf, rdf, on="user_id", value_cols=["ord"],
+            tolerance_seconds=tolerance * M if tolerance is not None else None,
+            right_order_col="ord", direction=direction,
+            chunk_seconds=chunk * M if chunk is not None else None,
+        ).collect()
+    }
+    want = _reference_dir(left, right, tolerance, direction)
+    assert {i: v[0] for i, v in got.items()} == want
+    # the matched ts comes back as the RAW integer
+    for i, (k, t) in enumerate(left):
+        if got[i][0] is not None:
+            assert isinstance(got[i][1], int)
+
+
 # ---------------------------------------------------------------------
 # interval tiling + long-interval stratification (VERDICT r8 'Next
 # round' #1): split_intervals-tiled joins and the long_interval_buckets
