@@ -413,12 +413,13 @@ def clamp_intervals(
     in range_join) read ``max_seconds`` in their own raw unit."""
     raw = _raw_time_mode((df, [start_col, end_col]))
     if raw:
+        # arithmetic in long: int-typed epochs near the dtype max would
+        # wrap on start + max_seconds (non-ANSI overflow); least() of
+        # the LONG values is <= end, so the cast back always fits
         capped = F.least(
-            F.col(end_col),
-            (F.col(start_col) + F.lit(int(max_seconds))).cast(
-                df.schema[end_col].dataType
-            ),
-        )
+            F.col(end_col).cast("long"),
+            F.col(start_col).cast("long") + F.lit(int(max_seconds)),
+        ).cast(df.schema[end_col].dataType)
     else:
         capped = F.least(
             F.col(end_col).cast("timestamp"),
@@ -461,6 +462,15 @@ def split_intervals(
     tiles still cover the same span.  For the total-work fix see the
     joins' ``long_interval_buckets``.  Inverted parents (end < start)
     are dropped, as in the joins."""
+    taken = {f"{orig_prefix}{start_col}", f"{orig_prefix}{end_col}"} & set(
+        df.columns
+    )
+    if taken:
+        raise ValueError(
+            f"split_intervals would overwrite existing column(s) "
+            f"{sorted(taken)} (already-split frame?); pass a different "
+            "orig_prefix or re-split from the parent spans"
+        )
     raw = _raw_time_mode((df, [start_col, end_col]))
     t_u = int(tile_seconds) * (1 if raw else 1_000_000)
     tx = (lambda c: F.col(c).cast("long")) if raw else _micros

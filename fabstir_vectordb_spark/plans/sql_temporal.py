@@ -56,7 +56,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fabstir_vectordb_spark.operators.temporal import asof_join
+from fabstir_vectordb_spark.operators.temporal import _INT_TYPES, asof_join
 
 __all__ = [
     "AsofSyntaxError",
@@ -112,9 +112,10 @@ _ITEM = re.compile(
     re.IGNORECASE,
 )
 
-# integer dtypes eligible for the numeric-epoch rewrite mode (matches
-# operators/temporal._INT_TYPES)
-_SQL_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+# integer dtypes eligible for the numeric-epoch rewrite mode — ONE
+# definition, shared with the operators so the resolver and the join
+# can never disagree about eligibility
+_SQL_INT_TYPES = _INT_TYPES
 
 
 def _parse(sql: str):
@@ -238,37 +239,20 @@ def asof_sql(spark: SparkSession, sql: str) -> DataFrame:
     left = spark.table(p["lview"])
     right = spark.table(p["rview"])
     # asof_join keys both sides on the left's column names; align the
-    # right side key by key.  Duplicate key columns on either side
-    # cannot be expressed as a rename (each right column aligns to
-    # exactly one left name) — raise instead of silently collapsing.
-    if len(set(p["lkeys"])) != len(p["lkeys"]) or len(set(p["rkeys"])) != len(
-        p["rkeys"]
-    ):
-        raise AsofSyntaxError(
-            "duplicate key column in ON equalities: each key column may "
-            "appear in exactly one equality per side"
-        )
+    # right side key by key via the shared two-pass rename (duplicate
+    # keys and target collisions raise AsofSyntaxError up front — ASOF
+    # has no delegate path).  The right ts column cannot ALSO be an ON
+    # key aligned to a different left name: the rename would strip the
+    # column asof_join orders on, failing deep in Spark with an
+    # unresolved-column error instead of a clean diagnosis.
     key_map = dict(zip(p["rkeys"], p["lkeys"]))
-    renames = {rk: lk for rk, lk in key_map.items() if rk != lk}
-    # a left key name already on the right as a NON-key column would
-    # collide after alignment (duplicate column names, an opaque
-    # ambiguity error downstream) — fail loudly up front.  A name that
-    # is itself a right key being renamed away is fine: the two-pass
-    # temp rename below handles permuted keys (ON l.a = r.b AND
-    # l.b = r.a) without transient duplicates.
-    for rk, lk in renames.items():
-        if lk in right.columns and lk not in renames:
-            raise AsofSyntaxError(
-                f"right view column {lk!r} collides with the aligned "
-                f"name for key {rk!r} (the right side already carries a "
-                f"column named {lk!r} that is not part of the ON "
-                f"equalities); rename it before the ASOF join"
-            )
-    tmp = {rk: f"__asof_k{i}" for i, rk in enumerate(renames)}
-    for rk, t in tmp.items():
-        right = right.withColumnRenamed(rk, t)
-    for rk, t in tmp.items():
-        right = right.withColumnRenamed(t, renames[rk])
+    if key_map.get(p["rts"], p["rts"]) != p["rts"]:
+        raise AsofSyntaxError(
+            f"right ts column {p['rts']!r} is also an ON equality key "
+            f"aligned to left name {key_map[p['rts']]!r}; the rewrite "
+            "cannot keep both roles — use a dedicated key column"
+        )
+    right = _align_second_side(right, p["rkeys"], p["lkeys"])
 
     def _r(c: str) -> str:
         # a selected right KEY column rides the renamed key
@@ -432,16 +416,27 @@ def explain_range(spark: SparkSession, sql: str) -> str:
 def _align_second_side(df, rkeys: list[str], lkeys: list[str]):
     """Rename ``df``'s key columns ``rkeys`` to the first side's names
     ``lkeys`` through unique temp names (two passes, so permuted key
-    names never collide mid-rename).  Returns None — the caller
-    delegates — on duplicate keys or when a target name already exists
-    as a NON-key column (the verbatim statement is always correct for
-    these shapes, so ambiguity resolves by not rewriting)."""
+    names — ON l.a = r.b AND l.b = r.a — never collide mid-rename).
+    Raises AsofSyntaxError on duplicate keys or when a target name
+    already exists as a NON-key column: asof_sql (no delegate path)
+    propagates it as the loud up-front failure, the range/overlap
+    resolvers catch it and delegate (the verbatim statement is always
+    correct for these shapes, so ambiguity resolves by not
+    rewriting)."""
     if len(set(lkeys)) != len(lkeys) or len(set(rkeys)) != len(rkeys):
-        return None
+        raise AsofSyntaxError(
+            "duplicate key column in ON equalities: each key column may "
+            "appear in exactly one equality per side"
+        )
     renames = {rk: lk for rk, lk in zip(rkeys, lkeys) if rk != lk}
     for rk, lk in renames.items():
         if lk in df.columns and lk not in renames:
-            return None
+            raise AsofSyntaxError(
+                f"second side column {lk!r} collides with the aligned "
+                f"name for key {rk!r} (that side already carries a "
+                f"column named {lk!r} that is not part of the ON "
+                f"equalities); rename it before the join"
+            )
     tmp = {rk: f"__tmp_k{i}" for i, rk in enumerate(renames)}
     for rk, t in tmp.items():
         df = df.withColumnRenamed(rk, t)
@@ -482,8 +477,16 @@ def _resolve_range(spark: SparkSession, sql: str):
     shared = (pcols & icols) - same_named
     if shared:
         return None
-    intervals = _align_second_side(intervals, p["ikeys"], p["pkeys"])
-    if intervals is None:
+    # a key that doubles as a time-bound column (ON p.k = i.s AND
+    # p.ts BETWEEN i.s AND i.e) cannot survive the key alignment — the
+    # rename would strip the bound column out from under range_join —
+    # and a ts-as-key point side is equally entangled: delegate (the
+    # verbatim statement is always correct)
+    if set(p["ikeys"]) & {p["start"], p["end"]} or p["ts"] in p["pkeys"]:
+        return None
+    try:
+        intervals = _align_second_side(intervals, p["ikeys"], p["pkeys"])
+    except AsofSyntaxError:
         return None
     # Two rewrite modes, both literally verbatim-equivalent:
     #   temporal  — every time column is timestamp/date (the micros
@@ -654,8 +657,16 @@ def _resolve_overlap(spark: SparkSession, sql: str):
     shared = (acols & bcols) - same_named
     if shared:
         return None
-    vb = _align_second_side(vb, p["bkeys"], p["akeys"])
-    if vb is None:
+    # keys that double as bound columns cannot survive the alignment
+    # rename (see _resolve_range) — delegate
+    if (
+        set(p["akeys"]) & {p["a_start"], p["a_end"]}
+        or set(p["bkeys"]) & {p["b_start"], p["b_end"]}
+    ):
+        return None
+    try:
+        vb = _align_second_side(vb, p["bkeys"], p["akeys"])
+    except AsofSyntaxError:
         return None
     # temporal vs numeric-epoch rewrite modes, as in _resolve_range:
     # all-timestamp/date OR all-integer bounds rewrite; mixed delegates

@@ -20,6 +20,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+# integer dtypes eligible for raw (numeric-epoch) tuning — the ONE
+# definition lives with the operators, so the tuner can never snap a
+# raw-unit median to the seconds grid while the join buckets raw
+# (temporal imports tuning only lazily inside functions; no cycle)
+from fabstir_vectordb_spark.operators.temporal import _INT_TYPES
+
 # search_integration.rs:385-449 tiers (public repo)
 _SMALL = 1_000
 _MEDIUM = 100_000
@@ -133,7 +139,6 @@ _RAW_GRID = tuple(
     m * 10**k for k in range(0, 13) for m in (1, 2, 5)
 )
 
-_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 
 @dataclass

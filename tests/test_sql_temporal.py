@@ -842,3 +842,64 @@ def test_overlap_sql_delegates_out_of_shape(spark, overlap_views):
     mixed = """SELECT a.lid, b.rid FROM ov_a_int a JOIN ov_b b
                ON a.user_id = b.uid AND a.s <= b.re AND b.rs <= a.e"""
     assert explain_overlap(spark, mixed) == "delegate"
+
+
+def test_asof_sql_right_ts_as_key_raises(spark, mk_views):
+    """The right ts column doubling as an ON equality key aligned to a
+    DIFFERENT left name would be renamed out from under asof_join
+    (unresolved-column failure deep in Spark); asof_sql must diagnose
+    the clash up front (r9 review)."""
+    with pytest.raises(AsofSyntaxError, match="both roles"):
+        asof_sql(
+            spark,
+            """SELECT l.event_id FROM mk_trades l ASOF JOIN mk_quotes r
+               ON l.event_id = r.qts AND l.ts >= r.qts""",
+        )
+
+
+def test_range_sql_key_as_bound_column_delegates(spark, range_views):
+    """A key equality that names a time-bound column (ON p.ts = i.s
+    AND p.ts BETWEEN i.s AND i.e) cannot survive the key-alignment
+    rename — the resolver must DELEGATE the (valid) statement, not
+    escape with a KeyError (r9 review)."""
+    from fabstir_vectordb_spark.plans.sql_temporal import (
+        explain_range,
+        range_sql,
+    )
+
+    sql = """
+    SELECT p.event_id, i.iv_id AS session
+    FROM pts p JOIN ivs i
+      ON p.ts = i.s AND p.ts BETWEEN i.s AND i.e
+    """
+    assert explain_range(spark, sql) == "delegate"
+    got = sorted(
+        (r["event_id"], r["session"]) for r in range_sql(spark, sql).collect()
+    )
+    verbatim = sorted(
+        (r["event_id"], r["session"]) for r in spark.sql(sql).collect()
+    )
+    assert got == verbatim
+
+
+def test_overlap_sql_key_as_bound_column_delegates(spark, overlap_views):
+    """Same contract for the overlap resolver: a key that doubles as an
+    interval bound delegates instead of crashing (r9 review)."""
+    from fabstir_vectordb_spark.plans.sql_temporal import (
+        explain_overlap,
+        overlap_sql,
+    )
+
+    sql = """
+    SELECT a.lid, b.rid
+    FROM ov_a a JOIN ov_b b
+      ON a.s = b.rs AND a.s <= b.re AND b.rs <= a.e
+    """
+    assert explain_overlap(spark, sql) == "delegate"
+    got = sorted(
+        (r["lid"], r["rid"]) for r in overlap_sql(spark, sql).collect()
+    )
+    verbatim = sorted(
+        (r["lid"], r["rid"]) for r in spark.sql(sql).collect()
+    )
+    assert got == verbatim

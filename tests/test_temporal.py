@@ -414,3 +414,56 @@ def test_interval_join_rejects_shared_columns(spark):
     )
     with _pytest.raises(ValueError, match="distinct column names"):
         interval_join(df, df, on="user_id")
+
+
+def test_clamp_intervals_caps_and_screens(spark):
+    from fabstir_vectordb_spark.operators.temporal import clamp_intervals
+
+    df = spark.createDataFrame(
+        [("short", _ts(0), _ts(100)), ("long", _ts(0), _ts(10_000))],
+        "iv string, start timestamp, end timestamp",
+    )
+    got = {
+        r["iv"]: r["end"]
+        for r in clamp_intervals(df, max_seconds=500).collect()
+    }
+    assert got == {"short": _ts(100), "long": _ts(500)}
+
+
+def test_clamp_intervals_int_dtype_near_max_does_not_wrap(spark):
+    """start + max_seconds on an int-typed epoch column near INT_MAX
+    must not wrap negative (which would invert the interval and get it
+    silently DROPPED by the joins instead of capped) — the arithmetic
+    happens in long and only the <=end result casts back (r9 review)."""
+    from fabstir_vectordb_spark.operators.temporal import clamp_intervals
+
+    df = spark.createDataFrame(
+        [(2_147_450_000, 2_147_483_000), (2_147_000_000, 2_147_483_000)],
+        "start int, end int",
+    )
+    got = sorted(
+        (r["start"], r["end"])
+        for r in clamp_intervals(df, max_seconds=86_400).collect()
+    )
+    # row 1: start+86400 overflows INT_MAX in int32 — in long it simply
+    # exceeds end, so end stays; row 2: genuine cap at start+86400
+    assert got == [
+        (2_147_000_000, 2_147_000_000 + 86_400),
+        (2_147_450_000, 2_147_483_000),
+    ]
+    assert clamp_intervals(df, max_seconds=86_400).dtypes[1][1] == "int"
+
+
+def test_split_intervals_resplit_raises(spark):
+    """Re-splitting an already-split frame would emit duplicate
+    orig_* column names (AMBIGUOUS_REFERENCE downstream) — raise with
+    the remedy instead (r9 review)."""
+    import pytest as _pytest
+
+    from fabstir_vectordb_spark.operators.temporal import split_intervals
+
+    df = spark.createDataFrame([(0, 100)], "start long, end long")
+    tiled = split_intervals(df, tile_seconds=10)
+    assert tiled.count() == 11
+    with _pytest.raises(ValueError, match="orig_prefix"):
+        split_intervals(tiled, tile_seconds=5)
