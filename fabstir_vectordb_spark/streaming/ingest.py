@@ -281,6 +281,30 @@ def write_vectors_stream(
     return writer.start()
 
 
+def _temporal_enrich_stream(
+    stream: DataFrame,
+    checkpoint_path: str,
+    sink,
+    batch_fn,
+    trigger_available_now: bool,
+):
+    """Shared foreachBatch plumbing for the three temporal enrichment
+    wrappers: apply ``batch_fn`` to each micro-batch, hand the result
+    to ``sink(enriched_df, batch_id)``."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink(batch_fn(batch_df), batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def asof_enrich_stream(
     stream: DataFrame,
     right: DataFrame,
@@ -313,17 +337,69 @@ def asof_enrich_stream(
     (on=, direction=, tolerance_seconds=, chunk_seconds=, ...)."""
     from fabstir_vectordb_spark.operators.temporal import asof_join
 
-    def _batch(batch_df: DataFrame, batch_id: int) -> None:
-        sink(asof_join(batch_df, right, **asof_kwargs), batch_id)
-
-    writer = (
-        stream.writeStream.foreachBatch(_batch)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("append")
+    return _temporal_enrich_stream(
+        stream,
+        checkpoint_path,
+        sink,
+        lambda b: asof_join(b, right, **asof_kwargs),
+        trigger_available_now,
     )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+
+
+def range_enrich_stream(
+    stream: DataFrame,
+    intervals: DataFrame,
+    checkpoint_path: str,
+    sink,
+    trigger_available_now: bool = True,
+    **range_kwargs,
+):
+    """Streaming point-in-interval enrichment against a STATIC interval
+    side — asof_enrich_stream's contract verbatim: containment is
+    row-local given the interval side, so the union of micro-batch
+    outputs equals the batch range_join over the union of inputs for
+    any batch split (stream==batch tested); a STREAMING interval side
+    is out of scope for the same arrival-interleaving reason.
+
+    Pass ``bucket_seconds`` explicitly when latency matters: the
+    auto-tuner otherwise re-measures per micro-batch (one small
+    aggregate job per side per trigger — any width computes the same
+    answer, so this is cost, not correctness)."""
+    from fabstir_vectordb_spark.operators.temporal import range_join
+
+    return _temporal_enrich_stream(
+        stream,
+        checkpoint_path,
+        sink,
+        lambda b: range_join(b, intervals, **range_kwargs),
+        trigger_available_now,
+    )
+
+
+def interval_enrich_stream(
+    stream: DataFrame,
+    right: DataFrame,
+    checkpoint_path: str,
+    sink,
+    trigger_available_now: bool = True,
+    **interval_kwargs,
+):
+    """Streaming interval-OVERLAP enrichment against a STATIC right
+    side — asof_enrich_stream's contract verbatim: each left interval
+    matches independently against the full right frame, so the union
+    of micro-batch outputs equals the batch interval_join over the
+    union of inputs for any batch split (stream==batch tested); a
+    STREAMING right side is out of scope.  As with range_enrich_stream,
+    pass ``bucket_seconds`` to skip the per-trigger auto-tuning jobs."""
+    from fabstir_vectordb_spark.operators.temporal import interval_join
+
+    return _temporal_enrich_stream(
+        stream,
+        checkpoint_path,
+        sink,
+        lambda b: interval_join(b, right, **interval_kwargs),
+        trigger_available_now,
+    )
 
 
 def write_graph_stream(

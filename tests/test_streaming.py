@@ -609,3 +609,116 @@ def test_asof_enrich_stream_equals_batch(spark, events, tmp_path):
         ).collect()
     )
     assert sorted(collected) == batch and batch
+
+
+def test_range_enrich_stream_equals_batch(spark, events, tmp_path):
+    """range_enrich_stream completes the temporal tier's streaming
+    boundary: streaming points against STATIC intervals must union to
+    the batch range_join over the union of inputs, whatever the batch
+    split — containment is row-local given the interval side."""
+    from fabstir_vectordb_spark.operators.temporal import range_join
+
+    ev = events.limit(4000)
+    pts = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    ivs = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("iv_id"))
+        .select(
+            "user_id",
+            "iv_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"),
+        )
+    )
+    src = tmp_path / "range_src"
+    pts.repartition(5).write.mode("overwrite").parquet(str(src))
+
+    collected = []
+
+    def sink(df, batch_id):
+        collected.extend(
+            (r["event_id"], r["iv_id"]) for r in df.collect()
+        )
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = SI.range_enrich_stream(
+        stream, ivs, str(tmp_path / "range_ckpt"), sink,
+        on="user_id", bucket_seconds=600,
+    )
+    assert q.awaitTermination(300)
+    assert q.lastProgress["batchId"] >= 1, "need MULTIPLE micro-batches"
+
+    batch = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in range_join(pts, ivs, on="user_id", bucket_seconds=600).collect()
+    )
+    assert sorted(collected) == batch and batch
+
+
+def test_interval_enrich_stream_equals_batch(spark, events, tmp_path):
+    """interval_enrich_stream: streaming left intervals against a
+    STATIC right side union to the batch interval_join over the union
+    of inputs — each left interval matches independently."""
+    from fabstir_vectordb_spark.operators.temporal import interval_join
+
+    ev = events.limit(4000)
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end"),
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("rid"))
+        .select(
+            "user_id",
+            "rid",
+            F.col("ts").alias("rstart"),
+            (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("rend"),
+        )
+    )
+    src = tmp_path / "iv_src"
+    left.repartition(5).write.mode("overwrite").parquet(str(src))
+
+    collected = []
+
+    def sink(df, batch_id):
+        collected.extend((r["event_id"], r["rid"]) for r in df.collect())
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, start timestamp, end timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = SI.interval_enrich_stream(
+        stream, right, str(tmp_path / "iv_ckpt"), sink,
+        on="user_id",
+        left_start="start", left_end="end",
+        right_start="rstart", right_end="rend",
+        bucket_seconds=600,
+    )
+    assert q.awaitTermination(300)
+    assert q.lastProgress["batchId"] >= 1, "need MULTIPLE micro-batches"
+
+    batch = sorted(
+        (r["event_id"], r["rid"])
+        for r in interval_join(
+            left, right,
+            on="user_id",
+            left_start="start", left_end="end",
+            right_start="rstart", right_end="rend",
+            bucket_seconds=600,
+        ).collect()
+    )
+    assert sorted(collected) == batch and batch
