@@ -842,6 +842,165 @@ def _ann_contract_rows(ann: DataFrame, exact: DataFrame, queries: DataFrame) -> 
     )
 
 
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill (operators/timeseries.resample,
+    round 9): events regularized onto dense per-user grids, holes
+    filled four ways, certified against a DuckDB generate_series +
+    IGNORE-NULLS-window formulation.  Parts (part, key, bin, n,
+    x1..x4; -1.0 = NULL, unused slots 0):
+
+      six  6-hour grid: n = rows in bucket (0 on gaps), x1 = observed
+           avg(value) (r6 at the BUCKET stage, so both engines fill
+           from identical inputs), x2 = locf, x3 = linear interp,
+           x4 = nocb.  x3 carries a +1e-9 tie-breaker before r6 in
+           BOTH engines: midpoint interpolants of 6-decimal endpoints
+           land EXACTLY on round-6 ties (pv + (nv-pv)/2 ends in ...5),
+           where Spark's shortest-string HALF_UP and DuckDB's
+           binary-value rounding legitimately disagree; the nudge
+           moves every tie decisively above the boundary in both
+           (engines hold the identical IEEE double before rounding —
+           same r6 inputs, same expression shape).
+      raw  numeric-epoch mode: the SAME grid computed from bigint
+           epoch-micros with the step in raw micros — no timestamp
+           cast anywhere.  x1 = observed avg, x2 = locf, x3 = the raw
+           bucket_ts (bucket * step, exact in double), proving the
+           raw-unit contract end-to-end.
+      day  daily grid, additive measure: x1 = sum(value) zero-filled —
+           the fill an additive metric wants (an empty day IS zero).
+
+    Scale story (PERFORMANCE.md §Round 9): the binned agg partial-
+    aggregates map-side so the shuffle carries buckets, not events;
+    the grid generates from a one-row-per-key span frame (sequence +
+    explode — grid size is span/step, bounded by the TIME RANGE, so a
+    hot key COMPACTS rather than straggles); fills are windows over
+    grid rows, never event rows."""
+    from fabstir_vectordb_spark.operators.timeseries import resample
+
+    ev = _t(spark, sf_dir, "events")
+    aggs = {"nr": F.count(F.lit(1)), "v": r6(F.avg("value"))}
+    neg1 = F.lit(-1.0)
+
+    six = resample(
+        ev, "user_id", "ts", 21600, aggs=aggs,
+        fill={"v": ("locf", "nocb", "interp"), "nr": ("zero",)},
+    ).select(
+        F.lit("six").alias("part"),
+        F.col("user_id").alias("key"),
+        F.col("bucket").alias("bin"),
+        F.col("nr_zero").cast("long").alias("n"),
+        F.coalesce(r6("v"), neg1).alias("x1"),
+        F.coalesce(r6("v_locf"), neg1).alias("x2"),
+        # +1e-9: midpoint interpolants tie at round-6 (see docstring)
+        F.coalesce(r6(F.col("v_interp") + F.lit(1e-9)), neg1).alias("x3"),
+        F.coalesce(r6("v_nocb"), neg1).alias("x4"),
+    )
+    raw = resample(
+        ev.withColumn("ts", F.unix_micros("ts")),
+        "user_id", "ts", 21_600_000_000, aggs=aggs,
+        fill={"v": ("locf",), "nr": ("zero",)},
+    ).select(
+        F.lit("raw").alias("part"),
+        F.col("user_id").alias("key"),
+        F.col("bucket").alias("bin"),
+        F.col("nr_zero").cast("long").alias("n"),
+        F.coalesce(r6("v"), neg1).alias("x1"),
+        F.coalesce(r6("v_locf"), neg1).alias("x2"),
+        # raw-mode bucket_ts is the raw integer start; < 2^53, exact
+        F.col("bucket_ts").cast("double").alias("x3"),
+        F.lit(0.0).alias("x4"),
+    )
+    day = resample(
+        ev, "user_id", "ts", 86400,
+        aggs={"nr": F.count(F.lit(1)), "s": r6(F.sum("value"))},
+        fill={"s": ("zero",), "nr": ("zero",)},
+    ).select(
+        F.lit("day").alias("part"),
+        F.col("user_id").alias("key"),
+        F.col("bucket").alias("bin"),
+        F.col("nr_zero").cast("long").alias("n"),
+        r6("s_zero").alias("x1"),
+        F.lit(0.0).alias("x2"),
+        F.lit(0.0).alias("x3"),
+        F.lit(0.0).alias("x4"),
+    )
+    return six.unionByName(raw).unionByName(day)
+
+
+def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical corpus report card (operators/olap.grouped_report,
+    round 9): ROLLUP / CUBE / GROUPING SETS with per-dim GROUPING()
+    markers, certified against DuckDB's native multi-dimensional
+    GROUP BY.  Parts (part, k1, k2, g1, g2, n, x1, x2; '(all)' =
+    aggregated-over dim):
+
+      doc_rollup  documents by (lang, source) hierarchy, TWO-PHASE
+                  plan (the 100 TB path: exact groupBy first, Expand
+                  replicates distinct dim combos, not the scan) —
+                  n docs, sum chars, derived avg chars.
+      doc_direct  the SAME report via Spark's direct single-pass
+                  Expand plan — identical rows (modulo part) prove
+                  the two-phase rewrite exact cross-engine.
+      doc_gsets   explicit GROUPING SETS ((lang),(source),()) — the
+                  two marginals + grand total, no cross cells.
+      li_cube     lineitem CUBE (l_returnflag, l_linestatus): n,
+                  sum quantity as DECIMAL(18,2) (exact, order-
+                  independent — the repo's money-sum rule), max
+                  extendedprice."""
+    from fabstir_vectordb_spark.operators.olap import grouped_report
+
+    docs = _t(spark, sf_dir, "documents")
+    ms = {
+        "n": ("count", None),
+        "chars": ("sum", "n_chars"),
+        "avgc": ("avg", "n_chars"),
+    }
+
+    def _fmt(rep, part, d1, d2, x2):
+        return rep.select(
+            F.lit(part).alias("part"),
+            F.coalesce(F.col(d1), F.lit("(all)")).alias("k1"),
+            F.coalesce(F.col(d2), F.lit("(all)")).alias("k2"),
+            F.col(f"g_{d1}").alias("g1"),
+            F.col(f"g_{d2}").alias("g2"),
+            F.col("n").cast("long").alias("n"),
+            F.col("x1"),
+            x2.alias("x2"),
+        )
+
+    def _docpart(part, **kw):
+        rep = grouped_report(docs, ["lang", "source"], ms, **kw).withColumn(
+            "x1", F.col("chars").cast("double")
+        )
+        return _fmt(rep, part, "lang", "source", r6("avgc"))
+
+    doc_rollup = _docpart("doc_rollup", mode="rollup")
+    doc_direct = _docpart("doc_direct", mode="rollup", pre_aggregate=False)
+    doc_gsets = _docpart(
+        "doc_gsets", mode="grouping_sets",
+        grouping_sets=[["lang"], ["source"], []],
+    )
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    li_cube = _fmt(
+        grouped_report(
+            li, ["l_returnflag", "l_linestatus"],
+            {
+                "n": ("count", None),
+                "qty": ("sum", "qty"),
+                "mx": ("max", "l_extendedprice"),
+            },
+            mode="cube",
+        ).withColumn("x1", r6(F.col("qty").cast("double"))),
+        "li_cube", "l_returnflag", "l_linestatus", r6("mx"),
+    )
+    return (
+        doc_rollup.unionByName(doc_direct)
+        .unionByName(doc_gsets)
+        .unionByName(li_cube)
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third + fourth ANN strategies in one part-discriminated row
     (SURVEY §7.1 / §2 rows 35-36): part='lsh' is MLlib
@@ -6322,6 +6481,115 @@ FROM ({_ORACLES["event_sessions"]})
 """
 
 
+def _resample_oracle(part: str, step_us: int, agg: str, selects: str) -> str:
+    """generate_series dense grid + IGNORE-NULLS windows: the DuckDB
+    replay of operators/timeseries.resample.  ``agg`` aggregates the
+    bucket's value; the per-bucket value is r6-rounded at the BUCKET
+    stage in both engines so fills derive from identical inputs.
+    floor(x / step.0) mirrors Spark's long/long division-to-double
+    exactly (same arithmetic, same corner behavior)."""
+    return f"""
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / {step_us}.0) AS BIGINT) AS bin,
+         count(*) AS nr, (round({agg}, 6) + 0.0) AS v
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), s AS (
+  SELECT user_id, min(bin) AS mn, max(bin) AS mx FROM b GROUP BY 1
+), g AS (
+  SELECT s.user_id, gs.bin
+  FROM s, LATERAL (SELECT unnest(generate_series(s.mn, s.mx)) AS bin) gs
+), d AS (
+  SELECT g.user_id, g.bin, b.nr, b.v,
+    last_value(b.v IGNORE NULLS) OVER w_f AS locf,
+    first_value(b.v IGNORE NULLS) OVER w_b AS nocb,
+    last_value(CASE WHEN b.v IS NOT NULL THEN g.bin END IGNORE NULLS)
+      OVER w_f AS pb,
+    first_value(CASE WHEN b.v IS NOT NULL THEN g.bin END IGNORE NULLS)
+      OVER w_b AS nb
+  FROM g LEFT JOIN b USING (user_id, bin)
+  WINDOW
+    w_f AS (PARTITION BY g.user_id ORDER BY g.bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_b AS (PARTITION BY g.user_id ORDER BY g.bin
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT '{part}' AS part, user_id AS key, bin,
+       CAST(coalesce(nr, 0) AS BIGINT) AS n,
+       {selects}
+FROM d
+"""
+
+
+# interp mirrors the operator: prev.v + (next.v - prev.v) * frac with
+# frac = double(bin - prev.bin) / double(next.bin - prev.bin); at a gap
+# locf IS the previous observed value and nocb the next, so they serve
+# as pv/nv directly (same row as pb/nb by construction).  The +1e-9
+# mirrors the Spark side's round-6 tie-breaker: midpoint interpolants
+# of 6-decimal endpoints land exactly on ...5e-7, where the two
+# engines' round() implementations legitimately disagree.
+_RS_INTERP = """(CASE
+  WHEN v IS NOT NULL THEN v
+  WHEN pb IS NULL THEN nocb
+  WHEN nb IS NULL THEN locf
+  ELSE locf + (nocb - locf)
+       * (CAST(bin - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+END) + 0.000000001"""
+
+_ORACLES["resample_gapfill"] = f"""
+SELECT * FROM ({_resample_oracle("six", 21_600_000_000, "avg(value)", f'''
+       coalesce((round(v, 6) + 0.0), -1.0) AS x1,
+       coalesce((round(locf, 6) + 0.0), -1.0) AS x2,
+       coalesce((round({_RS_INTERP}, 6) + 0.0), -1.0) AS x3,
+       coalesce((round(nocb, 6) + 0.0), -1.0) AS x4''')})
+UNION ALL
+SELECT * FROM ({_resample_oracle("raw", 21_600_000_000, "avg(value)", '''
+       coalesce((round(v, 6) + 0.0), -1.0) AS x1,
+       coalesce((round(locf, 6) + 0.0), -1.0) AS x2,
+       CAST(bin * 21600000000 AS DOUBLE) AS x3,
+       0.0 AS x4''')})
+UNION ALL
+SELECT * FROM ({_resample_oracle("day", 86_400_000_000, "sum(value)", '''
+       (round(coalesce(v, 0.0), 6) + 0.0) AS x1,
+       0.0 AS x2, 0.0 AS x3, 0.0 AS x4''')})
+"""
+
+
+def _olap_oracle(part: str, table: str, d1: str, d2: str,
+                 group_by: str, x1: str, x2: str) -> str:
+    return f"""
+SELECT '{part}' AS part,
+       coalesce({d1}, '(all)') AS k1, coalesce({d2}, '(all)') AS k2,
+       CAST(GROUPING({d1}) AS INT) AS g1, CAST(GROUPING({d2}) AS INT) AS g2,
+       count(*) AS n, {x1} AS x1, {x2} AS x2
+FROM {table} GROUP BY {group_by}
+"""
+
+
+_OLAP_DOC_X1 = "CAST(sum(n_chars) AS DOUBLE)"
+_OLAP_DOC_X2 = (
+    "(round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6) + 0.0)"
+)
+_ORACLES["olap_report"] = f"""
+{_olap_oracle("doc_rollup", "documents", "lang", "source",
+              "ROLLUP(lang, source)", _OLAP_DOC_X1, _OLAP_DOC_X2)}
+UNION ALL
+{_olap_oracle("doc_direct", "documents", "lang", "source",
+              "ROLLUP(lang, source)", _OLAP_DOC_X1, _OLAP_DOC_X2)}
+UNION ALL
+{_olap_oracle("doc_gsets", "documents", "lang", "source",
+              "GROUPING SETS ((lang), (source), ())",
+              _OLAP_DOC_X1, _OLAP_DOC_X2)}
+UNION ALL
+{_olap_oracle(
+    "li_cube", "lineitem", "l_returnflag", "l_linestatus",
+    "CUBE(l_returnflag, l_linestatus)",
+    "(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)"
+    " + 0.0)",
+    "(round(max(l_extendedprice), 6) + 0.0)")}
+"""
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 # --------------------------------------------------------------------------
@@ -6493,6 +6761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_stats": q_hybrid_stats,
         "event_percentiles": q_event_percentiles,
         "temporal_extras": q_temporal_extras,
+        "resample_gapfill": q_resample_gapfill,
+        "olap_report": q_olap_report,
         "streaming_window": q_streaming_window,
         "streaming_topk": q_streaming_topk,
         "pq_adc_knn": q_pq_adc_knn,

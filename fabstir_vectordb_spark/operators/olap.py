@@ -1,0 +1,165 @@
+"""Hierarchical corpus reporting: ROLLUP / CUBE / GROUPING SETS with a
+two-phase plan that survives 100 TB.
+
+``grouped_report`` is the standard "corpus report card" over a
+training-data table — documents by (lang, source), tokens by
+(source, quality band), with subtotals and a grand total — expressed
+through Spark's native multi-dimensional aggregates.
+
+**Why a wrapper exists at all: the Expand blow-up.** Spark implements
+rollup/cube/grouping-sets with an ``Expand`` node that replicates
+EVERY input row once per grouping set — a CUBE over d dimensions
+replicates the full scan 2^d times BEFORE the shuffle's partial
+aggregation sees it.  At 100 TB that is the difference between a
+report and an outage.  The fix is classical two-phase aggregation:
+
+  phase 1  ``groupBy(all dims)`` — ONE exact pass, partial-aggregated
+           map-side; output is one row per distinct dimension combo
+           (thousands), not per input row (billions).
+  phase 2  rollup/cube/grouping-sets over the COMPACT phase-1 frame,
+           re-aggregating the partials (sum of sums, sum of counts,
+           min of mins, ...).  Expand now replicates thousands of
+           rows, not the scan.
+
+The rewrite is only sound for DECOMPOSABLE measures, so measures are
+declared as (fn, column) specs — count/sum/min/max re-aggregate as
+themselves and avg is derived as sum/count at the end — rather than
+free-form aggregate expressions the wrapper could not legally split.
+``pre_aggregate=False`` keeps the direct single-pass plan (fine when
+the input is already small, e.g. an upstream aggregate).
+
+Each dimension also emits ``g_<dim>`` = ``grouping(dim)`` (1 when the
+row aggregates over that dimension, 0 when it holds a real value), the
+only reliable way to tell a subtotal row from a genuine NULL dimension
+value — the SQL-standard GROUPING() marker, same bit meaning as
+DuckDB's.
+
+Reference parity: none (the reference has no OLAP surface);
+extension-axis with operators/stats.py's grouped statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["grouped_report"]
+
+_FNS = ("count", "sum", "min", "max", "avg")
+
+
+def grouped_report(
+    df: DataFrame,
+    dims: list[str],
+    measures: dict[str, tuple[str, str | None]],
+    mode: str = "rollup",
+    grouping_sets: list[list[str]] | None = None,
+    pre_aggregate: bool = True,
+) -> DataFrame:
+    """Multi-dimensional report over ``dims``.
+
+    ``measures``  output-name -> (fn, column); fn in count/sum/min/
+                  max/avg, column None only for count (count(*) —
+                  counts ROWS, like SQL's).  count/sum of an all-NULL
+                  or empty cell follow SQL semantics (count 0, sum
+                  NULL) in both plans.
+    ``mode``      'rollup' (hierarchy: (a,b), (a), ()), 'cube' (all
+                  2^d subsets), or 'grouping_sets' with the explicit
+                  ``grouping_sets`` list (subsets of ``dims``; [] is
+                  the grand total).
+    ``pre_aggregate``  True (default): the two-phase plan — exact
+                  groupBy over all dims first, Expand over the compact
+                  frame.  False: Spark's direct single-pass plan.
+                  Same answer either way (tested); the knob is purely
+                  Expand-replication vs one extra (tiny) shuffle.
+
+    Output: dims... (NULL when aggregated over), ``g_<dim>`` int
+    grouping markers, measures... .  ``avg`` emits double; ``count``
+    emits long; others keep/widen the input type per Spark's sum/min/
+    max rules.
+    """
+    if mode not in ("rollup", "cube", "grouping_sets"):
+        raise ValueError(
+            f"mode must be 'rollup', 'cube', or 'grouping_sets'; got {mode!r}"
+        )
+    if (mode == "grouping_sets") != (grouping_sets is not None):
+        raise ValueError(
+            "grouping_sets list is required for (exactly) mode='grouping_sets'"
+        )
+    if grouping_sets is not None:
+        stray = {c for s in grouping_sets for c in s} - set(dims)
+        if stray:
+            raise ValueError(
+                f"grouping_sets reference non-dim column(s) {sorted(stray)}"
+            )
+    for name, (fn, col) in measures.items():
+        if fn not in _FNS:
+            raise ValueError(f"measure {name!r}: unknown fn {fn!r}")
+        if col is None and fn != "count":
+            raise ValueError(f"measure {name!r}: only count may omit a column")
+    clash = {f"g_{d}" for d in dims} & set(df.columns)
+    if clash:
+        raise ValueError(f"grouping marker column(s) {sorted(clash)} exist")
+
+    def _grouped(frame):
+        if mode == "rollup":
+            return frame.rollup(*dims)
+        if mode == "cube":
+            return frame.cube(*dims)
+        return frame.groupingSets(
+            [[F.col(c) for c in s] for s in grouping_sets], *dims
+        )
+
+    markers = [F.grouping(d).cast("int").alias(f"g_{d}") for d in dims]
+
+    if not pre_aggregate:
+        final = []
+        for name, (fn, col) in measures.items():
+            if fn == "count":
+                e = F.count(F.lit(1)) if col is None else F.count(col)
+            elif fn == "avg":
+                # sum/count, not F.avg: the SAME formula the two-phase
+                # plan derives, so the knob changes only float summation
+                # order (~1e-15 relative), never the semantics
+                e = F.sum(col) / F.count(col)
+            else:
+                e = getattr(F, fn)(col)
+            final.append(e.alias(name))
+        return _grouped(df).agg(*markers, *final)
+
+    # phase 1: exact pass over all dims; decomposed partials only
+    partials: dict[str, object] = {}
+
+    def _part(key, expr):
+        partials.setdefault(key, expr)
+
+    for name, (fn, col) in measures.items():
+        if fn == "count" and col is None:
+            _part("__cnt_*", F.count(F.lit(1)))
+        elif fn in ("count", "avg"):
+            _part(f"__cnt_{col}", F.count(col))
+        if fn in ("sum", "avg"):
+            _part(f"__sum_{col}", F.sum(col))
+        if fn in ("min", "max"):
+            _part(f"__{fn}_{col}", getattr(F, fn)(col))
+    base = df.groupBy(*dims).agg(
+        *[e.alias(k) for k, e in partials.items()]
+    )
+    # phase 2: re-aggregate the partials over the compact frame
+    re_agg = {
+        k: (F.min(k) if k.startswith("__min_") else
+            F.max(k) if k.startswith("__max_") else F.sum(k))
+        for k in partials
+    }
+    final = []
+    for name, (fn, col) in measures.items():
+        if fn == "count":
+            e = re_agg["__cnt_*" if col is None else f"__cnt_{col}"]
+        elif fn == "sum":
+            e = re_agg[f"__sum_{col}"]
+        elif fn == "avg":
+            e = re_agg[f"__sum_{col}"] / re_agg[f"__cnt_{col}"]
+        else:
+            e = re_agg[f"__{fn}_{col}"]
+        final.append(e.alias(name))
+    return _grouped(base).agg(*markers, *final)

@@ -1,0 +1,212 @@
+"""Time-series resampling and gap-fill: regularize an event stream
+onto a fixed grid, then fill the holes.
+
+``resample`` bins events to ``step_seconds`` buckets per key,
+aggregates each bucket, DENSIFIES the grid (every bucket between each
+key's first and last observation, gaps included), and fills gap values
+by the caller's choice of methods:
+
+  locf    last observation carried forward (step-function read)
+  nocb    next observation carried backward (the reverse)
+  interp  linear interpolation between the neighboring observed
+          buckets (exact at observed buckets by construction)
+  zero    ``coalesce(x, 0)`` — the right read for additive measures
+          (counts, sums), where an empty bucket IS zero
+
+This is the standard time-series "resample + fill" surface (pandas
+``df.resample(...).mean().interpolate()``, TimescaleDB's
+``time_bucket_gapfill`` + ``locf``/``interpolate``) re-expressed as a
+Spark plan with bounded blow-up:
+
+  1. ONE exchange aggregates events to (key, bucket) — count/sum/avg
+     partial-aggregate map-side, so the shuffle carries buckets, not
+     events.
+  2. The dense grid generates from a ONE-ROW-PER-KEY span frame
+     (min/max bucket) via ``sequence``+``explode`` — grid size is
+     span/step per key, bounded by the TIME RANGE, not the row count.
+     A hot key with 10^8 events in a month still yields ~720 hourly
+     grid rows: resampling is itself the skew fix here, unlike the
+     raw-event windows in operators/temporal.py.
+  3. Fill methods are window passes per key over GRID rows (again
+     span/step, never event-count) — ``last(ignorenulls)`` forward for
+     locf, the reverse frame for nocb, and for interp the neighboring
+     observed (bucket, value) pairs travel as structs so a value can
+     never pair with another row's bucket.
+
+The blow-up boundary is honest: a key whose span is years at 1-second
+steps emits span/step grid rows whether or not it has data.  Pick
+``step_seconds`` near the cadence questions are asked at, and clamp
+outlier spans upstream if the data carries "1970" sentinel timestamps.
+
+Numeric-epoch mode, as in operators/temporal.py: when the ts column is
+an integer dtype (epoch seconds/micros/nanos — any unit),
+``step_seconds`` is read in the column's own raw unit and buckets come
+from integer floor-division of the raw values (no timestamp cast), so
+bigint-micros event tables resample without overflow.  ``bucket_ts``
+is then the raw bucket start, not a timestamp.
+
+Rows whose timestamp is NULL (or casts to NULL) are dropped up front:
+they belong to no bucket.  NULL keys form their own group, exactly as
+``groupBy`` treats them (the grid join is null-safe on the keys).
+
+Reference parity: none (no temporal surface in the reference);
+extension-axis with operators/temporal.py's as-of/range/overlap joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.operators.temporal import _raw_time_mode
+
+__all__ = ["resample"]
+
+_FILL_METHODS = ("locf", "nocb", "interp", "zero")
+
+
+def resample(
+    df: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    step_seconds: int = 3600,
+    aggs: dict[str, Column] | None = None,
+    fill: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Resample ``df`` onto a dense fixed grid and gap-fill.
+
+    ``on``          key column name or list of names (multi-key).
+    ``step_seconds``  bucket width; raw units in numeric-epoch mode.
+    ``aggs``        output-name -> aggregate Column over the bucket's
+                    events (default ``{"n": count(*), "v": avg(value)}``
+                    only when the frame has a ``value`` column; pass
+                    explicitly otherwise).  Gap buckets carry NULL for
+                    every agg except ``count``-shaped ones filled via
+                    ``zero``.
+    ``fill``        agg-name -> methods from {locf, nocb, interp,
+                    zero}; each emits ``<name>_<method>``.  Fills read
+                    per-column VALUE nullness (an observed bucket whose
+                    agg is NULL — e.g. avg of all-NULL — fills like a
+                    gap for that column).
+
+    Output: keys..., ``bucket`` (long), ``bucket_ts`` (bucket start:
+    timestamp, or the raw integer in numeric-epoch mode), ``is_gap``
+    (no event in the bucket), the agg columns, the fill columns.
+    Endpoint buckets of each key are observed by construction (the
+    grid spans first..last observation), so inside the grid ``locf``
+    and ``interp`` are never NULL for a column observed at least once
+    per key with non-NULL values at the endpoints.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [on] if isinstance(on, str) else list(on)
+    if aggs is None:
+        aggs = {"n": F.count(F.lit(1))}
+        if "value" in df.columns:
+            aggs["v"] = F.avg("value")
+    fill = dict(fill or {})
+    for name, methods in fill.items():
+        if name not in aggs:
+            raise ValueError(f"fill names an unknown agg column {name!r}")
+        bad = set(methods) - set(_FILL_METHODS)
+        if bad:
+            raise ValueError(
+                f"unknown fill method(s) {sorted(bad)}; "
+                f"choose from {_FILL_METHODS}"
+            )
+    taken = {"bucket", "bucket_ts", "is_gap"} & set(keys)
+    if taken:
+        raise ValueError(f"key column(s) {sorted(taken)} shadow outputs")
+
+    raw = _raw_time_mode((df, [ts_col]))
+    tx = (
+        (lambda c: F.col(c).cast("long"))
+        if raw
+        else (lambda c: F.unix_micros(F.col(c).cast("timestamp")))
+    )
+    step_u = int(step_seconds) * (1 if raw else 1_000_000)
+
+    # NULL timestamps belong to no bucket; floor (not a truncating
+    # cast) so pre-epoch values bucket downward, as in range_join
+    binned = (
+        df.filter(tx(ts_col).isNotNull())
+        .withColumn("__bkt", F.floor(tx(ts_col) / step_u).cast("long"))
+        .groupBy(*keys, "__bkt")
+        .agg(*[a.alias(n) for n, a in aggs.items()])
+        .withColumn("__obs", F.lit(True))
+    )
+    # one row per key -> sequence/explode: the grid never materializes
+    # more than span/step rows per key, however many events the key has
+    spans = binned.groupBy(*keys).agg(
+        F.min("__bkt").alias("__mn"), F.max("__bkt").alias("__mx")
+    )
+    grid = spans.select(
+        *keys, F.explode(F.sequence("__mn", "__mx")).alias("__bkt")
+    )
+    # null-safe on the keys: groupBy kept NULL keys as a real group and
+    # a plain equality join would silently orphan their grid rows
+    b = binned.select(
+        *[F.col(k).alias(f"__bk_{i}") for i, k in enumerate(keys)],
+        F.col("__bkt").alias("__bb"),
+        *aggs,
+        "__obs",
+    )
+    cond = F.col("__bkt") == F.col("__bb")
+    for i, k in enumerate(keys):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__bk_{i}"))
+    dense = grid.join(b, cond, "left").drop(
+        "__bb", *[f"__bk_{i}" for i in range(len(keys))]
+    )
+
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_bwd = (
+        Window.partitionBy(*keys)
+        .orderBy("__bkt")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    for name, methods in fill.items():
+        c = F.col(name)
+        if "locf" in methods:
+            dense = dense.withColumn(
+                f"{name}_locf", F.last(name, ignorenulls=True).over(w_fwd)
+            )
+        if "nocb" in methods:
+            dense = dense.withColumn(
+                f"{name}_nocb", F.first(name, ignorenulls=True).over(w_bwd)
+            )
+        if "interp" in methods:
+            # neighboring observed (bucket, value) pairs travel as ONE
+            # struct so a value can never pair with another row's bucket
+            obs = F.when(c.isNotNull(), F.struct(F.col("__bkt").alias("b"), c.alias("v")))
+            prev = F.last(obs, ignorenulls=True).over(w_fwd)
+            nxt = F.first(obs, ignorenulls=True).over(w_bwd)
+            frac = (F.col("__bkt") - prev["b"]).cast("double") / (
+                nxt["b"] - prev["b"]
+            ).cast("double")
+            dense = dense.withColumn(
+                f"{name}_interp",
+                F.when(c.isNotNull(), c)
+                .when(prev.isNull(), nxt["v"])
+                .when(nxt.isNull(), prev["v"])
+                .otherwise(prev["v"] + (nxt["v"] - prev["v"]) * frac),
+            )
+        if "zero" in methods:
+            dense = dense.withColumn(
+                f"{name}_zero",
+                F.coalesce(c, F.lit(0).cast(dense.schema[name].dataType)),
+            )
+    bucket_ts = (
+        (F.col("__bkt") * step_u)
+        if raw
+        else F.timestamp_micros(F.col("__bkt") * step_u)
+    )
+    return (
+        dense.withColumn("bucket_ts", bucket_ts)
+        .withColumn("is_gap", F.col("__obs").isNull())
+        .withColumnRenamed("__bkt", "bucket")
+        .drop("__obs")
+    )

@@ -133,10 +133,12 @@ _BUCKET_GRID = (60, 300, 900, 3600, 14400, 86400)
 
 # numeric-epoch (raw integer) time columns have no known unit, so the
 # raw grid is the 1-2-5 decade ladder: wide enough for epoch seconds
-# (10^0..10^5-scale spans) through epoch nanos (10^12-scale spans),
-# same log-snap rule as the seconds grid
+# (10^0..10^5-scale spans) through epoch NANOS, whose spans run to
+# 10^16 (a year is 3.15e16 ns — a ladder capped at 5e12 would snap a
+# day-length nano interval to a bucket ~17x too small and replicate
+# every row that much), same log-snap rule as the seconds grid
 _RAW_GRID = tuple(
-    m * 10**k for k in range(0, 13) for m in (1, 2, 5)
+    m * 10**k for k in range(0, 17) for m in (1, 2, 5)
 )
 
 

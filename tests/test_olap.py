@@ -1,0 +1,194 @@
+"""grouped_report: rollup/cube/grouping-sets vs manual aggregation,
+and the two-phase (pre-aggregate) plan's exact equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.operators.olap import grouped_report
+
+SF_DIR = "/root/testdata/sf0.001"
+
+MEASURES = {
+    "n": ("count", None),
+    "chars": ("sum", "n_chars"),
+    "mx": ("max", "n_chars"),
+    "mn": ("min", "n_chars"),
+}
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _manual(df, dims_subsets):
+    """Expected rows per grouping set, computed with plain groupBy."""
+    out = {}
+    for subset in dims_subsets:
+        agg = df.groupBy(*subset).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.max("n_chars").alias("mx"),
+            F.min("n_chars").alias("mn"),
+        )
+        for r in agg.collect():
+            key = tuple(r[c] if c in subset else None for c in ("lang", "source"))
+            out[key + (tuple(sorted(subset)),)] = (r.n, r.chars, r.mx, r.mn)
+    return out
+
+
+def _check(rep, expected):
+    seen = set()
+    for r in rep.collect():
+        subset = tuple(
+            sorted(d for d in ("lang", "source") if r[f"g_{d}"] == 0)
+        )
+        key = (r.lang, r.source, subset)
+        assert key in expected, key
+        assert (r.n, r.chars, r.mx, r.mn) == expected[key], key
+        seen.add(key)
+    assert seen == set(expected)
+
+
+@pytest.mark.parametrize("pre", [True, False])
+def test_rollup_matches_manual(spark, pre):
+    docs = _docs(spark)
+    rep = grouped_report(
+        docs, ["lang", "source"], MEASURES, mode="rollup", pre_aggregate=pre
+    )
+    _check(rep, _manual(docs, [["lang", "source"], ["lang"], []]))
+
+
+@pytest.mark.parametrize("pre", [True, False])
+def test_cube_matches_manual(spark, pre):
+    docs = _docs(spark)
+    rep = grouped_report(
+        docs, ["lang", "source"], MEASURES, mode="cube", pre_aggregate=pre
+    )
+    _check(
+        rep,
+        _manual(docs, [["lang", "source"], ["lang"], ["source"], []]),
+    )
+
+
+@pytest.mark.parametrize("pre", [True, False])
+def test_grouping_sets_matches_manual(spark, pre):
+    docs = _docs(spark)
+    rep = grouped_report(
+        docs, ["lang", "source"], MEASURES, mode="grouping_sets",
+        grouping_sets=[["lang"], ["source"], []], pre_aggregate=pre,
+    )
+    _check(rep, _manual(docs, [["lang"], ["source"], []]))
+
+
+def test_two_phase_equals_direct_exactly(spark):
+    """Integer measures: the two plans must agree to the bit."""
+    docs = _docs(spark)
+    for mode, gs in (
+        ("rollup", None),
+        ("cube", None),
+        ("grouping_sets", [["lang"], []]),
+    ):
+        a = grouped_report(
+            docs, ["lang", "source"], MEASURES, mode=mode,
+            grouping_sets=gs, pre_aggregate=True,
+        )
+        b = grouped_report(
+            docs, ["lang", "source"], MEASURES, mode=mode,
+            grouping_sets=gs, pre_aggregate=False,
+        )
+        assert _rows(a) == _rows(b), mode
+
+
+@pytest.mark.parametrize("pre", [True, False])
+def test_avg_measure(spark, pre):
+    docs = _docs(spark)
+    rep = grouped_report(
+        docs, ["lang"], {"a": ("avg", "n_chars"), "n": ("count", None)},
+        mode="rollup", pre_aggregate=pre,
+    )
+    exp = {
+        r.lang: r.a
+        for r in docs.groupBy("lang")
+        .agg((F.sum("n_chars") / F.count("n_chars")).alias("a"))
+        .collect()
+    }
+    total = docs.agg(
+        (F.sum("n_chars") / F.count("n_chars")).alias("a")
+    ).collect()[0].a
+    for r in rep.collect():
+        want = total if r.g_lang == 1 else exp[r.lang]
+        assert abs(r.a - want) < 1e-9
+
+
+def test_null_dim_value_vs_subtotal(spark):
+    """A real NULL dimension value is distinguishable from a subtotal
+    row only via the grouping marker — assert both appear distinctly."""
+    df = spark.createDataFrame(
+        [("en", 5), (None, 7), ("en", 3)], "lang string, n_chars long"
+    )
+    rep = grouped_report(
+        df, ["lang"], {"chars": ("sum", "n_chars")}, mode="rollup"
+    )
+    rows = {(r.lang, r.g_lang): r.chars for r in rep.collect()}
+    assert rows[(None, 0)] == 7      # genuine NULL group
+    assert rows[(None, 1)] == 15     # grand total
+    assert rows[("en", 0)] == 8
+
+
+def test_count_column_counts_non_null(spark):
+    df = spark.createDataFrame(
+        [("en", 5), ("en", None), ("de", 1)], "lang string, n_chars long"
+    )
+    for pre in (True, False):
+        rep = grouped_report(
+            df, ["lang"], {"nn": ("count", "n_chars")},
+            mode="rollup", pre_aggregate=pre,
+        )
+        rows = {(r.lang, r.g_lang): r.nn for r in rep.collect()}
+        assert rows[("en", 0)] == 1 and rows[(None, 1)] == 2
+
+
+def test_validation_errors(spark):
+    docs = _docs(spark)
+    m = {"n": ("count", None)}
+    with pytest.raises(ValueError, match="mode must be"):
+        grouped_report(docs, ["lang"], m, mode="windowed")
+    with pytest.raises(ValueError, match="grouping_sets list is required"):
+        grouped_report(docs, ["lang"], m, mode="grouping_sets")
+    with pytest.raises(ValueError, match="grouping_sets list is required"):
+        grouped_report(docs, ["lang"], m, mode="cube", grouping_sets=[[]])
+    with pytest.raises(ValueError, match="non-dim column"):
+        grouped_report(
+            docs, ["lang"], m, mode="grouping_sets",
+            grouping_sets=[["source"]],
+        )
+    with pytest.raises(ValueError, match="unknown fn"):
+        grouped_report(docs, ["lang"], {"x": ("median", "n_chars")})
+    with pytest.raises(ValueError, match="only count may omit"):
+        grouped_report(docs, ["lang"], {"x": ("sum", None)})
+    with pytest.raises(ValueError, match="marker column"):
+        grouped_report(
+            docs.withColumn("g_lang", F.lit(1)), ["lang"], m
+        )
+
+
+def test_two_phase_expand_sits_above_an_aggregate(spark):
+    """THE scale guard: pre_aggregate=True must put Expand above the
+    compact phase-1 Aggregate (Expand replicates distinct dim combos);
+    the direct plan's Expand reads the scan (replicates every row)."""
+    docs = _docs(spark)
+    m = {"n": ("count", None), "chars": ("sum", "n_chars")}
+    two = grouped_report(docs, ["lang", "source"], m, mode="cube")
+    plan = two._jdf.queryExecution().optimizedPlan().toString()
+    below_expand = plan.split("Expand", 1)[1]
+    assert "Aggregate" in below_expand
+    direct = grouped_report(
+        docs, ["lang", "source"], m, mode="cube", pre_aggregate=False
+    )
+    plan_d = direct._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan_d.split("Expand", 1)[1]

@@ -532,3 +532,31 @@ def test_interval_join_is_equality_join(spark):
     plan = _executed(interval_join(day, week, on="user_id", bucket_seconds=86_400))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_resample_grid_generates_from_span_frame(spark):
+    """resample's dense grid must explode the ONE-ROW-PER-KEY span
+    frame (min/max bucket), never the event rows — grid size is
+    span/step, bounded by the time range.  The fill windows partition
+    per key (no global single-partition window), and nothing
+    degenerates to a nested-loop/cartesian plan."""
+    from fabstir_vectordb_spark.operators.timeseries import resample
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = resample(
+        ev, "user_id", "ts", 21600,
+        aggs={"v": F.avg("value")}, fill={"v": ("locf", "interp")},
+    )
+    plan = _executed(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only Generate explodes sequence(__mn, __mx) — the span frame
+    assert plan.count("Generate") == 1
+    assert "explode(sequence(__mn" in plan
+    # fill windows are per-key, not a global window
+    assert "windowspecdefinition(user_id" in plan
+    # the binned aggregate partial-aggregates map-side (shuffle carries
+    # buckets, not events)
+    assert "partial_avg" in plan
