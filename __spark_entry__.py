@@ -14,6 +14,7 @@ order-independent).
 
 from __future__ import annotations
 
+import datetime as _dt
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -867,6 +868,12 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            raw-unit contract end-to-end.
       day  daily grid, additive measure: x1 = sum(value) zero-filled —
            the fill an additive metric wants (an empty day IS zero).
+      win  explicit grid window (grid_start/grid_end, TimescaleDB's
+           gapfill start/finish): daily grid pinned to
+           [2024-01-10, 2024-01-20] for EVERY user — the cross-key
+           aligned reporting shape — with out-of-window observations
+           filtered before the fills.  Leading gap buckets carry the
+           -1 sentinel for locf (nothing observed yet in-window).
 
     Scale story (PERFORMANCE.md §Round 9): the binned agg partial-
     aggregates map-side so the shuffle carries buckets, not events;
@@ -923,7 +930,21 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("x3"),
         F.lit(0.0).alias("x4"),
     )
-    return six.unionByName(raw).unionByName(day)
+    win = resample(
+        ev, "user_id", "ts", 86400, aggs=aggs,
+        fill={"v": ("locf",), "nr": ("zero",)},
+        grid_start="2024-01-10", grid_end="2024-01-20",
+    ).select(
+        F.lit("win").alias("part"),
+        F.col("user_id").alias("key"),
+        F.col("bucket").alias("bin"),
+        F.col("nr_zero").cast("long").alias("n"),
+        F.coalesce(r6("v"), neg1).alias("x1"),
+        F.coalesce(r6("v_locf"), neg1).alias("x2"),
+        F.lit(0.0).alias("x3"),
+        F.lit(0.0).alias("x4"),
+    )
+    return six.unionByName(raw).unionByName(day).unionByName(win)
 
 
 def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6481,21 +6502,33 @@ FROM ({_ORACLES["event_sessions"]})
 """
 
 
-def _resample_oracle(part: str, step_us: int, agg: str, selects: str) -> str:
+def _resample_oracle(
+    part: str, step_us: int, agg: str, selects: str,
+    lo: int | None = None, hi: int | None = None,
+) -> str:
     """generate_series dense grid + IGNORE-NULLS windows: the DuckDB
     replay of operators/timeseries.resample.  ``agg`` aggregates the
     bucket's value; the per-bucket value is r6-rounded at the BUCKET
     stage in both engines so fills derive from identical inputs.
     floor(x / step.0) mirrors Spark's long/long division-to-double
-    exactly (same arithmetic, same corner behavior)."""
+    exactly (same arithmetic, same corner behavior).  ``lo``/``hi``
+    replay grid_start/grid_end (bucket ids): observations outside are
+    filtered and the per-key span pins to the explicit window."""
+    bfilter = ""
+    if lo is not None:
+        bfilter += f" AND CAST(floor(epoch_us(ts) / {step_us}.0) AS BIGINT) >= {lo}"
+    if hi is not None:
+        bfilter += f" AND CAST(floor(epoch_us(ts) / {step_us}.0) AS BIGINT) <= {hi}"
+    mn = str(lo) if lo is not None else "min(bin)"
+    mx = str(hi) if hi is not None else "max(bin)"
     return f"""
 WITH b AS (
   SELECT user_id,
          CAST(floor(epoch_us(ts) / {step_us}.0) AS BIGINT) AS bin,
          count(*) AS nr, (round({agg}, 6) + 0.0) AS v
-  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL{bfilter} GROUP BY 1, 2
 ), s AS (
-  SELECT user_id, min(bin) AS mn, max(bin) AS mx FROM b GROUP BY 1
+  SELECT user_id, {mn} AS mn, {mx} AS mx FROM b GROUP BY 1
 ), g AS (
   SELECT s.user_id, gs.bin
   FROM s, LATERAL (SELECT unnest(generate_series(s.mn, s.mx)) AS bin) gs
@@ -6552,6 +6585,14 @@ UNION ALL
 SELECT * FROM ({_resample_oracle("day", 86_400_000_000, "sum(value)", '''
        (round(coalesce(v, 0.0), 6) + 0.0) AS x1,
        0.0 AS x2, 0.0 AS x3, 0.0 AS x4''')})
+UNION ALL
+SELECT * FROM ({_resample_oracle(
+    "win", 86_400_000_000, "avg(value)", '''
+       coalesce((round(v, 6) + 0.0), -1.0) AS x1,
+       coalesce((round(locf, 6) + 0.0), -1.0) AS x2,
+       0.0 AS x3, 0.0 AS x4''',
+    lo=(_dt.date(2024, 1, 10) - _dt.date(1970, 1, 1)).days,
+    hi=(_dt.date(2024, 1, 20) - _dt.date(1970, 1, 1)).days)})
 """
 
 

@@ -72,6 +72,8 @@ def resample(
     step_seconds: int = 3600,
     aggs: dict[str, Column] | None = None,
     fill: dict[str, tuple[str, ...]] | None = None,
+    grid_start=None,
+    grid_end=None,
 ) -> DataFrame:
     """Resample ``df`` onto a dense fixed grid and gap-fill.
 
@@ -88,14 +90,30 @@ def resample(
                     per-column VALUE nullness (an observed bucket whose
                     agg is NULL — e.g. avg of all-NULL — fills like a
                     gap for that column).
+    ``grid_start`` / ``grid_end``  optional explicit grid window
+                    (TimescaleDB ``time_bucket_gapfill``'s start/
+                    finish): a datetime or ISO string (a raw integer in
+                    numeric-epoch mode), inclusive at bucket
+                    granularity.  When given, the window both BOUNDS
+                    the grid and FILTERS the observations — buckets
+                    outside contribute nothing, so one "1970" sentinel
+                    timestamp can no longer inflate a key's grid by
+                    decades.  With both bounds set, every key gets the
+                    SAME aligned grid (the cross-key reporting shape)
+                    and grid size is constant per key by construction.
+                    Each bound also works alone (clamp one side, keep
+                    the other observation-driven).
 
     Output: keys..., ``bucket`` (long), ``bucket_ts`` (bucket start:
     timestamp, or the raw integer in numeric-epoch mode), ``is_gap``
     (no event in the bucket), the agg columns, the fill columns.
-    Endpoint buckets of each key are observed by construction (the
-    grid spans first..last observation), so inside the grid ``locf``
-    and ``interp`` are never NULL for a column observed at least once
-    per key with non-NULL values at the endpoints.
+    Without explicit bounds, endpoint buckets of each key are observed
+    by construction (the grid spans first..last observation), so
+    inside the grid ``locf`` and ``interp`` are never NULL for a
+    column observed at least once per key with non-NULL values at the
+    endpoints; with bounds, leading/trailing gap buckets carry NULL
+    locf/nocb respectively (interp falls back to the nearest observed
+    side, as at any edge).
     """
     from pyspark.sql.window import Window
 
@@ -126,6 +144,29 @@ def resample(
     )
     step_u = int(step_seconds) * (1 if raw else 1_000_000)
 
+    def _bound_bucket(v, side):
+        # driver-side constant: the window is part of the QUESTION, not
+        # the data, so no extra job computes it
+        if raw:
+            if not isinstance(v, int):
+                raise ValueError(
+                    f"grid_{side} must be a raw integer in numeric-epoch "
+                    f"mode; got {type(v).__name__}"
+                )
+            us = v
+        else:
+            import pandas as pd
+
+            us = int(pd.Timestamp(v).value // 1_000)  # naive read as UTC
+        return us // step_u  # python floor-division: exact at any epoch
+
+    lo = _bound_bucket(grid_start, "start") if grid_start is not None else None
+    hi = _bound_bucket(grid_end, "end") if grid_end is not None else None
+    if lo is not None and hi is not None and lo > hi:
+        raise ValueError(
+            f"grid_start bucket {lo} is after grid_end bucket {hi}"
+        )
+
     # NULL timestamps belong to no bucket; floor (not a truncating
     # cast) so pre-epoch values bucket downward, as in range_join
     binned = (
@@ -135,10 +176,21 @@ def resample(
         .agg(*[a.alias(n) for n, a in aggs.items()])
         .withColumn("__obs", F.lit(True))
     )
+    # explicit bounds filter the OBSERVATIONS too: an out-of-window
+    # bucket must not leak into fills (nor define a key's span)
+    if lo is not None:
+        binned = binned.filter(F.col("__bkt") >= lo)
+    if hi is not None:
+        binned = binned.filter(F.col("__bkt") <= hi)
     # one row per key -> sequence/explode: the grid never materializes
     # more than span/step rows per key, however many events the key has
     spans = binned.groupBy(*keys).agg(
-        F.min("__bkt").alias("__mn"), F.max("__bkt").alias("__mx")
+        (
+            F.lit(lo).cast("long") if lo is not None else F.min("__bkt")
+        ).alias("__mn"),
+        (
+            F.lit(hi).cast("long") if hi is not None else F.max("__bkt")
+        ).alias("__mx"),
     )
     grid = spans.select(
         *keys, F.explode(F.sequence("__mn", "__mx")).alias("__bkt")

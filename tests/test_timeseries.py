@@ -175,3 +175,79 @@ def test_resample_validation_errors(spark):
         )
     with pytest.raises(ValueError, match="shadow"):
         resample(sdf.withColumnRenamed("k", "bucket"), "bucket", "ts", STEP)
+
+
+def test_resample_grid_bounds_align_keys(spark):
+    """Explicit grid_start/grid_end: every key gets the SAME aligned
+    grid, and observations outside the window contribute nothing —
+    a '1970' sentinel timestamp cannot inflate the grid."""
+    rows = [
+        (1, "2024-03-02 01:00:00", 10.0),
+        (1, "2024-03-05 01:00:00", 20.0),
+        (2, "2024-03-03 01:00:00", 30.0),
+        # sentinel garbage: outside the window, must vanish entirely
+        (2, "1970-01-01 00:00:00", 999.0),
+        (1, "2024-03-20 00:00:00", 888.0),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "k long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample(
+        sdf, "k", "ts", 86400,
+        aggs={"v": F.avg("value")}, fill={"v": ("locf", "interp")},
+        grid_start="2024-03-01", grid_end="2024-03-07",
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    # identical 7-day grid for both keys, sentinel values absent
+    for k, rs in by_key.items():
+        assert len(rs) == 7, k
+        assert {r.bucket_ts.day for r in rs} == set(range(1, 8))
+        assert all((r.v or 0) < 100 for r in rs)
+    # leading gap buckets: locf NULL (no in-window observation yet)
+    k1 = {r.bucket_ts.day: r for r in by_key[1]}
+    assert k1[1].v_locf is None and k1[2].v_locf == 10.0
+    assert k1[6].v_locf == 20.0  # carried past the last observation
+    # interp at the leading edge falls back to the nearest observed side
+    assert k1[1].v_interp == 10.0
+    # interior interpolation unaffected by the clamp
+    assert abs(k1[3].v_interp - (10 + 10 / 3)) < 1e-9
+
+
+def test_resample_single_sided_bound(spark):
+    _, sdf = _fixture(spark, with_null_key=False)
+    both = resample(sdf, "k", "ts", STEP)
+    lo_bkt = min(r.bucket for r in both.collect())
+    clamped = resample(sdf, "k", "ts", STEP, grid_start="2024-03-05")
+    want = (pd.Timestamp("2024-03-05").value // 1000) // STEP_US
+    assert min(r.bucket for r in clamped.collect()) >= want
+    # upper side stays observation-driven
+    assert (
+        max(r.bucket for r in clamped.collect())
+        == max(r.bucket for r in both.collect())
+    )
+    assert lo_bkt < want  # the clamp actually removed something
+
+
+def test_resample_raw_mode_bounds(spark):
+    _, sdf = _fixture(spark, with_null_key=False)
+    raw_df = sdf.withColumn("ts", F.unix_micros("ts"))
+    lo = int(pd.Timestamp("2024-03-02").value // 1000)
+    hi = int(pd.Timestamp("2024-03-09").value // 1000)
+    out = resample(
+        raw_df, "k", "ts", STEP_US, grid_start=lo, grid_end=hi
+    )
+    buckets = sorted({r.bucket for r in out.collect()})
+    assert buckets[0] >= lo // STEP_US and buckets[-1] <= hi // STEP_US
+    with pytest.raises(ValueError, match="raw integer"):
+        resample(raw_df, "k", "ts", STEP_US, grid_start="2024-03-02")
+
+
+def test_resample_bounds_validation(spark):
+    _, sdf = _fixture(spark, with_null_key=False)
+    with pytest.raises(ValueError, match="after grid_end"):
+        resample(
+            sdf, "k", "ts", STEP,
+            grid_start="2024-03-09", grid_end="2024-03-02",
+        )
