@@ -966,7 +966,16 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       li_cube     lineitem CUBE (l_returnflag, l_linestatus): n,
                   sum quantity as DECIMAL(18,2) (exact, order-
                   independent — the repo's money-sum rule), max
-                  extendedprice."""
+                  extendedprice.
+      li_cd       EXACT distinct counting per cell (count_distinct,
+                  direct plan — the fn the two-phase plan refuses by
+                  contract): distinct suppliers and distinct parts
+                  per (returnflag, linestatus) rollup cell, vs
+                  DuckDB's COUNT(DISTINCT).  The scale-path sibling
+                  approx_distinct (mergeable DataSketches HLL,
+                  identical estimate in both plans) has no DuckDB
+                  twin and is pytest-certified instead
+                  (tests/test_olap.py)."""
     from fabstir_vectordb_spark.operators.olap import grouped_report
 
     docs = _t(spark, sf_dir, "documents")
@@ -1015,10 +1024,24 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("x1", r6(F.col("qty").cast("double"))),
         "li_cube", "l_returnflag", "l_linestatus", r6("mx"),
     )
+    li_cd = _fmt(
+        grouped_report(
+            li, ["l_returnflag", "l_linestatus"],
+            {
+                "n": ("count", None),
+                "ds": ("count_distinct", "l_suppkey"),
+                "dp": ("count_distinct", "l_partkey"),
+            },
+            mode="rollup", pre_aggregate=False,
+        ).withColumn("x1", F.col("ds").cast("double")),
+        "li_cd", "l_returnflag", "l_linestatus",
+        F.col("dp").cast("double"),
+    )
     return (
         doc_rollup.unionByName(doc_direct)
         .unionByName(doc_gsets)
         .unionByName(li_cube)
+        .unionByName(li_cd)
     )
 
 
@@ -6628,6 +6651,12 @@ UNION ALL
     "(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)"
     " + 0.0)",
     "(round(max(l_extendedprice), 6) + 0.0)")}
+UNION ALL
+{_olap_oracle(
+    "li_cd", "lineitem", "l_returnflag", "l_linestatus",
+    "ROLLUP(l_returnflag, l_linestatus)",
+    "CAST(count(DISTINCT l_suppkey) AS DOUBLE)",
+    "CAST(count(DISTINCT l_partkey) AS DOUBLE)")}
 """
 
 

@@ -28,6 +28,21 @@ free-form aggregate expressions the wrapper could not legally split.
 ``pre_aggregate=False`` keeps the direct single-pass plan (fine when
 the input is already small, e.g. an upstream aggregate).
 
+Distinct counting, the corpus-report measure (distinct users per
+cell, distinct source domains per language):
+
+- ``count_distinct`` is EXACT but not decomposable — a phase-1 row
+  per dim combo cannot re-derive cross-combo distinctness — so it is
+  only legal with ``pre_aggregate=False`` (a clear error otherwise,
+  naming the alternative).
+- ``approx_distinct`` is the scale path: Apache DataSketches HLL
+  (``hll_sketch_agg``/``hll_union_agg``, the standard mergeable
+  sketch).  Phase 1 builds one sketch per dim combo, phase 2 UNIONS
+  sketches — set-union semantics, so the estimate is a deterministic
+  function of the underlying value SET, and the two-phase and direct
+  plans return the IDENTICAL estimate (tested), not merely close
+  ones.  Default ~1.6% relative error (lgConfigK=12).
+
 Each dimension also emits ``g_<dim>`` = ``grouping(dim)`` (1 when the
 row aggregates over that dimension, 0 when it holds a real value), the
 only reliable way to tell a subtotal row from a genuine NULL dimension
@@ -45,7 +60,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["grouped_report"]
 
-_FNS = ("count", "sum", "min", "max", "avg")
+_FNS = ("count", "sum", "min", "max", "avg", "count_distinct",
+        "approx_distinct")
 
 
 def grouped_report(
@@ -59,10 +75,14 @@ def grouped_report(
     """Multi-dimensional report over ``dims``.
 
     ``measures``  output-name -> (fn, column); fn in count/sum/min/
-                  max/avg, column None only for count (count(*) —
-                  counts ROWS, like SQL's).  count/sum of an all-NULL
-                  or empty cell follow SQL semantics (count 0, sum
-                  NULL) in both plans.
+                  max/avg/count_distinct/approx_distinct, column None
+                  only for count (count(*) — counts ROWS, like
+                  SQL's).  count/sum of an all-NULL or empty cell
+                  follow SQL semantics (count 0, sum NULL) in both
+                  plans.  count_distinct is exact and requires
+                  ``pre_aggregate=False``; approx_distinct (HLL
+                  sketches) works in both plans and returns the
+                  identical estimate either way.
     ``mode``      'rollup' (hierarchy: (a,b), (a), ()), 'cube' (all
                   2^d subsets), or 'grouping_sets' with the explicit
                   ``grouping_sets`` list (subsets of ``dims``; [] is
@@ -97,6 +117,15 @@ def grouped_report(
             raise ValueError(f"measure {name!r}: unknown fn {fn!r}")
         if col is None and fn != "count":
             raise ValueError(f"measure {name!r}: only count may omit a column")
+        if fn == "count_distinct" and pre_aggregate:
+            raise ValueError(
+                f"measure {name!r}: count_distinct is exact but not "
+                "decomposable — a phase-1 row per dim combo cannot "
+                "re-derive cross-combo distinctness.  Use "
+                "pre_aggregate=False (exact, Expand over the full "
+                "input) or fn='approx_distinct' (mergeable HLL "
+                "sketches, identical estimate in both plans)"
+            )
     clash = {f"g_{d}" for d in dims} & set(df.columns)
     if clash:
         raise ValueError(f"grouping marker column(s) {sorted(clash)} exist")
@@ -122,6 +151,13 @@ def grouped_report(
                 # plan derives, so the knob changes only float summation
                 # order (~1e-15 relative), never the semantics
                 e = F.sum(col) / F.count(col)
+            elif fn == "count_distinct":
+                e = F.count_distinct(F.col(col))
+            elif fn == "approx_distinct":
+                # through the sketch even in direct mode, so the two
+                # plans return the IDENTICAL estimate (set-union
+                # semantics), not two different approximations
+                e = F.hll_sketch_estimate(F.hll_sketch_agg(col))
             else:
                 e = getattr(F, fn)(col)
             final.append(e.alias(name))
@@ -142,13 +178,16 @@ def grouped_report(
             _part(f"__sum_{col}", F.sum(col))
         if fn in ("min", "max"):
             _part(f"__{fn}_{col}", getattr(F, fn)(col))
+        if fn == "approx_distinct":
+            _part(f"__hll_{col}", F.hll_sketch_agg(col))
     base = df.groupBy(*dims).agg(
         *[e.alias(k) for k, e in partials.items()]
     )
     # phase 2: re-aggregate the partials over the compact frame
     re_agg = {
         k: (F.min(k) if k.startswith("__min_") else
-            F.max(k) if k.startswith("__max_") else F.sum(k))
+            F.max(k) if k.startswith("__max_") else
+            F.hll_union_agg(k) if k.startswith("__hll_") else F.sum(k))
         for k in partials
     }
     final = []
@@ -159,6 +198,8 @@ def grouped_report(
             e = re_agg[f"__sum_{col}"]
         elif fn == "avg":
             e = re_agg[f"__sum_{col}"] / re_agg[f"__cnt_{col}"]
+        elif fn == "approx_distinct":
+            e = F.hll_sketch_estimate(re_agg[f"__hll_{col}"])
         else:
             e = re_agg[f"__{fn}_{col}"]
         final.append(e.alias(name))

@@ -192,3 +192,60 @@ def test_two_phase_expand_sits_above_an_aggregate(spark):
     )
     plan_d = direct._jdf.queryExecution().optimizedPlan().toString()
     assert "Aggregate" not in plan_d.split("Expand", 1)[1]
+
+
+def test_count_distinct_exact_direct_only(spark):
+    docs = _docs(spark)
+    rep = grouped_report(
+        docs, ["lang"], {"ds": ("count_distinct", "source")},
+        mode="rollup", pre_aggregate=False,
+    )
+    exp = {
+        r.lang: r.ds
+        for r in docs.groupBy("lang")
+        .agg(F.count_distinct("source").alias("ds"))
+        .collect()
+    }
+    total = docs.select("source").distinct().count()
+    for r in rep.collect():
+        assert r.ds == (total if r.g_lang == 1 else exp[r.lang])
+    # two-phase cannot legally compute it: a clear error, not wrongness
+    with pytest.raises(ValueError, match="not\\s+decomposable"):
+        grouped_report(docs, ["lang"], {"ds": ("count_distinct", "source")})
+
+
+def test_approx_distinct_identical_across_plans_and_close_to_exact(spark):
+    """HLL sketches are mergeable with set-union semantics, so the
+    two-phase and direct plans must return the IDENTICAL estimate —
+    and at these cardinalities (<=20 sources) the estimate is exact."""
+    docs = _docs(spark)
+    ms = {"ds": ("approx_distinct", "source"), "n": ("count", None)}
+    two = grouped_report(docs, ["lang"], ms, mode="rollup")
+    one = grouped_report(docs, ["lang"], ms, mode="rollup",
+                         pre_aggregate=False)
+    ra = {(r.lang, r.g_lang): (r.ds, r.n) for r in two.collect()}
+    rb = {(r.lang, r.g_lang): (r.ds, r.n) for r in one.collect()}
+    assert ra == rb
+    exact = {
+        r.lang: r.ds
+        for r in docs.groupBy("lang")
+        .agg(F.count_distinct("source").alias("ds"))
+        .collect()
+    }
+    for (lang, g), (est, _) in ra.items():
+        if g == 0:
+            assert est == exact[lang]
+
+
+def test_approx_distinct_all_null_cell_is_zero(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 1)], "g string, x int"
+    )
+    for pre in (True, False):
+        rep = grouped_report(
+            df, ["g"], {"dx": ("approx_distinct", "x")},
+            mode="rollup", pre_aggregate=pre,
+        )
+        rows = {(r.g, r.g_g): r.dx for r in rep.collect()}
+        assert rows[("a", 0)] == 0 and rows[("b", 0)] == 1
+        assert rows[(None, 1)] == 1
