@@ -129,6 +129,18 @@ def grouped_report(
     clash = {f"g_{d}" for d in dims} & set(df.columns)
     if clash:
         raise ValueError(f"grouping marker column(s) {sorted(clash)} exist")
+    # measure outputs live next to the dims and markers in one frame —
+    # any name overlap yields duplicate columns that only fail later
+    taken = set(dims) | {f"g_{d}" for d in dims}
+    bad_names = {
+        n for n in measures
+        if n in taken or n.startswith("__")
+    }
+    if bad_names:
+        raise ValueError(
+            f"measure name(s) {sorted(bad_names)} collide with a dim, "
+            "its g_ marker, or the reserved __ prefix"
+        )
 
     def _grouped(frame):
         if mode == "rollup":

@@ -35,8 +35,11 @@ Spark plan with bounded blow-up:
 
 The blow-up boundary is honest: a key whose span is years at 1-second
 steps emits span/step grid rows whether or not it has data.  Pick
-``step_seconds`` near the cadence questions are asked at, and clamp
-outlier spans upstream if the data carries "1970" sentinel timestamps.
+``step_seconds`` near the cadence questions are asked at; when the
+data carries "1970" sentinel timestamps or open-ended history, pass
+``grid_start``/``grid_end`` — the explicit window bounds the grid AND
+filters the observations, so one garbage row cannot inflate a key's
+grid by decades.
 
 Numeric-epoch mode, as in operators/temporal.py: when the ts column is
 an integer dtype (epoch seconds/micros/nanos — any unit),
@@ -117,12 +120,22 @@ def resample(
     """
     from pyspark.sql.window import Window
 
+    if int(step_seconds) <= 0:
+        raise ValueError(f"step_seconds must be positive; got {step_seconds}")
     keys = [on] if isinstance(on, str) else list(on)
     if aggs is None:
         aggs = {"n": F.count(F.lit(1))}
         if "value" in df.columns:
             aggs["v"] = F.avg("value")
     fill = dict(fill or {})
+    # every emitted name — keys, grid columns, agg outputs, fill
+    # outputs — must be distinct, or the result frame carries duplicate
+    # column names that only fail downstream with an opaque error
+    out_names = list(keys) + ["bucket", "bucket_ts", "is_gap"]
+    for name in aggs:
+        if name.startswith("__"):
+            raise ValueError(f"agg name {name!r}: the __ prefix is reserved")
+        out_names.append(name)
     for name, methods in fill.items():
         if name not in aggs:
             raise ValueError(f"fill names an unknown agg column {name!r}")
@@ -132,9 +145,14 @@ def resample(
                 f"unknown fill method(s) {sorted(bad)}; "
                 f"choose from {_FILL_METHODS}"
             )
-    taken = {"bucket", "bucket_ts", "is_gap"} & set(keys)
-    if taken:
-        raise ValueError(f"key column(s) {sorted(taken)} shadow outputs")
+        out_names.extend(f"{name}_{m}" for m in methods)
+    dupes = {n for n in out_names if out_names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"output column name collision: {sorted(dupes)} (keys, "
+            "bucket/bucket_ts/is_gap, agg names, and <agg>_<method> "
+            "fill names must all be distinct)"
+        )
 
     raw = _raw_time_mode((df, [ts_col]))
     tx = (

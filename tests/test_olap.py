@@ -249,3 +249,13 @@ def test_approx_distinct_all_null_cell_is_zero(spark):
         rows = {(r.g, r.g_g): r.dx for r in rep.collect()}
         assert rows[("a", 0)] == 0 and rows[("b", 0)] == 1
         assert rows[(None, 1)] == 1
+
+
+def test_measure_name_collisions_raise(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="collide"):
+        grouped_report(docs, ["lang"], {"lang": ("count", None)})
+    with pytest.raises(ValueError, match="collide"):
+        grouped_report(docs, ["lang"], {"g_lang": ("count", None)})
+    with pytest.raises(ValueError, match="collide"):
+        grouped_report(docs, ["lang"], {"__cnt_x": ("count", None)})

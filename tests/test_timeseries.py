@@ -173,7 +173,7 @@ def test_resample_validation_errors(spark):
             sdf, "k", "ts", STEP,
             aggs={"v": F.avg("value")}, fill={"v": ("spline",)},
         )
-    with pytest.raises(ValueError, match="shadow"):
+    with pytest.raises(ValueError, match="collision"):
         resample(sdf.withColumnRenamed("k", "bucket"), "bucket", "ts", STEP)
 
 
@@ -251,3 +251,19 @@ def test_resample_bounds_validation(spark):
             sdf, "k", "ts", STEP,
             grid_start="2024-03-09", grid_end="2024-03-02",
         )
+
+
+def test_resample_output_name_collisions_raise(spark):
+    _, sdf = _fixture(spark, with_null_key=False)
+    with pytest.raises(ValueError, match="collision"):
+        resample(sdf, "k", "ts", STEP, aggs={"bucket": F.count(F.lit(1))})
+    with pytest.raises(ValueError, match="collision"):
+        resample(
+            sdf, "k", "ts", STEP,
+            aggs={"v": F.avg("value"), "v_locf": F.avg("value")},
+            fill={"v": ("locf",)},
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        resample(sdf, "k", "ts", STEP, aggs={"__x": F.count(F.lit(1))})
+    with pytest.raises(ValueError, match="positive"):
+        resample(sdf, "k", "ts", 0)
