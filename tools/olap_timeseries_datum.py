@@ -58,20 +58,37 @@ print(f"resample hot-key: {N:,} events ONE key -> {rows} grid rows "
       f"(compaction {N // max(rows, 1):,}x), wall {t_rs:.2f}s")
 
 # ---- 2. grouped_report: CUBE over 3 dims, 10M rows ----
-fact = s.range(N).select(
+# MATERIALIZED to parquet first, so the timing measures the reports
+# (scan + Expand + aggregate), not the synthetic row generation that
+# would otherwise dominate both cells equally and mask the gap
+import tempfile
+
+fact_path = tempfile.mkdtemp(prefix="olap_datum_") + "/fact"
+s.range(N).select(
     (F.col("id") % 5).cast("string").alias("a"),
     (F.col("id") % 20).cast("string").alias("b"),
     (F.col("id") % 10).cast("string").alias("c"),
     (F.col("id") % 997).cast("double").alias("x"),
-)
+).write.mode("overwrite").parquet(fact_path)
+fact = s.read.parquet(fact_path)
+fact.count()  # warm the scan once
 ms = {"n": ("count", None), "sx": ("sum", "x"), "mx": ("max", "x")}
-res = {}
-for label, pre in (("direct", False), ("two_phase", True)):
-    t0 = time.time()
-    cnt = grouped_report(
-        fact, ["a", "b", "c"], ms, mode="cube", pre_aggregate=pre
-    ).count()
-    res[label] = time.time() - t0
-    print(f"cube {label}: {cnt} report rows, wall {res[label]:.2f}s")
-print(f"two-phase speedup: {res['direct'] / res['two_phase']:.2f}x "
+# ALTERNATE the two variants and keep the median of 3: back-to-back
+# same-variant runs inherit whatever GC/page-cache state the previous
+# block left, which can swing a 1-2 s job by several x
+import statistics
+
+res = {"direct": [], "two_phase": []}
+for _ in range(3):
+    for label, pre in (("direct", False), ("two_phase", True)):
+        t0 = time.time()
+        cnt = grouped_report(
+            fact, ["a", "b", "c"], ms, mode="cube", pre_aggregate=pre
+        ).count()
+        res[label].append(time.time() - t0)
+med = {k: statistics.median(v) for k, v in res.items()}
+for label in ("direct", "two_phase"):
+    print(f"cube {label}: {cnt} report rows, "
+          f"median {med[label]:.2f}s of {[round(t, 2) for t in res[label]]}")
+print(f"two-phase speedup: {med['direct'] / med['two_phase']:.2f}x "
       f"(Expand input: {N:,} rows direct vs distinct combos two-phase)")
