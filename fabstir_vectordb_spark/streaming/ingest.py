@@ -518,3 +518,54 @@ def write_graph_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def resample_stream(
+    events: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    step_seconds: int = 3600,
+    watermark: str = "1 hour",
+    aggs: dict | None = None,
+) -> DataFrame:
+    """Streaming half of operators/timeseries.resample: watermarked
+    TUMBLING-window aggregation per key — one row per (key, bucket)
+    with the caller's aggregates, emitting exactly the batch
+    operator's BINNED frame (``bucket = floor(epoch_us / step)``;
+    Spark's tumbling windows align to the epoch, so bucket ids match
+    the batch operator bit-for-bit — certified stream≡batch in
+    tests/test_streaming.py over an unordered multi-batch replay).
+
+    The streaming BOUNDARY, stated as a contract like the curation
+    gate's: BINNING streams (per-bucket aggregation is closed under
+    micro-batching — the watermark bounds state to open buckets, one
+    row per (key, open bucket) at any instant); DENSIFICATION AND
+    FILLS stay batch over the accumulated bins.  A gap row has no
+    well-defined streaming meaning until the watermark closes the
+    buckets around it, and locf/interp read neighbors in both
+    directions — run ``resample`` (or its fill windows) over this
+    stream's sink periodically, exactly the gate-signals-stream/
+    corpus-stages-batch split the funnel uses.
+
+    Numeric-epoch (raw integer) timestamps are out of scope here:
+    event-time streaming requires a real timestamp column for the
+    watermark; cast upstream (``timestamp_micros``) before streaming.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if aggs is None:
+        aggs = {"n": F.count(F.lit(1))}
+        if "value" in events.columns:
+            aggs["v"] = F.avg("value")
+    step_us = int(step_seconds) * 1_000_000
+    win = F.window(F.col(ts_col), f"{int(step_seconds)} seconds")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(k) for k in keys], win.alias("__w"))
+        .agg(*[a.alias(n) for n, a in aggs.items()])
+        .withColumn(
+            "bucket",
+            F.floor(F.unix_micros(F.col("__w.start")) / step_us).cast("long"),
+        )
+        .withColumn("bucket_ts", F.col("__w.start"))
+        .drop("__w")
+    )

@@ -722,3 +722,50 @@ def test_interval_enrich_stream_equals_batch(spark, events, tmp_path):
         ).collect()
     )
     assert sorted(collected) == batch and batch
+
+
+def test_resample_stream_equals_batch_binned(spark, tmp_path, events):
+    """resample_stream ≡ the batch resample's OBSERVED (non-gap) rows
+    on the same fixture, replayed unordered in several micro-batches —
+    tumbling windows align to the epoch, so bucket ids match the batch
+    floor(epoch_us / step) bit-for-bit.  Complete mode + a watermark
+    beyond the fixture span make the bounded comparison exact."""
+    from fabstir_vectordb_spark.operators.timeseries import resample
+
+    ev = events.limit(4000).select("user_id", "ts", "value")
+    src = tmp_path / "rs_src"
+    ev.repartition(6).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    aggs = lambda: {"n": F.count(F.lit(1)), "v": F.avg("value")}  # noqa: E731
+    q = (
+        SI.resample_stream(
+            stream, "user_id", "ts", 21600,
+            watermark="3650 days", aggs=aggs(),
+        )
+        .writeStream.format("memory")
+        .queryName("rs_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["bucket"], r["n"], round(r["v"], 6),
+         r["bucket_ts"])
+        for r in spark.table("rs_stream").collect()
+    }
+    batch = resample(
+        ev.withColumn("ts", F.col("ts").cast("timestamp")),
+        "user_id", "ts", 21600, aggs=aggs(),
+    ).filter(~F.col("is_gap"))
+    expect = {
+        (r["user_id"], r["bucket"], r["n"], round(r["v"], 6),
+         r["bucket_ts"])
+        for r in batch.collect()
+    }
+    assert got == expect
