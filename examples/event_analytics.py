@@ -8,6 +8,9 @@ Covers the round-6/7 temporal tier the way a user would reach it:
   4. the ASOF JOIN statement form (Spark has no such keyword; the
      rewriter turns it into the single-exchange plan)
   5. point-in-interval range join via the canonical BETWEEN statement
+  6. resample onto a dense aligned grid + locf/interp gap-fill
+  7. the rollup report card with HLL distinct-user counts (two-phase
+     plan: Expand sees dim combos, never the raw scan)
 
 Run:  python examples/event_analytics.py
 (uses the sf0.001 fixture tables; finishes in ~1 min on local[8])
@@ -142,6 +145,40 @@ def main(spark: SparkSession) -> dict:
     )
     out["events_assigned"] = assigned.count()
     assert out["events_assigned"] == events.count()
+
+    # --- 6. resample onto a dense grid + gap-fill -----------------------
+    from fabstir_vectordb_spark.operators.timeseries import resample
+
+    hourlyish = resample(
+        events, "user_id", "ts", step_seconds=6 * 3600,
+        aggs={"n": F.count(F.lit(1)), "v": F.avg("value")},
+        fill={"v": ("locf", "interp"), "n": ("zero",)},
+        # pin the window: aligned grids per user, sentinel-proof
+        grid_start="2024-01-01", grid_end="2024-01-07",
+    )
+    out["grid_rows"] = hourlyish.count()
+    out["grid_gaps"] = hourlyish.filter("is_gap").count()
+    # every user shares the same 6h grid over the pinned window:
+    # 6 full days x 4 buckets + the Jan-7 00:00 bucket (bounds are
+    # inclusive at bucket granularity) = 25 buckets per user
+    assert out["grid_rows"] % 25 == 0
+
+    # --- 7. the corpus report card: rollup with distinct counts ---------
+    from fabstir_vectordb_spark.operators.olap import grouped_report
+
+    report = grouped_report(
+        events.withColumn("hour", F.hour("ts").cast("string")),
+        ["event_type", "hour"],
+        {
+            "n": ("count", None),
+            "users": ("approx_distinct", "user_id"),  # mergeable HLL
+            "v_sum": ("sum", "value"),
+        },
+        mode="rollup",  # pre_aggregate=True: Expand sees dim combos,
+    )                   # never the raw scan — the 100 TB path
+    out["report_rows"] = report.count()
+    grand = report.filter("g_event_type = 1 AND g_hour = 1").first()
+    out["distinct_users_total"] = grand["users"]
 
     return out
 
