@@ -523,10 +523,16 @@ def range_join(
     ``bucket_seconds=None`` (the default) auto-tunes: the median
     interval length of the actual data, snapped to a fixed grid
     (plans/tuning.tune_range) — one extra aggregate job per side at
-    plan time, nothing per-query.  Pass an explicit width to skip the
-    measurement (e.g. when the typical interval length is known or the
-    same tables join repeatedly).  Any width computes the same answer;
-    this knob is purely about replication vs candidate-set size.
+    plan time, nothing per-query.  The same measurement also SELF-ARMS
+    ``long_interval_buckets`` when the p99 interval span exceeds
+    LONG_TAIL_BUCKETS buckets (the year-long "no expiry" shape) and
+    the caller left it None — answers are identical either way, so
+    auto mode simply refuses to let one pathological row replicate
+    unboundedly.  Pass an explicit width to skip the measurement (e.g.
+    when the typical interval length is known or the same tables join
+    repeatedly); explicit values pin both knobs.  Any width computes
+    the same answer; these knobs are purely about replication vs
+    candidate-set size.
 
     Numeric-epoch mode: when ts/start/end are ALL integer columns
     (epoch seconds, micros, nanos — any unit), buckets come from the
@@ -567,10 +573,18 @@ def range_join(
     if bucket_seconds is None:
         from fabstir_vectordb_spark.plans.tuning import tune_range
 
-        bucket_seconds = tune_range(
+        plan = tune_range(
             points, intervals, keys,
             ts_col=ts_col, start_col=start_col, end_col=end_col,
-        ).bucket_seconds
+        )
+        bucket_seconds = plan.bucket_seconds
+        # auto mode also self-arms the long-tail stratification when
+        # the tuner's p99 span measurement says the tail is
+        # pathological (> LONG_TAIL_BUCKETS buckets per row) — answers
+        # identical either way, replication bounded.  An explicit
+        # long_interval_buckets (or explicit bucket_seconds) pins it.
+        if long_interval_buckets is None:
+            long_interval_buckets = plan.long_interval_buckets
     tx = (lambda c: F.col(c).cast("long")) if raw else _micros
     b_u = int(bucket_seconds) * (1 if raw else 1_000_000)
     intervals = intervals.filter(tx(start_col) <= tx(end_col))
@@ -637,7 +651,10 @@ def interval_join(
     nearest the geometric mean of the two sides' median interval
     lengths (one aggregate per side at plan time) — the same
     "bucket near the typical length" rule as range_join, balanced so
-    neither side over-replicates.  Numeric-epoch mode as in range_join:
+    neither side over-replicates — and the same measurement SELF-ARMS
+    ``long_interval_buckets`` when either side's p99 span exceeds
+    LONG_TAIL_BUCKETS buckets (answers identical; see range_join).
+    Numeric-epoch mode as in range_join:
     ALL-integer bounds bucket on the raw integers, ``bucket_seconds``
     reads in the raw unit, and the auto-tuner snaps to the 1-2-5 decade
     ladder.
@@ -672,12 +689,17 @@ def interval_join(
     left = left.filter(tx(left_start) <= tx(left_end))
     right = right.filter(tx(right_start) <= tx(right_end))
     if bucket_seconds is None:
-        from fabstir_vectordb_spark.plans.tuning import tune_overlap_bucket
+        from fabstir_vectordb_spark.plans.tuning import tune_overlap
 
-        bucket_seconds = tune_overlap_bucket(
+        bucket_seconds, auto_tail = tune_overlap(
             left, right,
             (left_start, left_end), (right_start, right_end),
         )
+        # auto mode self-arms the stratification on a measured
+        # pathological p99 tail, as in range_join — identical answers,
+        # bounded replication; explicit args pin both knobs
+        if long_interval_buckets is None:
+            long_interval_buckets = auto_tail
     b_u = int(bucket_seconds) * (1 if raw else 1_000_000)
     overlaps = (tx(left_start) <= tx(right_end)) & (
         tx(right_start) <= tx(left_end)

@@ -143,6 +143,13 @@ _RAW_GRID = tuple(
 
 
 
+# an interval spanning more than this many buckets routes through the
+# native stratification leg when the TUNER arms it (auto mode): the
+# round-9 long-interval study measured a 175x replication collapse /
+# 16.7x wall with per-row replication bounded here
+LONG_TAIL_BUCKETS = 64
+
+
 @dataclass
 class RangePlan:
     """Physical-strategy decision for a point-in-interval join — the
@@ -153,6 +160,10 @@ class RangePlan:
     points_per_key: float
     median_interval_seconds: float
     reason: str
+    # set (to LONG_TAIL_BUCKETS) when the measured p99 interval span
+    # exceeds that many buckets — the long-tail datum's boundary; None
+    # when the tail is benign and stratification would buy nothing
+    long_interval_buckets: int | None = None
 
 
 def tune_range(
@@ -213,16 +224,37 @@ def tune_range(
     i = intervals.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(key_expr).alias("keys"),
-        F.percentile_approx(span, F.lit(0.5), F.lit(1000)).alias("med_len"),
+        # median sizes the bucket; p99 arms the long-tail leg — one
+        # sketch pass measures both
+        F.percentile_approx(
+            span, F.array(F.lit(0.5), F.lit(0.99)), F.lit(1000)
+        ).alias("lens"),
     ).first()
     p = points.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(key_expr).alias("keys"),
     ).first()
-    med = float(i["med_len"]) if i["med_len"] is not None else fallback
+    lens = i["lens"]
+    med = float(lens[0]) if lens and lens[0] is not None else fallback
+    p99 = float(lens[1]) if lens and lens[1] is not None else med
     bucket = min(
         grid,
         key=lambda b: abs(math.log(b) - math.log(max(med, 1.0))),
+    )
+    # arm the stratification only when the measured tail is truly
+    # pathological: a p99 interval spanning more than LONG_TAIL_BUCKETS
+    # buckets would replicate each such row that much (the year-long
+    # "no expiry" shape); answers are identical either way, so this
+    # only bounds replication
+    long_tail = (
+        LONG_TAIL_BUCKETS if p99 / max(bucket, 1) > LONG_TAIL_BUCKETS
+        else None
+    )
+    tail_note = (
+        f"; p99 interval {p99:.0f}s spans >{LONG_TAIL_BUCKETS} buckets "
+        f"=> long-tail stratification armed at {LONG_TAIL_BUCKETS}"
+        if long_tail
+        else ""
     )
     ppk = p["n"] / max(p["keys"] or 0, 1)
     if p["n"] == 0 or i["n"] == 0:
@@ -231,32 +263,43 @@ def tune_range(
             "degenerate input (an empty side): nothing to bucket",
         )
     if ppk <= RANGE_DENSITY_CROSSOVER:
+        # the tail measurement still rides along: strategy is advisory
+        # (range_join buckets in auto mode regardless), so a caller
+        # that buckets anyway must still see the armed stratification
         return RangePlan(
             "native", bucket, ppk, med,
             f"{ppk:.0f} points/key <= crossover "
             f"{RANGE_DENSITY_CROSSOVER}: native pair enumeration is "
-            "cheap and skips the bucket explode",
+            "cheap and skips the bucket explode" + tail_note,
+            long_interval_buckets=long_tail,
         )
     return RangePlan(
         "bucketed", bucket, ppk, med,
         f"{ppk:.0f} points/key > crossover {RANGE_DENSITY_CROSSOVER}: "
         "native per-key pair enumeration is quadratic; bucketed is "
-        f"~linear (median interval {med:.0f}s => {bucket}s buckets)",
+        f"~linear (median interval {med:.0f}s => {bucket}s buckets)"
+        + tail_note,
+        long_interval_buckets=long_tail,
     )
 
 
-def tune_overlap_bucket(
+def tune_overlap(
     left,
     right,
     left_cols: tuple[str, str],
     right_cols: tuple[str, str],
-) -> int:
-    """Bucket width for interval_join: the grid value nearest (in log
-    space) the GEOMETRIC MEAN of the two sides' median interval
-    lengths — the "bucket near the typical length" rule balanced so
-    neither side over-replicates (a bucket sized to one side's short
-    intervals would explode the other side's long ones).  One aggregate
-    per side at plan time, same cost contract as tune_range."""
+) -> tuple[int, int | None]:
+    """(bucket_seconds, long_interval_buckets) for interval_join.
+
+    Bucket width: the grid value nearest (in log space) the GEOMETRIC
+    MEAN of the two sides' median interval lengths — the "bucket near
+    the typical length" rule balanced so neither side over-replicates
+    (a bucket sized to one side's short intervals would explode the
+    other side's long ones).  The same sketch pass also measures each
+    side's p99 span; when EITHER side's p99 exceeds LONG_TAIL_BUCKETS
+    buckets, the second element arms the stratification (answers
+    identical, replication bounded), else None.  One aggregate per
+    side at plan time, same cost contract as tune_range."""
     import math
 
     from pyspark.sql import functions as F
@@ -268,7 +311,7 @@ def tune_overlap_bucket(
         for c in cols
     )
 
-    def med(df, s, e):
+    def med_p99(df, s, e):
         if raw:
             span = (F.col(e) - F.col(s)).cast("double")
         else:
@@ -277,17 +320,37 @@ def tune_overlap_bucket(
                 - F.unix_micros(F.col(s).cast("timestamp"))
             ) / 1e6
         row = df.agg(
-            F.percentile_approx(span, F.lit(0.5), F.lit(1000)).alias("m")
+            F.percentile_approx(
+                span, F.array(F.lit(0.5), F.lit(0.99)), F.lit(1000)
+            ).alias("m")
         ).first()
-        if row["m"] is not None:
-            return float(row["m"])
-        return 1.0 if raw else 3600.0
+        lens = row["m"]
+        if lens is not None and lens[0] is not None:
+            return float(lens[0]), float(lens[1])
+        fb = 1.0 if raw else 3600.0
+        return fb, fb
 
-    target = math.sqrt(
-        max(med(left, *left_cols), 1.0) * max(med(right, *right_cols), 1.0)
-    )
+    lm, lp99 = med_p99(left, *left_cols)
+    rm, rp99 = med_p99(right, *right_cols)
+    target = math.sqrt(max(lm, 1.0) * max(rm, 1.0))
     grid = _RAW_GRID if raw else _BUCKET_GRID
-    return min(grid, key=lambda b: abs(math.log(b) - math.log(target)))
+    bucket = min(grid, key=lambda b: abs(math.log(b) - math.log(target)))
+    long_tail = (
+        LONG_TAIL_BUCKETS
+        if max(lp99, rp99) / max(bucket, 1) > LONG_TAIL_BUCKETS
+        else None
+    )
+    return bucket, long_tail
+
+
+def tune_overlap_bucket(
+    left,
+    right,
+    left_cols: tuple[str, str],
+    right_cols: tuple[str, str],
+) -> int:
+    """Back-compat wrapper: tune_overlap's bucket width alone."""
+    return tune_overlap(left, right, left_cols, right_cols)[0]
 
 
 @dataclass

@@ -349,3 +349,83 @@ def test_range_join_auto_bucket_matches_explicit(spark):
         ).collect()
     )
     assert auto == explicit and auto  # non-empty and identical
+
+
+def test_tune_range_arms_long_tail_on_pathological_p99(spark):
+    """Auto mode measures the p99 interval span alongside the median:
+    a benign fixture leaves long_interval_buckets None; planting a few
+    year-long 'no expiry' rows (>1% of the table so p99 sees them)
+    arms it at LONG_TAIL_BUCKETS."""
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.plans.tuning import (
+        LONG_TAIL_BUCKETS,
+        tune_range,
+        tune_overlap,
+    )
+
+    def mk(n_iv, length_s):
+        base = F.lit(1_700_000_000_000_000)
+        ivs = spark.range(n_iv).select(
+            (F.col("id") % 20).alias("user_id"),
+            F.timestamp_micros(base + F.col("id") * 1_000_000_000).alias("start"),
+            F.timestamp_micros(
+                base + F.col("id") * 1_000_000_000 + length_s * 1_000_000
+            ).alias("end"),
+        )
+        pts = spark.range(4000).select(
+            (F.col("id") % 20).alias("user_id"),
+            F.timestamp_micros(base + F.col("id") * 500_000_000).alias("ts"),
+        )
+        return pts, ivs
+
+    pts, benign = mk(400, 900)
+    assert tune_range(pts, benign, "user_id").long_interval_buckets is None
+
+    year = 365 * 86_400
+    outliers = mk(8, year)[1]  # 8 of 408 rows > p99 threshold
+    mixed = benign.unionByName(outliers)
+    plan = tune_range(pts, mixed, "user_id")
+    assert plan.long_interval_buckets == LONG_TAIL_BUCKETS
+    assert "long-tail" in plan.reason
+
+    # overlap tuner: same arming from EITHER side's p99
+    b, tail = tune_overlap(
+        mixed, benign, ("start", "end"), ("start", "end")
+    )
+    assert tail == LONG_TAIL_BUCKETS
+    b2, tail2 = tune_overlap(
+        benign, benign, ("start", "end"), ("start", "end")
+    )
+    assert tail2 is None and b2 == b  # bucket from medians, unchanged
+
+
+def test_range_join_auto_mode_with_long_tail_matches_explicit(spark):
+    """Auto-armed stratification returns exactly the rows the plain
+    bucketed join returns on a fixture with year-long outliers."""
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.operators.temporal import range_join
+
+    base = F.lit(1_700_000_000_000_000)
+    ivs = spark.range(300).select(
+        (F.col("id") % 10).alias("user_id"),
+        F.col("id").alias("iv_id"),
+        F.timestamp_micros(base + F.col("id") * 1_000_000_000).alias("start"),
+        F.timestamp_micros(
+            base + F.col("id") * 1_000_000_000
+            + F.when(F.col("id") % 50 == 0, 365 * 86_400_000_000)
+            .otherwise(900 * 1_000_000)
+        ).alias("end"),
+    )
+    pts = spark.range(2000).select(
+        (F.col("id") % 10).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(base + F.col("id") * 400_000_000).alias("ts"),
+    )
+    auto = range_join(pts, ivs, on="user_id")  # tuner decides both knobs
+    plain = range_join(pts, ivs, on="user_id", bucket_seconds=900)
+    key = lambda r: (r["event_id"], r["iv_id"])  # noqa: E731
+    assert sorted(map(key, auto.collect())) == sorted(
+        map(key, plain.collect())
+    )
