@@ -3493,6 +3493,12 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       asof / range   — the temporal joins (operators/temporal.py):
                        as-of click→view vs DuckDB's NATIVE ASOF JOIN;
                        bucketed point-in-interval session assignment
+      funnel         — first-touch conversion funnel (operators/
+                       funnel.py): view→click→purchase per user inside
+                       a 1-day window anchored at the first view,
+                       computed by the one-exchange sorted-timeline
+                       fold vs DuckDB's chained-minimum CTEs — two
+                       INDEPENDENT formulations of the same spec
       stream_session — a REAL Structured Streaming run of
                        sessionize_stream (streaming/ingest.py,
                        session_window merging-session state) over the
@@ -3515,6 +3521,8 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       asof:    key=left event_id, ref=matched event_id or 'none',
                x1=matched value or -1
       range:   key=event_id, ref=session_id, x1=1
+      funnel:  key=user_id, ref='', n=depth, x1/x2/x3=matched step
+               epoch micros or -1 (micros < 2^53, exact in double)
       stream_session: key='<user>@<start_us>', ref=user_id,
                n=n_events, x1=duration_us
     Unused slots are 0/''. Every mapping is injective per part, so the
@@ -3549,6 +3557,27 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         zd.alias("x2"),
         zd.alias("x3"),
     )
+    from fabstir_vectordb_spark.operators.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    fu = funnel(
+        ev,
+        "user_id",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window_seconds=86400,
+    ).select(
+        F.lit("funnel").alias("part"),
+        F.col("user_id").cast("string").alias("key"),
+        F.lit("").alias("ref"),
+        F.col("depth").cast("long").alias("n"),
+        F.coalesce(F.col("t1"), F.lit(-1)).cast("double").alias("x1"),
+        F.coalesce(F.col("t2"), F.lit(-1)).cast("double").alias("x2"),
+        F.coalesce(F.col("t3"), F.lit(-1)).cast("double").alias("x3"),
+    )
     ss = q_stream_sessions(spark, sf_dir).select(
         F.lit("stream_session").alias("part"),
         F.concat_ws(
@@ -3561,7 +3590,7 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         zd.alias("x2"),
         zd.alias("x3"),
     )
-    return p.unionByName(s).unionByName(t).unionByName(ss)
+    return p.unionByName(s).unionByName(t).unionByName(fu).unionByName(ss)
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6516,6 +6545,49 @@ UNION ALL
 SELECT part, CAST(id AS VARCHAR) AS key, ref, CAST(0 AS BIGINT) AS n,
        score AS x1, 0.0 AS x2, 0.0 AS x3
 FROM ({_ORACLES["event_asof"]})
+UNION ALL
+-- first-touch funnel by CHAINED-MINIMUM CTEs: t1 = earliest view,
+-- t2 = earliest click in [t1, t1+W], t3 = earliest purchase in
+-- [t2, t1+W] — the closed-form equivalent of the Spark side's
+-- sorted-timeline greedy fold (operators/funnel.py docstring proof)
+SELECT 'funnel' AS part, CAST(b.user_id AS VARCHAR) AS key, '' AS ref,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n,
+       CAST(COALESCE(t1, -1) AS DOUBLE) AS x1,
+       CAST(COALESCE(t2, -1) AS DOUBLE) AS x2,
+       CAST(COALESCE(t3, -1) AS DOUBLE) AS x3
+FROM (SELECT DISTINCT user_id FROM events
+      WHERE ts IS NOT NULL
+        AND event_type IN ('view', 'click', 'purchase')) b
+LEFT JOIN (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+           WHERE ts IS NOT NULL AND event_type = 'view'
+           GROUP BY user_id) s1 USING (user_id)
+LEFT JOIN (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+           JOIN (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                 WHERE ts IS NOT NULL AND event_type = 'view'
+                 GROUP BY user_id) s USING (user_id)
+           WHERE e.ts IS NOT NULL AND e.event_type = 'click'
+             AND epoch_us(e.ts) >= s.t1
+             AND epoch_us(e.ts) <= s.t1 + 86400000000
+           GROUP BY e.user_id) s2 USING (user_id)
+LEFT JOIN (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+           JOIN (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                 WHERE ts IS NOT NULL AND event_type = 'view'
+                 GROUP BY user_id) s USING (user_id)
+           JOIN (SELECT e2.user_id, min(epoch_us(e2.ts)) AS t2
+                 FROM events e2
+                 JOIN (SELECT user_id, min(epoch_us(ts)) AS t1
+                       FROM events
+                       WHERE ts IS NOT NULL AND event_type = 'view'
+                       GROUP BY user_id) s3 USING (user_id)
+                 WHERE e2.ts IS NOT NULL AND e2.event_type = 'click'
+                   AND epoch_us(e2.ts) >= s3.t1
+                   AND epoch_us(e2.ts) <= s3.t1 + 86400000000
+                 GROUP BY e2.user_id) c USING (user_id)
+           WHERE e.ts IS NOT NULL AND e.event_type = 'purchase'
+             AND epoch_us(e.ts) >= c.t2
+             AND epoch_us(e.ts) <= s.t1 + 86400000000
+           GROUP BY e.user_id) s3 USING (user_id)
 UNION ALL
 SELECT 'stream_session' AS part,
        concat(CAST(user_id AS VARCHAR), '@', CAST(start_us AS VARCHAR)) AS key,

@@ -1,0 +1,211 @@
+"""Ordered conversion-funnel analysis: how deep into a step sequence
+each key (user) gets, and when.
+
+``funnel`` answers the classic product-analytics question — "of the
+users who SEARCHED, how many then CLICKED, then PURCHASED, within an
+hour of the first search?" — the operator ClickHouse ships as
+``windowFunnel`` and every event warehouse reimplements.  Semantics
+here are the deterministic FIRST-TOUCH chain, chosen because it is
+exactly replayable in ANSI SQL (the certification path):
+
+  t1 = the key's EARLIEST step-1 event;
+  t_i = the earliest step-i event with ``ts >= t_{i-1}``
+        (and ``ts <= t1 + window_seconds`` when a window is given —
+        the window anchors at the chain's first touch, ClickHouse's
+        reading);
+  depth = the largest i reached.  Boundaries are inclusive: an event
+  at exactly ``t_{i-1}`` (or exactly ``t1 + window``) counts, so two
+  steps may share one timestamp — or one physical event satisfying
+  two consecutive step predicates may advance both.  This non-strict
+  reading is the default windowFunnel contract; dedupe or perturb
+  timestamps upstream for strict variants.
+
+First-touch greedy IS the chained-minimum: advancing from the
+earliest valid t_i never forecloses a later step that some other
+choice of t_i would reach *within the same t1-anchored window*, since
+any event usable from a later t_i is also at-or-after the earliest
+one.  (Depth-MAXIMIZING funnels over all possible anchors are a
+different operator: a later t1 can open a later window.  First-touch
+is the common reporting semantics and the one with a closed-form SQL
+oracle.)
+
+Spark plan, one exchange end-to-end:
+
+  1. Map side: each event is tagged with the step indices it
+     satisfies (a literal array of ``when`` expressions + explode);
+     events matching NO step are dropped BEFORE the shuffle and the
+     survivors are projected to slim (keys, ts_micros, step) rows —
+     at 100 TB the funnel events are typically a sliver of the
+     event table, and only that sliver ever moves.
+  2. One groupBy on the keys: ``sort_array(collect_list(struct(ts,
+     step)))`` then a single ``F.aggregate`` fold walks the key's
+     timeline once, appending a step's timestamp to the chain array
+     whenever it is the next step needed, at-or-after the previous
+     match, and inside the window.  Pure column expressions inside
+     whole-stage codegen — no UDF, no Python in the hot path.
+
+Skew boundary, stated honestly: the per-key state is the key's list
+of STEP-MATCHING events (never the full event list).  A key with
+10^7 matching events serializes in one task like any per-key
+aggregate; cap or pre-thin such keys upstream (``cap_per_group``) —
+for step 1 only the minimum matters, but later steps legitimately
+depend on every occurrence, so the operator does not thin silently.
+
+Numeric-epoch mode as in operators/temporal.py: an all-integer
+``ts_col`` orders on the raw integers (no timestamp cast) and
+``window_seconds`` is read in the column's raw unit.
+
+Reference parity: none (no event-analytics surface in the
+reference); extension-axis with operators/stats.py sessionization
+and operators/temporal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.operators.temporal import _raw_time_mode
+
+__all__ = ["funnel", "funnel_summary"]
+
+
+def funnel(
+    events: DataFrame,
+    on: str | list[str],
+    steps: list[Column],
+    ts_col: str = "ts",
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """First-touch funnel per key (see module docstring for the exact
+    chain semantics).
+
+    ``steps``  ordered boolean Columns over ``events``'s columns, one
+               per funnel step (2..8 steps).
+    ``window_seconds``  optional cap: every matched step must land at
+               or before ``t1 + window_seconds`` (raw units for an
+               integer ``ts_col``).  None = unbounded.
+
+    Output: one row per key that matched AT LEAST ONE step predicate
+    (keys with no funnel activity at all are absent — join back to a
+    key dimension for the zero row), with
+
+      keys..., depth (int, 0..len(steps)),
+      t1..t<k> (epoch micros — or raw integers in numeric-epoch
+      mode — of each matched step; NULL beyond ``depth``).
+
+    Rows whose timestamp is NULL (or casts to NULL) are dropped up
+    front, as in asof_join: they order nowhere on the timeline.
+    """
+    k = len(steps)
+    if not 2 <= k <= 8:
+        raise ValueError(f"funnel needs 2..8 steps; got {k}")
+    if window_seconds is not None and int(window_seconds) <= 0:
+        raise ValueError(
+            f"window_seconds must be positive; got {window_seconds}"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    taken = {"depth", *[f"t{i}" for i in range(1, k + 1)]} & set(keys)
+    if taken:
+        raise ValueError(
+            f"key column(s) {sorted(taken)} collide with the output "
+            "depth/t<i> columns; rename the keys first"
+        )
+
+    raw = _raw_time_mode((events, [ts_col]))
+    tsu = (
+        F.col(ts_col).cast("long")
+        if raw
+        else F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    win_u = (
+        None
+        if window_seconds is None
+        else int(window_seconds) * (1 if raw else 1_000_000)
+    )
+
+    # map side: tag + explode the step indices each event satisfies,
+    # drop non-matching events BEFORE the shuffle, project slim rows
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(p, F.lit(i + 1).cast("int"))
+                for i, p in enumerate(steps)
+            ]
+        )
+    )
+    slim = (
+        events.filter(tsu.isNotNull())
+        .select(*keys, tsu.alias("__tsu"), F.explode(tags).alias("__step"))
+    )
+
+    # one exchange: per key, walk the sorted (ts, step) timeline once.
+    # The accumulator is the chain array of matched timestamps; a row
+    # extends it when it is the NEXT step, at-or-after the previous
+    # match, and inside the t1-anchored window.  Ties sort by step
+    # ascending, so equal-timestamp events advance deterministically
+    # in step order (the inclusive >= makes them eligible).
+    timeline = F.sort_array(
+        F.collect_list(F.struct(F.col("__tsu").alias("t"), F.col("__step").alias("s")))
+    )
+    def _fold(acc: Column, e: Column) -> Column:
+        eligible = (
+            (e["s"] == F.size(acc) + 1)
+            & ((F.size(acc) == 0) | (e["t"] >= F.try_element_at(acc, F.lit(-1))))
+        )
+        if win_u is not None:
+            eligible = eligible & (
+                (F.size(acc) == 0)
+                | (e["t"] <= F.try_element_at(acc, F.lit(1)) + F.lit(win_u))
+            )
+        return F.when(eligible, F.concat(acc, F.array(e["t"]))).otherwise(acc)
+
+    chain = F.aggregate(
+        timeline, F.array().cast("array<long>"), _fold
+    ).alias("__chain")
+    grouped = slim.groupBy(*keys).agg(chain)
+    return grouped.select(
+        *keys,
+        F.size("__chain").alias("depth"),
+        *[
+            F.try_element_at("__chain", F.lit(i)).alias(f"t{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+
+
+def funnel_summary(per_key: DataFrame, n_steps: int) -> DataFrame:
+    """Fold a :func:`funnel` result into the report shape: one row per
+    step with ``reached`` = keys whose depth is at least that step and
+    ``conversion`` = reached / previous step's reached (step 1 divides
+    by the total key count, i.e. every key with any funnel activity;
+    NULL when the denominator is 0).  ONE aggregate over the per-key
+    frame, then ``n_steps`` literal rows — nothing scales with keys."""
+    row = per_key.agg(
+        F.count(F.lit(1)).alias("__n0"),
+        *[
+            F.sum((F.col("depth") >= i).cast("long")).alias(f"__n{i}")
+            for i in range(1, n_steps + 1)
+        ],
+    )
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("step"),
+                        F.col(f"__n{i}").alias("reached"),
+                        F.col(f"__n{i - 1}").alias("__prev"),
+                    )
+                    for i in range(1, n_steps + 1)
+                ]
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.step").alias("step"),
+        F.col("s.reached").alias("reached"),
+        F.when(
+            F.col("s.__prev") > 0,
+            F.col("s.reached").cast("double") / F.col("s.__prev"),
+        ).alias("conversion"),
+    )

@@ -1,0 +1,146 @@
+"""Funnel analysis: the one-exchange fold plan must reproduce a
+pure-Python reference of the first-touch chain spec — t1 = earliest
+step-1 event, t_i = earliest step-i event at-or-after t_{i-1}, every
+match inside the t1-anchored window — for ANY small event set,
+including timestamp ties, events matching several steps, and keys
+missing early steps."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.operators.funnel import funnel, funnel_summary
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(seconds):
+    return T0 + dt.timedelta(seconds=int(seconds))
+
+
+def _reference(rows, n_steps, window):
+    """{key: [t1, t2, ...]} by the first-touch chain spec; rows are
+    (key, sec, step_set)."""
+    out = {}
+    for key in {r[0] for r in rows if r[2]}:
+        evs = sorted(
+            (sec, step)
+            for k, sec, steps in rows
+            if k == key
+            for step in steps
+        )
+        chain = []
+        for sec, step in evs:
+            if step != len(chain) + 1:
+                continue
+            if chain and sec < chain[-1]:
+                continue
+            if window is not None and chain and sec > chain[0] + window:
+                continue
+            chain.append(sec)
+        out[key] = chain
+    return out
+
+
+_key = st.integers(min_value=0, max_value=2)
+_sec = st.integers(min_value=0, max_value=40)
+_steps = st.sets(st.integers(min_value=1, max_value=3), max_size=3)
+_rows = st.lists(st.tuples(_key, _sec, _steps), min_size=1, max_size=14)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rows, window=st.one_of(st.none(), st.integers(5, 30)))
+def test_funnel_matches_reference(spark, rows, window):
+    df = spark.createDataFrame(
+        [(k, _ts(sec), bool(s & {1}), bool(s & {2}), bool(s & {3}))
+         for k, sec, s in rows],
+        "k long, ts timestamp, p1 boolean, p2 boolean, p3 boolean",
+    )
+    got = {
+        r["k"]: [t for t in (r["t1"], r["t2"], r["t3"]) if t is not None]
+        for r in funnel(
+            df, "k", [F.col("p1"), F.col("p2"), F.col("p3")],
+            window_seconds=window,
+        ).collect()
+    }
+    want = {
+        k: [int(T0.replace(tzinfo=dt.timezone.utc).timestamp() + s) * 1_000_000
+            for s in chain]
+        for k, chain in _reference(rows, 3, window).items()
+    }
+    assert got == want
+
+
+def test_funnel_basics_and_summary(spark):
+    rows = [
+        (1, _ts(0), "search"), (1, _ts(10), "click"), (1, _ts(20), "buy"),
+        (2, _ts(0), "click"), (2, _ts(30), "search"),
+        (3, _ts(0), "search"), (3, _ts(60), "click"),
+        (4, _ts(5), "buy"),
+        (5, _ts(0), "view"),  # no funnel activity at all -> absent
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    steps = [F.col("et") == "search", F.col("et") == "click",
+             F.col("et") == "buy"]
+    r = funnel(df, "user_id", steps, window_seconds=50)
+    by_user = {x["user_id"]: x["depth"] for x in r.collect()}
+    assert by_user == {1: 3, 2: 1, 3: 1, 4: 0}
+    # the window is what cut user 3; unbounded reaches depth 2
+    r2 = funnel(df, "user_id", steps)
+    assert {x["user_id"]: x["depth"] for x in r2.collect()}[3] == 2
+    summ = {x["step"]: (x["reached"], x["conversion"])
+            for x in funnel_summary(r, 3).collect()}
+    assert summ[1] == (3, 0.75)          # 3 of 4 active users searched
+    assert summ[2] == (1, pytest.approx(1 / 3))
+    assert summ[3] == (1, 1.0)
+
+
+def test_funnel_null_ts_dropped_and_numeric_epoch(spark):
+    df = spark.createDataFrame(
+        [(1, 100, "a"), (1, None, "b"), (1, 200, "b")],
+        "k long, tsec int, et string",
+    )
+    r = funnel(
+        df, "k", [F.col("et") == "a", F.col("et") == "b"],
+        ts_col="tsec", window_seconds=150,
+    ).collect()
+    # raw units: t columns come back as the raw integers, the NULL-ts
+    # 'b' row is dropped, and window_seconds reads in the raw unit
+    assert [(x["depth"], x["t1"], x["t2"]) for x in r] == [(2, 100, 200)]
+
+
+def test_funnel_multikey_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "x", _ts(0), "a"), (1, "y", _ts(0), "b"), (1, "x", _ts(5), "b")],
+        "k long, g string, ts timestamp, et string",
+    )
+    steps = [F.col("et") == "a", F.col("et") == "b"]
+    r = {(x["k"], x["g"]): x["depth"]
+         for x in funnel(df, ["k", "g"], steps).collect()}
+    assert r == {(1, "x"): 2, (1, "y"): 0}
+    with pytest.raises(ValueError, match="2..8 steps"):
+        funnel(df, "k", [F.col("et") == "a"])
+    with pytest.raises(ValueError, match="window_seconds"):
+        funnel(df, "k", steps, window_seconds=0)
+    with pytest.raises(ValueError, match="collide"):
+        funnel(df.withColumnRenamed("g", "depth"), ["k", "depth"], steps)
+
+
+def test_funnel_plan_single_exchange_no_udf(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), "a")], "k long, ts timestamp, et string"
+    )
+    plan = funnel(
+        df, "k", [F.col("et") == "a", F.col("et") == "b"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
