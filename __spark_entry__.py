@@ -961,6 +961,14 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc_direct  the SAME report via Spark's direct single-pass
                   Expand plan — identical rows (modulo part) prove
                   the two-phase rewrite exact cross-engine.
+      doc_incr    the SAME report a third way: INCREMENTAL
+                  maintenance (summarize each of 3 disjoint chunks,
+                  merge_summaries, report_from_summary) — certifying
+                  the materialized-summary algebra end-to-end against
+                  DuckDB's one-shot ROLLUP over the full table.  The
+                  float sum re-orders across chunks, so x1/x2 are
+                  r6-rounded as in every float cell; n/chars are
+                  exact longs.
       doc_gsets   explicit GROUPING SETS ((lang),(source),()) — the
                   two marginals + grand total, no cross cells.
       li_cube     lineitem CUBE (l_returnflag, l_linestatus): n,
@@ -1005,6 +1013,29 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc_rollup = _docpart("doc_rollup", mode="rollup")
     doc_direct = _docpart("doc_direct", mode="rollup", pre_aggregate=False)
+    # the same report a third way: incremental summaries over three
+    # disjoint chunks, merged, then phase-2 only — n_chars is integral
+    # so every partial (count/sum) is exact whatever the chunking
+    from fabstir_vectordb_spark.operators.olap import (
+        merge_summaries, report_from_summary, summarize,
+    )
+
+    chunked = docs.withColumn("__chunk", F.abs(F.xxhash64("doc_id")) % 3)
+    merged = merge_summaries(
+        *[
+            summarize(
+                chunked.filter(F.col("__chunk") == i).drop("__chunk"),
+                ["lang", "source"], ms,
+            )
+            for i in range(3)
+        ]
+    )
+    doc_incr = _fmt(
+        report_from_summary(
+            merged, ["lang", "source"], ms, mode="rollup"
+        ).withColumn("x1", F.col("chars").cast("double")),
+        "doc_incr", "lang", "source", r6("avgc"),
+    )
     doc_gsets = _docpart(
         "doc_gsets", mode="grouping_sets",
         grouping_sets=[["lang"], ["source"], []],
@@ -1039,6 +1070,7 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         doc_rollup.unionByName(doc_direct)
+        .unionByName(doc_incr)
         .unionByName(doc_gsets)
         .unionByName(li_cube)
         .unionByName(li_cd)
@@ -6711,6 +6743,9 @@ _ORACLES["olap_report"] = f"""
               "ROLLUP(lang, source)", _OLAP_DOC_X1, _OLAP_DOC_X2)}
 UNION ALL
 {_olap_oracle("doc_direct", "documents", "lang", "source",
+              "ROLLUP(lang, source)", _OLAP_DOC_X1, _OLAP_DOC_X2)}
+UNION ALL
+{_olap_oracle("doc_incr", "documents", "lang", "source",
               "ROLLUP(lang, source)", _OLAP_DOC_X1, _OLAP_DOC_X2)}
 UNION ALL
 {_olap_oracle("doc_gsets", "documents", "lang", "source",

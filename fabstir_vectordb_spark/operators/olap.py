@@ -49,6 +49,27 @@ only reliable way to tell a subtotal row from a genuine NULL dimension
 value — the SQL-standard GROUPING() marker, same bit meaning as
 DuckDB's.
 
+**Incremental maintenance** (``summarize`` / ``merge_summaries`` /
+``report_from_summary``): the phase-1 frame is itself a mergeable
+artifact — a MATERIALIZED SUMMARY.  ``summarize`` builds it,
+``merge_summaries`` folds a new chunk's summary into an existing one
+(union + one re-aggregate over compact frames — each partial column
+carries its own merge rule in its name), and ``report_from_summary``
+is phase 2 alone.  The contract, pinned by test:
+
+    report_from_summary(merge_summaries(summarize(A), summarize(B)))
+        == grouped_report(A UNION B)
+
+so a 100 TB corpus report refreshes by summarizing ONLY the newly
+arrived partition and merging — the same incremental pattern as
+sources/ledger.py's dedup ledger, for aggregates.  The algebra is
+APPEND-ONLY: count/sum could retract, but min/max/HLL cannot, so
+deletes mean re-summarizing the affected chunk (keep per-chunk
+summaries and merge at report time when retraction matters).
+Summation order differs between the incremental and one-shot paths,
+so float sums agree only to ulp — exact types (counts, longs,
+decimals) are bit-identical; round floats at the report edge.
+
 Reference parity: none (the reference has no OLAP surface);
 extension-axis with operators/stats.py's grouped statistics.
 """
@@ -58,7 +79,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_report"]
+__all__ = [
+    "grouped_report",
+    "merge_summaries",
+    "report_from_summary",
+    "summarize",
+]
 
 _FNS = ("count", "sum", "min", "max", "avg", "count_distinct",
         "approx_distinct")
@@ -112,20 +138,7 @@ def grouped_report(
             raise ValueError(
                 f"grouping_sets reference non-dim column(s) {sorted(stray)}"
             )
-    for name, (fn, col) in measures.items():
-        if fn not in _FNS:
-            raise ValueError(f"measure {name!r}: unknown fn {fn!r}")
-        if col is None and fn != "count":
-            raise ValueError(f"measure {name!r}: only count may omit a column")
-        if fn == "count_distinct" and pre_aggregate:
-            raise ValueError(
-                f"measure {name!r}: count_distinct is exact but not "
-                "decomposable — a phase-1 row per dim combo cannot "
-                "re-derive cross-combo distinctness.  Use "
-                "pre_aggregate=False (exact, Expand over the full "
-                "input) or fn='approx_distinct' (mergeable HLL "
-                "sketches, identical estimate in both plans)"
-            )
+    _validate_measures(measures, two_phase=pre_aggregate)
     clash = {f"g_{d}" for d in dims} & set(df.columns)
     if clash:
         raise ValueError(f"grouping marker column(s) {sorted(clash)} exist")
@@ -175,44 +188,185 @@ def grouped_report(
             final.append(e.alias(name))
         return _grouped(df).agg(*markers, *final)
 
-    # phase 1: exact pass over all dims; decomposed partials only
-    partials: dict[str, object] = {}
+    # phase 1: exact pass over all dims; phase 2: re-aggregate the
+    # partials over the compact frame (shared with the incremental
+    # summarize/merge/report surface below)
+    base = df.groupBy(*dims).agg(
+        *[e.alias(k) for k, e in _partials_spec(measures).items()]
+    )
+    final = _final_measures(measures)
+    return _grouped(base).agg(*markers, *final)
 
-    def _part(key, expr):
-        partials.setdefault(key, expr)
 
+def _validate_measures(measures, two_phase: bool) -> None:
+    for name, (fn, col) in measures.items():
+        if fn not in _FNS:
+            raise ValueError(f"measure {name!r}: unknown fn {fn!r}")
+        if col is None and fn != "count":
+            raise ValueError(f"measure {name!r}: only count may omit a column")
+        if fn == "count_distinct" and two_phase:
+            raise ValueError(
+                f"measure {name!r}: count_distinct is exact but not "
+                "decomposable — a phase-1 row per dim combo cannot "
+                "re-derive cross-combo distinctness.  Use "
+                "pre_aggregate=False (exact, Expand over the full "
+                "input) or fn='approx_distinct' (mergeable HLL "
+                "sketches, identical estimate in both plans)"
+            )
+
+
+def _partials_spec(measures) -> dict:
+    """Phase-1 partial-aggregate expressions, keyed by the reserved
+    ``__<rule>_<col>`` names whose prefix encodes the merge rule."""
+    partials: dict = {}
     for name, (fn, col) in measures.items():
         if fn == "count" and col is None:
-            _part("__cnt_*", F.count(F.lit(1)))
+            partials.setdefault("__cnt_*", F.count(F.lit(1)))
         elif fn in ("count", "avg"):
-            _part(f"__cnt_{col}", F.count(col))
+            partials.setdefault(f"__cnt_{col}", F.count(col))
         if fn in ("sum", "avg"):
-            _part(f"__sum_{col}", F.sum(col))
+            partials.setdefault(f"__sum_{col}", F.sum(col))
         if fn in ("min", "max"):
-            _part(f"__{fn}_{col}", getattr(F, fn)(col))
+            partials.setdefault(f"__{fn}_{col}", getattr(F, fn)(col))
         if fn == "approx_distinct":
-            _part(f"__hll_{col}", F.hll_sketch_agg(col))
-    base = df.groupBy(*dims).agg(
-        *[e.alias(k) for k, e in partials.items()]
+            partials.setdefault(f"__hll_{col}", F.hll_sketch_agg(col))
+    return partials
+
+
+def _merge_rule(k: str):
+    """The re-aggregation expression a partial column's name encodes:
+    counts and sums add, min/max fold idempotently, HLL sketches
+    set-union.  This is what makes summaries mergeable by NAME —
+    merge_summaries needs no measure spec."""
+    return (
+        F.min(k) if k.startswith("__min_") else
+        F.max(k) if k.startswith("__max_") else
+        F.hll_union_agg(k) if k.startswith("__hll_") else F.sum(k)
     )
-    # phase 2: re-aggregate the partials over the compact frame
-    re_agg = {
-        k: (F.min(k) if k.startswith("__min_") else
-            F.max(k) if k.startswith("__max_") else
-            F.hll_union_agg(k) if k.startswith("__hll_") else F.sum(k))
-        for k in partials
-    }
+
+
+def _final_measures(measures) -> list:
+    """Phase-2 output expressions over the partial columns."""
     final = []
     for name, (fn, col) in measures.items():
         if fn == "count":
-            e = re_agg["__cnt_*" if col is None else f"__cnt_{col}"]
+            e = _merge_rule("__cnt_*" if col is None else f"__cnt_{col}")
         elif fn == "sum":
-            e = re_agg[f"__sum_{col}"]
+            e = _merge_rule(f"__sum_{col}")
         elif fn == "avg":
-            e = re_agg[f"__sum_{col}"] / re_agg[f"__cnt_{col}"]
+            e = _merge_rule(f"__sum_{col}") / _merge_rule(f"__cnt_{col}")
         elif fn == "approx_distinct":
-            e = F.hll_sketch_estimate(re_agg[f"__hll_{col}"])
+            e = F.hll_sketch_estimate(_merge_rule(f"__hll_{col}"))
         else:
-            e = re_agg[f"__{fn}_{col}"]
+            e = _merge_rule(f"__{fn}_{col}")
         final.append(e.alias(name))
-    return _grouped(base).agg(*markers, *final)
+    return final
+
+
+def summarize(
+    df: DataFrame, dims: list[str], measures: dict
+) -> DataFrame:
+    """Build the MATERIALIZED SUMMARY of ``df``: one row per distinct
+    ``dims`` combination carrying the decomposable partials every
+    measure in ``measures`` needs (``__cnt_<col>``, ``__sum_<col>``,
+    ``__min_/__max_<col>``, ``__hll_<col>`` HLL sketch buffers — the
+    reserved ``__`` namespace, each name encoding its own merge rule).
+    ONE exact groupBy; the output is small (distinct combos), persists
+    as plain parquet (sketches are binary columns), and is the unit of
+    incremental maintenance: summarize only the newly arrived chunk,
+    :func:`merge_summaries` it into the stored summary, and
+    :func:`report_from_summary` any rollup/cube without touching the
+    corpus again.  Same measure validation as :func:`grouped_report`'s
+    two-phase plan — ``count_distinct`` is refused (not mergeable);
+    ``approx_distinct`` is the scale path."""
+    _validate_measures(measures, two_phase=True)
+    bad = [d for d in dims if d.startswith("__")]
+    if bad:
+        raise ValueError(f"dim(s) {bad} use the reserved __ prefix")
+    return df.groupBy(*dims).agg(
+        *[e.alias(k) for k, e in _partials_spec(measures).items()]
+    )
+
+
+def merge_summaries(*summaries: DataFrame) -> DataFrame:
+    """Fold summaries built by :func:`summarize` (over the SAME dims
+    and measures) into one: union, then one re-aggregate in which each
+    partial column applies the merge rule its name encodes — counts
+    and sums add, min/max fold, HLL sketches set-union.  Needs no
+    measure spec: the summary schema is self-describing.  Cost is one
+    shuffle over COMPACT frames (distinct dim combos, never corpus
+    rows).  Append-only, as the module docstring states: merging can
+    only add mass; retract by re-summarizing the affected chunk."""
+    if not summaries:
+        raise ValueError("merge_summaries needs at least one summary")
+    first = summaries[0]
+    dims = [c for c in first.columns if not c.startswith("__")]
+    parts = [c for c in first.columns if c.startswith("__")]
+    if not parts:
+        raise ValueError(
+            "no __ partial columns found — was this frame built by "
+            "summarize()?"
+        )
+    for s in summaries[1:]:
+        if set(s.columns) != set(first.columns):
+            raise ValueError(
+                f"summary schemas differ: {sorted(first.columns)} vs "
+                f"{sorted(s.columns)} — summaries must share dims and "
+                "measures"
+            )
+    u = first
+    for s in summaries[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*dims).agg(
+        *[_merge_rule(k).alias(k) for k in parts]
+    )
+
+
+def report_from_summary(
+    summary: DataFrame,
+    dims: list[str],
+    measures: dict,
+    mode: str = "rollup",
+    grouping_sets: list[list[str]] | None = None,
+) -> DataFrame:
+    """Phase 2 alone: rollup/cube/grouping-sets over a summary built
+    by :func:`summarize` (possibly after :func:`merge_summaries`),
+    producing exactly :func:`grouped_report`'s output shape — dims
+    (NULL when aggregated over), ``g_<dim>`` markers, measures.
+    Pinned contract: ``report_from_summary(merge_summaries(
+    summarize(A), summarize(B)))`` equals ``grouped_report(A ∪ B)``
+    (bit-identical for exact types; float sums to ulp — round at the
+    report edge).  Expand replicates summary rows, never the corpus."""
+    _validate_measures(measures, two_phase=True)
+    missing = [
+        k for k in _partials_spec(measures) if k not in summary.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"summary lacks partial column(s) {missing} — it was built "
+            "with a narrower measure set; re-run summarize() with the "
+            "full spec"
+        )
+    if mode not in ("rollup", "cube", "grouping_sets"):
+        raise ValueError(
+            f"mode must be 'rollup', 'cube', or 'grouping_sets'; got {mode!r}"
+        )
+    if (mode == "grouping_sets") != (grouping_sets is not None):
+        raise ValueError(
+            "grouping_sets list is required for (exactly) mode='grouping_sets'"
+        )
+    if mode == "rollup":
+        g = summary.rollup(*dims)
+    elif mode == "cube":
+        g = summary.cube(*dims)
+    else:
+        stray = {c for s in grouping_sets for c in s} - set(dims)
+        if stray:
+            raise ValueError(
+                f"grouping_sets reference non-dim column(s) {sorted(stray)}"
+            )
+        g = summary.groupingSets(
+            [[F.col(c) for c in s] for s in grouping_sets], *dims
+        )
+    markers = [F.grouping(d).cast("int").alias(f"g_{d}") for d in dims]
+    return g.agg(*markers, *_final_measures(measures))

@@ -259,3 +259,120 @@ def test_measure_name_collisions_raise(spark):
         grouped_report(docs, ["lang"], {"g_lang": ("count", None)})
     with pytest.raises(ValueError, match="collide"):
         grouped_report(docs, ["lang"], {"__cnt_x": ("count", None)})
+
+
+# ---------------------------------------------------------------- #
+# incremental maintenance: summarize / merge_summaries /            #
+# report_from_summary                                               #
+# ---------------------------------------------------------------- #
+
+def test_incremental_summary_equals_one_shot(spark):
+    """The pinned contract: report_from_summary(merge_summaries(
+    summarize(A), summarize(B), summarize(C))) == grouped_report(
+    A u B u C), bit-identical for exact measure types, for every
+    mode."""
+    from fabstir_vectordb_spark.operators.olap import (
+        grouped_report, merge_summaries, report_from_summary, summarize,
+    )
+
+    docs = _docs(spark).withColumn(
+        "chunk", F.abs(F.xxhash64("doc_id")) % 3
+    )
+    chunks = [docs.filter(F.col("chunk") == i).drop("chunk")
+              for i in range(3)]
+    full = _docs(spark)
+    dims = ["lang", "source"]
+    for mode, gs in [("rollup", None), ("cube", None),
+                     ("grouping_sets", [["lang"], []])]:
+        merged = merge_summaries(
+            *[summarize(c, dims, MEASURES) for c in chunks]
+        )
+        inc = report_from_summary(merged, dims, MEASURES, mode=mode,
+                                  grouping_sets=gs)
+        ref = grouped_report(full, dims, MEASURES, mode=mode,
+                             grouping_sets=gs)
+        assert _rows(inc) == _rows(ref), mode
+
+
+def test_incremental_hll_identical_to_one_shot(spark):
+    """HLL sketches union exactly: the merged-summary estimate equals
+    the one-shot two-phase estimate (set-union semantics, not merely
+    close)."""
+    from fabstir_vectordb_spark.operators.olap import (
+        grouped_report, merge_summaries, report_from_summary, summarize,
+    )
+
+    ms = {"du": ("approx_distinct", "source"), "n": ("count", None)}
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = report_from_summary(
+        merge_summaries(summarize(a, ["lang"], ms), summarize(b, ["lang"], ms)),
+        ["lang"], ms, mode="rollup",
+    )
+    ref = grouped_report(docs, ["lang"], ms, mode="rollup")
+    assert _rows(inc) == _rows(ref)
+
+
+def test_summary_is_persistable_and_self_describing(spark, tmp_path):
+    """A summary round-trips through parquet (sketches are binary
+    columns) and merges BY NAME — no measure spec at merge time."""
+    from fabstir_vectordb_spark.operators.olap import (
+        merge_summaries, report_from_summary, summarize,
+    )
+
+    ms = {"n": ("count", None), "chars": ("sum", "n_chars"),
+          "du": ("approx_distinct", "source")}
+    docs = _docs(spark)
+    s1 = summarize(docs.filter(F.col("doc_id") % 2 == 0), ["lang"], ms)
+    p = str(tmp_path / "summary")
+    s1.write.mode("overwrite").parquet(p)
+    stored = spark.read.parquet(p)
+    s2 = summarize(docs.filter(F.col("doc_id") % 2 == 1), ["lang"], ms)
+    rep = report_from_summary(
+        merge_summaries(stored, s2), ["lang"], ms, mode="rollup"
+    )
+    from fabstir_vectordb_spark.operators.olap import grouped_report
+    assert _rows(rep) == _rows(grouped_report(docs, ["lang"], ms))
+
+
+def test_incremental_validation_errors(spark):
+    from fabstir_vectordb_spark.operators.olap import (
+        merge_summaries, report_from_summary, summarize,
+    )
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="count_distinct"):
+        summarize(docs, ["lang"], {"d": ("count_distinct", "source")})
+    with pytest.raises(ValueError, match="at least one"):
+        merge_summaries()
+    with pytest.raises(ValueError, match="partial columns"):
+        merge_summaries(docs.select("lang"))
+    s = summarize(docs, ["lang"], {"n": ("count", None)})
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_summaries(s, s.withColumnRenamed("__cnt_*", "__cnt_x"))
+    # report over a summary built with a NARROWER measure set
+    with pytest.raises(ValueError, match="lacks partial"):
+        report_from_summary(
+            s, ["lang"], {"chars": ("sum", "n_chars")}
+        )
+
+
+def test_merge_summaries_expand_never_touches_corpus(spark):
+    """Plan shape: the report's Expand reads the merged summary
+    aggregate, not a corpus scan — the incremental path keeps the
+    two-phase guarantee."""
+    from fabstir_vectordb_spark.operators.olap import (
+        merge_summaries, report_from_summary, summarize,
+    )
+
+    docs = _docs(spark)
+    ms = {"n": ("count", None)}
+    rep = report_from_summary(
+        merge_summaries(summarize(docs, ["lang", "source"], ms)),
+        ["lang", "source"], ms, mode="cube",
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    expand_pos = plan.find("Expand")
+    agg_pos = plan.find("HashAggregate", expand_pos)
+    assert expand_pos != -1 and agg_pos != -1, plan
