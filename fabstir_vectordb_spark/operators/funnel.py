@@ -111,6 +111,11 @@ def funnel(
             f"key column(s) {sorted(taken)} collide with the output "
             "depth/t<i> columns; rename the keys first"
         )
+    reserved = [c for c in keys if c.startswith("__")]
+    if reserved:
+        raise ValueError(
+            f"key column(s) {reserved} use the reserved __ prefix"
+        )
 
     raw = _raw_time_mode((events, [ts_col]))
     tsu = (

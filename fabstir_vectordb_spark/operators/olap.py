@@ -338,6 +338,15 @@ def report_from_summary(
     (bit-identical for exact types; float sums to ulp — round at the
     report edge).  Expand replicates summary rows, never the corpus."""
     _validate_measures(measures, two_phase=True)
+    # same output-name hygiene as grouped_report: measures, dims, and
+    # g_ markers share one frame
+    taken = set(dims) | {f"g_{d}" for d in dims}
+    bad = {n for n in measures if n in taken or n.startswith("__")}
+    if bad:
+        raise ValueError(
+            f"measure name(s) {sorted(bad)} collide with a dim, its "
+            "g_ marker, or the reserved __ prefix"
+        )
     missing = [
         k for k in _partials_spec(measures) if k not in summary.columns
     ]

@@ -133,6 +133,8 @@ def test_funnel_multikey_and_validation(spark):
         funnel(df, "k", steps, window_seconds=0)
     with pytest.raises(ValueError, match="collide"):
         funnel(df.withColumnRenamed("g", "depth"), ["k", "depth"], steps)
+    with pytest.raises(ValueError, match="reserved"):
+        funnel(df.withColumnRenamed("g", "__g"), ["k", "__g"], steps)
 
 
 def test_funnel_plan_single_exchange_no_udf(spark):

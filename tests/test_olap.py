@@ -356,6 +356,9 @@ def test_incremental_validation_errors(spark):
         report_from_summary(
             s, ["lang"], {"chars": ("sum", "n_chars")}
         )
+    # measure-name hygiene mirrors grouped_report's
+    with pytest.raises(ValueError, match="collide"):
+        report_from_summary(s, ["lang"], {"lang": ("count", None)})
 
 
 def test_merge_summaries_expand_never_touches_corpus(spark):
