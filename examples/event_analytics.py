@@ -11,6 +11,9 @@ Covers the round-6/7 temporal tier the way a user would reach it:
   6. resample onto a dense aligned grid + locf/interp gap-fill
   7. the rollup report card with HLL distinct-user counts (two-phase
      plan: Expand sees dim combos, never the raw scan)
+  8. the first-touch conversion funnel (view -> click -> purchase)
+  9. refreshing the report INCREMENTALLY: summarize only a new day's
+     events and merge into the stored summary
 
 Run:  python examples/event_analytics.py
 (uses the sf0.001 fixture tables; finishes in ~1 min on local[8])
@@ -179,6 +182,44 @@ def main(spark: SparkSession) -> dict:
     out["report_rows"] = report.count()
     grand = report.filter("g_event_type = 1 AND g_hour = 1").first()
     out["distinct_users_total"] = grand["users"]
+
+    # --- 8. conversion funnel: view -> click -> purchase, 1-day window -
+    from fabstir_vectordb_spark.operators.funnel import (
+        funnel, funnel_summary,
+    )
+
+    per_user = funnel(
+        events,
+        "user_id",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window_seconds=86400,
+    )
+    for row in funnel_summary(per_user, 3).collect():
+        out[f"funnel_step{row['step']}_users"] = row["reached"]
+
+    # --- 9. incremental report refresh ---------------------------------
+    # a pipeline stores the summary, then folds each new day in without
+    # rescanning history; the report itself never touches raw events
+    from fabstir_vectordb_spark.operators.olap import (
+        merge_summaries, report_from_summary, summarize,
+    )
+
+    dims = ["event_type"]
+    ms = {"n": ("count", None), "users": ("approx_distinct", "user_id")}
+    history = events.filter(F.dayofmonth("ts") < 28)
+    new_day = events.filter(F.dayofmonth("ts") >= 28)
+    stored = summarize(history, dims, ms)          # persisted in practice
+    merged = merge_summaries(stored, summarize(new_day, dims, ms))
+    refreshed = report_from_summary(merged, dims, ms, mode="rollup")
+    out["refreshed_report_rows"] = refreshed.count()
+    # identical to the one-shot report over all events (pinned by test)
+    assert (
+        refreshed.filter("g_event_type = 1").first()["n"] == events.count()
+    )
 
     return out
 
