@@ -55,6 +55,16 @@ Numeric-epoch mode as in operators/temporal.py: an all-integer
 ``ts_col`` orders on the raw integers (no timestamp cast) and
 ``window_seconds`` is read in the column's raw unit.
 
+Streaming boundary, stated as a contract (the resample/curation-gate
+split): the chain is NOT closed under micro-batching — a late
+step-1 event can rewrite a key's entire chain (t1 anchors the
+window), so there is no per-batch state smaller than the key's
+step-event history.  Run the funnel batch over accumulated events
+(foreachBatch over the sink, or scheduled), exactly like resample's
+fills; a watermarked streaming variant would have to declare
+late-step-1 rewrites out of scope to bound state, and this module
+does not pretend otherwise.
+
 Reference parity: none (no event-analytics surface in the
 reference); extension-axis with operators/stats.py sessionization
 and operators/temporal.py.
