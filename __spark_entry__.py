@@ -971,6 +971,10 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                   exact longs.
       doc_gsets   explicit GROUPING SETS ((lang),(source),()) — the
                   two marginals + grand total, no cross cells.
+      doc_top     exact per-group heavy hitters (top_values): the
+                  top-3 sources per language by document count,
+                  deterministic (weight DESC, value ASC) cut, vs
+                  DuckDB row_number() over grouped counts.
       li_cube     lineitem CUBE (l_returnflag, l_linestatus): n,
                   sum quantity as DECIMAL(18,2) (exact, order-
                   independent — the repo's money-sum rule), max
@@ -1040,6 +1044,18 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_gsets", mode="grouping_sets",
         grouping_sets=[["lang"], ["source"], []],
     )
+    from fabstir_vectordb_spark.operators.olap import top_values
+
+    doc_top = top_values(docs, ["lang"], "source", k=3).select(
+        F.lit("doc_top").alias("part"),
+        F.col("lang").alias("k1"),
+        F.col("value").alias("k2"),
+        F.lit(0).cast("int").alias("g1"),
+        F.lit(0).cast("int").alias("g2"),
+        F.col("weight").cast("long").alias("n"),
+        F.col("rank").cast("double").alias("x1"),
+        F.lit(0.0).alias("x2"),
+    )
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "qty", F.col("l_quantity").cast("decimal(18,2)")
     )
@@ -1072,6 +1088,7 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_rollup.unionByName(doc_direct)
         .unionByName(doc_incr)
         .unionByName(doc_gsets)
+        .unionByName(doc_top)
         .unionByName(li_cube)
         .unionByName(li_cd)
     )
@@ -6751,6 +6768,20 @@ UNION ALL
 {_olap_oracle("doc_gsets", "documents", "lang", "source",
               "GROUPING SETS ((lang), (source), ())",
               _OLAP_DOC_X1, _OLAP_DOC_X2)}
+UNION ALL
+-- exact heavy hitters: row_number over grouped counts, the same
+-- (weight DESC, value ASC) deterministic cut as top_values
+SELECT 'doc_top' AS part, lang AS k1, value AS k2,
+       0 AS g1, 0 AS g2, weight AS n,
+       CAST(rank AS DOUBLE) AS x1, 0.0 AS x2
+FROM (
+  SELECT lang, source AS value, count(*) AS weight,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY count(*) DESC, source ASC
+         ) AS rank
+  FROM documents GROUP BY lang, source
+) WHERE rank <= 3
 UNION ALL
 {_olap_oracle(
     "li_cube", "lineitem", "l_returnflag", "l_linestatus",

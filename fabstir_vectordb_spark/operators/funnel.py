@@ -17,8 +17,11 @@ exactly replayable in ANSI SQL (the certification path):
   at exactly ``t_{i-1}`` (or exactly ``t1 + window``) counts, so two
   steps may share one timestamp — or one physical event satisfying
   two consecutive step predicates may advance both.  This non-strict
-  reading is the default windowFunnel contract; dedupe or perturb
-  timestamps upstream for strict variants.
+  reading is the default windowFunnel contract;
+  ``strict_increase=True`` is ClickHouse's strict_increase mode —
+  each step must land STRICTLY after the previous match, so tied
+  timestamps (and a single event matching consecutive steps) no
+  longer chain.
 
 First-touch greedy IS the chained-minimum: advancing from the
 earliest valid t_i never forecloses a later step that some other
@@ -86,6 +89,7 @@ def funnel(
     steps: list[Column],
     ts_col: str = "ts",
     window_seconds: int | None = None,
+    strict_increase: bool = False,
 ) -> DataFrame:
     """First-touch funnel per key (see module docstring for the exact
     chain semantics).
@@ -95,6 +99,9 @@ def funnel(
     ``window_seconds``  optional cap: every matched step must land at
                or before ``t1 + window_seconds`` (raw units for an
                integer ``ts_col``).  None = unbounded.
+    ``strict_increase``  require each step STRICTLY after the previous
+               match (ClickHouse's strict_increase): tied timestamps
+               stop chaining.  The window bound stays inclusive.
 
     Output: one row per key that matched AT LEAST ONE step predicate
     (keys with no funnel activity at all are absent — join back to a
@@ -164,9 +171,14 @@ def funnel(
         F.collect_list(F.struct(F.col("__tsu").alias("t"), F.col("__step").alias("s")))
     )
     def _fold(acc: Column, e: Column) -> Column:
+        after_prev = (
+            e["t"] > F.try_element_at(acc, F.lit(-1))
+            if strict_increase
+            else e["t"] >= F.try_element_at(acc, F.lit(-1))
+        )
         eligible = (
             (e["s"] == F.size(acc) + 1)
-            & ((F.size(acc) == 0) | (e["t"] >= F.try_element_at(acc, F.lit(-1))))
+            & ((F.size(acc) == 0) | after_prev)
         )
         if win_u is not None:
             eligible = eligible & (

@@ -84,6 +84,7 @@ __all__ = [
     "merge_summaries",
     "report_from_summary",
     "summarize",
+    "top_values",
 ]
 
 _FNS = ("count", "sum", "min", "max", "avg", "count_distinct",
@@ -379,3 +380,64 @@ def report_from_summary(
         )
     markers = [F.grouping(d).cast("int").alias(f"g_{d}") for d in dims]
     return g.agg(*markers, *_final_measures(measures))
+
+
+def top_values(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+    k: int = 10,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """EXACT per-group heavy hitters: for each ``dims`` combination,
+    the ``k`` most frequent values of ``value_col`` — "top 10 source
+    domains per language", the corpus-profiling report next to
+    :func:`grouped_report`'s totals.
+
+    Output: dims..., ``value`` (the ``value_col`` value, NULLs form
+    their own value as in GROUP BY), ``weight`` (its count, or the sum
+    of ``weight_col`` — e.g. token counts — when given; groups whose
+    weight is NULL rank last), ``rank`` (1..k, dense by (weight DESC,
+    value ASC) — the value tie-break makes the cut DETERMINISTIC, so
+    reruns and engines agree on boundary rows).
+
+    Scale shape: ONE exact groupBy over (dims..., value) — partial
+    aggregation map-side, so the shuffle carries distinct combos, not
+    rows — then a per-dims window over that COMPACT frame.  The
+    window's per-group state is the distinct-value count of the group,
+    not its row count: hot groups compact before they rank, the same
+    inversion as timeseries.resample.  For truly unbounded value
+    domains (billions of distinct values per group) bound the frame
+    first (hash-bucket the tail or pre-filter), or use
+    ``approx_distinct``-style sketches for counts-only questions —
+    stated here because this operator is exact by contract and will
+    not thin silently.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    if value_col in dims:
+        raise ValueError(f"value_col {value_col!r} is also a dim")
+    taken = {"value", "weight", "rank"} & set(dims)
+    if taken:
+        raise ValueError(
+            f"dim(s) {sorted(taken)} collide with the output "
+            "value/weight/rank columns; rename them first"
+        )
+    from pyspark.sql.window import Window
+
+    w = (
+        F.count(F.lit(1)) if weight_col is None
+        else F.sum(weight_col)
+    )
+    counts = df.groupBy(*dims, F.col(value_col).alias("value")).agg(
+        w.alias("weight")
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(*dims).orderBy(
+            F.col("weight").desc_nulls_last(), F.col("value").asc_nulls_last()
+        )
+    )
+    return (
+        counts.withColumn("rank", rank)
+        .filter(F.col("rank") <= k)
+    )

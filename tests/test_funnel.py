@@ -23,7 +23,7 @@ def _ts(seconds):
     return T0 + dt.timedelta(seconds=int(seconds))
 
 
-def _reference(rows, n_steps, window):
+def _reference(rows, n_steps, window, strict=False):
     """{key: [t1, t2, ...]} by the first-touch chain spec; rows are
     (key, sec, step_set)."""
     out = {}
@@ -38,7 +38,7 @@ def _reference(rows, n_steps, window):
         for sec, step in evs:
             if step != len(chain) + 1:
                 continue
-            if chain and sec < chain[-1]:
+            if chain and (sec <= chain[-1] if strict else sec < chain[-1]):
                 continue
             if window is not None and chain and sec > chain[0] + window:
                 continue
@@ -58,8 +58,9 @@ _rows = st.lists(st.tuples(_key, _sec, _steps), min_size=1, max_size=14)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(rows=_rows, window=st.one_of(st.none(), st.integers(5, 30)))
-def test_funnel_matches_reference(spark, rows, window):
+@given(rows=_rows, window=st.one_of(st.none(), st.integers(5, 30)),
+       strict=st.booleans())
+def test_funnel_matches_reference(spark, rows, window, strict):
     df = spark.createDataFrame(
         [(k, _ts(sec), bool(s & {1}), bool(s & {2}), bool(s & {3}))
          for k, sec, s in rows],
@@ -69,13 +70,13 @@ def test_funnel_matches_reference(spark, rows, window):
         r["k"]: [t for t in (r["t1"], r["t2"], r["t3"]) if t is not None]
         for r in funnel(
             df, "k", [F.col("p1"), F.col("p2"), F.col("p3")],
-            window_seconds=window,
+            window_seconds=window, strict_increase=strict,
         ).collect()
     }
     want = {
         k: [int(T0.replace(tzinfo=dt.timezone.utc).timestamp() + s) * 1_000_000
             for s in chain]
-        for k, chain in _reference(rows, 3, window).items()
+        for k, chain in _reference(rows, 3, window, strict).items()
     }
     assert got == want
 
@@ -102,6 +103,22 @@ def test_funnel_basics_and_summary(spark):
     assert summ[1] == (3, 0.75)          # 3 of 4 active users searched
     assert summ[2] == (1, pytest.approx(1 / 3))
     assert summ[3] == (1, 1.0)
+
+
+def test_funnel_strict_increase_breaks_ties(spark):
+    """The tie fixture: one user fires all three steps at the SAME
+    instant — non-strict chains to depth 3, strict stops at depth 1
+    (ClickHouse strict_increase semantics)."""
+    rows = [(1, _ts(0), "a"), (1, _ts(0), "b"), (1, _ts(0), "c"),
+            (2, _ts(0), "a"), (2, _ts(1), "b"), (2, _ts(2), "c")]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, et string")
+    steps = [F.col("et") == "a", F.col("et") == "b", F.col("et") == "c"]
+    lax = {r["k"]: r["depth"] for r in funnel(df, "k", steps).collect()}
+    strict = {r["k"]: r["depth"]
+              for r in funnel(df, "k", steps,
+                              strict_increase=True).collect()}
+    assert lax == {1: 3, 2: 3}
+    assert strict == {1: 1, 2: 3}
 
 
 def test_funnel_null_ts_dropped_and_numeric_epoch(spark):

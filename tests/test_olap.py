@@ -379,3 +379,69 @@ def test_merge_summaries_expand_never_touches_corpus(spark):
     expand_pos = plan.find("Expand")
     agg_pos = plan.find("HashAggregate", expand_pos)
     assert expand_pos != -1 and agg_pos != -1, plan
+
+
+# ---------------------------------------------------------------- #
+# top_values: exact per-group heavy hitters                          #
+# ---------------------------------------------------------------- #
+
+def test_top_values_matches_manual(spark):
+    from fabstir_vectordb_spark.operators.olap import top_values
+
+    docs = _docs(spark)
+    got = top_values(docs, ["lang"], "source", k=2)
+    # manual: full counts, python-side rank with the same tie-break
+    counts = {}
+    for r in docs.groupBy("lang", "source").count().collect():
+        counts.setdefault(r["lang"], []).append((r["source"], r["count"]))
+    want = set()
+    for lang, vs in counts.items():
+        vs.sort(key=lambda t: (-t[1], t[0] is None, t[0]))
+        for rank, (v, n) in enumerate(vs[:2], start=1):
+            want.add((lang, v, n, rank))
+    assert {(r["lang"], r["value"], r["weight"], r["rank"])
+            for r in got.collect()} == want
+
+
+def test_top_values_weighted_and_validation(spark):
+    from fabstir_vectordb_spark.operators.olap import top_values
+
+    docs = _docs(spark)
+    got = top_values(docs, ["lang"], "source", k=1,
+                     weight_col="n_chars").collect()
+    # weighted winner per lang == manual argmax of summed n_chars
+    sums = {}
+    for r in docs.groupBy("lang", "source").agg(
+        F.sum("n_chars").alias("w")
+    ).collect():
+        cur = sums.get(r["lang"])
+        cand = (r["w"], r["source"])
+        # max weight; ties broken by ASCENDING value
+        if cur is None or cand[0] > cur[0] or (
+            cand[0] == cur[0] and cand[1] < cur[1]
+        ):
+            sums[r["lang"]] = cand
+    assert {(r["lang"], r["value"], r["weight"]) for r in got} == {
+        (lang, v, w) for lang, (w, v) in sums.items()
+    }
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be"):
+        top_values(docs, ["lang"], "source", k=0)
+    with _pt.raises(ValueError, match="also a dim"):
+        top_values(docs, ["lang"], "lang")
+    with _pt.raises(ValueError, match="collide"):
+        top_values(docs.withColumnRenamed("lang", "rank"),
+                   ["rank"], "source")
+
+
+def test_top_values_plan_compacts_before_ranking(spark):
+    """The window must read the grouped counts, not the raw scan: one
+    aggregate below the window sort."""
+    from fabstir_vectordb_spark.operators.olap import top_values
+
+    plan = top_values(_docs(spark), ["lang"], "source", k=3)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1
+    assert "BatchEvalPython" not in plan
