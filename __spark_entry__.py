@@ -987,7 +987,13 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                   approx_distinct (mergeable DataSketches HLL,
                   identical estimate in both plans) has no DuckDB
                   twin and is pytest-certified instead
-                  (tests/test_olap.py)."""
+                  (tests/test_olap.py).
+      li_pctl     exact interpolated percentiles per rollup cell
+                  (p50 of l_quantity, p99 of l_extendedprice; the
+                  percentile_cont rule, direct plan — like
+                  count_distinct, not decomposable, and the two-phase
+                  plan refuses it by contract) vs DuckDB
+                  quantile_cont, r6-rounded both sides."""
     from fabstir_vectordb_spark.operators.olap import grouped_report
 
     docs = _t(spark, sf_dir, "documents")
@@ -1071,6 +1077,18 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("x1", r6(F.col("qty").cast("double"))),
         "li_cube", "l_returnflag", "l_linestatus", r6("mx"),
     )
+    li_pctl = _fmt(
+        grouped_report(
+            li, ["l_returnflag", "l_linestatus"],
+            {
+                "n": ("count", None),
+                "q50": ("p50", "l_quantity"),
+                "e99": ("p99", "l_extendedprice"),
+            },
+            mode="rollup", pre_aggregate=False,
+        ).withColumn("x1", r6(F.col("q50").cast("double"))),
+        "li_pctl", "l_returnflag", "l_linestatus", r6("e99"),
+    )
     li_cd = _fmt(
         grouped_report(
             li, ["l_returnflag", "l_linestatus"],
@@ -1090,6 +1108,7 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(doc_gsets)
         .unionByName(doc_top)
         .unionByName(li_cube)
+        .unionByName(li_pctl)
         .unionByName(li_cd)
     )
 
@@ -6789,6 +6808,12 @@ UNION ALL
     "(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)"
     " + 0.0)",
     "(round(max(l_extendedprice), 6) + 0.0)")}
+UNION ALL
+{_olap_oracle(
+    "li_pctl", "lineitem", "l_returnflag", "l_linestatus",
+    "ROLLUP(l_returnflag, l_linestatus)",
+    "(round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) + 0.0)",
+    "(round(quantile_cont(l_extendedprice, 0.99), 6) + 0.0)")}
 UNION ALL
 {_olap_oracle(
     "li_cd", "lineitem", "l_returnflag", "l_linestatus",

@@ -88,7 +88,14 @@ __all__ = [
 ]
 
 _FNS = ("count", "sum", "min", "max", "avg", "count_distinct",
-        "approx_distinct")
+        "approx_distinct", "p50", "p90", "p99")
+
+# exact interpolated percentiles (SQL percentile_cont semantics) — the
+# report-card latency/size measures.  Like count_distinct they are NOT
+# decomposable (a phase-1 row per dim combo cannot re-derive the full
+# value distribution), so they are direct-plan only; the refusal names
+# the alternatives
+_PCTL = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
 
 
 def grouped_report(
@@ -102,11 +109,13 @@ def grouped_report(
     """Multi-dimensional report over ``dims``.
 
     ``measures``  output-name -> (fn, column); fn in count/sum/min/
-                  max/avg/count_distinct/approx_distinct, column None
-                  only for count (count(*) — counts ROWS, like
-                  SQL's).  count/sum of an all-NULL or empty cell
+                  max/avg/count_distinct/approx_distinct/p50/p90/p99,
+                  column None only for count (count(*) — counts ROWS,
+                  like SQL's).  count/sum of an all-NULL or empty cell
                   follow SQL semantics (count 0, sum NULL) in both
-                  plans.  count_distinct is exact and requires
+                  plans.  count_distinct and the exact interpolated
+                  percentiles p50/p90/p99 (percentile_cont semantics)
+                  are not decomposable and require
                   ``pre_aggregate=False``; approx_distinct (HLL
                   sketches) works in both plans and returns the
                   identical estimate either way.
@@ -179,6 +188,11 @@ def grouped_report(
                 e = F.sum(col) / F.count(col)
             elif fn == "count_distinct":
                 e = F.count_distinct(F.col(col))
+            elif fn in _PCTL:
+                # exact interpolated percentile (percentile_cont), the
+                # same linear-interpolation rule DuckDB's quantile_cont
+                # uses — certified cross-engine in olap_report li_pctl
+                e = F.percentile(F.col(col), F.lit(_PCTL[fn]))
             elif fn == "approx_distinct":
                 # through the sketch even in direct mode, so the two
                 # plans return the IDENTICAL estimate (set-union
@@ -205,6 +219,15 @@ def _validate_measures(measures, two_phase: bool) -> None:
             raise ValueError(f"measure {name!r}: unknown fn {fn!r}")
         if col is None and fn != "count":
             raise ValueError(f"measure {name!r}: only count may omit a column")
+        if fn in _PCTL and two_phase:
+            raise ValueError(
+                f"measure {name!r}: exact percentiles are not "
+                "decomposable — a phase-1 row per dim combo cannot "
+                "re-derive the value distribution.  Use "
+                "pre_aggregate=False (exact, Expand over the full "
+                "input), or aggregate a pre-bucketed histogram column "
+                "with sum and derive quantiles downstream"
+            )
         if fn == "count_distinct" and two_phase:
             raise ValueError(
                 f"measure {name!r}: count_distinct is exact but not "

@@ -445,3 +445,29 @@ def test_top_values_plan_compacts_before_ranking(spark):
     agg_pos = plan.find("HashAggregate")
     assert agg_pos != -1
     assert "BatchEvalPython" not in plan
+
+
+def test_percentile_measures_direct_only(spark):
+    """p50/p90/p99 (exact percentile_cont) work in the direct plan and
+    are refused by the two-phase plan with the alternatives named —
+    the count_distinct contract shape."""
+    docs = _docs(spark)
+    ms = {"n": ("count", None), "med": ("p50", "n_chars"),
+          "tail": ("p99", "n_chars")}
+    rep = grouped_report(docs, ["lang"], ms, mode="rollup",
+                         pre_aggregate=False)
+    rows = {tuple(sorted(d for d in ("lang",) if r["g_lang"] == 0)):
+            (r["med"], r["tail"])
+            for r in rep.collect() if r["g_lang"] == 1}
+    import numpy as np
+    vals = np.array([r["n_chars"] for r in docs.select("n_chars").collect()],
+                    dtype=float)
+    med, tail = rows[()]
+    assert med == pytest.approx(float(np.percentile(vals, 50)), rel=1e-9)
+    assert tail == pytest.approx(float(np.percentile(vals, 99)), rel=1e-9)
+    with pytest.raises(ValueError, match="not\\s+decomposable|not "
+                                         "decomposable"):
+        grouped_report(docs, ["lang"], ms, mode="rollup")
+    from fabstir_vectordb_spark.operators.olap import summarize
+    with pytest.raises(ValueError, match="decomposable"):
+        summarize(docs, ["lang"], ms)
