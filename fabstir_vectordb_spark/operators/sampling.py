@@ -43,6 +43,20 @@ def assign_split(
     ``weights``: ordered (name, weight) pairs; weights are normalized.
     Assignment: bucket/2^32 falls into the cumulative-weight interval.
     Growth-stable: adding documents never reassigns existing ones.
+
+    LEAKAGE-SAFE near-dup splits: hashing the raw document id sends
+    near-duplicates to DIFFERENT splits — a model evaluated on the
+    test near-copy of a training document reads as better than it is.
+    Pass the GROUP id instead (``id_col="canonical_id"`` from
+    ``dedup.canonicalize_pairs``, or any upstream grouping key like a
+    source URL): every member of a group hashes identically, so whole
+    groups land in one split — pinned by test
+    (tests/test_sampling.py::test_group_split_no_leakage).  The same
+    property makes the split stable under re-deduplication as long as
+    group canonical ids are stable (min-label canonicalization keeps
+    the smallest member id, so growing a group can change its label
+    only if the new member sorts first — re-split after major corpus
+    growth, as any hash split requires).
     """
     if weights is None:
         weights = [("train", 0.9), ("val", 0.05), ("test", 0.05)]

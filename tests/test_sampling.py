@@ -310,3 +310,34 @@ def test_epoch_shuffle_key(spark):
     assert e0a != list(range(200))         # actually shuffled
     with pytest.raises(ValueError):
         epoch_shuffle_key("bin_id", epoch=-1)
+
+
+def test_group_split_no_leakage(spark):
+    """The leakage contract: splitting on the canonical GROUP id keeps
+    every near-dup group inside one split — members never straddle
+    train/test — while splitting on the raw doc id does (the failure
+    mode the docstring warns about, demonstrated on the same graph)."""
+    from fabstir_vectordb_spark.operators.dedup import canonicalize_pairs
+    from fabstir_vectordb_spark.operators.sampling import assign_split
+
+    # 60 docs; docs 3i/3i+1/3i+2 form a near-dup chain per group i
+    nodes = spark.range(60).select(F.col("id").cast("long").alias("id"))
+    pairs = spark.createDataFrame(
+        [(3 * i, 3 * i + 1) for i in range(20)]
+        + [(3 * i + 1, 3 * i + 2) for i in range(20)],
+        "a_id long, b_id long",
+    )
+    canon = canonicalize_pairs(nodes, pairs)
+    split_on_group = assign_split(canon, id_col="canonical_id")
+    # every group maps to exactly one split
+    per_group = split_on_group.groupBy("canonical_id").agg(
+        F.count_distinct("split").alias("k")
+    )
+    assert per_group.filter(F.col("k") > 1).count() == 0
+    # and the raw-id split DOES leak on this fixture (sanity that the
+    # contract is non-vacuous)
+    leaky = assign_split(canon, id_col="id")
+    leaked = leaky.groupBy("canonical_id").agg(
+        F.count_distinct("split").alias("k")
+    )
+    assert leaked.filter(F.col("k") > 1).count() > 0
