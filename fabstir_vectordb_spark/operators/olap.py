@@ -435,6 +435,13 @@ def top_values(
     ``approx_distinct``-style sketches for counts-only questions —
     stated here because this operator is exact by contract and will
     not thin silently.
+
+    Incremental maintenance comes free from the summary algebra:
+    counts are mergeable, so ``summarize(chunk, [*dims, value_col],
+    {"w": ("count", None)})`` per chunk + :func:`merge_summaries` is
+    exactly this operator's grouped frame maintained incrementally —
+    rank the merged summary with the same window to refresh the top-k
+    without rescanning the corpus.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1; got {k}")
