@@ -167,8 +167,15 @@ def funnel(
     # match, and inside the t1-anchored window.  Ties sort by step
     # ascending, so equal-timestamp events advance deterministically
     # in step order (the inclusive >= makes them eligible).
+    # collect_SET, not list: duplicate (ts, step) entries are
+    # interchangeable to the fold (it takes the first eligible; any
+    # copy chains identically), so deduping is answer-preserving —
+    # and it happens in the map-side partial aggregate, bounding
+    # per-key state on tie-heavy data at zero extra exchanges
     timeline = F.sort_array(
-        F.collect_list(F.struct(F.col("__tsu").alias("t"), F.col("__step").alias("s")))
+        F.collect_set(
+            F.struct(F.col("__tsu").alias("t"), F.col("__step").alias("s"))
+        )
     )
     def _fold(acc: Column, e: Column) -> Column:
         after_prev = (
