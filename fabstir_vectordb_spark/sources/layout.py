@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_column", "zorder_stats", "zorder_write"]
+__all__ = ["bucketed_write", "zorder_column", "zorder_stats", "zorder_write"]
 
 
 def _spread_table(k: int, bits: int) -> list[int]:
@@ -241,3 +241,56 @@ def zorder_stats(path: str, predicates: dict[str, tuple]) -> dict:
                 prunable += 1
         out[col] = {"files": total, "prunable": prunable}
     return out
+
+
+def bucketed_write(
+    df: DataFrame,
+    table_name: str,
+    keys: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a BUCKETED table: hash-partitioned into
+    ``n_buckets`` files per partition on ``keys`` and sorted within
+    buckets — the co-located-join lever.  When BOTH sides of an
+    equality join are bucketed on the join keys with the same bucket
+    count, Spark's SortMergeJoin reads matching buckets pairwise and
+    the plan carries ZERO Exchange (pinned by test); one bucketed side
+    still deletes that side's shuffle.  At 100 TB this converts every
+    recurring join/groupBy on a stable key (user_id, doc_id) from a
+    full network shuffle into a local merge — the write-time sibling
+    of :func:`zorder_write`'s scan pruning (z-order clusters what
+    scans READ; bucketing pre-partitions what joins MOVE).
+
+    Spark constraints, stated so callers are not surprised:
+
+    - Bucketing is only reachable through the catalog —
+      ``saveAsTable`` + ``spark.table(name)``; a path-read
+      (``spark.read.parquet``) of the same files sees plain parquet
+      and shuffles as usual.  Pass ``path`` to keep the data at an
+      external location while registering the table.
+    - The hash is Spark's Murmur3 (HIVE-incompatible by design);
+      both sides must bucket on the SAME keys and count for the
+      exchange-free join (a mismatched count still saves the
+      smaller side's shuffle under AQE coalescing in Spark 4).
+    - ``sort_cols`` default to ``keys``: sorted buckets also delete
+      the SortMergeJoin's per-task sort.
+    - Size ``n_buckets`` so each bucket lands near the 128 MB-1 GB
+      file sweet spot at your table size; too many buckets = the
+      small-files problem, too few = oversized merge tasks.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
+    w = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, keys[0], *keys[1:])
+        .sortBy(*(sort_cols or keys))
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)

@@ -145,3 +145,49 @@ def test_zorder_validation(spark):
         zorder_column(df, ["x", "y"], bits=16, normalize="quantile")
     with pytest.raises(ValueError, match="__z already"):
         zorder_column(df.withColumn("__z", F.lit(1)), ["x", "y"])
+
+
+# ---------------------------------------------------------------- #
+# bucketed_write: the co-located-join lever                          #
+# ---------------------------------------------------------------- #
+
+def test_bucketed_join_has_zero_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key with the same count =>
+    SortMergeJoin with NO Exchange anywhere in the plan; and the
+    result equals the plain join exactly."""
+    from fabstir_vectordb_spark.sources.layout import bucketed_write
+
+    a = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("x")
+    )
+    b = spark.range(0, 4000, 2).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("y")
+    )
+    bucketed_write(a, "bt_a", ["k"], n_buckets=8,
+                   path=str(tmp_path / "bt_a"))
+    bucketed_write(b, "bt_b", ["k"], n_buckets=8,
+                   path=str(tmp_path / "bt_b"))
+    try:
+        ta, tb = spark.table("bt_a"), spark.table("bt_b")
+        joined = ta.hint("merge").join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        got = sorted((r["k"], r["x"], r["y"]) for r in joined.collect())
+        want = sorted((r["k"], r["x"], r["y"])
+                      for r in a.join(b, "k").collect())
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_bucketed_write_validation(spark, tmp_path):
+    from fabstir_vectordb_spark.sources.layout import bucketed_write
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="keys"):
+        bucketed_write(df, "bt_x", [], path=str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="n_buckets"):
+        bucketed_write(df, "bt_x", ["k"], n_buckets=0,
+                       path=str(tmp_path / "x"))
