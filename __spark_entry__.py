@@ -458,6 +458,14 @@ def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
                  oracle, score 6.0.
       sql_nearest (r9) the ASOF NEAREST LEFT JOIN statement — replayed
                  by the same two-leg CASE the nearest part uses.
+      scd2       (r9) validity_intervals ∘ range_join — the change log
+                 (deduped views) becomes an SCD2 dimension of closed
+                 validity spans (end = next change - 1 µs, horizon
+                 2030-01-01), and the bucketed containment lookup of
+                 every click must equal DuckDB's NATIVE backward ASOF
+                 (cj) — the composition identity
+                 range∘validity == asof certified cross-engine, each
+                 side derived a different way (lead-window vs ASOF).
 
     Views are deduplicated on (user, ts) keeping the max event_id, as
     in event_percentiles' asof part: both engines' as-of semantics are
@@ -695,6 +703,30 @@ def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sql_nearest",
         mts_col="mts",
     )
+
+    from fabstir_vectordb_spark.operators.temporal import (
+        validity_intervals as _vi,
+    )
+
+    dim = _vi(
+        views.select("user_id", "ts", "rid", "value"),
+        "user_id",
+        order_col="rid",
+        horizon="2030-01-01",
+    ).drop("ts")
+    scd2 = range_join(
+        clicks.select("event_id", "user_id", F.col("ts").alias("cts")),
+        dim,
+        "user_id",
+        ts_col="cts",
+        bucket_seconds=86400,
+    ).select(
+        F.lit("scd2").alias("part"),
+        F.col("event_id").alias("id"),
+        F.col("rid").cast("string").alias("ref"),
+        r6("value").alias("score"),
+    )
+
     return (
         chunked.unionByName(multikey)
         .unionByName(sqltol)
@@ -709,6 +741,7 @@ def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sql_range)
         .unionByName(sql_overlap)
         .unionByName(sql_nearest)
+        .unionByName(scd2)
     )
 
 
@@ -4458,6 +4491,14 @@ SELECT 'chunked' AS part, id,
        CASE WHEN rts IS NULL THEN -1.0
             ELSE (round(rvalue, 6) + 0.0) END AS score
 FROM cj
+UNION ALL
+-- scd2: the validity-interval lookup equals the backward as-of when
+-- the horizon covers every point; the engine side derives it via
+-- lead-window validity spans + bucketed containment, this side via
+-- DuckDB's native ASOF -- two independent formulations
+SELECT 'scd2', id, CAST(rid AS VARCHAR),
+       (round(rvalue, 6) + 0.0)
+FROM cj WHERE rts IS NOT NULL
 UNION ALL
 SELECT 'multikey', id, COALESCE(CAST(rid AS VARCHAR), 'none'),
        CASE WHEN rts IS NULL THEN -1.0 ELSE (round(rvalue, 6) + 0.0) END

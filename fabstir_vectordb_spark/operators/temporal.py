@@ -45,6 +45,7 @@ __all__ = [
     "interval_join",
     "range_join",
     "split_intervals",
+    "validity_intervals",
 ]
 
 
@@ -750,3 +751,96 @@ def interval_join(
             l_long.join(r_all, keys).filter(overlaps)
         ).unionByName(left.join(r_long, keys).filter(overlaps))
     return joined
+
+
+def validity_intervals(
+    df: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    order_col: str | None = None,
+    start_col: str = "start",
+    end_col: str = "end",
+    horizon=None,
+) -> DataFrame:
+    """Turn a CHANGE-EVENT log into an SCD2-style dimension of CLOSED
+    validity intervals: per key, each change row becomes
+    ``[start, end]`` with ``start`` = its own timestamp and ``end`` =
+    1 µs (1 raw unit in numeric-epoch mode) before the key's next
+    change — so :func:`range_join` on the output IS the
+    as-of-dimension lookup (``start <= ts <= end`` picks exactly the
+    version in effect), completing the slowly-changing-dimension
+    story with the joins' own inclusive-closed convention.
+
+    The latest change per key stays OPEN: its ``end`` is ``horizon``
+    when given (a timestamp / ISO string, or a raw integer in
+    numeric-epoch mode — pass the far-future sentinel your pipeline
+    uses), else NULL — and a NULL end is DROPPED by
+    range_join/interval_join's malformed-interval filter, so pass a
+    horizon whenever current rows must be joinable.  Stated rather
+    than defaulted: inventing a magic far-future constant here would
+    bake an epoch assumption into every caller.
+
+    Ties (two change rows at one (key, ts)) order by ``order_col``
+    (largest = latest writer) or, absent one, by ``xxhash64`` of the
+    full row — asof_join's deterministic-tie rule.  Every tied row
+    but the last gets ``end < start`` (an INVERTED interval), which
+    the interval joins drop by contract: superseded same-instant
+    writes vanish from lookups without a distinct stage, and the
+    output row count stays equal to the input's (auditable).  Rows
+    whose timestamp is NULL are dropped up front, as everywhere in
+    this module.
+
+    One window over the change log — at dimension scale (changes, not
+    facts) this is the cheap side; the expensive side stays the
+    bucketed range_join.  Plan: one exchange on the keys.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [on] if isinstance(on, str) else list(on)
+    taken = {start_col, end_col} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"output column(s) {sorted(taken)} already exist on the "
+            "change log; pass different start_col/end_col"
+        )
+    raw = _raw_time_mode((df, [ts_col]))
+    tx = (
+        (lambda c: F.col(c).cast("long"))
+        if raw
+        else (lambda c: F.unix_micros(F.col(c).cast("timestamp")))
+    )
+    df = df.filter(tx(ts_col).isNotNull())
+    order = (
+        F.col(order_col)
+        if order_col
+        else F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
+    )
+    w = Window.partitionBy(*keys).orderBy(tx(ts_col), order)
+    nxt = F.lead(tx(ts_col)).over(w)
+    if horizon is None:
+        open_end = F.lit(None).cast("long")
+    elif raw:
+        if not isinstance(horizon, int):
+            raise ValueError(
+                "horizon must be a raw integer in numeric-epoch mode; "
+                f"got {type(horizon).__name__}"
+            )
+        open_end = F.lit(int(horizon)).cast("long")
+    else:
+        import pandas as pd
+
+        open_end = F.lit(
+            int(pd.Timestamp(horizon).value // 1_000)
+        ).cast("long")
+    end_u = F.coalesce(nxt - F.lit(1), open_end)
+    start_e = tx(ts_col)
+    if raw:
+        t = df.schema[ts_col].dataType
+        start_e, end_u = start_e.cast(t), end_u.cast(t)
+    else:
+        start_e, end_u = (
+            F.timestamp_micros(start_e), F.timestamp_micros(end_u),
+        )
+    return df.select(
+        "*", start_e.alias(start_col), end_u.alias(end_col)
+    )

@@ -467,3 +467,121 @@ def test_split_intervals_resplit_raises(spark):
     assert tiled.count() == 11
     with _pytest.raises(ValueError, match="orig_prefix"):
         split_intervals(tiled, tile_seconds=5)
+
+
+# ---------------------------------------------------------------- #
+# validity_intervals: change log -> SCD2 dimension                   #
+# ---------------------------------------------------------------- #
+
+def test_validity_intervals_basic_and_lookup(spark):
+    """Change log -> closed intervals; range_join over them picks the
+    version in effect; the open row needs a horizon to be joinable."""
+    import datetime as dt
+
+    from fabstir_vectordb_spark.operators.temporal import (
+        range_join, validity_intervals,
+    )
+
+    T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    changes = spark.createDataFrame(
+        [(1, T(0), "v1"), (1, T(100), "v2"), (2, T(50), "w1")],
+        "k long, ts timestamp, ver string",
+    )
+    dim = validity_intervals(changes, "k", horizon=T(10_000))
+    rows = {(r["k"], r["ver"]): (r["start"], r["end"])
+            for r in dim.collect()}
+    assert rows[(1, "v1")] == (T(0), T(100) - dt.timedelta(microseconds=1))
+    assert rows[(1, "v2")] == (T(100), T(10_000))
+    assert rows[(2, "w1")] == (T(50), T(10_000))
+    # lookup: points at 99s and 100s straddle the v1/v2 boundary
+    pts = spark.createDataFrame(
+        [(1, T(99)), (1, T(100)), (2, T(49))],
+        "k long, pts timestamp",
+    )
+    looked = range_join(
+        pts, dim.drop("ts"), "k", ts_col="pts", bucket_seconds=60,
+    )
+    got = {(r["k"], r["pts"]): r["ver"] for r in looked.collect()}
+    assert got == {(1, T(99)): "v1", (1, T(100)): "v2"}
+    # without a horizon the open rows carry NULL end and the joins
+    # drop them by the malformed-interval contract
+    no_h = validity_intervals(changes, "k")
+    assert no_h.filter(F.col("end").isNull()).count() == 2
+
+
+def test_validity_intervals_ties_and_numeric_epoch(spark):
+    """Same-instant writes: the largest order_col wins the real
+    interval, superseded rows get inverted spans the joins drop; raw
+    integer mode end = next - 1 raw unit."""
+    from fabstir_vectordb_spark.operators.temporal import (
+        range_join, validity_intervals,
+    )
+
+    changes = spark.createDataFrame(
+        [(1, 100, 1, "a"), (1, 100, 2, "b"), (1, 200, 3, "c")],
+        "k long, tsu long, seq int, ver string",
+    )
+    dim = validity_intervals(
+        changes, "k", ts_col="tsu", order_col="seq", horizon=10_000
+    )
+    rows = {r["ver"]: (r["start"], r["end"]) for r in dim.collect()}
+    assert rows["b"] == (100, 199)       # tie winner
+    assert rows["c"] == (200, 10_000)
+    s, e = rows["a"]
+    assert e < s                          # superseded: inverted span
+    assert dim.count() == 3               # auditable: nothing silently lost
+    pts = spark.createDataFrame([(1, 150)], "k long, p long")
+    got = range_join(pts, dim.drop("tsu"), "k", ts_col="p",
+                     bucket_seconds=100).collect()
+    assert [r["ver"] for r in got] == ["b"]
+
+
+def test_validity_lookup_equals_asof(spark):
+    """The composition identity: range_join over validity_intervals
+    (horizon past every point) == asof_join(points, changes) — the
+    SCD2 lookup IS the backward as-of, derived two independent ways."""
+    import datetime as dt
+
+    from fabstir_vectordb_spark.operators.temporal import (
+        asof_join, range_join, validity_intervals,
+    )
+
+    import random
+    rnd = random.Random(7)
+    T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    changes = spark.createDataFrame(
+        [(k, T(rnd.randrange(0, 5000)), f"v{i}")
+         for i, k in enumerate(rnd.choices(range(5), k=40))],
+        "k long, ts timestamp, ver string",
+    ).dropDuplicates(["k", "ts"])
+    pts = spark.createDataFrame(
+        [(k, T(rnd.randrange(0, 6000)))
+         for k in rnd.choices(range(6), k=60)],
+        "k long, pts timestamp",
+    )
+    dim = validity_intervals(changes, "k", horizon=T(10_000))
+    via_range = {
+        (r["k"], r["pts"]): r["ver"]
+        for r in range_join(pts, dim.drop("ts"), "k", ts_col="pts",
+                            bucket_seconds=600).collect()
+    }
+    via_asof = {
+        (r["k"], r["pts"]): r["ver_r"]
+        for r in asof_join(pts, changes, "k", ts_col="pts",
+                           right_ts_col="ts").collect()
+        if r["ver_r"] is not None
+    }
+    assert via_range == via_asof
+
+
+def test_validity_intervals_validation(spark):
+    import pytest
+
+    from fabstir_vectordb_spark.operators.temporal import validity_intervals
+
+    df = spark.createDataFrame([(1, 100, 5)], "k long, tsu long, start int")
+    with pytest.raises(ValueError, match="already exist"):
+        validity_intervals(df, "k", ts_col="tsu")
+    df2 = spark.createDataFrame([(1, 100)], "k long, tsu long")
+    with pytest.raises(ValueError, match="raw integer"):
+        validity_intervals(df2, "k", ts_col="tsu", horizon="2024-01-01")
