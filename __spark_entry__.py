@@ -3600,6 +3600,11 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                        computed by the one-exchange sorted-timeline
                        fold vs DuckDB's chained-minimum CTEs — two
                        INDEPENDENT formulations of the same spec
+      retention      — weekly cohort retention triangle (operators/
+                       funnel.py retention): one keyed set-collect
+                       over events, plain-count cells (distinct by
+                       set construction), vs DuckDB's min-cohort +
+                       offset GROUP BY formulation
       stream_session — a REAL Structured Streaming run of
                        sessionize_stream (streaming/ingest.py,
                        session_window merging-session state) over the
@@ -3624,6 +3629,8 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       range:   key=event_id, ref=session_id, x1=1
       funnel:  key=user_id, ref='', n=depth, x1/x2/x3=matched step
                epoch micros or -1 (micros < 2^53, exact in double)
+      retention: key=cohort period id, ref=offset, n=n_active,
+               x1=r6(retention), x2=n_cohort
       stream_session: key='<user>@<start_us>', ref=user_id,
                n=n_events, x1=duration_us
     Unused slots are 0/''. Every mapping is injective per part, so the
@@ -3679,6 +3686,17 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("t2"), F.lit(-1)).cast("double").alias("x2"),
         F.coalesce(F.col("t3"), F.lit(-1)).cast("double").alias("x3"),
     )
+    from fabstir_vectordb_spark.operators.funnel import retention
+
+    rt = retention(ev, "user_id", period_seconds=604800).select(
+        F.lit("retention").alias("part"),
+        F.col("cohort").cast("string").alias("key"),
+        F.col("offset").cast("string").alias("ref"),
+        F.col("n_active").cast("long").alias("n"),
+        r6("retention").alias("x1"),
+        F.col("n_cohort").cast("double").alias("x2"),
+        F.lit(0.0).alias("x3"),
+    )
     ss = q_stream_sessions(spark, sf_dir).select(
         F.lit("stream_session").alias("part"),
         F.concat_ws(
@@ -3691,7 +3709,10 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         zd.alias("x2"),
         zd.alias("x3"),
     )
-    return p.unionByName(s).unionByName(t).unionByName(fu).unionByName(ss)
+    return (
+        p.unionByName(s).unionByName(t).unionByName(fu)
+        .unionByName(rt).unionByName(ss)
+    )
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6697,6 +6718,33 @@ LEFT JOIN (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
              AND epoch_us(e.ts) >= c.t2
              AND epoch_us(e.ts) <= s.t1 + 86400000000
            GROUP BY e.user_id) s3 USING (user_id)
+UNION ALL
+-- weekly cohort retention: min-cohort + offset GROUP BY — the
+-- closed-form twin of the engine's set-collect formulation; cells are
+-- plain counts because (user, period) pairs are distinct
+SELECT 'retention' AS part, CAST(cohort AS VARCHAR) AS key,
+       CAST(offs AS VARCHAR) AS ref, n_active AS n,
+       (round(CAST(n_active AS DOUBLE) / nc, 6) + 0.0) AS x1,
+       CAST(nc AS DOUBLE) AS x2, 0.0 AS x3
+FROM (
+  SELECT act.*, max(CASE WHEN offs = 0 THEN n_active END)
+           OVER (PARTITION BY cohort) AS nc
+  FROM (
+    SELECT c.cohort, CAST(kp.p - c.cohort AS INT) AS offs,
+           count(*) AS n_active
+    FROM (SELECT DISTINCT user_id,
+                 CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS p
+          FROM events WHERE ts IS NOT NULL) kp
+    JOIN (SELECT user_id, min(p) AS cohort
+          FROM (SELECT DISTINCT user_id,
+                       CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT)
+                         AS p
+                FROM events WHERE ts IS NOT NULL)
+          GROUP BY user_id) c USING (user_id)
+    WHERE kp.p - c.cohort <= 12
+    GROUP BY 1, 2
+  ) act
+)
 UNION ALL
 SELECT 'stream_session' AS part,
        concat(CAST(user_id AS VARCHAR), '@', CAST(start_us AS VARCHAR)) AS key,

@@ -80,7 +80,7 @@ from pyspark.sql import functions as F
 
 from fabstir_vectordb_spark.operators.temporal import _raw_time_mode
 
-__all__ = ["funnel", "funnel_summary"]
+__all__ = ["funnel", "funnel_summary", "retention"]
 
 
 def funnel(
@@ -242,4 +242,92 @@ def funnel_summary(per_key: DataFrame, n_steps: int) -> DataFrame:
             F.col("s.__prev") > 0,
             F.col("s.reached").cast("double") / F.col("s.__prev"),
         ).alias("conversion"),
+    )
+
+
+def retention(
+    events: DataFrame,
+    on: str | list[str] = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 604800,
+    max_periods: int = 12,
+) -> DataFrame:
+    """Cohort retention: keys grouped by the period of their FIRST
+    event (the cohort), and for each later period the fraction still
+    active — the triangle every product dashboard draws, next to
+    :func:`funnel` and sessionization in the event-analytics set.
+
+    Output, one row per (cohort, offset) that had any activity:
+      ``cohort``    the cohort's period id (``floor(first_ts / period)``,
+                    long; multiply back for the period start)
+      ``offset``    periods since the cohort period (0..``max_periods``)
+      ``n_active``  distinct keys of that cohort active in that period
+      ``n_cohort``  the cohort's size (= ``n_active`` at offset 0, by
+                    construction: the first period is always active)
+      ``retention`` ``n_active / n_cohort``
+
+    Plan, ONE exchange over raw data: each key's distinct active
+    periods collect as a sorted SET in a single keyed aggregate
+    (map-side partial set merge — a key active in 10^8 events in one
+    period still contributes one set element; set size is bounded by
+    time-range/period, e.g. five years of weeks = 260), the cohort is
+    the set's first element, offsets explode from the set, and
+    because (key, period) pairs are distinct by construction the
+    final per-(cohort, offset) count is a plain count(*) — no
+    count_distinct expansion.  Two further exchanges touch only the
+    compact frames: the (cohort, offset) aggregate and the tiny
+    n_cohort window over the result rows.
+
+    Numeric-epoch mode as elsewhere: an all-integer ``ts_col`` buckets
+    on the raw integers and ``period_seconds`` reads in the raw unit.
+    NULL timestamps are dropped up front; NULL keys form their own
+    cohort member, as groupBy treats them.
+    """
+    from pyspark.sql.window import Window
+
+    if int(period_seconds) <= 0:
+        raise ValueError(
+            f"period_seconds must be positive; got {period_seconds}"
+        )
+    if int(max_periods) < 0:
+        raise ValueError(f"max_periods must be >= 0; got {max_periods}")
+    keys = [on] if isinstance(on, str) else list(on)
+    taken = {"cohort", "offset", "n_active", "n_cohort", "retention"} & set(
+        keys
+    )
+    if taken:
+        raise ValueError(
+            f"key column(s) {sorted(taken)} collide with the output "
+            "columns; rename the keys first"
+        )
+    raw = _raw_time_mode((events, [ts_col]))
+    tsu = (
+        F.col(ts_col).cast("long")
+        if raw
+        else F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    per_u = int(period_seconds) * (1 if raw else 1_000_000)
+    per_key = (
+        events.filter(tsu.isNotNull())
+        .select(*keys, F.floor(tsu / per_u).cast("long").alias("__p"))
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_set("__p")).alias("__ps"))
+    )
+    rows = per_key.select(
+        F.col("__ps")[0].alias("cohort"),
+        F.explode("__ps").alias("__p"),
+    ).withColumn("offset", (F.col("__p") - F.col("cohort")).cast("int"))
+    # (key, period) pairs are DISTINCT by set construction, so the
+    # per-cell count is a plain count(*) — no count_distinct Expand
+    act = (
+        rows.filter(F.col("offset") <= max_periods)
+        .groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    n_cohort = F.max(
+        F.when(F.col("offset") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort"))
+    return act.withColumn("n_cohort", n_cohort).withColumn(
+        "retention",
+        F.col("n_active").cast("double") / F.col("n_cohort"),
     )

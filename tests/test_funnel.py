@@ -163,3 +163,69 @@ def test_funnel_plan_single_exchange_no_udf(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- #
+# retention: cohort triangles                                        #
+# ---------------------------------------------------------------- #
+
+def test_retention_matches_manual(spark):
+    from fabstir_vectordb_spark.operators.funnel import retention
+
+    # periods of 10s; users first-seen in different periods
+    rows = [
+        (1, 0), (1, 5), (1, 12), (1, 31),      # cohort 0: active 0,1,3
+        (2, 3), (2, 25),                        # cohort 0: active 0,2
+        (3, 11), (3, 22),                       # cohort 1: active 1,2
+        (4, 14),                                # cohort 1: active 1
+    ]
+    df = spark.createDataFrame(
+        [(k, _ts(s)) for k, s in rows], "u long, ts timestamp"
+    )
+    got = {
+        (r["cohort"], r["offset"]):
+            (r["n_active"], r["n_cohort"], r["retention"])
+        for r in retention(df, "u", period_seconds=10).collect()
+    }
+    base = int(_ts(0).replace(tzinfo=__import__("datetime").timezone.utc)
+               .timestamp() * 1_000_000) // 10_000_000
+    want = {
+        (base + 0, 0): (2, 2, 1.0), (base + 0, 1): (1, 2, 0.5),
+        (base + 0, 2): (1, 2, 0.5), (base + 0, 3): (1, 2, 0.5),
+        (base + 1, 0): (2, 2, 1.0), (base + 1, 1): (1, 2, 0.5),
+    }
+    assert got == want
+
+
+def test_retention_numeric_epoch_and_caps(spark):
+    from fabstir_vectordb_spark.operators.funnel import retention
+
+    df = spark.createDataFrame(
+        [(1, 0), (1, 100), (1, 990), (2, 5), (2, None)],
+        "u long, tsu long",
+    )
+    got = {
+        (r["cohort"], r["offset"]): r["n_active"]
+        for r in retention(df, "u", ts_col="tsu", period_seconds=100,
+                           max_periods=5).collect()
+    }
+    # raw units; user 1's 990 event is offset 9 > max_periods, dropped;
+    # user 2's NULL ts dropped
+    assert got == {(0, 0): 2, (0, 1): 1}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="period_seconds"):
+        retention(df, "u", ts_col="tsu", period_seconds=0)
+    with _pt.raises(ValueError, match="collide"):
+        retention(df.withColumnRenamed("u", "cohort"), "cohort",
+                  ts_col="tsu")
+
+
+def test_retention_plan_two_exchanges(spark):
+    from fabstir_vectordb_spark.operators.funnel import retention
+
+    df = spark.createDataFrame([(1, _ts(0))], "u long, ts timestamp")
+    plan = retention(df, "u")._jdf.queryExecution().executedPlan().toString()
+    # distinct(key, period) + final (cohort, offset) agg; the cohort
+    # window and n_cohort window reuse existing partitionings
+    assert plan.count("Exchange") <= 3
+    assert "BatchEvalPython" not in plan
