@@ -14,6 +14,9 @@ Covers the round-6/7 temporal tier the way a user would reach it:
   8. the first-touch conversion funnel (view -> click -> purchase)
   9. refreshing the report INCREMENTALLY: summarize only a new day's
      events and merge into the stored summary
+ 10. weekly cohort retention (the triangle)
+ 11. SCD2: the view log as a validity-interval dimension, looked up
+     with range_join (== the as-of lookup, by the pinned identity)
 
 Run:  python examples/event_analytics.py
 (uses the sf0.001 fixture tables; finishes in ~1 min on local[8])
@@ -220,6 +223,33 @@ def main(spark: SparkSession) -> dict:
     assert (
         refreshed.filter("g_event_type = 1").first()["n"] == events.count()
     )
+
+    # --- 10. weekly cohort retention ------------------------------------
+    from fabstir_vectordb_spark.operators.funnel import retention
+
+    tri = retention(events, "user_id", period_seconds=604800)
+    week0 = tri.filter("offset = 0").agg(F.sum("n_cohort")).first()[0]
+    out["retention_cells"] = tri.count()
+    out["cohorted_users"] = week0
+
+    # --- 11. SCD2 dimension lookup --------------------------------------
+    # each user's view history becomes validity intervals; range_join
+    # assigns every click the view version in effect at click time
+    from fabstir_vectordb_spark.operators.temporal import (
+        range_join, validity_intervals,
+    )
+
+    view_log = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("version_id")
+    ).dropDuplicates(["user_id", "ts"])
+    dim = validity_intervals(view_log, "user_id", horizon="2030-01-01")
+    clicks2 = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    out["clicks_with_version"] = range_join(
+        clicks2, dim.drop("ts"), "user_id",
+        ts_col="click_ts", bucket_seconds=86400,
+    ).count()
 
     return out
 
