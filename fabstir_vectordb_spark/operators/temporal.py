@@ -778,7 +778,10 @@ def validity_intervals(
     range_join/interval_join's malformed-interval filter, so pass a
     horizon whenever current rows must be joinable.  Stated rather
     than defaulted: inventing a magic far-future constant here would
-    bake an epoch assumption into every caller.
+    bake an epoch assumption into every caller.  In numeric-epoch
+    mode the interval columns come back in the ts column's own dtype,
+    so a horizon beyond that dtype's range fails LOUDLY at run time
+    (ANSI cast overflow), never wraps.
 
     Ties (two change rows at one (key, ts)) order by ``order_col``
     (largest = latest writer) or, absent one, by ``xxhash64`` of the
