@@ -3857,7 +3857,13 @@ def q_hybrid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       bin_hamming — binary sign-bit sketch top-10 by packed
                     xor/bit_count Hamming, bit-exact signature replay
       bin_rerank  — the sketch's oversampled exact-L2 rerank tier
-                    (both from q_binary_hamming)"""
+                    (both from q_binary_hamming)
+      maxsim      — (r9) ColBERT-style LATE-INTERACTION retrieval
+                    (operators/multivector.maxsim_topk): embeddings
+                    split into 4 x 16-dim token vectors, score =
+                    sum over query tokens of the max dot against the
+                    doc's tokens, exact top-10 — vs DuckDB's
+                    unnest + list_dot_product GROUP BY formulation"""
     hybrid = q_hybrid_merge_raw(spark, sf_dir).select(
         F.lit("hybrid").alias("part"), "query_id", "id",
         F.col("distance").alias("score"),
@@ -3894,9 +3900,46 @@ def q_hybrid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("bin_"), F.col("part")).alias("part"),
         "query_id", "id", "score",
     )
+
+    # maxsim (r9): late-interaction multi-vector retrieval — each
+    # embedding splits into 4 x 16-dim token vectors (a deterministic,
+    # SQL-replayable derivation), queries = the standard vec_id < NQ
+    # batch, score = ColBERT's sum-of-max-dots, exact
+    from fabstir_vectordb_spark.operators.multivector import maxsim_topk
+
+    def _tok(df, out_id):
+        return df.select(
+            F.col("vec_id").alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("token_idx"),
+                            F.slice(
+                                F.col("embedding").cast("array<double>"),
+                                i * 16 + 1,
+                                16,
+                            ).alias("vector"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("t"),
+        ).select(out_id, "t.token_idx", "t.vector")
+
+    mx = maxsim_topk(
+        _tok(emb, "doc_id"),
+        _tok(emb.filter(F.col("vec_id") < NQ), "query_id"),
+        k=K,
+    ).select(
+        F.lit("maxsim").alias("part"),
+        "query_id",
+        F.col("doc_id").alias("id"),
+        r6("score").alias("score"),
+    )
     return (
         hybrid.unionByName(weighted).unionByName(fanout)
-        .unionByName(rag).unionByName(binh)
+        .unionByName(rag).unionByName(binh).unionByName(mx)
     )
 
 
@@ -6513,6 +6556,36 @@ FROM ({_ORACLES["merge_weighted"]})
 UNION ALL
 SELECT 'ann_fanout' AS part, query_id, id, distance AS score
 FROM ({_ORACLES["knn_l2"]})
+UNION ALL
+-- maxsim: the late-interaction rule over sliced token vectors; dots
+-- in DOUBLE on both engines (the repo's cast-then-compute idiom)
+SELECT 'maxsim' AS part, query_id, id, (round(score, 6) + 0.0) AS score
+FROM (
+  SELECT query_id, id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, id ASC) AS rn
+  FROM (
+    SELECT query_id, id, sum(m) AS score
+    FROM (
+      SELECT q0.query_id, d0.id, q0.tok, max(list_dot_product(q0.v, d0.v)) AS m
+      FROM (
+        SELECT vec_id AS query_id, i AS tok,
+               list_transform(embedding[(i * 16 + 1):(i * 16 + 16)],
+                              x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS i)
+        WHERE vec_id < {NQ}
+      ) q0
+      CROSS JOIN (
+        SELECT vec_id AS id, i AS tok2,
+               list_transform(embedding[(i * 16 + 1):(i * 16 + 16)],
+                              x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS i)
+      ) d0
+      GROUP BY 1, 2, 3
+    )
+    GROUP BY 1, 2
+  )
+) WHERE rn <= {K}
 UNION ALL
 SELECT 'rag_doc' AS part, query_id, id, distance AS score
 FROM ({_ORACLES["rag_doc_search"]})

@@ -1,0 +1,111 @@
+"""MaxSim late-interaction retrieval: the broadcast + two-level
+aggregate plan must reproduce a numpy reference of the ColBERT rule
+(sum over query tokens of the max dot against the document's tokens)
+for ANY random token tables, and the candidate-restricted path must
+score pairs identically to the full cross."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.operators.multivector import maxsim_topk
+
+DIM = 8
+
+
+def _tables(spark, n_docs=12, n_queries=3, seed=7):
+    rng = np.random.default_rng(seed)
+    doc_rows, q_rows = [], []
+    docs = {}
+    for d in range(n_docs):
+        toks = rng.standard_normal((rng.integers(1, 5), DIM)).round(3)
+        docs[d] = toks
+        doc_rows += [(d, i, [float(x) for x in t])
+                     for i, t in enumerate(toks)]
+    queries = {}
+    for qid in range(n_queries):
+        toks = rng.standard_normal((rng.integers(1, 4), DIM)).round(3)
+        queries[qid] = toks
+        q_rows += [(qid, i, [float(x) for x in t])
+                   for i, t in enumerate(toks)]
+    dt = spark.createDataFrame(
+        doc_rows, "doc_id long, token_idx int, vector array<double>"
+    )
+    qt = spark.createDataFrame(
+        q_rows, "query_id long, token_idx int, vector array<double>"
+    )
+    return dt, qt, docs, queries
+
+
+def _reference_topk(docs, queries, k):
+    out = {}
+    for qid, qtoks in queries.items():
+        scores = []
+        for d, dtoks in docs.items():
+            s = float(sum((qt @ dtoks.T).max() for qt in qtoks))
+            scores.append((d, s))
+        scores.sort(key=lambda t: (-round(t[1], 6), t[0]))
+        out[qid] = scores[:k]
+    return out
+
+
+def test_maxsim_matches_numpy_reference(spark):
+    dt, qt, docs, queries = _tables(spark)
+    got = {}
+    for r in maxsim_topk(dt, qt, k=5).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    want = _reference_topk(docs, queries, 5)
+    for qid, rows in got.items():
+        rows.sort()
+        assert [d for _, d, _ in rows] == [d for d, _ in want[qid]]
+        for (_, _, s), (_, ws) in zip(rows, want[qid]):
+            assert s == pytest.approx(ws, rel=1e-9)
+
+
+def test_maxsim_candidates_path_scores_identically(spark):
+    dt, qt, docs, queries = _tables(spark, n_docs=10)
+    full = {(r["query_id"], r["doc_id"]): r["score"]
+            for r in maxsim_topk(dt, qt, k=10).collect()}
+    # candidates = every pair -> same top-k, identical scores
+    cand = spark.createDataFrame(
+        [(q, d) for q in queries for d in docs],
+        "query_id long, doc_id long",
+    )
+    two = {(r["query_id"], r["doc_id"]): r["score"]
+           for r in maxsim_topk(dt, qt, k=10, candidates=cand).collect()}
+    assert two == full
+    # a RESTRICTED candidate set scores its pairs exactly as the full
+    half = cand.filter(F.col("doc_id") % 2 == 0)
+    restr = {(r["query_id"], r["doc_id"]): r["score"]
+             for r in maxsim_topk(dt, qt, k=10, candidates=half).collect()}
+    assert restr == {p: s for p, s in full.items() if p[1] % 2 == 0}
+
+
+def test_maxsim_null_vectors_and_validation(spark):
+    dt = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (1, 1, None), (2, 0, [0.0, 1.0])],
+        "doc_id long, token_idx int, vector array<double>",
+    )
+    qt = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0])], "query_id long, token_idx int, vector array<double>"
+    )
+    rows = {r["doc_id"]: r["score"]
+            for r in maxsim_topk(dt, qt, k=5).collect()}
+    assert rows == {1: 1.0, 2: 0.0}
+    with pytest.raises(ValueError, match="k must be"):
+        maxsim_topk(dt, qt, k=0)
+    with pytest.raises(ValueError, match="must differ"):
+        maxsim_topk(dt, qt, id_col="x", query_col="x")
+
+
+def test_maxsim_plan_broadcasts_queries_no_udf(spark):
+    dt, qt, _, _ = _tables(spark, n_docs=4, n_queries=2)
+    plan = maxsim_topk(dt, qt, k=3)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
