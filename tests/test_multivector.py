@@ -109,3 +109,28 @@ def test_maxsim_plan_broadcasts_queries_no_udf(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_maxsim_kernel_equals_expr(spark):
+    """impl='kernel' (Arrow GEMM + partition-local maxes) returns the
+    same ranking and per-pair scores as the certified expression path,
+    with and without a candidate restriction."""
+    dt, qt, _, _ = _tables(spark, n_docs=14, n_queries=3, seed=11)
+    # spread doc tokens across partitions so the cross-partition max
+    # merge actually exercises
+    dt = dt.repartition(6)
+    for cand in (None,
+                 spark.createDataFrame(
+                     [(q, d) for q in range(3) for d in range(0, 14, 2)],
+                     "query_id long, doc_id long")):
+        e = {(r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+             for r in maxsim_topk(dt, qt, k=6, candidates=cand).collect()}
+        g = {(r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+             for r in maxsim_topk(dt, qt, k=6, candidates=cand,
+                                  impl="kernel").collect()}
+        assert set(e) == set(g)
+        for p in e:
+            assert e[p][0] == g[p][0]
+            assert g[p][1] == pytest.approx(e[p][1], rel=1e-9)
+    with pytest.raises(ValueError, match="impl"):
+        maxsim_topk(dt, qt, impl="nope")
