@@ -222,3 +222,47 @@ s.sql("DROP TABLE IF EXISTS dj_a")
 s.sql("DROP TABLE IF EXISTS dj_b")
 shutil.rmtree(plain_base, ignore_errors=True)
 shutil.rmtree(bucket_base, ignore_errors=True)
+
+
+# ---- 4. maxsim expr vs kernel --------------------------------------
+# (appended) 10M doc tokens x 32 query tokens from materialized
+# parquet; the expression path is the certified reference, the Arrow
+# GEMM kernel the scale path.
+from fabstir_vectordb_spark.operators.multivector import maxsim_topk
+
+
+def _mv_toks(df, idc):
+    return df.select(
+        F.col("id").alias(idc),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("token_idx"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(16)),
+                    lambda j: (F.hash(F.col("id"), F.lit(i), j) % 1000)
+                    .cast("double") / 500.0,
+                ).alias("vector"),
+            )
+            for i in range(4)
+        ])).alias("t"),
+    ).select(idc, "t.token_idx", "t.vector")
+
+
+mv_base = tempfile.mkdtemp(prefix="mvtok_")
+_mv_toks(s.range(2_500_000), "doc_id").write.mode("overwrite").parquet(mv_base)
+mv_docs = s.read.parquet(mv_base)
+mv_qs = _mv_toks(s.range(8), "query_id")
+mv_t = {}
+for rep in range(3):
+    for impl in ("expr", "kernel"):
+        t0 = time.time()
+        maxsim_topk(mv_docs, mv_qs, k=10, impl=impl).count()
+        mv_t.setdefault(impl, []).append(time.time() - t0)
+e_med = statistics.median(mv_t["expr"])
+k_med = statistics.median(mv_t["kernel"])
+print(json.dumps({
+    "datum": "maxsim_expr_vs_kernel", "doc_tokens": 10_000_000,
+    "query_tokens": 32, "expr_s": round(e_med, 2),
+    "kernel_s": round(k_med, 2), "speedup": round(e_med / k_med, 2),
+}))
+shutil.rmtree(mv_base, ignore_errors=True)
