@@ -173,10 +173,14 @@ def _maxsim_kernel(
         .collect()
     )
     if not q_rows:
-        empty = "{} long, {} long, score double, rank int".format(
-            query_col, id_col
+        # delegate the empty case to the expression path: it produces
+        # an empty frame with the CORRECT id dtypes (hardcoding long
+        # here would lie for string ids)
+        return maxsim_topk(
+            doc_tokens, query_tokens.limit(0), k,
+            id_col, query_col, token_col, vec_col, candidates,
+            impl="expr",
         )
-        return doc_tokens.sparkSession.createDataFrame([], empty)
     meta = [(r[query_col], r[token_col]) for r in q_rows]
     qm = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64).T
     qt = len(meta)
@@ -194,7 +198,10 @@ def _maxsim_kernel(
             "left_semi",
         )
 
-    out_schema = "__id long, __mx array<double>"
+    # carry the caller's id dtype through the kernel (string doc ids
+    # are legal; "long" hardcoded here would mis-type them)
+    id_t = dict(d.dtypes)["__id"]
+    out_schema = f"__id {id_t}, __mx array<double>"
 
     def _score(batches):
         for pdf in batches:

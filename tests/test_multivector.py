@@ -134,3 +134,28 @@ def test_maxsim_kernel_equals_expr(spark):
             assert g[p][1] == pytest.approx(e[p][1], rel=1e-9)
     with pytest.raises(ValueError, match="impl"):
         maxsim_topk(dt, qt, impl="nope")
+
+
+def test_maxsim_kernel_string_ids_and_empty_queries(spark):
+    """The kernel carries non-integral id dtypes through (string doc
+    and query ids), and an empty query-token table yields an empty,
+    correctly-typed frame in both impls."""
+    dt = spark.createDataFrame(
+        [("docA", 0, [1.0, 0.0]), ("docA", 1, [0.0, 2.0]),
+         ("docB", 0, [0.5, 0.5])],
+        "doc_id string, token_idx int, vector array<double>",
+    )
+    qt = spark.createDataFrame(
+        [("q1", 0, [1.0, 0.0]), ("q1", 1, [0.0, 1.0])],
+        "query_id string, token_idx int, vector array<double>",
+    )
+    for impl in ("expr", "kernel"):
+        got = {(r["query_id"], r["doc_id"]): r["score"]
+               for r in maxsim_topk(dt, qt, k=5, impl=impl).collect()}
+        assert got == {("q1", "docA"): 3.0, ("q1", "docB"): 1.0}, impl
+    empty_q = qt.limit(0)
+    for impl in ("expr", "kernel"):
+        out = maxsim_topk(dt, empty_q, k=5, impl=impl)
+        assert out.count() == 0
+        assert dict(out.dtypes)["doc_id"] == "string", impl
+        assert dict(out.dtypes)["query_id"] == "string", impl
