@@ -171,6 +171,57 @@ def q_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hnsw_l2").alias("metric"), "query_id", "id",
         F.col("distance").alias("score"),
     )
+
+    # eval (r9): the general retrieval evaluator (operators/
+    # evaluation.evaluate_retrieval -- SURVEY 2 #42 generalized)
+    # scored on the certified L2 ranking against label-match qrels (a
+    # document is relevant to a query iff it carries the query
+    # vector's label).  id encodes the metric: 1=recall@K,
+    # 2=precision@K, 3=MRR@K, 4=nDCG@K; score = r6(value).
+    from pyspark.sql.window import Window as _WE
+
+    from fabstir_vectordb_spark.operators.evaluation import (
+        evaluate_retrieval,
+    )
+
+    emb_e = _t(spark, sf_dir, "embeddings")
+    ranked = q_knn_l2(spark, sf_dir).withColumn(
+        "rank",
+        F.row_number().over(
+            _WE.partitionBy("query_id").orderBy("distance", "id")
+        ),
+    )
+    qrels = (
+        emb_e.filter(F.col("vec_id") < NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
+        .join(
+            emb_e.select(F.col("vec_id").alias("id"), "label"),
+            F.col("label") == F.col("__ql"),
+        )
+        .select("query_id", "id")
+    )
+    evp = (
+        evaluate_retrieval(ranked, qrels, k=K)
+        .select(
+            "query_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("id"), F.col("recall").alias("v")),
+                    F.struct(
+                        F.lit(2).alias("id"), F.col("precision").alias("v")
+                    ),
+                    F.struct(F.lit(3).alias("id"), F.col("mrr").alias("v")),
+                    F.struct(F.lit(4).alias("id"), F.col("ndcg").alias("v")),
+                )
+            ).alias("m"),
+        )
+        .select(
+            F.lit("eval").alias("metric"),
+            "query_id",
+            F.col("m.id").cast("long").alias("id"),
+            r6("m.v").alias("score"),
+        )
+    )
     # unbounded radius query (no k): every vector within r=1.26 of each
     # query — operators/knn.py:range_search
     from fabstir_vectordb_spark.operators.knn import range_search
@@ -185,7 +236,7 @@ def q_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l2.unionByName(cos).unionByName(dot).unionByName(thr)
-        .unionByName(hnsw).unionByName(rng)
+        .unionByName(hnsw).unionByName(rng).unionByName(evp)
     )
 
 
@@ -6630,6 +6681,45 @@ FROM ({_ORACLES["search_threshold"]})
 UNION ALL
 SELECT 'hnsw_l2' AS metric, query_id, id, distance AS score
 FROM ({_ORACLES["knn_l2"]})
+UNION ALL
+-- eval: recall/precision/MRR/nDCG@K of the certified L2 ranking vs
+-- label-match qrels (id codes the metric 1..4); formulas are the
+-- trec_eval standards with log2 discounts
+SELECT 'eval' AS metric, query_id, mid AS id, (round(v, 6) + 0.0) AS score
+FROM (
+  SELECT p.query_id,
+         CAST(COALESCE(h.hits, 0) AS DOUBLE) / p.nr AS recall,
+         CAST(COALESCE(h.hits, 0) AS DOUBLE) / {K} AS precision,
+         COALESCE(h.mrr, 0.0) AS mrr,
+         COALESCE(h.dcg / p.idcg, 0.0) AS ndcg
+  FROM (
+    SELECT query_id, count(*) AS nr,
+           sum(CASE WHEN rn <= {K} THEN 1.0 / log2(rn + 1.0) END) AS idcg
+    FROM (SELECT query_id, id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY id)
+                   AS rn
+          FROM (SELECT q.vec_id AS query_id, d.vec_id AS id
+                FROM embeddings q JOIN embeddings d ON d.label = q.label
+                WHERE q.vec_id < {NQ}))
+    GROUP BY query_id
+  ) p
+  LEFT JOIN (
+    SELECT r.query_id, count(*) AS hits, max(1.0 / r.rnk) AS mrr,
+           sum(1.0 / log2(r.rnk + 1.0)) AS dcg
+    FROM (SELECT query_id, id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY distance, id) AS rnk
+          FROM ({_ORACLES["knn_l2"]})) r
+    JOIN (SELECT q.vec_id AS query_id, d.vec_id AS id
+          FROM embeddings q JOIN embeddings d ON d.label = q.label
+          WHERE q.vec_id < {NQ}) j
+      ON r.query_id = j.query_id AND r.id = j.id
+    GROUP BY r.query_id
+  ) h ON p.query_id = h.query_id
+)
+CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS mid)
+CROSS JOIN LATERAL (SELECT CASE mid WHEN 1 THEN recall WHEN 2 THEN precision
+                                    WHEN 3 THEN mrr ELSE ndcg END AS v)
 UNION ALL
 SELECT 'l2_range' AS metric, query_id, id, (round(distance, 6) + 0.0) AS score
 FROM (
