@@ -225,8 +225,11 @@ def _validate_measures(measures, two_phase: bool) -> None:
                 "decomposable — a phase-1 row per dim combo cannot "
                 "re-derive the value distribution.  Use "
                 "pre_aggregate=False (exact, Expand over the full "
-                "input), or aggregate a pre-bucketed histogram column "
-                "with sum and derive quantiles downstream"
+                "input); at scales where the direct plan is too "
+                "expensive, add floor(col/width) as an extra dim with "
+                "a count measure — the resulting bucket counts are "
+                "summable (and summary-mergeable), and any quantile "
+                "reads off their cumulative sum to bucket precision"
             )
         if fn == "count_distinct" and two_phase:
             raise ValueError(

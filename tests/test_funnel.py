@@ -229,3 +229,30 @@ def test_retention_plan_two_exchanges(spark):
     # window and n_cohort window reuse existing partitionings
     assert plan.count("Exchange") <= 3
     assert "BatchEvalPython" not in plan
+
+
+def test_sessionized_funnel_composition(spark):
+    """The composition pattern: sessionize first, then funnel keyed
+    (user, session) — each session runs its own first-touch chain, so
+    a step sequence split across two sessions does NOT convert while
+    the same sequence inside one session does."""
+    from fabstir_vectordb_spark.operators.stats import sessionize
+
+    rows = [
+        # user 1: search+buy in ONE session (gap < 60s)
+        (1, 1, _ts(0), "search"), (2, 1, _ts(30), "buy"),
+        # user 2: search, then a >60s gap, buy lands in a NEW session
+        (3, 2, _ts(0), "search"), (4, 2, _ts(200), "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, et string"
+    )
+    sess = sessionize(df, gap_seconds=60)
+    steps = [F.col("et") == "search", F.col("et") == "buy"]
+    per_session = funnel(sess, ["user_id", "session_id"], steps)
+    depth_by_user = {}
+    for r in per_session.collect():
+        depth_by_user[r["user_id"]] = max(
+            depth_by_user.get(r["user_id"], 0), r["depth"]
+        )
+    assert depth_by_user == {1: 2, 2: 1}
