@@ -177,7 +177,11 @@ def q_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scored on the certified L2 ranking against label-match qrels (a
     # document is relevant to a query iff it carries the query
     # vector's label).  id encodes the metric: 1=recall@K,
-    # 2=precision@K, 3=MRR@K, 4=nDCG@K; score = r6(value).
+    # 2=precision@K, 3=MRR@K, 4=nDCG@K; score = r6(value).  id=5 is
+    # the GRADED branch: grade = 3 - |label_q - label_d| (positive
+    # iff the labels are within 2 — a different, larger relevant set
+    # than the binary part's), certifying graded DCG and the graded
+    # ideal ordering cross-engine.
     from pyspark.sql.window import Window as _WE
 
     from fabstir_vectordb_spark.operators.evaluation import (
@@ -199,6 +203,28 @@ def q_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label") == F.col("__ql"),
         )
         .select("query_id", "id")
+    )
+    graded = (
+        emb_e.filter(F.col("vec_id") < NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
+        .join(emb_e.select(F.col("vec_id").alias("id"), "label"))
+        .select(
+            "query_id",
+            "id",
+            (F.lit(3) - F.abs(F.col("label") - F.col("__ql")))
+            .cast("double")
+            .alias("g"),
+        )
+        .filter(F.col("g") > 0)
+    )
+    evg = (
+        evaluate_retrieval(ranked, graded, k=K, grade_col="g")
+        .select(
+            F.lit("eval").alias("metric"),
+            "query_id",
+            F.lit(5).cast("long").alias("id"),
+            r6("ndcg").alias("score"),
+        )
     )
     evp = (
         evaluate_retrieval(ranked, qrels, k=K)
@@ -237,6 +263,7 @@ def q_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l2.unionByName(cos).unionByName(dot).unionByName(thr)
         .unionByName(hnsw).unionByName(rng).unionByName(evp)
+        .unionByName(evg)
     )
 
 
@@ -6720,6 +6747,38 @@ FROM (
 CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS mid)
 CROSS JOIN LATERAL (SELECT CASE mid WHEN 1 THEN recall WHEN 2 THEN precision
                                     WHEN 3 THEN mrr ELSE ndcg END AS v)
+UNION ALL
+-- graded nDCG (id=5): grade = 3 - |label_q - label_d| where positive;
+-- the ideal ranks the query's own grades descending, capped at K
+SELECT 'eval' AS metric, p.query_id, CAST(5 AS BIGINT) AS id,
+       (round(COALESCE(h.dcg / p.idcg, 0.0), 6) + 0.0) AS score
+FROM (
+  SELECT query_id, sum(CASE WHEN rn <= {K} THEN g / log2(rn + 1.0) END)
+           AS idcg
+  FROM (SELECT query_id, g,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY g DESC) AS rn
+        FROM (SELECT q.vec_id AS query_id,
+                     CAST(3 - abs(d.label - q.label) AS DOUBLE) AS g
+              FROM embeddings q JOIN embeddings d
+                ON abs(d.label - q.label) <= 2
+              WHERE q.vec_id < {NQ}))
+  GROUP BY query_id
+) p
+LEFT JOIN (
+  SELECT r.query_id, sum(j.g / log2(r.rnk + 1.0)) AS dcg
+  FROM (SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY distance, id) AS rnk
+        FROM ({_ORACLES["knn_l2"]})) r
+  JOIN (SELECT q.vec_id AS query_id, d.vec_id AS id,
+               CAST(3 - abs(d.label - q.label) AS DOUBLE) AS g
+        FROM embeddings q JOIN embeddings d
+          ON abs(d.label - q.label) <= 2
+        WHERE q.vec_id < {NQ}) j
+    ON r.query_id = j.query_id AND r.id = j.id
+  GROUP BY r.query_id
+) h ON p.query_id = h.query_id
 UNION ALL
 SELECT 'l2_range' AS metric, query_id, id, (round(distance, 6) + 0.0) AS score
 FROM (
