@@ -798,6 +798,12 @@ def q_temporal_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         ts_col="cts",
         bucket_seconds=86400,
+        # every open validity interval runs to the 2030 horizon — without
+        # stratification each would replicate one row per covered day
+        # bucket (~1,400 and growing with the horizon); answers are
+        # identical by contract, pinned long_interval_buckets just stops
+        # the blow-up (r9 advice)
+        long_interval_buckets=1,
     ).select(
         F.lit("scd2").alias("part"),
         F.col("event_id").alias("id"),

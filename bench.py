@@ -293,46 +293,67 @@ def main() -> int:
 
     total = p1["total"]
     cal = (calibration_s + calibration_end_s) / 2.0
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                # methodology markers: the IVF model is fit before timing
-                # (index build is a one-time cost in the reference too),
-                # so ann_ivf_probe times search only; each query is timed
-                # REPS times warm and the median reported
-                "ivf_prefit": True,
-                "reps": REPS,
-                "agg": "median",
-                # box calibration: the FROZEN _calibration kernel's median
-                # wall time before (calibration_s) and after
-                # (calibration_end_s) the query loop; queries_norm =
-                # query_s / mean(calibration) is the cross-round unit —
-                # raw totals swing with the box (same-code band
-                # 11.6-20.7 s over rounds 5-7), ratios don't
-                "calibration_s": calibration_s,
-                "calibration_end_s": calibration_end_s,
-                "total_norm": round(total / cal, 3),
-                "queries_norm": {
-                    n: round(t / cal, 3) for n, t in times.items()
-                },
-                # r9: the full timed pass runs twice back-to-back — two
-                # independent calibration pairs + normalized totals (the
-                # official normalized BAND; top-level fields mirror pass
-                # 1 for series compatibility)
-                "passes": passes,
-                "total_norm_band": [
-                    min(p["total_norm"] for p in passes),
-                    max(p["total_norm"] for p in passes),
-                ],
-                "amortized": amortized,
-            }
+
+    # Verbose two-pass record (both calibration pairs, per-pass query
+    # dicts): printed as an EARLIER stdout line and persisted to a sidecar
+    # so the full series stays recoverable without bloating the final line.
+    detail = {
+        "metric": "headline_queries_detail",
+        "sf": sf,
+        "reps": REPS,
+        "agg": "median",
+        "ivf_prefit": True,
+        "passes": passes,
+        "amortized": amortized,
+    }
+    detail_json = json.dumps(detail)
+    print(detail_json)
+    try:
+        Path(__file__).resolve().parent.joinpath("bench_detail.json").write_text(
+            detail_json + "\n"
         )
-    )
+    except Exception as e:
+        print(f"bench_detail sidecar write failed: {e}", file=sys.stderr)
+
+    # FINAL stdout line: the driver parses only a bounded tail of stdout,
+    # so this record must stay compact (< ~1,900 chars — r9's record
+    # inlined the passes array, outgrew the window, and landed as
+    # parsed:null).  It is self-contained: raw totals + per-query medians
+    # (pass 1, the series-comparable position), BOTH calibration pairs
+    # (cal_pairs — the normalized band is recomputable from them alone),
+    # normalized per-query ratios, and the amortized latency block.
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "reps": REPS,
+        "agg": "median",
+        "calibration_s": calibration_s,
+        "calibration_end_s": calibration_end_s,
+        "cal_pairs": [
+            [p["calibration_s"], p["calibration_end_s"]] for p in passes
+        ],
+        "pass_totals": [p["total"] for p in passes],
+        "total_norm": round(total / cal, 3),
+        "total_norm_band": [
+            min(p["total_norm"] for p in passes),
+            max(p["total_norm"] for p in passes),
+        ],
+        "queries_norm": {n: round(t / cal, 3) for n, t in times.items()},
+        "amortized": amortized,
+    }
+    line = json.dumps(record)
+    # hard budget: degrade gracefully rather than ever exceeding the
+    # driver's stdout-tail window again (queries_norm is recomputable
+    # from queries + cal_pairs; amortized survives in the sidecar)
+    for drop in ("queries_norm", "amortized"):
+        if len(line) <= 1900:
+            break
+        record.pop(drop, None)
+        line = json.dumps(record)
+    print(line)
     return 0
 
 

@@ -73,11 +73,25 @@ def evaluate_retrieval(
         if grade_col
         else F.lit(1.0)
     )
-    qr = qrels.select(
-        F.col(query_col), F.col(id_col), g.alias("__g")
-    ).filter(F.col("__g") > 0)
-    res = results.filter(F.col(rank_col) <= k).select(
-        F.col(query_col), F.col(id_col), F.col(rank_col).alias("__rk")
+    # both inputs deduped on (query, doc): duplicate judgments keep the
+    # MAX grade, duplicate result rows keep the MIN (best) rank — without
+    # this, repeated pairs inflate hits/recall/DCG (hits could exceed k)
+    # and break the [0, 1] metric contract.  Both frames are small (≤ k
+    # rows per query; qrels are judgments) and the extra exchange keys
+    # subsume into the per-query aggregates that follow.
+    qr = (
+        qrels.select(F.col(query_col), F.col(id_col), g.alias("__g"))
+        .groupBy(query_col, id_col)
+        .agg(F.max("__g").alias("__g"))
+        .filter(F.col("__g") > 0)
+    )
+    res = (
+        results.filter(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col), F.col(id_col), F.col(rank_col).alias("__rk")
+        )
+        .groupBy(query_col, id_col)
+        .agg(F.min("__rk").alias("__rk"))
     )
     # per-query judgment profile: relevant count + the ideal DCG from
     # the query's own grades sorted descending, capped at k — a pure

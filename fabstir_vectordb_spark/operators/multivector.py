@@ -231,21 +231,31 @@ def _maxsim_kernel(
             lambda acc, a: F.zip_with(acc, a, lambda x, y: F.greatest(x, y)),
         ).alias("__mx")
     )
-    # per-query SUM over that query's token slots
+    # per-query SUM over that query's token slots.  Duplicate
+    # (query, token) rows in query_tokens get their own GEMM slots but
+    # MERGE BY MAX here — the expr path's groupBy(query, doc, token)
+    # max collapses duplicates the same way, so kernel==expr parity
+    # holds even when duplicate rows carry different vectors (summing
+    # each slot would double-count the token).
     by_q: dict = {}
-    for i, (qid, _) in enumerate(meta):
-        by_q.setdefault(qid, []).append(i)
+    for i, (qid, tok) in enumerate(meta):
+        by_q.setdefault(qid, {}).setdefault(tok, []).append(i)
+
+    def _slot_max(idxs):
+        cols = [F.col("__mx")[i] for i in idxs]
+        return cols[0] if len(cols) == 1 else F.greatest(*cols)
+
     pairs = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(qid).alias("__q"),
                     sum(
-                        (F.col("__mx")[i] for i in idxs),
+                        (_slot_max(idxs) for idxs in toks.values()),
                         F.lit(0.0),
                     ).alias("__s"),
                 )
-                for qid, idxs in by_q.items()
+                for qid, toks in by_q.items()
             ]
         )
     )

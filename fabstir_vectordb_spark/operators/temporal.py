@@ -830,11 +830,11 @@ def validity_intervals(
             )
         open_end = F.lit(int(horizon)).cast("long")
     else:
-        import pandas as pd
-
-        open_end = F.lit(
-            int(pd.Timestamp(horizon).value // 1_000)
-        ).cast("long")
+        # derive the horizon through the SAME engine convention as the
+        # data path (cast-to-timestamp honors the session timezone) —
+        # a pandas parse would pin naive ISO strings to UTC and shift
+        # the open-interval end by the session offset in non-UTC sessions
+        open_end = F.unix_micros(F.lit(horizon).cast("timestamp"))
     end_u = F.coalesce(nxt - F.lit(1), open_end)
     start_e = tx(ts_col)
     if raw:

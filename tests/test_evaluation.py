@@ -134,3 +134,33 @@ def test_macro_averages(spark):
     assert row["precision"] == pytest.approx(0.25)
     assert row["mrr"] == pytest.approx(0.5)
     assert row["ndcg"] == pytest.approx(ndcg0 / 2)
+
+
+def test_eval_dedupes_duplicate_pairs(spark):
+    """Duplicate (query, doc) rows — in results inside the cut, or in
+    qrels — must not inflate hits/recall/DCG: results keep the MIN
+    rank, qrels the MAX grade (r9 advice).  hits can never exceed k or
+    n_relevant, and every metric stays in [0, 1]."""
+    res = spark.createDataFrame(
+        [(0, 5, 1), (0, 5, 2), (0, 5, 3), (0, 7, 4)],
+        "query_id long, id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 5, 1.0), (0, 5, 3.0), (0, 7, 0.0), (0, 7, 2.0), (0, 9, 1.0)],
+        "query_id long, id long, grade double",
+    )
+    row = evaluate_retrieval(
+        res, qrels, k=5, grade_col="grade"
+    ).collect()[0]
+    # judged relevant: {5 (grade max 3), 7 (grade max 2), 9} -> n_rel 3
+    assert row["n_relevant"] == 3
+    # retrieved relevant within the cut: {5 at rank 1, 7 at rank 4}
+    assert row["hits"] == 2
+    assert row["recall"] == pytest.approx(2 / 3)
+    assert row["precision"] == pytest.approx(2 / 5)
+    assert row["mrr"] == pytest.approx(1.0)
+    dcg = 3.0 / math.log2(2) + 2.0 / math.log2(5)
+    idcg = 3.0 / math.log2(2) + 2.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert row["ndcg"] == pytest.approx(dcg / idcg)
+    for m in ("recall", "precision", "mrr", "ndcg"):
+        assert 0.0 <= row[m] <= 1.0

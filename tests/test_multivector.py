@@ -159,3 +159,27 @@ def test_maxsim_kernel_string_ids_and_empty_queries(spark):
         assert out.count() == 0
         assert dict(out.dtypes)["doc_id"] == "string", impl
         assert dict(out.dtypes)["query_id"] == "string", impl
+
+
+def test_maxsim_kernel_handles_duplicate_query_tokens(spark):
+    """Duplicate (query_id, token_idx) rows in query_tokens: the expr
+    path collapses them via groupBy(query, doc, token) max; the kernel
+    path must merge its duplicate GEMM slots BY MAX, not sum them
+    (r9 advice) — parity pinned with DIFFERING duplicate vectors."""
+    dt, qt, docs, queries = _tables(spark, n_docs=8, n_queries=2)
+    rng = np.random.default_rng(11)
+    dup = spark.createDataFrame(
+        [
+            (qid, 0, [float(x) for x in rng.standard_normal(DIM).round(3)])
+            for qid in queries
+        ],
+        "query_id long, token_idx int, vector array<double>",
+    )
+    qt_dup = qt.unionByName(dup)
+    expr = {(r["query_id"], r["doc_id"]): r["score"]
+            for r in maxsim_topk(dt, qt_dup, k=8, impl="expr").collect()}
+    kern = {(r["query_id"], r["doc_id"]): r["score"]
+            for r in maxsim_topk(dt, qt_dup, k=8, impl="kernel").collect()}
+    assert set(expr) == set(kern)
+    for pair, s in expr.items():
+        assert kern[pair] == pytest.approx(s, rel=1e-9)

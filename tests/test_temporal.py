@@ -585,3 +585,31 @@ def test_validity_intervals_validation(spark):
     df2 = spark.createDataFrame([(1, 100)], "k long, tsu long")
     with pytest.raises(ValueError, match="raw integer"):
         validity_intervals(df2, "k", ts_col="tsu", horizon="2024-01-01")
+
+
+def test_validity_horizon_string_uses_session_timezone(spark):
+    """A string horizon must convert through the engine's own
+    cast-to-timestamp (session timezone), matching the data path —
+    a pandas UTC parse would shift the open end by the session offset
+    in non-UTC sessions (r9 advice)."""
+    import datetime as dt
+
+    from fabstir_vectordb_spark.operators.temporal import (
+        validity_intervals,
+    )
+
+    changes = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "v1")],
+        "k long, ts timestamp, ver string",
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        dim = validity_intervals(changes, "k", horizon="2030-01-01")
+        want = spark.createDataFrame([("2030-01-01",)], "h string").select(
+            F.col("h").cast("timestamp").alias("h")
+        ).collect()[0]["h"]
+        got = dim.collect()[0]["end"]
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
