@@ -1110,7 +1110,20 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                   percentile_cont rule, direct plan — like
                   count_distinct, not decomposable, and the two-phase
                   plan refuses it by contract) vs DuckDB
-                  quantile_cont, r6-rounded both sides."""
+                  quantile_cont, r6-rounded both sides.
+      li_hist     (r10) MERGEABLE percentiles: approx_p50/p99 over
+                  fixed-grid histogram partials, two-phase plan, vs
+                  the identical bucket/rank/interpolation read-off in
+                  DuckDB SQL (_hist_est_sql) — hash-exact, so the
+                  estimate algebra itself is certified cross-engine.
+      li_hincr    the SAME report built INCREMENTALLY (summarize 3
+                  disjoint hash-chunks, merge_summaries,
+                  report_from_summary) vs the same one-shot oracle —
+                  histogram counts are exact longs, so incremental ==
+                  one-shot EXACTLY: percentile reports refresh at
+                  100 TB without rescanning.
+      li_xd       (r10) exact MERGEABLE distinct (capped collect_set
+                  partials, two-phase) vs DuckDB COUNT(DISTINCT)."""
     from fabstir_vectordb_spark.operators.olap import grouped_report
 
     docs = _t(spark, sf_dir, "documents")
@@ -1219,6 +1232,60 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "li_cd", "l_returnflag", "l_linestatus",
         F.col("dp").cast("double"),
     )
+    # round 10: the MERGEABLE measure tier — approx_p50/p99 (fixed-grid
+    # histogram partials) and exact_distinct (capped-set partials) —
+    # certified three ways against the SAME DuckDB read-off SQL:
+    #   li_hist   two-phase plan (histogram partials merged in phase 2)
+    #   li_hincr  INCREMENTAL (summarize 3 disjoint hash-chunks,
+    #             merge_summaries, report_from_summary) — counts are
+    #             exact longs, so incremental == one-shot EXACTLY and
+    #             percentile reports are refreshable at 100 TB
+    #   li_xd     exact mergeable distinct (two-phase) vs
+    #             DuckDB COUNT(DISTINCT)
+    hist_ms = {
+        "n": ("count", None),
+        "hq50": ("approx_p50", "l_quantity",
+                 {"lo": 0.0, "hi": 51.0, "buckets": 64}),
+        "he99": ("approx_p99", "l_extendedprice",
+                 {"lo": 0.0, "hi": 110000.0, "buckets": 128}),
+        "xd": ("exact_distinct", "l_suppkey", {"cap": 50_000}),
+    }
+
+    def _fmt10(rep, part, x1, x2):
+        return rep.select(
+            F.lit(part).alias("part"),
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("k1"),
+            F.lit("(all)").alias("k2"),
+            F.col("g_l_returnflag").alias("g1"),
+            F.lit(1).cast("int").alias("g2"),
+            F.col("n").cast("long").alias("n"),
+            x1.alias("x1"),
+            x2.alias("x2"),
+        )
+
+    rep10 = grouped_report(li, ["l_returnflag"], hist_ms, mode="rollup")
+    li_hist = _fmt10(rep10, "li_hist", r6("hq50"), r6("he99"))
+    li_xd = _fmt10(
+        rep10, "li_xd", F.col("xd").cast("double"), F.lit(0.0)
+    )
+    li_ch = li.withColumn(
+        "__chunk", F.abs(F.xxhash64("l_orderkey", "l_linenumber")) % 3
+    )
+    li_merged = merge_summaries(
+        *[
+            summarize(
+                li_ch.filter(F.col("__chunk") == i).drop("__chunk"),
+                ["l_returnflag"], hist_ms,
+            )
+            for i in range(3)
+        ]
+    )
+    li_hincr = _fmt10(
+        report_from_summary(
+            li_merged, ["l_returnflag"], hist_ms, mode="rollup"
+        ),
+        "li_hincr", r6("hq50"), r6("he99"),
+    )
     return (
         doc_rollup.unionByName(doc_direct)
         .unionByName(doc_incr)
@@ -1227,6 +1294,9 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(li_cube)
         .unionByName(li_pctl)
         .unionByName(li_cd)
+        .unionByName(li_hist)
+        .unionByName(li_hincr)
+        .unionByName(li_xd)
     )
 
 
@@ -7091,6 +7161,62 @@ _OLAP_DOC_X1 = "CAST(sum(n_chars) AS DOUBLE)"
 _OLAP_DOC_X2 = (
     "(round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6) + 0.0)"
 )
+def _hist_est_sql(kexpr: str, xcol: str, q: float, lo: float, hi: float,
+                  n: int) -> str:
+    """Per-group fixed-grid histogram percentile read-off in ANSI SQL —
+    the SAME bucket/rank/interpolation formula operators/olap.py's
+    _hist_estimate computes in Spark column expressions: bucket =
+    clamp(floor((x-lo)/w)), kr = greatest(1, ceil(q*N)), est = lo + w *
+    (bucket + (kr - prev_cum)/count).  All literals repr()-inlined so
+    both engines run the identical IEEE doubles."""
+    w = (hi - lo) / n
+    return f"""
+  SELECT k, {lo!r} + {w!r} * (bk + (kr - prev) / CAST(c AS DOUBLE)) AS est
+  FROM (
+    SELECT k, bk, c,
+           sum(c) OVER (PARTITION BY k ORDER BY bk) AS cum,
+           sum(c) OVER (PARTITION BY k ORDER BY bk) - c AS prev,
+           greatest(1, CAST(ceil(
+             {q!r} * CAST(sum(c) OVER (PARTITION BY k) AS DOUBLE)
+           ) AS BIGINT)) AS kr
+    FROM (
+      SELECT {kexpr} AS k,
+             least(greatest(CAST(floor(({xcol} - {lo!r}) / {w!r}) AS BIGINT),
+                            0), {n - 1}) AS bk,
+             count(*) AS c
+      FROM lineitem WHERE {xcol} IS NOT NULL GROUP BY 1, 2
+    )
+  )
+  WHERE cum >= kr
+  QUALIFY row_number() OVER (PARTITION BY k ORDER BY bk) = 1
+"""
+
+
+def _hist_branch(part: str, kexpr: str, g1: int) -> str:
+    """One rollup cell family (per-flag or grand total) of the li_hist /
+    li_hincr oracle: counts + the two histogram estimates joined on the
+    group key."""
+    return f"""
+SELECT '{part}' AS part, c.k AS k1, '(all)' AS k2,
+       {g1} AS g1, 1 AS g2, c.n AS n,
+       (round(e1.est, 6) + 0.0) AS x1, (round(e2.est, 6) + 0.0) AS x2
+FROM (SELECT {kexpr} AS k, count(*) AS n FROM lineitem GROUP BY 1) c
+JOIN ({_hist_est_sql(kexpr, "l_quantity", 0.5, 0.0, 51.0, 64)}) e1
+  ON c.k = e1.k
+JOIN ({_hist_est_sql(kexpr, "l_extendedprice", 0.99, 0.0, 110000.0, 128)}) e2
+  ON c.k = e2.k
+"""
+
+
+def _xd_branch(part: str, kexpr: str, g1: int) -> str:
+    return f"""
+SELECT '{part}' AS part, {kexpr} AS k1, '(all)' AS k2,
+       {g1} AS g1, 1 AS g2, count(*) AS n,
+       CAST(count(DISTINCT l_suppkey) AS DOUBLE) AS x1, 0.0 AS x2
+FROM lineitem GROUP BY k1
+"""
+
+
 _ORACLES["olap_report"] = f"""
 {_olap_oracle("doc_rollup", "documents", "lang", "source",
               "ROLLUP(lang, source)", _OLAP_DOC_X1, _OLAP_DOC_X2)}
@@ -7137,6 +7263,18 @@ UNION ALL
     "ROLLUP(l_returnflag, l_linestatus)",
     "CAST(count(DISTINCT l_suppkey) AS DOUBLE)",
     "CAST(count(DISTINCT l_partkey) AS DOUBLE)")}
+UNION ALL
+{_hist_branch("li_hist", "l_returnflag", 0)}
+UNION ALL
+{_hist_branch("li_hist", "'(all)'", 1)}
+UNION ALL
+{_hist_branch("li_hincr", "l_returnflag", 0)}
+UNION ALL
+{_hist_branch("li_hincr", "'(all)'", 1)}
+UNION ALL
+{_xd_branch("li_xd", "l_returnflag", 0)}
+UNION ALL
+{_xd_branch("li_xd", "'(all)'", 1)}
 """
 
 

@@ -42,6 +42,32 @@ cell, distinct source domains per language):
   function of the underlying value SET, and the two-phase and direct
   plans return the IDENTICAL estimate (tested), not merely close
   ones.  Default ~1.6% relative error (lgConfigK=12).
+- ``exact_distinct`` (round 10) is the mergeable EXACT middle path
+  for bounded cardinalities: the partial is ``collect_set`` under a
+  declared cap (opts ``{'cap': N}``, default 100k), merging is array
+  union, and the plan ERRORS LOUDLY the moment any cell's set exceeds
+  the cap (naming approx_distinct) rather than degrading silently —
+  so low-cardinality dims (suppliers per cell, domains per language)
+  get exact distinct counts in the incremental algebra.  In the
+  direct plan it IS count_distinct (no set materializes).
+
+Percentiles, the other non-decomposable report measure:
+
+- ``p50/p90/p99`` are EXACT interpolated percentiles
+  (percentile_cont) — direct-plan only, like count_distinct.
+- ``approx_p50/p90/p99`` (round 10) are the mergeable path: the
+  partial is a FIXED-GRID bucket-count histogram (opts ``{'lo', 'hi'
+  [, 'buckets': 128]}`` — the grid must be declared, not data-derived,
+  or chunks could not merge), an ``array<bigint>`` of per-bucket
+  counts.  Counts are exact longs, so chunked summaries merge to the
+  one-shot histogram BIT-IDENTICALLY and the estimate — nearest-rank
+  bucket with in-bucket linear interpolation, a pure column fold —
+  is IDENTICAL in the direct, two-phase, and incremental plans
+  (driver-certified).  Accuracy: within one bucket width
+  ``(hi-lo)/buckets`` of the exact nearest-rank percentile for
+  in-range data (pinned by test); out-of-range values clamp to the
+  edge buckets.  This is what makes latency/size percentiles
+  REFRESHABLE like every other measure at 100 TB.
 
 Each dimension also emits ``g_<dim>`` = ``grouping(dim)`` (1 when the
 row aggregates over that dimension, 0 when it holds a real value), the
@@ -76,6 +102,8 @@ extension-axis with operators/stats.py's grouped statistics.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -88,7 +116,8 @@ __all__ = [
 ]
 
 _FNS = ("count", "sum", "min", "max", "avg", "count_distinct",
-        "approx_distinct", "p50", "p90", "p99")
+        "approx_distinct", "p50", "p90", "p99",
+        "approx_p50", "approx_p90", "approx_p99", "exact_distinct")
 
 # exact interpolated percentiles (SQL percentile_cont semantics) — the
 # report-card latency/size measures.  Like count_distinct they are NOT
@@ -96,6 +125,163 @@ _FNS = ("count", "sum", "min", "max", "avg", "count_distinct",
 # value distribution), so they are direct-plan only; the refusal names
 # the alternatives
 _PCTL = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+# MERGEABLE percentile estimates (round 10): a fixed-grid bucket-count
+# histogram is the decomposable partial — counts are exact longs, so
+# merging chunks reproduces the one-shot histogram BIT-IDENTICALLY and
+# the estimate is a deterministic function of it: incremental ==
+# two-phase == direct, exactly (pinned by test and driver part).  The
+# estimate is the nearest-rank bucket read-off with in-bucket linear
+# interpolation; for data inside [lo, hi) the error vs the exact
+# nearest-rank percentile is < one bucket width (hi - lo) / buckets
+# (pinned).  Values outside clamp to the edge buckets (the estimate
+# then degrades toward lo/hi — widen the grid, it is a declared knob).
+_APCTL = {"approx_p50": 0.5, "approx_p90": 0.9, "approx_p99": 0.99}
+
+_EXACT_DISTINCT_DEFAULT_CAP = 100_000
+_HIST_DEFAULT_BUCKETS = 128
+
+
+def _norm_spec(name: str, spec) -> tuple[str, str | None, dict]:
+    """Measure specs are (fn, col) or (fn, col, opts-dict)."""
+    if len(spec) == 2:
+        fn, col = spec
+        opts: dict = {}
+    elif len(spec) == 3:
+        fn, col, opts = spec
+        if not isinstance(opts, dict):
+            raise ValueError(
+                f"measure {name!r}: third spec element must be an "
+                f"options dict; got {type(opts).__name__}"
+            )
+    else:
+        raise ValueError(
+            f"measure {name!r}: spec must be (fn, col) or (fn, col, opts)"
+        )
+    return fn, col, opts
+
+
+def _f2s(x: float) -> str:
+    """Float -> parquet-safe column-name token (reversible)."""
+    return (
+        repr(float(x)).replace("-", "m").replace("+", "")
+        .replace(".", "p").replace("e", "E")
+    )
+
+
+def _hist_key(col: str, lo: float, hi: float, n: int) -> str:
+    """Partial column name for a histogram; encoding the grid makes
+    merge_summaries' schema-equality check catch grid mismatches."""
+    return f"__hist_{col}__lo{_f2s(lo)}_hi{_f2s(hi)}_n{n}"
+
+
+def _set_key(col: str, cap: int) -> str:
+    return f"__set_{col}__cap{cap}"
+
+
+def _hist_grid(name: str, opts: dict) -> tuple[float, float, int]:
+    if "lo" not in opts or "hi" not in opts:
+        raise ValueError(
+            f"measure {name!r}: approx percentiles need a FIXED grid "
+            "declared up front — opts {'lo': ..., 'hi': ...[, "
+            "'buckets': ...]} — because mergeability requires every "
+            "chunk to bucket identically (a data-derived grid would "
+            "differ per chunk and the partials could not merge)"
+        )
+    lo, hi = float(opts["lo"]), float(opts["hi"])
+    n = int(opts.get("buckets", _HIST_DEFAULT_BUCKETS))
+    if not hi > lo:
+        raise ValueError(f"measure {name!r}: need hi > lo; got [{lo}, {hi})")
+    if n < 2:
+        raise ValueError(f"measure {name!r}: need buckets >= 2; got {n}")
+    return lo, hi, n
+
+
+def _hist_partial(col: str, lo: float, hi: float, n: int):
+    """The mergeable histogram partial: array<bigint> of per-bucket
+    counts over the fixed grid.  One bucket expression per row, n
+    conditional sums (pure codegen aggregates — partial aggregation
+    compacts map-side, so the shuffle carries one n-slot array per
+    group, never rows).  NULLs count nowhere; out-of-range values
+    clamp to the edge buckets."""
+    w = (hi - lo) / n
+    x = F.col(col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(n - 1),
+    )
+    return F.array(
+        *[
+            F.sum(
+                F.when(x.isNotNull() & (b == i), 1).otherwise(0)
+            ).cast("bigint")
+            for i in range(n)
+        ]
+    )
+
+
+def _hist_estimate(hcol, q: float, lo: float, hi: float, n: int):
+    """Percentile read-off from a histogram column (array<bigint>):
+    nearest-rank bucket (first bucket whose cumulative count reaches
+    ceil(q * N)) with in-bucket linear interpolation — a single O(n)
+    fold, pure column expressions.  NULL when the histogram is empty
+    (all values NULL)."""
+    w = (hi - lo) / n
+    total = F.aggregate(
+        hcol, F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    kr = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil(F.lit(q) * total.cast("double")).cast("bigint"),
+    )
+    zipped = F.zip_with(
+        hcol,
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda c, i: F.struct(c.alias("c"), i.cast("int").alias("i")),
+    )
+    st0 = F.struct(
+        F.lit(0).cast("bigint").alias("cum"),
+        F.lit(-1).cast("int").alias("idx"),
+        F.lit(0).cast("bigint").alias("prev"),
+    )
+
+    def step(acc, x):
+        c = acc["cum"] + x["c"]
+        hit = (acc["idx"] < 0) & (c >= kr)
+        return F.struct(
+            c.alias("cum"),
+            F.when(hit, x["i"]).otherwise(acc["idx"]).alias("idx"),
+            F.when(hit, acc["cum"]).otherwise(acc["prev"]).alias("prev"),
+        )
+
+    res = F.aggregate(zipped, st0, step)
+    cnt = F.element_at(hcol, res["idx"] + 1)
+    frac = (kr - res["prev"]).cast("double") / cnt.cast("double")
+    est = F.lit(float(lo)) + F.lit(w) * (res["idx"].cast("double") + frac)
+    return F.when(total > 0, est)
+
+
+def _set_guard(expr, cap: int, where: str):
+    """Exact-distinct partials are capped: past ``cap`` distinct values
+    the set itself is the memory hazard, so the plan fails loudly and
+    names the mergeable alternative instead of degrading silently."""
+    return F.when(
+        F.size(expr) > cap,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"exact_distinct {where}: distinct-value set "
+                    f"exceeded cap={cap} (got "
+                ),
+                F.size(expr).cast("string"),
+                F.lit(
+                    "); raise opts['cap'] if this cardinality is "
+                    "intended, or use approx_distinct (mergeable HLL) "
+                    "at unbounded cardinalities"
+                ),
+            )
+        ),
+    ).otherwise(expr)
 
 
 def grouped_report(
@@ -178,7 +364,10 @@ def grouped_report(
 
     if not pre_aggregate:
         final = []
-        for name, (fn, col) in measures.items():
+        posts: dict = {}
+        fin_emitted: set = set()
+        for name, spec in measures.items():
+            fn, col, opts = _norm_spec(name, spec)
             if fn == "count":
                 e = F.count(F.lit(1)) if col is None else F.count(col)
             elif fn == "avg":
@@ -186,7 +375,10 @@ def grouped_report(
                 # plan derives, so the knob changes only float summation
                 # order (~1e-15 relative), never the semantics
                 e = F.sum(col) / F.count(col)
-            elif fn == "count_distinct":
+            elif fn in ("count_distinct", "exact_distinct"):
+                # exact_distinct in direct mode IS count_distinct —
+                # exact either way, so the plans agree by exactness
+                # (no set materializes here, hence no cap guard)
                 e = F.count_distinct(F.col(col))
             elif fn in _PCTL:
                 # exact interpolated percentile (percentile_cont), the
@@ -198,10 +390,28 @@ def grouped_report(
                 # plans return the IDENTICAL estimate (set-union
                 # semantics), not two different approximations
                 e = F.hll_sketch_estimate(F.hll_sketch_agg(col))
+            elif fn in _APCTL:
+                # the same histogram even in direct mode, for the same
+                # reason as approx_distinct: identical estimate in the
+                # direct, two-phase, and incremental plans, pinned
+                lo, hi, n = _hist_grid(name, opts)
+                alias = f"__fin{_hist_key(col, lo, hi, n)}"
+                if alias not in fin_emitted:
+                    fin_emitted.add(alias)
+                    final.append(
+                        _hist_partial(col, lo, hi, n).alias(alias)
+                    )
+                posts[name] = (
+                    lambda a=alias, q=_APCTL[fn], lo=lo, hi=hi, n=n:
+                    _hist_estimate(F.col(a), q, lo, hi, n)
+                )
+                continue
             else:
                 e = getattr(F, fn)(col)
             final.append(e.alias(name))
-        return _grouped(df).agg(*markers, *final)
+        return _finish(
+            _grouped(df).agg(*markers, *final), dims, measures, posts
+        )
 
     # phase 1: exact pass over all dims; phase 2: re-aggregate the
     # partials over the compact frame (shared with the incremental
@@ -209,27 +419,36 @@ def grouped_report(
     base = df.groupBy(*dims).agg(
         *[e.alias(k) for k, e in _partials_spec(measures).items()]
     )
-    final = _final_measures(measures)
-    return _grouped(base).agg(*markers, *final)
+    final, posts = _final_measures(measures)
+    return _finish(
+        _grouped(base).agg(*markers, *final), dims, measures, posts
+    )
 
 
 def _validate_measures(measures, two_phase: bool) -> None:
-    for name, (fn, col) in measures.items():
+    for name, spec in measures.items():
+        fn, col, opts = _norm_spec(name, spec)
         if fn not in _FNS:
             raise ValueError(f"measure {name!r}: unknown fn {fn!r}")
         if col is None and fn != "count":
             raise ValueError(f"measure {name!r}: only count may omit a column")
+        if fn in _APCTL:
+            _hist_grid(name, opts)  # grid errors surface at plan time
+        if fn == "exact_distinct" and int(
+            opts.get("cap", _EXACT_DISTINCT_DEFAULT_CAP)
+        ) < 1:
+            raise ValueError(f"measure {name!r}: cap must be >= 1")
         if fn in _PCTL and two_phase:
             raise ValueError(
                 f"measure {name!r}: exact percentiles are not "
                 "decomposable — a phase-1 row per dim combo cannot "
                 "re-derive the value distribution.  Use "
                 "pre_aggregate=False (exact, Expand over the full "
-                "input); at scales where the direct plan is too "
-                "expensive, add floor(col/width) as an extra dim with "
-                "a count measure — the resulting bucket counts are "
-                "summable (and summary-mergeable), and any quantile "
-                "reads off their cumulative sum to bucket precision"
+                f"input), or fn='approx_{fn}' with a declared grid "
+                "(opts {'lo', 'hi'[, 'buckets']}) — a mergeable "
+                "fixed-grid histogram partial whose estimate is "
+                "identical in the direct, two-phase, and incremental "
+                "plans and within one bucket width of exact"
             )
         if fn == "count_distinct" and two_phase:
             raise ValueError(
@@ -237,8 +456,10 @@ def _validate_measures(measures, two_phase: bool) -> None:
                 "decomposable — a phase-1 row per dim combo cannot "
                 "re-derive cross-combo distinctness.  Use "
                 "pre_aggregate=False (exact, Expand over the full "
-                "input) or fn='approx_distinct' (mergeable HLL "
-                "sketches, identical estimate in both plans)"
+                "input), fn='exact_distinct' (mergeable capped-set "
+                "partials — exact, errors loudly past opts['cap']), "
+                "or fn='approx_distinct' (mergeable HLL sketches, "
+                "identical estimate in both plans)"
             )
 
 
@@ -246,7 +467,8 @@ def _partials_spec(measures) -> dict:
     """Phase-1 partial-aggregate expressions, keyed by the reserved
     ``__<rule>_<col>`` names whose prefix encodes the merge rule."""
     partials: dict = {}
-    for name, (fn, col) in measures.items():
+    for name, spec in measures.items():
+        fn, col, opts = _norm_spec(name, spec)
         if fn == "count" and col is None:
             partials.setdefault("__cnt_*", F.count(F.lit(1)))
         elif fn in ("count", "avg"):
@@ -257,25 +479,70 @@ def _partials_spec(measures) -> dict:
             partials.setdefault(f"__{fn}_{col}", getattr(F, fn)(col))
         if fn == "approx_distinct":
             partials.setdefault(f"__hll_{col}", F.hll_sketch_agg(col))
+        if fn in _APCTL:
+            lo, hi, n = _hist_grid(name, opts)
+            partials.setdefault(
+                _hist_key(col, lo, hi, n), _hist_partial(col, lo, hi, n)
+            )
+        if fn == "exact_distinct":
+            cap = int(opts.get("cap", _EXACT_DISTINCT_DEFAULT_CAP))
+            partials.setdefault(
+                _set_key(col, cap),
+                _set_guard(F.collect_set(col), cap, "partial"),
+            )
     return partials
 
 
 def _merge_rule(k: str):
     """The re-aggregation expression a partial column's name encodes:
     counts and sums add, min/max fold idempotently, HLL sketches
-    set-union.  This is what makes summaries mergeable by NAME —
-    merge_summaries needs no measure spec."""
-    return (
-        F.min(k) if k.startswith("__min_") else
-        F.max(k) if k.startswith("__max_") else
-        F.hll_union_agg(k) if k.startswith("__hll_") else F.sum(k)
-    )
+    set-union, histograms add per slot, capped sets union (re-guarded).
+    This is what makes summaries mergeable by NAME — merge_summaries
+    needs no measure spec."""
+    if k.startswith("__min_"):
+        return F.min(k)
+    if k.startswith("__max_"):
+        return F.max(k)
+    if k.startswith("__hll_"):
+        return F.hll_union_agg(k)
+    if k.startswith("__hist_"):
+        n = int(re.search(r"_n(\d+)$", k).group(1))
+        # per-slot exact sums — partial-aggregated map-side, unlike a
+        # collect_list-of-arrays fold, so merging histograms compacts
+        # before the shuffle like every other partial
+        return F.array(
+            *[
+                F.sum(F.element_at(F.col(k), i + 1)).cast("bigint")
+                for i in range(n)
+            ]
+        )
+    if k.startswith("__set_"):
+        cap = int(re.search(r"__cap(\d+)$", k).group(1))
+        merged = F.array_distinct(F.flatten(F.collect_list(k)))
+        return _set_guard(merged, cap, "merge")
+    return F.sum(k)
 
 
-def _final_measures(measures) -> list:
-    """Phase-2 output expressions over the partial columns."""
-    final = []
-    for name, (fn, col) in measures.items():
+def _final_measures(measures) -> tuple[list, dict]:
+    """Phase-2 expressions over the partial columns.  Returns
+    ``(aggs, posts)``: ``aggs`` go inside the grouped ``agg(...)``;
+    measures whose read-off is an expression OVER an aggregate result
+    (histogram percentiles, set sizes) emit their merged partial under
+    a ``__fin...`` temp alias there and finish in ``posts`` —
+    {measure name: builder(post-agg frame) -> final column}."""
+    final: list = []
+    posts: dict = {}
+    fin_emitted: set = set()
+
+    def _fin(key):
+        alias = f"__fin{key}"
+        if alias not in fin_emitted:
+            fin_emitted.add(alias)
+            final.append(_merge_rule(key).alias(alias))
+        return alias
+
+    for name, spec in measures.items():
+        fn, col, opts = _norm_spec(name, spec)
         if fn == "count":
             e = _merge_rule("__cnt_*" if col is None else f"__cnt_{col}")
         elif fn == "sum":
@@ -284,10 +551,42 @@ def _final_measures(measures) -> list:
             e = _merge_rule(f"__sum_{col}") / _merge_rule(f"__cnt_{col}")
         elif fn == "approx_distinct":
             e = F.hll_sketch_estimate(_merge_rule(f"__hll_{col}"))
+        elif fn in _APCTL:
+            lo, hi, n = _hist_grid(name, opts)
+            alias = _fin(_hist_key(col, lo, hi, n))
+            q = _APCTL[fn]
+            posts[name] = (
+                lambda a=alias, q=q, lo=lo, hi=hi, n=n: _hist_estimate(
+                    F.col(a), q, lo, hi, n
+                )
+            )
+            continue
+        elif fn == "exact_distinct":
+            cap = int(opts.get("cap", _EXACT_DISTINCT_DEFAULT_CAP))
+            alias = _fin(_set_key(col, cap))
+            posts[name] = (
+                lambda a=alias: F.size(F.col(a)).cast("long")
+            )
+            continue
         else:
             e = _merge_rule(f"__{fn}_{col}")
         final.append(e.alias(name))
-    return final
+    return final, posts
+
+
+def _finish(res, dims, measures, posts):
+    """Apply the post-aggregate read-offs and restore the documented
+    output column order: dims, g_ markers, measures in spec order."""
+    if not posts:
+        return res
+    return res.select(
+        *dims,
+        *[f"g_{d}" for d in dims],
+        *[
+            posts[n]().alias(n) if n in posts else F.col(n)
+            for n in measures
+        ],
+    )
 
 
 def summarize(
@@ -405,7 +704,8 @@ def report_from_summary(
             [[F.col(c) for c in s] for s in grouping_sets], *dims
         )
     markers = [F.grouping(d).cast("int").alias(f"g_{d}") for d in dims]
-    return g.agg(*markers, *_final_measures(measures))
+    final, posts = _final_measures(measures)
+    return _finish(g.agg(*markers, *final), dims, measures, posts)
 
 
 def top_values(

@@ -471,3 +471,147 @@ def test_percentile_measures_direct_only(spark):
     from fabstir_vectordb_spark.operators.olap import summarize
     with pytest.raises(ValueError, match="decomposable"):
         summarize(docs, ["lang"], ms)
+
+
+# ------------------------------------------------------------------ #
+# round 10: mergeable percentiles + exact mergeable count_distinct   #
+# ------------------------------------------------------------------ #
+
+_R10_MS = {
+    "n": ("count", None),
+    "ap50": ("approx_p50", "n_chars", {"lo": 0.0, "hi": 4000.0,
+                                       "buckets": 64}),
+    "ap99": ("approx_p99", "n_chars", {"lo": 0.0, "hi": 4000.0,
+                                       "buckets": 64}),
+    "xd": ("exact_distinct", "source", {"cap": 10_000}),
+}
+
+
+def test_approx_pctl_identical_across_all_three_plans(spark):
+    """approx_pXX and exact_distinct: direct == two-phase ==
+    incremental (3-chunk summarize/merge/report), EXACTLY — the
+    histogram partial is exact longs, so plan choice and chunking
+    change nothing at all (unlike float sums, which agree to ulp)."""
+    from fabstir_vectordb_spark.operators.olap import (
+        merge_summaries, report_from_summary, summarize,
+    )
+
+    docs = _docs(spark)
+    dims = ["lang", "source"]
+    two = _rows(grouped_report(docs, dims, _R10_MS, mode="rollup"))
+    direct = _rows(grouped_report(docs, dims, _R10_MS, mode="rollup",
+                                  pre_aggregate=False))
+    ch = docs.withColumn("__c", F.abs(F.xxhash64("doc_id")) % 3)
+    merged = merge_summaries(*[
+        summarize(ch.filter(F.col("__c") == i).drop("__c"), dims, _R10_MS)
+        for i in range(3)
+    ])
+    incr = _rows(report_from_summary(merged, dims, _R10_MS, mode="rollup"))
+    assert two == direct
+    assert two == incr
+
+
+def test_approx_pctl_error_bound_vs_exact(spark):
+    """For in-range data the estimate is within ONE BUCKET WIDTH of
+    the exact nearest-rank percentile — the stated accuracy contract,
+    checked per rollup cell at two grid resolutions."""
+    import math
+
+    docs = _docs(spark)
+    vals_by_lang: dict = {}
+    for r in docs.select("lang", "n_chars").collect():
+        vals_by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+        vals_by_lang.setdefault(None, []).append(r["n_chars"])
+    hi = float(max(vals_by_lang[None])) + 1.0
+    for buckets in (32, 256):
+        w = hi / buckets
+        ms = {
+            "ap50": ("approx_p50", "n_chars",
+                     {"lo": 0.0, "hi": hi, "buckets": buckets}),
+            "ap90": ("approx_p90", "n_chars",
+                     {"lo": 0.0, "hi": hi, "buckets": buckets}),
+        }
+        rep = grouped_report(docs, ["lang"], ms, mode="rollup")
+        for r in rep.collect():
+            key = None if r["g_lang"] == 1 else r["lang"]
+            vals = sorted(vals_by_lang[key])
+            for q, col in ((0.5, "ap50"), (0.9, "ap90")):
+                exact = vals[max(1, math.ceil(q * len(vals))) - 1]
+                assert abs(r[col] - exact) <= w, (
+                    buckets, key, q, r[col], exact, w
+                )
+
+
+def test_approx_pctl_grid_validation_and_exact_refusal_unchanged(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="FIXED grid"):
+        grouped_report(docs, ["lang"], {"p": ("approx_p50", "n_chars")})
+    with pytest.raises(ValueError, match="hi > lo"):
+        grouped_report(docs, ["lang"], {
+            "p": ("approx_p50", "n_chars", {"lo": 5.0, "hi": 5.0})})
+    with pytest.raises(ValueError, match="buckets >= 2"):
+        grouped_report(docs, ["lang"], {
+            "p": ("approx_p50", "n_chars",
+                  {"lo": 0.0, "hi": 1.0, "buckets": 1})})
+    # exact percentiles stay direct-only; the refusal now names the
+    # mergeable sibling
+    with pytest.raises(ValueError, match="approx_p50"):
+        grouped_report(docs, ["lang"], {"p": ("p50", "n_chars")})
+
+
+def test_exact_distinct_matches_count_distinct(spark):
+    """Two-phase exact_distinct == direct count_distinct on every
+    rollup cell (both exact); grid mismatch across summaries is caught
+    by merge_summaries' schema check."""
+    from fabstir_vectordb_spark.operators.olap import (
+        merge_summaries, summarize,
+    )
+
+    docs = _docs(spark)
+    two = grouped_report(
+        docs, ["lang"],
+        {"xd": ("exact_distinct", "source", {"cap": 1000})},
+    )
+    direct = grouped_report(
+        docs, ["lang"], {"xd": ("count_distinct", "source")},
+        pre_aggregate=False,
+    )
+    assert _rows(two) == _rows(direct)
+    # differing caps (or grids) produce different partial column names
+    # -> merge refuses, instead of silently mixing incompatible partials
+    s1 = summarize(docs, ["lang"],
+                   {"xd": ("exact_distinct", "source", {"cap": 1000})})
+    s2 = summarize(docs, ["lang"],
+                   {"xd": ("exact_distinct", "source", {"cap": 2000})})
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_summaries(s1, s2)
+
+
+def test_exact_distinct_cap_guard_fires(spark):
+    """Past the cap the plan fails loudly, naming the alternative —
+    at the partial (summarize) stage, before any oversized set can
+    shuffle."""
+    docs = _docs(spark)
+    rep = grouped_report(
+        docs, ["lang"],
+        {"xd": ("exact_distinct", "doc_id", {"cap": 5})},
+    )
+    with pytest.raises(Exception, match="exceeded cap=5"):
+        rep.collect()
+
+
+def test_summary_with_histogram_persists_to_parquet(spark, tmp_path):
+    """Histogram and set partials survive a parquet round-trip (the
+    materialized-summary deployment shape) and still merge + report."""
+    from fabstir_vectordb_spark.operators.olap import (
+        merge_summaries, report_from_summary, summarize,
+    )
+
+    docs = _docs(spark)
+    p = str(tmp_path / "summary")
+    summarize(docs, ["lang"], _R10_MS).write.parquet(p)
+    back = spark.read.parquet(p)
+    rep = _rows(report_from_summary(
+        merge_summaries(back), ["lang"], _R10_MS, mode="rollup"))
+    want = _rows(grouped_report(docs, ["lang"], _R10_MS, mode="rollup"))
+    assert rep == want
