@@ -4091,9 +4091,32 @@ def q_hybrid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         r6("score").alias("score"),
     )
+    # maxsim2 (r10): the TWO-STAGE path — token-level IVF candidate
+    # screen (maxsim_candidates) + exact rescore — at its certification
+    # hook: n_probe/token_k/n_candidates all past their exhaustive
+    # bounds, so the shortlist is provably complete and the result must
+    # equal single-stage maxsim_topk INCLUDING ranks; certified against
+    # the same independent DuckDB replay (different part label).
+    from fabstir_vectordb_spark.operators.multivector import maxsim_search
+
+    mx2 = maxsim_search(
+        _tok(emb, "doc_id"),
+        _tok(emb.filter(F.col("vec_id") < NQ), "query_id"),
+        k=K,
+        n_candidates=1_000_000,
+        token_k=1_000_000,
+        n_probe=1_000_000,
+        n_clusters=8,
+    ).select(
+        F.lit("maxsim2").alias("part"),
+        "query_id",
+        F.col("doc_id").alias("id"),
+        r6("score").alias("score"),
+    )
     return (
         hybrid.unionByName(weighted).unionByName(fanout)
         .unionByName(rag).unionByName(binh).unionByName(mx)
+        .unionByName(mx2)
     )
 
 
@@ -6701,20 +6724,12 @@ FROM r WHERE rn <= {K}
 # hooks, so its oracle is plain exact kNN).  Round 7 folds in the
 # rag_doc_search and binary_hamming constituents (registry
 # consolidation; their standalone oracles are reused verbatim).
-_ORACLES["hybrid_merge"] = f"""
-SELECT 'hybrid' AS part, query_id, id, distance AS score
-FROM ({_ORACLES["hybrid_merge"]})
-UNION ALL
-SELECT 'weighted' AS part, query_id, id, score
-FROM ({_ORACLES["merge_weighted"]})
-UNION ALL
-SELECT 'ann_fanout' AS part, query_id, id, distance AS score
-FROM ({_ORACLES["knn_l2"]})
-UNION ALL
--- maxsim: the late-interaction rule over sliced token vectors; dots
--- in DOUBLE on both engines (the repo's cast-then-compute idiom)
-SELECT 'maxsim' AS part, query_id, id, (round(score, 6) + 0.0) AS score
-FROM (
+# the late-interaction rule over sliced token vectors; dots in DOUBLE
+# on both engines (the repo's cast-then-compute idiom).  Used twice:
+# part='maxsim' certifies single-stage maxsim_topk; part='maxsim2'
+# (r10) certifies the two-stage screen+rescore at its exhaustive
+# hook, which must produce the identical rows.
+_MAXSIM_ORACLE_BODY = f"""
   SELECT query_id, id, score,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(score, 6) DESC, id ASC) AS rn
@@ -6739,7 +6754,23 @@ FROM (
     )
     GROUP BY 1, 2
   )
-) WHERE rn <= {K}
+"""
+
+_ORACLES["hybrid_merge"] = f"""
+SELECT 'hybrid' AS part, query_id, id, distance AS score
+FROM ({_ORACLES["hybrid_merge"]})
+UNION ALL
+SELECT 'weighted' AS part, query_id, id, score
+FROM ({_ORACLES["merge_weighted"]})
+UNION ALL
+SELECT 'ann_fanout' AS part, query_id, id, distance AS score
+FROM ({_ORACLES["knn_l2"]})
+UNION ALL
+SELECT 'maxsim' AS part, query_id, id, (round(score, 6) + 0.0) AS score
+FROM ({_MAXSIM_ORACLE_BODY}) WHERE rn <= {K}
+UNION ALL
+SELECT 'maxsim2' AS part, query_id, id, (round(score, 6) + 0.0) AS score
+FROM ({_MAXSIM_ORACLE_BODY}) WHERE rn <= {K}
 UNION ALL
 SELECT 'rag_doc' AS part, query_id, id, distance AS score
 FROM ({_ORACLES["rag_doc_search"]})

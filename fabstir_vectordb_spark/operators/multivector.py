@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["maxsim_topk"]
+__all__ = ["maxsim_candidates", "maxsim_search", "maxsim_topk"]
 
 
 def maxsim_topk(
@@ -277,3 +277,152 @@ def _maxsim_kernel(
         )
     )
     return scored.withColumn("rank", rank).filter(F.col("rank") <= k)
+
+
+def maxsim_candidates(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    n_candidates: int = 100,
+    id_col: str = "doc_id",
+    query_col: str = "query_id",
+    token_col: str = "token_idx",
+    vec_col: str = "vector",
+    token_k: int = 32,
+    n_probe: int = 8,
+    n_clusters: int | None = None,
+    index=None,
+    train_size: int = 10_000,
+) -> DataFrame:
+    """Token-level ANN candidate screen — ColBERT's own first stage
+    (Khattab & Zaharia 2020 §3.5): probe an IVF index over the DOC
+    TOKEN vectors with every query token, map retrieved tokens to
+    their documents, approximate each (query, doc) MaxSim from the
+    retrieved pairs (sum over query tokens of the best retrieved
+    dot; unretrieved tokens contribute 0), and keep the top
+    ``n_candidates`` documents per query by
+    (round(score, 6) DESC, doc ASC) — maxsim_topk's exact ranking
+    rule, so at full recall the shortlist provably contains the
+    exact top-k (pinned: the driver's maxsim2 part and
+    test_two_stage_full_probe_equals_exact).
+
+    This is the scale path the full cross can't be: the corpus-side
+    token table is probed CLUSTER-PRUNED (the IVF cogroup reads
+    n_probe clusters per query token, never the corpus), the shuffle
+    carries <= Q_tokens x token_k retrieved rows, and the rescore
+    stage reads only candidate documents' tokens.
+
+    ``token_k``      doc-token hits retrieved per query token.
+    ``n_probe``      IVF clusters probed per query token;
+                     n_probe = n_clusters is exact retrieval (the
+                     certification hook).
+    ``index``        a prefit operators/ivf.IVFIndex over the doc
+                     token vectors (id_col/vector_col must match);
+                     None fits one here (one-time build cost — prefit
+                     and reuse across query batches in deployment).
+    ``n_clusters``   clusters when fitting internally (None = the IVF
+                     default; the sqrt(N) rule from PERFORMANCE.md
+                     applies at scale).
+
+    Output: (query_col, id_col) distinct pairs — exactly the frame
+    ``maxsim_topk(candidates=...)`` takes.
+
+    Composite probe ids: query tokens are keyed by
+    query||0x1f||token string concatenation for the bulk search and
+    joined back by the same string — query ids containing the 0x1f
+    unit separator would collide and are rejected."""
+    from pyspark.sql.window import Window
+
+    from fabstir_vectordb_spark.operators.ivf import IVFIndex
+
+    if n_candidates < 1:
+        raise ValueError(f"n_candidates must be >= 1; got {n_candidates}")
+    d = doc_tokens.filter(F.col(vec_col).isNotNull())
+    q = query_tokens.filter(F.col(vec_col).isNotNull())
+    if index is None:
+        kw = {} if n_clusters is None else {"n_clusters": n_clusters}
+        index = IVFIndex.fit(
+            d, train_size=train_size,
+            id_col=id_col, vector_col=vec_col, **kw,
+        )
+    assigned = index.assign(d)
+
+    sep = "\x1f"
+    tok_id = F.concat_ws(
+        sep, F.col(query_col).cast("string"), F.col(token_col).cast("string")
+    )
+    probes = q.select(
+        tok_id.alias("__tokid"), F.col(vec_col).alias("__pv")
+    )
+    mapping = q.select(
+        tok_id.alias("__tokid"), F.col(query_col)
+    ).distinct()
+    hits = index.search_bulk(
+        assigned, probes, token_k, n_probe=n_probe, metric="dot",
+        query_id_col="__tokid", query_vector_col="__pv",
+    ).select(
+        # search_bulk's fixed output names would collide with the
+        # caller's query/id columns after the mapping join
+        F.col("query_id").alias("__thit"),
+        F.col("id").alias("__did"),
+        "distance",
+    )
+    # Join the composite key back (mapping is the bounded query batch
+    # — broadcast), best dot per (query, doc, query-token), sum.
+    per_tok = (
+        hits.join(F.broadcast(mapping), F.col("__thit") == F.col("__tokid"))
+        .groupBy(query_col, "__did", "__tokid")
+        .agg((-F.min("distance")).alias("__m"))
+    )
+    scored = per_tok.groupBy(query_col, "__did").agg(
+        F.sum("__m").alias("__score")
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(query_col).orderBy(
+            F.round(F.col("__score"), 6).desc(), F.col("__did").asc()
+        )
+    )
+    return (
+        scored.withColumn("__rnk", rank)
+        .filter(F.col("__rnk") <= n_candidates)
+        .select(query_col, F.col("__did").alias(id_col))
+    )
+
+
+def maxsim_search(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    n_candidates: int = 100,
+    id_col: str = "doc_id",
+    query_col: str = "query_id",
+    token_col: str = "token_idx",
+    vec_col: str = "vector",
+    impl: str = "expr",
+    **candidate_kwargs,
+) -> DataFrame:
+    """Two-stage MaxSim: :func:`maxsim_candidates` screens (token-level
+    IVF probe, cluster-pruned), :func:`maxsim_topk` rescores EXACTLY
+    over the shortlist (every token of a candidate doc participates,
+    so scored-pair scores equal the full operator's by the candidates
+    contract at multivector.py:74-80).  At n_probe = n_clusters with
+    token_k >= the doc-token count the screen is exact retrieval and
+    the result EQUALS single-stage ``maxsim_topk`` including ranks —
+    the certification hook (driver part maxsim2); at realistic probes
+    the screen trades recall for never crossing the corpus.
+    ``candidate_kwargs`` pass through to :func:`maxsim_candidates`
+    (token_k, n_probe, n_clusters, index, train_size)."""
+    if n_candidates < k:
+        raise ValueError(
+            f"n_candidates ({n_candidates}) must be >= k ({k}) or the "
+            "shortlist could not fill the top-k"
+        )
+    cand = maxsim_candidates(
+        doc_tokens, query_tokens, n_candidates,
+        id_col, query_col, token_col, vec_col,
+        **candidate_kwargs,
+    )
+    return maxsim_topk(
+        doc_tokens, query_tokens, k,
+        id_col, query_col, token_col, vec_col,
+        candidates=cand, impl=impl,
+    )

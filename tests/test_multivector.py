@@ -183,3 +183,71 @@ def test_maxsim_kernel_handles_duplicate_query_tokens(spark):
     assert set(expr) == set(kern)
     for pair, s in expr.items():
         assert kern[pair] == pytest.approx(s, rel=1e-9)
+
+
+def test_two_stage_full_probe_equals_exact(spark):
+    """maxsim_search at its exhaustive hook (n_probe >= n_clusters,
+    token_k >= all doc tokens, n_candidates >= all docs) must equal
+    single-stage maxsim_topk INCLUDING ranks — the screen is provably
+    complete there, and the rescore is exact by the candidates
+    contract."""
+    from fabstir_vectordb_spark.operators.multivector import maxsim_search
+
+    dt, qt, docs, queries = _tables(spark, n_docs=30, n_queries=3)
+    n_tokens = sum(len(t) for t in docs.values())
+    exact = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in maxsim_topk(dt, qt, k=5).collect()
+    )
+    two = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in maxsim_search(
+            dt, qt, k=5, n_candidates=len(docs),
+            token_k=n_tokens, n_probe=10_000, n_clusters=4,
+        ).collect()
+    )
+    assert two == exact
+
+
+def test_candidates_shape_and_validation(spark):
+    """maxsim_candidates emits distinct (query, doc) pairs bounded by
+    n_candidates per query; maxsim_search refuses n_candidates < k."""
+    from fabstir_vectordb_spark.operators.multivector import (
+        maxsim_candidates, maxsim_search,
+    )
+
+    dt, qt, docs, queries = _tables(spark, n_docs=25, n_queries=3)
+    cand = maxsim_candidates(
+        dt, qt, n_candidates=7, token_k=8, n_probe=2, n_clusters=4,
+    )
+    rows = cand.collect()
+    assert set(cand.columns) == {"query_id", "doc_id"}
+    pairs = [(r["query_id"], r["doc_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    per_q: dict = {}
+    for q, d in pairs:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(v <= 7 for v in per_q.values())
+    with pytest.raises(ValueError, match="must be >= k"):
+        maxsim_search(dt, qt, k=10, n_candidates=5)
+
+
+def test_two_stage_recall_at_realistic_probe(spark):
+    """At a pruned probe the screen trades recall for never crossing
+    the corpus; on random data recall@5 should still be high (the
+    candidate score IS an approximation of MaxSim itself)."""
+    from fabstir_vectordb_spark.operators.multivector import maxsim_search
+
+    dt, qt, docs, queries = _tables(spark, n_docs=60, n_queries=3, seed=2)
+    want = {
+        (r["query_id"], r["doc_id"])
+        for r in maxsim_topk(dt, qt, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in maxsim_search(
+            dt, qt, k=5, n_candidates=20,
+            token_k=16, n_probe=2, n_clusters=4,
+        ).collect()
+    }
+    assert len(got & want) / len(want) >= 0.6
