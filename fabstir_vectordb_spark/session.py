@@ -803,22 +803,53 @@ class VectorDbSession:
             self._emit("Migrated", batch, now)
         return {"migrated": len(batch), "remaining_aged": n_aged - len(batch)}
 
-    def delete_by_metadata(self, filter: dict) -> dict:
+    def delete_by_metadata(self, filter: dict, return_ids: bool = True) -> dict:
         """Soft-delete all live rows matching the filter; returns
-        {deletedCount, deletedIds} with USER ids (session.rs:489-553)."""
+        {deletedCount, deletedIds} with USER ids (session.rs:489-553).
+
+        ``return_ids=True`` (default, the reference's contract) collects
+        every matching id to the driver — fine at the session API's
+        point-mutation scale, UNBOUNDED for a non-selective filter over
+        a 100 TB table.  ``return_ids=False`` is the scale-safe mode:
+        one distributed count, no id materialization ({deletedCount}
+        only), and the per-id mutation-log entries are skipped for the
+        same reason (the log is driver-side by design; use
+        :meth:`deleted_ids` — a DataFrame, never collected — to feed a
+        distributed audit sink instead)."""
         if self._df is None:
-            return {"deletedCount": 0, "deletedIds": []}
+            return (
+                {"deletedCount": 0, "deletedIds": []}
+                if return_ids else {"deletedCount": 0}
+            )
         pred = compile_filter(filter, self._df.schema, metadata_col="metadata")
         match = pred & ~F.col("deleted")
-        ids = sorted(r["id"] for r in self._df.filter(match).select("id").collect())
+        if return_ids:
+            ids = sorted(
+                r["id"] for r in self._df.filter(match).select("id").collect()
+            )
+            n = len(ids)
+        else:
+            n = self._df.filter(match).count()
         self._invalidate()
         self._df = self._df.withColumn(
             "deleted", F.when(match, F.lit(True)).otherwise(F.col("deleted"))
         )
         self._bound_lineage()
-        if ids:
-            self._emit("Deleted", ids)
-        return {"deletedCount": len(ids), "deletedIds": ids}
+        if return_ids:
+            if ids:
+                self._emit("Deleted", ids)
+            return {"deletedCount": n, "deletedIds": ids}
+        return {"deletedCount": n}
+
+    def deleted_ids(self) -> DataFrame:
+        """All soft-deleted ids as a DataFrame (id ascending) — the
+        scale-safe companion to ``delete_by_metadata(return_ids=False)``:
+        write it to a sink or join it downstream without ever
+        collecting."""
+        if self._df is None:
+            schema = T.StructType([T.StructField("id", T.StringType(), False)])
+            return self.spark.createDataFrame([], schema)
+        return self._df.filter(F.col("deleted")).select("id").orderBy("id")
 
     # --------------------------------------------------------------- update
 
