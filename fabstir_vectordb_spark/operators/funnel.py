@@ -90,6 +90,7 @@ def funnel(
     ts_col: str = "ts",
     window_seconds: int | None = None,
     strict_increase: bool = False,
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """First-touch funnel per key (see module docstring for the exact
     chain semantics).
@@ -102,6 +103,26 @@ def funnel(
     ``strict_increase``  require each step STRICTLY after the previous
                match (ClickHouse's strict_increase): tied timestamps
                stop chaining.  The window bound stays inclusive.
+    ``chunk_seconds``  hot-key escape hatch (answers IDENTICAL by
+               construction, property-pinned): pre-fold per (key,
+               time-chunk), then stitch chunks in key order.  Without
+               it the per-key state is the key's full distinct
+               (ts, step) matching-event set in ONE task (10M-on-one-
+               key: 6.5 s at the r9 datum — honest but single-task);
+               with it the first aggregate groups on (keys, chunk) —
+               a hot key parallelizes across chunks and per-task state
+               is one chunk's events — and the keys-only stitch sees
+               <= n_steps^2 longs per chunk.  Exactness: the pre-fold
+               computes, per entry state j, the greedy chain suffix
+               assuming steps 1..j-1 matched in an EARLIER chunk
+               (time-bucketing makes every in-chunk event later than
+               any earlier-chunk match, ties included, so the
+               within-chunk greedy is the global greedy); the window
+               cap applies at stitch time, exact because the greedy
+               picks the EARLIEST eligible event at every step —
+               a capped-out suffix element implies no later event of
+               that step can qualify either.  Raw units in
+               numeric-epoch mode, like window_seconds.
 
     Output: one row per key that matched AT LEAST ONE step predicate
     (keys with no funnel activity at all are absent — join back to a
@@ -194,10 +215,20 @@ def funnel(
             )
         return F.when(eligible, F.concat(acc, F.array(e["t"]))).otherwise(acc)
 
-    chain = F.aggregate(
-        timeline, F.array().cast("array<long>"), _fold
-    ).alias("__chain")
-    grouped = slim.groupBy(*keys).agg(chain)
+    if chunk_seconds is not None:
+        if int(chunk_seconds) <= 0:
+            raise ValueError(
+                f"chunk_seconds must be positive; got {chunk_seconds}"
+            )
+        chunk_u = int(chunk_seconds) * (1 if raw else 1_000_000)
+        grouped = _funnel_chunked(
+            slim, keys, k, chunk_u, win_u, strict_increase
+        )
+    else:
+        chain = F.aggregate(
+            timeline, F.array().cast("array<long>"), _fold
+        ).alias("__chain")
+        grouped = slim.groupBy(*keys).agg(chain)
     return grouped.select(
         *keys,
         F.size("__chain").alias("depth"),
@@ -205,6 +236,79 @@ def funnel(
             F.try_element_at("__chain", F.lit(i)).alias(f"t{i}")
             for i in range(1, k + 1)
         ],
+    )
+
+
+def _funnel_chunked(slim, keys, k, chunk_u, win_u, strict_increase):
+    """The chunked pre-fold + stitch (funnel's chunk_seconds path).
+
+    Per (keys, floor(ts/chunk)) group: the same sorted-timeline greedy
+    runs k times, once per ENTRY STATE j (= steps 1..j-1 already
+    matched before this chunk, so the first pick has no lower time
+    bound — every in-chunk event is later than any earlier-chunk match
+    because equal timestamps share a chunk), each UNCAPPED, yielding k
+    chain suffixes of <= k timestamps.  The keys-only stitch then folds
+    chunks in time order: with c steps matched so far, append entry-
+    state-(c+1)'s suffix, window-capped against t1 — a plain
+    array filter, exact because suffix times ascend and the greedy
+    takes the earliest eligible event, so the first capped-out element
+    already proves no later event of its step qualifies."""
+    timeline = F.sort_array(
+        F.collect_set(
+            F.struct(F.col("__tsu").alias("t"), F.col("__step").alias("s"))
+        )
+    )
+
+    def _fold_from(j):
+        def f(acc, e):
+            after_prev = (
+                e["t"] > F.try_element_at(acc, F.lit(-1))
+                if strict_increase
+                else e["t"] >= F.try_element_at(acc, F.lit(-1))
+            )
+            eligible = (
+                (e["s"] == F.size(acc) + j)
+                & ((F.size(acc) == 0) | after_prev)
+            )
+            return F.when(
+                eligible, F.concat(acc, F.array(e["t"]))
+            ).otherwise(acc)
+
+        return f
+
+    sufs = F.array(
+        *[
+            F.aggregate(timeline, F.array().cast("array<long>"), _fold_from(j))
+            for j in range(1, k + 1)
+        ]
+    )
+    per_chunk = (
+        slim.withColumn("__chunk", F.floor(F.col("__tsu") / chunk_u))
+        .groupBy(*keys, "__chunk")
+        .agg(sufs.alias("__sufs"))
+    )
+
+    def _stitch(acc, e):
+        cur = F.size(acc)
+        suf = F.try_element_at(e["v"], cur + 1)
+        if win_u is not None:
+            t1 = F.when(cur == 0, F.try_element_at(suf, F.lit(1))).otherwise(
+                F.try_element_at(acc, F.lit(1))
+            )
+            suf = F.filter(suf, lambda x: x <= t1 + F.lit(win_u))
+        return F.when(cur >= k, acc).otherwise(
+            F.concat(acc, F.coalesce(suf, F.array().cast("array<long>")))
+        )
+
+    chunks_tl = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("__chunk").alias("c"), F.col("__sufs").alias("v"))
+        )
+    )
+    return per_chunk.groupBy(*keys).agg(
+        F.aggregate(
+            chunks_tl, F.array().cast("array<long>"), _stitch
+        ).alias("__chain")
     )
 
 

@@ -256,3 +256,66 @@ def test_sessionized_funnel_composition(spark):
             depth_by_user.get(r["user_id"], 0), r["depth"]
         )
     assert depth_by_user == {1: 2, 2: 1}
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rows, window=st.one_of(st.none(), st.integers(5, 30)),
+       strict=st.booleans(), chunk=st.sampled_from([1, 3, 7, 100]))
+def test_funnel_chunked_equals_plain(spark, rows, window, strict, chunk):
+    """chunk_seconds (r10, the hot-key escape hatch): pre-fold per
+    (key, time-chunk) + stitch must equal the plain single-task fold
+    for ANY chunk width, window, tie pattern, and strictness —
+    numeric-epoch mode so chunk boundaries land exactly on the
+    generated second values (tie storms included)."""
+    df = spark.createDataFrame(
+        [(k, sec, bool(s & {1}), bool(s & {2}), bool(s & {3}))
+         for k, sec, s in rows],
+        "k long, ts long, p1 boolean, p2 boolean, p3 boolean",
+    )
+    steps = [F.col("p1"), F.col("p2"), F.col("p3")]
+    plain = {
+        r["k"]: (r["depth"], r["t1"], r["t2"], r["t3"])
+        for r in funnel(
+            df, "k", steps, window_seconds=window, strict_increase=strict,
+        ).collect()
+    }
+    chunked = {
+        r["k"]: (r["depth"], r["t1"], r["t2"], r["t3"])
+        for r in funnel(
+            df, "k", steps, window_seconds=window, strict_increase=strict,
+            chunk_seconds=chunk,
+        ).collect()
+    }
+    assert chunked == plain
+
+
+def test_funnel_chunked_timestamp_mode_and_validation(spark):
+    """Timestamp-typed path through chunk_seconds + the positivity
+    check; a chain spanning three chunks stitches across boundaries."""
+    df = spark.createDataFrame(
+        [(1, _ts(2), True, False, False),
+         (1, _ts(70), False, True, False),
+         (1, _ts(140), False, False, True),
+         (2, _ts(5), True, True, True)],
+        "k long, ts timestamp, p1 boolean, p2 boolean, p3 boolean",
+    )
+    steps = [F.col("p1"), F.col("p2"), F.col("p3")]
+    got = {
+        r["k"]: r["depth"]
+        for r in funnel(df, "k", steps, chunk_seconds=60).collect()
+    }
+    assert got == {1: 3, 2: 3}
+    # window cap applied at stitch time across chunks
+    capped = {
+        r["k"]: r["depth"]
+        for r in funnel(
+            df, "k", steps, window_seconds=100, chunk_seconds=60
+        ).collect()
+    }
+    assert capped == {1: 2, 2: 3}
+    with pytest.raises(ValueError, match="chunk_seconds"):
+        funnel(df, "k", steps, chunk_seconds=0)
