@@ -991,6 +991,11 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            aligned reporting shape — with out-of-window observations
            filtered before the fills.  Leading gap buckets carry the
            -1 sentinel for locf (nothing observed yet in-window).
+      sqlg (r10) the SAME windowed report through the
+           TIME_BUCKET_GAPFILL statement form (plans/sql_events.
+           gapfill_sql — TimescaleDB's SQL shape, LOCF wrapper and
+           start/finish literals included), certified against the
+           same oracle rows.
 
     Scale story (PERFORMANCE.md §Round 9): the binned agg partial-
     aggregates map-side so the shuffle carries buckets, not events;
@@ -1061,7 +1066,39 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("x3"),
         F.lit(0.0).alias("x4"),
     )
-    return six.unionByName(raw).unionByName(day).unionByName(win)
+    # sqlg (r10): the TIME_BUCKET_GAPFILL statement form (plans/
+    # sql_events.gapfill_sql) — the TimescaleDB-shaped SQL spelling of
+    # the SAME windowed daily report as `win`, rewritten to resample's
+    # dense-grid plan and certified against the same oracle rows.  r6
+    # applies at the END here (the statement can't round at the bucket
+    # stage); for locf that's the identical value — carrying forward
+    # commutes with rounding.
+    from fabstir_vectordb_spark.plans.sql_events import gapfill_sql
+
+    ev.createOrReplaceTempView("rs10_events")
+    sqlg = gapfill_sql(
+        spark,
+        """SELECT TIME_BUCKET_GAPFILL(86400 SECONDS, ts,
+                                      '2024-01-10', '2024-01-20') AS b,
+                  user_id,
+                  COUNT(*) AS nr,
+                  AVG(value) AS v,
+                  LOCF(AVG(value)) AS vl
+           FROM rs10_events GROUP BY b, user_id""",
+    ).select(
+        F.lit("sqlg").alias("part"),
+        F.col("user_id").alias("key"),
+        (F.unix_micros("b") / F.lit(86_400_000_000)).cast("long").alias("bin"),
+        F.coalesce(F.col("nr"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(r6("v"), neg1).alias("x1"),
+        F.coalesce(r6("vl"), neg1).alias("x2"),
+        F.lit(0.0).alias("x3"),
+        F.lit(0.0).alias("x4"),
+    )
+    return (
+        six.unionByName(raw).unionByName(day).unionByName(win)
+        .unionByName(sqlg)
+    )
 
 
 def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3754,6 +3791,14 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                        computed by the one-exchange sorted-timeline
                        fold vs DuckDB's chained-minimum CTEs — two
                        INDEPENDENT formulations of the same spec
+      funnel_ck      — (r10) the SAME funnel through chunk_seconds=6h
+                       (per-(key, chunk) pre-fold + stitch, the
+                       hot-key escape hatch) vs the same oracle —
+                       cross-chunk stitching and the stitch-time
+                       window cap certified hash-exact
+      sql_funnel     — (r10) the WINDOW_FUNNEL statement form
+                       (plans/sql_events.funnel_sql, ClickHouse's SQL
+                       shape) rewritten to the same fold; depth only
       retention      — weekly cohort retention triangle (operators/
                        funnel.py retention): one keyed set-collect
                        over events, plain-count cells (distinct by
@@ -3822,23 +3867,52 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fabstir_vectordb_spark.operators.funnel import funnel
 
     ev = _t(spark, sf_dir, "events")
-    fu = funnel(
-        ev,
-        "user_id",
-        [
-            F.col("event_type") == "view",
-            F.col("event_type") == "click",
-            F.col("event_type") == "purchase",
-        ],
-        window_seconds=86400,
+    _steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+
+    def _fu_part(part, **kw):
+        return funnel(
+            ev, "user_id", _steps, window_seconds=86400, **kw
+        ).select(
+            F.lit(part).alias("part"),
+            F.col("user_id").cast("string").alias("key"),
+            F.lit("").alias("ref"),
+            F.col("depth").cast("long").alias("n"),
+            F.coalesce(F.col("t1"), F.lit(-1)).cast("double").alias("x1"),
+            F.coalesce(F.col("t2"), F.lit(-1)).cast("double").alias("x2"),
+            F.coalesce(F.col("t3"), F.lit(-1)).cast("double").alias("x3"),
+        )
+
+    fu = _fu_part("funnel")
+    # r10: the chunked pre-fold+stitch path (hot-key escape hatch),
+    # certified against the SAME chained-minimum oracle — 6 h chunks
+    # against the 1-day window exercise cross-chunk stitching + the
+    # stitch-time window cap
+    fu_ck = _fu_part("funnel_ck", chunk_seconds=21600)
+    # r10: the WINDOW_FUNNEL statement form (plans/sql_events) — the
+    # ClickHouse-shaped SQL spelling, rewritten to the same fold;
+    # outputs depth only, per the statement contract
+    from fabstir_vectordb_spark.plans.sql_events import funnel_sql
+
+    ev.createOrReplaceTempView("ep10_events")
+    sqlf = funnel_sql(
+        spark,
+        """SELECT user_id,
+                  WINDOW_FUNNEL(86400 SECONDS)
+                    (ts, event_type = 'view', event_type = 'click',
+                         event_type = 'purchase') AS depth
+           FROM ep10_events GROUP BY user_id""",
     ).select(
-        F.lit("funnel").alias("part"),
+        F.lit("sql_funnel").alias("part"),
         F.col("user_id").cast("string").alias("key"),
         F.lit("").alias("ref"),
         F.col("depth").cast("long").alias("n"),
-        F.coalesce(F.col("t1"), F.lit(-1)).cast("double").alias("x1"),
-        F.coalesce(F.col("t2"), F.lit(-1)).cast("double").alias("x2"),
-        F.coalesce(F.col("t3"), F.lit(-1)).cast("double").alias("x3"),
+        F.lit(0.0).alias("x1"),
+        F.lit(0.0).alias("x2"),
+        F.lit(0.0).alias("x3"),
     )
     from fabstir_vectordb_spark.operators.funnel import retention
 
@@ -3865,6 +3939,7 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         p.unionByName(s).unionByName(t).unionByName(fu)
+        .unionByName(fu_ck).unionByName(sqlf)
         .unionByName(rt).unionByName(ss)
     )
 
@@ -6987,34 +7062,25 @@ SELECT event_type, count(*) AS n,
 FROM events GROUP BY event_type
 """
 
-# percentiles + sessionization + temporal joins over the events fixture
-# in one part-discriminated result (round-7 registry consolidation;
-# column map in q_event_percentiles; constituent oracles reused
-# verbatim)
-_ORACLES["event_percentiles"] = f"""
-SELECT 'pctl' AS part, event_type AS key, '' AS ref, n,
-       mean AS x1, p50 AS x2, p99 AS x3
-FROM ({_ORACLES["event_percentiles_raw"]})
-UNION ALL
-SELECT 'session' AS part, session_id AS key,
-       CAST(user_id AS VARCHAR) AS ref, n_events AS n,
-       CAST(duration_us AS DOUBLE) AS x1, sum_value AS x2, 0.0 AS x3
-FROM ({_ORACLES["event_sessions"]})
-UNION ALL
-SELECT part, CAST(id AS VARCHAR) AS key, ref, CAST(0 AS BIGINT) AS n,
-       score AS x1, 0.0 AS x2, 0.0 AS x3
-FROM ({_ORACLES["event_asof"]})
-UNION ALL
--- first-touch funnel by CHAINED-MINIMUM CTEs: t1 = earliest view,
--- t2 = earliest click in [t1, t1+W], t3 = earliest purchase in
--- [t2, t1+W] — the closed-form equivalent of the Spark side's
--- sorted-timeline greedy fold (operators/funnel.py docstring proof)
-SELECT 'funnel' AS part, CAST(b.user_id AS VARCHAR) AS key, '' AS ref,
+def _funnel_oracle(part: str, with_ts: bool) -> str:
+    """First-touch funnel by CHAINED-MINIMUM CTEs: t1 = earliest view,
+    t2 = earliest click in [t1, t1+W], t3 = earliest purchase in
+    [t2, t1+W] — the closed-form equivalent of the Spark side's
+    sorted-timeline greedy fold (operators/funnel.py docstring proof).
+    ``with_ts=False`` zeroes the matched-step columns (the
+    WINDOW_FUNNEL statement form outputs depth only)."""
+    xs = (
+        """CAST(COALESCE(t1, -1) AS DOUBLE) AS x1,
+       CAST(COALESCE(t2, -1) AS DOUBLE) AS x2,
+       CAST(COALESCE(t3, -1) AS DOUBLE) AS x3"""
+        if with_ts
+        else "0.0 AS x1, 0.0 AS x2, 0.0 AS x3"
+    )
+    return f"""
+SELECT '{part}' AS part, CAST(b.user_id AS VARCHAR) AS key, '' AS ref,
        CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
                  WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n,
-       CAST(COALESCE(t1, -1) AS DOUBLE) AS x1,
-       CAST(COALESCE(t2, -1) AS DOUBLE) AS x2,
-       CAST(COALESCE(t3, -1) AS DOUBLE) AS x3
+       {xs}
 FROM (SELECT DISTINCT user_id FROM events
       WHERE ts IS NOT NULL
         AND event_type IN ('view', 'click', 'purchase')) b
@@ -7047,6 +7113,36 @@ LEFT JOIN (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
              AND epoch_us(e.ts) >= c.t2
              AND epoch_us(e.ts) <= s.t1 + 86400000000
            GROUP BY e.user_id) s3 USING (user_id)
+"""
+
+
+# percentiles + sessionization + temporal joins over the events fixture
+# in one part-discriminated result (round-7 registry consolidation;
+# column map in q_event_percentiles; constituent oracles reused
+# verbatim)
+_ORACLES["event_percentiles"] = f"""
+SELECT 'pctl' AS part, event_type AS key, '' AS ref, n,
+       mean AS x1, p50 AS x2, p99 AS x3
+FROM ({_ORACLES["event_percentiles_raw"]})
+UNION ALL
+SELECT 'session' AS part, session_id AS key,
+       CAST(user_id AS VARCHAR) AS ref, n_events AS n,
+       CAST(duration_us AS DOUBLE) AS x1, sum_value AS x2, 0.0 AS x3
+FROM ({_ORACLES["event_sessions"]})
+UNION ALL
+SELECT part, CAST(id AS VARCHAR) AS key, ref, CAST(0 AS BIGINT) AS n,
+       score AS x1, 0.0 AS x2, 0.0 AS x3
+FROM ({_ORACLES["event_asof"]})
+UNION ALL
+{_funnel_oracle("funnel", with_ts=True)}
+UNION ALL
+-- funnel_ck (r10): the chunk_seconds pre-fold+stitch path against the
+-- SAME chained-minimum oracle — identical rows, different label
+{_funnel_oracle("funnel_ck", with_ts=True)}
+UNION ALL
+-- sql_funnel (r10): the WINDOW_FUNNEL statement form (plans/
+-- sql_events.funnel_sql) — depth only, per its output contract
+{_funnel_oracle("sql_funnel", with_ts=False)}
 UNION ALL
 -- weekly cohort retention: min-cohort + offset GROUP BY — the
 -- closed-form twin of the engine's set-collect formulation; cells are
@@ -7169,6 +7265,17 @@ SELECT * FROM ({_resample_oracle("day", 86_400_000_000, "sum(value)", '''
 UNION ALL
 SELECT * FROM ({_resample_oracle(
     "win", 86_400_000_000, "avg(value)", '''
+       coalesce((round(v, 6) + 0.0), -1.0) AS x1,
+       coalesce((round(locf, 6) + 0.0), -1.0) AS x2,
+       0.0 AS x3, 0.0 AS x4''',
+    lo=(_dt.date(2024, 1, 10) - _dt.date(1970, 1, 1)).days,
+    hi=(_dt.date(2024, 1, 20) - _dt.date(1970, 1, 1)).days)})
+UNION ALL
+-- sqlg (r10): the TIME_BUCKET_GAPFILL statement form — the same
+-- windowed daily report as `win` (round-at-end == round-at-bucket for
+-- locf: carrying forward commutes with rounding), different label
+SELECT * FROM ({_resample_oracle(
+    "sqlg", 86_400_000_000, "avg(value)", '''
        coalesce((round(v, 6) + 0.0), -1.0) AS x1,
        coalesce((round(locf, 6) + 0.0), -1.0) AS x2,
        0.0 AS x3, 0.0 AS x4''',

