@@ -291,7 +291,9 @@ def maxsim_candidates(
     n_probe: int = 8,
     n_clusters: int | None = None,
     index=None,
+    assigned: DataFrame | None = None,
     train_size: int = 10_000,
+    prune_scan: bool = True,
 ) -> DataFrame:
     """Token-level ANN candidate screen — ColBERT's own first stage
     (Khattab & Zaharia 2020 §3.5): probe an IVF index over the DOC
@@ -311,6 +313,22 @@ def maxsim_candidates(
     carries <= Q_tokens x token_k retrieved rows, and the rescore
     stage reads only candidate documents' tokens.
 
+    10M-token datum (625k docs x 16 tokens, dim 64, 64-topic
+    clustered vectors, 32 query tokens, local[32], alternated
+    median-of-3 over parquet): two-stage (n_probe=4/256, token_k=64,
+    prefit index + persisted assigned layout) 6.41 s vs the
+    single-stage Arrow GEMM kernel's 7.55 s at recall@10 = 1.000 —
+    the screen read 40 of 256 clusters (~16% of the corpus).  The
+    local-mode margin is modest because the rescore still pays one
+    map-only corpus scan to semi-join the candidate docs; at cluster
+    scale the pruned screen fraction is the decisive lever, and the
+    rescore scan file-skips under a doc-id z-order/bucket layout
+    (sources/layout.py).  On structureless (uniform-random) vectors
+    the screen cannot discriminate — recall@10 was 0.35 at
+    n_probe=16 — which is the generic ANN boundary, not a defect:
+    real embedding spaces are clustered, and the certification hook
+    (exhaustive knobs ≡ exact) holds on any data.
+
     ``token_k``      doc-token hits retrieved per query token.
     ``n_probe``      IVF clusters probed per query token;
                      n_probe = n_clusters is exact retrieval (the
@@ -319,6 +337,12 @@ def maxsim_candidates(
                      token vectors (id_col/vector_col must match);
                      None fits one here (one-time build cost — prefit
                      and reuse across query batches in deployment).
+    ``assigned``     the doc-token table WITH its ``cluster_id``
+                     column (``index.assign(doc_tokens)``, typically
+                     persisted partitionBy(cluster_id) — the pruned
+                     deployment layout); None assigns here, a full
+                     corpus GEMM pass that deployments should pay
+                     once, not per query batch.  Requires ``index``.
     ``n_clusters``   clusters when fitting internally (None = the IVF
                      default; the sqrt(N) rule from PERFORMANCE.md
                      applies at scale).
@@ -338,13 +362,18 @@ def maxsim_candidates(
         raise ValueError(f"n_candidates must be >= 1; got {n_candidates}")
     d = doc_tokens.filter(F.col(vec_col).isNotNull())
     q = query_tokens.filter(F.col(vec_col).isNotNull())
+    if assigned is not None and index is None:
+        raise ValueError(
+            "assigned requires the index it was assigned by"
+        )
     if index is None:
         kw = {} if n_clusters is None else {"n_clusters": n_clusters}
         index = IVFIndex.fit(
             d, train_size=train_size,
             id_col=id_col, vector_col=vec_col, **kw,
         )
-    assigned = index.assign(d)
+    if assigned is None:
+        assigned = index.assign(d)
 
     sep = "\x1f"
     tok_id = F.concat_ws(
@@ -356,6 +385,25 @@ def maxsim_candidates(
     mapping = q.select(
         tok_id.alias("__tokid"), F.col(query_col)
     ).distinct()
+    if prune_scan and index.centroids is not None:
+        # only the probed clusters matter to the cogroup kernel, but
+        # without this filter the WHOLE assigned table is read and
+        # shuffled to it.  The probed-cluster set is bounded
+        # (<= Q_tokens x n_probe ints — driver-safe by the bounded-
+        # query-batch contract) and its collect is one tiny job over
+        # the broadcast centroids; the isin filter then partition-
+        # prunes an assigned layout persisted partitionBy(cluster_id)
+        # — the deployment shape — so non-probed clusters are never
+        # read, let alone shuffled.  Query tokens share topics, so the
+        # union of probed clusters is typically a small corpus slice.
+        probed = sorted(
+            r["__blk"]
+            for r in index.probe_pairs(
+                probes, n_probe,
+                query_id_col="__tokid", query_vector_col="__pv",
+            ).select("__blk").distinct().collect()
+        )
+        assigned = assigned.filter(F.col("cluster_id").isin(probed))
     hits = index.search_bulk(
         assigned, probes, token_k, n_probe=n_probe, metric="dot",
         query_id_col="__tokid", query_vector_col="__pv",

@@ -251,3 +251,31 @@ def test_two_stage_recall_at_realistic_probe(spark):
         ).collect()
     }
     assert len(got & want) / len(want) >= 0.6
+
+
+def test_candidates_prefit_assigned_and_prune(spark):
+    """The deployment path: prefit index + pre-assigned layout +
+    probed-cluster scan pruning must give the same shortlist as the
+    self-contained call; assigned without index is refused."""
+    from fabstir_vectordb_spark.operators.ivf import IVFIndex
+    from fabstir_vectordb_spark.operators.multivector import (
+        maxsim_candidates,
+    )
+
+    dt, qt, docs, queries = _tables(spark, n_docs=40, n_queries=2, seed=9)
+    idx = IVFIndex.fit(dt, n_clusters=4, id_col="doc_id",
+                       vector_col="vector")
+    assigned = idx.assign(dt)
+    kw = dict(n_candidates=10, token_k=8, n_probe=2)
+    base = {(r["query_id"], r["doc_id"])
+            for r in maxsim_candidates(dt, qt, index=idx, **kw).collect()}
+    pre = {(r["query_id"], r["doc_id"])
+           for r in maxsim_candidates(
+               dt, qt, index=idx, assigned=assigned, **kw).collect()}
+    nopr = {(r["query_id"], r["doc_id"])
+            for r in maxsim_candidates(
+                dt, qt, index=idx, assigned=assigned, prune_scan=False,
+                **kw).collect()}
+    assert base == pre == nopr
+    with pytest.raises(ValueError, match="assigned requires"):
+        maxsim_candidates(dt, qt, assigned=assigned, **kw)
