@@ -175,7 +175,16 @@ def resample(
         else:
             import pandas as pd
 
-            us = int(pd.Timestamp(v).value // 1_000)  # naive read as UTC
+            # naive bounds localize to the SESSION timezone — the same
+            # convention the data path's cast-to-timestamp uses, so a
+            # non-UTC session cannot shift the grid window relative to
+            # the column values (the validity_intervals horizon rule)
+            ts = pd.Timestamp(v)
+            if ts.tz is None:
+                ts = ts.tz_localize(
+                    df.sparkSession.conf.get("spark.sql.session.timeZone")
+                )
+            us = int(ts.value // 1_000)
         return us // step_u  # python floor-division: exact at any epoch
 
     lo = _bound_bucket(grid_start, "start") if grid_start is not None else None

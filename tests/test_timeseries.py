@@ -267,3 +267,34 @@ def test_resample_output_name_collisions_raise(spark):
         resample(sdf, "k", "ts", STEP, aggs={"__x": F.count(F.lit(1))})
     with pytest.raises(ValueError, match="positive"):
         resample(sdf, "k", "ts", 0)
+
+
+def test_grid_bounds_use_session_timezone(spark):
+    """Naive grid_start/grid_end strings must localize to the SESSION
+    timezone — the data path's cast convention — so a non-UTC session
+    cannot shift the window against the column values (the
+    validity_intervals horizon rule, r10)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.operators.timeseries import resample
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # one event at local midnight 2024-01-15 (NY) — a UTC-parsed
+        # bound would push the one-day window off this bucket
+        df = spark.createDataFrame(
+            [(1, "2024-01-15 00:00:00", 5.0)],
+            "k long, s string, value double",
+        ).select("k", F.col("s").cast("timestamp").alias("ts"), "value")
+        out = resample(
+            df, "k", ts_col="ts", step_seconds=86400,
+            aggs={"v": F.avg("value")},
+            grid_start="2024-01-15", grid_end="2024-01-15",
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["v"] == 5.0 and not out[0]["is_gap"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
