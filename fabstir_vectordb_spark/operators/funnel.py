@@ -62,11 +62,18 @@ Streaming boundary, stated as a contract (the resample/curation-gate
 split): the chain is NOT closed under micro-batching — a late
 step-1 event can rewrite a key's entire chain (t1 anchors the
 window), so there is no per-batch state smaller than the key's
-step-event history.  Run the funnel batch over accumulated events
-(foreachBatch over the sink, or scheduled), exactly like resample's
-fills; a watermarked streaming variant would have to declare
-late-step-1 rewrites out of scope to bound state, and this module
-does not pretend otherwise.
+step-event history.  The round-10 chunked decomposition gives the
+split an exact streamable HALF: per-(key, chunk) suffix pre-folds
+finalize when the watermark passes the chunk's end
+(``streaming/ingest.funnel_chunks_stream``), and the keys-only
+stitch stays batch over the accumulated chunk rows
+(:func:`funnel_from_chunks`) — identical to
+``funnel(chunk_seconds=...)`` by construction, stream≡batch pinned.
+Retention splits the same way: per-(key, period) activity streams
+under the watermark (``retention_activity_stream``), the cohort
+fold stays batch (:func:`retention_from_activity`) — a late earlier
+period rewrites a key's cohort exactly like late step-1, so the
+fold has no bounded streaming state either.
 
 Reference parity: none (no event-analytics surface in the
 reference); extension-axis with operators/stats.py sessionization
@@ -80,7 +87,13 @@ from pyspark.sql import functions as F
 
 from fabstir_vectordb_spark.operators.temporal import _raw_time_mode
 
-__all__ = ["funnel", "funnel_summary", "retention"]
+__all__ = [
+    "funnel",
+    "funnel_from_chunks",
+    "funnel_summary",
+    "retention",
+    "retention_from_activity",
+]
 
 
 def funnel(
@@ -239,25 +252,11 @@ def funnel(
     )
 
 
-def _funnel_chunked(slim, keys, k, chunk_u, win_u, strict_increase):
-    """The chunked pre-fold + stitch (funnel's chunk_seconds path).
-
-    Per (keys, floor(ts/chunk)) group: the same sorted-timeline greedy
-    runs k times, once per ENTRY STATE j (= steps 1..j-1 already
-    matched before this chunk, so the first pick has no lower time
-    bound — every in-chunk event is later than any earlier-chunk match
-    because equal timestamps share a chunk), each UNCAPPED, yielding k
-    chain suffixes of <= k timestamps.  The keys-only stitch then folds
-    chunks in time order: with c steps matched so far, append entry-
-    state-(c+1)'s suffix, window-capped against t1 — a plain
-    array filter, exact because suffix times ascend and the greedy
-    takes the earliest eligible event, so the first capped-out element
-    already proves no later event of its step qualifies."""
-    timeline = F.sort_array(
-        F.collect_set(
-            F.struct(F.col("__tsu").alias("t"), F.col("__step").alias("s"))
-        )
-    )
+def _suffixes_expr(timeline, k: int, strict_increase: bool):
+    """The k ENTRY-STATE chain suffixes over a sorted (t, s) timeline:
+    suffix j is the greedy chain assuming steps 1..j-1 matched before
+    this chunk (so the first pick has no lower time bound), UNCAPPED —
+    the window applies at stitch time.  Pure column folds."""
 
     def _fold_from(j):
         def f(acc, e):
@@ -276,17 +275,21 @@ def _funnel_chunked(slim, keys, k, chunk_u, win_u, strict_increase):
 
         return f
 
-    sufs = F.array(
+    return F.array(
         *[
             F.aggregate(timeline, F.array().cast("array<long>"), _fold_from(j))
             for j in range(1, k + 1)
         ]
     )
-    per_chunk = (
-        slim.withColumn("__chunk", F.floor(F.col("__tsu") / chunk_u))
-        .groupBy(*keys, "__chunk")
-        .agg(sufs.alias("__sufs"))
-    )
+
+
+def _stitch_chunks(per_chunk, keys, k, win_u, chunk_col, sufs_col):
+    """Fold per-(keys, chunk) suffix rows in chunk order into the
+    chain: with c steps matched so far, append entry-state-(c+1)'s
+    suffix, window-capped against t1 — a plain array filter, exact
+    because suffix times ascend and the greedy takes the earliest
+    eligible event, so the first capped-out element already proves no
+    later event of its step qualifies."""
 
     def _stitch(acc, e):
         cur = F.size(acc)
@@ -302,13 +305,123 @@ def _funnel_chunked(slim, keys, k, chunk_u, win_u, strict_increase):
 
     chunks_tl = F.sort_array(
         F.collect_list(
-            F.struct(F.col("__chunk").alias("c"), F.col("__sufs").alias("v"))
+            F.struct(F.col(chunk_col).alias("c"), F.col(sufs_col).alias("v"))
         )
     )
     return per_chunk.groupBy(*keys).agg(
         F.aggregate(
             chunks_tl, F.array().cast("array<long>"), _stitch
         ).alias("__chain")
+    )
+
+
+def _funnel_chunked(slim, keys, k, chunk_u, win_u, strict_increase):
+    """The chunked pre-fold + stitch (funnel's chunk_seconds path).
+
+    Per (keys, floor(ts/chunk)) group: the same sorted-timeline greedy
+    runs k times, once per ENTRY STATE j (= steps 1..j-1 already
+    matched before this chunk, so the first pick has no lower time
+    bound — every in-chunk event is later than any earlier-chunk match
+    because equal timestamps share a chunk), each UNCAPPED, yielding k
+    chain suffixes of <= k timestamps.  The keys-only stitch
+    (:func:`_stitch_chunks`) then folds chunks in time order."""
+    timeline = F.sort_array(
+        F.collect_set(
+            F.struct(F.col("__tsu").alias("t"), F.col("__step").alias("s"))
+        )
+    )
+    per_chunk = (
+        slim.withColumn("__chunk", F.floor(F.col("__tsu") / chunk_u))
+        .groupBy(*keys, "__chunk")
+        .agg(_suffixes_expr(timeline, k, strict_increase).alias("__sufs"))
+    )
+    return _stitch_chunks(per_chunk, keys, k, win_u, "__chunk", "__sufs")
+
+
+def funnel_from_chunks(
+    chunks: DataFrame,
+    on: str | list[str],
+    n_steps: int,
+    window_seconds: int | None = None,
+    raw: bool = False,
+    chunk_col: str = "chunk",
+    sufs_col: str = "sufs",
+) -> DataFrame:
+    """The BATCH stitch over accumulated per-(key, chunk) suffix rows —
+    the second half of funnel's chunked decomposition, exposed for the
+    streaming split: ``streaming/ingest.funnel_chunks_stream`` emits
+    finalized chunk pre-folds under a watermark, this folds them into
+    chains exactly as ``funnel(chunk_seconds=...)`` would
+    (stream≡batch pinned in tests/test_streaming.py).
+
+    ``chunks``  (keys..., chunk_col long, sufs_col array<array<long>>
+    of n_steps entry-state suffixes in epoch MICROS — or raw units
+    with ``raw=True``, matching ``window_seconds``'s unit rule).
+    Output: funnel's shape — keys, depth, t1..t<n_steps>.
+
+    Chunk rows must be one per (keys, chunk) with COMPLETE suffixes
+    for that chunk (the watermark guarantee); a duplicated or partial
+    chunk row would double-count or truncate its chunk."""
+    k = int(n_steps)
+    if not 2 <= k <= 8:
+        raise ValueError(f"funnel needs 2..8 steps; got {k}")
+    keys = [on] if isinstance(on, str) else list(on)
+    win_u = (
+        None
+        if window_seconds is None
+        else int(window_seconds) * (1 if raw else 1_000_000)
+    )
+    grouped = _stitch_chunks(chunks, keys, k, win_u, chunk_col, sufs_col)
+    return grouped.select(
+        *keys,
+        F.size("__chain").alias("depth"),
+        *[
+            F.try_element_at("__chain", F.lit(i)).alias(f"t{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+
+
+def retention_from_activity(
+    activity: DataFrame,
+    on: str | list[str] = "user_id",
+    period_col: str = "period",
+    max_periods: int = 12,
+) -> DataFrame:
+    """The BATCH cohort fold over pre-binned (key, period) activity —
+    retention's second half, exposed for the streaming split:
+    ``streaming/ingest.retention_activity_stream`` emits one row per
+    (key, active period) under a watermark, this computes the
+    retention triangle exactly as ``retention`` does from raw events
+    (stream≡batch pinned).  Duplicate (key, period) rows are fine —
+    the set collect dedups.  Output: retention's shape (cohort,
+    offset, n_active, n_cohort, retention)."""
+    from pyspark.sql.window import Window
+
+    if int(max_periods) < 0:
+        raise ValueError(f"max_periods must be >= 0; got {max_periods}")
+    keys = [on] if isinstance(on, str) else list(on)
+    per_key = (
+        activity.filter(F.col(period_col).isNotNull())
+        .select(*keys, F.col(period_col).cast("long").alias("__p"))
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_set("__p")).alias("__ps"))
+    )
+    rows = per_key.select(
+        F.col("__ps")[0].alias("cohort"),
+        F.explode("__ps").alias("__p"),
+    ).withColumn("offset", (F.col("__p") - F.col("cohort")).cast("int"))
+    act = (
+        rows.filter(F.col("offset") <= max_periods)
+        .groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    n_cohort = F.max(
+        F.when(F.col("offset") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort"))
+    return act.withColumn("n_cohort", n_cohort).withColumn(
+        "retention",
+        F.col("n_active").cast("double") / F.col("n_cohort"),
     )
 
 
@@ -387,8 +500,6 @@ def retention(
     NULL timestamps are dropped up front; NULL keys form their own
     cohort member, as groupBy treats them.
     """
-    from pyspark.sql.window import Window
-
     if int(period_seconds) <= 0:
         raise ValueError(
             f"period_seconds must be positive; got {period_seconds}"
@@ -411,27 +522,10 @@ def retention(
         else F.unix_micros(F.col(ts_col).cast("timestamp"))
     )
     per_u = int(period_seconds) * (1 if raw else 1_000_000)
-    per_key = (
-        events.filter(tsu.isNotNull())
-        .select(*keys, F.floor(tsu / per_u).cast("long").alias("__p"))
-        .groupBy(*keys)
-        .agg(F.sort_array(F.collect_set("__p")).alias("__ps"))
+    # bin, then the shared cohort fold — (key, period) pairs dedup in
+    # retention_from_activity's set collect, so the per-cell count is
+    # a plain count(*), no count_distinct Expand
+    binned = events.filter(tsu.isNotNull()).select(
+        *keys, F.floor(tsu / per_u).cast("long").alias("__period")
     )
-    rows = per_key.select(
-        F.col("__ps")[0].alias("cohort"),
-        F.explode("__ps").alias("__p"),
-    ).withColumn("offset", (F.col("__p") - F.col("cohort")).cast("int"))
-    # (key, period) pairs are DISTINCT by set construction, so the
-    # per-cell count is a plain count(*) — no count_distinct Expand
-    act = (
-        rows.filter(F.col("offset") <= max_periods)
-        .groupBy("cohort", "offset")
-        .agg(F.count(F.lit(1)).alias("n_active"))
-    )
-    n_cohort = F.max(
-        F.when(F.col("offset") == 0, F.col("n_active"))
-    ).over(Window.partitionBy("cohort"))
-    return act.withColumn("n_cohort", n_cohort).withColumn(
-        "retention",
-        F.col("n_active").cast("double") / F.col("n_cohort"),
-    )
+    return retention_from_activity(binned, keys, "__period", max_periods)

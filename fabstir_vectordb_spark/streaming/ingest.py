@@ -569,3 +569,124 @@ def resample_stream(
         .withColumn("bucket_ts", F.col("__w.start"))
         .drop("__w")
     )
+
+
+def funnel_chunks_stream(
+    events: DataFrame,
+    on: str | list[str],
+    steps: list,
+    ts_col: str = "ts",
+    chunk_seconds: int = 3600,
+    watermark: str = "1 hour",
+    strict_increase: bool = False,
+) -> DataFrame:
+    """Streaming half of funnel's chunked decomposition (operators/
+    funnel.py round 10): per (key, time-chunk) the k entry-state chain
+    SUFFIXES aggregate under a watermark — a chunk's pre-fold
+    finalizes once the watermark passes its end, exactly the point at
+    which no late event can change it.  The keys-only stitch
+    (``funnel_from_chunks``) stays batch over the accumulated chunk
+    rows, because the chain itself is NOT closed under micro-batching
+    (a late step-1 event rewrites a key's whole chain — the module
+    docstring's stated boundary); this split streams everything that
+    CAN stream without declaring late rewrites out of scope.
+
+    Plan: step-tag + explode map-side (non-matching events never enter
+    state), then one watermarked groupBy (keys, tumbling chunk
+    window) whose state per group is the chunk's distinct matching
+    (ts, step) set — bounded by chunk width, evicted at the
+    watermark.  Output: (keys..., ``chunk`` long, ``sufs``
+    array<array<long>> epoch-micros suffixes) — feed a sink, then
+    ``funnel_from_chunks(sink, on, len(steps), window_seconds)``;
+    stream≡batch vs ``funnel(chunk_seconds=...)`` is pinned in
+    tests/test_streaming.py.
+
+    Event-time streaming requires a real timestamp column (the
+    watermark); numeric-epoch mode is batch-only, as in
+    resample_stream."""
+    from fabstir_vectordb_spark.operators.funnel import _suffixes_expr
+
+    k = len(steps)
+    if not 2 <= k <= 8:
+        raise ValueError(f"funnel needs 2..8 steps; got {k}")
+    if int(chunk_seconds) <= 0:
+        raise ValueError(
+            f"chunk_seconds must be positive; got {chunk_seconds}"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    chunk_u = int(chunk_seconds) * 1_000_000
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(p, F.lit(i + 1).cast("int"))
+                for i, p in enumerate(steps)
+            ]
+        )
+    )
+    slim = (
+        events.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(
+            *keys,
+            F.col(ts_col),
+            F.unix_micros(F.col(ts_col)).alias("__tsu"),
+            F.explode(tags).alias("__step"),
+        )
+    )
+    timeline = F.sort_array(
+        F.collect_set(
+            F.struct(F.col("__tsu").alias("t"), F.col("__step").alias("s"))
+        )
+    )
+    win = F.window(F.col(ts_col), f"{int(chunk_seconds)} seconds")
+    return (
+        slim.groupBy(*[F.col(c) for c in keys], win.alias("__w"))
+        .agg(timeline.alias("__tl"))
+        .select(
+            *keys,
+            F.floor(F.unix_micros(F.col("__w.start")) / chunk_u)
+            .cast("long")
+            .alias("chunk"),
+            _suffixes_expr(F.col("__tl"), k, strict_increase).alias("sufs"),
+        )
+    )
+
+
+def retention_activity_stream(
+    events: DataFrame,
+    on: str | list[str] = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 604800,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming half of cohort retention (operators/funnel.retention):
+    per-(key, period) ACTIVITY — one row per key per active period,
+    a watermarked tumbling-window count whose state is the open
+    periods only.  The cohort fold stays batch
+    (``retention_from_activity`` over the accumulated sink): a
+    key's cohort is its MINIMUM period, and a late earlier-period
+    event rewrites every offset of that key — the same
+    not-closed-under-micro-batching boundary as the funnel chain.
+    Output: (keys..., ``period`` long, ``period_ts`` start,
+    ``n_events``); stream≡batch pinned in tests/test_streaming.py."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if int(period_seconds) <= 0:
+        raise ValueError(
+            f"period_seconds must be positive; got {period_seconds}"
+        )
+    per_u = int(period_seconds) * 1_000_000
+    win = F.window(F.col(ts_col), f"{int(period_seconds)} seconds")
+    return (
+        events.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(c) for c in keys], win.alias("__w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            *keys,
+            F.floor(F.unix_micros(F.col("__w.start")) / per_u)
+            .cast("long")
+            .alias("period"),
+            F.col("__w.start").alias("period_ts"),
+            "n_events",
+        )
+    )

@@ -769,3 +769,98 @@ def test_resample_stream_equals_batch_binned(spark, tmp_path, events):
         for r in batch.collect()
     }
     assert got == expect
+
+
+def test_funnel_chunks_stream_equals_batch(spark, tmp_path, events):
+    """funnel_chunks_stream + batch funnel_from_chunks ≡ plain
+    funnel(chunk_seconds=...) ≡ plain funnel on the same fixture,
+    replayed unordered in micro-batches — the r10 streaming split:
+    chunk pre-folds stream under the watermark, the stitch stays
+    batch."""
+    from fabstir_vectordb_spark.operators.funnel import (
+        funnel, funnel_from_chunks,
+    )
+
+    ev = events.limit(4000).select("user_id", "ts", "event_type")
+    src = tmp_path / "fc_src"
+    ev.repartition(6).write.mode("overwrite").parquet(str(src))
+
+    def steps():
+        return [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ]
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        SI.funnel_chunks_stream(
+            stream, "user_id", steps(), chunk_seconds=21600,
+            watermark="3650 days",
+        )
+        .writeStream.format("memory")
+        .queryName("fc_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    chunks = spark.table("fc_stream")
+    got = {
+        (r["user_id"], r["depth"], r["t1"], r["t2"], r["t3"])
+        for r in funnel_from_chunks(
+            chunks, "user_id", 3, window_seconds=86400
+        ).collect()
+    }
+    for kw in ({}, {"chunk_seconds": 21600}):
+        expect = {
+            (r["user_id"], r["depth"], r["t1"], r["t2"], r["t3"])
+            for r in funnel(
+                ev, "user_id", steps(), window_seconds=86400, **kw
+            ).collect()
+        }
+        assert got == expect
+
+
+def test_retention_activity_stream_equals_batch(spark, tmp_path, events):
+    """retention_activity_stream + batch retention_from_activity ≡
+    plain retention on the same fixture — per-(key, period) activity
+    streams, the cohort fold stays batch."""
+    from fabstir_vectordb_spark.operators.funnel import (
+        retention, retention_from_activity,
+    )
+
+    ev = events.limit(4000).select("user_id", "ts")
+    src = tmp_path / "ra_src"
+    ev.repartition(5).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        SI.retention_activity_stream(
+            stream, "user_id", period_seconds=604800,
+            watermark="3650 days",
+        )
+        .writeStream.format("memory")
+        .queryName("ra_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    act = spark.table("ra_stream")
+    got = {
+        tuple(r)
+        for r in retention_from_activity(act, "user_id").collect()
+    }
+    expect = {
+        tuple(r)
+        for r in retention(ev, "user_id", period_seconds=604800).collect()
+    }
+    assert got == expect
