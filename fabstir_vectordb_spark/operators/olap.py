@@ -111,6 +111,7 @@ __all__ = [
     "grouped_report",
     "merge_summaries",
     "report_from_summary",
+    "suggest_grid",
     "summarize",
     "top_values",
 ]
@@ -774,3 +775,40 @@ def top_values(
         counts.withColumn("rank", rank)
         .filter(F.col("rank") <= k)
     )
+
+
+def suggest_grid(
+    df: DataFrame,
+    col: str,
+    buckets: int = _HIST_DEFAULT_BUCKETS,
+    pad: float = 0.01,
+) -> dict:
+    """Derive the fixed grid an ``approx_pXX`` measure needs: one
+    min/max aggregate over ``df`` (a single job — run it ONCE when
+    first materializing a summary, then reuse the returned opts for
+    every chunk and refresh FOREVER; a per-chunk grid would not
+    merge, which is why the measure refuses to auto-derive).  The
+    range is padded by ``pad`` on each side so later chunks that
+    slightly exceed the observed extrema still bucket inside the grid
+    rather than clamping to its edges.  Returns the opts dict —
+    ``{"lo": ..., "hi": ..., "buckets": ...}`` — ready to splice into
+    a measure spec: ``("approx_p99", col, suggest_grid(df, col))``.
+    Integer-like ranges snap outward to whole numbers so the grid is
+    stable under re-derivation from supersets."""
+    import math
+
+    row = df.agg(
+        F.min(F.col(col).cast("double")).alias("mn"),
+        F.max(F.col(col).cast("double")).alias("mx"),
+    ).collect()[0]
+    if row["mn"] is None:
+        raise ValueError(
+            f"suggest_grid: column {col!r} has no non-NULL values"
+        )
+    lo, hi = float(row["mn"]), float(row["mx"])
+    span = (hi - lo) or abs(lo) or 1.0
+    lo, hi = lo - span * pad, hi + span * pad
+    lo, hi = math.floor(lo), math.ceil(hi)
+    if not hi > lo:
+        hi = lo + 1
+    return {"lo": float(lo), "hi": float(hi), "buckets": int(buckets)}

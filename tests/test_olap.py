@@ -615,3 +615,21 @@ def test_summary_with_histogram_persists_to_parquet(spark, tmp_path):
         merge_summaries(back), ["lang"], _R10_MS, mode="rollup"))
     want = _rows(grouped_report(docs, ["lang"], _R10_MS, mode="rollup"))
     assert rep == want
+
+
+def test_suggest_grid_roundtrip(spark):
+    """suggest_grid: one min/max job -> opts the approx measures
+    accept; padded + snapped outward so later chunks near the extrema
+    still bucket inside, and stable under superset re-derivation."""
+    from fabstir_vectordb_spark.operators.olap import suggest_grid
+
+    docs = _docs(spark)
+    opts = suggest_grid(docs, "n_chars", buckets=64)
+    lohi = docs.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
+    assert opts["lo"] <= lohi[0] and opts["hi"] >= lohi[1]
+    assert opts["buckets"] == 64
+    ms = {"p": ("approx_p90", "n_chars", opts)}
+    rep = grouped_report(docs, ["lang"], ms, mode="rollup")
+    assert rep.filter(F.col("p").isNull()).count() == 0
+    with pytest.raises(ValueError, match="no non-NULL"):
+        suggest_grid(docs.filter(F.lit(False)), "n_chars")

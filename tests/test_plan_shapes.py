@@ -560,3 +560,71 @@ def test_resample_grid_generates_from_span_frame(spark):
     # the binned aggregate partial-aggregates map-side (shuffle carries
     # buckets, not events)
     assert "partial_avg" in plan
+
+
+def test_hist_measures_stay_in_codegen_two_exchanges(spark):
+    """approx_pXX / exact_distinct (r10): the two-phase report is two
+    exchanges (phase-1 groupBy + phase-2 Expand-agg) with no Python
+    anywhere — the histogram partial is per-slot codegen sums and the
+    estimate a column fold."""
+    from fabstir_vectordb_spark.operators.olap import grouped_report
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rep = grouped_report(
+        docs, ["lang", "source"],
+        {
+            "n": ("count", None),
+            "p": ("approx_p90", "n_chars",
+                  {"lo": 0.0, "hi": 4000.0, "buckets": 64}),
+            "xd": ("exact_distinct", "source", {"cap": 1000}),
+        },
+        mode="rollup",
+    )
+    plan = _executed(rep)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Exchange") <= 2
+    # Expand sits ABOVE the phase-1 aggregate (two-phase), not on the scan
+    assert "Expand" in plan
+    assert plan.index("Expand") < plan.index("FileScan")
+
+
+def test_funnel_chunked_two_keyed_exchanges_no_udf(spark):
+    """funnel(chunk_seconds=...): exchange 1 on (keys, chunk) — a hot
+    key parallelizes across chunks — exchange 2 on keys alone for the
+    stitch; no Python, no global sort."""
+    from pyspark.sql import functions as F
+
+    from fabstir_vectordb_spark.operators.funnel import funnel
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = funnel(
+        ev, "user_id",
+        [F.col("event_type") == "view", F.col("event_type") == "click"],
+        window_seconds=3600, chunk_seconds=600,
+    )
+    plan = _executed(out)
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2
+    first = plan.split("Exchange")[1][:200]
+    assert "__chunk" in first and "user_id" in first
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_gapfill_sql_inherits_resample_span_grid(spark):
+    """gapfill_sql's rewrite lands on resample's plan: the grid
+    Generates from the one-row-per-key span frame (sequence over
+    min/max buckets), never from event rows."""
+    from fabstir_vectordb_spark.plans.sql_events import gapfill_sql
+
+    spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView(
+        "ps_ev"
+    )
+    out = gapfill_sql(
+        spark,
+        """SELECT TIME_BUCKET_GAPFILL(21600 SECONDS, ts) AS b, user_id,
+                  LOCF(AVG(value)) AS v
+           FROM ps_ev GROUP BY b, user_id""",
+    )
+    plan = _executed(out)
+    assert "Generate" in plan and "sequence(" in plan
+    assert "BatchEvalPython" not in plan
