@@ -249,7 +249,53 @@ def main(spark: SparkSession) -> dict:
     out["clicks_with_version"] = range_join(
         clicks2, dim.drop("ts"), "user_id",
         ts_col="click_ts", bucket_seconds=86400,
+        long_interval_buckets=1,
     ).count()
+
+    # --- 12. (r10) the event-analytics SQL statement forms ---------------
+    # the funnel in ClickHouse's WINDOW_FUNNEL spelling and the gap-fill
+    # in TimescaleDB's TIME_BUCKET_GAPFILL spelling — both rewrite to
+    # the operator plans above; ordinary SQL delegates verbatim
+    from fabstir_vectordb_spark.plans.sql_events import (
+        funnel_sql, gapfill_sql,
+    )
+
+    events.createOrReplaceTempView("ex_events")
+    depths = funnel_sql(
+        spark,
+        """SELECT user_id,
+                  WINDOW_FUNNEL(86400 SECONDS)
+                    (ts, event_type = 'view', event_type = 'click',
+                         event_type = 'purchase') AS depth
+           FROM ex_events GROUP BY user_id""",
+    )
+    out["sql_funnel_completed"] = depths.filter("depth = 3").count()
+    filled = gapfill_sql(
+        spark,
+        """SELECT TIME_BUCKET_GAPFILL(21600 SECONDS, ts) AS bucket,
+                  user_id, LOCF(AVG(value)) AS v, COUNT(*) AS n
+           FROM ex_events GROUP BY bucket, user_id""",
+    )
+    out["sql_gapfill_rows"] = filled.count()
+
+    # --- 13. (r10) percentiles that refresh incrementally ----------------
+    # the mergeable histogram measure: derive the grid ONCE, then p90
+    # reports refresh through the same summarize/merge path as step 9
+    from fabstir_vectordb_spark.operators.olap import suggest_grid
+
+    grid = suggest_grid(events, "value", buckets=64)
+    pms = {"n": ("count", None), "p90": ("approx_p90", "value", grid),
+           "du": ("exact_distinct", "user_id", {"cap": 100_000})}
+    merged_p = merge_summaries(
+        summarize(history, dims, pms), summarize(new_day, dims, pms)
+    )
+    prep = report_from_summary(merged_p, dims, pms, mode="rollup")
+    one_shot = grouped_report(events, dims, pms, mode="rollup")
+    got = {tuple(r) for r in prep.collect()}
+    assert got == {tuple(r) for r in one_shot.collect()}  # EXACTLY equal
+    out["p90_value_overall"] = round(
+        prep.filter("g_event_type = 1").first()["p90"], 3
+    )
 
     return out
 
