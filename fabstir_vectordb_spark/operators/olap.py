@@ -204,33 +204,50 @@ def _hist_partial(col: str, lo: float, hi: float, n: int):
     conditional sums (pure codegen aggregates — partial aggregation
     compacts map-side, so the shuffle carries one n-slot array per
     group, never rows).  NULLs count nowhere; out-of-range values
-    clamp to the edge buckets."""
+    clamp to the edge buckets.
+
+    Built as ONE parsed SQL string rather than n Column objects:
+    constructing 128 nested F.sum(F.when(...)) columns costs a py4j
+    round-trip per node — measured ~4 s of Python-side DataFrame build
+    per percentile report at n=128 x 2 measures — while one F.expr
+    parses server-side in milliseconds.  Literal floats inline via
+    repr (round-trip exact), matching the DuckDB oracle's text."""
+    if not re.fullmatch(r"\w+", col):
+        raise ValueError(
+            f"approx percentile column {col!r}: simple identifier "
+            "column names only (alias the expression first)"
+        )
     w = (hi - lo) / n
-    x = F.col(col).cast("double")
-    b = F.least(
-        F.greatest(F.floor((x - F.lit(lo)) / F.lit(w)), F.lit(0)),
-        F.lit(n - 1),
+    x = f"CAST(`{col}` AS DOUBLE)"
+    b = (
+        f"least(greatest(CAST(floor(({x} - {lo!r}) / {w!r}) AS BIGINT), "
+        f"0), {n - 1})"
     )
-    return F.array(
-        *[
-            F.sum(
-                F.when(x.isNotNull() & (b == i), 1).otherwise(0)
-            ).cast("bigint")
-            for i in range(n)
-        ]
+    slots = ", ".join(
+        f"CAST(sum(CASE WHEN {x} IS NOT NULL AND {b} = {i} "
+        "THEN 1 ELSE 0 END) AS BIGINT)"
+        for i in range(n)
     )
+    return F.expr(f"array({slots})")
 
 
-def _hist_estimate(hcol, q: float, lo: float, hi: float, n: int):
-    """Percentile read-off from a histogram column (array<bigint>):
-    nearest-rank bucket (first bucket whose cumulative count reaches
-    ceil(q * N)) with in-bucket linear interpolation — a single O(n)
-    fold, pure column expressions.  NULL when the histogram is empty
-    (all values NULL)."""
+def _hist_total(hcol):
+    """Histogram mass (one O(n) fold) — hoisted into its OWN projection
+    so the read-off fold below references it as a plain column.
+    Inlining it into the fold's lambda would re-evaluate the full fold
+    per element — O(n^2) interpreted HOF work per report row, measured
+    as the dominant cost of a percentile report before the hoist."""
+    return F.aggregate(hcol, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+
+def _hist_estimate(hcol, total, q: float, lo: float, hi: float, n: int):
+    """Percentile read-off from a histogram column (array<bigint>) and
+    its pre-computed ``total`` column: nearest-rank bucket (first
+    bucket whose cumulative count reaches ceil(q * N)) with in-bucket
+    linear interpolation — a single O(n) fold, pure column
+    expressions.  NULL when the histogram is empty (all values
+    NULL)."""
     w = (hi - lo) / n
-    total = F.aggregate(
-        hcol, F.lit(0).cast("bigint"), lambda a, x: a + x
-    )
     kr = F.greatest(
         F.lit(1).cast("bigint"),
         F.ceil(F.lit(q) * total.cast("double")).cast("bigint"),
@@ -404,7 +421,12 @@ def grouped_report(
                     )
                 posts[name] = (
                     lambda a=alias, q=_APCTL[fn], lo=lo, hi=hi, n=n:
-                    _hist_estimate(F.col(a), q, lo, hi, n)
+                    _hist_estimate(
+                        F.col(a), F.col(f"__tot{a}"), q, lo, hi, n
+                    )
+                )
+                posts.setdefault("__aux__", {})[f"__tot{alias}"] = (
+                    lambda a=alias: _hist_total(F.col(a))
                 )
                 continue
             else:
@@ -508,14 +530,19 @@ def _merge_rule(k: str):
         return F.hll_union_agg(k)
     if k.startswith("__hist_"):
         n = int(re.search(r"_n(\d+)$", k).group(1))
-        # per-slot exact sums — partial-aggregated map-side, unlike a
-        # collect_list-of-arrays fold, so merging histograms compacts
-        # before the shuffle like every other partial
-        return F.array(
-            *[
-                F.sum(F.element_at(F.col(k), i + 1)).cast("bigint")
-                for i in range(n)
-            ]
+        # ONE fold expression (collect_list + elementwise zip_with sum)
+        # rather than n per-slot F.sum's: every histogram re-aggregation
+        # runs over COMPACT frames by construction (summaries, or the
+        # phase-1 frame under Expand), where map-side compaction buys
+        # nothing — while n separate aggregate expressions cost O(n)
+        # Catalyst analysis PER REPORT (measured 7.6 s of driver-side
+        # plan build at n=128 x 2 measures before this).  The corpus-
+        # scale pass stays _hist_partial's codegen conditional sums.
+        zeros = F.array_repeat(F.lit(0).cast("bigint"), n)
+        return F.aggregate(
+            F.collect_list(k),
+            zeros,
+            lambda acc, a: F.zip_with(acc, a, lambda x, y: x + y),
         )
     if k.startswith("__set_"):
         cap = int(re.search(r"__cap(\d+)$", k).group(1))
@@ -558,8 +585,11 @@ def _final_measures(measures) -> tuple[list, dict]:
             q = _APCTL[fn]
             posts[name] = (
                 lambda a=alias, q=q, lo=lo, hi=hi, n=n: _hist_estimate(
-                    F.col(a), q, lo, hi, n
+                    F.col(a), F.col(f"__tot{a}"), q, lo, hi, n
                 )
+            )
+            posts.setdefault("__aux__", {})[f"__tot{alias}"] = (
+                lambda a=alias: _hist_total(F.col(a))
             )
             continue
         elif fn == "exact_distinct":
@@ -577,14 +607,20 @@ def _final_measures(measures) -> tuple[list, dict]:
 
 def _finish(res, dims, measures, posts):
     """Apply the post-aggregate read-offs and restore the documented
-    output column order: dims, g_ markers, measures in spec order."""
+    output column order: dims, g_ markers, measures in spec order.
+    Histogram totals project in an intermediate select (``__aux__``)
+    so the percentile folds reference them as plain columns — see
+    :func:`_hist_total`."""
     if not posts:
         return res
+    aux = posts.get("__aux__", {})
+    if aux:
+        res = res.select("*", *[b().alias(a) for a, b in aux.items()])
     return res.select(
         *dims,
         *[f"g_{d}" for d in dims],
         *[
-            posts[n]().alias(n) if n in posts else F.col(n)
+            posts[n]().alias(n) if n in posts and n != "__aux__" else F.col(n)
             for n in measures
         ],
     )
