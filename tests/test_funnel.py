@@ -319,3 +319,53 @@ def test_funnel_chunked_timestamp_mode_and_validation(spark):
     assert capped == {1: 2, 2: 3}
     with pytest.raises(ValueError, match="chunk_seconds"):
         funnel(df, "k", steps, chunk_seconds=0)
+
+
+def test_funnel_from_chunks_roundtrip_and_validation(spark):
+    """funnel_from_chunks over a persisted chunk frame (the streaming
+    sink shape) reproduces funnel(chunk_seconds=...); n_steps is
+    validated."""
+    from fabstir_vectordb_spark.operators.funnel import (
+        funnel, funnel_from_chunks,
+    )
+    from fabstir_vectordb_spark.streaming.ingest import (
+        funnel_chunks_stream,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _ts(5), True, False), (1, _ts(100), False, True),
+         (2, _ts(10), True, True)],
+        "k long, ts timestamp, p1 boolean, p2 boolean",
+    )
+    steps = [F.col("p1"), F.col("p2")]
+    # build the chunk frame BATCH-side with the same expressions the
+    # stream emits (schema parity: chunk/sufs naming)
+    from fabstir_vectordb_spark.operators.funnel import _suffixes_expr
+
+    slim = df.select(
+        "k", F.unix_micros("ts").alias("__tsu"),
+        F.explode(F.array_compact(F.array(
+            F.when(F.col("p1"), F.lit(1).cast("int")),
+            F.when(F.col("p2"), F.lit(2).cast("int")),
+        ))).alias("__step"),
+    )
+    tl = F.sort_array(F.collect_set(F.struct(
+        F.col("__tsu").alias("t"), F.col("__step").alias("s"))))
+    chunks = (
+        slim.withColumn("chunk", F.floor(F.col("__tsu") / 60_000_000))
+        .groupBy("k", "chunk")
+        .agg(_suffixes_expr(tl, 2, False).alias("sufs"))
+    )
+    got = {
+        (r["k"], r["depth"], r["t1"], r["t2"])
+        for r in funnel_from_chunks(chunks, "k", 2).collect()
+    }
+    want = {
+        (r["k"], r["depth"], r["t1"], r["t2"])
+        for r in funnel(df, "k", steps, chunk_seconds=60).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="2..8"):
+        funnel_from_chunks(chunks, "k", 1)
+    with pytest.raises(ValueError, match="2..8"):
+        funnel_from_chunks(chunks, "k", 9)
