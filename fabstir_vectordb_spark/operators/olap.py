@@ -114,6 +114,7 @@ __all__ = [
     "suggest_grid",
     "summarize",
     "top_values",
+    "top_values_from_summary",
 ]
 
 _FNS = ("count", "sum", "min", "max", "avg", "count_distinct",
@@ -640,8 +641,11 @@ def summarize(
     :func:`merge_summaries` it into the stored summary, and
     :func:`report_from_summary` any rollup/cube without touching the
     corpus again.  Same measure validation as :func:`grouped_report`'s
-    two-phase plan — ``count_distinct`` is refused (not mergeable);
-    ``approx_distinct`` is the scale path."""
+    two-phase plan — ``count_distinct`` and exact ``pXX`` are refused
+    (not mergeable); the mergeable forms are ``approx_distinct`` /
+    ``exact_distinct`` (capped) and ``approx_pXX`` (fixed-grid
+    histogram — partial columns ``__hist_<col>__lo..._hi..._n<k>``,
+    also plain parquet)."""
     _validate_measures(measures, two_phase=True)
     bad = [d for d in dims if d.startswith("__")]
     if bad:
@@ -848,3 +852,47 @@ def suggest_grid(
     if not hi > lo:
         hi = lo + 1
     return {"lo": float(lo), "hi": float(hi), "buckets": int(buckets)}
+
+
+def top_values_from_summary(
+    summary: DataFrame,
+    dims: list[str],
+    value_col: str,
+    k: int = 10,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """:func:`top_values` maintained INCREMENTALLY: rank a summary
+    built by ``summarize(chunk, [*dims, value_col], {"w": ("count",
+    None)})`` (or a weighted ``("sum", w)``) and merged across chunks —
+    the recipe :func:`top_values`'s docstring describes, as a function.
+    ``weight_col`` names the summary's partial: None reads the
+    row-count partial ``__cnt_*``; a column name reads ``__sum_<col>``.
+    Output and ranking rule are exactly :func:`top_values`'s
+    (weight DESC, value ASC; pinned equal by test) — one window over
+    the compact merged summary, never the corpus."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    from pyspark.sql.window import Window
+
+    part = "__cnt_*" if weight_col is None else f"__sum_{weight_col}"
+    if part not in summary.columns:
+        raise ValueError(
+            f"summary lacks partial column {part!r} — build it with "
+            f"summarize(df, [*dims, value_col], "
+            f"{{'w': ({'count' if weight_col is None else 'sum'!r}, "
+            f"{weight_col!r})}})"
+        )
+    if value_col not in summary.columns:
+        raise ValueError(f"summary lacks value column {value_col!r}")
+    counts = summary.select(
+        *dims,
+        F.col(value_col).alias("value"),
+        F.col(part).alias("weight"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(*dims).orderBy(
+            F.col("weight").desc_nulls_last(),
+            F.col("value").asc_nulls_last(),
+        )
+    )
+    return counts.withColumn("rank", rank).filter(F.col("rank") <= k)

@@ -690,3 +690,59 @@ def retention_activity_stream(
             "n_events",
         )
     )
+
+
+def summarize_stream(
+    events: DataFrame,
+    dims: list[str],
+    measures: dict,
+    ts_col: str = "ts",
+    chunk_seconds: int = 3600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming half of the OLAP summary algebra (operators/olap.py):
+    one MATERIALIZED-SUMMARY row per (dims, time-chunk), aggregated
+    under a watermark — a chunk's summary finalizes when the watermark
+    passes it, and every partial (counts, sums, min/max, HLL sketches,
+    capped sets, fixed-grid histograms) is the SAME mergeable column
+    ``summarize`` emits, under the same self-describing ``__`` names.
+
+    The sink is therefore a live summary store: feed it to
+    ``merge_summaries`` + ``report_from_summary`` for a corpus report
+    that refreshes FROM THE STREAM without ever rescanning history
+    (stream≡batch vs ``grouped_report`` over the same events is pinned
+    in tests/test_streaming.py).  KEEP the ``chunk`` column in the
+    stored sink — per-chunk summary rows are exactly the retractable
+    layout the olap module docstring recommends (drop a chunk's rows
+    and re-merge to retract it); drop it (or not — merge_summaries
+    treats it as one more dim) at report time as the report requires.
+
+    Measure validation is summarize's: mergeable measures only
+    (count/sum/min/max/avg partials, approx_distinct, exact_distinct,
+    approx_pXX); count_distinct and exact pXX are refused with the
+    alternatives named.  Event-time streaming needs a real timestamp
+    column, as everywhere in this module."""
+    from fabstir_vectordb_spark.operators.olap import (
+        _partials_spec, _validate_measures,
+    )
+
+    if int(chunk_seconds) <= 0:
+        raise ValueError(
+            f"chunk_seconds must be positive; got {chunk_seconds}"
+        )
+    _validate_measures(measures, two_phase=True)
+    bad = [d for d in dims if d.startswith("__")]
+    if bad:
+        raise ValueError(f"dim(s) {bad} use the reserved __ prefix")
+    chunk_u = int(chunk_seconds) * 1_000_000
+    win = F.window(F.col(ts_col), f"{int(chunk_seconds)} seconds")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(d) for d in dims], win.alias("__w"))
+        .agg(*[e.alias(k) for k, e in _partials_spec(measures).items()])
+        .withColumn(
+            "chunk",
+            F.floor(F.unix_micros(F.col("__w.start")) / chunk_u).cast("long"),
+        )
+        .drop("__w")
+    )

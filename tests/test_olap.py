@@ -633,3 +633,42 @@ def test_suggest_grid_roundtrip(spark):
     assert rep.filter(F.col("p").isNull()).count() == 0
     with pytest.raises(ValueError, match="no non-NULL"):
         suggest_grid(docs.filter(F.lit(False)), "n_chars")
+
+
+def test_top_values_from_summary_equals_top_values(spark):
+    """The incremental heavy-hitters: summarize per chunk on
+    (dims..., value), merge, rank — must equal top_values over the
+    full frame, unweighted and weighted, including the deterministic
+    (weight DESC, value ASC) cut."""
+    from fabstir_vectordb_spark.operators.olap import (
+        merge_summaries, summarize, top_values, top_values_from_summary,
+    )
+
+    docs = _docs(spark)
+    ch = docs.withColumn("__c", F.abs(F.xxhash64("doc_id")) % 3)
+    merged = merge_summaries(*[
+        summarize(
+            ch.filter(F.col("__c") == i).drop("__c"),
+            ["lang", "source"], {"w": ("count", None)},
+        )
+        for i in range(3)
+    ])
+    got = _rows(top_values_from_summary(merged, ["lang"], "source", k=3))
+    want = _rows(top_values(docs, ["lang"], "source", k=3))
+    assert got == want
+    # weighted: token-mass heavy hitters via the sum partial
+    merged_w = merge_summaries(*[
+        summarize(
+            ch.filter(F.col("__c") == i).drop("__c"),
+            ["lang", "source"], {"w": ("sum", "n_chars")},
+        )
+        for i in range(3)
+    ])
+    got_w = _rows(top_values_from_summary(
+        merged_w, ["lang"], "source", k=3, weight_col="n_chars"))
+    want_w = _rows(top_values(
+        docs, ["lang"], "source", k=3, weight_col="n_chars"))
+    assert got_w == want_w
+    with pytest.raises(ValueError, match="lacks partial"):
+        top_values_from_summary(merged, ["lang"], "source",
+                                weight_col="n_chars")

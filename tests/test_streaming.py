@@ -864,3 +864,64 @@ def test_retention_activity_stream_equals_batch(spark, tmp_path, events):
         for r in retention(ev, "user_id", period_seconds=604800).collect()
     }
     assert got == expect
+
+
+def test_summarize_stream_feeds_incremental_reports(spark, tmp_path, events):
+    """summarize_stream's sink + merge_summaries + report_from_summary
+    ≡ grouped_report over the same events — the corpus report
+    refreshed FROM A STREAM, never rescanning history.  Exact-typed
+    measures compare bit-for-bit (counts, histogram percentiles,
+    capped-set distinct); the float sum compares rounded."""
+    from fabstir_vectordb_spark.operators.olap import (
+        grouped_report, merge_summaries, report_from_summary,
+    )
+
+    ev = events.limit(4000).select("user_id", "ts", "event_type", "value")
+    src = tmp_path / "ss_src"
+    ev.repartition(6).write.mode("overwrite").parquet(str(src))
+    ms = {
+        "n": ("count", None),
+        "sv": ("sum", "value"),
+        "p90": ("approx_p90", "value",
+                {"lo": 0.0, "hi": 500.0, "buckets": 64}),
+        "du": ("exact_distinct", "user_id", {"cap": 10_000}),
+    }
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        SI.summarize_stream(
+            stream, ["event_type"], ms,
+            chunk_seconds=86400, watermark="3650 days",
+        )
+        .writeStream.format("memory")
+        .queryName("ss_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    sink = spark.table("ss_stream")
+    # per-chunk rows merge into the dims-only summary at report time
+    rep = report_from_summary(
+        merge_summaries(sink.drop("chunk")), ["event_type"], ms,
+        mode="rollup",
+    )
+    batch = grouped_report(ev, ["event_type"], ms, mode="rollup")
+    key = lambda r: repr(r[0])  # noqa: E731
+
+    def norm(rows):
+        return sorted(
+            (
+                (r["event_type"], r["g_event_type"], r["n"],
+                 round(r["sv"], 6), round(r["p90"], 9), r["du"])
+                for r in rows
+            ),
+            key=lambda t: repr(t[0]),
+        )
+
+    assert norm(rep.collect()) == norm(batch.collect())
