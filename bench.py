@@ -344,15 +344,31 @@ def main() -> int:
         "queries_norm": {n: round(t / cal, 3) for n, t in times.items()},
         "amortized": amortized,
     }
-    line = json.dumps(record)
     # hard budget: degrade gracefully rather than ever exceeding the
-    # driver's stdout-tail window again (queries_norm is recomputable
-    # from queries + cal_pairs; amortized survives in the sidecar)
-    for drop in ("queries_norm", "amortized"):
+    # driver's stdout-tail window again.  Escalation order: drop
+    # queries_norm (recomputable from queries + cal_pairs), drop
+    # amortized (survives in the sidecar), round the per-query medians
+    # to 2 decimals, and — last resort, unreachable at any plausible
+    # registry size — drop the per-query dict itself: a parseable
+    # record always beats a complete-but-truncated one.
+    def shrink(rec):
+        rec["queries"] = {k: round(v, 2) for k, v in rec["queries"].items()}
+        return rec
+
+    line = json.dumps(record)
+    for degrade in (
+        lambda r: r.pop("queries_norm", None),
+        lambda r: r.pop("amortized", None),
+        shrink,
+        lambda r: r.pop("queries", None),
+    ):
         if len(line) <= 1900:
             break
-        record.pop(drop, None)
+        degrade(record)
         line = json.dumps(record)
+    if len(line) > 1900:  # cannot happen; belt-and-suspenders
+        print("bench record still over budget after degrading",
+              file=sys.stderr)
     print(line)
     return 0
 

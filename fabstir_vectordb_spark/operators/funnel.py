@@ -96,6 +96,36 @@ __all__ = [
 ]
 
 
+def _step_tags(steps) -> Column:
+    """Map-side step tagging: the array of 1-based step indices an
+    event satisfies (array_compact drops the non-matching slots) —
+    shared by funnel, its chunked path, and the streaming half so the
+    tagging rule can never desynchronize."""
+    return F.array_compact(
+        F.array(
+            *[
+                F.when(p, F.lit(i + 1).cast("int"))
+                for i, p in enumerate(steps)
+            ]
+        )
+    )
+
+
+def _timeline_expr() -> Column:
+    """The per-group sorted distinct (t, s) timeline over the slim
+    (__tsu, __step) projection — collect_SET, not list: duplicate
+    entries are interchangeable to the greedy fold (it takes the first
+    eligible; any copy chains identically), and deduping happens in
+    the map-side partial aggregate, bounding per-key state on
+    tie-heavy data at zero extra exchanges."""
+    return F.sort_array(
+        F.collect_set(
+            F.struct(F.col("__tsu").alias("t"), F.col("__step").alias("s"))
+        )
+    )
+
+
+
 def funnel(
     events: DataFrame,
     on: str | list[str],
@@ -182,14 +212,7 @@ def funnel(
 
     # map side: tag + explode the step indices each event satisfies,
     # drop non-matching events BEFORE the shuffle, project slim rows
-    tags = F.array_compact(
-        F.array(
-            *[
-                F.when(p, F.lit(i + 1).cast("int"))
-                for i, p in enumerate(steps)
-            ]
-        )
-    )
+    tags = _step_tags(steps)
     slim = (
         events.filter(tsu.isNotNull())
         .select(*keys, tsu.alias("__tsu"), F.explode(tags).alias("__step"))
@@ -201,16 +224,7 @@ def funnel(
     # match, and inside the t1-anchored window.  Ties sort by step
     # ascending, so equal-timestamp events advance deterministically
     # in step order (the inclusive >= makes them eligible).
-    # collect_SET, not list: duplicate (ts, step) entries are
-    # interchangeable to the fold (it takes the first eligible; any
-    # copy chains identically), so deduping is answer-preserving —
-    # and it happens in the map-side partial aggregate, bounding
-    # per-key state on tie-heavy data at zero extra exchanges
-    timeline = F.sort_array(
-        F.collect_set(
-            F.struct(F.col("__tsu").alias("t"), F.col("__step").alias("s"))
-        )
-    )
+    timeline = _timeline_expr()
     def _fold(acc: Column, e: Column) -> Column:
         after_prev = (
             e["t"] > F.try_element_at(acc, F.lit(-1))
@@ -325,11 +339,7 @@ def _funnel_chunked(slim, keys, k, chunk_u, win_u, strict_increase):
     because equal timestamps share a chunk), each UNCAPPED, yielding k
     chain suffixes of <= k timestamps.  The keys-only stitch
     (:func:`_stitch_chunks`) then folds chunks in time order."""
-    timeline = F.sort_array(
-        F.collect_set(
-            F.struct(F.col("__tsu").alias("t"), F.col("__step").alias("s"))
-        )
-    )
+    timeline = _timeline_expr()
     per_chunk = (
         slim.withColumn("__chunk", F.floor(F.col("__tsu") / chunk_u))
         .groupBy(*keys, "__chunk")
@@ -366,6 +376,27 @@ def funnel_from_chunks(
     if not 2 <= k <= 8:
         raise ValueError(f"funnel needs 2..8 steps; got {k}")
     keys = [on] if isinstance(on, str) else list(on)
+    # same output-name hygiene as funnel(): keys may not collide with
+    # the depth/t<i> outputs or use the reserved prefix
+    taken = {"depth", *[f"t{i}" for i in range(1, k + 1)]} & set(keys)
+    if taken:
+        raise ValueError(
+            f"key column(s) {sorted(taken)} collide with the output "
+            "depth/t<i> columns; rename the keys first"
+        )
+    reserved = [c for c in keys if c.startswith("__")]
+    if reserved:
+        raise ValueError(
+            f"key column(s) {reserved} use the reserved __ prefix"
+        )
+    missing = [
+        c for c in (*keys, chunk_col, sufs_col) if c not in chunks.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"chunks frame lacks column(s) {missing} — expected the "
+            "funnel_chunks_stream sink shape (keys..., chunk, sufs)"
+        )
     win_u = (
         None
         if window_seconds is None

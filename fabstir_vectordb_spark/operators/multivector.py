@@ -376,8 +376,25 @@ def maxsim_candidates(
         assigned = index.assign(d)
 
     sep = "\x1f"
+    # the documented rejection: a query id containing the separator
+    # would collide composite keys and silently corrupt the mapping
+    # join — raise_error fires on the first offending row (the query
+    # batch is bounded, so this costs nothing measurable)
+    qid_s = F.col(query_col).cast("string")
+    qid_checked = F.when(
+        qid_s.contains(sep),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "maxsim_candidates: query id contains the 0x1f "
+                    "composite-key separator and would collide: "
+                ),
+                qid_s,
+            )
+        ),
+    ).otherwise(qid_s)
     tok_id = F.concat_ws(
-        sep, F.col(query_col).cast("string"), F.col(token_col).cast("string")
+        sep, qid_checked, F.col(token_col).cast("string")
     )
     probes = q.select(
         tok_id.alias("__tokid"), F.col(vec_col).alias("__pv")

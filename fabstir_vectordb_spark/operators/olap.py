@@ -67,7 +67,12 @@ Percentiles, the other non-decomposable report measure:
   ``(hi-lo)/buckets`` of the exact nearest-rank percentile for
   in-range data (pinned by test); out-of-range values clamp to the
   edge buckets.  This is what makes latency/size percentiles
-  REFRESHABLE like every other measure at 100 TB.
+  REFRESHABLE like every other measure at 100 TB.  Cost note: the
+  corpus pass evaluates one conditional sum per bucket per row, so
+  phase-1 compute scales with ``buckets`` — measured ~6x a plain
+  count at 128 buckets (10M rows x 2 histograms in 2.4 s on
+  local[32]); at extreme scale prefer 64 buckets (the error bound
+  loosens proportionally) over narrowing the grid.
 
 Each dimension also emits ``g_<dim>`` = ``grouping(dim)`` (1 when the
 row aggregates over that dimension, 0 when it holds a real value), the
@@ -833,8 +838,11 @@ def suggest_grid(
     rather than clamping to its edges.  Returns the opts dict —
     ``{"lo": ..., "hi": ..., "buckets": ...}`` — ready to splice into
     a measure spec: ``("approx_p99", col, suggest_grid(df, col))``.
-    Integer-like ranges snap outward to whole numbers so the grid is
-    stable under re-derivation from supersets."""
+    Ranges WIDE enough that whole numbers keep resolution (span >=
+    buckets) snap outward to integers, so the grid is stable under
+    re-derivation from supersets; narrow ranges (sub-integer latencies,
+    ratios, probabilities) keep the padded float bounds — snapping
+    them would collapse the whole distribution into one bucket."""
     import math
 
     row = df.agg(
@@ -848,10 +856,11 @@ def suggest_grid(
     lo, hi = float(row["mn"]), float(row["mx"])
     span = (hi - lo) or abs(lo) or 1.0
     lo, hi = lo - span * pad, hi + span * pad
-    lo, hi = math.floor(lo), math.ceil(hi)
+    if hi - lo >= buckets:
+        lo, hi = float(math.floor(lo)), float(math.ceil(hi))
     if not hi > lo:
-        hi = lo + 1
-    return {"lo": float(lo), "hi": float(hi), "buckets": int(buckets)}
+        hi = lo + 1.0
+    return {"lo": lo, "hi": hi, "buckets": int(buckets)}
 
 
 def top_values_from_summary(

@@ -173,18 +173,41 @@ def resample(
                 )
             us = v
         else:
-            import pandas as pd
-
             # naive bounds localize to the SESSION timezone — the same
             # convention the data path's cast-to-timestamp uses, so a
             # non-UTC session cannot shift the grid window relative to
-            # the column values (the validity_intervals horizon rule)
-            ts = pd.Timestamp(v)
-            if ts.tz is None:
-                ts = ts.tz_localize(
-                    df.sparkSession.conf.get("spark.sql.session.timeZone")
+            # the column values (the validity_intervals horizon rule).
+            # pandas is the no-extra-job fast path; zones or instants
+            # it cannot localize the way the engine can (offset zones
+            # like 'GMT+08:00', DST-gap/ambiguous local times — Spark
+            # resolves all of these) fall back to ONE tiny literal-only
+            # engine round-trip, correct by construction.
+            import pandas as pd
+
+            try:
+                ts = pd.Timestamp(v)
+                if ts.tz is None:
+                    ts = ts.tz_localize(
+                        df.sparkSession.conf.get(
+                            "spark.sql.session.timeZone"
+                        )
+                    )
+                us = int(ts.value // 1_000)
+            except Exception:
+                us = (
+                    df.sparkSession.range(1)
+                    .select(
+                        F.unix_micros(
+                            F.lit(str(v)).cast("timestamp")
+                        ).alias("u")
+                    )
+                    .collect()[0]["u"]
                 )
-            us = int(ts.value // 1_000)
+                if us is None:
+                    raise ValueError(
+                        f"grid_{side} value {v!r} does not cast to a "
+                        "timestamp in the session timezone"
+                    )
         return us // step_u  # python floor-division: exact at any epoch
 
     lo = _bound_bucket(grid_start, "start") if grid_start is not None else None

@@ -356,6 +356,37 @@ def gapfill_sql(spark: SparkSession, sql: str) -> DataFrame:
     from fabstir_vectordb_spark.operators.timeseries import resample
 
     df = spark.table(p["view"])
+    b0 = p["bucket"]
+    if b0["ts"] not in df.columns:
+        raise GapfillSyntaxError(
+            f"view {p['view']!r} has no column {b0['ts']!r}"
+        )
+    # start/finish literal units must match the time column's mode:
+    # integer literals are RAW units (numeric-epoch columns only — fed
+    # to a timestamp column they would read as nanoseconds-since-epoch
+    # and silently clamp the grid to 1970), quoted timestamps are for
+    # timestamp-typed columns only
+    ts_is_int = df.schema[b0["ts"]].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint"
+    )
+    for side in ("start", "end"):
+        lit = b0[side]
+        if lit is None:
+            continue
+        if isinstance(lit, int) and not ts_is_int:
+            raise GapfillSyntaxError(
+                f"TIME_BUCKET_GAPFILL {side} literal {lit} is a raw "
+                f"integer but {b0['ts']!r} is a timestamp column — "
+                "quote an ISO timestamp instead (integer bounds are "
+                "for numeric-epoch columns, in the column's own unit)"
+            )
+        if isinstance(lit, str) and ts_is_int:
+            raise GapfillSyntaxError(
+                f"TIME_BUCKET_GAPFILL {side} literal {lit!r} is a "
+                f"quoted timestamp but {b0['ts']!r} is an integer "
+                "(numeric-epoch) column — pass a raw integer in the "
+                "column's own unit"
+            )
     aggs: dict = {}
     fill: dict = {}
     outs: list = []

@@ -604,7 +604,9 @@ def funnel_chunks_stream(
     Event-time streaming requires a real timestamp column (the
     watermark); numeric-epoch mode is batch-only, as in
     resample_stream."""
-    from fabstir_vectordb_spark.operators.funnel import _suffixes_expr
+    from fabstir_vectordb_spark.operators.funnel import (
+        _step_tags, _suffixes_expr, _timeline_expr,
+    )
 
     k = len(steps)
     if not 2 <= k <= 8:
@@ -615,14 +617,6 @@ def funnel_chunks_stream(
         )
     keys = [on] if isinstance(on, str) else list(on)
     chunk_u = int(chunk_seconds) * 1_000_000
-    tags = F.array_compact(
-        F.array(
-            *[
-                F.when(p, F.lit(i + 1).cast("int"))
-                for i, p in enumerate(steps)
-            ]
-        )
-    )
     slim = (
         events.filter(F.col(ts_col).isNotNull())
         .withWatermark(ts_col, watermark)
@@ -630,14 +624,10 @@ def funnel_chunks_stream(
             *keys,
             F.col(ts_col),
             F.unix_micros(F.col(ts_col)).alias("__tsu"),
-            F.explode(tags).alias("__step"),
+            F.explode(_step_tags(steps)).alias("__step"),
         )
     )
-    timeline = F.sort_array(
-        F.collect_set(
-            F.struct(F.col("__tsu").alias("t"), F.col("__step").alias("s"))
-        )
-    )
+    timeline = _timeline_expr()
     win = F.window(F.col(ts_col), f"{int(chunk_seconds)} seconds")
     return (
         slim.groupBy(*[F.col(c) for c in keys], win.alias("__w"))
@@ -721,7 +711,15 @@ def summarize_stream(
     (count/sum/min/max/avg partials, approx_distinct, exact_distinct,
     approx_pXX); count_distinct and exact pXX are refused with the
     alternatives named.  Event-time streaming needs a real timestamp
-    column, as everywhere in this module."""
+    column, as everywhere in this module.
+
+    NULL-timestamp boundary, stated: such rows belong to no chunk and
+    are DROPPED here (explicitly, not by watermark accident) — unlike
+    batch ``grouped_report``, which has no time axis and counts them.
+    When comparing stream vs batch (or backfilling a stream-fed
+    summary store from history), apply the same
+    ``filter(ts IS NOT NULL)`` on the batch side; rows that can never
+    carry a timestamp belong in a batch-summarized chunk instead."""
     from fabstir_vectordb_spark.operators.olap import (
         _partials_spec, _validate_measures,
     )
@@ -737,7 +735,8 @@ def summarize_stream(
     chunk_u = int(chunk_seconds) * 1_000_000
     win = F.window(F.col(ts_col), f"{int(chunk_seconds)} seconds")
     return (
-        events.withWatermark(ts_col, watermark)
+        events.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
         .groupBy(*[F.col(d) for d in dims], win.alias("__w"))
         .agg(*[e.alias(k) for k, e in _partials_spec(measures).items()])
         .withColumn(

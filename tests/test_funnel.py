@@ -338,23 +338,20 @@ def test_funnel_from_chunks_roundtrip_and_validation(spark):
         "k long, ts timestamp, p1 boolean, p2 boolean",
     )
     steps = [F.col("p1"), F.col("p2")]
-    # build the chunk frame BATCH-side with the same expressions the
-    # stream emits (schema parity: chunk/sufs naming)
-    from fabstir_vectordb_spark.operators.funnel import _suffixes_expr
+    # build the chunk frame BATCH-side with the SAME shared helpers
+    # the stream uses (schema parity: chunk/sufs naming)
+    from fabstir_vectordb_spark.operators.funnel import (
+        _step_tags, _suffixes_expr, _timeline_expr,
+    )
 
     slim = df.select(
         "k", F.unix_micros("ts").alias("__tsu"),
-        F.explode(F.array_compact(F.array(
-            F.when(F.col("p1"), F.lit(1).cast("int")),
-            F.when(F.col("p2"), F.lit(2).cast("int")),
-        ))).alias("__step"),
+        F.explode(_step_tags(steps)).alias("__step"),
     )
-    tl = F.sort_array(F.collect_set(F.struct(
-        F.col("__tsu").alias("t"), F.col("__step").alias("s"))))
     chunks = (
         slim.withColumn("chunk", F.floor(F.col("__tsu") / 60_000_000))
         .groupBy("k", "chunk")
-        .agg(_suffixes_expr(tl, 2, False).alias("sufs"))
+        .agg(_suffixes_expr(_timeline_expr(), 2, False).alias("sufs"))
     )
     got = {
         (r["k"], r["depth"], r["t1"], r["t2"])

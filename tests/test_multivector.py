@@ -279,3 +279,22 @@ def test_candidates_prefit_assigned_and_prune(spark):
     assert base == pre == nopr
     with pytest.raises(ValueError, match="assigned requires"):
         maxsim_candidates(dt, qt, assigned=assigned, **kw)
+
+
+def test_candidates_rejects_separator_in_query_ids(spark):
+    """String query ids containing the 0x1f composite-key separator
+    would collide; the documented rejection must actually fire."""
+    dt, qt, docs, queries = _tables(spark, n_docs=6, n_queries=1)
+    from fabstir_vectordb_spark.operators.multivector import (
+        maxsim_candidates,
+    )
+
+    bad_q = qt.select(
+        F.concat(F.lit("u\x1f"), F.col("query_id").cast("string"))
+        .alias("query_id"),
+        "token_idx", "vector",
+    )
+    with pytest.raises(Exception, match="separator"):
+        maxsim_candidates(
+            dt, bad_q, n_candidates=3, token_k=4, n_probe=1, n_clusters=2,
+        ).collect()

@@ -672,3 +672,25 @@ def test_top_values_from_summary_equals_top_values(spark):
     with pytest.raises(ValueError, match="lacks partial"):
         top_values_from_summary(merged, ["lang"], "source",
                                 weight_col="n_chars")
+
+
+def test_suggest_grid_narrow_range_keeps_resolution(spark):
+    """Sub-integer spans (latencies in seconds, ratios) must NOT snap
+    to whole numbers — that would collapse the whole distribution into
+    one bucket."""
+    from fabstir_vectordb_spark.operators.olap import suggest_grid
+
+    df = spark.createDataFrame(
+        [(i, 0.01 + 0.04 * i / 99) for i in range(100)],
+        "id long, v double",
+    )
+    opts = suggest_grid(df, "v", buckets=64)
+    assert opts["hi"] - opts["lo"] < 0.1  # resolution preserved
+    rep = grouped_report(
+        df.withColumn("g", F.lit("a")), ["g"],
+        {"p50": ("approx_p50", "v", opts)},
+    ).collect()
+    vals = sorted(0.01 + 0.04 * i / 99 for i in range(100))
+    exact = vals[49]
+    w = (opts["hi"] - opts["lo"]) / 64
+    assert abs(rep[0]["p50"] - exact) <= w

@@ -198,3 +198,29 @@ def test_gapfill_sql_delegation_and_errors(spark, events):
     ):
         with pytest.raises(GapfillSyntaxError):
             gapfill_sql(spark, bad)
+
+
+def test_gapfill_sql_bound_literal_unit_validation(spark, events):
+    """Integer start/finish literals are raw units for numeric-epoch
+    columns ONLY — fed to a timestamp column they would read as
+    nanoseconds and silently clamp the grid to 1970; quoted literals
+    are likewise refused for integer columns."""
+    with pytest.raises(GapfillSyntaxError, match="raw integer"):
+        gapfill_sql(
+            spark,
+            """SELECT TIME_BUCKET_GAPFILL(3600 SECONDS, ts,
+                                          1704067200, 1704153600) AS b,
+                      user_id, COUNT(*) AS n
+               FROM ev_sql GROUP BY b, user_id""",
+        )
+    spark.createDataFrame(
+        [(1, 100, 1.0)], "k long, ts long, value double"
+    ).createOrReplaceTempView("ev_raw2")
+    with pytest.raises(GapfillSyntaxError, match="quoted timestamp"):
+        gapfill_sql(
+            spark,
+            """SELECT TIME_BUCKET_GAPFILL(100 SECONDS, ts,
+                                          '2024-01-01', '2024-01-02') AS b,
+                      k, COUNT(*) AS n
+               FROM ev_raw2 GROUP BY b, k""",
+        )
