@@ -694,3 +694,43 @@ def test_suggest_grid_narrow_range_keeps_resolution(spark):
     exact = vals[49]
     w = (opts["hi"] - opts["lo"]) / 64
     assert abs(rep[0]["p50"] - exact) <= w
+
+
+def test_approx_pctl_property_random_grids(spark):
+    """Property: on random values and random grids covering them, the
+    estimate is within one bucket width of the exact nearest-rank
+    percentile, and two-phase == direct, for every q."""
+    import math
+    import random
+
+    from fabstir_vectordb_spark.operators.olap import grouped_report
+
+    rnd = random.Random(17)
+    for trial in range(4):
+        n_vals = rnd.randrange(5, 120)
+        lo = rnd.uniform(-50, 0)
+        hi = lo + rnd.uniform(1, 200)
+        buckets = rnd.choice([8, 32, 128])
+        vals = [rnd.uniform(lo, hi - 1e-9) for _ in range(n_vals)]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "k string, v double"
+        )
+        ms = {
+            name: (fn, "v", {"lo": lo, "hi": hi, "buckets": buckets})
+            for name, fn in (
+                ("e50", "approx_p50"), ("e90", "approx_p90"),
+                ("e99", "approx_p99"),
+            )
+        }
+        two = grouped_report(df, ["k"], ms).filter("g_k = 0").collect()[0]
+        direct = grouped_report(
+            df, ["k"], ms, pre_aggregate=False
+        ).filter("g_k = 0").collect()[0]
+        w = (hi - lo) / buckets
+        s = sorted(vals)
+        for q, name in ((0.5, "e50"), (0.9, "e90"), (0.99, "e99")):
+            exact = s[max(1, math.ceil(q * len(s))) - 1]
+            assert two[name] == direct[name], (trial, name)
+            assert abs(two[name] - exact) <= w + 1e-9, (
+                trial, name, two[name], exact, w
+            )
