@@ -7322,7 +7322,9 @@ def _hist_est_sql(kexpr: str, xcol: str, q: float, lo: float, hi: float,
              least(greatest(CAST(floor(({xcol} - {lo!r}) / {w!r}) AS BIGINT),
                             0), {n - 1}) AS bk,
              count(*) AS c
-      FROM lineitem WHERE {xcol} IS NOT NULL GROUP BY 1, 2
+      FROM lineitem
+      WHERE {xcol} IS NOT NULL AND NOT isnan(CAST({xcol} AS DOUBLE))
+      GROUP BY 1, 2
     )
   )
   WHERE cum >= kr

@@ -297,13 +297,20 @@ def _suffixes_expr(timeline, k: int, strict_increase: bool):
     )
 
 
-def _stitch_chunks(per_chunk, keys, k, win_u, chunk_col, sufs_col):
+def _stitch_chunks(per_chunk, keys, k, win_u, chunk_col, sufs_col,
+                   validate=False):
     """Fold per-(keys, chunk) suffix rows in chunk order into the
     chain: with c steps matched so far, append entry-state-(c+1)'s
     suffix, window-capped against t1 — a plain array filter, exact
     because suffix times ascend and the greedy takes the earliest
     eligible event, so the first capped-out element already proves no
-    later event of its step qualifies."""
+    later event of its step qualifies.
+
+    ``validate=True`` raises (loudly, naming the key) when a (keys,
+    chunk) pair appears more than once — a duplicated chunk row would
+    silently double-count its chunk's events.  The check is a per-group
+    array-distinct comparison over the ALREADY-collected chunk list, so
+    it costs no extra exchange or scan."""
 
     def _stitch(acc, e):
         cur = F.size(acc)
@@ -322,6 +329,24 @@ def _stitch_chunks(per_chunk, keys, k, win_u, chunk_col, sufs_col):
             F.struct(F.col(chunk_col).alias("c"), F.col(sufs_col).alias("v"))
         )
     )
+    if validate:
+        ids = F.transform(chunks_tl, lambda x: x["c"])
+        chunks_tl = F.when(
+            F.size(F.array_distinct(ids)) < F.size(ids),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "funnel_from_chunks: duplicate (keys, chunk) "
+                        "row — a chunk pre-fold must appear exactly "
+                        "once per key or its events double-count; "
+                        "offending key: "
+                    ),
+                    F.to_json(F.struct(*[F.col(c) for c in keys])),
+                    F.lit("  chunks: "),
+                    F.to_json(ids),
+                )
+            ),
+        ).otherwise(chunks_tl)
     return per_chunk.groupBy(*keys).agg(
         F.aggregate(
             chunks_tl, F.array().cast("array<long>"), _stitch
@@ -356,6 +381,7 @@ def funnel_from_chunks(
     raw: bool = False,
     chunk_col: str = "chunk",
     sufs_col: str = "sufs",
+    validate: bool = True,
 ) -> DataFrame:
     """The BATCH stitch over accumulated per-(key, chunk) suffix rows —
     the second half of funnel's chunked decomposition, exposed for the
@@ -371,7 +397,13 @@ def funnel_from_chunks(
 
     Chunk rows must be one per (keys, chunk) with COMPLETE suffixes
     for that chunk (the watermark guarantee); a duplicated or partial
-    chunk row would double-count or truncate its chunk."""
+    chunk row would double-count or truncate its chunk.  The
+    one-per-(keys, chunk) half of that contract is ENFORCED by default
+    (``validate=True``): a duplicate chunk id raises, naming the key —
+    a free array check over the already-collected chunk list, no extra
+    exchange.  Pass ``validate=False`` on trusted input (e.g. the
+    shipped streaming sink, whose watermark guarantees uniqueness) to
+    skip it; completeness of each suffix row is not checkable here."""
     k = int(n_steps)
     if not 2 <= k <= 8:
         raise ValueError(f"funnel needs 2..8 steps; got {k}")
@@ -402,7 +434,9 @@ def funnel_from_chunks(
         if window_seconds is None
         else int(window_seconds) * (1 if raw else 1_000_000)
     )
-    grouped = _stitch_chunks(chunks, keys, k, win_u, chunk_col, sufs_col)
+    grouped = _stitch_chunks(
+        chunks, keys, k, win_u, chunk_col, sufs_col, validate=validate
+    )
     return grouped.select(
         *keys,
         F.size("__chain").alias("depth"),

@@ -209,7 +209,11 @@ def _hist_partial(col: str, lo: float, hi: float, n: int):
     counts over the fixed grid.  One bucket expression per row, n
     conditional sums (pure codegen aggregates — partial aggregation
     compacts map-side, so the shuffle carries one n-slot array per
-    group, never rows).  NULLs count nowhere; out-of-range values
+    group, never rows).  NULLs and NaNs count nowhere (NaN passes an
+    IS NOT NULL filter and its bucket cast would land in bucket 0 in
+    non-ANSI sessions — dragging the estimate DOWN while the exact
+    percentile's sort order treats NaN as greatest — so NaN is
+    excluded explicitly, same rule as NULL); out-of-range values
     clamp to the edge buckets.
 
     Built as ONE parsed SQL string rather than n Column objects:
@@ -230,8 +234,8 @@ def _hist_partial(col: str, lo: float, hi: float, n: int):
         f"0), {n - 1})"
     )
     slots = ", ".join(
-        f"CAST(sum(CASE WHEN {x} IS NOT NULL AND {b} = {i} "
-        "THEN 1 ELSE 0 END) AS BIGINT)"
+        f"CAST(sum(CASE WHEN {x} IS NOT NULL AND NOT isnan({x}) "
+        f"AND {b} = {i} THEN 1 ELSE 0 END) AS BIGINT)"
         for i in range(n)
     )
     return F.expr(f"array({slots})")
@@ -893,10 +897,20 @@ def top_values_from_summary(
         )
     if value_col not in summary.columns:
         raise ValueError(f"summary lacks value column {value_col!r}")
-    counts = summary.select(
-        *dims,
-        F.col(value_col).alias("value"),
-        F.col(part).alias("weight"),
+    # Defensive re-aggregate: an UNMERGED union of chunk summaries has
+    # several rows per (dims, value) and each chunk's weight would rank
+    # independently — silently wrong ranks.  One groupBy makes the safe
+    # form free: a no-op on merged input (already one row per group)
+    # and correct on unmerged input (sum is the partials' merge rule
+    # for both count and sum partials).
+    counts = (
+        summary.select(
+            *dims,
+            F.col(value_col).alias("value"),
+            F.col(part).alias("weight"),
+        )
+        .groupBy(*dims, "value")
+        .agg(F.sum("weight").alias("weight"))
     )
     rank = F.row_number().over(
         Window.partitionBy(*dims).orderBy(

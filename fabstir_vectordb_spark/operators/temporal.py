@@ -833,8 +833,29 @@ def validity_intervals(
         # derive the horizon through the SAME engine convention as the
         # data path (cast-to-timestamp honors the session timezone) —
         # a pandas parse would pin naive ISO strings to UTC and shift
-        # the open-interval end by the session offset in non-UTC sessions
-        open_end = F.unix_micros(F.lit(horizon).cast("timestamp"))
+        # the open-interval end by the session offset in non-UTC sessions.
+        # The cast is validated on one literal row up front: in non-ANSI
+        # sessions an unparsable string casts to NULL, which would
+        # silently degrade every last interval to open-ended (NULL
+        # valid_to) — same loud-failure rule as resample's grid bounds.
+        try:
+            us = (
+                df.sparkSession.range(1)
+                .select(
+                    F.unix_micros(
+                        F.lit(str(horizon)).cast("timestamp")
+                    ).alias("u")
+                )
+                .collect()[0]["u"]
+            )
+        except Exception:  # ANSI sessions throw instead of NULLing
+            us = None
+        if us is None:
+            raise ValueError(
+                f"horizon value {horizon!r} does not cast to a "
+                "timestamp in the session timezone"
+            )
+        open_end = F.lit(int(us)).cast("long")
     end_u = F.coalesce(nxt - F.lit(1), open_end)
     start_e = tx(ts_col)
     if raw:

@@ -194,15 +194,18 @@ def resample(
                     )
                 us = int(ts.value // 1_000)
             except Exception:
-                us = (
-                    df.sparkSession.range(1)
-                    .select(
-                        F.unix_micros(
-                            F.lit(str(v)).cast("timestamp")
-                        ).alias("u")
+                try:
+                    us = (
+                        df.sparkSession.range(1)
+                        .select(
+                            F.unix_micros(
+                                F.lit(str(v)).cast("timestamp")
+                            ).alias("u")
+                        )
+                        .collect()[0]["u"]
                     )
-                    .collect()[0]["u"]
-                )
+                except Exception:  # ANSI sessions throw, not NULL
+                    us = None
                 if us is None:
                     raise ValueError(
                         f"grid_{side} value {v!r} does not cast to a "

@@ -96,12 +96,28 @@ class GapfillSyntaxError(ValueError):
 
 
 def _split_top(s: str) -> list[str]:
-    """Split on commas at paren/quote depth 0."""
+    """Split on commas at paren/quote depth 0.
+
+    Quote handling matches Spark SQL string-literal lexing: a doubled
+    quote inside a quoted run (``'it''s'``) is an escaped quote, and a
+    backslash escapes the next character (``'it\\'s'``) — both stay
+    INSIDE the literal rather than toggling the quote state, so a
+    comma or paren inside the escaped literal cannot split the
+    argument list."""
     parts, depth, start, quote = [], 0, 0, None
-    for i, ch in enumerate(s):
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
         if quote:
+            if ch == "\\":
+                i += 2  # backslash escape: skip the escaped char
+                continue
             if ch == quote:
+                if i + 1 < n and s[i + 1] == quote:
+                    i += 2  # doubled quote = escaped quote, stay in
+                    continue
                 quote = None
+            i += 1
             continue
         if ch in "'\"":
             quote = ch
@@ -112,6 +128,7 @@ def _split_top(s: str) -> list[str]:
         elif ch == "," and depth == 0:
             parts.append(s[start:i])
             start = i + 1
+        i += 1
     parts.append(s[start:])
     return [p.strip() for p in parts]
 

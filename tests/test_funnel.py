@@ -366,3 +366,34 @@ def test_funnel_from_chunks_roundtrip_and_validation(spark):
         funnel_from_chunks(chunks, "k", 1)
     with pytest.raises(ValueError, match="2..8"):
         funnel_from_chunks(chunks, "k", 9)
+
+
+def test_funnel_from_chunks_duplicate_chunk_guard(spark):
+    """A duplicated (keys, chunk) row raises by default — it would
+    silently double-count its chunk's events; validate=False skips the
+    check for trusted producers (the watermarked streaming sink)."""
+    from fabstir_vectordb_spark.operators.funnel import (
+        funnel_from_chunks,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    sufs = [[_ts(5).timestamp() * 1e6], []]
+    chunks = spark.createDataFrame(
+        [(1, 0, sufs), (1, 0, sufs), (2, 1, sufs)],
+        "k long, chunk long, sufs array<array<double>>",
+    ).withColumn(
+        "sufs",
+        F.transform(
+            "sufs",
+            lambda a: F.transform(a, lambda x: x.cast("long")),
+        ),
+    )
+    with pytest.raises(Exception, match="duplicate .keys, chunk."):
+        funnel_from_chunks(chunks, "k", 2).collect()
+    # validate=False: the duplicate is folded as-is (trusted input)
+    rows = funnel_from_chunks(chunks, "k", 2, validate=False).collect()
+    assert {r["k"] for r in rows} == {1, 2}
+    # clean input passes WITH validation on
+    clean = chunks.dropDuplicates(["k", "chunk"])
+    rows2 = funnel_from_chunks(clean, "k", 2).collect()
+    assert {r["k"] for r in rows2} == {1, 2}

@@ -734,3 +734,57 @@ def test_approx_pctl_property_random_grids(spark):
             assert abs(two[name] - exact) <= w + 1e-9, (
                 trial, name, two[name], exact, w
             )
+
+
+def test_approx_pctl_nan_counts_nowhere(spark):
+    """NaN values count NOWHERE in the histogram partial (same rule as
+    NULL) — without the explicit isnan exclusion a NaN passes IS NOT
+    NULL and its bucket cast clamps it into bucket 0 in non-ANSI
+    sessions, dragging the estimate DOWN while exact ordering treats
+    NaN as greatest.  Estimate over NaN-bearing data == estimate over
+    the same data with the NaNs removed."""
+    clean = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], "g string, v double"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [("a", float("nan"))] * 25, "g string, v double"
+        )
+    )
+    ms = {"p50": ("approx_p50", "v", {"lo": 0.0, "hi": 101.0,
+                                      "buckets": 64})}
+    est_clean = grouped_report(clean, ["g"], ms).collect()
+    est_dirty = grouped_report(dirty, ["g"], ms).collect()
+    pick = lambda rows: {
+        (r["g"], r["g_g"]): r["p50"] for r in rows
+    }
+    assert pick(est_clean) == pick(est_dirty)
+
+
+def test_top_values_from_summary_reaggregates_unmerged_input(spark):
+    """An UNMERGED union of chunk summaries (several rows per (dims,
+    value)) must rank on the SUMMED weights, not per-chunk — the
+    defensive re-aggregate makes ranks identical whether the caller
+    merged first or not."""
+    from fabstir_vectordb_spark.operators.olap import (
+        merge_summaries, summarize, top_values, top_values_from_summary,
+    )
+
+    docs = _docs(spark)
+    ch = docs.withColumn("__c", F.abs(F.xxhash64("doc_id")) % 3)
+    parts = [
+        summarize(
+            ch.filter(F.col("__c") == i).drop("__c"),
+            ["lang", "source"], {"w": ("count", None)},
+        )
+        for i in range(3)
+    ]
+    unmerged = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    got = _rows(top_values_from_summary(unmerged, ["lang"], "source", k=3))
+    want = _rows(top_values(docs, ["lang"], "source", k=3))
+    assert got == want
+    # and still a no-op on properly merged input
+    merged = merge_summaries(*parts)
+    assert _rows(
+        top_values_from_summary(merged, ["lang"], "source", k=3)
+    ) == want

@@ -224,3 +224,28 @@ def test_gapfill_sql_bound_literal_unit_validation(spark, events):
                       k, COUNT(*) AS n
                FROM ev_raw2 GROUP BY b, k""",
         )
+
+
+def test_funnel_sql_escaped_string_literals(spark, events):
+    """String literals containing commas and escaped quotes — SQL
+    doubled '' and Spark backslash \\' — must not split the argument
+    list or toggle the lexer's quote state (Spark SQL lexing parity)."""
+    from fabstir_vectordb_spark.plans.sql_events import _split_top
+
+    assert _split_top("a, x = 'it''s, ok', b") == [
+        "a", "x = 'it''s, ok'", "b",
+    ]
+    assert _split_top(r"a, x = 'it\'s, (ok', b") == [
+        "a", r"x = 'it\'s, (ok'", "b",
+    ]
+    # end-to-end: a comma-and-paren-bearing escaped literal as a step
+    # predicate parses as ONE predicate (never matches on this
+    # fixture, so depth stops at 1 for keys whose first step matched)
+    sql = (
+        "SELECT user_id, WINDOW_FUNNEL(3600 SECONDS)"
+        "(ts, action = 'search', action = 'it''s, (ok') AS depth "
+        "FROM ev_sql GROUP BY user_id"
+    )
+    got = {(r["user_id"], r["depth"]) for r in
+           funnel_sql(spark, sql).collect()}
+    assert got == {(1, 1), (2, 1)}

@@ -5,6 +5,7 @@ boundaries."""
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from fabstir_vectordb_spark.operators.temporal import asof_join, range_join
@@ -613,3 +614,20 @@ def test_validity_horizon_string_uses_session_timezone(spark):
         assert got == want
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_validity_intervals_bad_horizon_raises(spark):
+    """A horizon string that does not cast to a timestamp must raise
+    up front — in non-ANSI sessions the cast yields NULL, which would
+    silently degrade the last interval per key to open-ended (NULL
+    valid_to) instead of the declared horizon."""
+    from fabstir_vectordb_spark.operators.temporal import (
+        validity_intervals,
+    )
+
+    changes = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "a")],
+        "k long, ts timestamp, val string",
+    )
+    with pytest.raises(ValueError, match="does not cast"):
+        validity_intervals(changes, "k", horizon="not-a-timestamp")
