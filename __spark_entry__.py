@@ -996,6 +996,19 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            gapfill_sql — TimescaleDB's SQL shape, LOCF wrapper and
            start/finish literals included), certified against the
            same oracle rows.
+      roll (r11) trailing TIME-window moving aggregates over RAW
+           events (operators/timeseries.rolling): per event row, the
+           closed [t-6h, t] frame per user — n = frame row count,
+           x1/x2/x3/x4 = r6 avg/sum/min/max(value).  One keyed
+           exchange + per-key sort; certified against DuckDB's
+           RANGE BETWEEN ... PRECEDING window replay.
+      rollb (r11) trailing N-BUCKET moving aggregates over the daily
+           zero-filled grid (operators/timeseries.rolling_buckets
+           composed with resample — the hot-key scale path: events
+           compact to grid rows BEFORE the window runs): 3-bucket
+           frame, n = bucket rows, x1/x2/x3 = r6 moving avg/sum/max
+           of the r6'd zero-filled daily sum.  RANGE over bucket ids
+           (sparse-grid correct), replayed identically in DuckDB.
 
     Scale story (PERFORMANCE.md §Round 9): the binned agg partial-
     aggregates map-side so the shuffle carries buckets, not events;
@@ -1095,9 +1108,54 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("x3"),
         F.lit(0.0).alias("x4"),
     )
+    # roll (r11): trailing-time-window moving aggregates on raw events
+    from fabstir_vectordb_spark.operators.timeseries import (
+        rolling, rolling_buckets,
+    )
+
+    roll = rolling(
+        ev, "user_id", "ts",
+        {"rn": ("count", None), "ra": ("mean", "value"),
+         "rs": ("sum", "value"), "rlo": ("min", "value"),
+         "rhi": ("max", "value")},
+        window_seconds=21600,
+    ).select(
+        F.lit("roll").alias("part"),
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("bin"),
+        F.col("rn").cast("long").alias("n"),
+        r6("ra").alias("x1"),
+        r6("rs").alias("x2"),
+        r6("rlo").alias("x3"),
+        r6("rhi").alias("x4"),
+    )
+    # rollb (r11): 3-bucket moving stats over the daily zero-filled
+    # grid — resample compacts events to buckets first (the hot-key
+    # path), the bucket sums are r6'd at the BUCKET stage so both
+    # engines slide over identical inputs
+    rday = resample(
+        ev, "user_id", "ts", 86400,
+        aggs={"nr": F.count(F.lit(1)), "s": r6(F.sum("value"))},
+        fill={"s": ("zero",), "nr": ("zero",)},
+    )
+    rollb = rolling_buckets(
+        rday, "user_id",
+        {"ma": ("mean", "s_zero"), "ms": ("sum", "s_zero"),
+         "mx": ("max", "s_zero")},
+        n_buckets=3,
+    ).select(
+        F.lit("rollb").alias("part"),
+        F.col("user_id").alias("key"),
+        F.col("bucket").alias("bin"),
+        F.col("nr_zero").cast("long").alias("n"),
+        r6("ma").alias("x1"),
+        r6("ms").alias("x2"),
+        r6("mx").alias("x3"),
+        F.lit(0.0).alias("x4"),
+    )
     return (
         six.unionByName(raw).unionByName(day).unionByName(win)
-        .unionByName(sqlg)
+        .unionByName(sqlg).unionByName(roll).unionByName(rollb)
     )
 
 
@@ -1160,7 +1218,20 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                   one-shot EXACTLY: percentile reports refresh at
                   100 TB without rescanning.
       li_xd       (r10) exact MERGEABLE distinct (capped collect_set
-                  partials, two-phase) vs DuckDB COUNT(DISTINCT)."""
+                  partials, two-phase) vs DuckDB COUNT(DISTINCT).
+      li_sk       (r11) the UNDECLARED-RANGE percentile tier
+                  (operators/sketch.py — deterministic Munro-Paterson
+                  rank sketch, mergeable binary partials, NO grid):
+                  p50/p99 of l_extendedprice estimated per returnflag
+                  and grand-total, then the rank-error bound CHECKED
+                  IN-PLAN against the true ranks (count of rows
+                  below/at the estimate vs q*N, slack 2% of N at
+                  k=1024).  x1/x2 carry the 0/1 bound verdicts; the
+                  oracle emits literal 1.0 — a violated bound
+                  hash-mismatches loudly.  The VALUE cannot be
+                  oracle-replayed (DuckDB has no twin sketch), so the
+                  certified contract is the bound itself; accuracy
+                  properties live in tests/test_sketch.py."""
     from fabstir_vectordb_spark.operators.olap import grouped_report
 
     docs = _t(spark, sf_dir, "documents")
@@ -1323,6 +1394,60 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "li_hincr", r6("hq50"), r6("he99"),
     )
+    # li_sk (r11): undeclared-range rank sketch, bound checked in-plan
+    from fabstir_vectordb_spark.operators.sketch import (
+        merge_sketches as _sk_m, sketch_partials as _sk_p,
+        sketch_quantiles as _sk_q,
+    )
+
+    _EPS = 0.02  # generous vs the ~L/(2k) heuristic at k=1024
+
+    def _sk_branch(dims, g1):
+        est = _sk_q(
+            _sk_m(_sk_p(li, dims, "l_extendedprice", k=1024),
+                  dims, "l_extendedprice"),
+            dims, "l_extendedprice", {"p50": 0.5, "p99": 0.99},
+        )
+        rows = li.select(*dims, "l_extendedprice")
+        joined = (
+            rows.join(F.broadcast(est), dims)
+            if dims
+            else rows.crossJoin(F.broadcast(est))
+        )
+        x = F.col("l_extendedprice")
+        chk = joined.groupBy(*dims).agg(
+            F.count(F.lit(1)).alias("N"),
+            F.first("p50").alias("p50"),
+            F.first("p99").alias("p99"),
+            F.sum((x < F.col("p50")).cast("long")).alias("lo50"),
+            F.sum((x <= F.col("p50")).cast("long")).alias("hi50"),
+            F.sum((x < F.col("p99")).cast("long")).alias("lo99"),
+            F.sum((x <= F.col("p99")).cast("long")).alias("hi99"),
+        )
+
+        def ok(lo, hi, q):
+            t = F.lit(q) * F.col("N")
+            return (
+                (F.col(lo).cast("double") - _EPS * F.col("N") <= t)
+                & (t <= F.col(hi).cast("double") + _EPS * F.col("N"))
+            ).cast("double")
+
+        return chk.select(
+            F.lit("li_sk").alias("part"),
+            (
+                F.col("l_returnflag") if dims else F.lit("(all)")
+            ).alias("k1"),
+            F.lit("(all)").alias("k2"),
+            F.lit(0 if dims else 1).cast("int").alias("g1"),
+            F.lit(1).cast("int").alias("g2"),
+            F.col("N").cast("long").alias("n"),
+            ok("lo50", "hi50", 0.5).alias("x1"),
+            ok("lo99", "hi99", 0.99).alias("x2"),
+        )
+
+    li_sk = _sk_branch(["l_returnflag"], 0).unionByName(
+        _sk_branch([], 1)
+    )
     return (
         doc_rollup.unionByName(doc_direct)
         .unionByName(doc_incr)
@@ -1334,6 +1459,7 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(li_hist)
         .unionByName(li_hincr)
         .unionByName(li_xd)
+        .unionByName(li_sk)
     )
 
 
@@ -7281,6 +7407,47 @@ SELECT * FROM ({_resample_oracle(
        0.0 AS x3, 0.0 AS x4''',
     lo=(_dt.date(2024, 1, 10) - _dt.date(1970, 1, 1)).days,
     hi=(_dt.date(2024, 1, 20) - _dt.date(1970, 1, 1)).days)})
+UNION ALL
+-- roll (r11): trailing 6h time-window moving aggregates per event
+-- row — the closed [t-6h, t] RANGE frame over epoch-micros order,
+-- exactly operators/timeseries.rolling's frame
+SELECT 'roll' AS part, user_id AS key, epoch_us(ts) AS bin,
+       CAST(count(*) OVER wr AS BIGINT) AS n,
+       (round(avg(value) OVER wr, 6) + 0.0) AS x1,
+       (round(sum(value) OVER wr, 6) + 0.0) AS x2,
+       (round(min(value) OVER wr, 6) + 0.0) AS x3,
+       (round(max(value) OVER wr, 6) + 0.0) AS x4
+FROM events WHERE ts IS NOT NULL
+WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+UNION ALL
+-- rollb (r11): 3-bucket moving stats over the daily zero-filled
+-- dense grid; bucket sums r6'd at the bucket stage (identical slide
+-- inputs in both engines), RANGE over bucket ids
+SELECT 'rollb' AS part, user_id AS key, bin,
+       CAST(nr AS BIGINT) AS n,
+       (round(avg(sz) OVER wb, 6) + 0.0) AS x1,
+       (round(sum(sz) OVER wb, 6) + 0.0) AS x2,
+       (round(max(sz) OVER wb, 6) + 0.0) AS x3,
+       0.0 AS x4
+FROM (
+  WITH b AS (
+    SELECT user_id,
+           CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS bin,
+           count(*) AS nr, (round(sum(value), 6) + 0.0) AS s
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+  ), sp AS (
+    SELECT user_id, min(bin) AS mn, max(bin) AS mx FROM b GROUP BY 1
+  ), g AS (
+    SELECT sp.user_id, gs.bin
+    FROM sp, LATERAL (SELECT unnest(generate_series(sp.mn, sp.mx)) AS bin) gs
+  )
+  SELECT g.user_id, g.bin, coalesce(b.nr, 0) AS nr,
+         coalesce(b.s, 0.0) AS sz
+  FROM g LEFT JOIN b USING (user_id, bin)
+)
+WINDOW wb AS (PARTITION BY user_id ORDER BY bin
+             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -7415,6 +7582,17 @@ UNION ALL
 {_xd_branch("li_xd", "l_returnflag", 0)}
 UNION ALL
 {_xd_branch("li_xd", "'(all)'", 1)}
+UNION ALL
+-- li_sk (r11): the rank-sketch bound verdicts — the sketch itself has
+-- no DuckDB twin, so the oracle pins the CONTRACT: both bound checks
+-- must come back 1.0 for every group (violations hash-mismatch)
+SELECT 'li_sk' AS part, l_returnflag AS k1, '(all)' AS k2,
+       0 AS g1, 1 AS g2, count(*) AS n, 1.0 AS x1, 1.0 AS x2
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'li_sk' AS part, '(all)' AS k1, '(all)' AS k2,
+       1 AS g1, 1 AS g2, count(*) AS n, 1.0 AS x1, 1.0 AS x2
+FROM lineitem
 """
 
 

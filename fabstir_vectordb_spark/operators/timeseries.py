@@ -63,7 +63,7 @@ from pyspark.sql import functions as F
 
 from fabstir_vectordb_spark.operators.temporal import _raw_time_mode
 
-__all__ = ["resample"]
+__all__ = ["resample", "rolling", "rolling_buckets"]
 
 _FILL_METHODS = ("locf", "nocb", "interp", "zero")
 
@@ -314,4 +314,183 @@ def resample(
         .withColumn("is_gap", F.col("__obs").isNull())
         .withColumnRenamed("__bkt", "bucket")
         .drop("__obs")
+    )
+
+
+_ROLL_FNS = ("sum", "mean", "avg", "min", "max", "count")
+
+
+def _rolling_over(df, keys, aggs, min_periods, frame_window, out_label):
+    """Shared body of :func:`rolling` / :func:`rolling_buckets`: attach
+    one output column per agg, all over the SAME window frame — Spark
+    collapses same-frame window functions into a single Window node,
+    so the whole family costs ONE exchange (hash on the keys) + one
+    per-key sort, however many aggregates are requested."""
+    if min_periods < 1:
+        raise ValueError(f"min_periods must be >= 1; got {min_periods}")
+    out_names = []
+    for name, (fn, col) in aggs.items():
+        if name.startswith("__"):
+            raise ValueError(f"agg name {name!r}: the __ prefix is reserved")
+        if name in df.columns:
+            raise ValueError(
+                f"agg name {name!r} collides with an input column"
+            )
+        if fn not in _ROLL_FNS:
+            raise ValueError(
+                f"{out_label} {name!r}: unknown fn {fn!r}; choose from "
+                f"{_ROLL_FNS}"
+            )
+        if fn != "count" and col is None:
+            raise ValueError(
+                f"{out_label} {name!r}: fn {fn!r} needs a column"
+            )
+        if col is not None and col not in df.columns:
+            raise ValueError(
+                f"{out_label} {name!r}: unknown column {col!r}"
+            )
+        out_names.append(name)
+    dupes = {n for n in out_names if out_names.count(n) > 1}
+    if dupes:
+        raise ValueError(f"duplicate agg name(s): {sorted(dupes)}")
+
+    cols = []
+    for name, (fn, col) in aggs.items():
+        src = F.lit(1) if col is None else F.col(col)
+        cnt = F.count(src).over(frame_window)
+        if fn == "count":
+            val = cnt
+        elif fn == "sum":
+            val = F.sum(src).over(frame_window)
+        elif fn in ("mean", "avg"):
+            val = F.avg(src).over(frame_window)
+        elif fn == "min":
+            val = F.min(src).over(frame_window)
+        else:
+            val = F.max(src).over(frame_window)
+        if min_periods > 1:
+            # pandas' min_periods rule: NULL until the frame holds at
+            # least min_periods NON-NULL observations of the source
+            val = F.when(cnt >= min_periods, val)
+        cols.append(val.alias(name))
+    return df.select("*", *cols)
+
+
+def rolling(
+    df: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    aggs: dict[str, tuple[str, str | None]] | None = None,
+    window_seconds: int = 3600,
+    min_periods: int = 1,
+) -> DataFrame:
+    """Trailing-window aggregates per key over RAW events: for each
+    row, aggregate every event of the same key in the closed interval
+    ``[t - window_seconds, t]`` (TimescaleDB/ClickHouse's moving-
+    aggregate shape, time-based — gaps in the event stream shrink the
+    population, they do not stretch the window).
+
+    ``aggs``  output-name -> ("sum"|"mean"|"min"|"max"|"count", col);
+              col None is row count.  Default: ``{"n": ("count",
+              None)}`` plus ``{"v_mean": ("mean", "value")}`` when the
+              frame has a ``value`` column.
+    ``window_seconds``  trailing span; RAW units in numeric-epoch mode
+              (integer ``ts_col``), the package-wide unit rule.
+    ``min_periods``  outputs are NULL until the frame holds this many
+              non-NULL source observations (pandas' rule).
+
+    Output: every input row (NULL-timestamp rows dropped — they belong
+    to no window) plus one column per agg.  Rows sharing (key, ts) are
+    RANGE-frame peers: each sees the full peer group, so equal rows
+    get equal aggregates in any engine.
+
+    Scale: ONE hash exchange on the keys + a per-key sort (plan-pinned
+    in tests).  The frame pointers advance monotonically, but Spark's
+    sliding-frame evaluator RE-AGGREGATES the buffered frame whenever
+    rows leave it (sum/avg/min/max are not evaluated with inverses),
+    so a key's aggregate cost scales with rows x average frame
+    population.  For a hot key under a dense window, pre-aggregate
+    onto a grid first (:func:`resample`) and slide over buckets
+    (:func:`rolling_buckets`) — events compact into at most span/step
+    rows per key before any frame is evaluated, and the frame
+    population is bounded by n_buckets (measured datum in
+    PERFORMANCE.md §Round 11).
+
+    Reference parity: none (no temporal surface in the reference);
+    extension-axis, TimescaleDB's time-based moving aggregates as the
+    public model."""
+    from pyspark.sql.window import Window
+
+    if int(window_seconds) <= 0:
+        raise ValueError(
+            f"window_seconds must be positive; got {window_seconds}"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    if aggs is None:
+        aggs = {"n": ("count", None)}
+        if "value" in df.columns:
+            aggs["v_mean"] = ("mean", "value")
+    raw = _raw_time_mode((df, [ts_col]))
+    tx = (
+        F.col(ts_col).cast("long")
+        if raw
+        else F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    w_u = int(window_seconds) * (1 if raw else 1_000_000)
+    df = df.filter(tx.isNotNull()).withColumn("__ord", tx)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ord")
+        .rangeBetween(-w_u, 0)
+    )
+    return _rolling_over(
+        df, keys, aggs, min_periods, w, "rolling agg"
+    ).drop("__ord")
+
+
+def rolling_buckets(
+    df: DataFrame,
+    on: str | list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    n_buckets: int,
+    bucket_col: str = "bucket",
+    min_periods: int = 1,
+) -> DataFrame:
+    """Trailing-N-BUCKET aggregates over a resampled grid: for each
+    grid row, aggregate the key's rows whose ``bucket_col`` lies in
+    ``[bucket - (n_buckets - 1), bucket]`` — the moving average over a
+    gap-filled :func:`resample` output, the dashboard staple.
+
+    The frame is a RANGE over bucket ids, not ROWS, so it is correct
+    on SPARSE grids too (a missing bucket simply contributes nothing);
+    on resample's dense grid the two coincide.  Gap buckets carry NULL
+    aggs, which mean/min/max ignore — slide over the ``_zero`` fill
+    column instead when an empty bucket should count as zero (the
+    additive-metric convention).
+
+    Composition is the hot-key scale path: resample compacts a key's
+    events to at most span/step grid rows BEFORE this window runs, so
+    a billion-event key slides over thousands of buckets.  When
+    resample ran a keyed fill window (locf/nocb/interp), its output is
+    already hash-partitioned on the keys and this window adds NO new
+    exchange (plan-pinned in tests); with only ``zero`` fills (pure
+    projection, no trailing keyed stage) the window pays its own keyed
+    exchange — over grid rows, not events, so still compacted.
+
+    Output: every input row plus one column per agg (same ``aggs`` /
+    ``min_periods`` contract as :func:`rolling`)."""
+    from pyspark.sql.window import Window
+
+    if int(n_buckets) < 1:
+        raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if bucket_col not in df.columns:
+        raise ValueError(f"unknown bucket column {bucket_col!r}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(bucket_col).cast("long"))
+        .rangeBetween(-(int(n_buckets) - 1), 0)
+    )
+    return _rolling_over(
+        df, keys, aggs, min_periods, w, "rolling_buckets agg"
     )

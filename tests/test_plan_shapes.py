@@ -628,3 +628,26 @@ def test_gapfill_sql_inherits_resample_span_grid(spark):
     plan = _executed(out)
     assert "Generate" in plan and "sequence(" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rolling_single_exchange_no_self_join(spark):
+    """rolling (trailing time-window aggregates) must be ONE keyed
+    hash exchange + a per-key sort — never a self-join, never a global
+    sort — and all same-frame aggregates must collapse into a single
+    Window node."""
+    from fabstir_vectordb_spark.operators.timeseries import rolling
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = rolling(
+        ev, "user_id", "ts",
+        {"rn": ("count", None), "ra": ("mean", "value"),
+         "rs": ("sum", "value"), "rlo": ("min", "value"),
+         "rhi": ("max", "value")},
+        window_seconds=21600,
+    )
+    plan = _executed(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Join" not in plan
+    assert plan.count("Window") == 1, plan

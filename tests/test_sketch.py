@@ -1,0 +1,206 @@
+"""Mergeable rank sketch (operators/sketch.py): exactness under k,
+bounded rank error on adversarially DRIFTING distributions (the
+declared-grid histogram's blind spot), merge-order determinism, and
+the Spark partial/merge/read-off pipeline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fabstir_vectordb_spark.operators.sketch import (
+    _sk_dumps, _sk_loads, _sk_merge, _sk_new, _sk_quantile, _sk_update,
+    merge_sketches, sketch_partials, sketch_quantiles,
+)
+
+
+def _rank_err(est, values, q):
+    """|empirical rank of est - q| as a fraction of N."""
+    s = np.sort(values)
+    lo = np.searchsorted(s, est, side="left")
+    hi = np.searchsorted(s, est, side="right")
+    n = len(s)
+    target = q * n
+    if lo <= target <= hi:
+        return 0.0
+    return min(abs(lo - target), abs(hi - target)) / n
+
+
+def test_kernel_exact_below_k():
+    sk = _sk_new(256)
+    vals = np.arange(1, 101, dtype="float64")
+    _sk_update(sk, vals)
+    assert _sk_quantile(sk, 0.5) == 50.0
+    assert _sk_quantile(sk, 0.99) == 99.0
+    assert _sk_quantile(sk, 1.0) == 100.0
+    assert _sk_quantile(_sk_new(64), 0.5) is None  # empty -> NULL
+
+
+def test_kernel_roundtrip_and_merge_guards():
+    sk = _sk_new(64)
+    _sk_update(sk, np.random.RandomState(0).rand(1000))
+    raw = _sk_dumps(sk)
+    back = _sk_loads(raw)
+    assert _sk_dumps(back) == raw
+    with pytest.raises(ValueError, match="bad magic"):
+        _sk_loads(b"nope" + raw)
+    other = _sk_new(128)
+    with pytest.raises(ValueError, match="different k"):
+        _sk_merge(sk, other)
+
+
+def test_kernel_rank_bound_on_drifting_distribution():
+    """Adversarial drift: three regimes with disjoint ranges — the
+    fixed-grid histogram clamps regime 2 and 3 into its edge buckets;
+    the sketch's rank error stays bounded with NO declaration.
+    Checked one-shot AND chunk-merged, several quantiles."""
+    rs = np.random.RandomState(7)
+    chunks = [
+        rs.rand(20_000),                      # [0, 1)
+        1000.0 + 1000.0 * rs.rand(20_000),    # [1000, 2000) drift up
+        -50.0 + 50.0 * rs.rand(20_000),       # [-50, 0) drift down
+    ]
+    allv = np.concatenate(chunks)
+    k = 512
+    one = _sk_new(k)
+    _sk_update(one, allv)
+    parts = []
+    for c in chunks:
+        s = _sk_new(k)
+        _sk_update(s, c)
+        parts.append(s)
+    merged = _sk_merge(_sk_merge(parts[0], parts[1]), parts[2])
+    # MRL-style heuristic bound ~ L/(2k); assert a generous 2% at
+    # k=512, n=60k (L ~ 7 -> ~0.7% expected)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        for sk in (one, merged):
+            est = _sk_quantile(sk, q)
+            assert _rank_err(est, allv, q) <= 0.02, (q, est)
+
+
+def test_kernel_merge_is_order_insensitive_within_bound():
+    rs = np.random.RandomState(3)
+    chunks = [rs.standard_normal(5000) * (i + 1) for i in range(6)]
+    allv = np.concatenate(chunks)
+    sks = []
+    for c in chunks:
+        s = _sk_new(256)
+        _sk_update(s, c)
+        sks.append(s)
+    import functools
+
+    fwd = functools.reduce(_sk_merge, sks)
+    rev = functools.reduce(_sk_merge, sks[::-1])
+    for q in (0.05, 0.5, 0.95):
+        assert _rank_err(_sk_quantile(fwd, q), allv, q) <= 0.03
+        assert _rank_err(_sk_quantile(rev, q), allv, q) <= 0.03
+
+
+def test_spark_pipeline_matches_exact_within_bound(spark, documents):
+    """sketch_partials -> merge_sketches -> sketch_quantiles per lang
+    vs the exact nearest-rank percentile, with and without fanout."""
+    docs = documents.select("lang", "n_chars")
+    parts = sketch_partials(docs, ["lang"], "n_chars", k=512)
+    exact = {
+        r["lang"]: r["xs"]
+        for r in docs.groupBy("lang")
+        .agg(F.sort_array(F.collect_list("n_chars")).alias("xs"))
+        .collect()
+    }
+    for fanout in (None, 4):
+        merged = merge_sketches(parts, ["lang"], "n_chars",
+                                fanout=fanout)
+        est = sketch_quantiles(
+            merged, ["lang"], "n_chars", {"p50": 0.5, "p99": 0.99}
+        ).collect()
+        assert {r["lang"] for r in est} == set(exact)
+        for r in est:
+            xs = np.asarray(exact[r["lang"]], dtype="float64")
+            assert r["n"] == len(xs)
+            assert _rank_err(r["p50"], xs, 0.5) <= 0.02, r
+            assert _rank_err(r["p99"], xs, 0.99) <= 0.02, r
+
+
+def test_spark_merge_is_deterministic(spark, documents):
+    """The merged sketch is a pure function of the partial SET (cells
+    merge in byte order, not shuffle order): two runs, identical
+    bytes."""
+    docs = documents.select("lang", "n_chars")
+    parts = sketch_partials(docs, ["lang"], "n_chars", k=256).persist()
+    a = {
+        r["lang"]: bytes(r["__rsk_n_chars"])
+        for r in merge_sketches(parts, ["lang"], "n_chars").collect()
+    }
+    b = {
+        r["lang"]: bytes(r["__rsk_n_chars"])
+        for r in merge_sketches(
+            parts.repartition(7), ["lang"], "n_chars"
+        ).collect()
+    }
+    parts.unpersist()
+    assert a == b
+
+
+def test_spark_incremental_equals_one_shot_within_bound(spark):
+    """Chunked (incremental) build over a DRIFTING stream: union the
+    chunk partials, merge once — same bound as the one-shot build, no
+    grid declared anywhere."""
+    import pandas as pd
+
+    rs = np.random.RandomState(11)
+    pdf = pd.DataFrame({
+        "chunk": np.repeat([0, 1, 2], 10_000),
+        "v": np.concatenate([
+            rs.rand(10_000),
+            500 + 500 * rs.rand(10_000),
+            -20 + 20 * rs.rand(10_000),
+        ]),
+    })
+    df = spark.createDataFrame(pdf)
+    allv = pdf["v"].to_numpy()
+    chunk_parts = [
+        sketch_partials(
+            df.filter(F.col("chunk") == i).drop("chunk"), [], "v", k=512
+        )
+        for i in range(3)
+    ]
+    unioned = chunk_parts[0].unionByName(chunk_parts[1]).unionByName(
+        chunk_parts[2]
+    )
+    est = sketch_quantiles(
+        merge_sketches(unioned, [], "v"), [], "v",
+        {"p50": 0.5, "p90": 0.9},
+    ).collect()[0]
+    assert est["n"] == 30_000
+    assert _rank_err(est["p50"], allv, 0.5) <= 0.02
+    assert _rank_err(est["p90"], allv, 0.9) <= 0.02
+
+
+def test_sketch_validation_errors(spark, documents):
+    docs = documents.select("lang", "n_chars")
+    with pytest.raises(ValueError, match="k must be"):
+        sketch_partials(docs, ["lang"], "n_chars", k=4)
+    with pytest.raises(ValueError, match="cannot be a dim"):
+        sketch_partials(docs, ["n_chars"], "n_chars")
+    with pytest.raises(ValueError, match="unknown column"):
+        sketch_partials(docs, ["lang"], "nope")
+    parts = sketch_partials(docs, ["lang"], "n_chars")
+    with pytest.raises(ValueError, match="lacks column"):
+        merge_sketches(docs, ["lang"], "n_chars")
+    with pytest.raises(ValueError, match="fanout"):
+        merge_sketches(parts, ["lang"], "n_chars", fanout=1)
+    merged = merge_sketches(parts, ["lang"], "n_chars")
+    with pytest.raises(ValueError, match="0 < q"):
+        sketch_quantiles(merged, ["lang"], "n_chars", {"bad": 0.0})
+
+
+def test_sketch_nan_null_count_nowhere(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, np.nan, np.inf, -np.inf]})
+    df = spark.createDataFrame(pdf)
+    est = sketch_quantiles(
+        merge_sketches(sketch_partials(df, [], "v", k=64), [], "v"),
+        [], "v", {"p50": 0.5},
+    ).collect()[0]
+    assert est["n"] == 3
+    assert est["p50"] == 2.0

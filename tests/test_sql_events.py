@@ -249,3 +249,158 @@ def test_funnel_sql_escaped_string_literals(spark, events):
     got = {(r["user_id"], r["depth"]) for r in
            funnel_sql(spark, sql).collect()}
     assert got == {(1, 1), (2, 1)}
+
+
+# ------------------------------------------------------------------ #
+# RETENTION + FUNNEL_SUMMARY (r11)                                    #
+# ------------------------------------------------------------------ #
+
+def test_retention_sql_clickhouse_semantics(spark, events):
+    """ClickHouse's exact rule: slot 1 = any row meets pred1; slot i =
+    (any row meets pred_i) AND slot 1 — the anchor gates every later
+    slot, rows may differ."""
+    from fabstir_vectordb_spark.plans.sql_events import retention_sql
+
+    got = {
+        r["user_id"]: list(r["r"])
+        for r in retention_sql(
+            spark,
+            """SELECT user_id,
+                      RETENTION(action = 'search', action = 'click',
+                                action = 'buy') AS r
+               FROM ev_sql GROUP BY user_id""",
+        ).collect()
+    }
+    # user 1: search+click+buy -> [1,1,1]; user 2: search+click ->
+    # [1,1,0]; user 3: click only -> anchor unmet, gated to [0,0,0];
+    # user 4: 'other' only -> [0,0,0] (still a row: agg over every key)
+    assert got == {
+        1: [1, 1, 1], 2: [1, 1, 0], 3: [0, 0, 0], 4: [0, 0, 0],
+    }
+
+
+def test_retention_sql_matches_retention_from_activity(spark, events):
+    """Composition identity tying the statement to the operator: with
+    period-membership predicates anchored at each cohort's period 0,
+    sum(slot_i) over the cohort's keys == the operator's n_active at
+    offset i (single-cohort fixture: every key's first period is 0)."""
+    from fabstir_vectordb_spark.operators.funnel import (
+        retention_from_activity,
+    )
+    from fabstir_vectordb_spark.plans.sql_events import retention_sql
+
+    act = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0), (2, 2), (3, 0)],
+        "user_id long, period long",
+    )
+    act.createOrReplaceTempView("ret_act")
+    arr = retention_sql(
+        spark,
+        """SELECT user_id, RETENTION(period = 0, period = 1,
+                                     period = 2) AS r
+           FROM ret_act GROUP BY user_id""",
+    )
+    sums = arr.select(
+        *[F.sum(F.col("r")[i]).alias(f"s{i}") for i in range(3)]
+    ).collect()[0]
+    want = {
+        r["offset"]: r["n_active"]
+        for r in retention_from_activity(act, "user_id").collect()
+    }
+    assert [sums["s0"], sums["s1"], sums["s2"]] == [
+        want[0], want[1], want[2]
+    ]
+
+
+def test_retention_sql_delegation_and_errors(spark, events):
+    from fabstir_vectordb_spark.plans.sql_events import (
+        RetentionSyntaxError, explain_retention, retention_sql,
+    )
+
+    # no RETENTION call -> verbatim spark.sql, even with a column
+    # literally named retention
+    spark.createDataFrame(
+        [(0, 0.5)], "cohort long, retention double"
+    ).createOrReplaceTempView("ret_tri")
+    assert explain_retention(
+        "SELECT cohort, retention FROM ret_tri"
+    ) == "delegate"
+    assert retention_sql(
+        spark, "SELECT cohort, retention FROM ret_tri"
+    ).count() == 1
+    assert explain_retention(
+        """SELECT user_id, RETENTION(action = 'search',
+                                     action = 'buy') AS r
+           FROM ev_sql GROUP BY user_id"""
+    ) == "retention"
+    with pytest.raises(RetentionSyntaxError, match="at least two"):
+        retention_sql(
+            spark,
+            "SELECT user_id, RETENTION(action = 'x') AS r "
+            "FROM ev_sql GROUP BY user_id",
+        )
+    with pytest.raises(RetentionSyntaxError, match="GROUP BY"):
+        retention_sql(
+            spark,
+            "SELECT user_id, RETENTION(action = 'x', action = 'y') "
+            "AS r FROM ev_sql GROUP BY user_id, ts",
+        )
+    with pytest.raises(RetentionSyntaxError, match="canonical"):
+        retention_sql(spark, "SELECT RETENTION(a, b) FROM t")
+
+
+def test_funnel_summary_sql_matches_operators(spark, events):
+    """FUNNEL_SUMMARY == funnel() + funnel_summary() row-for-row."""
+    from fabstir_vectordb_spark.operators.funnel import funnel_summary
+    from fabstir_vectordb_spark.plans.sql_events import (
+        explain_funnel_summary, funnel_summary_sql,
+    )
+
+    steps = [
+        F.col("action") == "search",
+        F.col("action") == "click",
+        F.col("action") == "buy",
+    ]
+    per_key = funnel(events, "user_id", steps, window_seconds=3600)
+    want = {
+        (r["step"], r["reached"], r["conversion"])
+        for r in funnel_summary(per_key, 3).collect()
+    }
+    got = {
+        (r["step"], r["reached"], r["conversion"])
+        for r in funnel_summary_sql(
+            spark,
+            """SELECT FUNNEL_SUMMARY(3600 SECONDS)
+                      (ts, action = 'search', action = 'click',
+                       action = 'buy')
+               FROM ev_sql GROUP BY user_id""",
+        ).collect()
+    }
+    assert got == want
+    assert explain_funnel_summary("SELECT 1 AS x FROM ev_sql GROUP BY x") \
+        == "delegate"
+
+
+def test_funnel_summary_sql_errors(spark, events):
+    from fabstir_vectordb_spark.plans.sql_events import (
+        funnel_summary_sql,
+    )
+
+    with pytest.raises(FunnelSyntaxError, match="ONLY select item"):
+        funnel_summary_sql(
+            spark,
+            """SELECT user_id, FUNNEL_SUMMARY(60 SECONDS)(ts, a, b)
+               FROM ev_sql GROUP BY user_id""",
+        )
+    with pytest.raises(FunnelSyntaxError, match="at least two"):
+        funnel_summary_sql(
+            spark,
+            """SELECT FUNNEL_SUMMARY(60 SECONDS)(ts, action = 'x')
+               FROM ev_sql GROUP BY user_id""",
+        )
+    with pytest.raises(FunnelSyntaxError, match="bare"):
+        funnel_summary_sql(
+            spark,
+            """SELECT FUNNEL_SUMMARY(60 SECONDS)(ts + 1, a = 1, b = 2)
+               FROM ev_sql GROUP BY user_id""",
+        )

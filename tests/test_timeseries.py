@@ -298,3 +298,159 @@ def test_grid_bounds_use_session_timezone(spark):
         assert out[0]["v"] == 5.0 and not out[0]["is_gap"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+# ------------------------------------------------------------------ #
+# rolling / rolling_buckets: trailing-window moving aggregates        #
+# ------------------------------------------------------------------ #
+
+def _roll_df(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for k, pts in {
+        "a": [(0, 1.0), (30, 2.0), (90, 4.0), (200, 8.0)],
+        "b": [(10, 5.0), (10, 7.0), (400, 1.0)],
+    }.items():
+        rows += [(k, t0 + dt.timedelta(seconds=s), v) for s, v in pts]
+    return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+
+def test_rolling_matches_pandas(spark):
+    """Trailing time window [t-w, t] closed both ends — pandas
+    df.rolling('101s') on the same data is the independent oracle
+    (pandas' window is (t-w, t] half-open, so use w+1s there against
+    our closed 100s to align the boundary row)."""
+    from fabstir_vectordb_spark.operators.timeseries import rolling
+
+    df = _roll_df(spark)
+    got = rolling(
+        df, "k", "ts",
+        {"n": ("count", None), "m": ("mean", "v"), "s": ("sum", "v"),
+         "lo": ("min", "v"), "hi": ("max", "v")},
+        window_seconds=100,
+    ).collect()
+    pdf = df.toPandas().sort_values(["k", "ts"]).set_index("ts")
+    for r in got:
+        sub = pdf[pdf["k"] == r["k"]]["v"]
+        w = sub[(sub.index >= r["ts"] - pd.Timedelta(seconds=100))
+                & (sub.index <= r["ts"])]
+        assert r["n"] == len(w)
+        assert abs(r["m"] - w.mean()) < 1e-12
+        assert abs(r["s"] - w.sum()) < 1e-12
+        assert r["lo"] == w.min() and r["hi"] == w.max()
+
+
+def test_rolling_min_periods_and_peers(spark):
+    """min_periods gates every output to NULL until the frame holds
+    enough observations; rows sharing (key, ts) are RANGE peers and
+    get identical aggregates."""
+    from fabstir_vectordb_spark.operators.timeseries import rolling
+
+    df = _roll_df(spark)
+    got = {
+        (r["k"], r["ts"], r["v"]): (r["n"], r["m"])
+        for r in rolling(
+            df, "k", "ts", {"n": ("count", None), "m": ("mean", "v")},
+            window_seconds=100, min_periods=2,
+        ).collect()
+    }
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # a@0s: frame has 1 row -> NULL mean, NULL count (gated too)
+    assert got[("a", t0, 1.0)] == (None, None)
+    # a@90s: frame holds 0,30,90 -> 3 rows
+    assert got[("a", t0 + dt.timedelta(seconds=90), 4.0)][0] == 3
+    # b's two t=10s rows are peers: both see both rows
+    p1 = got[("b", t0 + dt.timedelta(seconds=10), 5.0)]
+    p2 = got[("b", t0 + dt.timedelta(seconds=10), 7.0)]
+    assert p1 == p2 == (2, 6.0)
+
+
+def test_rolling_raw_epoch_mode_and_validation(spark):
+    """Integer ts column: window_seconds reads in the column's raw
+    unit (no timestamp cast); validation errors name the problem."""
+    from fabstir_vectordb_spark.operators.timeseries import rolling
+
+    df = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 150, 3.0), (1, 300, 5.0)],
+        "k long, ts long, v double",
+    )
+    got = {r["ts"]: r["m"] for r in rolling(
+        df, "k", "ts", {"m": ("mean", "v")}, window_seconds=60,
+    ).collect()}
+    assert got == {100: 1.0, 150: 2.0, 300: 5.0}
+    with pytest.raises(ValueError, match="positive"):
+        rolling(df, "k", "ts", {"m": ("mean", "v")}, window_seconds=0)
+    with pytest.raises(ValueError, match="unknown fn"):
+        rolling(df, "k", "ts", {"m": ("median", "v")})
+    with pytest.raises(ValueError, match="needs a column"):
+        rolling(df, "k", "ts", {"m": ("mean", None)})
+    with pytest.raises(ValueError, match="unknown column"):
+        rolling(df, "k", "ts", {"m": ("mean", "nope")})
+    with pytest.raises(ValueError, match="collides"):
+        rolling(df, "k", "ts", {"v": ("mean", "v")})
+    with pytest.raises(ValueError, match="reserved"):
+        rolling(df, "k", "ts", {"__m": ("mean", "v")})
+    with pytest.raises(ValueError, match="min_periods"):
+        rolling(df, "k", "ts", {"m": ("mean", "v")}, min_periods=0)
+
+
+def test_rolling_buckets_dense_and_sparse(spark):
+    """N-bucket trailing frame over a grid: RANGE over bucket ids, so
+    a SPARSE grid (missing buckets) contributes nothing — unlike a
+    ROWS frame, which would wrongly reach further back in time."""
+    from fabstir_vectordb_spark.operators.timeseries import (
+        rolling_buckets,
+    )
+
+    sparse = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 2.0), ("a", 5, 10.0)],
+        "k string, bucket long, s double",
+    )
+    got = {r["bucket"]: r["ma"] for r in rolling_buckets(
+        sparse, "k", {"ma": ("mean", "s")}, n_buckets=3,
+    ).collect()}
+    # bucket 5's frame is [3, 5] -> only bucket 5 itself
+    assert got == {0: 1.0, 1: 1.5, 5: 10.0}
+    with pytest.raises(ValueError, match="n_buckets"):
+        rolling_buckets(sparse, "k", {"ma": ("mean", "s")}, n_buckets=0)
+    with pytest.raises(ValueError, match="bucket column"):
+        rolling_buckets(sparse, "k", {"ma": ("mean", "s")}, n_buckets=2,
+                        bucket_col="nope")
+
+
+def test_rolling_buckets_composes_with_resample(spark):
+    """The dashboard staple: resample daily + zero-fill, then a
+    3-bucket moving average — gap buckets count as zero via the _zero
+    column.  When resample ends with a keyed fill window (locf), its
+    output is already partitioned on the keys, so the moving-average
+    window adds NO new exchange to the composed plan."""
+    import datetime as dt
+
+    from fabstir_vectordb_spark.operators.timeseries import (
+        rolling_buckets,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0, 3.0), ("a", t0 + dt.timedelta(days=2), 6.0)],
+        "k string, ts timestamp, v double",
+    )
+    rs = resample(
+        df, "k", "ts", 86400,
+        aggs={"s": F.sum("v")}, fill={"s": ("zero", "locf")},
+    )
+    out = rolling_buckets(rs, "k", {"ma": ("mean", "s_zero")}, 3)
+    got = {r["bucket"] - 19723: r["ma"] for r in out.collect()}
+    assert got == {0: 3.0, 1: 1.5, 2: 3.0}
+    rs.collect()
+    n_rs = rs._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange hashpartitioning"
+    )
+    n_out = out._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange hashpartitioning"
+    )
+    assert n_out <= n_rs, (n_out, n_rs)
