@@ -17,6 +17,14 @@ Covers the round-6/7 temporal tier the way a user would reach it:
  10. weekly cohort retention (the triangle)
  11. SCD2: the view log as a validity-interval dimension, looked up
      with range_join (== the as-of lookup, by the pinned identity)
+ 12. the funnel in ClickHouse's WINDOW_FUNNEL SQL spelling and the
+     gap-fill in TimescaleDB's TIME_BUCKET_GAPFILL spelling
+ 13. percentile reports that refresh incrementally (mergeable
+     fixed-grid histogram measures through summarize/merge)
+ 14. the STREAMING funnel refresh loop: chunk pre-folds stream under
+     a watermark (funnel_chunks_stream), the keys-only stitch
+     (funnel_from_chunks) refreshes the funnel from accumulated
+     chunk rows — history is never rescanned; == batch, asserted
 
 Run:  python examples/event_analytics.py
 (uses the sf0.001 fixture tables; finishes in ~1 min on local[8])
@@ -191,16 +199,12 @@ def main(spark: SparkSession) -> dict:
         funnel, funnel_summary,
     )
 
-    per_user = funnel(
-        events,
-        "user_id",
-        [
-            F.col("event_type") == "view",
-            F.col("event_type") == "click",
-            F.col("event_type") == "purchase",
-        ],
-        window_seconds=86400,
-    )
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    per_user = funnel(events, "user_id", steps, window_seconds=86400)
     for row in funnel_summary(per_user, 3).collect():
         out[f"funnel_step{row['step']}_users"] = row["reached"]
 
@@ -296,6 +300,61 @@ def main(spark: SparkSession) -> dict:
     out["p90_value_overall"] = round(
         prep.filter("g_event_type = 1").first()["p90"], 3
     )
+
+    # --- 14. (r11) the STREAMING funnel refresh loop ---------------------
+    # funnel's chunked decomposition split across the stream/batch
+    # boundary: chunk pre-folds stream under a watermark
+    # (funnel_chunks_stream — a chunk finalizes exactly when no late
+    # event can change it), land in a sink table, and the cheap
+    # keys-only stitch (funnel_from_chunks) refreshes the funnel from
+    # the ACCUMULATED chunk rows — the full event history is never
+    # rescanned.  Must equal the batch funnel(chunk_seconds=...) and
+    # the plain funnel (same steps/window) exactly.
+    from fabstir_vectordb_spark.operators.funnel import (
+        funnel_from_chunks,
+    )
+    from fabstir_vectordb_spark.streaming.ingest import (
+        funnel_chunks_stream,
+    )
+
+    src_f = tempfile.mkdtemp(prefix="evexf_")
+    events.select(
+        "user_id", "ts", "value", "event_id", "event_type"
+    ).repartition(4).write.mode("overwrite").parquet(src_f)
+    qf = (
+        funnel_chunks_stream(
+            spark.readStream.schema(
+                "user_id bigint, ts timestamp, value double, "
+                "event_id bigint, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_f),
+            "user_id",
+            steps,
+            chunk_seconds=21600,
+            watermark="3650 days",
+        )
+        .writeStream.format("memory")
+        .queryName("evex_funnel_chunks")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qf.awaitTermination(300)
+    chunk_rows = spark.table("evex_funnel_chunks").select(
+        "user_id", "chunk", "sufs"
+    )
+    refreshed = funnel_from_chunks(
+        chunk_rows, "user_id", 3, window_seconds=86400
+    )
+    got_f = {
+        (r["user_id"], r["depth"]) for r in refreshed.collect()
+    }
+    want_f = {
+        (r["user_id"], r["depth"]) for r in per_user.collect()
+    }
+    assert got_f == want_f  # stream-refreshed == batch funnel, exactly
+    out["funnel_users_streamed"] = len(got_f)
 
     return out
 

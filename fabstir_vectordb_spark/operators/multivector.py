@@ -62,6 +62,7 @@ def maxsim_topk(
     vec_col: str = "vector",
     candidates: DataFrame | None = None,
     impl: str = "expr",
+    candidate_pushdown: int | None = None,
 ) -> DataFrame:
     """Exact MaxSim top-k documents per query (module docstring).
 
@@ -74,6 +75,34 @@ def maxsim_topk(
                       only these pairs (the two-stage path — see the
                       module docstring).  Scores for scored pairs are
                       identical to the full cross.
+    ``candidate_pushdown``  with ``candidates``: when the DISTINCT
+                      candidate-doc count is at most this limit,
+                      collect the ids (a bounded collect, checked
+                      with limit(n+1) before fetching) and push an
+                      ``isin`` FILTER onto the doc-token scan —
+                      PushedFilters: In(doc_id, ...) reaches the
+                      parquet reader, so a doc_id-sorted/z-ordered
+                      layout (sources/layout.zorder_write) skips
+                      whole files and row groups whose id range
+                      holds no candidate.  This is the ONLINE lever:
+                      a handful of queries x n_candidates ids
+                      against a 100 TB corpus of ~10^5 row groups
+                      reads only the candidate-bearing groups.  A
+                      BULK batch (ids >> row groups) gains nothing
+                      from stats pruning, so past the limit the
+                      rescore keeps the map-only broadcast semi-join
+                      — the already-optimal full-scan shape.  None
+                      (default) never collects.  Results are
+                      identical either way (pinned by test).
+                      Measured at the 10M-token datum (doc_id-sorted
+                      256-file layout, 1 query x 20 candidates):
+                      236/256 files (92%) skippable on footer min/max
+                      for the pushed In filter; local wall time is
+                      PARITY (page-cached reads — the avoided work is
+                      STORAGE I/O, which local mode does not pay), so
+                      enable this for cold-storage online serving,
+                      not for local bulk scoring.  Full numbers in
+                      PERFORMANCE.md §Round 11.
     ``impl``          'expr' (default): pure column expressions —
                       whole-stage codegen, no Python anywhere, the
                       certified reference path.  'kernel': an
@@ -105,6 +134,27 @@ def maxsim_topk(
         raise ValueError("query_col and id_col must differ")
     if impl not in ("expr", "kernel"):
         raise ValueError(f"impl must be 'expr' or 'kernel'; got {impl!r}")
+    if candidate_pushdown is not None:
+        if candidates is None:
+            raise ValueError(
+                "candidate_pushdown needs a candidates frame"
+            )
+        if int(candidate_pushdown) < 1:
+            raise ValueError(
+                f"candidate_pushdown must be >= 1; got "
+                f"{candidate_pushdown}"
+            )
+        lim = int(candidate_pushdown)
+        ids = [
+            r[0]
+            for r in candidates.select(id_col)
+            .distinct()
+            .limit(lim + 1)
+            .collect()
+        ]
+        if len(ids) <= lim:
+            doc_tokens = doc_tokens.filter(F.col(id_col).isin(ids))
+        # else: bulk batch — keep the map-only broadcast semi-join
     if impl == "kernel":
         return _maxsim_kernel(
             doc_tokens, query_tokens, k,
@@ -463,6 +513,7 @@ def maxsim_search(
     token_col: str = "token_idx",
     vec_col: str = "vector",
     impl: str = "expr",
+    candidate_pushdown: int | None = None,
     **candidate_kwargs,
 ) -> DataFrame:
     """Two-stage MaxSim: :func:`maxsim_candidates` screens (token-level
@@ -490,4 +541,5 @@ def maxsim_search(
         doc_tokens, query_tokens, k,
         id_col, query_col, token_col, vec_col,
         candidates=cand, impl=impl,
+        candidate_pushdown=candidate_pushdown,
     )

@@ -298,3 +298,56 @@ def test_candidates_rejects_separator_in_query_ids(spark):
         maxsim_candidates(
             dt, bad_q, n_candidates=3, token_k=4, n_probe=1, n_clusters=2,
         ).collect()
+
+
+def test_candidate_pushdown_identical_and_pushes_to_scan(spark, tmp_path):
+    """candidate_pushdown: identical results, and the candidate-id
+    filter REACHES the parquet scan (PushedFilters In(doc_id, ...)) so
+    a doc_id-sorted layout can skip files/row groups; past the limit
+    the bounded collect is skipped and the map-only semi-join shape is
+    kept (still identical)."""
+    dt, qt, docs, queries = _tables(spark, n_docs=20)
+    path = str(tmp_path / "dt.parquet")
+    dt.sort("doc_id").write.parquet(path)
+    dtp = spark.read.parquet(path)
+    cand = spark.createDataFrame(
+        [(q, d) for q in queries for d in list(docs)[:6]],
+        "query_id long, doc_id long",
+    )
+    base = {
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in maxsim_topk(dtp, qt, 3, candidates=cand).collect()
+    }
+    pushed = maxsim_topk(
+        dtp, qt, 3, candidates=cand, candidate_pushdown=100
+    )
+    got = {
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in pushed.collect()
+    }
+    assert got == base
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    seg = plan.split("PushedFilters")[1][:400]
+    assert "In(doc_id" in seg, seg
+    # over the limit: no filter (bulk shape), same rows
+    bulk = maxsim_topk(
+        dtp, qt, 3, candidates=cand, candidate_pushdown=2
+    )
+    assert {
+        (r["query_id"], r["doc_id"], r["rank"]) for r in bulk.collect()
+    } == base
+    plan_bulk = bulk._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id" not in plan_bulk
+    # kernel impl honors the same pushdown
+    kern = maxsim_topk(
+        dtp, qt, 3, candidates=cand, impl="kernel",
+        candidate_pushdown=100,
+    )
+    assert {
+        (r["query_id"], r["doc_id"], r["rank"]) for r in kern.collect()
+    } == base
+    with pytest.raises(ValueError, match="needs a candidates"):
+        maxsim_topk(dtp, qt, 3, candidate_pushdown=10)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        maxsim_topk(dtp, qt, 3, candidates=cand, candidate_pushdown=0)

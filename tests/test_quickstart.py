@@ -18,3 +18,22 @@ def test_quickstart_end_to_end(spark, tmp_path):
     assert out["bulk_rows"] == 15           # 5 queries x k=3
     assert 0 < out["curated"] <= 500
     assert out["packed_bins"] > 0
+
+
+def test_event_analytics_example_end_to_end(spark):
+    """examples/event_analytics.py must keep running — the event tier's
+    user-facing walkthrough, including the r11 streaming-funnel refresh
+    loop (its own assertions pin stream == batch internally)."""
+    path = (
+        Path(__file__).resolve().parent.parent
+        / "examples" / "event_analytics.py"
+    )
+    spec = importlib.util.spec_from_file_location("event_analytics", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(spark)
+    assert out["n_sessions"] == out["n_sessions_streamed"]
+    assert out["funnel_step1_users"] >= out["funnel_step2_users"] >= (
+        out["funnel_step3_users"]
+    )
+    assert out["funnel_users_streamed"] == out["funnel_step1_users"]
