@@ -3925,6 +3925,17 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       sql_funnel     — (r10) the WINDOW_FUNNEL statement form
                        (plans/sql_events.funnel_sql, ClickHouse's SQL
                        shape) rewritten to the same fold; depth only
+      sql_ret        — (r11) the RETENTION statement form (plans/
+                       sql_events.retention_sql, ClickHouse's
+                       aggregate): per-user anchor-gated slot array
+                       for view/click/purchase, vs DuckDB's
+                       MAX(CASE)+least gating — the rewrite's exact
+                       semantics replayed closed-form
+      sql_fsum       — (r11) the FUNNEL_SUMMARY statement form
+                       (plans/sql_events.funnel_summary_sql): the
+                       (step, reached, conversion) report over the
+                       same view→click→purchase funnel, vs the
+                       chained-minimum oracle's depth distribution
       retention      — weekly cohort retention triangle (operators/
                        funnel.py retention): one keyed set-collect
                        over events, plain-count cells (distinct by
@@ -3956,6 +3967,9 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                epoch micros or -1 (micros < 2^53, exact in double)
       retention: key=cohort period id, ref=offset, n=n_active,
                x1=r6(retention), x2=n_cohort
+      sql_ret: key=user_id, ref='', n=0, x1/x2/x3=the three 0/1
+               retention slots
+      sql_fsum: key=step, ref='', n=reached, x1=r6(conversion) or -1
       stream_session: key='<user>@<start_us>', ref=user_id,
                n=n_events, x1=duration_us
     Unused slots are 0/''. Every mapping is injective per part, so the
@@ -4063,10 +4077,46 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         zd.alias("x2"),
         zd.alias("x3"),
     )
+    # sql_ret / sql_fsum (r11): the RETENTION and FUNNEL_SUMMARY
+    # statement forms over the same events view
+    from fabstir_vectordb_spark.plans.sql_events import (
+        funnel_summary_sql, retention_sql,
+    )
+
+    ev.createOrReplaceTempView("ep_ev_r11")
+    sret = retention_sql(
+        spark,
+        "SELECT user_id, RETENTION(event_type = 'view', "
+        "event_type = 'click', event_type = 'purchase') AS r "
+        "FROM ep_ev_r11 GROUP BY user_id",
+    ).select(
+        F.lit("sql_ret").alias("part"),
+        F.col("user_id").cast("string").alias("key"),
+        F.lit("").alias("ref"),
+        zl.alias("n"),
+        F.col("r")[0].cast("double").alias("x1"),
+        F.col("r")[1].cast("double").alias("x2"),
+        F.col("r")[2].cast("double").alias("x3"),
+    )
+    sfsum = funnel_summary_sql(
+        spark,
+        "SELECT FUNNEL_SUMMARY(86400 SECONDS)(ts, "
+        "event_type = 'view', event_type = 'click', "
+        "event_type = 'purchase') FROM ep_ev_r11 GROUP BY user_id",
+    ).select(
+        F.lit("sql_fsum").alias("part"),
+        F.col("step").cast("string").alias("key"),
+        F.lit("").alias("ref"),
+        F.col("reached").cast("long").alias("n"),
+        F.coalesce(r6("conversion"), F.lit(-1.0)).alias("x1"),
+        zd.alias("x2"),
+        zd.alias("x3"),
+    )
     return (
         p.unionByName(s).unionByName(t).unionByName(fu)
         .unionByName(fu_ck).unionByName(sqlf)
         .unionByName(rt).unionByName(ss)
+        .unionByName(sret).unionByName(sfsum)
     )
 
 
@@ -7302,6 +7352,45 @@ SELECT 'stream_session' AS part,
        CAST(user_id AS VARCHAR) AS ref, n_events AS n,
        CAST(duration_us AS DOUBLE) AS x1, 0.0 AS x2, 0.0 AS x3
 FROM ({_ORACLES["event_sessions"]})
+UNION ALL
+-- sql_ret (r11): ClickHouse RETENTION semantics closed-form — slot 1
+-- is "any row meets the anchor", later slots anchor-gated via least
+SELECT 'sql_ret' AS part, CAST(user_id AS VARCHAR) AS key, '' AS ref,
+       CAST(0 AS BIGINT) AS n,
+       CAST(m1 AS DOUBLE) AS x1,
+       CAST(least(m1, m2) AS DOUBLE) AS x2,
+       CAST(least(m1, m3) AS DOUBLE) AS x3
+FROM (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m1,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m2,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m3
+  FROM events GROUP BY user_id
+)
+UNION ALL
+-- sql_fsum (r11): the conversion report derived from the SAME
+-- chained-minimum funnel oracle's depth distribution; step 1 divides
+-- by every key with any matching activity (funnel_summary's rule)
+SELECT 'sql_fsum' AS part, CAST(step AS VARCHAR) AS key, '' AS ref,
+       reached AS n,
+       coalesce(
+         (round(CAST(reached AS DOUBLE) / NULLIF(prev, 0), 6) + 0.0),
+         -1.0) AS x1,
+       0.0 AS x2, 0.0 AS x3
+FROM (
+  WITH fd AS (SELECT n AS depth FROM ({_funnel_oracle("f", False)}))
+  SELECT 1 AS step,
+         (SELECT count(*) FROM fd WHERE depth >= 1) AS reached,
+         (SELECT count(*) FROM fd) AS prev
+  UNION ALL
+  SELECT 2,
+         (SELECT count(*) FROM fd WHERE depth >= 2),
+         (SELECT count(*) FROM fd WHERE depth >= 1)
+  UNION ALL
+  SELECT 3,
+         (SELECT count(*) FROM fd WHERE depth >= 3),
+         (SELECT count(*) FROM fd WHERE depth >= 2)
+)
 """
 
 
