@@ -236,6 +236,11 @@ def sketch_partials(
     for d in (*dims, col):
         if d not in df.columns:
             raise ValueError(f"unknown column {d!r}")
+        if d.startswith("__"):
+            raise ValueError(
+                f"column {d!r}: the __ prefix is reserved for the "
+                "sketch's internal columns"
+            )
     kk = int(k)
     scol, ncol = _sketch_col(col), f"{_sketch_col(col)}_n"
     slim = df.select(*dims, F.col(col).cast("double").alias("__x"))
@@ -377,6 +382,9 @@ def sketch_quantiles(
         for pdf in batches:
             if pdf.empty:
                 continue
+            # positional lists below must align with the Series —
+            # normalize the index first
+            pdf = pdf.reset_index(drop=True)
             rows = {d: pdf[d] for d in dims}
             rows["n"] = pdf[ncol]
             ests = {n: [] for n in names}

@@ -425,6 +425,11 @@ def rolling(
         raise ValueError(
             f"window_seconds must be positive; got {window_seconds}"
         )
+    if "__ord" in df.columns:
+        raise ValueError(
+            "input column '__ord' collides with rolling's internal "
+            "order column (the __ prefix is reserved); rename it first"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     if aggs is None:
         aggs = {"n": ("count", None)}
@@ -486,6 +491,13 @@ def rolling_buckets(
     keys = [on] if isinstance(on, str) else list(on)
     if bucket_col not in df.columns:
         raise ValueError(f"unknown bucket column {bucket_col!r}")
+    dt = df.schema[bucket_col].dataType.simpleString()
+    if dt not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"bucket column {bucket_col!r} must be an integer bucket "
+            f"id (resample's `bucket`); got {dt} — a lossy cast would "
+            "silently misorder the frame"
+        )
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col(bucket_col).cast("long"))

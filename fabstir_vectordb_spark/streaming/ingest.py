@@ -745,3 +745,90 @@ def summarize_stream(
         )
         .drop("__w")
     )
+
+
+def rolling_stream(
+    events: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    aggs: dict[str, tuple[str, str | None]] | None = None,
+    window_seconds: int = 21600,
+    slide_seconds: int = 3600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming moving aggregates: watermarked SLIDING-window
+    aggregation per key — the stream twin of the batch
+    ``resample`` + ``rolling_buckets`` composition (operators/
+    timeseries.py, r11).  One output row per (key, sliding window),
+    ``bucket`` = the window's LAST slide-aligned bucket id, so a row
+    here is comparable to the batch composition's trailing frame at
+    the same bucket: for additive aggregates (sum/count) and for mean
+    (a ratio of additives) the values are IDENTICAL — pinned
+    stream≡batch in tests/test_streaming.py.  min/max match trivially
+    (associative).
+
+    ``aggs`` uses rolling()'s spec — name -> ("sum"|"mean"|"min"|
+    "max"|"count", col) — with the same defaults.  ``window_seconds``
+    must be a multiple of ``slide_seconds`` (Spark's sliding windows
+    are slide-aligned; a non-multiple would emit buckets the batch
+    composition cannot express).
+
+    Boundary, stated as everywhere in this module: the sliding
+    aggregation is closed under micro-batching (state = open windows
+    per key, bounded by window/slide overlapping windows each, evicted
+    at the watermark).  A dense GAP-FILLED moving average (windows
+    with zero events emitting zero) is NOT closed under streaming —
+    an absent window emits nothing; run the batch composition over
+    the resample_stream sink when gap rows must exist.
+
+    Numeric-epoch timestamps are batch-only, as in resample_stream."""
+    from fabstir_vectordb_spark.operators.timeseries import _ROLL_FNS
+
+    keys = [on] if isinstance(on, str) else list(on)
+    if int(window_seconds) <= 0 or int(slide_seconds) <= 0:
+        raise ValueError(
+            f"window_seconds and slide_seconds must be positive; got "
+            f"{window_seconds}, {slide_seconds}"
+        )
+    if int(window_seconds) % int(slide_seconds) != 0:
+        raise ValueError(
+            f"window_seconds ({window_seconds}) must be a multiple of "
+            f"slide_seconds ({slide_seconds}) — Spark's sliding "
+            "windows are slide-aligned"
+        )
+    if aggs is None:
+        aggs = {"n": ("count", None)}
+        if "value" in events.columns:
+            aggs["v_mean"] = ("mean", "value")
+    cols = []
+    for name, (fn, col) in aggs.items():
+        if fn not in _ROLL_FNS:
+            raise ValueError(
+                f"rolling agg {name!r}: unknown fn {fn!r}; choose "
+                f"from {_ROLL_FNS}"
+            )
+        if fn != "count" and col is None:
+            raise ValueError(f"rolling agg {name!r}: fn {fn!r} needs a column")
+        src = F.lit(1) if col is None else F.col(col)
+        fns = {"sum": F.sum, "mean": F.avg, "avg": F.avg,
+               "min": F.min, "max": F.max, "count": F.count}
+        cols.append(fns[fn](src).alias(name))
+    slide_us = int(slide_seconds) * 1_000_000
+    win = F.window(
+        F.col(ts_col),
+        f"{int(window_seconds)} seconds",
+        f"{int(slide_seconds)} seconds",
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(k) for k in keys], win.alias("__w"))
+        .agg(*cols)
+        .withColumn(
+            "bucket",
+            (F.floor(F.unix_micros(F.col("__w.end")) / slide_us) - 1)
+            .cast("long"),
+        )
+        .withColumn("window_start", F.col("__w.start"))
+        .withColumn("window_end", F.col("__w.end"))
+        .drop("__w")
+    )

@@ -925,3 +925,69 @@ def test_summarize_stream_feeds_incremental_reports(spark, tmp_path, events):
         )
 
     assert norm(rep.collect()) == norm(batch.collect())
+
+
+def test_rolling_stream_equals_batch_composition(spark, tmp_path, events):
+    """rolling_stream (sliding windows) ≡ the batch resample +
+    rolling_buckets composition on every bucket both sides emit:
+    identical sum/count (and mean = their ratio) per (key, trailing
+    bucket), over an unordered multi-batch replay."""
+    from fabstir_vectordb_spark.operators.timeseries import (
+        resample, rolling_buckets,
+    )
+
+    ev = events.limit(3000).select("user_id", "ts", "value")
+    src = tmp_path / "rs_src"
+    ev.repartition(5).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        SI.rolling_stream(
+            stream, "user_id", "ts",
+            {"s": ("sum", "value"), "c": ("count", "value")},
+            window_seconds=21600, slide_seconds=3600,
+            watermark="3650 days",
+        )
+        .writeStream.format("memory")
+        .queryName("roll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["bucket"]): (r["c"], r["s"])
+        for r in spark.table("roll_stream").collect()
+        if r["c"] is not None
+    }
+    rs = resample(
+        ev, "user_id", "ts", 3600,
+        aggs={"sv": F.sum("value"), "cv": F.count("value")},
+        fill={"sv": ("zero",), "cv": ("zero",)},
+    )
+    rb = rolling_buckets(
+        rs, "user_id",
+        {"s": ("sum", "sv_zero"), "c": ("sum", "cv_zero")},
+        n_buckets=6,
+    )
+    want = {
+        (r["user_id"], r["bucket"]): (r["c"], r["s"])
+        for r in rb.collect()
+    }
+    common = set(got) & set(want)
+    assert common  # fixtures overlap
+    for key in common:
+        gc, gs = got[key]
+        wc, ws = want[key]
+        assert gc == wc, (key, gc, wc)
+        assert abs((gs or 0.0) - (ws or 0.0)) < 1e-6, (key, gs, ws)
+    # every batch bucket whose frame saw an event must exist streamed
+    for key, (wc, ws) in want.items():
+        if wc and wc > 0:
+            assert key in got, key
+    with pytest.raises(ValueError, match="multiple"):
+        SI.rolling_stream(stream, "user_id", "ts", None,
+                          window_seconds=5000, slide_seconds=3600)

@@ -454,3 +454,64 @@ def test_rolling_buckets_composes_with_resample(spark):
         "Exchange hashpartitioning"
     )
     assert n_out <= n_rs, (n_out, n_rs)
+
+
+def test_rolling_reserved_and_bucket_dtype_guards(spark):
+    """Internal-column collision and lossy-bucket-cast guards fail
+    loudly instead of silently corrupting order."""
+    from fabstir_vectordb_spark.operators.timeseries import (
+        rolling, rolling_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100, 1.0, 5)], "k long, ts long, v double, __ord int"
+    )
+    with pytest.raises(ValueError, match="__ord"):
+        rolling(df, "k", "ts", {"m": ("mean", "v")})
+    sdf = spark.createDataFrame(
+        [("a", "0", 1.0)], "k string, bucket string, s double"
+    )
+    with pytest.raises(ValueError, match="integer bucket"):
+        rolling_buckets(sdf, "k", {"m": ("mean", "s")}, 2)
+
+
+def test_rolling_property_random_vs_bruteforce(spark):
+    """Random raw-epoch fixtures with heavy timestamp ties and NULL
+    values: rolling's RANGE-frame outputs equal a brute-force python
+    evaluation of the closed [t-w, t] window per row, min_periods
+    included."""
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = 200
+        ks = rng.integers(0, 3, n)
+        ts = rng.integers(0, 50, n)  # dense -> many exact ties
+        vs = [
+            None if rng.random() < 0.2 else float(rng.integers(0, 9))
+            for _ in range(n)
+        ]
+        rows = [(int(k), int(t), v) for k, t, v in zip(ks, ts, vs)]
+        df = spark.createDataFrame(rows, "k long, ts long, v double")
+        from fabstir_vectordb_spark.operators.timeseries import rolling
+
+        w, mp = 7, 2
+        got = rolling(
+            df, "k", "ts",
+            {"s": ("sum", "v"), "m": ("mean", "v"),
+             "c": ("count", "v")},
+            window_seconds=w, min_periods=mp,
+        ).collect()
+        assert len(got) == n
+        for r in got:
+            frame = [
+                v for k, t, v in rows
+                if k == r["k"] and r["ts"] - w <= t <= r["ts"]
+                and v is not None
+            ]
+            if len(frame) < mp:
+                assert r["s"] is None and r["m"] is None and (
+                    r["c"] is None
+                ), (trial, r)
+            else:
+                assert r["c"] == len(frame)
+                assert abs(r["s"] - sum(frame)) < 1e-9
+                assert abs(r["m"] - sum(frame) / len(frame)) < 1e-9
