@@ -25,6 +25,10 @@ Covers the round-6/7 temporal tier the way a user would reach it:
      a watermark (funnel_chunks_stream), the keys-only stitch
      (funnel_from_chunks) refreshes the funnel from accumulated
      chunk rows — history is never rescanned; == batch, asserted
+ 15. moving aggregates: a trailing 6h mean per user over raw events
+     (rolling) and the gap-filled 3-bucket moving average over the
+     daily grid (resample + rolling_buckets — the hot-key scale path:
+     events compact to buckets before any frame is evaluated)
 
 Run:  python examples/event_analytics.py
 (uses the sf0.001 fixture tables; finishes in ~1 min on local[8])
@@ -355,6 +359,33 @@ def main(spark: SparkSession) -> dict:
     }
     assert got_f == want_f  # stream-refreshed == batch funnel, exactly
     out["funnel_users_streamed"] = len(got_f)
+
+    # --- 15. (r11) moving aggregates -------------------------------------
+    from fabstir_vectordb_spark.operators.timeseries import (
+        rolling, rolling_buckets,
+    )
+
+    # trailing 6h mean/count per user, one row per event
+    trail = rolling(
+        events, "user_id", "ts",
+        {"v6h_mean": ("mean", "value"), "n6h": ("count", None)},
+        window_seconds=21600,
+    )
+    out["rolling_rows"] = trail.count()
+    assert out["rolling_rows"] == events.filter(
+        F.col("ts").isNotNull()
+    ).count()
+
+    # the dashboard staple: daily zero-filled sums, 3-day moving avg —
+    # resample compacts events to buckets BEFORE the frame runs, so a
+    # hot key slides over days, not events
+    daily = resample(
+        events, "user_id", "ts", 86400,
+        aggs={"s": F.sum("value")}, fill={"s": ("zero", "locf")},
+    )
+    ma = rolling_buckets(daily, "user_id", {"s_ma3": ("mean", "s_zero")}, 3)
+    out["moving_avg_rows"] = ma.count()
+    assert out["moving_avg_rows"] == daily.count()  # windows add no rows
 
     return out
 
