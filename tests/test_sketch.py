@@ -204,3 +204,40 @@ def test_sketch_nan_null_count_nowhere(spark):
     ).collect()[0]
     assert est["n"] == 3
     assert est["p50"] == 2.0
+
+
+def test_sketch_persists_to_parquet(spark, documents, tmp_path):
+    """The incremental loop's storage step: partial and merged cells
+    are plain binary columns — parquet round-trip must change nothing
+    (byte-identical merged cells, identical estimates)."""
+    docs = documents.select("lang", "n_chars")
+    parts = sketch_partials(docs, ["lang"], "n_chars", k=256)
+    p1 = str(tmp_path / "parts.parquet")
+    parts.write.parquet(p1)
+    merged = merge_sketches(
+        spark.read.parquet(p1), ["lang"], "n_chars"
+    )
+    m1 = str(tmp_path / "merged.parquet")
+    merged.write.parquet(m1)
+    back = spark.read.parquet(m1)
+    direct = {
+        r["lang"]: bytes(r["__rsk_n_chars"])
+        for r in merge_sketches(parts, ["lang"], "n_chars").collect()
+    }
+    stored = {
+        r["lang"]: bytes(r["__rsk_n_chars"]) for r in back.collect()
+    }
+    assert direct == stored
+    est = {
+        r["lang"]: (r["n"], r["p50"])
+        for r in sketch_quantiles(
+            back, ["lang"], "n_chars", {"p50": 0.5}
+        ).collect()
+    }
+    est_direct = {
+        r["lang"]: (r["n"], r["p50"])
+        for r in sketch_quantiles(
+            merged, ["lang"], "n_chars", {"p50": 0.5}
+        ).collect()
+    }
+    assert est == est_direct
