@@ -63,7 +63,7 @@ from pyspark.sql import functions as F
 
 from fabstir_vectordb_spark.operators.temporal import _raw_time_mode
 
-__all__ = ["resample", "rolling", "rolling_buckets"]
+__all__ = ["resample", "rolling", "rolling_buckets", "rolling_multi"]
 
 _FILL_METHODS = ("locf", "nocb", "interp", "zero")
 
@@ -506,3 +506,77 @@ def rolling_buckets(
     return _rolling_over(
         df, keys, aggs, min_periods, w, "rolling_buckets agg"
     )
+
+
+def rolling_multi(
+    df: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    windows: dict[str, int] | None = None,
+    aggs: dict[str, tuple[str, str | None]] | None = None,
+    min_periods: int = 1,
+) -> DataFrame:
+    """Multi-horizon trailing aggregates in ONE pass — the
+    feature-engineering staple (activity at 1h / 24h / 7d per entity):
+    every ``aggs`` output computed at every ``windows`` horizon, named
+    ``<agg>_<suffix>``.
+
+    ``windows``  suffix -> trailing span (seconds; raw units in
+                 numeric-epoch mode), e.g. ``{"1h": 3600, "1d":
+                 86400, "7d": 604800}``.
+    ``aggs`` / ``min_periods``  :func:`rolling`'s contract, applied
+                 per horizon.
+
+    All horizons share one partitioning and one sort, and Spark
+    groups the same-(partition, order) frames into a SINGLE Window
+    node — so k horizons x m aggregates cost exactly one keyed
+    exchange + one per-key sort, same as one (plan-pinned in tests).
+    The per-row evaluation cost still scales with each frame's
+    population (see :func:`rolling`'s scale note); for dense long
+    horizons compose with :func:`resample` + :func:`rolling_buckets`
+    per horizon instead."""
+    from pyspark.sql.window import Window
+
+    if not windows:
+        raise ValueError(
+            "windows must map at least one suffix to a positive "
+            "trailing span, e.g. {'1h': 3600, '1d': 86400}"
+        )
+    if "__ord" in df.columns:
+        raise ValueError(
+            "input column '__ord' collides with rolling's internal "
+            "order column (the __ prefix is reserved); rename it first"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    if aggs is None:
+        aggs = {"n": ("count", None)}
+        if "value" in df.columns:
+            aggs["v_mean"] = ("mean", "value")
+    raw = _raw_time_mode((df, [ts_col]))
+    tx = (
+        F.col(ts_col).cast("long")
+        if raw
+        else F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    out = df.filter(tx.isNotNull()).withColumn("__ord", tx)
+    for suffix, span in windows.items():
+        if not suffix or not str(suffix).strip():
+            raise ValueError("window suffix must be non-empty")
+        if int(span) <= 0:
+            raise ValueError(
+                f"window {suffix!r}: span must be positive; got {span}"
+            )
+        w_u = int(span) * (1 if raw else 1_000_000)
+        frame = (
+            Window.partitionBy(*keys)
+            .orderBy("__ord")
+            .rangeBetween(-w_u, 0)
+        )
+        suffixed = {
+            f"{name}_{suffix}": spec for name, spec in aggs.items()
+        }
+        out = _rolling_over(
+            out, keys, suffixed, min_periods, frame,
+            f"rolling_multi[{suffix}] agg",
+        )
+    return out.drop("__ord")

@@ -527,3 +527,50 @@ def test_rolling_property_random_vs_bruteforce(spark):
                 assert r["c"] == len(frame)
                 assert abs(r["s"] - sum(frame)) < 1e-9
                 assert abs(r["m"] - sum(frame) / len(frame)) < 1e-9
+
+
+def test_rolling_multi_horizons_one_window_node(spark):
+    """rolling_multi: every agg at every horizon in ONE pass — values
+    equal per-horizon rolling() calls, and the static plan carries
+    exactly one exchange, one sort, and one Window node however many
+    horizons are requested."""
+    from fabstir_vectordb_spark.operators.timeseries import (
+        rolling, rolling_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 150, 3.0), (1, 5000, 5.0),
+         (2, 120, 7.0), (2, 130, None)],
+        "k long, ts long, v double",
+    )
+    windows = {"1m": 60, "2h": 7200}
+    out = rolling_multi(
+        df, "k", "ts", windows,
+        {"s": ("sum", "v"), "c": ("count", "v")},
+    )
+    rows = {(r["k"], r["ts"]): r for r in out.collect()}
+    for suffix, span in windows.items():
+        single = rolling(
+            df, "k", "ts", {"s": ("sum", "v"), "c": ("count", "v")},
+            window_seconds=span,
+        ).collect()
+        for r in single:
+            m = rows[(r["k"], r["ts"])]
+            assert m[f"s_{suffix}"] == r["s"], (suffix, r)
+            assert m[f"c_{suffix}"] == r["c"], (suffix, r)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = rolling_multi(
+            df, "k", "ts", windows,
+            {"s": ("sum", "v"), "c": ("count", "v")},
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+    assert plan.count("Window") == 1, plan
+    with pytest.raises(ValueError, match="at least one suffix"):
+        rolling_multi(df, "k", "ts", {}, {"s": ("sum", "v")})
+    with pytest.raises(ValueError, match="span must be positive"):
+        rolling_multi(df, "k", "ts", {"x": 0}, {"s": ("sum", "v")})
