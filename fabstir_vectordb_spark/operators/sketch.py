@@ -44,6 +44,11 @@ Spark shape — the 100 TB story:
 
 Incremental use: keep the merged sketch table per chunk, union the
 binary cells, merge again — same algebra as summarize/merge_summaries.
+Streaming: :func:`sketch_partials` is a STATELESS mapInPandas, so it
+runs on a streaming frame as-is (append mode, no state, one cell per
+micro-batch x dims combo); the merge and read-off stay batch over the
+sink — the summarize_stream split, pinned stream≡batch in
+tests/test_sketch.py.
 
 Reference parity: none (the reference has no quantile surface);
 extension-axis, closing VERDICT r10 "What's missing" #2.

@@ -241,3 +241,60 @@ def test_sketch_persists_to_parquet(spark, documents, tmp_path):
         ).collect()
     }
     assert est == est_direct
+
+
+def test_sketch_partials_stream_then_batch_merge(spark, tmp_path):
+    """The streaming split, for free: sketch_partials is a STATELESS
+    mapInPandas, so it runs on a stream as-is (append mode, no state);
+    partials land in a sink and merge_sketches + sketch_quantiles stay
+    batch over the accumulated cells — same split as summarize_stream.
+    Estimates equal the all-batch build."""
+    import pandas as pd
+
+    rs = np.random.RandomState(5)
+    pdf = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 5000),
+        "v": np.concatenate([rs.rand(5000), 100 + rs.rand(5000)]),
+    })
+    df = spark.createDataFrame(pdf)
+    src = str(tmp_path / "sk_src")
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sketch_partials(stream, ["g"], "v", k=256)
+        .writeStream.format("memory")
+        .queryName("sk_parts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    streamed = spark.table("sk_parts")
+    est_s = {
+        r["g"]: (r["n"], r["p50"])
+        for r in sketch_quantiles(
+            merge_sketches(streamed, ["g"], "v"), ["g"], "v",
+            {"p50": 0.5},
+        ).collect()
+    }
+    est_b = {
+        r["g"]: (r["n"], r["p50"])
+        for r in sketch_quantiles(
+            merge_sketches(
+                sketch_partials(df, ["g"], "v", k=256), ["g"], "v"
+            ),
+            ["g"], "v", {"p50": 0.5},
+        ).collect()
+    }
+    # same n exactly; estimates within the rank bound of each other
+    assert {g: n for g, (n, _) in est_s.items()} == {
+        g: n for g, (n, _) in est_b.items()
+    }
+    for g in est_b:
+        xs = pdf[pdf.g == g]["v"].to_numpy()
+        assert _rank_err(est_s[g][1], xs, 0.5) <= 0.02
+        assert _rank_err(est_b[g][1], xs, 0.5) <= 0.02
