@@ -1219,6 +1219,13 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                   100 TB without rescanning.
       li_xd       (r10) exact MERGEABLE distinct (capped collect_set
                   partials, two-phase) vs DuckDB COUNT(DISTINCT).
+      doc_skx     (r11) the rank sketch's EXACT path, VALUE-certified:
+                  with k above the largest group, no buffer collapse
+                  ever fires and the read-off IS the exact
+                  ceil(q*n)-th order statistic — replayed in DuckDB
+                  as a row_number() rank pick, hash-exact.  p50/p90
+                  of n_chars per documents.lang (k = 65536 >> any
+                  lang group at the certified scales).
       li_sk       (r11) the UNDECLARED-RANGE percentile tier
                   (operators/sketch.py — deterministic Munro-Paterson
                   rank sketch, mergeable binary partials, NO grid):
@@ -1448,6 +1455,22 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_sk = _sk_branch(["l_returnflag"], 0).unionByName(
         _sk_branch([], 1)
     )
+    # doc_skx (r11): the sketch's exact no-collapse path, value-level
+    docs_sk = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    doc_skx = _sk_q(
+        _sk_m(_sk_p(docs_sk, ["lang"], "n_chars", k=65536),
+              ["lang"], "n_chars"),
+        ["lang"], "n_chars", {"p50": 0.5, "p90": 0.9},
+    ).select(
+        F.lit("doc_skx").alias("part"),
+        F.col("lang").alias("k1"),
+        F.lit("(all)").alias("k2"),
+        F.lit(0).cast("int").alias("g1"),
+        F.lit(1).cast("int").alias("g2"),
+        F.col("n").cast("long").alias("n"),
+        F.col("p50").alias("x1"),
+        F.col("p90").alias("x2"),
+    )
     return (
         doc_rollup.unionByName(doc_direct)
         .unionByName(doc_incr)
@@ -1460,6 +1483,7 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(li_hincr)
         .unionByName(li_xd)
         .unionByName(li_sk)
+        .unionByName(doc_skx)
     )
 
 
@@ -7682,6 +7706,23 @@ UNION ALL
 SELECT 'li_sk' AS part, '(all)' AS k1, '(all)' AS k2,
        1 AS g1, 1 AS g2, count(*) AS n, 1.0 AS x1, 1.0 AS x2
 FROM lineitem
+UNION ALL
+-- doc_skx (r11): the sketch's exact no-collapse path — the read-off
+-- is the ceil(q*n)-th order statistic (stable ties), replayed as a
+-- row_number() rank pick over the sorted group
+SELECT 'doc_skx' AS part, lang AS k1, '(all)' AS k2,
+       0 AS g1, 1 AS g2, CAST(n AS BIGINT) AS n,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                THEN CAST(x AS DOUBLE) END) AS x1,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                THEN CAST(x AS DOUBLE) END) AS x2
+FROM (
+  SELECT lang, n_chars AS x,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents WHERE n_chars IS NOT NULL
+)
+GROUP BY lang, n
 """
 
 
