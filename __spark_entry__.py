@@ -1009,6 +1009,15 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            frame, n = bucket rows, x1/x2/x3 = r6 moving avg/sum/max
            of the r6'd zero-filled daily sum.  RANGE over bucket ids
            (sparse-grid correct), replayed identically in DuckDB.
+      roll_stream (r11) streaming/ingest.rolling_stream as a REAL
+           Structured Streaming run (the stream_session pattern:
+           unordered micro-batch replay, complete mode, wide
+           watermark): 6h sliding windows at 1h slides per user —
+           one row per (user, trailing hourly bucket) whose window
+           saw an event, n = window count, x1/x2 = r6 window
+           sum/mean.  Oracle: DuckDB generates each event's 6
+           covered buckets and re-aggregates the trailing span —
+           sliding windows replayed closed-form, hash-exact.
 
     Scale story (PERFORMANCE.md §Round 9): the binned agg partial-
     aggregates map-side so the shuffle carries buckets, not events;
@@ -1153,9 +1162,56 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("mx").alias("x3"),
         F.lit(0.0).alias("x4"),
     )
+    # roll_stream (r11): a real streaming run of the sliding-window
+    # moving aggregates (rolling_stream), unordered replay
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from fabstir_vectordb_spark.streaming.ingest import rolling_stream
+
+    src_rs = _tf.mkdtemp(prefix="rollstr_src_")
+    ev.select("user_id", "ts", "value").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src_rs)
+    rs_stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_rs)
+    )
+    rs_name = f"rollstr_{_uuid.uuid4().hex[:8]}"
+    rq = (
+        rolling_stream(
+            rs_stream, "user_id", "ts",
+            {"s": ("sum", "value"), "c": ("count", "value"),
+             "a": ("mean", "value")},
+            window_seconds=21600, slide_seconds=3600,
+            watermark="3650 days",
+        )
+        .writeStream.format("memory")
+        .queryName(rs_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not rq.awaitTermination(300):
+        rq.stop()
+        raise RuntimeError("rolling_stream query did not finish in 300s")
+    roll_stream = spark.table(rs_name).select(
+        F.lit("roll_stream").alias("part"),
+        F.col("user_id").alias("key"),
+        F.col("bucket").alias("bin"),
+        F.col("c").cast("long").alias("n"),
+        r6("s").alias("x1"),
+        r6("a").alias("x2"),
+        F.lit(0.0).alias("x3"),
+        F.lit(0.0).alias("x4"),
+    )
     return (
         six.unionByName(raw).unionByName(day).unionByName(win)
         .unionByName(sqlg).unionByName(roll).unionByName(rollb)
+        .unionByName(roll_stream)
     )
 
 
@@ -7561,6 +7617,28 @@ FROM (
 )
 WINDOW wb AS (PARTITION BY user_id ORDER BY bin
              RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+UNION ALL
+-- roll_stream (r11): sliding windows closed-form — each event covers
+-- the 6 hourly buckets [eb, eb+5]; a (user, bucket) row emits iff
+-- some event covers it, aggregating events with eb in [b-5, b]
+SELECT 'roll_stream' AS part, bks.user_id AS key, bks.b AS bin,
+       CAST(count(e.value) AS BIGINT) AS n,
+       (round(sum(e.value), 6) + 0.0) AS x1,
+       (round(avg(e.value), 6) + 0.0) AS x2,
+       0.0 AS x3, 0.0 AS x4
+FROM (
+  SELECT DISTINCT user_id, eb + off AS b
+  FROM (SELECT user_id,
+               CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS eb
+        FROM events WHERE ts IS NOT NULL) ev0,
+       LATERAL (SELECT unnest(generate_series(0, 5)) AS off) o
+) bks
+JOIN (SELECT user_id,
+             CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS eb,
+             value
+      FROM events WHERE ts IS NOT NULL) e
+  ON e.user_id = bks.user_id AND e.eb BETWEEN bks.b - 5 AND bks.b
+GROUP BY 1, 2, 3
 """
 
 
