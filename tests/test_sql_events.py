@@ -404,3 +404,48 @@ def test_funnel_summary_sql_errors(spark, events):
             """SELECT FUNNEL_SUMMARY(60 SECONDS)(ts + 1, a = 1, b = 2)
                FROM ev_sql GROUP BY user_id""",
         )
+
+
+def test_funnel_summary_sql_strict_and_retention_nulls(spark, events):
+    """STRICT INCREASE threads through FUNNEL_SUMMARY to the funnel
+    operator; RETENTION reads SQL ternary NULLs as not-met (coalesce
+    to false) rather than poisoning the aggregate."""
+    from fabstir_vectordb_spark.operators.funnel import (
+        funnel, funnel_summary,
+    )
+    from fabstir_vectordb_spark.plans.sql_events import (
+        funnel_summary_sql, retention_sql,
+    )
+
+    per_key = funnel(
+        events, "user_id",
+        [F.col("action") == "search", F.col("action") == "click"],
+        window_seconds=3600, strict_increase=True,
+    )
+    want = {
+        (r["step"], r["reached"], r["conversion"])
+        for r in funnel_summary(per_key, 2).collect()
+    }
+    got = {
+        (r["step"], r["reached"], r["conversion"])
+        for r in funnel_summary_sql(
+            spark,
+            """SELECT FUNNEL_SUMMARY(3600 SECONDS, STRICT INCREASE)
+                      (ts, action = 'search', action = 'click')
+               FROM ev_sql GROUP BY user_id""",
+        ).collect()
+    }
+    assert got == want
+    # NULL predicate result (value IS NULL comparisons) -> not met
+    spark.createDataFrame(
+        [(1, None), (1, 5.0), (2, None)], "k long, x double"
+    ).createOrReplaceTempView("ret_nulls")
+    got_n = {
+        r["k"]: list(r["r"])
+        for r in retention_sql(
+            spark,
+            "SELECT k, RETENTION(x > 1, x > 10) AS r "
+            "FROM ret_nulls GROUP BY k",
+        ).collect()
+    }
+    assert got_n == {1: [1, 0], 2: [0, 0]}
