@@ -2339,9 +2339,36 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(stage_expr)
     funnel = fs.select("doc_id", stage_expr.alias("funnel_stage"))
 
+    # r11: the INCREMENTAL exemplar tier — cap_per_group's kept set
+    # maintained through mergeable bottom-k partials (3 disjoint
+    # chunks, merged); by the bottom-k merge identity the result
+    # equals the one-shot window EXACTLY, so the oracle certifies the
+    # whole incremental chain through its cap window replay
+    from fabstir_vectordb_spark.operators.sampling import (
+        exemplar_partials, exemplars_from_summary, merge_exemplars,
+    )
+
+    exch = docs.select("doc_id", "source").withColumn(
+        "__c", F.abs(F.xxhash64("doc_id")) % 3
+    )
+    ex = exemplars_from_summary(
+        merge_exemplars(*[
+            exemplar_partials(
+                exch.filter(F.col("__c") == i).drop("__c"),
+                "source", 15,
+            )
+            for i in range(3)
+        ])
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("rank").alias("__exr"),
+    )
     return (
         out.join(dec, "doc_id").join(caps, "doc_id").join(mix, "doc_id")
         .join(funnel, "doc_id").join(ds, "doc_id")
+        .join(ex, "doc_id", "left")
+        .withColumn("ex_rank", F.coalesce("__exr", F.lit(-1)))
+        .drop("__exr")
     )
 
 
@@ -6376,7 +6403,11 @@ SELECT sig.doc_id, lang, quality, n_tokens, rep_3gram,
   fst.funnel_stage AS funnel_stage,
   (round(dssel.s, 6) + 0.0) AS dsir_score,
   (round(dssel.gk, 6) + 0.0) AS dsir_key,
-  dssel.dsir_selected AS dsir_selected
+  dssel.dsir_selected AS dsir_selected,
+  -- r11 incremental exemplars: by the bottom-k merge identity the
+  -- chunk-merged rank equals the one-shot window rank exactly
+  COALESCE(CASE WHEN caps.grp_rank <= 15
+                THEN CAST(caps.grp_rank AS BIGINT) END, -1) AS ex_rank
 FROM sig
 LEFT JOIN hits h ON sig.doc_id = h.doc_id
 JOIN caps ON sig.doc_id = caps.doc_id

@@ -424,3 +424,106 @@ def chunk_documents(
         ),
     )
     return out
+
+
+def _ex_col(k: int) -> str:
+    """Partial column name encodes k, so a mismatched merge fails on
+    schema rather than silently truncating (the summary-algebra rule)."""
+    return f"__ex_k{k}"
+
+
+def exemplar_partials(
+    chunk: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Mergeable per-group EXEMPLAR sample: the bottom-``k`` rows per
+    group by the engine-independent md5 bucket — exactly the set
+    :func:`cap_per_group` keeps — as ONE array partial per group per
+    chunk, so the exemplar set maintains INCREMENTALLY (summarize/
+    merge_summaries' algebra): sample the new chunk, merge arrays,
+    never re-rank the corpus.
+
+    Exactness is the bottom-k merge identity: bottomk(A ∪ B) ==
+    bottomk(bottomk(A) ∪ bottomk(B)) — merged chunk partials equal
+    :func:`cap_per_group` over the full frame EXACTLY (rows AND
+    ranks; pinned by test and by the corpus_filter driver part).
+    Rows are ranked by (bucket, id): deterministic, uniform,
+    reproducible cross-engine, monotone under growth — a new document
+    can push hash-later exemplars out, never rotate the kept set.
+
+    Scale shape: one keyed window per CHUNK (cap_per_group's
+    exchange, bounded by the chunk) + one groupBy whose collect_list
+    is capped at k rows per group by construction; the merged partial
+    is <= k structs per group.  Duplicate ids count as rows, exactly
+    as cap_per_group treats them.
+
+    Output: (group_col, __ex_k<k> array<struct<b bigint, id>>)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    kept = cap_per_group(
+        chunk.select(group_col, id_col), k, group_col, id_col, salt
+    ).filter(F.col("grp_kept"))
+    return kept.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    _bucket(F.col(id_col), salt).alias("b"),
+                    F.col(id_col).alias("id"),
+                )
+            )
+        ).alias(_ex_col(k))
+    )
+
+
+def merge_exemplars(*partials: DataFrame) -> DataFrame:
+    """Fold exemplar partials (any mix of chunks / stored summaries)
+    to one bottom-k array per group.  The k is read from the partial
+    column name; mixed-k inputs fail loudly on schema."""
+    if not partials:
+        raise ValueError("merge_exemplars needs at least one partials frame")
+    cols = set()
+    for p in partials:
+        cols.update(c for c in p.columns if c.startswith("__ex_k"))
+    if len(cols) != 1:
+        raise ValueError(
+            f"expected exactly one __ex_k<k> partial column across "
+            f"inputs; got {sorted(cols)}"
+        )
+    col = cols.pop()
+    k = int(col.removeprefix("__ex_k"))
+    u = partials[0]
+    for p in partials[1:]:
+        u = u.unionByName(p)
+    group_cols = [c for c in u.columns if c != col]
+    return u.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list(F.col(col)))),
+            1, k,
+        ).alias(col)
+    )
+
+
+def exemplars_from_summary(merged: DataFrame) -> DataFrame:
+    """Read the exemplar rows off a merged summary: (group cols...,
+    id, rank 1..k) — cap_per_group's kept rows and grp_rank, derived
+    from the compact summary instead of a corpus window."""
+    col = next(
+        (c for c in merged.columns if c.startswith("__ex_k")), None
+    )
+    if col is None:
+        raise ValueError(
+            "frame lacks an __ex_k<k> partial column — build it with "
+            "exemplar_partials / merge_exemplars"
+        )
+    group_cols = [c for c in merged.columns if c != col]
+    return merged.select(
+        *group_cols,
+        F.posexplode(F.col(col)).alias("__pos", "__e"),
+    ).select(
+        *group_cols,
+        F.col("__e.id").alias("id"),
+        (F.col("__pos") + 1).cast("long").alias("rank"),
+    )

@@ -341,3 +341,50 @@ def test_group_split_no_leakage(spark):
         F.count_distinct("split").alias("k")
     )
     assert leaked.filter(F.col("k") > 1).count() > 0
+
+
+def test_exemplar_partials_merge_equals_cap_per_group(spark, documents):
+    """The bottom-k merge identity end-to-end: chunked exemplar
+    partials merged == cap_per_group over the full frame, rows AND
+    ranks exactly; a second-level merge (merge of merges) changes
+    nothing; mixed-k merges fail loudly."""
+    from fabstir_vectordb_spark.operators.sampling import (
+        cap_per_group, exemplar_partials, exemplars_from_summary,
+        merge_exemplars,
+    )
+
+    docs = documents.select("doc_id", "source")
+    want = {
+        (r["source"], r["doc_id"], r["grp_rank"])
+        for r in cap_per_group(docs, 7).filter("grp_kept").collect()
+    }
+    ch = docs.withColumn("__c", F.abs(F.xxhash64("doc_id")) % 3)
+    parts = [
+        exemplar_partials(
+            ch.filter(F.col("__c") == i).drop("__c"), "source", 7
+        )
+        for i in range(3)
+    ]
+    merged = merge_exemplars(*parts)
+    got = {
+        (r["source"], r["id"], r["rank"])
+        for r in exemplars_from_summary(merged).collect()
+    }
+    assert got == want
+    # merge of merges == merge (associativity in practice)
+    m2 = merge_exemplars(merge_exemplars(parts[0], parts[1]), parts[2])
+    got2 = {
+        (r["source"], r["id"], r["rank"])
+        for r in exemplars_from_summary(m2).collect()
+    }
+    assert got2 == want
+    # self-describing k: mixed-k merge fails on the column name
+    import pytest as _pt
+
+    other = exemplar_partials(docs, "source", 5)
+    with _pt.raises(ValueError, match="exactly one __ex_k"):
+        merge_exemplars(parts[0], other)
+    with _pt.raises(ValueError, match="k must be"):
+        exemplar_partials(docs, "source", 0)
+    with _pt.raises(ValueError, match="lacks an __ex_k"):
+        exemplars_from_summary(docs)
