@@ -1275,6 +1275,14 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                   100 TB without rescanning.
       li_xd       (r10) exact MERGEABLE distinct (capped collect_set
                   partials, two-phase) vs DuckDB COUNT(DISTINCT).
+      doc_mgx     (r11) the Misra-Gries frequent-items summary's
+                  EXACT path, VALUE-certified: with k >= the distinct
+                  source count nothing truncates, so the 3-chunk
+                  merged summary's top-3 per lang equals doc_top's
+                  exact heavy hitters row-for-row (same oracle
+                  formula; x2 pins max_undercount = 0).  The
+                  truncated path's undercount bound is pinned by
+                  pytest on skewed fixtures (tests/test_sketch.py).
       doc_skx     (r11) the rank sketch's EXACT path, VALUE-certified:
                   with k above the largest group, no buffer collapse
                   ever fires and the read-off IS the exact
@@ -1511,6 +1519,32 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_sk = _sk_branch(["l_returnflag"], 0).unionByName(
         _sk_branch([], 1)
     )
+    # doc_mgx (r11): Misra-Gries exact path — k covers the source
+    # cardinality, so the chunk-merged summary reproduces doc_top
+    from fabstir_vectordb_spark.operators.sketch import (
+        freq_partials as _fq_p, merge_freq as _fq_m,
+        top_from_freq as _fq_t,
+    )
+
+    docs_mg = _t(spark, sf_dir, "documents").select("lang", "source")
+    mg_ch = docs_mg.withColumn(
+        "__c", F.abs(F.xxhash64("lang", "source")) % 3
+    )
+    mg_merged = _fq_m(*[
+        _fq_p(mg_ch.filter(F.col("__c") == i).drop("__c"),
+              ["lang"], "source", k=4096)
+        for i in range(3)
+    ])
+    doc_mgx = _fq_t(mg_merged, top=3).select(
+        F.lit("doc_mgx").alias("part"),
+        F.col("lang").alias("k1"),
+        F.col("value").alias("k2"),
+        F.lit(0).cast("int").alias("g1"),
+        F.lit(0).cast("int").alias("g2"),
+        F.col("est").cast("long").alias("n"),
+        F.col("rank").cast("double").alias("x1"),
+        F.col("max_undercount").cast("double").alias("x2"),
+    )
     # doc_skx (r11): the sketch's exact no-collapse path, value-level
     docs_sk = _t(spark, sf_dir, "documents").select("lang", "n_chars")
     doc_skx = _sk_q(
@@ -1540,6 +1574,7 @@ def q_olap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(li_xd)
         .unionByName(li_sk)
         .unionByName(doc_skx)
+        .unionByName(doc_mgx)
     )
 
 
@@ -7819,6 +7854,18 @@ UNION ALL
 -- doc_skx (r11): the sketch's exact no-collapse path — the read-off
 -- is the ceil(q*n)-th order statistic (stable ties), replayed as a
 -- row_number() rank pick over the sorted group
+SELECT 'doc_mgx' AS part, lang AS k1, value AS k2,
+       0 AS g1, 0 AS g2, weight AS n,
+       CAST(rank AS DOUBLE) AS x1, 0.0 AS x2
+FROM (
+  SELECT lang, source AS value, count(*) AS weight,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY count(*) DESC, source ASC
+         ) AS rank
+  FROM documents GROUP BY lang, source
+) WHERE rank <= 3
+UNION ALL
 SELECT 'doc_skx' AS part, lang AS k1, '(all)' AS k2,
        0 AS g1, 1 AS g2, CAST(n AS BIGINT) AS n,
        max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))

@@ -63,9 +63,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "freq_partials",
+    "merge_freq",
     "merge_sketches",
     "sketch_partials",
     "sketch_quantiles",
+    "top_from_freq",
 ]
 
 _MAGIC = b"MP01"
@@ -402,3 +405,209 @@ def sketch_quantiles(
             yield pd.DataFrame(rows)
 
     return merged.mapInPandas(kernel, out_schema)
+
+
+# ------------------------------------------------------------------ #
+# Misra-Gries frequent items (mergeable, bounded summary)             #
+# ------------------------------------------------------------------ #
+
+def _mg_col(col: str, k: int) -> str:
+    return f"__mg_{col}__k{k}"
+
+
+def _mg_ncol(col: str, k: int) -> str:
+    return f"{_mg_col(col, k)}_n"
+
+
+def _mg_truncate(counts, dims, k: int):
+    """Exact per-group counts -> a Misra-Gries summary of at most
+    ``k`` counters: keep the top k by (count DESC, value ASC) and
+    subtract the (k+1)-th count from each (Agarwal, Cormode et al.,
+    "Mergeable Summaries", PODS 2012 §3.1 — computing MG(S) from
+    exact counts; the subtraction is what makes the summary closed
+    under merging).  Counters that reach zero drop."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*[F.col(d) for d in dims]).orderBy(
+        F.col("__c").desc(), F.col("__v").asc()
+    )
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    kth1 = F.max(
+        F.when(F.col("__rn") == k + 1, F.col("__c"))
+    ).over(Window.partitionBy(*[F.col(d) for d in dims]))
+    return (
+        ranked.withColumn(
+            "__w", F.col("__c") - F.coalesce(kth1, F.lit(0))
+        )
+        .filter((F.col("__rn") <= k) & (F.col("__w") > 0))
+        .select(*dims, "__v", "__w")
+    )
+
+
+def freq_partials(
+    chunk: DataFrame,
+    dims: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Mergeable FREQUENT-ITEMS summary per group (Misra-Gries): at
+    most ``k`` (value, weight) counters + the group's exact row total,
+    as ONE row per group — the bounded-size sibling of the exact
+    ``top_values_from_summary`` tier, for UNBOUNDED value cardinality
+    (frequent hostnames / tokens / URLs over 100 TB, where keeping
+    every distinct value in the summary is the memory hazard the
+    exact tier's docs warn about).
+
+    Guarantees (classic MG, preserved under merging): estimates never
+    exceed true counts; the undercount is at most (N - sum of kept
+    weights) / (k + 1), a bound the summary itself carries; every
+    value with true frequency above that bound is PRESENT.  NULL
+    values count nowhere.
+
+    Scale shape: one exact groupBy per CHUNK (partial-aggregated
+    map-side), one keyed window over the chunk's distinct values,
+    then <= k counters per group cross the summary boundary.
+
+    Output: (dims..., __mg_<col>__k<k> array<struct<v string,
+    w bigint>>, __mg_<col>__k<k>_n bigint)."""
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    for d in (*dims, value_col):
+        if d not in chunk.columns:
+            raise ValueError(f"unknown column {d!r}")
+        if d.startswith("__"):
+            raise ValueError(
+                f"column {d!r}: the __ prefix is reserved"
+            )
+    if value_col in dims:
+        raise ValueError(f"value column {value_col!r} cannot be a dim")
+    kk = int(k)
+    slim = chunk.filter(F.col(value_col).isNotNull()).select(
+        *dims, F.col(value_col).cast("string").alias("__v")
+    )
+    counts = slim.groupBy(*dims, "__v").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    summary = _mg_truncate(counts, dims, kk)
+    scol, ncol = _mg_col(value_col, kk), _mg_ncol(value_col, kk)
+    arr = summary.groupBy(*dims).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__v").alias("v"), F.col("__w").alias("w"))
+            )
+        ).alias(scol)
+    )
+    totals = slim.groupBy(*dims).agg(F.count(F.lit(1)).alias(ncol))
+    return totals.join(arr, dims, "left").withColumn(
+        scol,
+        F.coalesce(
+            F.col(scol),
+            F.array().cast(f"array<struct<v string, w bigint>>"),
+        ),
+    )
+
+
+def merge_freq(*partials: DataFrame) -> DataFrame:
+    """Fold frequent-items partials to one summary row per group:
+    shared values' weights ADD, then the union re-truncates to k
+    counters with the same subtraction rule — exactly the PODS 2012
+    MG merge, so the error bound (N - sum weights)/(k+1) holds over
+    the union.  k is read from the partial column name; mixed-k
+    inputs fail loudly."""
+    if not partials:
+        raise ValueError("merge_freq needs at least one partials frame")
+    cols = set()
+    for p in partials:
+        cols.update(
+            c for c in p.columns
+            if c.startswith("__mg_") and not c.endswith("_n")
+        )
+    if len(cols) != 1:
+        raise ValueError(
+            f"expected exactly one __mg_<col>__k<k> partial column "
+            f"across inputs; got {sorted(cols)}"
+        )
+    scol = cols.pop()
+    ncol = f"{scol}_n"
+    k = int(scol.rsplit("__k", 1)[1])
+    u = partials[0]
+    for p in partials[1:]:
+        u = u.unionByName(p)
+    dims = [c for c in u.columns if c not in (scol, ncol)]
+    exploded = u.select(
+        *dims, F.col(ncol), F.explode_outer(scol).alias("__e")
+    )
+    counts = exploded.groupBy(*dims).agg(
+        F.sum(ncol).alias("__n_keep")
+    ).join(
+        exploded.filter(F.col("__e").isNotNull())
+        .groupBy(*dims, F.col("__e.v").alias("__v"))
+        .agg(F.sum("__e.w").alias("__c")),
+        dims, "left",
+    )
+    merged = _mg_truncate(
+        counts.filter(F.col("__v").isNotNull()), dims, k
+    )
+    arr = merged.groupBy(*dims).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__v").alias("v"), F.col("__w").alias("w"))
+            )
+        ).alias(scol)
+    )
+    totals = u.groupBy(*dims).agg(F.sum(ncol).alias(ncol))
+    return totals.join(arr, dims, "left").withColumn(
+        scol,
+        F.coalesce(
+            F.col(scol),
+            F.array().cast("array<struct<v string, w bigint>>"),
+        ),
+    )
+
+
+def top_from_freq(merged: DataFrame, top: int = 10) -> DataFrame:
+    """Read the heavy hitters off a merged summary: (dims..., value,
+    est bigint, max_undercount bigint, rank) — ``est <= true count <=
+    est + max_undercount`` (the MG guarantee), ranked by (est DESC,
+    value ASC).  Values whose true frequency exceeds max_undercount
+    are guaranteed present."""
+    if top < 1:
+        raise ValueError(f"top must be >= 1; got {top}")
+    from pyspark.sql.window import Window
+
+    scol = next(
+        (c for c in merged.columns
+         if c.startswith("__mg_") and not c.endswith("_n")),
+        None,
+    )
+    if scol is None:
+        raise ValueError(
+            "frame lacks a __mg_<col>__k<k> partial column — build it "
+            "with freq_partials / merge_freq"
+        )
+    ncol = f"{scol}_n"
+    k = int(scol.rsplit("__k", 1)[1])
+    dims = [c for c in merged.columns if c not in (scol, ncol)]
+    kept_mass = F.aggregate(
+        F.col(scol), F.lit(0).cast("bigint"), lambda a, x: a + x["w"]
+    )
+    rows = merged.select(
+        *dims,
+        F.col(ncol).alias("__n"),
+        F.floor(
+            (F.col(ncol) - kept_mass).cast("double") / (k + 1)
+        ).cast("bigint").alias("max_undercount"),
+        F.explode(scol).alias("__e"),
+    )
+    flat = rows.select(
+        *dims,
+        F.col("__e.v").alias("value"),
+        F.col("__e.w").alias("est"),
+        "max_undercount",
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(*[F.col(d) for d in dims]).orderBy(
+            F.col("est").desc(), F.col("value").asc()
+        )
+    )
+    return flat.withColumn("rank", rank).filter(F.col("rank") <= top)

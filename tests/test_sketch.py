@@ -298,3 +298,126 @@ def test_sketch_partials_stream_then_batch_merge(spark, tmp_path):
         xs = pdf[pdf.g == g]["v"].to_numpy()
         assert _rank_err(est_s[g][1], xs, 0.5) <= 0.02
         assert _rank_err(est_b[g][1], xs, 0.5) <= 0.02
+
+
+# ------------------------------------------------------------------ #
+# Misra-Gries frequent items                                          #
+# ------------------------------------------------------------------ #
+
+def _zipf_rows(seed, n, keys=("a", "b")):
+    rs = np.random.RandomState(seed)
+    vals = (np.floor(rs.pareto(1.2, n)) % 500).astype(int)
+    ks = rs.choice(list(keys), n)
+    return [(str(k), f"v{v}") for k, v in zip(ks, vals)]
+
+
+def test_mg_guarantees_on_skewed_data(spark):
+    """Classic MG contract, one-shot AND chunk-merged: est <= true <=
+    est + max_undercount for every reported item, and every value
+    whose true count exceeds max_undercount is PRESENT in the
+    summary."""
+    from fabstir_vectordb_spark.operators.sketch import (
+        freq_partials, merge_freq, top_from_freq,
+    )
+    import collections
+
+    rows = _zipf_rows(3, 30_000)
+    truth: dict = collections.defaultdict(collections.Counter)
+    for k, v in rows:
+        truth[k][v] += 1
+    df = spark.createDataFrame(rows, "g string, v string")
+    one = freq_partials(df, ["g"], "v", k=64)
+    ch = df.withColumn("__c", F.abs(F.xxhash64("v", "g")) % 4)
+    parts = [
+        freq_partials(
+            ch.filter(F.col("__c") == i).drop("__c"), ["g"], "v", k=64
+        )
+        for i in range(4)
+    ]
+    merged = merge_freq(*parts)
+    for summary in (one, merged):
+        # summary totals are exact
+        tot = {r["g"]: r["__mg_v__k64_n"] for r in
+               summary.select("g", "__mg_v__k64_n").collect()}
+        assert tot == {g: sum(c.values()) for g, c in truth.items()}
+        hits = top_from_freq(summary, top=1000).collect()
+        seen: dict = collections.defaultdict(set)
+        for r in hits:
+            t = truth[r["g"]][r["value"]]
+            assert r["est"] <= t <= r["est"] + r["max_undercount"], r
+            seen[r["g"]].add(r["value"])
+        for g, c in truth.items():
+            bound = next(
+                r["max_undercount"] for r in hits if r["g"] == g
+            )
+            for v, t in c.items():
+                if t > bound:
+                    assert v in seen[g], (g, v, t, bound)
+
+
+def test_mg_summary_bounded_and_validation(spark):
+    from fabstir_vectordb_spark.operators.sketch import (
+        freq_partials, merge_freq, top_from_freq,
+    )
+
+    df = spark.createDataFrame(
+        _zipf_rows(7, 5000), "g string, v string"
+    )
+    parts = freq_partials(df, ["g"], "v", k=16)
+    sizes = parts.select(
+        F.size("__mg_v__k16").alias("s")
+    ).agg(F.max("s")).collect()[0][0]
+    assert sizes <= 16  # bounded summary, never the distinct set
+    with pytest.raises(ValueError, match="k must be"):
+        freq_partials(df, ["g"], "v", k=0)
+    with pytest.raises(ValueError, match="cannot be a dim"):
+        freq_partials(df, ["v"], "v")
+    with pytest.raises(ValueError, match="exactly one __mg_"):
+        merge_freq(parts, freq_partials(df, ["g"], "v", k=8))
+    with pytest.raises(ValueError, match="lacks a __mg_"):
+        top_from_freq(df)
+    # NULL values count nowhere
+    withnull = df.unionByName(
+        spark.createDataFrame([("a", None)], "g string, v string")
+    )
+    n0 = freq_partials(df, ["g"], "v", k=16).agg(
+        F.sum("__mg_v__k16_n")
+    ).collect()[0][0]
+    n1 = freq_partials(withnull, ["g"], "v", k=16).agg(
+        F.sum("__mg_v__k16_n")
+    ).collect()[0][0]
+    assert n0 == n1
+
+
+def test_mg_exact_when_k_covers_cardinality(spark):
+    """With k >= the distinct-value count nothing truncates: the
+    summary IS the exact counts and top_from_freq == top_values."""
+    from fabstir_vectordb_spark.operators.olap import top_values
+    from fabstir_vectordb_spark.operators.sketch import (
+        freq_partials, merge_freq, top_from_freq,
+    )
+
+    rows = _zipf_rows(11, 8000)
+    df = spark.createDataFrame(rows, "g string, v string")
+    n_distinct = df.select("v").distinct().count()
+    ch = df.withColumn("__c", F.abs(F.xxhash64("v")) % 3)
+    merged = merge_freq(*[
+        freq_partials(
+            ch.filter(F.col("__c") == i).drop("__c"),
+            ["g"], "v", k=n_distinct + 10,
+        )
+        for i in range(3)
+    ])
+    got = {
+        (r["g"], r["value"], r["est"], r["rank"])
+        for r in top_from_freq(merged, top=5).collect()
+    }
+    want = {
+        (r["g"], r["value"], r["weight"], r["rank"])
+        for r in top_values(df, ["g"], "v", k=5).collect()
+    }
+    assert got == want
+    assert all(
+        r["max_undercount"] == 0
+        for r in top_from_freq(merged, top=5).collect()
+    )
