@@ -1,5 +1,6 @@
-"""Mergeable rank (quantile) sketch: percentiles WITHOUT a declared
-grid.
+"""Mergeable bounded-size summaries: a rank (quantile) sketch —
+percentiles WITHOUT a declared grid — and a Misra-Gries frequent-items
+summary — heavy hitters WITHOUT keeping the distinct-value set.
 
 The OLAP summary algebra's ``approx_pXX`` (operators/olap.py) is
 hash-exact and SQL-replayable, but it requires a FIXED grid declared
@@ -50,8 +51,20 @@ micro-batch x dims combo); the merge and read-off stay batch over the
 sink — the summarize_stream split, pinned stream≡batch in
 tests/test_sketch.py.
 
-Reference parity: none (the reference has no quantile surface);
-extension-axis, closing VERDICT r10 "What's missing" #2.
+The Misra-Gries tier (freq_partials / merge_freq / top_from_freq) is
+the same algebra for FREQUENT ITEMS: at most k (value, weight)
+counters per group per chunk, built from exact per-chunk counts by
+the PODS 2012 mergeable-summaries construction (top-k, subtract the
+(k+1)-th count), merged by adding shared counters and re-truncating.
+Estimates never exceed true counts, the summary CARRIES its own
+undercount bound ((N - kept mass)/(k+1)), and anything above the
+bound is guaranteed present.  Pure Catalyst — no Python anywhere on
+that path.  Chunk builds use a keyed window, so the streaming shape
+is foreachBatch -> freq_partials per micro-batch -> merge_freq over
+the sink (the summarize_stream split), not a direct stream transform.
+
+Reference parity: none (the reference has no quantile or frequency
+surface); extension-axis, closing VERDICT r10 "What's missing" #2.
 """
 
 from __future__ import annotations
