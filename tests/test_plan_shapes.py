@@ -651,3 +651,26 @@ def test_rolling_single_exchange_no_self_join(spark):
     assert "Exchange rangepartitioning" not in plan
     assert "Join" not in plan
     assert plan.count("Window") == 1, plan
+
+
+def test_mg_frequent_items_pure_jvm_bounded_exchanges(spark):
+    """The Misra-Gries path is pure Catalyst: no Python evaluation
+    nodes anywhere, and a chunk partial build is the exact groupBy's
+    exchange + the keyed window's — nothing proportional to the
+    distinct-value set crosses the summary boundary (<= k structs per
+    group by construction)."""
+    from fabstir_vectordb_spark.operators.sketch import (
+        freq_partials, merge_freq, top_from_freq,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", "source"
+    )
+    parts = freq_partials(docs, ["lang"], "source", k=32)
+    out = top_from_freq(merge_freq(parts, parts), top=5)
+    plan = _executed(out)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
+    assert "Exchange SinglePartition" not in plan
