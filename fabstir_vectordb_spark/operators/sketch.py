@@ -511,12 +511,31 @@ def freq_partials(
         ).alias(scol)
     )
     totals = slim.groupBy(*dims).agg(F.count(F.lit(1)).alias(ncol))
-    return totals.join(arr, dims, "left").withColumn(
+    return _ns_left_join(totals, arr, dims).withColumn(
         scol,
         F.coalesce(
             F.col(scol),
             F.array().cast(f"array<struct<v string, w bigint>>"),
         ),
+    )
+
+
+def _ns_left_join(left: DataFrame, right: DataFrame, dims: list[str]):
+    """LEFT join on the dims with NULL-SAFE equality — a plain
+    equality join silently drops groups whose key is NULL (NULL !=
+    NULL), which groupBy happily produced one row for.  Empty dims =
+    both sides are single global rows: cross join."""
+    if not dims:
+        return left.crossJoin(right)
+    cond = None
+    for d in dims:
+        c = left[d].eqNullSafe(right[d])
+        cond = c if cond is None else cond & c
+    joined = left.join(right, cond, "left")
+    return joined.select(
+        *[left[d] for d in dims],
+        *[left[c] for c in left.columns if c not in dims],
+        *[right[c] for c in right.columns if c not in dims],
     )
 
 
@@ -547,20 +566,12 @@ def merge_freq(*partials: DataFrame) -> DataFrame:
     for p in partials[1:]:
         u = u.unionByName(p)
     dims = [c for c in u.columns if c not in (scol, ncol)]
-    exploded = u.select(
-        *dims, F.col(ncol), F.explode_outer(scol).alias("__e")
-    )
-    counts = exploded.groupBy(*dims).agg(
-        F.sum(ncol).alias("__n_keep")
-    ).join(
-        exploded.filter(F.col("__e").isNotNull())
+    counts = (
+        u.select(*dims, F.explode(scol).alias("__e"))
         .groupBy(*dims, F.col("__e.v").alias("__v"))
-        .agg(F.sum("__e.w").alias("__c")),
-        dims, "left",
+        .agg(F.sum("__e.w").alias("__c"))
     )
-    merged = _mg_truncate(
-        counts.filter(F.col("__v").isNotNull()), dims, k
-    )
+    merged = _mg_truncate(counts, dims, k)
     arr = merged.groupBy(*dims).agg(
         F.array_sort(
             F.collect_list(
@@ -569,7 +580,7 @@ def merge_freq(*partials: DataFrame) -> DataFrame:
         ).alias(scol)
     )
     totals = u.groupBy(*dims).agg(F.sum(ncol).alias(ncol))
-    return totals.join(arr, dims, "left").withColumn(
+    return _ns_left_join(totals, arr, dims).withColumn(
         scol,
         F.coalesce(
             F.col(scol),

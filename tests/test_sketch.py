@@ -421,3 +421,30 @@ def test_mg_exact_when_k_covers_cardinality(spark):
         r["max_undercount"] == 0
         for r in top_from_freq(merged, top=5).collect()
     )
+
+
+def test_mg_null_group_keys_survive(spark):
+    """groupBy emits a row for the NULL group key; the summary joins
+    must be NULL-SAFE or that group silently loses its counters (and
+    empty dims = one global summary row)."""
+    from fabstir_vectordb_spark.operators.sketch import (
+        freq_partials, merge_freq, top_from_freq,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "x"), (None, "y"), ("a", "x")],
+        "g string, v string",
+    )
+    parts = freq_partials(df, ["g"], "v", k=8)
+    merged = merge_freq(parts, parts)
+    hits = {
+        (r["g"], r["value"]): r["est"]
+        for r in top_from_freq(merged, top=10).collect()
+    }
+    assert hits[(None, "x")] == 4  # doubled input, NULL group intact
+    assert hits[(None, "y")] == 2
+    assert hits[("a", "x")] == 2
+    # empty dims: one global row
+    g = merge_freq(freq_partials(df, [], "v", k=8))
+    rows = top_from_freq(g, top=10).collect()
+    assert {(r["value"], r["est"]) for r in rows} == {("x", 3), ("y", 1)}
