@@ -594,7 +594,12 @@ def top_from_freq(merged: DataFrame, top: int = 10) -> DataFrame:
     est bigint, max_undercount bigint, rank) — ``est <= true count <=
     est + max_undercount`` (the MG guarantee), ranked by (est DESC,
     value ASC).  Values whose true frequency exceeds max_undercount
-    are guaranteed present."""
+    are guaranteed present.  The COUNT BOUND is the contract, not the
+    ordering: values whose true counts differ by less than the bound
+    can rank-permute relative to their exact order (measured at the
+    50M-row datum, PERFORMANCE.md §Round 11) — use the exact
+    ``top_values_from_summary`` tier when near-tie order matters and
+    the cardinality permits storing it."""
     if top < 1:
         raise ValueError(f"top must be >= 1; got {top}")
     from pyspark.sql.window import Window
