@@ -81,6 +81,7 @@ __all__ = [
     "merge_sketches",
     "sketch_partials",
     "sketch_quantiles",
+    "suggest_sketch_k",
     "top_from_freq",
 ]
 
@@ -640,3 +641,32 @@ def top_from_freq(merged: DataFrame, top: int = 10) -> DataFrame:
         )
     )
     return flat.withColumn("rank", rank).filter(F.col("rank") <= top)
+
+
+def suggest_sketch_k(
+    target_rank_error: float = 0.01,
+    n_estimate: float = 1e12,
+) -> int:
+    """One-call k sizing for :func:`sketch_partials` (the
+    ``suggest_grid`` convention): smallest power-of-two buffer size
+    whose heuristic bound L/(2k) — L = collapse levels ~ log2(n/k) —
+    meets ``target_rank_error`` at ``n_estimate`` values.  The bound
+    is the module docstring's planning heuristic, deliberately
+    conservative next to the property-tested behavior (observed error
+    runs well under it); cell size scales linearly with k (~8 bytes a
+    slot), so doubling precision doubles the shuffle payload."""
+    if not 0 < target_rank_error < 1:
+        raise ValueError(
+            f"target_rank_error must be in (0, 1); got {target_rank_error}"
+        )
+    if n_estimate < 1:
+        raise ValueError(f"n_estimate must be >= 1; got {n_estimate}")
+    import math
+
+    k = 16
+    while k < 2**26:
+        levels = max(1.0, math.log2(max(2.0, n_estimate / k)))
+        if levels / (2 * k) <= target_rank_error:
+            return k
+        k *= 2
+    return k

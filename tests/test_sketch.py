@@ -448,3 +448,54 @@ def test_mg_null_group_keys_survive(spark):
     g = merge_freq(freq_partials(df, [], "v", k=8))
     rows = top_from_freq(g, top=10).collect()
     assert {(r["value"], r["est"]) for r in rows} == {("x", 3), ("y", 1)}
+
+
+def test_suggest_sketch_k_meets_bound():
+    from fabstir_vectordb_spark.operators.sketch import suggest_sketch_k
+    import math
+
+    for eps, n in ((0.01, 1e12), (0.05, 1e9), (0.001, 1e8)):
+        k = suggest_sketch_k(eps, n)
+        levels = max(1.0, math.log2(max(2.0, n / k)))
+        assert levels / (2 * k) <= eps
+        assert k & (k - 1) == 0  # power of two
+    with pytest.raises(ValueError, match="target_rank_error"):
+        suggest_sketch_k(0.0)
+    with pytest.raises(ValueError, match="n_estimate"):
+        suggest_sketch_k(0.01, 0)
+
+
+def test_kernel_random_merge_trees_property():
+    """Property over random data, random chunkings, random MERGE
+    TREES: however the partials are associated, the rank bound holds
+    at every tested quantile."""
+    rs = np.random.RandomState(42)
+    for trial in range(5):
+        n = int(rs.randint(2_000, 40_000))
+        regime = rs.choice(["uniform", "lognorm", "steps"])
+        if regime == "uniform":
+            allv = rs.rand(n)
+        elif regime == "lognorm":
+            allv = np.exp(rs.standard_normal(n) * 3)
+        else:
+            allv = np.repeat(
+                rs.randint(-5, 5, 40).astype("float64"), n // 40 + 1
+            )[:n]
+        k = int(rs.choice([128, 256, 512]))
+        cuts = np.sort(rs.choice(n, rs.randint(1, 6), replace=False))
+        chunks = np.split(allv, cuts)
+        sks = []
+        for c in chunks:
+            s = _sk_new(k)
+            _sk_update(s, c)
+            sks.append(s)
+        # random association order
+        while len(sks) > 1:
+            i = rs.randint(len(sks) - 1)
+            sks[i] = _sk_merge(sks[i], sks.pop(i + 1))
+        bound = 0.04 if k == 128 else 0.02
+        for q in (0.01, 0.25, 0.5, 0.9, 0.999):
+            est = _sk_quantile(sks[0], q)
+            assert _rank_err(est, allv, q) <= bound, (
+                trial, regime, k, q,
+            )
