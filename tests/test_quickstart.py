@@ -37,3 +37,23 @@ def test_event_analytics_example_end_to_end(spark):
         out["funnel_step3_users"]
     )
     assert out["funnel_users_streamed"] == out["funnel_step1_users"]
+
+
+def test_corpus_reports_example_end_to_end(spark):
+    """examples/corpus_reports.py — the mergeable-summary algebra
+    walkthrough (r11) must keep running; its own assertions pin
+    incremental == one-shot, MG == exact at covering k, and the
+    exemplar merge identity."""
+    path = (
+        Path(__file__).resolve().parent.parent
+        / "examples" / "corpus_reports.py"
+    )
+    spec = importlib.util.spec_from_file_location("corpus_reports", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(spark)
+    assert out["refresh_equals_one_shot"] is True
+    assert out["total_docs"] > 0
+    assert out["sketch_langs"] > 0
+    assert out["mg_rows"] == out["top_sources_rows"]
+    assert out["exemplar_rows"] > 0
