@@ -7851,9 +7851,9 @@ SELECT 'li_sk' AS part, '(all)' AS k1, '(all)' AS k2,
        1 AS g1, 1 AS g2, count(*) AS n, 1.0 AS x1, 1.0 AS x2
 FROM lineitem
 UNION ALL
--- doc_skx (r11): the sketch's exact no-collapse path — the read-off
--- is the ceil(q*n)-th order statistic (stable ties), replayed as a
--- row_number() rank pick over the sorted group
+-- doc_mgx (r11): the Misra-Gries exact path — with k covering the
+-- source cardinality the summary degenerates to exact counts, so the
+-- oracle is doc_top's own exact-heavy-hitter formula
 SELECT 'doc_mgx' AS part, lang AS k1, value AS k2,
        0 AS g1, 0 AS g2, weight AS n,
        CAST(rank AS DOUBLE) AS x1, 0.0 AS x2
@@ -7866,6 +7866,9 @@ FROM (
   FROM documents GROUP BY lang, source
 ) WHERE rank <= 3
 UNION ALL
+-- doc_skx (r11): the rank sketch's exact no-collapse path — the
+-- read-off is the ceil(q*n)-th order statistic (stable ties),
+-- replayed as a row_number() rank pick over the sorted group
 SELECT 'doc_skx' AS part, lang AS k1, '(all)' AS k2,
        0 AS g1, 1 AS g2, CAST(n AS BIGINT) AS n,
        max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))

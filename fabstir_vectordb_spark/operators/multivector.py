@@ -145,6 +145,10 @@ def maxsim_topk(
                 f"{candidate_pushdown}"
             )
         lim = int(candidate_pushdown)
+        # persist first: the id probe below is an ACTION on the
+        # candidates plan, and the semi-join re-reads it — without the
+        # persist the (expensive) candidate screen would execute twice
+        candidates = candidates.persist()
         ids = [
             r[0]
             for r in candidates.select(id_col)

@@ -69,6 +69,7 @@ surface); extension-axis, closing VERDICT r10 "What's missing" #2.
 
 from __future__ import annotations
 
+import re
 import struct
 
 import numpy as np
@@ -98,13 +99,23 @@ def _sk_new(k: int) -> dict:
 
 
 def _sk_collapse(sk: dict) -> None:
-    """Binary-counter collapse: while two buffers share a weight,
-    merge-sort their 2k values and keep every second one, offset
-    alternating with the collapse count (deterministic)."""
+    """Binary-counter collapse: while two FULL buffers (size == k)
+    share a weight, merge-sort their 2k values and keep every second
+    one, offset alternating with the collapse count (deterministic).
+
+    Only full buffers collapse — this is the MASS INVARIANT: a
+    collapse maps two (w, k) buffers (mass 2wk) to one (2w, k) buffer
+    (mass 2wk), so the sketch's weighted mass equals n EXACTLY at all
+    times (pinned by test).  The one undersized buffer that can exist
+    is the trailing level-0 partial (maintained by _merge_weight1);
+    collapsing it against a full buffer — the pre-r11 behavior — made
+    odd-size collapses drift the total mass systematically above n,
+    a one-sided bias on every read-off."""
     while True:
         by_w: dict[int, list[int]] = {}
-        for i, (w, _) in enumerate(sk["bufs"]):
-            by_w.setdefault(w, []).append(i)
+        for i, (w, b) in enumerate(sk["bufs"]):
+            if b.size == sk["k"]:
+                by_w.setdefault(w, []).append(i)
         pair = next((ix for ix in by_w.values() if len(ix) >= 2), None)
         if pair is None:
             return
@@ -128,11 +139,9 @@ def _sk_update(sk: dict, values: np.ndarray) -> None:
     sk["n"] += int(values.size)
     for start in range(0, values.size, k):
         chunk = np.sort(values[start:start + k], kind="stable")
-        if chunk.size < k:
-            # pad-free: an undersized level-0 buffer is allowed; it
-            # only pairs with another undersized one after both round
-            # up by concatenation below
-            pass
+        # pad-free: an undersized level-0 buffer is allowed — it can
+        # only grow by concatenation (_merge_weight1) and only FULL
+        # buffers collapse (_sk_collapse), so it never distorts mass
         sk["bufs"].append((1, chunk))
         _merge_weight1(sk)
         _sk_collapse(sk)
@@ -381,13 +390,24 @@ def sketch_quantiles(
     requested quantile).  Runs over one row per dims combo — report-
     scale data, Arrow-batched."""
     scol, ncol = _sketch_col(col), f"{_sketch_col(col)}_n"
-    for c in (*dims, scol):
+    for c in (*dims, scol, ncol):
         if c not in merged.columns:
             raise ValueError(f"merged frame lacks column {c!r}")
+    if not qs:
+        raise ValueError("qs must name at least one quantile")
     for name, q in qs.items():
         if not 0.0 < float(q) <= 1.0:
             raise ValueError(f"quantile {name!r}: need 0 < q <= 1; got {q}")
-
+        if not re.fullmatch(r"[A-Za-z_]\w*", name):
+            raise ValueError(
+                f"quantile name {name!r}: simple identifier names only "
+                "(it becomes an output column)"
+            )
+        if name == "n" or name in dims:
+            raise ValueError(
+                f"quantile name {name!r} collides with the output `n` "
+                "column or a dim — pick another name"
+            )
     names = list(qs)
     fields = ", ".join(
         f"`{d}` {merged.schema[d].dataType.simpleString()}" for d in dims
@@ -463,6 +483,7 @@ def freq_partials(
     dims: list[str],
     value_col: str,
     k: int = 256,
+    fanout: int | None = None,
 ) -> DataFrame:
     """Mergeable FREQUENT-ITEMS summary per group (Misra-Gries): at
     most ``k`` (value, weight) counters + the group's exact row total,
@@ -480,7 +501,17 @@ def freq_partials(
 
     Scale shape: one exact groupBy per CHUNK (partial-aggregated
     map-side), one keyed window over the chunk's distinct values,
-    then <= k counters per group cross the summary boundary.
+    then <= k counters per group cross the summary boundary.  The
+    window partitions by the dims, so ONE group's whole distinct set
+    sorts in one task — with empty dims (a global summary) or a hot
+    group at extreme cardinality, pass ``fanout``: values pre-truncate
+    per (dims, hash(value) % fanout) first — each value's exact count
+    stays whole inside its salt, per-salt summaries are MG summaries
+    of disjoint sub-multisets, and the final truncate folds <= k x
+    fanout counters, so no task ever sorts more than its salt's
+    distinct values.  The carried undercount bound stays valid (it is
+    computed from kept mass, and the PODS 2012 merge theorem covers
+    any partition of the multiset).
 
     Output: (dims..., __mg_<col>__k<k> array<struct<v string,
     w bigint>>, __mg_<col>__k<k>_n bigint)."""
@@ -502,7 +533,20 @@ def freq_partials(
     counts = slim.groupBy(*dims, "__v").agg(
         F.count(F.lit(1)).alias("__c")
     )
-    summary = _mg_truncate(counts, dims, kk)
+    if fanout is not None:
+        if int(fanout) < 2:
+            raise ValueError(f"fanout must be >= 2; got {fanout}")
+        # value-hash salt: each value's exact count stays whole in one
+        # salt, so the per-salt truncation sees true counts
+        salted = counts.withColumn(
+            "__salt", F.abs(F.xxhash64("__v")) % int(fanout)
+        )
+        pre = _mg_truncate(
+            salted, [*dims, "__salt"], kk
+        ).withColumnRenamed("__w", "__c").drop("__salt")
+        summary = _mg_truncate(pre, dims, kk)
+    else:
+        summary = _mg_truncate(counts, dims, kk)
     scol, ncol = _mg_col(value_col, kk), _mg_ncol(value_col, kk)
     arr = summary.groupBy(*dims).agg(
         F.array_sort(
@@ -511,12 +555,15 @@ def freq_partials(
             )
         ).alias(scol)
     )
-    totals = slim.groupBy(*dims).agg(F.count(F.lit(1)).alias(ncol))
+    # totals derive from the ALREADY-aggregated counts frame (every
+    # non-null row landed in exactly one (dims, __v) count), not from
+    # a second scan of the raw chunk
+    totals = counts.groupBy(*dims).agg(F.sum("__c").alias(ncol))
     return _ns_left_join(totals, arr, dims).withColumn(
         scol,
         F.coalesce(
             F.col(scol),
-            F.array().cast(f"array<struct<v string, w bigint>>"),
+            F.array().cast("array<struct<v string, w bigint>>"),
         ),
     )
 

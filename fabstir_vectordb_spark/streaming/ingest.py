@@ -800,8 +800,25 @@ def rolling_stream(
         aggs = {"n": ("count", None)}
         if "value" in events.columns:
             aggs["v_mean"] = ("mean", "value")
+    # same output-name hygiene as the batch twin (_rolling_over): a
+    # collision would silently OVERWRITE the user's aggregate with the
+    # bucket/window metadata columns appended below
+    reserved = {"bucket", "window_start", "window_end"}
     cols = []
     for name, (fn, col) in aggs.items():
+        if name in reserved:
+            raise ValueError(
+                f"agg name {name!r} collides with the output "
+                f"bucket/window_start/window_end columns"
+            )
+        if name.startswith("__"):
+            raise ValueError(
+                f"agg name {name!r}: the __ prefix is reserved"
+            )
+        if name in keys or name == ts_col:
+            raise ValueError(
+                f"agg name {name!r} collides with a key/timestamp column"
+            )
         if fn not in _ROLL_FNS:
             raise ValueError(
                 f"rolling agg {name!r}: unknown fn {fn!r}; choose "
@@ -809,6 +826,10 @@ def rolling_stream(
             )
         if fn != "count" and col is None:
             raise ValueError(f"rolling agg {name!r}: fn {fn!r} needs a column")
+        if col is not None and col not in events.columns:
+            raise ValueError(
+                f"rolling agg {name!r}: unknown column {col!r}"
+            )
         src = F.lit(1) if col is None else F.col(col)
         fns = {"sum": F.sum, "mean": F.avg, "avg": F.avg,
                "min": F.min, "max": F.max, "count": F.count}

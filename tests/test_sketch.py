@@ -499,3 +499,86 @@ def test_kernel_random_merge_trees_property():
             assert _rank_err(est, allv, q) <= bound, (
                 trial, regime, k, q,
             )
+
+
+def test_kernel_mass_invariant_exact():
+    """Only FULL buffers collapse, so the sketch's weighted mass
+    equals n EXACTLY — always, under any build or merge order (the
+    pre-fix behavior drifted mass up to ~6% above n by collapsing a
+    full buffer against the trailing partial)."""
+    import functools
+
+    def mass(sk):
+        return sum(w * b.size for w, b in sk["bufs"])
+
+    rs = np.random.RandomState(9)
+    sk = _sk_new(16)
+    _sk_update(sk, np.arange(24, dtype="float64"))
+    assert mass(sk) == sk["n"] == 24
+    sks = []
+    for i in range(300):
+        s = _sk_new(16)
+        _sk_update(s, rs.rand(17))
+        sks.append(s)
+    m = functools.reduce(_sk_merge, sks)
+    assert mass(m) == m["n"] == 300 * 17
+    big = _sk_new(64)
+    _sk_update(big, rs.rand(100_000))
+    assert mass(big) == big["n"] == 100_000
+
+
+def test_sketch_quantile_name_validation(spark):
+    docs = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    merged = merge_sketches(sketch_partials(docs, ["g"], "v"), ["g"], "v")
+    with pytest.raises(ValueError, match="at least one"):
+        sketch_quantiles(merged, ["g"], "v", {})
+    with pytest.raises(ValueError, match="identifier"):
+        sketch_quantiles(merged, ["g"], "v", {"p 50": 0.5})
+    with pytest.raises(ValueError, match="collides"):
+        sketch_quantiles(merged, ["g"], "v", {"n": 0.5})
+    with pytest.raises(ValueError, match="collides"):
+        sketch_quantiles(merged, ["g"], "v", {"g": 0.5})
+    with pytest.raises(ValueError, match="lacks column"):
+        sketch_quantiles(merged.drop("__rsk_v_n"), ["g"], "v",
+                         {"p50": 0.5})
+
+
+def test_mg_fanout_same_guarantees(spark):
+    """The salted pre-truncation (fanout=) keeps the MG contract: the
+    bound holds on every reported item and heavy values above the
+    bound are present — and with k covering the cardinality it stays
+    exact."""
+    from fabstir_vectordb_spark.operators.sketch import (
+        freq_partials, merge_freq, top_from_freq,
+    )
+    import collections
+
+    rows = _zipf_rows(13, 20_000)
+    truth: dict = collections.defaultdict(collections.Counter)
+    for k, v in rows:
+        truth[k][v] += 1
+    df = spark.createDataFrame(rows, "g string, v string")
+    merged = merge_freq(
+        freq_partials(df, ["g"], "v", k=64, fanout=4),
+        freq_partials(df, ["g"], "v", k=64, fanout=4),
+    )
+    hits = top_from_freq(merged, top=1000).collect()
+    for r in hits:
+        t = 2 * truth[r["g"]][r["value"]]  # doubled input
+        assert r["est"] <= t <= r["est"] + r["max_undercount"], r
+    # exact when k covers cardinality, fanout or not
+    nd = df.select("v").distinct().count()
+    exact = freq_partials(df, ["g"], "v", k=nd + 5, fanout=4)
+    got = {
+        (r["g"], r["value"], r["est"])
+        for r in top_from_freq(exact, top=5).collect()
+    }
+    plain = {
+        (r["g"], r["value"], r["est"])
+        for r in top_from_freq(
+            freq_partials(df, ["g"], "v", k=nd + 5), top=5
+        ).collect()
+    }
+    assert got == plain
+    with pytest.raises(ValueError, match="fanout"):
+        freq_partials(df, ["g"], "v", k=8, fanout=1)

@@ -991,3 +991,22 @@ def test_rolling_stream_equals_batch_composition(spark, tmp_path, events):
     with pytest.raises(ValueError, match="multiple"):
         SI.rolling_stream(stream, "user_id", "ts", None,
                           window_seconds=5000, slide_seconds=3600)
+
+
+def test_rolling_stream_output_name_guards(spark, tmp_path, events):
+    """Agg names colliding with the bucket/window metadata columns (or
+    keys, or the __ prefix) must raise — a collision would silently
+    overwrite the user's aggregate."""
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .parquet(str(tmp_path))
+    )
+    for bad, msg in (
+        ({"bucket": ("sum", "value")}, "bucket/window_start"),
+        ({"window_end": ("sum", "value")}, "bucket/window_start"),
+        ({"__x": ("sum", "value")}, "reserved"),
+        ({"user_id": ("sum", "value")}, "key/timestamp"),
+        ({"s": ("sum", "nope")}, "unknown column"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            SI.rolling_stream(stream, "user_id", "ts", bad)
