@@ -1009,6 +1009,19 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            frame, n = bucket rows, x1/x2/x3 = r6 moving avg/sum/max
            of the r6'd zero-filled daily sum.  RANGE over bucket ids
            (sparse-grid correct), replayed identically in DuckDB.
+      rolld (r11) trailing-window DISTINCT counts over raw events
+           (rolling exact_distinct/approx_distinct): n = exact
+           distinct event_type in [t-6h, t] per user, certified
+           against DuckDB's count(DISTINCT) OVER RANGE; x1 = in-plan
+           verdict that the HLL twin sits within max(2, 5%) of exact
+           (oracle pins 1.0).
+      rollbd (r11) the same distinct measures through BUCKET
+           COMPACTION — resample collects per-bucket sets + HLL
+           sketches, a 3-bucket trailing frame unions them (the
+           hot-key scale path; the union==raw identity is
+           pytest-pinned): n = exact 3-day distinct per (user, daily
+           grid bucket) incl. gap buckets, x1 = the HLL-bound
+           verdict.
       roll_stream (r11) streaming/ingest.rolling_stream as a REAL
            Structured Streaming run (the stream_session pattern:
            unordered micro-batch replay, complete mode, wide
@@ -1138,6 +1151,31 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("rlo").alias("x3"),
         r6("rhi").alias("x4"),
     )
+    # rolld (r11): trailing-window DISTINCT counts over raw events —
+    # n = exact_distinct(event_type) in [t-6h, t] per user, replayed
+    # as DuckDB's count(DISTINCT) OVER the same RANGE frame; x1 pins
+    # the HLL twin's bound IN-PLAN (|approx - exact| <= max(2, 5%),
+    # oracle pins the verdict at literal 1.0, so a violation
+    # hash-mismatches; the exact two-level identity is pytest-pinned)
+    rolld = rolling(
+        ev, "user_id", "ts",
+        {"xd": ("exact_distinct", "event_type"),
+         "ad": ("approx_distinct", "event_type")},
+        window_seconds=21600,
+    ).select(
+        F.lit("rolld").alias("part"),
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("bin"),
+        F.col("xd").cast("long").alias("n"),
+        F.when(
+            F.abs(F.col("ad") - F.col("xd"))
+            <= F.greatest(F.lit(2.0), F.col("xd") * F.lit(0.05)),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0)).alias("x1"),
+        F.lit(0.0).alias("x2"),
+        F.lit(0.0).alias("x3"),
+        F.lit(0.0).alias("x4"),
+    )
     # rollb (r11): 3-bucket moving stats over the daily zero-filled
     # grid — resample compacts events to buckets first (the hot-key
     # path), the bucket sums are r6'd at the BUCKET stage so both
@@ -1160,6 +1198,39 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("ma").alias("x1"),
         r6("ms").alias("x2"),
         r6("mx").alias("x3"),
+        F.lit(0.0).alias("x4"),
+    )
+    # rollbd (r11): the bucket-COMPACTION distinct path — resample
+    # collects per-bucket value sets / HLL sketches (events compact to
+    # grid buckets before any frame runs, the hot-key scale shape),
+    # then a 3-bucket trailing union: n = exact set-union size,
+    # replayed in DuckDB as count(DISTINCT) over the bucket-range
+    # join on the same dense grid; x1 = the in-plan HLL-bound verdict
+    rdd = resample(
+        ev, "user_id", "ts", 86400,
+        aggs={
+            "st": F.collect_set("event_type"),
+            "sk": F.hll_sketch_agg("event_type"),
+            "nr": F.count(F.lit(1)),
+        },
+        fill={"nr": ("zero",)},
+    )
+    rollbd = rolling_buckets(
+        rdd, "user_id",
+        {"xd": ("exact_distinct", "st"), "ad": ("approx_distinct", "sk")},
+        n_buckets=3,
+    ).select(
+        F.lit("rollbd").alias("part"),
+        F.col("user_id").alias("key"),
+        F.col("bucket").alias("bin"),
+        F.col("xd").cast("long").alias("n"),
+        F.when(
+            F.abs(F.col("ad") - F.col("xd"))
+            <= F.greatest(F.lit(2.0), F.col("xd") * F.lit(0.05)),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0)).alias("x1"),
+        F.lit(0.0).alias("x2"),
+        F.lit(0.0).alias("x3"),
         F.lit(0.0).alias("x4"),
     )
     # roll_stream (r11): a real streaming run of the sliding-window
@@ -1210,7 +1281,8 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         six.unionByName(raw).unionByName(day).unionByName(win)
-        .unionByName(sqlg).unionByName(roll).unionByName(rollb)
+        .unionByName(sqlg).unionByName(roll).unionByName(rolld)
+        .unionByName(rollb).unionByName(rollbd)
         .unionByName(roll_stream)
     )
 
@@ -7656,6 +7728,16 @@ FROM events WHERE ts IS NOT NULL
 WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
 UNION ALL
+-- rolld (r11): trailing 6h DISTINCT counts per event row — DuckDB's
+-- windowed DISTINCT aggregate over the same closed RANGE frame; the
+-- HLL-bound verdict is pinned at literal 1.0
+SELECT 'rolld' AS part, user_id AS key, epoch_us(ts) AS bin,
+       CAST(count(DISTINCT event_type) OVER wrd AS BIGINT) AS n,
+       1.0 AS x1, 0.0 AS x2, 0.0 AS x3, 0.0 AS x4
+FROM events WHERE ts IS NOT NULL
+WINDOW wrd AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+UNION ALL
 -- rollb (r11): 3-bucket moving stats over the daily zero-filled
 -- dense grid; bucket sums r6'd at the bucket stage (identical slide
 -- inputs in both engines), RANGE over bucket ids
@@ -7683,6 +7765,32 @@ FROM (
 )
 WINDOW wb AS (PARTITION BY user_id ORDER BY bin
              RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+UNION ALL
+-- rollbd (r11): 3-bucket trailing DISTINCT over the dense daily grid
+-- (gap buckets included) — the bucket-range join replays the set
+-- union; count(DISTINCT) of a frame with no events is 0, matching
+-- the empty-union read
+SELECT 'rollbd' AS part, g.user_id AS key, g.bin AS bin,
+       CAST(count(DISTINCT e.event_type) AS BIGINT) AS n,
+       1.0 AS x1, 0.0 AS x2, 0.0 AS x3, 0.0 AS x4
+FROM (
+  WITH b AS (
+    SELECT user_id,
+           CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS bin
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+  ), sp AS (
+    SELECT user_id, min(bin) AS mn, max(bin) AS mx FROM b GROUP BY 1
+  )
+  SELECT sp.user_id, gs.bin
+  FROM sp, LATERAL (SELECT unnest(generate_series(sp.mn, sp.mx)) AS bin) gs
+) g
+LEFT JOIN (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS eb,
+         event_type
+  FROM events WHERE ts IS NOT NULL
+) e ON e.user_id = g.user_id AND e.eb BETWEEN g.bin - 2 AND g.bin
+GROUP BY 1, 2, 3
 UNION ALL
 -- roll_stream (r11): sliding windows closed-form — each event covers
 -- the 6 hourly buckets [eb, eb+5]; a (user, bucket) row emits iff

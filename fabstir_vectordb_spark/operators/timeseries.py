@@ -317,7 +317,79 @@ def resample(
     )
 
 
-_ROLL_FNS = ("sum", "mean", "avg", "min", "max", "count")
+_ROLL_FNS = ("sum", "mean", "avg", "min", "max", "count",
+             "exact_distinct", "approx_distinct")
+
+
+def _norm_roll_spec(name, spec, out_label, columns):
+    """Normalize an agg spec — ``(fn, col)`` or ``(fn, col, opts)`` —
+    and validate it against the input columns."""
+    if not (isinstance(spec, (tuple, list)) and len(spec) in (2, 3)):
+        raise ValueError(
+            f"{out_label} {name!r}: spec must be (fn, col) or "
+            f"(fn, col, opts); got {spec!r}"
+        )
+    fn, col = spec[0], spec[1]
+    opts = dict(spec[2]) if len(spec) == 3 else {}
+    if name.startswith("__"):
+        raise ValueError(f"agg name {name!r}: the __ prefix is reserved")
+    if fn not in _ROLL_FNS:
+        raise ValueError(
+            f"{out_label} {name!r}: unknown fn {fn!r}; choose from "
+            f"{_ROLL_FNS}"
+        )
+    if fn != "count" and col is None:
+        raise ValueError(
+            f"{out_label} {name!r}: fn {fn!r} needs a column"
+        )
+    if col is not None and col not in columns:
+        raise ValueError(
+            f"{out_label} {name!r}: unknown column {col!r}"
+        )
+    return fn, col, opts
+
+
+def _distinct_frame_val(df, fn, col, opts, frame_window, where):
+    """Distinct-count window expression, dispatched on the SOURCE
+    dtype — the bucket-compaction contract (module docstring):
+
+      raw column      exact: ``collect_set`` over the frame, capped;
+                      approx: DataSketches HLL built over the frame.
+      array column    exact over PRE-COLLECTED per-bucket sets (a
+                      ``resample`` agg of ``collect_set``): union =
+                      flatten + array_distinct, same cap.
+      binary column   approx over PRE-BUILT per-bucket HLL sketches
+                      (a ``resample`` agg of ``hll_sketch_agg``):
+                      union via ``hll_union_agg`` — the estimate is a
+                      deterministic function of the underlying value
+                      SET, so it is IDENTICAL to building one sketch
+                      over the frame's raw values (pinned by test).
+    """
+    from pyspark.sql.types import ArrayType, BinaryType
+
+    from fabstir_vectordb_spark.operators.olap import (
+        _EXACT_DISTINCT_DEFAULT_CAP, _set_guard,
+    )
+
+    dt = df.schema[col].dataType
+    if fn == "approx_distinct":
+        if isinstance(dt, BinaryType):
+            u = F.hll_union_agg(col).over(frame_window)
+        else:
+            lgk = int(opts.get("lgk", 12))
+            u = F.hll_sketch_agg(col, F.lit(lgk)).over(frame_window)
+        # empty/all-NULL frame: NULL estimate reads as 0 distinct
+        return F.coalesce(
+            F.hll_sketch_estimate(u), F.lit(0).cast("bigint")
+        )
+    cap = int(opts.get("cap", _EXACT_DISTINCT_DEFAULT_CAP))
+    if isinstance(dt, ArrayType):
+        merged = F.array_distinct(
+            F.flatten(F.collect_list(col).over(frame_window))
+        )
+    else:
+        merged = F.collect_set(col).over(frame_window)
+    return F.size(_set_guard(merged, cap, where)).cast("bigint")
 
 
 def _rolling_over(df, keys, aggs, min_periods, frame_window, out_label):
@@ -329,25 +401,12 @@ def _rolling_over(df, keys, aggs, min_periods, frame_window, out_label):
     if min_periods < 1:
         raise ValueError(f"min_periods must be >= 1; got {min_periods}")
     out_names = []
-    for name, (fn, col) in aggs.items():
-        if name.startswith("__"):
-            raise ValueError(f"agg name {name!r}: the __ prefix is reserved")
+    specs = {}
+    for name, spec in aggs.items():
+        specs[name] = _norm_roll_spec(name, spec, out_label, df.columns)
         if name in df.columns:
             raise ValueError(
                 f"agg name {name!r} collides with an input column"
-            )
-        if fn not in _ROLL_FNS:
-            raise ValueError(
-                f"{out_label} {name!r}: unknown fn {fn!r}; choose from "
-                f"{_ROLL_FNS}"
-            )
-        if fn != "count" and col is None:
-            raise ValueError(
-                f"{out_label} {name!r}: fn {fn!r} needs a column"
-            )
-        if col is not None and col not in df.columns:
-            raise ValueError(
-                f"{out_label} {name!r}: unknown column {col!r}"
             )
         out_names.append(name)
     dupes = {n for n in out_names if out_names.count(n) > 1}
@@ -355,7 +414,7 @@ def _rolling_over(df, keys, aggs, min_periods, frame_window, out_label):
         raise ValueError(f"duplicate agg name(s): {sorted(dupes)}")
 
     cols = []
-    for name, (fn, col) in aggs.items():
+    for name, (fn, col, opts) in specs.items():
         src = F.lit(1) if col is None else F.col(col)
         cnt = F.count(src).over(frame_window)
         if fn == "count":
@@ -366,11 +425,18 @@ def _rolling_over(df, keys, aggs, min_periods, frame_window, out_label):
             val = F.avg(src).over(frame_window)
         elif fn == "min":
             val = F.min(src).over(frame_window)
-        else:
+        elif fn == "max":
             val = F.max(src).over(frame_window)
+        else:
+            val = _distinct_frame_val(
+                df, fn, col, opts, frame_window,
+                f"{out_label} {name!r} frame",
+            )
         if min_periods > 1:
             # pandas' min_periods rule: NULL until the frame holds at
-            # least min_periods NON-NULL observations of the source
+            # least min_periods NON-NULL observations of the source —
+            # for pre-compacted sources (array/binary buckets) an
+            # observation is a BUCKET row, not an underlying event
             val = F.when(cnt >= min_periods, val)
         cols.append(val.alias(name))
     return df.select("*", *cols)
@@ -390,10 +456,22 @@ def rolling(
     aggregate shape, time-based — gaps in the event stream shrink the
     population, they do not stretch the window).
 
-    ``aggs``  output-name -> ("sum"|"mean"|"min"|"max"|"count", col);
+    ``aggs``  output-name -> ("sum"|"mean"|"min"|"max"|"count"|
+              "exact_distinct"|"approx_distinct", col[, opts]);
               col None is row count.  Default: ``{"n": ("count",
               None)}`` plus ``{"v_mean": ("mean", "value")}`` when the
-              frame has a ``value`` column.
+              frame has a ``value`` column.  The distinct pair is the
+              trailing-window "distinct users per day" dashboard
+              measure, tiered exactly like the summary algebra
+              (operators/olap.py): ``exact_distinct`` materializes the
+              frame's value set under a loud cap (opts ``{'cap': N}``,
+              default 100k — past it the plan ERRORS naming the
+              mergeable alternative); ``approx_distinct`` is the
+              unbounded-cardinality path (DataSketches HLL, opts
+              ``{'lgk': K}``, default 12 ≈ 1.6% relative error;
+              int/long/string/binary sources — cast doubles first).
+              Both also accept PRE-COMPACTED per-bucket sources, the
+              hot-key scale path — see :func:`rolling_buckets`.
     ``window_seconds``  trailing span; RAW units in numeric-epoch mode
               (integer ``ts_col``), the package-wide unit rule.
     ``min_periods``  outputs are NULL until the frame holds this many
@@ -483,7 +561,30 @@ def rolling_buckets(
     exchange — over grid rows, not events, so still compacted.
 
     Output: every input row plus one column per agg (same ``aggs`` /
-    ``min_periods`` contract as :func:`rolling`)."""
+    ``min_periods`` contract as :func:`rolling`).
+
+    **Trailing distinct counts compose the same way** — the classic
+    "distinct users in the trailing 7 days, per day".  Sliding a
+    distinct over raw events re-scans the frame's events per row; the
+    scale path compacts each bucket FIRST via a ``resample`` agg,
+    then slides over buckets:
+
+      approx   ``resample(..., aggs={"sk": F.hll_sketch_agg("user")})``
+               then ``("approx_distinct", "sk")`` here — a BINARY
+               column unions per-bucket sketches (``hll_union_agg``),
+               and because HLL union is set-union semantics the
+               estimate is IDENTICAL to sketching the frame's raw
+               events (pinned by test).  Frame cost is n_buckets
+               sketch unions, however many events each bucket held.
+      exact    ``resample(..., aggs={"s": F.collect_set("user")})``
+               then ``("exact_distinct", "s")`` — an ARRAY column
+               unions per-bucket sets (flatten + array_distinct),
+               capped like the summary algebra's exact tier.
+
+    The per-bucket sketch frame is mergeable by construction (HLL
+    union, set union), so an incremental store of per-bucket partials
+    refreshes these rolling distincts without event-history replay —
+    the same append-only algebra as ``summarize``."""
     from pyspark.sql.window import Window
 
     if int(n_buckets) < 1:

@@ -768,10 +768,19 @@ def rolling_stream(
     (associative).
 
     ``aggs`` uses rolling()'s spec — name -> ("sum"|"mean"|"min"|
-    "max"|"count", col) — with the same defaults.  ``window_seconds``
-    must be a multiple of ``slide_seconds`` (Spark's sliding windows
-    are slide-aligned; a non-multiple would emit buckets the batch
-    composition cannot express).
+    "max"|"count"|"exact_distinct"|"approx_distinct", col[, opts]) —
+    with the same defaults and the same distinct tiering (capped
+    exact set / DataSketches HLL; a binary source unions pre-built
+    sketches).  Distinct sliding windows are the streaming "distinct
+    users per trailing window" measure: each open window holds its
+    set (capped, loudly) or its sketch (bounded) in state, and the
+    stream≡batch identity holds EXACTLY for approx_distinct too —
+    HLL union is set-union semantics, so the estimate is a function
+    of the window's value set, not of the arrival order (pinned in
+    tests).  ``window_seconds`` must be a multiple of
+    ``slide_seconds`` (Spark's sliding windows are slide-aligned; a
+    non-multiple would emit buckets the batch composition cannot
+    express).
 
     Boundary, stated as everywhere in this module: the sliding
     aggregation is closed under micro-batching (state = open windows
@@ -782,8 +791,6 @@ def rolling_stream(
     the resample_stream sink when gap rows must exist.
 
     Numeric-epoch timestamps are batch-only, as in resample_stream."""
-    from fabstir_vectordb_spark.operators.timeseries import _ROLL_FNS
-
     keys = [on] if isinstance(on, str) else list(on)
     if int(window_seconds) <= 0 or int(slide_seconds) <= 0:
         raise ValueError(
@@ -803,37 +810,59 @@ def rolling_stream(
     # same output-name hygiene as the batch twin (_rolling_over): a
     # collision would silently OVERWRITE the user's aggregate with the
     # bucket/window metadata columns appended below
+    from pyspark.sql.types import ArrayType, BinaryType
+
+    from fabstir_vectordb_spark.operators.olap import (
+        _EXACT_DISTINCT_DEFAULT_CAP, _set_guard,
+    )
+    from fabstir_vectordb_spark.operators.timeseries import _norm_roll_spec
+
     reserved = {"bucket", "window_start", "window_end"}
     cols = []
-    for name, (fn, col) in aggs.items():
+    for name, spec in aggs.items():
+        fn, col, opts = _norm_roll_spec(
+            name, spec, "rolling agg", events.columns
+        )
         if name in reserved:
             raise ValueError(
                 f"agg name {name!r} collides with the output "
                 f"bucket/window_start/window_end columns"
             )
-        if name.startswith("__"):
-            raise ValueError(
-                f"agg name {name!r}: the __ prefix is reserved"
-            )
         if name in keys or name == ts_col:
             raise ValueError(
                 f"agg name {name!r} collides with a key/timestamp column"
             )
-        if fn not in _ROLL_FNS:
-            raise ValueError(
-                f"rolling agg {name!r}: unknown fn {fn!r}; choose "
-                f"from {_ROLL_FNS}"
-            )
-        if fn != "count" and col is None:
-            raise ValueError(f"rolling agg {name!r}: fn {fn!r} needs a column")
-        if col is not None and col not in events.columns:
-            raise ValueError(
-                f"rolling agg {name!r}: unknown column {col!r}"
-            )
         src = F.lit(1) if col is None else F.col(col)
-        fns = {"sum": F.sum, "mean": F.avg, "avg": F.avg,
-               "min": F.min, "max": F.max, "count": F.count}
-        cols.append(fns[fn](src).alias(name))
+        if fn == "exact_distinct":
+            # grouped (not windowed) here, but the same tiering and
+            # cap contract as the batch frame path (_distinct_frame_val)
+            cap = int(opts.get("cap", _EXACT_DISTINCT_DEFAULT_CAP))
+            dt = events.schema[col].dataType
+            merged = (
+                F.array_distinct(F.flatten(F.collect_list(col)))
+                if isinstance(dt, ArrayType)
+                else F.collect_set(col)
+            )
+            e = F.size(
+                _set_guard(merged, cap, f"rolling_stream {name!r}")
+            ).cast("bigint")
+        elif fn == "approx_distinct":
+            dt = events.schema[col].dataType
+            u = (
+                F.hll_union_agg(col)
+                if isinstance(dt, BinaryType)
+                else F.hll_sketch_agg(
+                    col, F.lit(int(opts.get("lgk", 12)))
+                )
+            )
+            e = F.coalesce(
+                F.hll_sketch_estimate(u), F.lit(0).cast("bigint")
+            )
+        else:
+            fns = {"sum": F.sum, "mean": F.avg, "avg": F.avg,
+                   "min": F.min, "max": F.max, "count": F.count}
+            e = fns[fn](src)
+        cols.append(e.alias(name))
     slide_us = int(slide_seconds) * 1_000_000
     win = F.window(
         F.col(ts_col),

@@ -1010,3 +1010,65 @@ def test_rolling_stream_output_name_guards(spark, tmp_path, events):
     ):
         with pytest.raises(ValueError, match=msg):
             SI.rolling_stream(stream, "user_id", "ts", bad)
+
+
+def test_rolling_stream_distinct_parity(spark, tmp_path, events):
+    """Sliding-window distinct counts stream ≡ batch: exact_distinct
+    per (key, window) equals a batch groupBy over each trailing
+    span, and approx_distinct equals it too at these cardinalities —
+    HLL union is set-union semantics, so unordered micro-batch replay
+    cannot move the estimate."""
+    ev = events.limit(2000).select("user_id", "ts", "event_type")
+    src = tmp_path / "rsd_src"
+    ev.repartition(5).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        SI.rolling_stream(
+            stream, "user_id", "ts",
+            {"xd": ("exact_distinct", "event_type"),
+             "ad": ("approx_distinct", "event_type")},
+            window_seconds=21600, slide_seconds=3600,
+            watermark="3650 days",
+        )
+        .writeStream.format("memory")
+        .queryName("roll_stream_d")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["bucket"]): (r["xd"], r["ad"])
+        for r in spark.table("roll_stream_d").collect()
+    }
+    assert got
+    # batch oracle: every event contributes to the 6 trailing hourly
+    # buckets of its covering sliding windows
+    slide_us = 3_600_000_000
+    covered = ev.withColumn(
+        "b0",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(slide_us)
+        ),
+    ).select(
+        "user_id", "event_type",
+        F.explode(
+            F.sequence(F.col("b0"), F.col("b0") + F.lit(5))
+        ).alias("bucket"),
+    )
+    want = {
+        (r["user_id"], r["bucket"]): r["xd"]
+        for r in covered.groupBy("user_id", "bucket")
+        .agg(F.count_distinct("event_type").alias("xd"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for key, (xd, ad) in got.items():
+        assert xd == want[key], (key, xd, want[key])
+        assert ad == want[key], (key, ad, want[key])

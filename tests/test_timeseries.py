@@ -574,3 +574,132 @@ def test_rolling_multi_horizons_one_window_node(spark):
         rolling_multi(df, "k", "ts", {}, {"s": ("sum", "v")})
     with pytest.raises(ValueError, match="span must be positive"):
         rolling_multi(df, "k", "ts", {"x": 0}, {"s": ("sum", "v")})
+
+
+def test_rolling_distinct_matches_bruteforce(spark):
+    """Trailing-window distinct counts: exact_distinct against a
+    python brute force over random keyed fixtures (timestamp ties,
+    NULL values included — NULLs are not observations); the HLL twin
+    must agree within its error bound, and at these cardinalities
+    (far below the sparse-mode boundary) exactly."""
+    import datetime as dt
+    import random
+
+    from fabstir_vectordb_spark.operators.timeseries import rolling
+
+    rng = random.Random(41)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for k in ("a", "b", "c"):
+        for _ in range(120):
+            s = rng.randrange(0, 600)
+            u = f"u{rng.randrange(0, 40)}" if rng.random() > 0.1 else None
+            rows.append((k, t0 + dt.timedelta(seconds=s), u))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, u string")
+    got = rolling(
+        df, "k", "ts",
+        {"xd": ("exact_distinct", "u"), "ad": ("approx_distinct", "u")},
+        window_seconds=100,
+    ).collect()
+    assert got  # NULL-u rows survive (only NULL ts drops rows)
+    by_key = {}
+    for k, ts, u in rows:
+        by_key.setdefault(k, []).append((ts, u))
+    for r in got:
+        lo = r["ts"] - dt.timedelta(seconds=100)
+        want = len({
+            u for ts, u in by_key[r["k"]]
+            if u is not None and lo <= ts <= r["ts"]
+        })
+        assert r["xd"] == want, (r["k"], r["ts"], r["xd"], want)
+        assert r["ad"] == want, (r["k"], r["ts"], r["ad"], want)
+
+
+def test_rolling_distinct_bucket_compaction_identity(spark):
+    """The hot-key scale path: per-bucket partials (collect_set /
+    hll_sketch_agg via resample) slid over an N-bucket frame equal
+    the raw-value computation over the same frame EXACTLY — set
+    union for the exact tier, HLL set-union determinism for the
+    approx tier (the estimate is a function of the value SET, so
+    pre-compaction cannot move it)."""
+    import datetime as dt
+    import random
+
+    from fabstir_vectordb_spark.operators.timeseries import (
+        resample, rolling_buckets,
+    )
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (k, t0 + dt.timedelta(minutes=rng.randrange(0, 48 * 60)),
+         f"u{rng.randrange(0, 300)}")
+        for k in ("a", "b") for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, u string")
+    per = resample(
+        df, "k", "ts", 3600,
+        aggs={"sk": F.hll_sketch_agg("u"), "st": F.collect_set("u"),
+              "nr": F.count(F.lit(1))},
+        fill={"nr": ("zero",)},
+    )
+    compact = rolling_buckets(
+        per, "k",
+        {"ad": ("approx_distinct", "sk"), "xd": ("exact_distinct", "st")},
+        n_buckets=6,
+    )
+    got = {
+        (r["k"], r["bucket"]): (r["xd"], r["ad"])
+        for r in compact.collect()
+    }
+    # raw twin: bucket each event, slide the same 6-bucket frame over
+    # raw values attached to the dense grid
+    raw = df.withColumn(
+        "bucket", F.floor(F.unix_micros("ts") / F.lit(3_600_000_000))
+    ).select("k", "bucket", "u")
+    grid = per.select("k", "bucket").join(raw, ["k", "bucket"], "left")
+    direct = rolling_buckets(
+        grid, "k",
+        {"ad": ("approx_distinct", "u"), "xd": ("exact_distinct", "u")},
+        n_buckets=6,
+    )
+    want = {
+        (r["k"], r["bucket"]): (r["xd"], r["ad"])
+        for r in direct.select("k", "bucket", "xd", "ad")
+        .distinct().collect()
+    }
+    assert got == want and len(got) >= 90
+    # gap buckets: NULL sketch/set cells contribute nothing, count 0
+    # only when the whole frame is empty (here frames always overlap
+    # an observation, so every count is positive)
+    assert all(x > 0 for x, _ in got.values())
+
+
+def test_rolling_distinct_validation(spark):
+    """Loud failures: cap exceeded names the alternative; malformed
+    specs, unknown fns and distinct-without-column raise up front."""
+    from pyspark.errors import SparkRuntimeException
+
+    from fabstir_vectordb_spark.operators.timeseries import rolling
+
+    df = _roll_df(spark).withColumn(
+        "u", F.concat(F.lit("x"), F.col("v").cast("string"))
+    )
+    with pytest.raises(SparkRuntimeException, match="exceeded cap"):
+        rolling(
+            df, "k", "ts", {"xd": ("exact_distinct", "u", {"cap": 1})},
+            window_seconds=1000,
+        ).collect()
+    with pytest.raises(ValueError, match="needs a column"):
+        rolling(df, "k", "ts", {"xd": ("exact_distinct", None)})
+    with pytest.raises(ValueError, match="spec must be"):
+        rolling(df, "k", "ts", {"xd": ("exact_distinct",)})
+    with pytest.raises(ValueError, match="unknown fn"):
+        rolling(df, "k", "ts", {"xd": ("distinct", "u")})
+    # min_periods gates distinct outputs like every other agg
+    got = rolling(
+        df, "k", "ts", {"xd": ("exact_distinct", "u")},
+        window_seconds=100, min_periods=2,
+    ).collect()
+    assert any(r["xd"] is None for r in got)
+    assert any(r["xd"] is not None for r in got)
