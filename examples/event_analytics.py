@@ -28,7 +28,10 @@ Covers the round-6/7 temporal tier the way a user would reach it:
  15. moving aggregates: a trailing 6h mean per user over raw events
      (rolling) and the gap-filled 3-bucket moving average over the
      daily grid (resample + rolling_buckets — the hot-key scale path:
-     events compact to buckets before any frame is evaluated)
+     events compact to buckets before any frame is evaluated), plus
+     trailing DISTINCT counts both ways: per-day collect_set / HLL
+     sketch partials unioned over a 3-bucket frame (exact capped tier
+     and unbounded approx tier agreeing in the sparse regime)
 
 Run:  python examples/event_analytics.py
 (uses the sf0.001 fixture tables; finishes in ~1 min on local[8])
@@ -386,6 +389,32 @@ def main(spark: SparkSession) -> dict:
     ma = rolling_buckets(daily, "user_id", {"s_ma3": ("mean", "s_zero")}, 3)
     out["moving_avg_rows"] = ma.count()
     assert out["moving_avg_rows"] == daily.count()  # windows add no rows
+
+    # trailing DISTINCT counts, the "distinct event types in the last
+    # 3 days" measure: compact each day to a value set + HLL sketch
+    # first (events never cross a frame), then union over the frame —
+    # the exact tier is capped-loud, the HLL tier unbounded
+    dsets = resample(
+        events, "user_id", "ts", 86400,
+        aggs={"st": F.collect_set("event_type"),
+              "sk": F.hll_sketch_agg("event_type")},
+    )
+    dd = rolling_buckets(
+        dsets, "user_id",
+        {"et_3d": ("exact_distinct", "st"),
+         "et_3d_approx": ("approx_distinct", "sk")},
+        n_buckets=3,
+    )
+    both = dd.agg(
+        F.max("et_3d").alias("mx"),
+        F.sum(
+            (F.col("et_3d") != F.col("et_3d_approx")).cast("int")
+        ).alias("diffs"),
+    ).collect()[0]
+    out["distinct_3d_max"] = both["mx"]
+    # event_type cardinality is far inside the sketch's exact sparse
+    # regime, so the HLL tier agrees with the exact tier verbatim here
+    assert both["diffs"] == 0
 
     return out
 

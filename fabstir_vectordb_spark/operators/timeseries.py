@@ -360,10 +360,12 @@ def _distinct_frame_val(df, fn, col, opts, frame_window, where):
                       flatten + array_distinct, same cap.
       binary column   approx over PRE-BUILT per-bucket HLL sketches
                       (a ``resample`` agg of ``hll_sketch_agg``):
-                      union via ``hll_union_agg`` — the estimate is a
-                      deterministic function of the underlying value
-                      SET, so it is IDENTICAL to building one sketch
-                      over the frame's raw values (pinned by test).
+                      union via ``hll_union_agg`` — identical to
+                      building one sketch over the frame's raw values
+                      while frames stay in the sketch's exact sparse
+                      regime (~384 distinct at lgk=12); past it both
+                      paths hold the HLL error bound but can differ
+                      by a few counts (see :func:`rolling_buckets`).
     """
     from pyspark.sql.types import ArrayType, BinaryType
 
@@ -571,11 +573,18 @@ def rolling_buckets(
 
       approx   ``resample(..., aggs={"sk": F.hll_sketch_agg("user")})``
                then ``("approx_distinct", "sk")`` here — a BINARY
-               column unions per-bucket sketches (``hll_union_agg``),
-               and because HLL union is set-union semantics the
-               estimate is IDENTICAL to sketching the frame's raw
-               events (pinned by test).  Frame cost is n_buckets
-               sketch unions, however many events each bucket held.
+               column unions per-bucket sketches (``hll_union_agg``).
+               In the sketch's EXACT regime (DataSketches HLL stays
+               in sparse mode through ~384 distinct per frame at the
+               default lgk=12) the union is bit-identical to
+               sketching the frame's raw events AND to the true
+               count; beyond it the union path and the direct path
+               both estimate within the standard HLL bound (~1.6% at
+               lgk=12) but are NOT bit-identical — the direct build
+               and the union finalize through different estimators
+               once dense.  Both regimes pinned by test.  Frame cost
+               is n_buckets sketch unions, however many events each
+               bucket held.
       exact    ``resample(..., aggs={"s": F.collect_set("user")})``
                then ``("exact_distinct", "s")`` — an ARRAY column
                unions per-bucket sets (flatten + array_distinct),

@@ -773,11 +773,14 @@ def rolling_stream(
     exact set / DataSketches HLL; a binary source unions pre-built
     sketches).  Distinct sliding windows are the streaming "distinct
     users per trailing window" measure: each open window holds its
-    set (capped, loudly) or its sketch (bounded) in state, and the
-    stream≡batch identity holds EXACTLY for approx_distinct too —
-    HLL union is set-union semantics, so the estimate is a function
-    of the window's value set, not of the arrival order (pinned in
-    tests).  ``window_seconds`` must be a multiple of
+    set (capped, loudly) or its sketch (bounded) in state.  The
+    stream≡batch identity is exact for exact_distinct always, and
+    for approx_distinct through the sketch's exact sparse regime
+    (~384 distinct per window at lgk=12, pinned in tests); past it
+    the micro-batch merge path holds the HLL bound but can differ
+    from a one-shot batch sketch by a few counts (the
+    dense-estimator boundary — see rolling_buckets' docstring).
+    ``window_seconds`` must be a multiple of
     ``slide_seconds`` (Spark's sliding windows are slide-aligned; a
     non-multiple would emit buckets the batch composition cannot
     express).
