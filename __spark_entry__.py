@@ -1022,6 +1022,13 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            pytest-pinned): n = exact 3-day distinct per (user, daily
            grid bucket) incl. gap buckets, x1 = the HLL-bound
            verdict.
+      rollq (r11) trailing-window PERCENTILES through bucket
+           compaction (resample + olap.hist_partial + rolling_buckets
+           hist_quantile): per-day fixed-grid histogram partials,
+           3-bucket elementwise-sum fold, certified nearest-rank +
+           interpolation read-off — n = frame histogram mass, x1/x2 =
+           r6 p50/p90, replayed formula-for-formula in DuckDB
+           (empty frames filtered; their NULL read is pytest-pinned).
       roll_stream (r11) streaming/ingest.rolling_stream as a REAL
            Structured Streaming run (the stream_session pattern:
            unordered micro-batch replay, complete mode, wide
@@ -1233,6 +1240,42 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("x3"),
         F.lit(0.0).alias("x4"),
     )
+    # rollq (r11): trailing-window PERCENTILES through bucket
+    # compaction — resample builds per-day fixed-grid histogram
+    # partials (olap.hist_partial: exact long counts), a 3-bucket
+    # frame sums them elementwise, and the read-off is the certified
+    # nearest-rank + interpolation formula, replayed verbatim in
+    # DuckDB; n = the frame's histogram mass (the same NOT NULL / NOT
+    # NaN population both engines count).  Empty frames are filtered
+    # (the NULL-estimate read on them is pytest-pinned).
+    from fabstir_vectordb_spark.operators.olap import hist_partial
+
+    _rq_grid = {"lo": 0.0, "hi": 250.0, "buckets": 25}
+    rqd = resample(
+        ev, "user_id", "ts", 86400,
+        aggs={
+            "h": hist_partial("value", 0.0, 250.0, 25),
+            "cv": F.count(
+                F.when(~F.isnan("value"), F.col("value"))
+            ),
+        },
+    )
+    rollq = rolling_buckets(
+        rqd, "user_id",
+        {"p50": ("hist_quantile", "h", {"q": 0.5, **_rq_grid}),
+         "p90": ("hist_quantile", "h", {"q": 0.9, **_rq_grid}),
+         "ms": ("sum", "cv")},
+        n_buckets=3,
+    ).filter(F.col("ms") > 0).select(
+        F.lit("rollq").alias("part"),
+        F.col("user_id").alias("key"),
+        F.col("bucket").alias("bin"),
+        F.col("ms").cast("long").alias("n"),
+        r6("p50").alias("x1"),
+        r6("p90").alias("x2"),
+        F.lit(0.0).alias("x3"),
+        F.lit(0.0).alias("x4"),
+    )
     # roll_stream (r11): a real streaming run of the sliding-window
     # moving aggregates (rolling_stream), unordered replay
     import tempfile as _tf
@@ -1282,7 +1325,7 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         six.unionByName(raw).unionByName(day).unionByName(win)
         .unionByName(sqlg).unionByName(roll).unionByName(rolld)
-        .unionByName(rollb).unionByName(rollbd)
+        .unionByName(rollb).unionByName(rollbd).unionByName(rollq)
         .unionByName(roll_stream)
     )
 
@@ -7791,6 +7834,64 @@ LEFT JOIN (
   FROM events WHERE ts IS NOT NULL
 ) e ON e.user_id = g.user_id AND e.eb BETWEEN g.bin - 2 AND g.bin
 GROUP BY 1, 2, 3
+UNION ALL
+-- rollq (r11): trailing 3-bucket fixed-grid percentiles over the
+-- dense daily grid — the identical bucket/rank/interpolation formula
+-- operators/olap._hist_estimate computes (grid lo=0.0 hi=250.0 n=25,
+-- w=10.0), folded over the bucket-range join; empty frames are
+-- dropped on both sides
+SELECT 'rollq' AS part, k AS key, bin,
+       CAST(tot AS BIGINT) AS n,
+       (round(e50, 6) + 0.0) AS x1, (round(e90, 6) + 0.0) AS x2,
+       0.0 AS x3, 0.0 AS x4
+FROM (
+  SELECT k, bin, any_value(tot) AS tot,
+         min_by(0.0 + 10.0 * (bk + (kr50 - prev) / CAST(c AS DOUBLE)), bk)
+           FILTER (WHERE cum >= kr50) AS e50,
+         min_by(0.0 + 10.0 * (bk + (kr90 - prev) / CAST(c AS DOUBLE)), bk)
+           FILTER (WHERE cum >= kr90) AS e90
+  FROM (
+    SELECT k, bin, bk, c,
+           sum(c) OVER wq AS cum,
+           sum(c) OVER wq - c AS prev,
+           sum(c) OVER (PARTITION BY k, bin) AS tot,
+           greatest(1, CAST(ceil(0.5 * CAST(
+             sum(c) OVER (PARTITION BY k, bin) AS DOUBLE)) AS BIGINT)
+           ) AS kr50,
+           greatest(1, CAST(ceil(0.9 * CAST(
+             sum(c) OVER (PARTITION BY k, bin) AS DOUBLE)) AS BIGINT)
+           ) AS kr90
+    FROM (
+      SELECT g.user_id AS k, g.bin,
+             least(greatest(CAST(floor((e.value - 0.0) / 10.0)
+                                 AS BIGINT), 0), 24) AS bk,
+             count(*) AS c
+      FROM (
+        WITH eb0 AS (
+          SELECT user_id,
+                 CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS b
+          FROM events WHERE ts IS NOT NULL
+        ), sp0 AS (
+          SELECT user_id, min(b) AS mn, max(b) AS mx FROM eb0 GROUP BY 1
+        )
+        SELECT sp0.user_id, gs.bin
+        FROM sp0,
+             LATERAL (SELECT unnest(generate_series(sp0.mn, sp0.mx))
+                      AS bin) gs
+      ) g
+      JOIN (
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS eb,
+               value
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+      ) e ON e.user_id = g.user_id AND e.eb BETWEEN g.bin - 2 AND g.bin
+      GROUP BY 1, 2, 3
+    )
+    WINDOW wq AS (PARTITION BY k, bin ORDER BY bk)
+  )
+  GROUP BY 1, 2
+)
 UNION ALL
 -- roll_stream (r11): sliding windows closed-form — each event covers
 -- the 6 hourly buckets [eb, eb+5]; a (user, bucket) row emits iff

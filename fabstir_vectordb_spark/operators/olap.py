@@ -109,11 +109,13 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "grouped_report",
+    "hist_partial",
+    "hist_quantile",
     "merge_summaries",
     "report_from_summary",
     "suggest_grid",
@@ -824,6 +826,51 @@ def top_values(
         counts.withColumn("rank", rank)
         .filter(F.col("rank") <= k)
     )
+
+
+def hist_partial(
+    col: str,
+    lo: float,
+    hi: float,
+    buckets: int = _HIST_DEFAULT_BUCKETS,
+) -> Column:
+    """The mergeable fixed-grid histogram partial as a PUBLIC aggregate
+    Column — ``array<bigint>`` of per-bucket counts, the same partial
+    the ``approx_pXX`` measures build inside ``summarize`` (NULL/NaN
+    count nowhere, out-of-range clamps to the edge buckets; counts are
+    exact longs, so partials merge bit-identically by elementwise sum).
+
+    Use it anywhere an aggregate Column is accepted — notably
+    ``timeseries.resample(aggs={"h": hist_partial("value", lo, hi,
+    n)})`` to compact each grid bucket's value distribution, then
+    slide ``rolling_buckets``' ``hist_quantile`` frame aggregate over
+    the buckets: trailing-window percentiles whose cost is bounded by
+    n_buckets x grid slots, never by event rate.  The grid MUST match
+    between the partial and every read-off (same contract as the
+    summary algebra, where the ``__hist_`` column name encodes it)."""
+    lo, hi, n = _hist_grid(col, {"lo": lo, "hi": hi, "buckets": buckets})
+    return _hist_partial(col, lo, hi, n)
+
+
+def hist_quantile(
+    hist_col,
+    q: float,
+    lo: float,
+    hi: float,
+    buckets: int = _HIST_DEFAULT_BUCKETS,
+) -> Column:
+    """Percentile read-off from a histogram column built by
+    :func:`hist_partial` (or a merged sum of such partials): the
+    nearest-rank bucket with in-bucket linear interpolation — the
+    identical deterministic formula the certified ``approx_pXX``
+    report path computes, as a standalone Column for summary-store
+    reads.  NULL when the histogram is empty."""
+    if not 0.0 < float(q) <= 1.0:
+        raise ValueError(f"need 0 < q <= 1; got {q}")
+    lo, hi, n = _hist_grid("hist_quantile",
+                           {"lo": lo, "hi": hi, "buckets": buckets})
+    hcol = F.col(hist_col) if isinstance(hist_col, str) else hist_col
+    return _hist_estimate(hcol, _hist_total(hcol), float(q), lo, hi, n)
 
 
 def suggest_grid(

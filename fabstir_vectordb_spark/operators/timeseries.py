@@ -318,7 +318,7 @@ def resample(
 
 
 _ROLL_FNS = ("sum", "mean", "avg", "min", "max", "count",
-             "exact_distinct", "approx_distinct")
+             "exact_distinct", "approx_distinct", "hist_quantile")
 
 
 def _norm_roll_spec(name, spec, out_label, columns):
@@ -394,6 +394,77 @@ def _distinct_frame_val(df, fn, col, opts, frame_window, where):
     return F.size(_set_guard(merged, cap, where)).cast("bigint")
 
 
+def _hist_frame_val(df, col, opts, frame_window, out_label, name):
+    """Trailing-window PERCENTILE over pre-built histogram partials:
+    ``col`` is an ``array<bigint>`` fixed-grid bucket-count column
+    (olap.hist_partial via a resample agg, or a summarize
+    ``__hist_*`` partial), the frame fold sums the arrays elementwise
+    (counts are exact longs, so the folded histogram is bit-identical
+    to one built over the frame's raw values), and the read-off is
+    the summary algebra's certified nearest-rank + in-bucket
+    interpolation formula.  NULL over an empty frame.
+
+    The grid comes from opts ``{'q': ..., 'lo': ..., 'hi': ...[,
+    'buckets': ...]}``; when lo/hi are omitted and the column is a
+    summarize partial, the grid parses from the ``__hist_<col>__
+    lo<lo>_hi<hi>_n<n>`` name itself — the name IS the declaration."""
+    import re as _re
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    from fabstir_vectordb_spark.operators.olap import (
+        _hist_estimate, _hist_grid, _hist_total,
+    )
+
+    dt = df.schema[col].dataType
+    if not (isinstance(dt, ArrayType)
+            and isinstance(dt.elementType, LongType)):
+        raise ValueError(
+            f"{out_label} {name!r}: hist_quantile needs an "
+            f"array<bigint> histogram-partial column (build it with "
+            f"olap.hist_partial in a resample/summarize agg); got "
+            f"{dt.simpleString()}"
+        )
+    if "q" not in opts:
+        raise ValueError(
+            f"{out_label} {name!r}: hist_quantile needs opts['q']"
+        )
+    q = float(opts["q"])
+    if not 0.0 < q <= 1.0:
+        raise ValueError(
+            f"{out_label} {name!r}: need 0 < q <= 1; got {q}"
+        )
+    if "lo" in opts or "hi" in opts:
+        lo, hi, n = _hist_grid(name, opts)
+    else:
+        m = _re.fullmatch(
+            r"__hist_\w+__lo(?P<lo>[^_]+)_hi(?P<hi>[^_]+)_n(?P<n>\d+)",
+            col,
+        )
+        if not m:
+            raise ValueError(
+                f"{out_label} {name!r}: no grid — pass opts "
+                "{'lo', 'hi'[, 'buckets']} matching the grid the "
+                "partial was built with, or point at a summarize "
+                "__hist_* column whose name encodes it"
+            )
+
+        def _s2f(tok: str) -> float:
+            # inverse of olap._f2s ('.'->p, '-'->m, 'e'->E)
+            return float(
+                tok.replace("p", ".").replace("m", "-").replace("E", "e")
+            )
+
+        lo, hi, n = _s2f(m["lo"]), _s2f(m["hi"]), int(m["n"])
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), n)
+    merged = F.aggregate(
+        F.collect_list(col).over(frame_window),
+        zeros,
+        lambda acc, a: F.zip_with(acc, a, lambda x, y: x + y),
+    )
+    return _hist_estimate(merged, _hist_total(merged), q, lo, hi, n)
+
+
 def _rolling_over(df, keys, aggs, min_periods, frame_window, out_label):
     """Shared body of :func:`rolling` / :func:`rolling_buckets`: attach
     one output column per agg, all over the SAME window frame — Spark
@@ -429,6 +500,10 @@ def _rolling_over(df, keys, aggs, min_periods, frame_window, out_label):
             val = F.min(src).over(frame_window)
         elif fn == "max":
             val = F.max(src).over(frame_window)
+        elif fn == "hist_quantile":
+            val = _hist_frame_val(
+                df, col, opts, frame_window, out_label, name
+            )
         else:
             val = _distinct_frame_val(
                 df, fn, col, opts, frame_window,
@@ -459,7 +534,8 @@ def rolling(
     population, they do not stretch the window).
 
     ``aggs``  output-name -> ("sum"|"mean"|"min"|"max"|"count"|
-              "exact_distinct"|"approx_distinct", col[, opts]);
+              "exact_distinct"|"approx_distinct"|"hist_quantile",
+              col[, opts]);
               col None is row count.  Default: ``{"n": ("count",
               None)}`` plus ``{"v_mean": ("mean", "value")}`` when the
               frame has a ``value`` column.  The distinct pair is the
@@ -590,10 +666,21 @@ def rolling_buckets(
                unions per-bucket sets (flatten + array_distinct),
                capped like the summary algebra's exact tier.
 
+    **Trailing percentiles** complete the tier — ``hist_quantile``
+    slides the summary algebra's fixed-grid histogram partials
+    (``olap.hist_partial`` as a resample agg, or a ``summarize``
+    ``__hist_*`` column, whose NAME carries the grid) over the frame:
+    the fold sums exact long counts, so the folded histogram is
+    bit-identical to one built over the frame's raw events and the
+    read-off is the certified nearest-rank + interpolation formula —
+    opts ``{'q': 0.9[, 'lo', 'hi', 'buckets']}``, p90-latency-per-day
+    in one keyed window pass, cost bounded by n_buckets x grid slots.
+
     The per-bucket sketch frame is mergeable by construction (HLL
-    union, set union), so an incremental store of per-bucket partials
-    refreshes these rolling distincts without event-history replay —
-    the same append-only algebra as ``summarize``."""
+    union, set union, histogram elementwise sum), so an incremental
+    store of per-bucket partials refreshes these rolling
+    distincts/percentiles without event-history replay — the same
+    append-only algebra as ``summarize``."""
     from pyspark.sql.window import Window
 
     if int(n_buckets) < 1:

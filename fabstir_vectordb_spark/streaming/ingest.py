@@ -768,10 +768,15 @@ def rolling_stream(
     (associative).
 
     ``aggs`` uses rolling()'s spec — name -> ("sum"|"mean"|"min"|
-    "max"|"count"|"exact_distinct"|"approx_distinct", col[, opts]) —
-    with the same defaults and the same distinct tiering (capped
-    exact set / DataSketches HLL; a binary source unions pre-built
-    sketches).  Distinct sliding windows are the streaming "distinct
+    "max"|"count"|"exact_distinct"|"approx_distinct"|"hist_quantile",
+    col[, opts]) — with the same defaults and the same distinct
+    tiering (capped exact set / DataSketches HLL; a binary source
+    unions pre-built sketches).  ``hist_quantile`` aggregates each
+    window's RAW values into the declared fixed-grid histogram (opts
+    ``{'q', 'lo', 'hi'[, 'buckets']}``) and reads off the certified
+    formula — sliding p90 latency; counts are exact longs, so the
+    estimate is a pure function of the window's value multiset and
+    stream ≡ batch exactly (pinned in tests).  Distinct sliding windows are the streaming "distinct
     users per trailing window" measure: each open window holds its
     set (capped, loudly) or its sketch (bounded) in state.  The
     stream≡batch identity is exact for exact_distinct always, and
@@ -861,6 +866,28 @@ def rolling_stream(
             e = F.coalesce(
                 F.hll_sketch_estimate(u), F.lit(0).cast("bigint")
             )
+        elif fn == "hist_quantile":
+            # per-window fixed-grid percentile over RAW values (each
+            # window aggregates its own histogram — the batch twin
+            # folds pre-built array partials instead, same formula)
+            from fabstir_vectordb_spark.operators.olap import (
+                _hist_estimate, _hist_grid, _hist_partial, _hist_total,
+            )
+
+            if "q" not in opts:
+                raise ValueError(
+                    f"rolling agg {name!r}: hist_quantile needs "
+                    "opts['q'] and a declared grid {'lo', 'hi'"
+                    "[, 'buckets']}"
+                )
+            q = float(opts["q"])
+            if not 0.0 < q <= 1.0:
+                raise ValueError(
+                    f"rolling agg {name!r}: need 0 < q <= 1; got {q}"
+                )
+            lo, hi, n = _hist_grid(name, opts)
+            h = _hist_partial(col, lo, hi, n)
+            e = _hist_estimate(h, _hist_total(h), q, lo, hi, n)
         else:
             fns = {"sum": F.sum, "mean": F.avg, "avg": F.avg,
                    "min": F.min, "max": F.max, "count": F.count}

@@ -1072,3 +1072,78 @@ def test_rolling_stream_distinct_parity(spark, tmp_path, events):
     for key, (xd, ad) in got.items():
         assert xd == want[key], (key, xd, want[key])
         assert ad == want[key], (key, ad, want[key])
+
+
+def test_rolling_stream_hist_quantile_parity(spark, tmp_path, events):
+    """Sliding-window percentiles stream ≡ batch: each window
+    aggregates its own fixed-grid histogram from raw values, so the
+    estimate is a deterministic function of the window's value
+    multiset — identical to a closed-form batch replay of the same
+    formula over the covered buckets, regardless of micro-batch
+    arrival order."""
+    import math
+
+    ev = events.limit(2000).select("user_id", "ts", "value")
+    src = tmp_path / "rsq_src"
+    ev.repartition(5).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    grid = {"lo": 0.0, "hi": 250.0, "buckets": 25}
+    q = (
+        SI.rolling_stream(
+            stream, "user_id", "ts",
+            {"p50": ("hist_quantile", "value", {"q": 0.5, **grid}),
+             "c": ("count", "value")},
+            window_seconds=21600, slide_seconds=3600,
+            watermark="3650 days",
+        )
+        .writeStream.format("memory")
+        .queryName("roll_stream_q")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["bucket"]): r["p50"]
+        for r in spark.table("roll_stream_q").collect()
+    }
+    assert got
+    # batch oracle: python replay of the formula per covered bucket
+    import collections
+
+    byb = collections.defaultdict(list)
+    for r in ev.collect():
+        if r["ts"] is None:
+            continue
+        eb = int(r["ts"].timestamp() * 1e6) // 3_600_000_000
+        for off in range(6):
+            byb[(r["user_id"], eb + off)].append(r["value"])
+
+    def est(vals, qq=0.5, lo=0.0, hi=250.0, n=25):
+        vals = [v for v in vals if v is not None and not math.isnan(v)]
+        w = (hi - lo) / n
+        cnt = [0] * n
+        for v in vals:
+            cnt[min(max(int(math.floor((v - lo) / w)), 0), n - 1)] += 1
+        tot = sum(cnt)
+        if tot == 0:
+            return None
+        kr, cum = max(1, math.ceil(qq * tot)), 0
+        for i, c in enumerate(cnt):
+            if cum + c >= kr:
+                return lo + w * (i + (kr - cum) / c)
+            cum += c
+
+    assert set(got) == set(byb)
+    for key, p in got.items():
+        want = est(byb[key])
+        if want is None:
+            assert p is None, (key, p)
+        else:
+            assert abs(p - want) < 1e-9, (key, p, want)

@@ -791,3 +791,154 @@ def test_rolling_distinct_from_summary_store(spark):
         if truth > 384:
             crossed += 1
     assert crossed >= 5  # the fixture really leaves the exact regime
+
+
+def test_rolling_hist_quantile_matches_formula(spark):
+    """Trailing-window percentiles over pre-built histogram partials:
+    the frame fold sums exact long counts, so the estimate equals a
+    python replay of the certified fixed-grid formula (nearest-rank
+    bucket + in-bucket interpolation) to the ulp, and sits within one
+    bucket width of the exact in-range percentile."""
+    import collections
+    import datetime as dt
+    import math
+    import random
+
+    from fabstir_vectordb_spark.operators.olap import hist_partial
+    from fabstir_vectordb_spark.operators.timeseries import (
+        resample, rolling_buckets,
+    )
+
+    rng = random.Random(5)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, t0 + dt.timedelta(minutes=rng.randrange(0, 5 * 24 * 60)),
+         rng.uniform(0, 100))
+        for k in "ab" for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    per = resample(
+        df, "k", "ts", 86400,
+        aggs={"h": hist_partial("v", 0.0, 100.0, 50),
+              "nr": F.count(F.lit(1))},
+        fill={"nr": ("zero",)},
+    )
+    grid = {"lo": 0.0, "hi": 100.0, "buckets": 50}
+    out = rolling_buckets(
+        per, "k",
+        {"p50": ("hist_quantile", "h", {"q": 0.5, **grid}),
+         "p90": ("hist_quantile", "h", {"q": 0.9, **grid})},
+        n_buckets=3,
+    ).select("k", "bucket", "p50", "p90").collect()
+    assert len(out) >= 10
+
+    byb = collections.defaultdict(list)
+    for k, t, v in rows:
+        byb[(k, int(t.timestamp() * 1e6) // 86_400_000_000)].append(v)
+
+    def est(vals, q, lo=0.0, hi=100.0, n=50):
+        w = (hi - lo) / n
+        cnt = [0] * n
+        for v in vals:
+            cnt[min(max(int(math.floor((v - lo) / w)), 0), n - 1)] += 1
+        tot = sum(cnt)
+        if tot == 0:
+            return None
+        kr, cum = max(1, math.ceil(q * tot)), 0
+        for i, c in enumerate(cnt):
+            if cum + c >= kr:
+                return lo + w * (i + (kr - cum) / c)
+            cum += c
+
+    import numpy as np
+
+    for r in out:
+        vals = sum(
+            (byb.get((r["k"], bb), [])
+             for bb in range(r["bucket"] - 2, r["bucket"] + 1)),
+            [],
+        )
+        for name, q in (("p50", 0.5), ("p90", 0.9)):
+            want = est(vals, q)
+            assert abs(r[name] - want) < 1e-9, (r, want)
+            # within one bucket width of the exact nearest-rank value
+            exact = float(np.sort(vals)[max(0, math.ceil(q * len(vals)) - 1)])
+            assert abs(r[name] - exact) <= 2.0 + 1e-9, (r[name], exact)
+
+
+def test_rolling_hist_quantile_grid_from_name_and_validation(spark):
+    """A summarize __hist_* partial column carries its grid in the
+    NAME — hist_quantile reads it when opts omit lo/hi and matches
+    the explicit-grid read bit-for-bit; malformed specs fail loudly."""
+    import datetime as dt
+    import random
+
+    from fabstir_vectordb_spark.operators.olap import (
+        hist_partial, summarize,
+    )
+    from fabstir_vectordb_spark.operators.timeseries import (
+        resample, rolling_buckets,
+    )
+
+    rng = random.Random(6)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, t0 + dt.timedelta(minutes=rng.randrange(0, 4 * 24 * 60)),
+         rng.uniform(-5, 105))  # out-of-range mass clamps identically
+        for k in "ab" for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    per = resample(
+        df, "k", "ts", 86400,
+        aggs={"h": hist_partial("v", 0.0, 100.0, 50)},
+    )
+    explicit = {
+        (r["k"], r["bucket"]): r["p"]
+        for r in rolling_buckets(
+            per, "k",
+            {"p": ("hist_quantile", "h",
+                   {"q": 0.5, "lo": 0.0, "hi": 100.0, "buckets": 50})},
+            n_buckets=3,
+        ).collect()
+    }
+    sm = summarize(
+        df.withColumn(
+            "bucket",
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(86_400_000_000)
+            ).cast("long"),
+        ),
+        ["k", "bucket"],
+        {"q50": ("approx_p50", "v",
+                 {"lo": 0.0, "hi": 100.0, "buckets": 50})},
+    )
+    hc = [c for c in sm.columns if c.startswith("__hist_")][0]
+    named = {
+        (r["k"], r["bucket"]): r["p"]
+        for r in rolling_buckets(
+            sm, "k", {"p": ("hist_quantile", hc, {"q": 0.5})},
+            n_buckets=3,
+        ).collect()
+    }
+    assert set(named) == set(explicit)
+    for key in named:
+        assert named[key] == explicit[key], key
+
+    with pytest.raises(ValueError, match="needs opts\\['q'\\]"):
+        rolling_buckets(per, "k", {"p": ("hist_quantile", "h")}, 3)
+    with pytest.raises(ValueError, match="0 < q <= 1"):
+        rolling_buckets(
+            per, "k", {"p": ("hist_quantile", "h", {"q": 1.5})}, 3
+        )
+    with pytest.raises(ValueError, match="no grid"):
+        rolling_buckets(
+            per.withColumnRenamed("h", "plain"), "k",
+            {"p": ("hist_quantile", "plain", {"q": 0.5})}, 3,
+        )
+    with pytest.raises(ValueError, match="array<bigint>"):
+        rolling_buckets(
+            per.withColumn("bad", F.lit(1.0)), "k",
+            {"p": ("hist_quantile", "bad",
+                   {"q": 0.5, "lo": 0.0, "hi": 1.0})}, 3,
+        )
