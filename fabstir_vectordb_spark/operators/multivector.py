@@ -145,20 +145,39 @@ def maxsim_topk(
                 f"{candidate_pushdown}"
             )
         lim = int(candidate_pushdown)
-        # persist first: the id probe below is an ACTION on the
-        # candidates plan, and the semi-join re-reads it — without the
-        # persist the (expensive) candidate screen would execute twice
-        candidates = candidates.persist()
-        ids = [
-            r[0]
-            for r in candidates.select(id_col)
-            .distinct()
-            .limit(lim + 1)
-            .collect()
-        ]
-        if len(ids) <= lim:
-            doc_tokens = doc_tokens.filter(F.col(id_col).isin(ids))
-        # else: bulk batch — keep the map-only broadcast semi-join
+        # persist for the duration of the probe ONLY: the id probe is
+        # an ACTION on the candidates plan and the pair collect below
+        # re-reads it — without the persist the (expensive) candidate
+        # screen would execute twice.  The cache is RELEASED before
+        # returning (a leaked persist per call would pin executor
+        # storage for the session in exactly the long-running serving
+        # loop this knob exists for): in the pushdown regime the
+        # bounded distinct pair set (<= queries x lim rows, the same
+        # bounded-batch contract as the id collect) is materialized
+        # into a LOCAL frame that replaces the lazy plan; in the bulk
+        # regime the probe result is discarded and the screen simply
+        # evaluates once at execution time, as before the probe
+        # existed.
+        pers = candidates.persist()
+        try:
+            ids = [
+                r[0]
+                for r in pers.select(id_col)
+                .distinct()
+                .limit(lim + 1)
+                .collect()
+            ]
+            if len(ids) <= lim:
+                doc_tokens = doc_tokens.filter(F.col(id_col).isin(ids))
+                pair_schema = pers.select(query_col, id_col).schema
+                pairs = pers.select(query_col, id_col).distinct().collect()
+                candidates = pers.sparkSession.createDataFrame(
+                    pairs, pair_schema
+                )
+            # else: bulk batch — keep the map-only broadcast semi-join
+            # over the original lazy plan
+        finally:
+            pers.unpersist()
     if impl == "kernel":
         return _maxsim_kernel(
             doc_tokens, query_tokens, k,

@@ -393,6 +393,11 @@ def sketch_quantiles(
     for c in (*dims, scol, ncol):
         if c not in merged.columns:
             raise ValueError(f"merged frame lacks column {c!r}")
+    if "n" in dims:
+        raise ValueError(
+            "dim 'n' collides with the output total column — rename "
+            "the dimension first"
+        )
     if not qs:
         raise ValueError("qs must name at least one quantile")
     for name, q in qs.items():

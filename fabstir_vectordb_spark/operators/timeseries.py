@@ -330,6 +330,11 @@ def _norm_roll_spec(name, spec, out_label, columns):
             f"(fn, col, opts); got {spec!r}"
         )
     fn, col = spec[0], spec[1]
+    if len(spec) == 3 and not isinstance(spec[2], dict):
+        raise ValueError(
+            f"{out_label} {name!r}: the third spec element must be "
+            f"an options dict; got {spec[2]!r}"
+        )
     opts = dict(spec[2]) if len(spec) == 3 else {}
     if name.startswith("__"):
         raise ValueError(f"agg name {name!r}: the __ prefix is reserved")
@@ -349,9 +354,12 @@ def _norm_roll_spec(name, spec, out_label, columns):
     return fn, col, opts
 
 
-def _distinct_frame_val(df, fn, col, opts, frame_window, where):
-    """Distinct-count window expression, dispatched on the SOURCE
-    dtype — the bucket-compaction contract (module docstring):
+def _distinct_agg_expr(dt, fn, col, opts, where, over=None):
+    """The distinct-count tier's aggregate expression, SHARED between
+    the batch window path (``over`` = the frame) and the streaming
+    grouped path (``over`` = None) so the dtype dispatch, cap guard,
+    and defaults cannot drift between the twins.  Dispatch on the
+    SOURCE dtype — the bucket-compaction contract (module docstring):
 
       raw column      exact: ``collect_set`` over the frame, capped;
                       approx: DataSketches HLL built over the frame.
@@ -366,6 +374,9 @@ def _distinct_frame_val(df, fn, col, opts, frame_window, where):
                       regime (~384 distinct at lgk=12); past it both
                       paths hold the HLL error bound but can differ
                       by a few counts (see :func:`rolling_buckets`).
+                      exact_distinct REFUSES a binary column: it
+                      would silently count distinct sketch BLOBS
+                      (~ observed buckets), not values.
     """
     from pyspark.sql.types import ArrayType, BinaryType
 
@@ -373,25 +384,40 @@ def _distinct_frame_val(df, fn, col, opts, frame_window, where):
         _EXACT_DISTINCT_DEFAULT_CAP, _set_guard,
     )
 
-    dt = df.schema[col].dataType
+    def _w(e):
+        return e.over(over) if over is not None else e
+
     if fn == "approx_distinct":
         if isinstance(dt, BinaryType):
-            u = F.hll_union_agg(col).over(frame_window)
+            u = _w(F.hll_union_agg(col))
         else:
             lgk = int(opts.get("lgk", 12))
-            u = F.hll_sketch_agg(col, F.lit(lgk)).over(frame_window)
+            u = _w(F.hll_sketch_agg(col, F.lit(lgk)))
         # empty/all-NULL frame: NULL estimate reads as 0 distinct
         return F.coalesce(
             F.hll_sketch_estimate(u), F.lit(0).cast("bigint")
         )
+    if isinstance(dt, BinaryType):
+        raise ValueError(
+            f"{where}: exact_distinct cannot read a BINARY (HLL "
+            "sketch) column — it would count distinct sketch blobs, "
+            "not distinct values; use approx_distinct on sketch "
+            "columns, or point at the raw / collect_set column"
+        )
     cap = int(opts.get("cap", _EXACT_DISTINCT_DEFAULT_CAP))
     if isinstance(dt, ArrayType):
-        merged = F.array_distinct(
-            F.flatten(F.collect_list(col).over(frame_window))
-        )
+        merged = F.array_distinct(F.flatten(_w(F.collect_list(col))))
     else:
-        merged = F.collect_set(col).over(frame_window)
+        merged = _w(F.collect_set(col))
     return F.size(_set_guard(merged, cap, where)).cast("bigint")
+
+
+def _distinct_frame_val(df, fn, col, opts, frame_window, where):
+    """Batch window wrapper of :func:`_distinct_agg_expr`."""
+    return _distinct_agg_expr(
+        df.schema[col].dataType, fn, col, opts, where,
+        over=frame_window,
+    )
 
 
 def _hist_frame_val(df, col, opts, frame_window, out_label, name):
@@ -434,13 +460,32 @@ def _hist_frame_val(df, col, opts, frame_window, out_label, name):
         raise ValueError(
             f"{out_label} {name!r}: need 0 < q <= 1; got {q}"
         )
+    def _s2f(tok: str) -> float:
+        # inverse of olap._f2s ('.'->p, '-'->m, 'e'->E)
+        return float(
+            tok.replace("p", ".").replace("m", "-").replace("E", "e")
+        )
+
+    m = _re.fullmatch(
+        r"__hist_\w+__lo(?P<lo>[^_]+)_hi(?P<hi>[^_]+)_n(?P<n>\d+)",
+        col,
+    )
     if "lo" in opts or "hi" in opts:
         lo, hi, n = _hist_grid(name, opts)
+        if m is not None:
+            # the partial's NAME already declares its grid — a
+            # conflicting explicit declaration must not win silently
+            # (the name encoding exists precisely to catch this)
+            nlo, nhi, nn = _s2f(m["lo"]), _s2f(m["hi"]), int(m["n"])
+            if (nlo, nhi, nn) != (lo, hi, n):
+                raise ValueError(
+                    f"{out_label} {name!r}: opts grid [{lo}, {hi})/"
+                    f"{n} contradicts the grid encoded in the column "
+                    f"name {col!r} ([{nlo}, {nhi})/{nn}) — drop the "
+                    "lo/hi opts to read the name, or point at the "
+                    "right column"
+                )
     else:
-        m = _re.fullmatch(
-            r"__hist_\w+__lo(?P<lo>[^_]+)_hi(?P<hi>[^_]+)_n(?P<n>\d+)",
-            col,
-        )
         if not m:
             raise ValueError(
                 f"{out_label} {name!r}: no grid — pass opts "
@@ -448,17 +493,29 @@ def _hist_frame_val(df, col, opts, frame_window, out_label, name):
                 "partial was built with, or point at a summarize "
                 "__hist_* column whose name encodes it"
             )
-
-        def _s2f(tok: str) -> float:
-            # inverse of olap._f2s ('.'->p, '-'->m, 'e'->E)
-            return float(
-                tok.replace("p", ".").replace("m", "-").replace("E", "e")
-            )
-
         lo, hi, n = _s2f(m["lo"]), _s2f(m["hi"]), int(m["n"])
+    # in-plan length guard: a partial built on a DIFFERENT bucket
+    # count would zip_with-pad to NULL (silently NULL estimates) —
+    # fail loudly naming the mismatch instead
+    guarded = F.when(
+        F.col(col).isNotNull() & (F.size(F.col(col)) != n),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"hist_quantile {name!r}: histogram partial "
+                    f"{col!r} has "
+                ),
+                F.size(F.col(col)).cast("string"),
+                F.lit(
+                    f" slots but the declared grid has {n} — the "
+                    "partial was built with a different grid"
+                ),
+            )
+        ).cast(df.schema[col].dataType),
+    ).otherwise(F.col(col))
     zeros = F.array_repeat(F.lit(0).cast("bigint"), n)
     merged = F.aggregate(
-        F.collect_list(col).over(frame_window),
+        F.collect_list(guarded).over(frame_window),
         zeros,
         lambda acc, a: F.zip_with(acc, a, lambda x, y: x + y),
     )

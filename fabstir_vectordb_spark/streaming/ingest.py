@@ -818,12 +818,9 @@ def rolling_stream(
     # same output-name hygiene as the batch twin (_rolling_over): a
     # collision would silently OVERWRITE the user's aggregate with the
     # bucket/window metadata columns appended below
-    from pyspark.sql.types import ArrayType, BinaryType
-
-    from fabstir_vectordb_spark.operators.olap import (
-        _EXACT_DISTINCT_DEFAULT_CAP, _set_guard,
+    from fabstir_vectordb_spark.operators.timeseries import (
+        _distinct_agg_expr, _norm_roll_spec,
     )
-    from fabstir_vectordb_spark.operators.timeseries import _norm_roll_spec
 
     reserved = {"bucket", "window_start", "window_end"}
     cols = []
@@ -841,30 +838,13 @@ def rolling_stream(
                 f"agg name {name!r} collides with a key/timestamp column"
             )
         src = F.lit(1) if col is None else F.col(col)
-        if fn == "exact_distinct":
-            # grouped (not windowed) here, but the same tiering and
-            # cap contract as the batch frame path (_distinct_frame_val)
-            cap = int(opts.get("cap", _EXACT_DISTINCT_DEFAULT_CAP))
-            dt = events.schema[col].dataType
-            merged = (
-                F.array_distinct(F.flatten(F.collect_list(col)))
-                if isinstance(dt, ArrayType)
-                else F.collect_set(col)
-            )
-            e = F.size(
-                _set_guard(merged, cap, f"rolling_stream {name!r}")
-            ).cast("bigint")
-        elif fn == "approx_distinct":
-            dt = events.schema[col].dataType
-            u = (
-                F.hll_union_agg(col)
-                if isinstance(dt, BinaryType)
-                else F.hll_sketch_agg(
-                    col, F.lit(int(opts.get("lgk", 12)))
-                )
-            )
-            e = F.coalesce(
-                F.hll_sketch_estimate(u), F.lit(0).cast("bigint")
+        if fn in ("exact_distinct", "approx_distinct"):
+            # grouped (not windowed) here; the expression itself is
+            # SHARED with the batch frame path (_distinct_agg_expr),
+            # so tiering, cap guard, and defaults cannot drift
+            e = _distinct_agg_expr(
+                events.schema[col].dataType, fn, col, opts,
+                f"rolling_stream {name!r}",
             )
         elif fn == "hist_quantile":
             # per-window fixed-grid percentile over RAW values (each

@@ -351,3 +351,9 @@ def test_candidate_pushdown_identical_and_pushes_to_scan(spark, tmp_path):
         maxsim_topk(dtp, qt, 3, candidate_pushdown=10)
     with pytest.raises(ValueError, match="must be >= 1"):
         maxsim_topk(dtp, qt, 3, candidates=cand, candidate_pushdown=0)
+    # the probe's persist is RELEASED before returning — a serving
+    # loop calling this repeatedly must not accumulate cached plans
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0, (
+        "candidate_pushdown leaked a persisted plan"
+    )

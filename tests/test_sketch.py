@@ -582,3 +582,10 @@ def test_mg_fanout_same_guarantees(spark):
     assert got == plain
     with pytest.raises(ValueError, match="fanout"):
         freq_partials(df, ["g"], "v", k=8, fanout=1)
+
+
+def test_sketch_quantiles_dim_named_n_rejected(spark):
+    docs = spark.createDataFrame([("a", 1.0)], "n string, v double")
+    merged = merge_sketches(sketch_partials(docs, ["n"], "v"), ["n"], "v")
+    with pytest.raises(ValueError, match="dim 'n' collides"):
+        sketch_quantiles(merged, ["n"], "v", {"p50": 0.5})

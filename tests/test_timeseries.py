@@ -942,3 +942,111 @@ def test_rolling_hist_quantile_grid_from_name_and_validation(spark):
             {"p": ("hist_quantile", "bad",
                    {"q": 0.5, "lo": 0.0, "hi": 1.0})}, 3,
         )
+
+
+def test_rolling_distinct_quantile_plan_shape(spark):
+    """Adding the distinct and percentile frame aggregates to a
+    rolling_buckets pass changes NOTHING in the plan footprint: the
+    same exchange count, the same single Window node family, zero
+    Python stages — every new aggregate rides the existing frame
+    (static plans, AQE off, per the suite's plan-pin convention)."""
+    import datetime as dt
+
+    from fabstir_vectordb_spark.operators.olap import hist_partial
+    from fabstir_vectordb_spark.operators.timeseries import (
+        resample, rolling_buckets,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0, "u1", 5.0)],
+        "k string, ts timestamp, u string, v double",
+    )
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rs = resample(
+            df, "k", "ts", 86400,
+            aggs={"s": F.sum("v"), "sk": F.hll_sketch_agg("u"),
+                  "st": F.collect_set("u"),
+                  "h": hist_partial("v", 0.0, 10.0, 4)},
+            fill={"s": ("zero", "locf")},
+        )
+        base = rolling_buckets(rs, "k", {"ma": ("mean", "s_zero")}, 3)
+        full = rolling_buckets(
+            rs, "k",
+            {"ma": ("mean", "s_zero"),
+             "ad": ("approx_distinct", "sk"),
+             "xd": ("exact_distinct", "st"),
+             "p9": ("hist_quantile", "h",
+                    {"q": 0.9, "lo": 0.0, "hi": 10.0, "buckets": 4})},
+            3,
+        )
+        pb = base._jdf.queryExecution().executedPlan().toString()
+        pf = full._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert (pf.count("Exchange hashpartitioning")
+            == pb.count("Exchange hashpartitioning"))
+    assert pf.count("Window ") == pb.count("Window ")
+    for marker in ("Python", "ArrowEval", "BatchEval"):
+        assert marker not in pf, marker
+
+
+def test_rolling_review_guards(spark):
+    """Round-11 review closures, all loud: exact_distinct refuses a
+    binary (sketch) column instead of silently counting blobs; a
+    non-dict opts element names the contract; a hist_quantile opts
+    grid contradicting the __hist_* column name raises; a partial
+    built on a different bucket count fails in-plan instead of
+    NULLing."""
+    import datetime as dt
+
+    from pyspark.errors import SparkRuntimeException
+
+    from fabstir_vectordb_spark.operators.olap import hist_partial
+    from fabstir_vectordb_spark.operators.timeseries import (
+        resample, rolling_buckets,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0, "u1", 5.0),
+         ("a", t0 + dt.timedelta(days=1), "u2", 7.0)],
+        "k string, ts timestamp, u string, v double",
+    )
+    rs = resample(
+        df, "k", "ts", 86400,
+        aggs={"sk": F.hll_sketch_agg("u"),
+              "h": hist_partial("v", 0.0, 10.0, 4)},
+    )
+    with pytest.raises(ValueError, match="distinct sketch blobs"):
+        rolling_buckets(rs, "k", {"xd": ("exact_distinct", "sk")}, 3)
+    with pytest.raises(ValueError, match="options dict"):
+        rolling_buckets(
+            rs, "k", {"xd": ("exact_distinct", "sk", "cap=1")}, 3
+        )
+    # summarize-named column + contradicting explicit grid
+    named = rs.withColumnRenamed("h", "__hist_v__lo0p0_hi10p0_n4")
+    ok = rolling_buckets(
+        named, "k",
+        {"p": ("hist_quantile", "__hist_v__lo0p0_hi10p0_n4",
+               {"q": 0.5, "lo": 0.0, "hi": 10.0, "buckets": 4})},
+        3,
+    )
+    assert ok.collect()  # matching explicit grid is fine
+    with pytest.raises(ValueError, match="contradicts the grid"):
+        rolling_buckets(
+            named, "k",
+            {"p": ("hist_quantile", "__hist_v__lo0p0_hi10p0_n4",
+                   {"q": 0.5, "lo": 0.0, "hi": 20.0, "buckets": 4})},
+            3,
+        )
+    # wrong-length partial: declared 8 buckets, built with 4
+    with pytest.raises(SparkRuntimeException, match="different grid"):
+        rolling_buckets(
+            rs, "k",
+            {"p": ("hist_quantile", "h",
+                   {"q": 0.5, "lo": 0.0, "hi": 10.0, "buckets": 8})},
+            3,
+        ).collect()
