@@ -788,3 +788,37 @@ def test_top_values_from_summary_reaggregates_unmerged_input(spark):
     assert _rows(
         top_values_from_summary(merged, ["lang"], "source", k=3)
     ) == want
+
+
+def test_public_hist_helpers_match_report_path(spark):
+    """olap.hist_partial / hist_quantile (public, r11): a summary
+    built from the public partial reads off the IDENTICAL estimate as
+    the certified approx_pXX report path over the same grid — the
+    helpers ARE the report machinery, re-exported; and the partial
+    validates its grid like the measures do."""
+    from fabstir_vectordb_spark.operators.olap import (
+        grouped_report, hist_partial, hist_quantile,
+    )
+
+    docs = _docs(spark)
+    grid = {"lo": 0.0, "hi": 4000.0, "buckets": 64}
+    rep = grouped_report(
+        docs, ["lang"],
+        {"p90": ("approx_p90", "n_chars", grid)},
+        mode="rollup",
+    ).filter(F.col("g_lang") == 0)
+    want = {r["lang"]: r["p90"] for r in rep.collect()}
+    manual = (
+        docs.groupBy("lang")
+        .agg(hist_partial("n_chars", 0.0, 4000.0, 64).alias("h"))
+        .select(
+            "lang",
+            hist_quantile("h", 0.9, 0.0, 4000.0, 64).alias("p90"),
+        )
+    )
+    got = {r["lang"]: r["p90"] for r in manual.collect()}
+    assert got == want and len(got) >= 3
+    with pytest.raises(ValueError, match="hi > lo"):
+        hist_partial("n_chars", 10.0, 5.0)
+    with pytest.raises(ValueError, match="0 < q <= 1"):
+        hist_quantile("h", 1.5, 0.0, 1.0)
