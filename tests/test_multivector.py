@@ -306,6 +306,11 @@ def test_candidate_pushdown_identical_and_pushes_to_scan(spark, tmp_path):
     a doc_id-sorted layout can skip files/row groups; past the limit
     the bounded collect is skipped and the map-only semi-join shape is
     kept (still identical)."""
+    # baseline for the leak check at the end: other suites may hold
+    # their own legitimate caches in the shared session
+    n_persisted_before = (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    )
     dt, qt, docs, queries = _tables(spark, n_docs=20)
     path = str(tmp_path / "dt.parquet")
     dt.sort("doc_id").write.parquet(path)
@@ -353,7 +358,12 @@ def test_candidate_pushdown_identical_and_pushes_to_scan(spark, tmp_path):
         maxsim_topk(dtp, qt, 3, candidates=cand, candidate_pushdown=0)
     # the probe's persist is RELEASED before returning — a serving
     # loop calling this repeatedly must not accumulate cached plans
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0, (
-        "candidate_pushdown leaked a persisted plan"
+    # (compare against the pre-test count: the shared session may
+    # carry other suites' caches)
+    n_persisted_after = (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    )
+    assert n_persisted_after <= n_persisted_before, (
+        "candidate_pushdown leaked a persisted plan",
+        n_persisted_before, n_persisted_after,
     )
