@@ -1029,6 +1029,12 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            interpolation read-off — n = frame histogram mass, x1/x2 =
            r6 p50/p90, replayed formula-for-formula in DuckDB
            (empty frames filtered; their NULL read is pytest-pinned).
+      rolltv (r11) trailing-window TOP VALUES (rolling_top_values —
+           heavy hitters per trailing 3-day window, explode-to-
+           covered-buckets plan, no inequality join): one row per
+           (user, covered day, top-2 event type), n = summed weight,
+           x1 = rank, x2 = a portable ascii surrogate of the value
+           string (identical expression both engines).
       roll_stream (r11) streaming/ingest.rolling_stream as a REAL
            Structured Streaming run (the stream_session pattern:
            unordered micro-batch replay, complete mode, wide
@@ -1276,6 +1282,48 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("x3"),
         F.lit(0.0).alias("x4"),
     )
+    # rolltv (r11): trailing-window TOP VALUES (heavy hitters per
+    # trailing 3-day window) — the explode-to-covered-buckets plan
+    # (no inequality join): per-(user, day, event_type) counts fan
+    # out to the n_buckets windows they cover, one exact groupBy, one
+    # ranking window, (weight DESC, value ASC) deterministic cut.
+    # The string value travels through this slot's numeric schema as
+    # a portable ascii surrogate (first two char codes + length) —
+    # computed by the IDENTICAL expression in both engines.
+    from fabstir_vectordb_spark.operators.timeseries import (
+        rolling_top_values,
+    )
+
+    cnts = (
+        ev.withColumn(
+            "bucket",
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(86_400_000_000)
+            ).cast("long"),
+        )
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("user_id", "bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    _enc = (
+        F.ascii(F.substring("event_type", 1, 1)) * F.lit(100000)
+        + F.ascii(F.substring("event_type", 2, 1)) * F.lit(1000)
+        + F.length("event_type")
+    ).cast("double")
+    rolltv = rolling_top_values(
+        cnts, "user_id", n_buckets=3, k=2,
+        value_col="event_type", weight_col="w",
+    ).select(
+        F.lit("rolltv").alias("part"),
+        F.col("user_id").alias("key"),
+        F.col("bucket").alias("bin"),
+        F.col("w").cast("long").alias("n"),
+        F.col("rank").cast("double").alias("x1"),
+        _enc.alias("x2"),
+        F.lit(0.0).alias("x3"),
+        F.lit(0.0).alias("x4"),
+    )
     # roll_stream (r11): a real streaming run of the sliding-window
     # moving aggregates (rolling_stream), unordered replay
     import tempfile as _tf
@@ -1326,7 +1374,7 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         six.unionByName(raw).unionByName(day).unionByName(win)
         .unionByName(sqlg).unionByName(roll).unionByName(rolld)
         .unionByName(rollb).unionByName(rollbd).unionByName(rollq)
-        .unionByName(roll_stream)
+        .unionByName(rolltv).unionByName(roll_stream)
     )
 
 
@@ -7892,6 +7940,39 @@ FROM (
   )
   GROUP BY 1, 2
 )
+UNION ALL
+-- rolltv (r11): trailing 3-day top-2 event types per user — the same
+-- explode-to-covered-buckets shape: each (user, day, type) count
+-- covers days [b, b+2], re-aggregate per covered day, row_number by
+-- (weight DESC, value ASC); the value string rides as the ascii
+-- surrogate (first two char codes + length)
+SELECT 'rolltv' AS part, user_id AS key, cb AS bin,
+       CAST(w AS BIGINT) AS n,
+       CAST(rank AS DOUBLE) AS x1,
+       CAST(ascii(substr(event_type, 1, 1)) * 100000
+            + ascii(substr(event_type, 2, 1)) * 1000
+            + length(event_type) AS DOUBLE) AS x2,
+       0.0 AS x3, 0.0 AS x4
+FROM (
+  SELECT user_id, cb, event_type, w,
+         row_number() OVER (
+           PARTITION BY user_id, cb
+           ORDER BY w DESC, event_type ASC
+         ) AS rank
+  FROM (
+    SELECT user_id, c.cb, event_type, sum(cnt) AS w
+    FROM (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS b,
+             event_type, count(*) AS cnt
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2, 3
+    ) base,
+    LATERAL (SELECT base.b + unnest(generate_series(0, 2)) AS cb) c
+    GROUP BY 1, 2, 3
+  )
+)
+WHERE rank <= 2
 UNION ALL
 -- roll_stream (r11): sliding windows closed-form — each event covers
 -- the 6 hourly buckets [eb, eb+5]; a (user, bucket) row emits iff

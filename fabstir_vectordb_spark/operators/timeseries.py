@@ -63,7 +63,8 @@ from pyspark.sql import functions as F
 
 from fabstir_vectordb_spark.operators.temporal import _raw_time_mode
 
-__all__ = ["resample", "rolling", "rolling_buckets", "rolling_multi"]
+__all__ = ["resample", "rolling", "rolling_buckets", "rolling_multi",
+           "rolling_top_values"]
 
 _FILL_METHODS = ("locf", "nocb", "interp", "zero")
 
@@ -834,3 +835,84 @@ def rolling_multi(
             f"rolling_multi[{suffix}] agg",
         )
     return out.drop("__ord")
+
+
+def rolling_top_values(
+    counts: DataFrame,
+    on: str | list[str],
+    n_buckets: int,
+    k: int = 3,
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Trailing-window TOP VALUES per key — "top referrers in the last
+    7 days, per day", the heavy-hitter member of the rolling family.
+
+    Input is a per-(keys, bucket, value) COUNTS frame — the output of
+    ``df.groupBy(*keys, bucket, value).count()``, a ``summarize`` on
+    those dims, or (approximately) a Misra-Gries summary's exploded
+    counters (``operators/sketch.top_from_freq`` weights; the carried
+    undercount bound then applies to the rolled weights too, since
+    sums of underestimates underestimate the sum).  For each key and
+    each trailing ``n_buckets`` window this returns the ``k`` heaviest
+    values by summed weight, cut deterministically by
+    ``(weight DESC, value ASC)`` — the same rule as
+    ``olap.top_values``.
+
+    Scale shape: NO inequality join and NO per-row set state — each
+    counts row explodes to the ``n_buckets`` grid buckets whose
+    trailing window it covers (bounded fan-out over the COMPACT counts
+    frame, never over events), then one exact groupBy + one ranking
+    window.  A hot key costs (its distinct values x n_buckets) rows,
+    however many events it had.
+
+    Output: (keys..., ``bucket_col``, ``value_col``, ``weight_col``
+    summed over the window, ``rank`` 1..k) — one row group per bucket
+    some input row covers (compose with ``resample``'s grid and an
+    anti-join if empty-window rows must exist; a window with no
+    observations has no top values)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if int(n_buckets) < 1:
+        raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    for c in (*keys, bucket_col, value_col, weight_col):
+        if c not in counts.columns:
+            raise ValueError(f"unknown column {c!r}")
+    dt = counts.schema[bucket_col].dataType.simpleString()
+    if dt not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"bucket column {bucket_col!r} must be an integer bucket "
+            f"id; got {dt}"
+        )
+    if "__cover" in counts.columns:
+        raise ValueError(
+            "input column '__cover' collides with the internal cover "
+            "column (the __ prefix is reserved); rename it first"
+        )
+    from pyspark.sql.window import Window
+
+    b = F.col(bucket_col).cast("long")
+    covered = counts.select(
+        *keys,
+        F.explode(
+            F.sequence(b, b + F.lit(int(n_buckets) - 1))
+        ).alias("__cover"),
+        F.col(value_col),
+        F.col(weight_col),
+    )
+    agg = covered.groupBy(*keys, "__cover", value_col).agg(
+        F.sum(weight_col).alias(weight_col)
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(*keys, "__cover").orderBy(
+            F.col(weight_col).desc_nulls_last(),
+            F.col(value_col).asc_nulls_last(),
+        )
+    )
+    return (
+        agg.withColumn("rank", rank)
+        .filter(F.col("rank") <= int(k))
+        .withColumnRenamed("__cover", bucket_col)
+    )

@@ -1050,3 +1050,64 @@ def test_rolling_review_guards(spark):
                    {"q": 0.5, "lo": 0.0, "hi": 10.0, "buckets": 8})},
             3,
         ).collect()
+
+
+def test_rolling_top_values_matches_bruteforce(spark):
+    """Trailing-window heavy hitters: rolling_top_values on a counts
+    frame equals a python brute force (sum weights over the covered
+    window, (weight DESC, value ASC) deterministic cut), including
+    windows that only exist through trailing coverage of an earlier
+    bucket."""
+    import collections
+    import random
+
+    from fabstir_vectordb_spark.operators.timeseries import (
+        rolling_top_values,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for key in "ab":
+        for _ in range(300):
+            rows.append((
+                key, rng.randrange(0, 15),
+                f"v{rng.randrange(0, 12)}", rng.randrange(1, 9),
+            ))
+    df = spark.createDataFrame(
+        rows, "k string, bucket long, value string, weight long"
+    ).groupBy("k", "bucket", "value").agg(
+        F.sum("weight").alias("weight")
+    )
+    got = {}
+    for r in rolling_top_values(df, "k", n_buckets=4, k=3).collect():
+        got.setdefault((r["k"], r["bucket"]), []).append(
+            (r["rank"], r["value"], r["weight"])
+        )
+    by_kb = collections.defaultdict(collections.Counter)
+    for k, b, v, w in rows:
+        by_kb[(k, b)][v] += w
+    want = {}
+    covered = {(k, b + off) for (k, b) in by_kb for off in range(4)}
+    for (k, b) in covered:
+        tot = collections.Counter()
+        for bb in range(b - 3, b + 1):
+            tot.update(by_kb.get((k, bb), {}))
+        if not tot:
+            continue
+        top = sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        want[(k, b)] = [
+            (i + 1, v, w) for i, (v, w) in enumerate(top)
+        ]
+    assert {kb: sorted(v) for kb, v in got.items()} == {
+        kb: sorted(v) for kb, v in want.items()
+    }
+    # validation
+    with pytest.raises(ValueError, match="n_buckets"):
+        rolling_top_values(df, "k", n_buckets=0)
+    with pytest.raises(ValueError, match="unknown column"):
+        rolling_top_values(df, "k", n_buckets=2, value_col="nope")
+    with pytest.raises(ValueError, match="integer bucket"):
+        rolling_top_values(
+            df.withColumn("bucket", F.col("bucket").cast("double")),
+            "k", n_buckets=2,
+        )
