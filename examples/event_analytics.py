@@ -416,6 +416,30 @@ def main(spark: SparkSession) -> dict:
     # regime, so the HLL tier agrees with the exact tier verbatim here
     assert both["diffs"] == 0
 
+    # trailing heavy hitters: top event types per user over the same
+    # 3-day windows — counts explode to the windows they cover, so
+    # there is no inequality join and no per-row set state
+    from fabstir_vectordb_spark.operators.timeseries import (
+        rolling_top_values,
+    )
+
+    tv = rolling_top_values(
+        events.withColumn(
+            "bucket",
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(86_400_000_000)
+            ).cast("long"),
+        )
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("user_id", "bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("w")),
+        "user_id", n_buckets=3, k=1,
+        value_col="event_type", weight_col="w",
+    )
+    out["top_value_windows"] = tv.count()
+    assert tv.filter(F.col("rank") != 1).count() == 0  # k=1 cut
+
     return out
 
 
