@@ -148,17 +148,24 @@ def maxsim_topk(
         # persist for the duration of the probe ONLY: the id probe is
         # an ACTION on the candidates plan and the pair collect below
         # re-reads it — without the persist the (expensive) candidate
-        # screen would execute twice.  The cache is RELEASED before
-        # returning (a leaked persist per call would pin executor
-        # storage for the session in exactly the long-running serving
-        # loop this knob exists for): in the pushdown regime the
-        # bounded distinct pair set (<= queries x lim rows, the same
-        # bounded-batch contract as the id collect) is materialized
-        # into a LOCAL frame that replaces the lazy plan; in the bulk
-        # regime the probe result is discarded and the screen simply
-        # evaluates once at execution time, as before the probe
-        # existed.
-        pers = candidates.persist()
+        # screen would execute twice.  The TEMPORARY cache is RELEASED
+        # before returning (a leaked persist per call would pin
+        # executor storage for the session in exactly the long-running
+        # serving loop this knob exists for) — but only if WE created
+        # it: persist() on an already-cached plan is a CacheManager
+        # no-op while unpersist() would evict the CALLER's cache, so a
+        # caller-persisted candidates frame is left exactly as given.
+        # Pushdown regime: the bounded distinct pair set (<= queries x
+        # lim rows, the same bounded-batch contract as the id collect)
+        # materializes into a LOCAL frame that replaces the lazy plan.
+        # Bulk regime (ids > lim): the probe's pass over the screen is
+        # the knob's honest cost — the final semi-join re-evaluates
+        # the (uncached) plan once more; callers running bulk batches
+        # repeatedly should persist candidates themselves (respected)
+        # or leave candidate_pushdown unset.
+        lvl = candidates.storageLevel
+        caller_cached = lvl.useMemory or lvl.useDisk
+        pers = candidates if caller_cached else candidates.persist()
         try:
             ids = [
                 r[0]
@@ -177,7 +184,8 @@ def maxsim_topk(
             # else: bulk batch — keep the map-only broadcast semi-join
             # over the original lazy plan
         finally:
-            pers.unpersist()
+            if not caller_cached:
+                pers.unpersist()
     if impl == "kernel":
         return _maxsim_kernel(
             doc_tokens, query_tokens, k,

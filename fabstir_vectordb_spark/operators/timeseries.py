@@ -471,30 +471,41 @@ def _hist_frame_val(df, col, opts, frame_window, out_label, name):
         r"__hist_\w+__lo(?P<lo>[^_]+)_hi(?P<hi>[^_]+)_n(?P<n>\d+)",
         col,
     )
+    name_grid = None
+    if m is not None:
+        try:
+            name_grid = (_s2f(m["lo"]), _s2f(m["hi"]), int(m["n"]))
+        except ValueError:
+            # a column that merely LOOKS like the encoding (non-_f2s
+            # tokens) carries no grid declaration
+            name_grid = None
     if "lo" in opts or "hi" in opts:
         lo, hi, n = _hist_grid(name, opts)
-        if m is not None:
+        if name_grid is not None and name_grid != (lo, hi, n):
             # the partial's NAME already declares its grid — a
             # conflicting explicit declaration must not win silently
             # (the name encoding exists precisely to catch this)
-            nlo, nhi, nn = _s2f(m["lo"]), _s2f(m["hi"]), int(m["n"])
-            if (nlo, nhi, nn) != (lo, hi, n):
-                raise ValueError(
-                    f"{out_label} {name!r}: opts grid [{lo}, {hi})/"
-                    f"{n} contradicts the grid encoded in the column "
-                    f"name {col!r} ([{nlo}, {nhi})/{nn}) — drop the "
-                    "lo/hi opts to read the name, or point at the "
-                    "right column"
-                )
+            raise ValueError(
+                f"{out_label} {name!r}: opts grid [{lo}, {hi})/"
+                f"{n} contradicts the grid encoded in the column "
+                f"name {col!r} ({name_grid}) — drop the lo/hi opts "
+                "to read the name, or point at the right column"
+            )
     else:
-        if not m:
+        if name_grid is None:
             raise ValueError(
                 f"{out_label} {name!r}: no grid — pass opts "
                 "{'lo', 'hi'[, 'buckets']} matching the grid the "
                 "partial was built with, or point at a summarize "
                 "__hist_* column whose name encodes it"
             )
-        lo, hi, n = _s2f(m["lo"]), _s2f(m["hi"]), int(m["n"])
+        lo, hi, n = name_grid
+        if "buckets" in opts and int(opts["buckets"]) != n:
+            raise ValueError(
+                f"{out_label} {name!r}: opts buckets="
+                f"{int(opts['buckets'])} contradicts the {n}-bucket "
+                f"grid encoded in the column name {col!r}"
+            )
     # in-plan length guard: a partial built on a DIFFERENT bucket
     # count would zip_with-pad to NULL (silently NULL estimates) —
     # fail loudly naming the mismatch instead

@@ -367,3 +367,27 @@ def test_candidate_pushdown_identical_and_pushes_to_scan(spark, tmp_path):
         "candidate_pushdown leaked a persisted plan",
         n_persisted_before, n_persisted_after,
     )
+
+
+def test_candidate_pushdown_respects_caller_cache(spark, tmp_path):
+    """The probe's temporary persist must not evict a cache the
+    CALLER created on the candidates frame (persist() on an
+    already-cached plan is a no-op, so an unconditional unpersist
+    would silently drop the caller's cache decision)."""
+    dt, qt, docs, queries = _tables(spark, n_docs=12)
+    cand = spark.createDataFrame(
+        [(q, d) for q in queries for d in list(docs)[:4]],
+        "query_id long, doc_id long",
+    ).persist()
+    try:
+        cand.count()  # materialize the caller's cache
+        out = maxsim_topk(
+            dt, qt, 2, candidates=cand, candidate_pushdown=100
+        )
+        assert out.count() > 0
+        lvl = cand.storageLevel
+        assert lvl.useMemory or lvl.useDisk, (
+            "caller's cache was evicted by the pushdown probe"
+        )
+    finally:
+        cand.unpersist()

@@ -1111,3 +1111,50 @@ def test_rolling_top_values_matches_bruteforce(spark):
             df.withColumn("bucket", F.col("bucket").cast("double")),
             "k", n_buckets=2,
         )
+
+
+def test_hist_quantile_grid_guard_edges(spark):
+    """Review closures on the grid guards: a buckets-only
+    contradiction against a __hist_* name raises; a column that only
+    LOOKS like the encoding (non-numeric tokens) still works with an
+    explicit grid instead of crashing the name parse."""
+    import datetime as dt
+
+    from fabstir_vectordb_spark.operators.olap import hist_partial
+    from fabstir_vectordb_spark.operators.timeseries import (
+        resample, rolling_buckets,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0, 5.0), ("a", t0 + dt.timedelta(days=1), 7.0)],
+        "k string, ts timestamp, v double",
+    )
+    rs = resample(
+        df, "k", "ts", 86400, aggs={"h": hist_partial("v", 0.0, 10.0, 4)}
+    )
+    named = rs.withColumnRenamed("h", "__hist_v__lo0p0_hi10p0_n4")
+    with pytest.raises(ValueError, match="buckets=8 contradicts"):
+        rolling_buckets(
+            named, "k",
+            {"p": ("hist_quantile", "__hist_v__lo0p0_hi10p0_n4",
+                   {"q": 0.5, "buckets": 8})},
+            3,
+        )
+    # pseudo-encoded name, explicit grid: must work, not crash _s2f
+    pseudo = rs.withColumnRenamed("h", "__hist_v__loA_hiB_n4")
+    got = rolling_buckets(
+        pseudo, "k",
+        {"p": ("hist_quantile", "__hist_v__loA_hiB_n4",
+               {"q": 0.5, "lo": 0.0, "hi": 10.0, "buckets": 4})},
+        3,
+    ).collect()
+    assert got and all(r["p"] is not None for r in got)
+    # and without a grid it reports no-grid, not a float parse error
+    with pytest.raises(ValueError, match="no grid"):
+        rolling_buckets(
+            pseudo, "k",
+            {"p": ("hist_quantile", "__hist_v__loA_hiB_n4",
+                   {"q": 0.5})},
+            3,
+        )
