@@ -882,7 +882,13 @@ def rolling_top_values(
     summed over the window, ``rank`` 1..k) — one row group per bucket
     some input row covers (compose with ``resample``'s grid and an
     anti-join if empty-window rows must exist; a window with no
-    observations has no top values)."""
+    observations has no top values).
+
+    Streaming: ranking is not closed under micro-batching, so the
+    split is the funnel_chunks_stream pattern — maintain the
+    per-(keys, bucket, value) counts with a watermarked streaming
+    aggregation (``streaming/ingest.summarize_stream`` on those
+    dims), then run THIS over the stored counts at read time."""
     keys = [on] if isinstance(on, str) else list(on)
     if int(n_buckets) < 1:
         raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")

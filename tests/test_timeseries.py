@@ -1158,3 +1158,61 @@ def test_hist_quantile_grid_guard_edges(spark):
                    {"q": 0.5})},
             3,
         )
+
+
+def test_rolling_top_values_composes_with_mg_summaries(spark):
+    """The approximate composition the docstring claims: per-bucket
+    Misra-Gries summaries (operators/sketch) exploded into the counts
+    frame roll up with the bound intact — for every reported (key,
+    window, value): est <= true rolled count <= est + the sum of the
+    covered buckets' per-group undercount bounds (sums of
+    underestimates underestimate the sum, and each bucket's error is
+    bounded by its own MG bound)."""
+    import collections
+    import random
+
+    from fabstir_vectordb_spark.operators.sketch import (
+        freq_partials, merge_freq, top_from_freq,
+    )
+    from fabstir_vectordb_spark.operators.timeseries import (
+        rolling_top_values,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for b in range(6):
+        for _ in range(4000):
+            # zipf-ish: heavy head + long tail, per bucket
+            v = (f"hot{rng.randrange(0, 5)}" if rng.random() < 0.7
+                 else f"tail{rng.randrange(0, 800)}")
+            rows.append(("g", b, v))
+    df = spark.createDataFrame(rows, "k string, bucket long, v string")
+    mg = merge_freq(freq_partials(df, ["k", "bucket"], "v", k=32))
+    hits = top_from_freq(mg, top=2000)
+    counts = hits.select(
+        "k", F.col("bucket").cast("long").alias("bucket"),
+        F.col("value"), F.col("est").alias("weight"),
+    )
+    rolled = rolling_top_values(
+        counts, "k", n_buckets=3, k=5, value_col="value",
+    ).collect()
+    assert rolled
+    truth = collections.defaultdict(collections.Counter)
+    for k, b, v in rows:
+        truth[(k, b)][v] += 1
+    bounds = {
+        (r["k"], r["bucket"]): r["max_undercount"]
+        for r in hits.select(
+            "k", "bucket", "max_undercount"
+        ).distinct().collect()
+    }
+    for r in rolled:
+        t = sum(
+            truth[(r["k"], bb)][r["value"]]
+            for bb in range(r["bucket"] - 2, r["bucket"] + 1)
+        )
+        bound = sum(
+            bounds.get((r["k"], bb), 0)
+            for bb in range(r["bucket"] - 2, r["bucket"] + 1)
+        )
+        assert r["weight"] <= t <= r["weight"] + bound, (r, t, bound)
