@@ -3982,8 +3982,15 @@ def q_relevance_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (search_integration.rs:298-372) over events; age anchored at max(ts)
     so the result is deterministic."""
     ev = _t(spark, sf_dir, "events")
-    now = _max_ts(spark, sf_dir)
-    age_ms = (F.unix_micros(F.lit(now)) - F.unix_micros(F.col("ts"))) / F.lit(1000.0)
+    # the max(ts) anchor as an IN-PLAN broadcast scalar instead of the
+    # former _max_ts collect: same value, but the query path no longer
+    # runs a driver-blocking aggregate job before the scoring scan
+    # (guide §5 — the driver should do no data work in a query path)
+    now_df = ev.agg(F.max("ts").alias("__now"))
+    ev = ev.crossJoin(F.broadcast(now_df))
+    age_ms = (
+        F.unix_micros(F.col("__now")) - F.unix_micros(F.col("ts"))
+    ) / F.lit(1000.0)
     decay = SC.time_decay_score(F.lit(1.0), age_ms, HALF_LIFE_MS)
     pop = SC.popularity_boost_score(F.lit(1.0), F.col("value"))
     return ev.select(
@@ -4064,21 +4071,27 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 invariant holds (constant oracle rows)
     """
     emb = _t(spark, sf_dir, "embeddings")
+    # eq_id = query_id * (n_expansions+1) + expansion_id, as a LONG: the
+    # original query id is recoverable arithmetically (query_id div 3),
+    # so the per-expansion kNN result maps back WITHOUT the former
+    # join-against-distinct(expanded) — one BroadcastHashJoin, two
+    # HashAggregates and a re-derivation of the expansion subtree gone
+    # from the plan (r11 optimization; identical (query_id, id, distance)
+    # set, certified unchanged vs the oracle).  query_ids are vec_id < NQ,
+    # non-negative, so integer div is exact.
     expanded = SC.expand_queries(
         _query_vectors(spark, sf_dir), n_expansions=2, noise=0.05
     ).select(
-        F.concat_ws("#", F.col("query_id"), F.col("expansion_id")).alias("eq_id"),
-        F.col("query_id").alias("orig_query_id"),
+        (F.col("query_id") * 3 + F.col("expansion_id")).alias("eq_id"),
         "vector",
     )
     res = brute_force_knn(
         emb, expanded, K, metric="l2", impl="kernel",
         id_col="vec_id", vector_col="embedding", query_id_col="eq_id",
     )
-    back = res.join(
-        expanded.select(F.col("eq_id").alias("query_id"), "orig_query_id").distinct(),
-        "query_id",
-    ).select(F.col("orig_query_id").alias("query_id"), "id", "distance")
+    back = res.select(
+        F.expr("query_id div 3").alias("query_id"), "id", "distance"
+    )
     best = merge_dedup(back)
     exp_part = topk_per_query(best, K).select(
         F.lit("expansion").alias("part"), "query_id", "id",
@@ -4513,7 +4526,13 @@ def q_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar u8 quantization + dequantization (vector_ops.rs:349-387):
     per-vector affine codes; reports max reconstruction error, which is
     bounded by span/510 per element."""
-    emb = _t(spark, sf_dir, "embeddings")
+    from fabstir_vectordb_spark.operators.dedup import _parallelize
+
+    # the quantize/dequantize/err pipeline is interpreted HOF eval (no
+    # whole-stage codegen for array lambdas), so a single-file scan pins
+    # the whole computation to ONE core; _parallelize spreads it and is a
+    # no-op when the scan already has cluster-scale partitions (r11).
+    emb = _parallelize(_t(spark, sf_dir, "embeddings"))
     lo, hi = D.vector_min("embedding"), D.vector_max("embedding")
     q = emb.select(
         "vec_id",

@@ -482,11 +482,18 @@ def _prune_hot_buckets(
     public entry point defaults the cutoff ON (minhash_lsh_pairs)."""
     if max_bucket_size is None:
         return banded
+    # cache the (tiny, usually empty) oversized-bucket list: every caller
+    # SELF-JOINS the pruned table, which physically duplicates this
+    # subtree — without the cache the full bucket-count aggregate runs
+    # once per join side (seen as two HashAggregate+Exchange pairs in the
+    # simhash/minhash plans); with it the aggregate runs once and both
+    # sides anti-join against the in-memory list.
     big = (
         banded.groupBy("band", "bucket")
         .count()
         .filter(F.col("count") > max_bucket_size)
         .select("band", "bucket")
+        .cache()
     )
     return banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
 
@@ -573,42 +580,71 @@ def canonicalize_pairs(
     Output: (id, canonical_id, group_size, is_duplicate).
     """
     ids = nodes.select(F.col(id_col).alias("id")).distinct()
-    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    # symmetric closure in ONE pass over the pair graph: explode each
+    # pair into both directions.  (The former union-of-two-selects read
+    # the `pairs` subtree — the expensive LSH join+verify — once per
+    # union branch; explode reads it once.)
     edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: materialized by the first round's convergence count, so
+        # the truncation costs no extra driver-blocking job
+        .localCheckpoint(eager=False)
     )
     # iterate over EDGE-INVOLVED nodes only: a node with no pair edge can
     # never change its label, and near-dup pair sets are a small fraction
     # of the corpus — the per-round joins shrink from |corpus| to
-    # |touched nodes|; singletons rejoin at the end via coalesce
-    labels = edges.select(F.col("src").alias("id")).distinct()
-    labels = labels.select("id", F.col("id").alias("label"))
+    # |touched nodes|; singletons rejoin at the end via coalesce.
+    #
+    # Round 1 is UNROLLED into the initialization: with identity labels,
+    # min-over-neighborhood is just least(min(src), dst) grouped by dst
+    # (the graph is symmetric, so every edge-involved node appears as
+    # dst) — one aggregate instead of a join + aggregate + left-join +
+    # convergence count.  Near-dup components are near-cliques, so this
+    # often leaves only the single verification round in the loop.
+    labels = (
+        edges.groupBy("dst")
+        .agg(F.min("src").alias("__m"))
+        .select(
+            F.col("dst").alias("id"),
+            F.least("__m", "dst").alias("label"),
+        )
+    )
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # the changed flag rides the update row itself, and the lineage-
+        # truncating checkpoint is LAZY: one count() both materializes the
+        # round's labels and answers the convergence question — the former
+        # eager-checkpoint-then-join-old-vs-new shape ran two driver-
+        # blocking jobs plus an extra join per round for the same answer.
+        new_label = F.least(F.col("label"), F.coalesce("nlabel", "label"))
+        updated = (
             labels.join(neigh, "id", "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("__chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = updated.filter(F.col("__chg")).count()
+        labels = updated.select("id", "label")
         if changed == 0:
             break
     w = Window.partitionBy("canonical_id")

@@ -221,14 +221,26 @@ class IVFIndex:
         pairs = self._probes_from_rows(qrows, n_probe)
         probe_union = sorted({cid for _, cid in pairs})
 
-        qvecs = {r[0]: r[1] for r in qrows}
-        probes = spark.createDataFrame(
-            [(qid, cid, qvecs[qid]) for qid, cid in pairs],
+        # ship only the (query_id, cluster_id) probe pairs through the
+        # driver (a few ints per query) and attach the query VECTORS by an
+        # in-plan broadcast join against the queries DataFrame: the former
+        # createDataFrame of (qid, cid, vector) rows re-serialized every
+        # query vector through the row path once per search — measurable
+        # fixed driver cost, and pure overhead since the vectors already
+        # live in `queries` (r11; result values identical).
+        pair_df = spark.createDataFrame(
+            pairs,
             schema=queries.select(
                 F.col(query_id_col).alias("query_id"),
                 F.lit(0).alias("cluster_id"),
-                F.col(query_vector_col).alias("__qvec"),
             ).schema,
+        )
+        probes = pair_df.join(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vector_col).alias("__qvec"),
+            ),
+            "query_id",
         )
         pruned = vectors_with_cluster.filter(F.col(cluster_col).isin(probe_union))
         joined = pruned.join(
