@@ -51,11 +51,30 @@ def r6(c) -> F.Column:
     return F.round(c, 6) + F.lit(0.0)
 
 
+# DataFrame HANDLE memo: spark.read.parquet costs ~0.2 s of driver-side
+# file listing + schema inference per call, and every query constructor
+# re-reads its tables.  The memo holds the immutable LOGICAL PLAN only —
+# no .cache(), no data: every action on the returned frame still scans
+# the parquet files.  Keyed by session identity so tests with their own
+# sessions never see a frame from a stopped context.
+_TABLE_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC for EVERY load, not just events: timestamp rendering must not
     # depend on whether an events-reading query ran first in the session
     # (ad-hoc ordering hazard flagged in round-3 advice)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_HANDLES.get(key)
+    if cached is not None:
+        return cached
+    df = _t_load(spark, sf_dir, name)
+    _TABLE_HANDLES[key] = df
+    return df
+
+
+def _t_load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet has shipped as TIMESTAMP(NANOS) (which Spark reads
         # as bigint under nanosAsLong) and as TIMESTAMP(MICROS) (a real
@@ -4089,9 +4108,14 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, expanded, K, metric="l2", impl="kernel",
         id_col="vec_id", vector_col="embedding", query_id_col="eq_id",
     )
+    # establish the query_id partitioning ONCE: both the merge aggregate
+    # (grouping keys ⊇ query_id) and the final top-k window reuse it, so
+    # the former back-to-back (query_id, id) and (query_id) exchanges
+    # collapse into this single one (guide §2.4; plan: 6 -> 4 Exchanges,
+    # values byte-identical)
     back = res.select(
         F.expr("query_id div 3").alias("query_id"), "id", "distance"
-    )
+    ).repartition("query_id")
     best = merge_dedup(back)
     exp_part = topk_per_query(best, K).select(
         F.lit("expansion").alias("part"), "query_id", "id",
@@ -4706,7 +4730,10 @@ def q_hybrid_merge_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for pred in (F.col("label") < 5, F.col("label") >= 5)
     ]
-    best = merge_dedup(*parts)
+    # one query_id exchange feeds both the min-distance merge aggregate
+    # and the top-k window (guide §2.4 exchange sharing; same rewrite as
+    # q_query_expansion, values byte-identical)
+    best = merge_dedup(parts[0].unionByName(parts[1]).repartition("query_id"))
     return topk_per_query(best, K).select(
         "query_id", "id", r6("distance").alias("distance")
     )

@@ -221,26 +221,21 @@ class IVFIndex:
         pairs = self._probes_from_rows(qrows, n_probe)
         probe_union = sorted({cid for _, cid in pairs})
 
-        # ship only the (query_id, cluster_id) probe pairs through the
-        # driver (a few ints per query) and attach the query VECTORS by an
-        # in-plan broadcast join against the queries DataFrame: the former
-        # createDataFrame of (qid, cid, vector) rows re-serialized every
-        # query vector through the row path once per search — measurable
-        # fixed driver cost, and pure overhead since the vectors already
-        # live in `queries` (r11; result values identical).
-        pair_df = spark.createDataFrame(
-            pairs,
+        # NOTE (r11 optimization round): an attach-vectors-by-in-plan-join
+        # variant (createDataFrame of (qid, cid) pairs only, broadcast
+        # join against `queries` for the vectors) was measured 1.26x
+        # SLOWER in an interleaved A/B at sf0.1 — the join adds a scan +
+        # join stage inside the broadcast build that costs more than
+        # re-serializing the (tiny, <= Q) query vectors through
+        # createDataFrame.  Kept as the direct local relation.
+        qvecs = {r[0]: r[1] for r in qrows}
+        probes = spark.createDataFrame(
+            [(qid, cid, qvecs[qid]) for qid, cid in pairs],
             schema=queries.select(
                 F.col(query_id_col).alias("query_id"),
                 F.lit(0).alias("cluster_id"),
-            ).schema,
-        )
-        probes = pair_df.join(
-            queries.select(
-                F.col(query_id_col).alias("query_id"),
                 F.col(query_vector_col).alias("__qvec"),
-            ),
-            "query_id",
+            ).schema,
         )
         pruned = vectors_with_cluster.filter(F.col(cluster_col).isin(probe_union))
         joined = pruned.join(

@@ -274,7 +274,25 @@ def knn_bulk(
     if metric not in _METRICS:
         raise ValueError(f"unknown metric {metric!r}; one of {_METRICS}")
     spark = vectors.sparkSession
-    VB = vector_blocks or spark.sparkContext.defaultParallelism
+    if vector_blocks is not None:
+        VB = vector_blocks
+    else:
+        # scale-adaptive block count: one block per vector-scan split,
+        # capped at the cluster's parallelism.  A scan split is already
+        # sized to task memory (spark.sql.files.maxPartitionBytes), so
+        # block-per-split keeps the per-task GEMM working set at split
+        # size; at corpus scale splits >> cores and this reduces to the
+        # former defaultParallelism constant, while a small input stops
+        # paying for cores-many blocks (replicating the query set per
+        # block) it cannot fill.  Block count does not affect results:
+        # per-block top-k partials always cover the global top-k.
+        VB = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                vectors.rdd.getNumPartitions(),
+            ),
+        )
     v = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vector_col).alias("__v"),
