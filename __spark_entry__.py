@@ -4104,9 +4104,25 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("query_id") * 3 + F.col("expansion_id")).alias("eq_id"),
         "vector",
     )
+    # the two kernel searches below each collect their (tiny) query set —
+    # two independent single-task driver jobs.  Run the collects
+    # CONCURRENTLY (guide §2.6: overlap independent jobs; ~130 ms each
+    # sequential at sf0.1) and hand the rows to the kernels.
+    from concurrent.futures import ThreadPoolExecutor
+
+    qv = _query_vectors(spark, sf_dir)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_exp = pool.submit(
+            lambda: expanded.select("eq_id", "vector").collect()
+        )
+        fut_q = pool.submit(
+            lambda: qv.select("query_id", "vector").collect()
+        )
+        rows_exp, rows_q = fut_exp.result(), fut_q.result()
     res = brute_force_knn(
         emb, expanded, K, metric="l2", impl="kernel",
         id_col="vec_id", vector_col="embedding", query_id_col="eq_id",
+        query_rows=rows_exp,
     )
     # establish the query_id partitioning ONCE: both the merge aggregate
     # (grouping keys ⊇ query_id) and the final top-k window reuse it, so
@@ -4122,21 +4138,27 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("distance").alias("score"),
     )
 
-    from fabstir_vectordb_spark.operators.scoring import mmr_rerank
+    from fabstir_vectordb_spark.operators.scoring import mmr_rerank_multi
 
     cand = brute_force_knn(
-        emb, _query_vectors(spark, sf_dir), 20,
+        emb, qv, 20,
         metric="l2", impl="kernel", id_col="vec_id", vector_col="embedding",
+        query_rows=rows_q,
     ).select(
         "query_id", "id",
         r6(D.similarity_score(F.round("distance", 6))).alias("score"),
     ).cache()
     vec_side = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
-    lam1 = mmr_rerank(cand, vec_side, K, lam=1.0).select(
+    # BOTH lambda values in one pass: the candidate-vector join, the
+    # per-query cogroup exchange and the pairwise similarity matrix are
+    # shared (the former two mmr_rerank calls duplicated all three);
+    # cached so the lam1/div union branches read one materialization.
+    mm = mmr_rerank_multi(cand, vec_side, K, lams=[1.0, 0.5]).cache()
+    lam1 = mm.filter(F.col("lam") == 1.0).select(
         F.lit("mmr_lam1").alias("part"), "query_id", "id",
         r6("mmr_score").alias("score"),
     )
-    div = mmr_rerank(cand, vec_side, K, lam=0.5)
+    div = mm.filter(F.col("lam") == 0.5)
     top1 = topk_per_query(
         cand, 1, order_col="score", ascending=False
     ).select("query_id", F.col("id").alias("__top1"))

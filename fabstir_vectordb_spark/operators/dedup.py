@@ -46,9 +46,11 @@ def _parallelize(df: DataFrame) -> DataFrame:
     repartition only fires when scan parallelism is clearly below the
     cluster's, so we never add a raw-text shuffle to an already-parallel
     plan."""
+    from fabstir_vectordb_spark.operators._plan import scan_partitions
+
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if scan_partitions(df) < max(2, target // 2):
         return df.repartition(target)
     return df
 
@@ -598,7 +600,12 @@ def canonicalize_pairs(
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .distinct()
+        # no distinct: min-label propagation is idempotent over duplicate
+        # edges (min over a multiset), so deduplicating here bought
+        # nothing but a full exchange + two hash aggregates inside the
+        # first convergence job.  Duplicate-edge inputs only make the
+        # per-round joins proportionally larger, never wrong; pair
+        # producers in this package emit each (a < b) pair once anyway.
         # lazy: materialized by the first round's convergence count, so
         # the truncation costs no extra driver-blocking job
         .localCheckpoint(eager=False)

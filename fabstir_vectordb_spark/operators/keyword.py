@@ -99,7 +99,10 @@ def bm25_search(
     """Top-k BM25 per query.  Pass a prebuilt ``postings`` (from
     build_postings, typically cached/persisted) to skip re-tokenizing the
     corpus per search — the expected pattern at scale; ``docs`` may then
-    be None.
+    be None.  ``postings`` MUST be (id, term)-unique, which
+    build_postings guarantees by construction; document frequency is
+    computed as the per-term row count under that contract (the same
+    assumption vocab_stats makes).
 
     Corpus statistics: with ``docs`` available, N and avgdl are computed
     over the WHOLE corpus (standard BM25 — zero-token documents count in
@@ -164,12 +167,19 @@ def bm25_search(
     # full groupBy-per-search was the dominant shuffle of the query path
     # (guide: pre-filter the big side of a join when the filter is
     # selective).
+    # df = row count per term: postings is (id, term)-unique by
+    # construction (build_postings aggregates on (id, dl, term), and dl
+    # is a function of id) — the same contract vocab_stats already
+    # relies on for its df.  count(*) plans as ONE partial+final
+    # aggregate pair, where countDistinct(id) planned a second
+    # (term, id)-keyed aggregate phase + exchange before the final —
+    # one full shuffle of the matched postings saved per search.
     df_by_term = (
         postings.join(
             F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
         )
         .groupBy("term")
-        .agg(F.countDistinct("id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     idf = F.log(
         F.lit(1.0)

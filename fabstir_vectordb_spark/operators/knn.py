@@ -199,17 +199,27 @@ def knn_kernel(
     vector_col: str = "vector",
     query_id_col: str = "query_id",
     query_vector_col: str = "vector",
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Partial-reduction numpy kNN (impl="kernel").
 
     Queries are collected to the driver (they are the small side — the
     same assumption the expr path's broadcast makes) and shipped to
-    executors inside the Arrow task closure.
+    executors inside the Arrow task closure.  ``query_rows`` optionally
+    supplies that collect's result (rows of (query_id, vector), the
+    exact shape `queries.select(query_id_col, query_vector_col)` yields):
+    a caller constructing several kernel searches can run the collects
+    concurrently (guide §2.6 — overlap independent driver jobs) instead
+    of paying one sequential driver job per search.
     """
     if metric not in _METRICS:
         raise ValueError(f"unknown metric {metric!r}; one of {_METRICS}")
     spark = vectors.sparkSession
-    qrows = queries.select(query_id_col, query_vector_col).collect()
+    qrows = (
+        query_rows
+        if query_rows is not None
+        else queries.select(query_id_col, query_vector_col).collect()
+    )
     if not qrows:
         raise ValueError("empty query set")
     qids = [r[0] for r in qrows]
@@ -286,11 +296,13 @@ def knn_bulk(
         # paying for cores-many blocks (replicating the query set per
         # block) it cannot fill.  Block count does not affect results:
         # per-block top-k partials always cover the global top-k.
+        from fabstir_vectordb_spark.operators._plan import scan_partitions
+
         VB = max(
             1,
             min(
                 spark.sparkContext.defaultParallelism,
-                vectors.rdd.getNumPartitions(),
+                scan_partitions(vectors),
             ),
         )
     v = vectors.select(

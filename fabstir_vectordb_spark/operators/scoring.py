@@ -146,7 +146,6 @@ def mmr_rerank(
             T.StructField("rank", T.IntegerType(), False),
         ]
     )
-    import numpy as np
     import pandas as pd
 
     k_i, lam_f = int(k), float(lam)
@@ -154,17 +153,32 @@ def mmr_rerank(
     def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-        # deterministic candidate order
-        pdf = pdf.assign(__r6=pdf["__rel"].round(6)).sort_values(
-            ["__r6", "id"], ascending=[False, True], kind="mergesort"
-        ).reset_index(drop=True)
-        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
-        norms = np.linalg.norm(V, axis=1)
-        norms[norms == 0.0] = 1.0
-        U = V / norms[:, None]
-        sim = U @ U.T  # candidates are <= k', tiny
-        rel = pdf["__r6"].to_numpy()
-        n = len(pdf)
+        return _mmr_frames(pdf, k_i, [lam_f])[0]
+
+    return cand.groupBy("query_id").applyInPandas(per_query, out_schema)
+
+
+def _mmr_frames(pdf, k_i: int, lams: list[float]):
+    """One MMR greedy selection per lam over ONE candidate frame: the
+    deterministic sort and the pairwise cosine matrix are computed once
+    and shared across lams.  Returns one output frame per lam, each
+    exactly what `mmr_rerank`'s kernel produced for that lam."""
+    import numpy as np
+    import pandas as pd
+
+    # deterministic candidate order
+    pdf = pdf.assign(__r6=pdf["__rel"].round(6)).sort_values(
+        ["__r6", "id"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0.0] = 1.0
+    U = V / norms[:, None]
+    sim = U @ U.T  # candidates are <= k', tiny
+    rel = pdf["__r6"].to_numpy()
+    n = len(pdf)
+    frames = []
+    for lam_f in lams:
         selected: list[int] = []
         remaining = list(range(n))
         scores = []
@@ -184,13 +198,74 @@ def mmr_rerank(
             remaining.remove(best)
             scores.append(mmr)
         sel = pdf.iloc[selected]
-        return pd.DataFrame(
-            {
-                "query_id": sel["query_id"].to_numpy(),
-                "id": sel["id"].to_numpy(),
-                "mmr_score": np.round(scores, 6),
-                "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
-            }
+        frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": sel["query_id"].to_numpy(),
+                    "id": sel["id"].to_numpy(),
+                    "mmr_score": np.round(scores, 6),
+                    "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+                }
+            )
         )
+    return frames
+
+
+def mmr_rerank_multi(
+    results: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    lams: list[float],
+    score_col: str = "score",
+    query_col: str = "query_id",
+    id_col: str = "id",
+    vector_id_col: str = "id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """`mmr_rerank` at several lambda values in ONE pass — same greedy
+    selection per lam, with the candidate join, the per-query cogroup
+    exchange and the pairwise similarity matrix shared across lams
+    instead of re-run per lam (optimization-round consolidation: two
+    mmr_rerank calls over the same candidates cost two joins + two
+    Python stages for work that differs only in the final greedy loop).
+
+    Output: (query_id, id, mmr_score, rank, lam) — filtering on
+    `lam == x` yields exactly `mmr_rerank(..., lam=x)`'s rows.
+    """
+    from pyspark.sql import types as T
+
+    cand = results.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("double").alias("__rel"),
+    ).join(
+        vectors.select(
+            F.col(vector_id_col).alias("id"), F.col(vector_col).alias("__v")
+        ),
+        "id",
+    )
+    id_t = results.schema[id_col].dataType
+    qid_t = results.schema[query_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_t, False),
+            T.StructField("id", id_t, False),
+            T.StructField("mmr_score", T.DoubleType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("lam", T.DoubleType(), False),
+        ]
+    )
+    import pandas as pd
+
+    k_i = int(k)
+    lam_fs = [float(x) for x in lams]
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        frames = _mmr_frames(pdf, k_i, lam_fs)
+        for f, lam_f in zip(frames, lam_fs):
+            f["lam"] = lam_f
+        return pd.concat(frames, ignore_index=True)
 
     return cand.groupBy("query_id").applyInPandas(per_query, out_schema)

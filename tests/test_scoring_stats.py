@@ -189,3 +189,40 @@ def test_mmr_deterministic_and_bounded(spark):
 
     cnt = Counter(q for q, *_ in a)
     assert all(v == 10 for v in cnt.values())
+
+
+def test_mmr_rerank_multi_matches_per_lam(spark):
+    """mmr_rerank_multi(lams=[...]) must equal mmr_rerank per lam exactly
+    — the shared-join/shared-sim-matrix consolidation (optimization r11)
+    may not change a single row."""
+    import numpy as np
+
+    from fabstir_vectordb_spark.operators.scoring import (
+        mmr_rerank,
+        mmr_rerank_multi,
+    )
+
+    rng = np.random.default_rng(7)
+    vectors = spark.createDataFrame(
+        [(i, rng.normal(size=6).tolist()) for i in range(25)],
+        "id long, vector array<double>",
+    )
+    results = spark.createDataFrame(
+        [(f"q{j}", i, float((i * 5 + j) % 11) / 11.0)
+         for j in range(4) for i in range(25)],
+        "query_id string, id long, score double",
+    )
+    multi = mmr_rerank_multi(results, vectors, 8, lams=[1.0, 0.5, 0.7])
+    for lam in (1.0, 0.5, 0.7):
+        single = sorted(
+            map(tuple, mmr_rerank(results, vectors, 8, lam=lam).collect())
+        )
+        part = sorted(
+            map(
+                tuple,
+                multi.filter(f"lam = {lam}")
+                .select("query_id", "id", "mmr_score", "rank")
+                .collect(),
+            )
+        )
+        assert part == single
