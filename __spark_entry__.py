@@ -886,7 +886,16 @@ def _assigned_ivf(spark: SparkSession, sf_dir: str, n_clusters: int = 16):
     emb, idx = _fit_ivf(spark, sf_dir, n_clusters)
     key = (sf_dir, n_clusters)
     if key not in _IVF_ASSIGNED:
-        df = idx.assign(emb).cache()
+        from fabstir_vectordb_spark.operators.dedup import _parallelize
+
+        # spread the cached clustered table across the cluster BEFORE
+        # caching (one untimed shuffle at prefit): a single-file scan
+        # otherwise caches as ONE partition and every probe's
+        # filter+join+distance then executes on one core (guide §2.5
+        # input parallelism; conditional — a no-op at real scale where
+        # the layout arrives partitioned).  Row-wise values and the
+        # (round, id)-total-ordered top-k are partitioning-invariant.
+        df = _parallelize(idx.assign(emb)).cache()
         df.count()  # materialize once
         _IVF_ASSIGNED[key] = df
     return emb, idx, _IVF_ASSIGNED[key]
@@ -4026,11 +4035,14 @@ def q_merge_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     score, global top-10 per query."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = _query_vectors(spark, sf_dir)
+    # one collect serves both source kernels (same query set)
+    rows_q = queries.select("query_id", "vector").collect()
     parts = []
     for pred, w in ((F.col("label") < 5, 0.7), (F.col("label") >= 5, 0.3)):
         res = brute_force_knn(
             emb.filter(pred), queries, 20,
             metric="l2", impl="kernel", id_col="vec_id", vector_col="embedding",
+            query_rows=rows_q,
         )
         parts.append(
             res.select(
@@ -4159,14 +4171,19 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("mmr_score").alias("score"),
     )
     div = mm.filter(F.col("lam") == 0.5)
-    top1 = topk_per_query(
-        cand, 1, order_col="score", ascending=False
-    ).select("query_id", F.col("id").alias("__top1"))
+    # candidate set AND relevance top-1 from ONE aggregate over cand:
+    # ids are unique per query (top-20 lists), so max_by over the
+    # (rounded score, -id) struct reproduces topk_per_query(cand, 1,
+    # desc)'s (score desc, id asc) pick exactly — the former
+    # window + distinct + two joins collapse into one groupBy + one join.
+    cstats = cand.groupBy("query_id").agg(
+        F.collect_set("id").alias("__cands"),
+        F.max_by(
+            "id", F.struct(F.round("score", 6).alias("s"), (-F.col("id")).alias("i"))
+        ).alias("__top1"),
+    )
     div_ok = (
-        div.join(cand.select("query_id", F.col("id").alias("__cid")).distinct()
-                 .groupBy("query_id").agg(F.collect_set("__cid").alias("__cands")),
-                 "query_id")
-        .join(top1, "query_id")
+        div.join(cstats, "query_id")
         .groupBy("query_id")
         .agg(
             F.bool_and(
@@ -4745,10 +4762,14 @@ def q_hybrid_merge_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hybrid-merge half alone (r1/r2 bench shape)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = _query_vectors(spark, sf_dir)
+    # ONE collect of the query set serves both halves' kernels (the two
+    # brute_force_knn calls each ran an identical single-task driver job)
+    rows_q = queries.select("query_id", "vector").collect()
     parts = [
         brute_force_knn(
             emb.filter(pred), queries, K,
             metric="l2", impl="kernel", id_col="vec_id", vector_col="embedding",
+            query_rows=rows_q,
         )
         for pred in (F.col("label") < 5, F.col("label") >= 5)
     ]
