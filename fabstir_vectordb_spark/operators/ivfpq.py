@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fabstir_vectordb_spark.operators.ivf import IVFIndex
-from fabstir_vectordb_spark.operators.pq import ProductQuantizer
+from fabstir_vectordb_spark.operators.pq import ProductQuantizer, _adc_tables
 from fabstir_vectordb_spark.operators.topk import ROUND_DECIMALS, topk_per_query
 
 
@@ -255,26 +255,23 @@ class IVFPQIndex:
                 ids = ids.astype(str)
             cent = bc_cents.value[int(key[0])] if residual else None
             marange = np.arange(M)[None, :]
+            Qm = np.asarray(
+                [np.asarray(qv, dtype=np.float64) for qv in qpdf["__qv"]]
+            )
+            if residual:
+                # elementwise broadcast == the former per-query subtract
+                Qm = Qm - cent[None, :]
+            if rot is not None:
+                # codes encode R*(x - c) (or R*x raw): rotate AFTER the
+                # residual shift so LUT space matches code space.
+                # Per-row dgemv, exactly the former per-query `q @ rot`.
+                Qm = np.stack([q @ rot for q in Qm])
+            # (nq, M, K) LUTs for the whole probe batch in one vectorized
+            # pass (bit-identical values, see pq._adc_tables)
+            tables = _adc_tables(books, Qm, M, sub)
             out_q, out_id, out_d = [], [], []
-            for qid, qv in zip(qpdf["query_id"], qpdf["__qv"]):
-                q = np.asarray(qv, dtype=np.float64)
-                if residual:
-                    q = q - cent
-                if rot is not None:
-                    # codes encode R*(x - c) (or R*x raw): rotate AFTER
-                    # the residual shift so LUT space matches code space
-                    q = q @ rot
-                table = np.stack(
-                    [
-                        np.einsum(
-                            "kj,kj->k",
-                            books[m] - q[m * sub : (m + 1) * sub],
-                            books[m] - q[m * sub : (m + 1) * sub],
-                        )
-                        for m in range(M)
-                    ]
-                )
-                d = np.sqrt(np.sum(table[marange, codes], axis=1))
+            for i, qid in enumerate(qpdf["query_id"]):
+                d = np.sqrt(np.sum(tables[i][marange, codes], axis=1))
                 dr = np.round(d, ROUND_DECIMALS)
                 # `> fetch > 0`: k=0 falls to the empty lexsort[:0]
                 # branch (the shortlist's empty-slice max would raise)

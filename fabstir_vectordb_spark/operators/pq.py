@@ -29,6 +29,25 @@ from pyspark.sql import types as T
 from fabstir_vectordb_spark.operators._kmeans import kmeans_fit as _kmeans_fit
 
 
+def _adc_tables(books: "np.ndarray", Q: "np.ndarray", M: int, sub: int,
+                chunk: int = 512) -> "np.ndarray":
+    """(nq, M, K) ADC lookup tables for an (already rotated / residual-
+    shifted) query batch.  ONE einsum per <= ``chunk`` queries replaces
+    the former M einsum calls PER QUERY (the per-call Python dispatch
+    dominated at bulk query counts — guide §4.2, vectorize whole batches
+    inside kernels).  Values are bit-identical to the per-query form:
+    einsum('qmkj,qmkj->qmk') reduces j in the same naive sequential
+    order as einsum('kj,kj->k') does for each (q, m).  ``chunk`` bounds
+    the (chunk, M, K, sub) broadcast temporary to a few MB."""
+    nq = len(Q)
+    out = np.empty((nq, M, books.shape[1]), dtype=np.float64)
+    Qr = Q.reshape(nq, M, 1, sub)
+    for s in range(0, nq, chunk):
+        D = books[None, :, :, :] - Qr[s : s + chunk]
+        out[s : s + chunk] = np.einsum("qmkj,qmkj->qmk", D, D)
+    return out
+
+
 def exact_rerank(
     cand: DataFrame,
     queries: DataFrame,
@@ -319,22 +338,10 @@ class ProductQuantizer:
 
         def kernel(batches):
             qids_l, Q_l, books = bc.value
-            # tables[j]: (M, K) squared distances from query j's m-th slice
-            tables = np.stack(
-                [
-                    np.stack(
-                        [
-                            np.einsum(
-                                "kj,kj->k",
-                                books[m] - q[m * sub : (m + 1) * sub],
-                                books[m] - q[m * sub : (m + 1) * sub],
-                            )
-                            for m in range(M)
-                        ]
-                    )
-                    for q in Q_l
-                ]
-            )
+            # tables[j]: (M, K) squared distances from query j's m-th
+            # slice — built for the whole query batch in one vectorized
+            # pass (bit-identical values, see _adc_tables)
+            tables = _adc_tables(books, np.asarray(Q_l), M, sub)
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -434,23 +441,18 @@ class ProductQuantizer:
             if ids.dtype == object:
                 ids = ids.astype(str)
             marange = np.arange(M)[None, :]
+            Qm = np.asarray(
+                [np.asarray(qv, dtype=np.float64) for qv in qpdf["__qv"]]
+            )
+            if rot is not None:
+                # per-row dgemv, exactly the former per-query `q @ rot`
+                Qm = np.stack([q @ rot for q in Qm])
+            # (nq, M, K) subspace tables for the whole group batch in one
+            # vectorized pass (bit-identical values, see _adc_tables)
+            tables = _adc_tables(books, Qm, M, sub)
             out_q, out_id, out_d = [], [], []
-            for qid, qv in zip(qpdf["query_id"], qpdf["__qv"]):
-                q = np.asarray(qv, dtype=np.float64)
-                if rot is not None:
-                    q = q @ rot
-                # (M, K) subspace table, then M gathers per row
-                table = np.stack(
-                    [
-                        np.einsum(
-                            "kj,kj->k",
-                            books[m] - q[m * sub : (m + 1) * sub],
-                            books[m] - q[m * sub : (m + 1) * sub],
-                        )
-                        for m in range(M)
-                    ]
-                )
-                d = np.sqrt(np.sum(table[marange, codes], axis=1))
+            for i, qid in enumerate(qpdf["query_id"]):
+                d = np.sqrt(np.sum(tables[i][marange, codes], axis=1))
                 dr = np.round(d, ROUND_DECIMALS)
                 # `> k > 0`: k=0 falls to the empty lexsort[:0] branch
                 # (the shortlist's empty-slice max would raise)
