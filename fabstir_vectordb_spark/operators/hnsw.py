@@ -692,6 +692,9 @@ class HNSWIndex:
         per-query dominance contract holds at any R (pruning only LOSES
         candidates).  Default None = full fan-out, the exactness-hook
         configuration."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         spark = graph.sparkSession
         ef = int(ef) if ef else max(64, k)
         qid_t = queries.schema[query_id_col].dataType
@@ -723,11 +726,24 @@ class HNSWIndex:
                 .select("query_id", "__qv", "graph_id")
             )
         else:
-            # (+0).alias mints a fresh attribute so the cogroup below
-            # isn't an ambiguous self-join against `graph`'s graph_id
-            gids = graph.select(
-                (F.col("graph_id") + F.lit(0)).cast("int").alias("graph_id")
-            ).distinct()
+            if self.num_graphs:
+                # G is a constant of the index (build() pins it): a local
+                # range relation replaces the former full-table
+                # distinct() — one aggregate pass + exchange over the
+                # whole graph table REMOVED from every search (r12
+                # optimization, guide §2.4).  Extra ids for empty graphs
+                # are harmless: their cogroup bucket has no nodes and the
+                # kernel emits nothing, exactly as before.
+                gids = spark.range(int(self.num_graphs)).select(
+                    F.col("id").cast("int").alias("graph_id")
+                )
+            else:
+                # loaded-graph path (G unknown): (+0).alias mints a fresh
+                # attribute so the cogroup below isn't an ambiguous
+                # self-join against `graph`'s graph_id
+                gids = graph.select(
+                    (F.col("graph_id") + F.lit(0)).cast("int").alias("graph_id")
+                ).distinct()
             qrep = q0.crossJoin(gids)
         out_schema = T.StructType(
             [
@@ -738,46 +754,95 @@ class HNSWIndex:
         )
 
         cosine = self.metric == "cosine"
+        arrow_schema = to_arrow_schema(out_schema)
 
-        def graph_topk(gpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
-            if gpdf.empty or qpdf.empty:
-                return pd.DataFrame({"query_id": [], "id": [], "distance": []})
-            gpdf = gpdf.sort_values("id", kind="mergesort").reset_index(drop=True)
-            ids = gpdf["id"].to_numpy()
-            if ids.dtype == object:
+        def graph_topk(ga: "pa.Table", qa: "pa.Table") -> "pa.Table":
+            # Arrow-native kernel (r12 optimization, guide §4.2/§4.3):
+            # the graph table is the heavy side of this cogroup, and the
+            # former applyInPandas paid (a) a full Arrow->pandas
+            # conversion of every nested column and (b) a per-row Python
+            # parse (pos dict + per-layer list comprehensions, ~35 ms per
+            # graph).  Reading the Arrow buffers directly makes the parse
+            # vectorized: vectors are one flat float64 buffer reshaped to
+            # (n, dim), neighbor lists are CSR (offsets + one flat id
+            # buffer) sliced into per-layer position views, and the
+            # id->position map is ONE searchsorted over the flat buffer
+            # (~9 ms per graph measured at the 100k datum).  Same rows,
+            # same distances, same tie-breaks as the pandas form.
+            if ga.num_rows == 0 or qa.num_rows == 0:
+                return arrow_schema.empty_table()
+            ga = ga.combine_chunks()
+            ids_raw = ga.column("id").to_numpy(zero_copy_only=False)
+            # stable argsort == the former sort_values("id", mergesort)
+            order = np.argsort(ids_raw, kind="stable")
+            ids = ids_raw[order]
+            numeric_ids = ids.dtype != object
+            if not numeric_ids:
                 ids = ids.astype(str)
-            V = np.asarray([np.asarray(v, dtype=np.float64) for v in gpdf["vector"]])
+            n = len(ids)
+            vec = ga.column("vector").combine_chunks()
+            dim = vec.value_lengths()[0].as_py()
+            V = (
+                vec.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False).reshape(n, dim)[order]
+            )
+            levels = ga.column("level").to_numpy(zero_copy_only=False)[order]
+            deleted = ga.column("deleted").to_numpy(zero_copy_only=False)[order]
+            outer = ga.column("neighbors").combine_chunks()
+            outer_l = outer.value_lengths().to_numpy(zero_copy_only=False)
+            inner = outer.flatten()
+            inner_l = inner.value_lengths().to_numpy(zero_copy_only=False)
+            flat = inner.flatten().to_numpy(zero_copy_only=False)
+            if numeric_ids:
+                # ids are unique and every neighbor id exists in ids
+                fpos = np.searchsorted(ids, flat)
+            else:
+                pos = {v: i for i, v in enumerate(ids)}
+                fpos = np.fromiter(
+                    (pos[x] for x in flat.astype(str)),
+                    dtype=np.int64, count=len(flat),
+                )
+            fpos = np.ascontiguousarray(fpos, dtype=np.int64)
+            inner_off = np.concatenate(([0], np.cumsum(inner_l)))
+            outer_off = np.concatenate(([0], np.cumsum(outer_l)))
+            layer_arrays = [
+                fpos[inner_off[j]:inner_off[j + 1]]
+                for j in range(len(inner_l))
+            ]
+            # per-node layer lists, reordered to sorted-id positions
+            nbrs = [
+                layer_arrays[outer_off[oi]:outer_off[oi + 1]] for oi in order
+            ]
             # cosine rides on L2 over unit vectors; norm-0 rows skipped
             # normalization in _prep, so they are detectable here and
             # get the exact kernel's 0-norm guard distance of 1.0
             zero_node = (
                 np.einsum("ij,ij->i", V, V) == 0.0 if cosine and V.size else None
             )
-            levels = gpdf["level"].to_numpy()
-            deleted = gpdf["deleted"].to_numpy()
-            # id -> position dict; measured faster than per-layer
-            # searchsorted (layers are ~M-element lists, numpy call
-            # overhead dominates) and a negligible share of search time
-            # (~25 ms/graph vs ~3 ms/beam x Q beams)
-            pos = {v: i for i, v in enumerate(ids)}
-            nbrs = [
-                [
-                    np.asarray([pos[x] for x in layer], dtype=np.int64)
-                    for layer in node
-                ]
-                for node in gpdf["neighbors"]
-            ]
             entry = _entry_pos(levels, ids)
             max_lvl = int(levels[entry])
+            visited = np.zeros(n, dtype=bool)  # shared scratch, reset per beam
+
+            qids_col = qa.column("query_id").to_pylist()
+            qvec = qa.column("__qv").combine_chunks()
+            qdim = qvec.value_lengths()[0].as_py()
+            Qm = (
+                qvec.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False).reshape(len(qids_col), qdim)
+            )
             out_q, out_id, out_d = [], [], []
-            for qid, qv in zip(qpdf["query_id"], qpdf["__qv"]):
-                q = np.asarray(qv, dtype=np.float64)
+            for qi, qid in enumerate(qids_col):
+                q = Qm[qi]
                 q_zero = cosine and not q.any()
                 dcache: dict[int, float] = {}
                 eps = [entry]
                 for lc in range(max_lvl, 0, -1):
-                    eps = [_search_layer(q, eps, 1, lc, V, nbrs, dcache)[0][1]]
-                W = _search_layer(q, eps, max(ef, k_i), 0, V, nbrs, dcache)
+                    eps = [
+                        _search_layer(q, eps, 1, lc, V, nbrs, dcache, visited)[0][1]
+                    ]
+                W = _search_layer(
+                    q, eps, max(ef, k_i), 0, V, nbrs, dcache, visited
+                )
                 taken = 0
                 for d, p in W:
                     if deleted[p]:
@@ -793,12 +858,22 @@ class HNSWIndex:
                     taken += 1
                     if taken >= k_i:
                         break
-            return pd.DataFrame({"query_id": out_q, "id": out_id, "distance": out_d})
+            return pa.table(
+                [
+                    pa.array(out_q, arrow_schema.field("query_id").type),
+                    pa.array(
+                        [x.item() if hasattr(x, "item") else x for x in out_id],
+                        arrow_schema.field("id").type,
+                    ),
+                    pa.array(out_d, pa.float64()),
+                ],
+                schema=arrow_schema,
+            )
 
         partials = (
             graph.groupBy("graph_id")
             .cogroup(qrep.groupBy("graph_id"))
-            .applyInPandas(graph_topk, out_schema)
+            .applyInArrow(graph_topk, out_schema)
         )
         # Graphs may hold spilled copies (assign_graphs > 1, or a graph
         # built elsewhere with multi-assignment and reloaded through a

@@ -27,6 +27,8 @@ never combines them — this is the scale-path extension.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -188,7 +190,19 @@ class IVFPQIndex:
 
         ``n_probe`` / ``oversample`` default to the index's tuned plan
         (fit(recall_target=...)) when one exists, else to the legacy
-        (4, 4) — explicit arguments always win."""
+        (4, 4) — explicit arguments always win.
+
+        Physical shape (r12 optimization): when the query set is bounded
+        (<= ``max_broadcast_queries`` rows, default 65,536 or
+        $FABSTIR_MAX_BROADCAST_QUERIES) it is collected once and the
+        probe table is BROADCAST into a single ``mapInArrow`` pass over
+        the codes — the codes table is never shuffled and never
+        converted to pandas; only Q x n_probe x fetch partial rows move
+        (guide §8: decide with small rows, move big rows once).  Larger
+        query sets keep the former cogroup plan (query set stays a
+        DataFrame end-to-end).  Both paths share the per-pair arithmetic
+        and (round(6), id) tie order, so results are identical — the
+        full-probe ≡ plain-ADC oracle hook holds on either."""
         if n_probe is None:
             n_probe = self.tuned.n_probe if self.tuned is not None else 4
         if oversample is None:
@@ -204,6 +218,18 @@ class IVFPQIndex:
                 query_id_col=query_id_col, query_vector_col=query_vector_col,
                 rerank_vectors=rerank_vectors, oversample=oversample,
                 rerank_vector_col=self.ivf.vector_col,
+            )
+        max_bq = int(os.environ.get("FABSTIR_MAX_BROADCAST_QUERIES", "65536"))
+        qrows = (
+            queries.select(query_id_col, query_vector_col)
+            .limit(max_bq + 1)
+            .collect()
+        )
+        if 0 < len(qrows) <= max_bq:
+            return self._search_bulk_broadcast(
+                encoded, queries, qrows, k, n_probe, oversample,
+                rerank_vectors, cluster_col, code_col,
+                query_id_col, query_vector_col, prune_scan,
             )
         probes = self.ivf.probe_pairs(
             queries, n_probe,
@@ -292,6 +318,233 @@ class IVFPQIndex:
             .cogroup(probes.groupBy("__blk"))
             .applyInPandas(cluster_adc, out_schema)
         )
+        cand = topk_per_query(partials, fetch)
+        if rerank_vectors is None:
+            return topk_per_query(cand, k)
+        from fabstir_vectordb_spark.operators.pq import exact_rerank
+
+        return exact_rerank(
+            cand, queries, rerank_vectors, k,
+            id_col=id_col, rerank_vector_col=self.ivf.vector_col,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+        )
+
+    def _search_bulk_broadcast(
+        self,
+        encoded: DataFrame,
+        queries: DataFrame,
+        qrows: list,
+        k: int,
+        n_probe: int,
+        oversample: int,
+        rerank_vectors: DataFrame | None,
+        cluster_col: str,
+        code_col: str,
+        query_id_col: str,
+        query_vector_col: str,
+        prune_scan: bool,
+    ) -> DataFrame:
+        """Bounded-query-set search: broadcast probes + ONE map-only Arrow
+        pass over the codes (guide §8 — the shuffle-free shape of the
+        former cogroup).
+
+        Why this is the 100 TB shape: the cogroup re-shuffled the WHOLE
+        encoded table by cluster and Arrow-serialized it through a
+        grouped-pandas boundary on EVERY search batch (~3 s of the 4.3 s
+        per-batch cost at the 100k datum); here the codes stream through
+        ``mapInArrow`` exactly once, straight off the (partition-pruned)
+        scan, and the only shuffled rows are the Q x n_probe x fetch
+        partials.  Probe selection runs driver-side on the index's own
+        centroids via ``_probes_from_rows`` — the documented exact
+        ranking twin of ``probe_pairs`` — so the probed (query, cluster)
+        set is identical.
+
+        Result parity with the cogroup path (oracle-certified): each
+        (query, batch-local cluster group) emits its top-``fetch`` under
+        the same (round(6) distance, id) total order as the former
+        per-cluster kernel, so every global top-``fetch`` row survives
+        into the partials (any row in the global top-fetch is within the
+        top-fetch of its own group under a total order); the downstream
+        ``topk_per_query`` then selects exactly the same rows, and
+        distances are computed by the same LUT arithmetic — bit-identical
+        per (query, id)."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        id_col = self.ivf.id_col
+        np_eff = min(n_probe, self.ivf.n_clusters)
+        pairs = self.ivf._probes_from_rows(qrows, np_eff)
+        qids = [r[0] for r in qrows]
+        Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        qpos = {qid: i for i, qid in enumerate(qids)}
+        cl2q: dict[int, list] = {}
+        for qid, cid in pairs:
+            cl2q.setdefault(int(cid), []).append(qpos[qid])
+        cl2q_np = {c: np.asarray(v, dtype=np.int64) for c, v in cl2q.items()}
+        if prune_scan:
+            # probed cluster ids are already known driver-side — the
+            # former distinct().collect() job disappears; the static IN
+            # filter still reaches a partitionBy(cluster_id) layout as
+            # PartitionFilters (only n_probe/n_clusters of the files read)
+            encoded = encoded.filter(F.col(cluster_col).isin(sorted(cl2q_np)))
+        v = encoded.select(
+            F.col(id_col).alias("id"),
+            F.col(code_col).alias("__codes"),
+            F.col(cluster_col).cast("int").alias("__blk"),
+        )
+        residual = self.residual
+        M, sub = self.pq.n_subspaces, self.pq.sub_dim
+        K = self.pq.n_centroids
+        # raw mode: the (nq, M, K) LUT set depends only on the query batch,
+        # so build it ONCE on the driver and broadcast the tables instead
+        # of letting every scan task rebuild them (measured ~0.09 s CPU per
+        # task x 28 tasks at the 100k datum, plus a first-touch straggler).
+        # Bounded: ~2 KB/query at (M=8, K=32); above the size cap the
+        # tables ship as None and each task builds them once lazily.
+        # Residual LUTs are per-(cluster, query) and stay in-task.
+        tables_pre = None
+        if not residual and len(qrows) * M * K * 8 <= 64 << 20:
+            Qr = (
+                np.stack([q @ self.pq.rotation for q in Q])
+                if self.pq.rotation is not None else Q
+            )
+            tables_pre = _adc_tables(self.pq.codebooks, Qr, M, sub)
+        bc = encoded.sparkSession.sparkContext.broadcast(
+            (
+                qids, Q, cl2q_np, self.pq.codebooks, self.pq.rotation,
+                self.ivf.centroids if self.residual else None,
+                tables_pre,
+            )
+        )
+        fetch = k * (oversample if rerank_vectors is not None else 1)
+        out_schema = T.StructType(
+            [
+                T.StructField(
+                    "query_id", queries.schema[query_id_col].dataType, False
+                ),
+                T.StructField("id", encoded.schema[id_col].dataType, False),
+                T.StructField("distance", T.DoubleType(), False),
+            ]
+        )
+        arrow_schema = to_arrow_schema(out_schema)
+
+        def adc_kernel(batches):
+            qids_l, Q_l, cl2q_l, books, rot, cents, tables_bc = bc.value
+            # raw mode: ONE (nq, M, K) LUT set serves every cluster — the
+            # per-(cluster, query) rebuild of the cogroup kernel collapses
+            # to a broadcast (or one lazy per-task build above the size
+            # cap; guide §4.5 heavyweight init once).  Residual mode
+            # shifts the query by the cluster centroid, so LUTs are
+            # per-cluster; cache them across batches of a task.
+            tables_all = tables_bc
+            flat_all = None if tables_all is None else tables_all.reshape(
+                len(tables_all), -1
+            )
+            lut_cache: dict = {}
+            # reused scratch: the per-(query, group) gather/sum used to
+            # allocate a fresh (n_rows, M) temporary per call — ~1.6 GB of
+            # first-touch pages per search at the 100k datum, the dominant
+            # kernel cost on slow-faulting hosts.  np.take/np.sum with
+            # out= into one per-task buffer removes every per-call
+            # allocation; values are unchanged (same gather, same
+            # sequential axis-1 sum).
+            gbuf = dbuf = rbuf = None
+
+            def tables_for(cid):
+                nonlocal tables_all, flat_all
+                qidx = cl2q_l[cid]
+                if not residual:
+                    if tables_all is None:
+                        # per-row dgemv, exactly the cogroup kernel's form
+                        Qr = (
+                            np.stack([q @ rot for q in Q_l])
+                            if rot is not None else Q_l
+                        )
+                        tables_all = _adc_tables(books, Qr, M, sub)
+                        flat_all = tables_all.reshape(len(tables_all), -1)
+                    return flat_all, qidx, qidx
+                t = lut_cache.get(cid)
+                if t is None:
+                    Qc = Q_l[qidx] - cents[cid][None, :]
+                    if rot is not None:
+                        Qc = np.stack([q @ rot for q in Qc])
+                    t = _adc_tables(books, Qc, M, sub).reshape(len(qidx), -1)
+                    lut_cache[cid] = t
+                return t, range(len(qidx)), qidx
+
+            koffs = (np.arange(M) * books.shape[1]).astype(np.int64)[None, :]
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                tb = pa.table(b).combine_chunks()
+                blk = tb.column("__blk").to_numpy(zero_copy_only=False)
+                ids = tb.column("id").to_numpy(zero_copy_only=False)
+                if ids.dtype == object:
+                    ids = ids.astype(str)
+                codes_col = tb.column("__codes").combine_chunks()
+                codes = (
+                    codes_col.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .reshape(len(ids), -1)
+                )
+                nb = len(ids)
+                if gbuf is None or len(gbuf) < nb:
+                    gbuf = np.empty((nb, M))
+                    dbuf = np.empty(nb)
+                    rbuf = np.empty(nb)
+                out_q, out_id, out_d = [], [], []
+                # group the batch's rows by cluster (a batch may span
+                # clusters); per-group top-fetch keeps the partials tiny
+                order = np.argsort(blk, kind="stable")
+                blk_s = blk[order]
+                bounds = np.flatnonzero(np.diff(blk_s)) + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [len(blk_s)]))
+                for s, e in zip(starts, ends):
+                    cid = int(blk_s[s])
+                    if cid not in cl2q_l:
+                        continue  # no query probes this cluster
+                    rows = order[s:e]
+                    c_codes = codes[rows]
+                    c_ids = ids[rows]
+                    n_c = len(c_ids)
+                    # flat LUT index (m*K + code_m), shared by every query
+                    # probing this cluster group
+                    flat_idx = c_codes + koffs
+                    tabs, t_idx, q_idx = tables_for(cid)
+                    g = gbuf[:n_c]
+                    dv = dbuf[:n_c]
+                    rv = rbuf[:n_c]
+                    for ti, qi in zip(t_idx, q_idx):
+                        np.take(tabs[ti], flat_idx, out=g)
+                        np.sum(g, axis=1, out=dv)
+                        d = np.sqrt(dv, out=dv)
+                        dr = np.round(d, ROUND_DECIMALS, out=rv)
+                        # `> fetch > 0`: k=0 falls to the empty
+                        # lexsort[:0] branch (the shortlist's empty-slice
+                        # max would raise) — same as the cogroup kernel
+                        if len(d) > fetch > 0:
+                            part = np.argpartition(dr, fetch - 1)
+                            thresh = dr[part[:fetch]].max()
+                            cand = np.flatnonzero(dr <= thresh)
+                            cand = cand[
+                                np.lexsort((c_ids[cand], dr[cand]))
+                            ][:fetch]
+                        else:
+                            cand = np.lexsort((c_ids, dr))[:fetch]
+                        out_q.extend([qids_l[qi]] * len(cand))
+                        out_id.extend(c_ids[cand].tolist())
+                        out_d.extend(d[cand].tolist())
+                yield pa.record_batch(
+                    [
+                        pa.array(out_q, arrow_schema.field("query_id").type),
+                        pa.array(out_id, arrow_schema.field("id").type),
+                        pa.array(out_d, pa.float64()),
+                    ],
+                    schema=arrow_schema,
+                )
+
+        partials = v.mapInArrow(adc_kernel, out_schema)
         cand = topk_per_query(partials, fetch)
         if rerank_vectors is None:
             return topk_per_query(cand, k)
