@@ -55,8 +55,14 @@ def r6(c) -> F.Column:
 # file listing + schema inference per call, and every query constructor
 # re-reads its tables.  The memo holds the immutable LOGICAL PLAN only —
 # no .cache(), no data: every action on the returned frame still scans
-# the parquet files.  Keyed by session identity so tests with their own
-# sessions never see a frame from a stopped context.
+# the parquet files.  Scope (ADVICE r11): the key is the APPLICATION
+# (applicationId identifies the SparkContext, which spark.newSession()
+# siblings share), so a frame analyzed under one session's confs can be
+# served to a sibling session, and the first-read schema/file-index is
+# pinned for the application's lifetime — rewriting a fixture parquet
+# mid-application would serve a stale handle.  Both are fine here (the
+# driver contract uses one session per process over immutable fixtures)
+# but are part of this memo's contract, not an accident.
 _TABLE_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
 
 
